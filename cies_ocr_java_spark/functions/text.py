@@ -1,0 +1,97 @@
+"""Text-analysis column functions — all pure Column expressions (JVM-side).
+
+These generalize the reference's single text heuristic (the text-sufficiency
+predicate, DocumentExtractManager.java:410-429) into the text-statistics
+toolkit a large-scale training-data pipeline needs: token counting, quality
+scoring, language id, and content fingerprinting. Everything here compiles
+into whole-stage codegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Canonical whitespace normalization used EVERYWHERE extracted text is
+# emitted or compared: collapse runs of whitespace to one space and trim.
+WS_PATTERN = r"\s+"
+
+# Tiny marker-word lists for the n-gram/stopword language heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+EN_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "it", "for", "on")
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_ws(c: Column | str) -> Column:
+    """Collapse all whitespace runs to single spaces and trim."""
+    return F.trim(F.regexp_replace(_col(c), WS_PATTERN, " "))
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/null-ish text."""
+    t = normalize_ws(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
+
+
+def _word_occurrences(c: Column, word: str) -> Column:
+    # \b word boundaries; case-insensitive via lower() on the caller side.
+    return F.size(F.regexp_extract_all(c, F.lit(rf"\b{word}\b"), 0))
+
+
+def stopword_count(c: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    low = F.lower(normalize_ws(c))
+    expr: Column = F.lit(0)
+    for w in stopwords:
+        expr = expr + _word_occurrences(low, w)
+    return expr
+
+
+def quality_score_cols(c: Column | str) -> dict[str, Column]:
+    """Document quality signals: length, punctuation ratio, stopword ratio,
+    mean token length — the usual pretraining-corpus filters."""
+    t = normalize_ws(c)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0))
+    n_stop = stopword_count(t)
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).cast("double"),
+        "stopword_ratio": F.round(n_stop / safe_tokens, 6).cast("double"),
+        "mean_token_len": F.round(n_chars / safe_tokens, 6).cast("double"),
+    }
+
+
+def lang_id(c: Column | str) -> Column:
+    """Marker-word language heuristic: argmax over per-language marker counts
+    (ties broken by language code order en<es<fr<de via strict > comparison)."""
+    low = F.lower(normalize_ws(c))
+    scores = {
+        lang: sum(
+            (_word_occurrences(low, w) for w in words), start=F.lit(0)
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best_lang: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    for lang in ("de", "fr", "es", "en"):  # later-applied when() wins ties -> en first
+        s = scores[lang]
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized, lowercased text.
+    Used for exact dedup; stable across engines (same md5 in DuckDB)."""
+    return F.md5(F.lower(normalize_ws(c)))

@@ -1,0 +1,51 @@
+"""spark-submit entry point.
+
+Usage (local or cluster — master comes from spark-submit / env):
+
+    spark-submit --py-files cies_ocr_java_spark.zip \
+        cies_ocr_java_spark/main.py \
+        --input fixtures/sf-small/documents.parquet \
+        --output out/ [--run-id r1] [--no-resume] [--partitions 64]
+
+Prints one JSON line with the run metrics (docs/spans/bytes/failures/wall).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from cies_ocr_java_spark.plans.pipeline import run
+from cies_ocr_java_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cies_ocr_java_spark")
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="output table root")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--master", default=None, help="override spark master (tests)")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(master=args.master)
+    try:
+        docs = spark.read.parquet(args.input)
+        metrics = run(
+            spark,
+            docs,
+            args.output,
+            run_id=args.run_id,
+            resume=not args.no_resume,
+            repartition_to=args.partitions,
+        )
+        print(json.dumps(metrics))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""HTML main-content extraction: DOM-ish block segmentation + text/link-density
+boilerplate scoring, as an Arrow-vectorized pandas UDF.
+
+This generalizes the reference's per-document text-sufficiency predicate
+(DocumentExtractManager.java:410-429) to a per-node density heuristic
+(jusText/Arc90 family): a text block survives iff it is long enough AND not
+link-dominated, and anything inside structurally-boilerplate containers
+(head/nav/footer/header/aside) or non-content tags (script/style) is dropped
+outright.
+
+Algorithm (whole batch at once — pandas str ops over all documents, then one
+explode over candidate blocks; no per-document Python loop):
+  1. strip comments, script/style, and boilerplate containers with content;
+  2. segment the remaining markup into candidate blocks at block-level tag
+     boundaries (formats.HTML_BLOCK_TAGS);
+  3. per block: visible text = tag-strip + entity-decode + ws-normalize;
+     link text = the same over every <a>...</a> inner body;
+  4. keep blocks with chars >= HTML_MIN_BLOCK_CHARS and
+     link_chars/chars <= HTML_MAX_LINK_DENSITY;
+  5. join surviving blocks with ' ' in document order.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from cies_ocr_java_spark.formats import (
+    HTML_BLOCK_TAGS,
+    HTML_BOILERPLATE_CONTAINERS,
+    HTML_ENTITIES,
+    HTML_MAX_LINK_DENSITY,
+    HTML_MIN_BLOCK_CHARS,
+    HTML_STRIP_CONTENT_TAGS,
+)
+
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_DROP_CONTENT_RES = [
+    re.compile(rf"<{tag}\b[^>]*>.*?</{tag}\s*>", re.S | re.I)
+    for tag in (*HTML_STRIP_CONTENT_TAGS, *HTML_BOILERPLATE_CONTAINERS)
+]
+_BLOCK_SPLIT_RE = re.compile(
+    rf"</?(?:{'|'.join(HTML_BLOCK_TAGS)})\b[^>]*/?>", re.I
+)
+_ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _clean_text(s: pd.Series) -> pd.Series:
+    """Visible text of a markup fragment: strip tags, decode entities,
+    normalize whitespace. Vectorized."""
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    for ent, ch in HTML_ENTITIES.items():  # '&amp;' last — see formats.py
+        s = s.str.replace(ent, ch, regex=False)
+    return s.str.replace(_WS_RE, " ", regex=True).str.strip()
+
+
+def extract_main_text_batch(html: pd.Series) -> pd.Series:
+    """One Arrow batch of HTML payloads -> main-content text per document."""
+    s = html.fillna("")
+    rid = pd.RangeIndex(len(s))
+    s.index = rid
+
+    s = s.str.replace(_COMMENT_RE, " ", regex=True)
+    for rx in _DROP_CONTENT_RES:
+        s = s.str.replace(rx, " ", regex=True)
+
+    # candidate blocks: one row per fragment, original doc id in 'rid'
+    frags = s.str.split(_BLOCK_SPLIT_RE, regex=True)
+    fr = pd.DataFrame({"rid": rid, "frag": frags}).explode("frag", ignore_index=True)
+    fr["frag"] = fr["frag"].fillna("")
+
+    fr["text"] = _clean_text(fr["frag"])
+    fr["chars"] = fr["text"].str.len()
+
+    # link chars: explode anchors, clean, sum lengths back per block
+    anchors = fr["frag"].str.findall(_ANCHOR_RE)
+    la = (
+        pd.DataFrame({"bid": fr.index, "inner": anchors})
+        .explode("inner")
+        .dropna(subset=["inner"])
+    )
+    if len(la):
+        la["llen"] = _clean_text(la["inner"].astype(str)).str.len()
+        link_chars = la.groupby("bid")["llen"].sum()
+    else:
+        link_chars = pd.Series(dtype="int64")
+    fr["link_chars"] = link_chars.reindex(fr.index).fillna(0).astype("int64")
+
+    keep = (fr["chars"] >= HTML_MIN_BLOCK_CHARS) & (
+        fr["link_chars"] / fr["chars"].clip(lower=1) <= HTML_MAX_LINK_DENSITY
+    )
+    kept = fr[keep].groupby("rid")["text"].agg(" ".join)
+    return kept.reindex(rid).fillna("")
+
+
+@F.pandas_udf(T.StringType())
+def html_main_text_udf(html: pd.Series) -> pd.Series:
+    return extract_main_text_batch(html)

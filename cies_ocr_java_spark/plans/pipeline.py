@@ -1,0 +1,263 @@
+"""The extraction DAG — the reference's three event-driven entry points
+(ingest EP1, extraction decision EP2, assembly EP3 — SURVEY.md §3) collapsed
+into one Catalyst-optimized logical plan:
+
+    read documents -> explode spans -> classify -> route by kind ->
+      pdf:  text-layer parse -> sufficiency predicate P3 -> OCR fallback
+      html: density-based boilerplate strip (pandas UDF)
+      text: normalize           media: pass-through
+    -> union -> per-doc ordered assembly -> commit snapshots
+       (extracted_spans, doc_state, metrics)
+
+Scale notes (the part that matters at 100 TB / 10^12 docs):
+  * ONE shuffle before extraction: ``repartition(P, doc_id, offset)`` — the
+    span is the unit of work, so hashing on (doc_id, offset) spreads a giant
+    document's spans across P tasks; this is the skew salt (a single
+    mega-span is irreducible, matching the reference's per-doc envelope).
+  * The four kind-branches filter the SAME repartitioned child, so Catalyst
+    reuses one exchange — the input is shuffled once, scanned once per branch
+    from shuffle files, never recomputed from source.
+  * pdf/ocr/text branches are pure column expressions (whole-stage codegen,
+    zero Python). Only the html branch crosses into Arrow/pandas, and only
+    html rows are ever shipped to Python.
+  * ONE more shuffle for assembly (groupBy doc_id). Nothing else shuffles.
+  * Resume = left_anti join against SUCCEEDED doc_state (the one genuine
+    join; AQE broadcasts it when small).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cies_ocr_java_spark import schema as S
+from cies_ocr_java_spark.metrics import ExtractionMetrics
+from cies_ocr_java_spark.operators.assemble import assemble_documents
+from cies_ocr_java_spark.operators.classify import sniff_kind, span_invalid
+from cies_ocr_java_spark.operators.html_extract import html_main_text_udf
+from cies_ocr_java_spark.operators.ocr_mock import ocr_text_col
+from cies_ocr_java_spark.operators.pdf_extract import (
+    pdf_layer_cols,
+    pdf_layer_udf,
+    text_sufficient,
+)
+from cies_ocr_java_spark.functions.text import normalize_ws
+from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+_OUT_COLS = ["doc_id", "offset", "out_kind", "out_text", "media_ref", "failed", "error", "used_ocr"]
+
+
+def flatten_spans(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, spans[]) -> one row per span; empty docs keep one
+    null row so the validation failure (P7: body required,
+    CanonicalRequest.java:64-71) is attributable."""
+    return docs.select(
+        "doc_id", F.explode_outer("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def extract_spans(
+    docs: DataFrame,
+    repartition_to: int | None = None,
+    use_pdf_udf: bool = False,
+) -> DataFrame:
+    """Full extraction transform: documents -> assembled per-doc output
+    (doc_id, spans, text, failed, error, partition_id, used_ocr).
+    Pure transformation — no I/O, reusable from tests/bench/queries."""
+    spark = docs.sparkSession
+    n = repartition_to or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    flat = flatten_spans(docs)
+    flat = flat.withColumn(
+        "ekind", sniff_kind(F.col("kind"), F.col("text"), F.col("media_ref"))
+    ).withColumn(
+        "invalid",
+        F.col("kind").isNull() & F.col("text").isNull() & F.col("media_ref").isNull()
+        | span_invalid(F.col("ekind"), F.col("text"), F.col("media_ref")),
+    )
+    # the salt shuffle: spans of one giant doc spread across n tasks
+    flat = flat.repartition(n, F.col("doc_id"), F.col("offset"))
+
+    nofail = (F.lit(False).alias("failed"), F.lit(None).cast("string").alias("error"))
+
+    text_b = flat.where((F.col("ekind") == "text") & ~F.col("invalid")).select(
+        "doc_id", "offset",
+        F.lit("text").alias("out_kind"),
+        normalize_ws("text").alias("out_text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        *nofail,
+        F.lit(False).alias("used_ocr"),
+    )
+
+    media_b = flat.where((F.col("ekind") == "media") & ~F.col("invalid")).select(
+        "doc_id", "offset",
+        F.lit("media").alias("out_kind"),
+        F.lit(None).cast("string").alias("out_text"),
+        "media_ref",
+        *nofail,
+        F.lit(False).alias("used_ocr"),
+    )
+
+    html_b = flat.where((F.col("ekind") == "html") & ~F.col("invalid")).select(
+        "doc_id", "offset",
+        F.lit("text").alias("out_kind"),
+        html_main_text_udf(F.col("text")).alias("out_text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        *nofail,
+        F.lit(False).alias("used_ocr"),
+    )
+
+    pdf_src = flat.where((F.col("ekind") == "pdf") & ~F.col("invalid"))
+    if use_pdf_udf:
+        parsed = pdf_src.withColumn("p", pdf_layer_udf(F.col("text"))).select(
+            "*", "p.pdf_text", "p.page_count", "p.pdf_malformed"
+        ).drop("p")
+    else:
+        cols = pdf_layer_cols(F.col("text"))
+        parsed = pdf_src.select(
+            "*",
+            cols["pdf_text"].alias("pdf_text"),
+            cols["page_count"].alias("page_count"),
+            cols["pdf_malformed"].alias("pdf_malformed"),
+        )
+    sufficient = text_sufficient(F.col("pdf_text"), F.col("page_count"))
+    pdf_b = parsed.select(
+        "doc_id", "offset",
+        F.lit("text").alias("out_kind"),
+        F.when(F.col("pdf_malformed"), F.lit(None).cast("string"))
+        .when(sufficient, F.col("pdf_text"))
+        .otherwise(ocr_text_col(F.col("text")))
+        .alias("out_text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.col("pdf_malformed").alias("failed"),
+        F.when(F.col("pdf_malformed"), F.lit("malformed pdf payload"))
+        .cast("string").alias("error"),
+        (~F.col("pdf_malformed") & ~sufficient).alias("used_ocr"),
+    )
+
+    invalid_b = flat.where(F.col("invalid")).select(
+        "doc_id", "offset",
+        F.lit("text").alias("out_kind"),
+        F.lit(None).cast("string").alias("out_text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(True).alias("failed"),
+        F.lit("invalid span: missing required payload").alias("error"),
+        F.lit(False).alias("used_ocr"),
+    )
+
+    all_spans = (
+        text_b.unionByName(media_b)
+        .unionByName(html_b)
+        .unionByName(pdf_b)
+        .unionByName(invalid_b)
+    )
+
+    assembled = assemble_documents(all_spans.select(*_OUT_COLS[:7]))
+    used_ocr = all_spans.groupBy("doc_id").agg(F.max("used_ocr").alias("used_ocr"))
+    return assembled.join(used_ocr, "doc_id", "left")
+
+
+def run(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_root: str,
+    run_id: str | None = None,
+    resume: bool = True,
+    repartition_to: int | None = None,
+    record_submitted: bool = False,
+) -> dict:
+    """Execute the pipeline and commit snapshots. Returns run metrics.
+
+    Resume semantics (the reference's status state machine, §2.7, as batch):
+    docs already SUCCEEDED in doc_state are anti-joined away; a restart after
+    a crash re-processes only unfinished documents from the last committed
+    snapshot — checkpoint/restart replaces the reference's async retry."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+    extracted_tbl = SnapshotTable(os.path.join(output_root, "extracted_spans"))
+    state_tbl = SnapshotTable(os.path.join(output_root, "doc_state"))
+    metrics_tbl = SnapshotTable(os.path.join(output_root, "metrics"))
+
+    if resume and state_tbl.exists():
+        done = (
+            state_tbl.read(spark)
+            .where(F.col("status") == S.STATUS_SUCCEEDED)
+            .select("doc_id")
+            .distinct()
+        )
+        docs = docs.join(done, "doc_id", "left_anti")
+
+    metrics = ExtractionMetrics.create(spark.sparkContext)
+    result = extract_spans(docs, repartition_to=repartition_to).cache()
+
+    if record_submitted:
+        # optional fidelity to the New->Submitted transition for OCR-path docs
+        # (DocumentExtractManager.java:310); costs one extra pass.
+        submitted = result.where(F.col("used_ocr")).select(
+            "doc_id",
+            F.lit(S.STATUS_SUBMITTED).alias("status"),
+            F.concat(F.lit(run_id), F.lit("/"), F.col("doc_id")).alias("job_id"),
+            F.col("partition_id"),
+            F.lit(None).cast("long").alias("snapshot_id"),
+            F.lit(None).cast("string").alias("error"),
+        )
+        state_tbl.commit(submitted, mode="append")
+
+    ok = result.where(~F.col("failed"))
+    out_sid = extracted_tbl.commit(ok.select("doc_id", "spans", "text"), mode="append")
+
+    state = result.select(
+        "doc_id",
+        F.when(F.col("failed"), S.STATUS_FAILED)
+        .otherwise(S.STATUS_SUCCEEDED)
+        .alias("status"),
+        F.when(
+            F.col("used_ocr"), F.concat(F.lit(run_id), F.lit("/"), F.col("doc_id"))
+        ).alias("job_id"),
+        F.col("partition_id"),
+        F.lit(out_sid).cast("long").alias("snapshot_id"),
+        "error",
+    )
+    state_sid = state_tbl.commit(state, mode="append")
+
+    agg = result.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size("spans")).alias("spans"),
+        F.sum(F.length("text")).alias("bytes"),
+        F.sum(F.col("failed").cast("long")).alias("failures"),
+    ).collect()[0]
+    metrics.docs_processed.add(int(agg["docs"] or 0))
+    metrics.spans_emitted.add(int(agg["spans"] or 0))
+    metrics.bytes_processed.add(int(agg["bytes"] or 0))
+    metrics.failures.add(int(agg["failures"] or 0))
+    wall = time.time() - t0
+    parallelism = spark.sparkContext.defaultParallelism
+    m = metrics.snapshot()
+    metrics_row = spark.createDataFrame(
+        [
+            (
+                run_id, out_sid, m["docs_processed"], m["spans_emitted"],
+                m["bytes_processed"], m["failures"], wall, parallelism,
+            )
+        ],
+        schema=S.METRICS,
+    )
+    metrics_tbl.commit(metrics_row, mode="append")
+    result.unpersist()
+    return {
+        "run_id": run_id,
+        "snapshot_id": out_sid,
+        "state_snapshot_id": state_sid,
+        "wall_seconds": wall,
+        "parallelism": parallelism,
+        **m,
+    }

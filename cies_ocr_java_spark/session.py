@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what a 1000-executor cluster deployment would set
+per-executor: AQE on (runtime re-plan + skew-join splitting), shuffle
+partitions ~ cores (not the 200 default), Arrow batches bounded so a giant
+document cannot blow an executor's heap (the analog of the reference's
+maxResults(1000) pagination, DocumentExtractManager.java:544).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Bound Arrow transfer batches: one batch holds at most this many spans, so a
+# skew tail of multi-MB payload spans stays within a bounded memory envelope.
+ARROW_MAX_RECORDS_PER_BATCH = 512
+
+
+def get_spark(
+    app_name: str = "cies_ocr_java_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
+    On a real cluster, pass ``master=None`` after setting spark.master via
+    spark-submit — the builder only sets master when explicitly given one.
+    """
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # Under spark-submit the JVM gateway already exists and --master wins;
+        # only default the master when running as a plain python process.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        effective = master or ""
+        n = (
+            effective[effective.find("[") + 1 : effective.find("]")]
+            if "[" in effective
+            else ""
+        )
+        shuffle_partitions = 32 if n in ("", "*") else max(int(n), 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    if master:
+        builder = builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,125 @@
+"""Iceberg-semantics snapshot tables over Parquet (no Iceberg jar available —
+SURVEY.md §7.0). Replaces the reference's mutable S3 tag store
+(DocumentExtractManager.java:680-697: 'the document status is stored as a Tag
+so that it can be mutated') with append-only snapshots + a manifest log —
+mutability-with-history, resumable checkpoints.
+
+Commit protocol (crash-safe, mid-write-restart correct):
+  1. write the new data files into ``data/_tmp-<uuid>/`` via Spark;
+  2. atomically ``os.rename`` the temp dir to ``data/snap-<id>/``;
+  3. atomically replace ``snapshot-log.json`` (write temp + ``os.replace``).
+The log is the table: data dirs not referenced by the log (e.g. from a crash
+between steps) are simply invisible and can be GC'd. A snapshot entry lists
+every data dir that composes it, so reads are a single multi-path parquet
+scan (column pruning + predicate pushdown intact).
+
+Swapping in real Iceberg later is a config change: this class's API
+(commit/read/history/current) mirrors what a SparkCatalog table gives you.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_FILE = "snapshot-log.json"
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    op: str                 # 'append' | 'overwrite'
+    data_dirs: list[str]    # relative to table root
+    ts: float
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_root = os.path.join(root, "data")
+
+    # --- log ---------------------------------------------------------------
+    def _log_path(self) -> str:
+        return os.path.join(self.root, LOG_FILE)
+
+    def _read_log(self) -> dict:
+        path = self._log_path()
+        if not os.path.exists(path):
+            return {"current": 0, "snapshots": []}
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_log(self, log: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._log_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(log, f, indent=1)
+        os.replace(tmp, self._log_path())
+
+    # --- public API ----------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(self._log_path()) and self.current_snapshot_id() > 0
+
+    def current_snapshot_id(self) -> int:
+        return int(self._read_log()["current"])
+
+    def history(self) -> list[Snapshot]:
+        return [Snapshot(**s) for s in self._read_log()["snapshots"]]
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as a new snapshot; returns the new snapshot id."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown commit mode {mode!r}")
+        log = self._read_log()
+        sid = int(log["current"]) + 1
+        os.makedirs(self.data_root, exist_ok=True)
+
+        tmp_dir = os.path.join(self.data_root, f"_tmp-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp_dir)
+        final_rel = f"snap-{sid:06d}"
+        os.rename(tmp_dir, os.path.join(self.data_root, final_rel))
+
+        parent_dirs: list[str] = []
+        if mode == "append" and log["snapshots"]:
+            parent_dirs = list(log["snapshots"][-1]["data_dirs"])
+        entry = Snapshot(
+            snapshot_id=sid,
+            parent_id=int(log["current"]) or None,
+            op=mode,
+            data_dirs=[*parent_dirs, final_rel],
+            ts=time.time(),
+        )
+        log["snapshots"].append(entry.__dict__)
+        log["current"] = sid
+        self._write_log(log)
+        return sid
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table at a snapshot (default: current). Multi-dir parquet
+        scan — Catalyst pushdown/pruning apply as with any parquet source."""
+        log = self._read_log()
+        sid = snapshot_id if snapshot_id is not None else int(log["current"])
+        for s in log["snapshots"]:
+            if s["snapshot_id"] == sid:
+                paths = [os.path.join(self.data_root, d) for d in s["data_dirs"]]
+                return spark.read.parquet(*paths)
+        raise KeyError(f"snapshot {sid} not found in {self.root}")
+
+    def gc_orphans(self) -> list[str]:
+        """Remove data dirs not referenced by any snapshot (crash leftovers)."""
+        log = self._read_log()
+        referenced = {d for s in log["snapshots"] for d in s["data_dirs"]}
+        removed = []
+        if os.path.isdir(self.data_root):
+            for d in os.listdir(self.data_root):
+                if d not in referenced:
+                    shutil.rmtree(os.path.join(self.data_root, d))
+                    removed.append(d)
+        return removed

@@ -1,0 +1,82 @@
+"""Scalar function tests — reference parity per SURVEY.md §2.6, including
+pinned intended-semantics for the reference's bugs (F6 split bug)."""
+
+from pyspark.sql import functions as F
+
+from cies_ocr_java_spark.functions.paths import (
+    coerce_status,
+    doc_id_from_result_id,
+    guess_mime_type,
+    json_result_id,
+    last_path_element,
+    remove_leading_slash,
+    text_result_id,
+)
+from cies_ocr_java_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    normalize_ws,
+    token_count,
+)
+
+
+def _one(spark, value, col_fn):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(col_fn(F.col("v")).alias("r")).collect()[0]["r"]
+
+
+def test_remove_leading_slash(spark):
+    assert _one(spark, "/text/abc", remove_leading_slash) == "text/abc"
+    assert _one(spark, "text/abc", remove_leading_slash) == "text/abc"
+    # only ONE leading slash, like Utility.java:74-80
+    assert _one(spark, "//x", remove_leading_slash) == "/x"
+
+
+def test_last_path_element(spark):
+    assert _one(spark, "/text/doc-1", last_path_element) == "doc-1"
+    assert _one(spark, "doc-1", last_path_element) == "doc-1"
+
+
+def test_mime_guess(spark):
+    assert _one(spark, "a/b/scan.PDF", guess_mime_type) == "application/pdf"
+    assert _one(spark, "x.html", guess_mime_type) == "text/html"
+    assert _one(spark, "noext", guess_mime_type) == "application/octet-stream"
+
+
+def test_result_ids_idempotent(spark):
+    assert _one(spark, "d1", text_result_id) == "d1.txt"
+    assert _one(spark, "d1.txt", text_result_id) == "d1.txt"
+    assert _one(spark, "d1", json_result_id) == "d1.json"
+    # F6 intended semantics (reference impl is dead/broken, Utility.java:126-130)
+    assert _one(spark, "d1.txt", doc_id_from_result_id) == "d1"
+    assert _one(spark, "d1.json", doc_id_from_result_id) == "d1"
+    assert _one(spark, "d1.pdf", doc_id_from_result_id) == "d1.pdf"
+
+
+def test_status_coercion(spark):
+    # unknown/null -> New (DocumentExtractStatus.java:12-18)
+    df = spark.createDataFrame(
+        [("SUCCEEDED",), ("garbage",), (None,), ("Submitted",)], "v string"
+    )
+    got = [r["r"] for r in df.select(coerce_status(F.col("v")).alias("r")).collect()]
+    assert got == ["SUCCEEDED", "New", "New", "Submitted"]
+
+
+def test_normalize_and_tokens(spark):
+    assert _one(spark, "  a \t b\n\nc  ", normalize_ws) == "a b c"
+    df = spark.createDataFrame([("a b  c",), ("",), ("   ",)], "v string")
+    got = [r["r"] for r in df.select(token_count(F.col("v")).alias("r")).collect()]
+    assert got == [3, 0, 0]
+
+
+def test_lang_id(spark):
+    en = "the cat and the dog went to the market in town"
+    es = "el perro y la casa de que los hombres"
+    assert _one(spark, en, lang_id) == "en"
+    assert _one(spark, es, lang_id) == "es"
+
+
+def test_fingerprint_ws_insensitive(spark):
+    a = _one(spark, "Hello   World", fingerprint)
+    b = _one(spark, "hello world", fingerprint)
+    assert a == b and len(a) == 32

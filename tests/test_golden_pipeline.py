@@ -1,0 +1,94 @@
+"""End-to-end golden test: pipeline output must equal the independent oracle
+under span-sequence equality on (kind, text, media_ref, order) — the
+per-document invariant from BASELINE.json input_hint — and FAILED documents
+must match the oracle's failure set (all-or-nothing contract,
+DocumentExtractManager.java:324-363)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cies_ocr_java_spark.plans.pipeline import extract_spans
+
+
+@pytest.fixture(scope="module")
+def result_rows(spark, corpus_dir):
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    out = extract_spans(docs)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+@pytest.fixture(scope="module")
+def golden(corpus_dir):
+    con = duckdb.connect()
+    exp = con.sql(
+        f"select * from read_parquet('{corpus_dir}/expected_spans.parquet')"
+    ).fetchall()
+    state = con.sql(
+        f"select doc_id, status, used_ocr from read_parquet('{corpus_dir}/expected_state.parquet')"
+    ).fetchall()
+    return exp, state
+
+
+def test_span_sequence_equality(result_rows, golden):
+    exp, _ = golden
+    assert len(exp) > 100
+    for doc_id, spans, text in exp:
+        r = result_rows.get(doc_id)
+        assert r is not None and not r["failed"], f"{doc_id} missing/failed"
+        got = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        want = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in spans]
+        assert got == want, f"span mismatch for {doc_id}"
+        assert r["text"] == text, f"flat text mismatch for {doc_id}"
+
+
+def test_failed_documents_match_oracle(result_rows, golden):
+    _, state = golden
+    failed = [d for d, s, _ in state if s == "FAILED"]
+    assert len(failed) > 0, "corpus must include failure classes"
+    for doc_id in failed:
+        r = result_rows.get(doc_id)
+        assert r is not None and r["failed"], f"{doc_id} should have failed"
+        assert r["error"] is not None
+
+
+def test_used_ocr_matches_oracle(result_rows, golden):
+    _, state = golden
+    for doc_id, status, used_ocr in state:
+        if status != "SUCCEEDED":
+            continue
+        assert bool(result_rows[doc_id]["used_ocr"]) == bool(used_ocr), doc_id
+
+
+def test_output_order_is_dense(result_rows):
+    for r in result_rows.values():
+        if r["failed"]:
+            continue
+        orders = [s["order"] for s in r["spans"]]
+        assert orders == list(range(len(orders)))
+
+
+def test_deterministic_under_partitioning(spark, corpus_dir, result_rows):
+    """Assembly must not depend on partitioning (never trust collect_list
+    order): re-run with a different layout, results must be identical."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").repartition(13)
+    out2 = {r["doc_id"]: r for r in extract_spans(docs, repartition_to=3).collect()}
+    assert set(out2) == set(result_rows)
+    for doc_id, r in result_rows.items():
+        r2 = out2[doc_id]
+        assert [tuple(s) for s in (r2["spans"] or [])] == [
+            tuple(s) for s in (r["spans"] or [])
+        ], doc_id
+
+
+def test_media_refs_preserved(result_rows, golden):
+    exp, _ = golden
+    n_media = 0
+    for doc_id, spans, _ in exp:
+        for s in spans:
+            if s["kind"] == "media":
+                n_media += 1
+                got = result_rows[doc_id]["spans"][s["order"]]
+                assert got["media_ref"] == s["media_ref"]
+                assert got["text"] is None
+    assert n_media > 0, "corpus must include interleaved media docs"

@@ -1,0 +1,111 @@
+"""Per-operator unit tests: PDF (both execution paths), OCR decode, HTML
+extraction, classification — pinned against the reference's semantics
+including its quirks (SURVEY.md §7.4: we implement intended semantics;
+the 528 constant wins over its 5280 comment; strict '>' at
+DocumentExtractManager.java:417)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cies_ocr_java_spark.formats import make_pdf
+from cies_ocr_java_spark.operators.html_extract import extract_main_text_batch
+from cies_ocr_java_spark.operators.ocr_mock import _decode_ocr_batch, ocr_text_col
+from cies_ocr_java_spark.operators.pdf_extract import (
+    _extract_pdf_batch,
+    pdf_layer_cols,
+    text_sufficient,
+)
+from tools import oracle
+
+
+def _pdf_cols(spark, payloads):
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    cols = pdf_layer_cols(F.col("payload"))
+    return df.select(
+        cols["pdf_text"].alias("t"),
+        cols["page_count"].alias("p"),
+        cols["pdf_malformed"].alias("m"),
+    ).collect()
+
+
+def test_pdf_jvm_and_pandas_paths_agree(spark):
+    payloads = [
+        make_pdf(["hello world", "second page"]),
+        make_pdf(["with (parens) and back\\slash escapes"]),
+        make_pdf([""], ocr_pages=["scanned text"]),
+        make_pdf(["x"], truncated=True),
+        make_pdf(["x"], headerless=True),
+        "not a pdf at all",
+    ]
+    jvm = _pdf_cols(spark, payloads)
+    pdf = _extract_pdf_batch(pd.Series(payloads))
+    for row, (_, prow) in zip(jvm, pdf.iterrows()):
+        assert row["t"] == prow["pdf_text"]
+        assert row["p"] == prow["page_count"]
+        assert bool(row["m"]) == bool(prow["pdf_malformed"])
+
+
+def test_pdf_escape_roundtrip(spark):
+    src = "text with (nested (parens)) and \\ backslash"
+    [row] = _pdf_cols(spark, [make_pdf([src])])
+    assert row["t"] == src
+    assert not row["m"]
+
+
+def test_sufficiency_strict_greater(spark):
+    # exactly 264 chars on 1 page == 0.5 * 528 * 1 -> NOT sufficient
+    exact = "x" * 264
+    over = "x" * 265
+    df = spark.createDataFrame([(exact, 1), (over, 1)], "t string, p int")
+    got = df.select(text_sufficient("t", "p").alias("s")).collect()
+    assert [r["s"] for r in got] == [False, True]
+
+
+def test_ocr_page_filter_and_order(spark):
+    pdf = make_pdf([""], ocr_pages=["alpha beta", "gamma delta"])
+    df = spark.createDataFrame([(pdf,)], "payload string")
+    [row] = df.select(ocr_text_col("payload").alias("t")).collect()
+    # WORD noise blocks filtered; PAGE blocks concatenated in order
+    assert row["t"] == "alpha beta gamma delta"
+    assert _decode_ocr_batch(pd.Series([pdf])).iloc[0] == "alpha beta gamma delta"
+
+
+def test_html_boilerplate_dropped():
+    html = (
+        "<html><head><title>T</title><style>p{}</style></head><body>"
+        "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+        "<p>This paragraph carries the real main content of the page.</p>"
+        "<p><a>link</a> <a>farm</a> <a>only</a> <a>here</a></p>"
+        "<p>short</p>"
+        "<footer>copyright boilerplate</footer></body></html>"
+    )
+    got = extract_main_text_batch(pd.Series([html])).iloc[0]
+    assert got == "This paragraph carries the real main content of the page."
+    assert got == oracle.extract_html(html)
+
+
+def test_html_entities_and_inline_tags():
+    html = "<html><body><p>a &amp; b &lt;c&gt; with <b>bold</b> and <i>italic</i> words</p></body></html>"
+    got = extract_main_text_batch(pd.Series([html])).iloc[0]
+    assert got == oracle.extract_html(html)
+    assert "&amp;" not in got and "a & b <c>" in got
+
+
+def test_html_link_density_threshold():
+    # text long enough but >35% of chars inside anchors -> dropped
+    linky = "<html><body><p><a>aaaaaaaaaaaaaaaaaaaa</a> bbbb cccc</p></body></html>"
+    ok = "<html><body><p><a>aaaa</a> bbbbbbbbbbbbbbbbbbbbbbbb cccc</p></body></html>"
+    got = extract_main_text_batch(pd.Series([linky, ok]))
+    assert got.iloc[0] == ""
+    assert got.iloc[1] != ""
+    assert got.iloc[0] == oracle.extract_html(linky)
+    assert got.iloc[1] == oracle.extract_html(ok)
+
+
+def test_giant_ocr_doc_crosses_batch_boundary(spark):
+    # >1000 PAGE blocks (the reference's maxResults(1000) pagination analog)
+    pages = [f"block{i:04d}" for i in range(1500)]
+    pdf = make_pdf([""], ocr_pages=pages)
+    df = spark.createDataFrame([(pdf,)], "payload string")
+    [row] = df.select(ocr_text_col("payload").alias("t")).collect()
+    assert row["t"] == " ".join(pages)

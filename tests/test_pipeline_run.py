@@ -1,0 +1,66 @@
+"""run() integration: snapshot commits, doc_state lineage, metrics,
+resume-from-checkpoint (the reference's New->Submitted->SUCCEEDED/FAILED
+state machine as batch stage boundaries, SURVEY.md §2.7)."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from cies_ocr_java_spark.plans import pipeline
+from cies_ocr_java_spark.schema import STATUS_FAILED, STATUS_SUCCEEDED
+from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+
+def test_run_commits_and_resume(spark, corpus_dir, tmp_path):
+    out_root = str(tmp_path / "out")
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    m1 = pipeline.run(spark, docs, out_root, run_id="r1")
+    assert m1["docs_processed"] == n_docs
+    assert m1["failures"] > 0  # malformed classes present
+
+    state = SnapshotTable(f"{out_root}/doc_state").read(spark)
+    counts = {r["status"]: r["n"] for r in state.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert counts[STATUS_SUCCEEDED] + counts[STATUS_FAILED] == n_docs
+
+    # lineage columns present and populated
+    row = state.where(F.col("status") == STATUS_SUCCEEDED).first()
+    assert row["snapshot_id"] == m1["snapshot_id"]
+    assert row["partition_id"] is not None
+
+    # OCR-path docs carry a job handle (jobTag analog, DocumentExtractManager.java:487)
+    exp_state = duckdb.sql(
+        f"select count(*) from read_parquet('{corpus_dir}/expected_state.parquet') where used_ocr"
+    ).fetchone()[0]
+    got_jobs = state.where(F.col("job_id").isNotNull()).count()
+    assert got_jobs == exp_state
+
+    extracted = SnapshotTable(f"{out_root}/extracted_spans").read(spark)
+    assert extracted.count() == counts[STATUS_SUCCEEDED]
+
+    # resume: everything SUCCEEDED is anti-joined away; only FAILED re-runs
+    m2 = pipeline.run(spark, docs, out_root, run_id="r2", resume=True)
+    assert m2["docs_processed"] == counts[STATUS_FAILED]
+
+    metrics = SnapshotTable(f"{out_root}/metrics").read(spark)
+    assert metrics.count() == 2
+    mrow = metrics.where(F.col("run_id") == "r1").first()
+    assert mrow["docs_processed"] == n_docs and mrow["parallelism"] > 0
+
+
+def test_resume_after_partial_failure_skips_done(spark, corpus_dir, tmp_path):
+    """Kill/restart semantics: process half the corpus, then resume with the
+    full corpus — only the unprocessed half runs."""
+    out_root = str(tmp_path / "out2")
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    first_half = docs.where(F.col("doc_id") < "doc-000080")
+    m1 = pipeline.run(spark, first_half, out_root, run_id="h1")
+    m2 = pipeline.run(spark, docs, out_root, run_id="h2", resume=True)
+    succeeded_first = (
+        SnapshotTable(f"{out_root}/doc_state")
+        .read(spark, snapshot_id=1)
+        .where(F.col("status") == STATUS_SUCCEEDED)
+        .count()
+    )
+    assert m2["docs_processed"] == docs.count() - succeeded_first
+    assert m1["docs_processed"] == first_half.count()

@@ -1,0 +1,277 @@
+"""Deterministic fixture-corpus generator + golden-output writer (seed=42).
+
+Generalizes the reference's 3-PDF fixture corpus + mocked single-block OCR
+responses (SURVEY.md §5, FIXTURES.md) into the class mix of FIXTURES.md:
+rich-text PDFs (shortcut path), scanned PDFs (OCR path), boundary PDFs
+(strict-'>' edge), boilerplate HTML, plain text, interleaved text+media,
+duplicate pairs, giant skew docs, and malformed payloads.
+
+Writes:
+  <out>/documents.parquet        input table (input_hint shape)
+  <out>/expected_spans.parquet   golden outputs from the pure-Python oracle
+  <out>/expected_state.parquet   golden per-doc status/error/used_ocr
+
+Usage: python tools/make_fixtures.py [--docs 200] [--out fixtures/sf-small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cies_ocr_java_spark.formats import make_pdf
+from tools import oracle
+
+WORDS = (
+    "report patient scan finding normal result clinical exam chest axial "
+    "contrast lesion stable study prior comparison impression history "
+    "technique findings abdomen pelvis lung liver spleen kidney margin "
+    "density nodule mass effusion fracture alignment signal series image"
+).split()
+
+BOILER_LINKS = ["Home", "About Us", "Contact", "Privacy Policy", "Terms", "Login",
+                "Sitemap", "Careers", "Help Center", "Search"]
+
+
+def words(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def text_of_len(rng: random.Random, n: int) -> str:
+    """Exactly-n-char normalized text (for the strict-'>' boundary class)."""
+    s = words(rng, max(1, n // 6))
+    while len(s) < n:
+        s += " " + rng.choice(WORDS)
+    if len(s) > n:
+        s = s[:n].rstrip()
+        while len(s) < n:
+            s += "x"
+    return s
+
+
+# --- per-class builders; each returns list[span dict] -----------------------
+
+
+def _span(kind, text, media_ref, offset):
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def build_pdf_rich(rng, doc_id):
+    pages = [words(rng, rng.randint(60, 110)) for _ in range(rng.randint(1, 4))]
+    # occasionally exercise escapes
+    if rng.random() < 0.3:
+        pages[0] = pages[0] + " (escaped) " + "back\\slash"
+    return [_span("pdf", make_pdf(pages), None, 0)]
+
+
+def build_pdf_scanned(rng, doc_id):
+    n_pages = rng.randint(1, 4)
+    layer = [words(rng, rng.randint(0, 6)) for _ in range(n_pages)]  # thin layer
+    ocr = [words(rng, rng.randint(40, 90)) for _ in range(n_pages)]
+    return [_span("pdf", make_pdf(layer, ocr_pages=ocr), None, 0)]
+
+
+def build_pdf_boundary(rng, doc_id):
+    # single page, text layer EXACTLY 264 == 0.5*528*1 chars -> NOT sufficient
+    layer = text_of_len(rng, 264)
+    ocr = [words(rng, 50)]
+    return [_span("pdf", make_pdf([layer], ocr_pages=ocr), None, 0)]
+
+
+def build_html(rng, doc_id):
+    paras = [f"<p>{words(rng, rng.randint(15, 40))}</p>" for _ in range(rng.randint(2, 6))]
+    linkfarm = "<p>" + " ".join(
+        f'<a href="/l{i}">{rng.choice(BOILER_LINKS)}</a>' for i in range(6)
+    ) + "</p>"
+    nav = "<nav>" + " ".join(f'<a href="/n{i}">{t}</a>' for i, t in enumerate(BOILER_LINKS[:5])) + "</nav>"
+    inline = f"<p>{words(rng, 10)} <b>{words(rng, 3)}</b> <a href=\"/x\">{words(rng, 2)}</a> {words(rng, 12)}</p>"
+    pieces = paras + [inline]
+    rng.shuffle(pieces)
+    html = (
+        "<html><head><title>Fixture</title><style>p{color:red}</style></head><body>"
+        + nav
+        + "<div class=\"content\">" + linkfarm + "".join(pieces) + "</div>"
+        + "<!-- comment --><footer><a href=\"/a\">About</a> &copy; 2024</footer>"
+        + "</body></html>"
+    )
+    return [_span("html", html, None, 0)]
+
+
+def build_text(rng, doc_id):
+    n = rng.randint(1, 3)
+    return [
+        _span("text", words(rng, rng.randint(10, 60)) + ("\n  extra\tws " if rng.random() < 0.5 else ""), None, i)
+        for i in range(n)
+    ]
+
+
+def build_interleaved(rng, doc_id):
+    spans = []
+    n = rng.randint(3, 7)
+    for i in range(n):
+        if i % 2 == 1:
+            spans.append(_span("media", None, f"media://{doc_id}/{i:04d}", i))
+        else:
+            kind = rng.choice(["text", "html", "pdf"])
+            if kind == "text":
+                spans.append(_span("text", words(rng, rng.randint(8, 30)), None, i))
+            elif kind == "html":
+                spans.append(build_html(rng, doc_id)[0] | {"offset": i})
+            else:
+                spans.append(build_pdf_rich(rng, doc_id)[0] | {"offset": i})
+    rng.shuffle(spans)  # array order must NOT matter; offset is authoritative
+    return spans
+
+
+def build_giant(rng, doc_id):
+    # skew tail: many spans, or one huge OCR doc crossing the 1000-block batch
+    if rng.random() < 0.5:
+        return [
+            _span("text", words(rng, rng.randint(20, 40)), None, i)
+            for i in range(rng.randint(120, 300))
+        ]
+    n_blocks = rng.randint(1200, 2500)
+    ocr = [words(rng, 8) for _ in range(n_blocks)]
+    return [_span("pdf", make_pdf([""], ocr_pages=ocr), None, 0)]
+
+
+def build_malformed(rng, doc_id):
+    mode = rng.randrange(4)
+    if mode == 0:  # truncated pdf
+        return [_span("pdf", make_pdf([words(rng, 80)], truncated=True), None, 0)]
+    if mode == 1:  # headerless pdf
+        return [_span("pdf", make_pdf([words(rng, 80)], headerless=True), None, 0)]
+    if mode == 2:  # empty doc
+        return []
+    return [_span("text", None, None, 0)]  # body-required violation
+
+
+def build_sniffed(rng, doc_id):
+    # kind=null payloads: classifier must sniff
+    p = rng.random()
+    if p < 0.4:
+        return [_span(None, make_pdf([words(rng, 90)]), None, 0)]
+    if p < 0.7:
+        return [_span(None, build_html(rng, doc_id)[0]["text"], None, 0)]
+    return [_span(None, words(rng, 25), None, 0)]
+
+
+CLASS_MIX = [
+    ("pdf_rich", 0.19, build_pdf_rich),
+    ("pdf_scanned", 0.19, build_pdf_scanned),
+    ("pdf_boundary", 0.02, build_pdf_boundary),
+    ("html", 0.24, build_html),
+    ("text", 0.09, build_text),
+    ("interleaved", 0.15, build_interleaved),
+    ("giant", 0.02, build_giant),
+    ("malformed", 0.04, build_malformed),
+    ("sniffed", 0.04, build_sniffed),
+    # dup pairs handled separately: 0.02
+]
+
+
+def generate(n_docs: int, seed: int = 42) -> list[dict]:
+    rng = random.Random(seed)
+    docs = []
+    i = 0
+    while len(docs) < n_docs:
+        doc_id = f"doc-{i:06d}"
+        r = rng.random()
+        acc = 0.0
+        builder = build_text
+        for _, share, fn in CLASS_MIX:
+            acc += share
+            if r < acc:
+                builder = fn
+                break
+        else:
+            # duplicate-content pair (PET-CT1 vs 1DAE93F8 twin fixture)
+            spans = build_pdf_rich(rng, doc_id)
+            docs.append({"doc_id": doc_id, "spans": spans})
+            i += 1
+            docs.append({"doc_id": f"doc-{i:06d}", "spans": [dict(s) for s in spans]})
+            i += 1
+            continue
+        docs.append({"doc_id": doc_id, "spans": builder(rng, doc_id)})
+        i += 1
+    return docs[:n_docs]
+
+
+SPAN_T = pa.struct(
+    [("kind", pa.string()), ("text", pa.string()),
+     ("media_ref", pa.string()), ("offset", pa.int32())]
+)
+OUT_SPAN_T = pa.struct(
+    [("kind", pa.string()), ("text", pa.string()),
+     ("media_ref", pa.string()), ("order", pa.int32())]
+)
+
+
+def write_corpus(docs: list[dict], out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
+            "spans": pa.array(
+                [
+                    [
+                        (s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in d["spans"]
+                    ]
+                    for d in docs
+                ],
+                pa.list_(SPAN_T),
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+
+    golden = [oracle.extract_document(d["doc_id"], d["spans"]) for d in docs]
+    ok = [g for g in golden if g["status"] == "SUCCEEDED"]
+    exp = pa.table(
+        {
+            "doc_id": pa.array([g["doc_id"] for g in ok], pa.string()),
+            "spans": pa.array(
+                [
+                    [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in g["spans"]]
+                    for g in ok
+                ],
+                pa.list_(OUT_SPAN_T),
+            ),
+            "text": pa.array([g["text"] for g in ok], pa.string()),
+        }
+    )
+    pq.write_table(exp, os.path.join(out_dir, "expected_spans.parquet"))
+
+    state = pa.table(
+        {
+            "doc_id": pa.array([g["doc_id"] for g in golden], pa.string()),
+            "status": pa.array([g["status"] for g in golden], pa.string()),
+            "error": pa.array([g["error"] for g in golden], pa.string()),
+            "used_ocr": pa.array([g["used_ocr"] for g in golden], pa.bool_()),
+        }
+    )
+    pq.write_table(state, os.path.join(out_dir, "expected_state.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", default="fixtures/sf-small")
+    args = ap.parse_args()
+    docs = generate(args.docs, args.seed)
+    write_corpus(docs, args.out)
+    n_spans = sum(len(d["spans"]) for d in docs)
+    print(f"wrote {len(docs)} docs / {n_spans} spans -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
