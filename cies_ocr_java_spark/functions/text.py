@@ -63,12 +63,19 @@ def quality_score_cols(c: Column | str) -> dict[str, Column]:
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0))
     n_stop = stopword_count(t)
     safe_tokens = F.greatest(n_tokens, F.lit(1))
+
+    def _d6(c: Column) -> Column:
+        # decimal(12,6) cast, not round(): Spark's round/cast both go through
+        # the shortest-decimal repr + HALF_UP; the DuckDB oracle mirrors it
+        # with CAST(CAST(x AS VARCHAR) AS DECIMAL(12,6)).
+        return c.cast("decimal(12,6)").cast("double")
+
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).cast("double"),
-        "stopword_ratio": F.round(n_stop / safe_tokens, 6).cast("double"),
-        "mean_token_len": F.round(n_chars / safe_tokens, 6).cast("double"),
+        "punct_ratio": _d6(n_punct / F.greatest(n_chars, F.lit(1))),
+        "stopword_ratio": _d6(n_stop / safe_tokens),
+        "mean_token_len": _d6(n_chars / safe_tokens),
     }
 
 

@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (fingerprint groupBy), word-n-gram Jaccard, MinHash+LSH, SimHash,
+and winnowing-style rolling fingerprints.
+
+Design for 10^12 docs:
+  * Exact dedup: one shuffle on a 128-bit fingerprint — embarrassingly
+    scalable; the canonical-id choice (min doc_id) is associative so
+    map-side partial aggregation applies.
+  * MinHash+LSH: signatures are one explode + one groupBy (k mins computed
+    in a single aggregation pass, not k passes); banding turns the O(n^2)
+    pair space into equi-join buckets — the only join is on (band_idx,
+    band_key), and AQE's skew-join splitting handles hot buckets (e.g. the
+    empty-text bucket).
+  * All hashes are md5 hex STRINGS (min over fixed-width hex == min over the
+    number) — deliberately engine-portable so the DuckDB oracle can verify
+    candidate generation, not just the final verified pairs.
+  * n-gram Jaccard as the exact verifier: candidates only — never run the
+    shingle self-join unfiltered at scale.
+
+Reference note: the reference has no dedup, but its fixture corpus ships the
+same PDF under two keys (PET-CT1.pdf vs 1DAE93F8-...pdf, SURVEY.md §5) —
+exact dedup is the operator that discovers that pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cies_ocr_java_spark.functions.text import fingerprint, normalize_ws
+
+DEFAULT_SHINGLE_N = 3
+DEFAULT_MINHASH_K = 8
+DEFAULT_BANDS = 4  # k=8, 4 bands x 2 rows
+
+
+def tokens_col(text) -> F.Column:
+    return F.split(normalize_ws(F.lower(text)), " ")
+
+
+def shingles_col(text, n: int = DEFAULT_SHINGLE_N) -> F.Column:
+    """Distinct word n-grams. 1-based slice positions so the SQL oracle
+    (DuckDB list slicing is 1-based inclusive) lines up exactly."""
+    toks = tokens_col(text)
+    # guard: Spark sequence(1, 0) counts DOWN ([1,0]) — emit an empty array
+    # for docs with fewer than n tokens instead.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by content fingerprint: (fp, n_docs, canonical_id)."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("canonical_id"))
+    )
+
+
+def exploded_shingles(df: DataFrame, text_col: str, id_col: str,
+                      n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                  threshold: float, n: int = DEFAULT_SHINGLE_N,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard pairs (id_a < id_b, jac >= threshold).
+
+    Without ``candidates`` this self-joins on shingle — exact but O(n^2) in
+    the worst case; at scale pass the LSH candidate pairs to verify instead.
+    """
+    ex = exploded_shingles(df, text_col, id_col, n)
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        # decimal cast (not round): reproducible across engines
+        .select(
+            "id_a", "id_b",
+            jac.cast("decimal(12,6)").cast("double").alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       k: int = DEFAULT_MINHASH_K,
+                       n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+    """k minhashes per doc: h_i = min over shingles of md5('<i>|' + shingle).
+    One explode + ONE groupBy computing all k mins (single shuffle)."""
+    ex = exploded_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, k: int = DEFAULT_MINHASH_K,
+                        bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Band the signature (rows = k/bands); docs sharing any band bucket are
+    candidates. Returns distinct (id_a, id_b), id_a < id_b."""
+    rows = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", F.col("band.band_idx").alias("band_idx"), F.col("band.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float, k: int = DEFAULT_MINHASH_K,
+                        bands: int = DEFAULT_BANDS,
+                        n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+    """The scale path: LSH candidates -> exact-Jaccard verification."""
+    sigs = minhash_signatures(df, text_col, id_col, k, n)
+    cands = lsh_candidate_pairs(sigs, k, bands)
+    return jaccard_pairs(df, text_col, id_col, threshold, n, candidates=cands)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash over word tokens (term-frequency weighted): token hash =
+    first 15 hex chars of md5 as int; bit b of the signature is set iff the
+    weighted sum of (+tf if token-bit set else -tf) is positive."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    tf = tf.withColumn("th", h)
+    bit_sums = tf.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+                .otherwise(-F.col("tf"))
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)),
+        start=F.lit(0),
+    )
+    return bit_sums.select("id", sig.cast("long").alias("simhash"))
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str, id_col: str,
+                        window: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint: hash every ``window``-token
+    span, keep the minimum hash (a robust content id that survives small
+    edits at the document tail)."""
+    spans = shingles_col(F.col(text_col), window)
+    min_h = F.array_min(F.transform(spans, lambda s: F.md5(s)))
+    return df.select(
+        F.col(id_col).alias("id"), min_h.alias("min_span_hash")
+    )

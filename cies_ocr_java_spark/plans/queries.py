@@ -1,0 +1,1102 @@
+"""Query registry: every operator exposed through the driver contract
+(__spark_entry__.py), each as a (spark_fn, oracle_sql) pair.
+
+The Spark side is DataFrame-API; the oracle is ANSI-ish SQL DuckDB runs on
+the same parquet tables. Both sides are written for EXACT value equality:
+
+  * monetary/metric sums go through decimal(18,N) casts (decimal addition is
+    exact and order-independent — double sums would drift ulps between
+    engines and break the value hash),
+  * float scores are rounded to 6 decimals and ranked AFTER rounding with an
+    id tiebreak, so rankings are reproducible,
+  * timestamps are emitted as unix microseconds (bigint) — no tz/format
+    ambiguity,
+  * every hash is md5-hex (identical in both engines); min-hashing uses the
+    hex STRING ordering (min over fixed-width hex == min over the number).
+
+Reference parity notes are on each query (SURVEY.md §2 inventory).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cies_ocr_java_spark.functions.paths import (
+    DEFAULT_MIME,
+    MIME_BY_EXT,
+    coerce_status,
+    doc_id_from_result_id,
+    guess_mime_type,
+    last_path_element,
+    remove_leading_slash,
+    text_result_id,
+)
+from cies_ocr_java_spark.functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    normalize_ws,
+    token_count,
+)
+from cies_ocr_java_spark.operators import dedup, similarity
+from cies_ocr_java_spark.operators.multimodal import extract_media_features
+from cies_ocr_java_spark.formats import (
+    ASSUMED_MAX_CHAR_PER_PAGE,
+    MIN_TEXT_PCT,
+)
+
+# SQL fragment helpers (DuckDB dialect; 'g' flag = replace-all, matching
+# Spark's regexp_replace default)
+_NORM = "trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+
+
+def _norm_sql(x: str) -> str:
+    return _NORM.format(x=x)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# Relational core (scan/filter/project/join/agg/window — SURVEY.md §2.1-2.5)
+# =========================================================================
+
+_Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@_register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS VARCHAR) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+           CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the grouped-agg workhorse. Decimal sums for exact
+    cross-engine equality; filter pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,4)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity").cast("double") / F.count("*")).alias("avg_qty"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_price"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+           CAST(sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           epoch_us(o.o_orderdate) AS orderdate_us
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    HAVING sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR) AS DECIMAL(18,4))) > 100
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped agg + having. The dimension-side
+    filter (mktsegment) makes the customer side broadcast-small."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("rev_dec"))
+        .where(F.col("rev_dec") > 100)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+        )
+    )
+
+
+@_register(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. Dim tables (region/nation/supplier)
+    broadcast; fact-fact join shuffles on orderkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "top_customer_per_nation",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer
+    ) WHERE rn = 1
+    """,
+)
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-1 per group with deterministic tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    )
+
+
+@_register(
+    "order_line_counts",
+    """
+    SELECT l_orderkey AS o_orderkey, count(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 6
+    """,
+)
+def order_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-check analog (A3: response must contain exactly one
+    document, CanonicalResponse.java:37-39) generalized to grouped counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count("*").alias("n_lines"))
+        .where(F.col("n_lines") >= 6)
+    )
+
+
+# =========================================================================
+# Events: sessionization + windowed aggregation (batch & streaming)
+# =========================================================================
+
+_SESSION_GAP_US = 1800 * 1_000_000
+
+
+@_register(
+    "events_sessionize",
+    f"""
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap>30min (guide 'Common OLAP patterns')."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((us - prev) > _SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_WINDOW_US = 300 * 1_000_000
+
+_EVENTS_WINDOW_SQL = f"""
+    SELECT (epoch_us(ts) // {_WINDOW_US}) * {_WINDOW_US} AS bucket_start_us,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """
+
+
+@_register("events_window_agg", _EVENTS_WINDOW_SQL)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window agg (batch)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_WINDOW_US)) * _WINDOW_US).cast(
+        "long"
+    )
+    return ev.groupBy(
+        bucket.alias("bucket_start_us"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@_register("events_stream_windowed", _EVENTS_WINDOW_SQL)
+def events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME windowed agg computed via Structured Streaming (readStream ->
+    watermark -> window -> memory sink), proving the unified batch/stream
+    plan produces identical results. The oracle is the batch SQL."""
+    import uuid
+
+    from cies_ocr_java_spark.streaming.status_stream import windowed_event_agg
+
+    batch = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")  # stream source = dir
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> event time
+    )
+    agg = windowed_event_agg(stream, window="5 minutes", watermark="10 minutes")
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table(name)
+    # decimal(18,2) rounding parity with the batch oracle
+    return out.select(
+        "bucket_start_us",
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# =========================================================================
+# Reference-semantics operators over the documents table (SURVEY.md §2)
+# =========================================================================
+
+
+@_register(
+    "doc_metadata_scan",
+    """
+    SELECT doc_id, source, lang, n_chars
+    FROM documents WHERE n_chars > 400
+    """,
+)
+def doc_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 metadata scan (headers only, no body) — column-pruned projection +
+    pushed filter (getDocumentMetadataInternal, DocumentExtractManager.java:777-812)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "n_chars")
+        .where(F.col("n_chars") > 400)
+    )
+
+
+_PAGE_DIV = 200
+
+
+@_register(
+    "text_sufficiency_shortcut",
+    f"""
+    SELECT doc_id,
+           1 + n_chars // {_PAGE_DIV} AS pages,
+           n_chars > ({MIN_TEXT_PCT} / 100.0) * (1 + n_chars // {_PAGE_DIV}) * {ASSUMED_MAX_CHAR_PER_PAGE} AS sufficient
+    FROM documents
+    """,
+)
+def text_sufficiency_shortcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3, the core heuristic (DocumentExtractManager.java:410-429): strict
+    '>' against (minPct/100) * pages * 528; pages synthesized from n_chars."""
+    d = _t(spark, sf_dir, "documents")
+    pages = (F.lit(1) + F.floor(F.col("n_chars") / _PAGE_DIV)).cast("bigint")
+    sufficient = F.col("n_chars") > (
+        F.lit(MIN_TEXT_PCT / 100.0) * pages * F.lit(ASSUMED_MAX_CHAR_PER_PAGE)
+    )
+    return d.select("doc_id", pages.alias("pages"), sufficient.alias("sufficient"))
+
+
+def _mime_case_sql(ext_expr: str) -> str:
+    whens = "\n".join(
+        f"      WHEN '{ext}' THEN '{mime}'" for ext, mime in MIME_BY_EXT.items()
+    )
+    return f"CASE lower(regexp_extract({ext_expr}, '\\.([A-Za-z0-9]+)$', 1))\n{whens}\n      ELSE '{DEFAULT_MIME}' END"
+
+
+@_register(
+    "mime_and_result_ids",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             source || '/doc-' || CAST(doc_id AS VARCHAR) ||
+               CASE doc_id % 4 WHEN 0 THEN '.pdf' WHEN 1 THEN '.html'
+                               WHEN 2 THEN '.txt' ELSE '' END AS filename
+      FROM documents
+    )
+    SELECT doc_id, filename,
+           {_mime_case_sql('filename')} AS mime,
+           regexp_extract(filename, '[^/]+$') AS last_elem,
+           CASE WHEN ends_with(filename, '.txt') THEN filename
+                ELSE filename || '.txt' END AS text_result_id,
+           regexp_replace(
+             CASE WHEN ends_with(filename, '.txt') THEN filename
+                  ELSE filename || '.txt' END,
+             '\\.(txt|json)$', '') AS roundtrip_id
+    FROM f
+    """,
+)
+def mime_and_result_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar functions F1-F4 + F6 (Utility.java:74-130): path handling,
+    MIME guess from extension, result-id suffixing and its inverse."""
+    d = _t(spark, sf_dir, "documents")
+    ext = (
+        F.when(F.col("doc_id") % 4 == 0, ".pdf")
+        .when(F.col("doc_id") % 4 == 1, ".html")
+        .when(F.col("doc_id") % 4 == 2, ".txt")
+        .otherwise("")
+    )
+    filename = F.concat(
+        F.col("source"), F.lit("/doc-"), F.col("doc_id").cast("string"), ext
+    )
+    d = d.select("doc_id", filename.alias("filename"))
+    tid = text_result_id(F.col("filename"))
+    return d.select(
+        "doc_id",
+        "filename",
+        guess_mime_type(F.col("filename")).alias("mime"),
+        last_path_element(remove_leading_slash(F.col("filename"))).alias("last_elem"),
+        tid.alias("text_result_id"),
+        doc_id_from_result_id(tid).alias("roundtrip_id"),
+    )
+
+
+@_register(
+    "status_coercion",
+    """
+    WITH s AS (
+      SELECT CASE doc_id % 6 WHEN 0 THEN 'New' WHEN 1 THEN 'Submitted'
+                             WHEN 2 THEN 'SUCCEEDED' WHEN 3 THEN 'FAILED'
+                             WHEN 4 THEN 'garbage' ELSE NULL END AS raw_status
+      FROM documents
+    )
+    SELECT CASE WHEN raw_status IN ('New','Submitted','SUCCEEDED','FAILED')
+                THEN raw_status ELSE 'New' END AS status,
+           count(*) AS n_docs
+    FROM s GROUP BY 1
+    """,
+)
+def status_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle-status coercion: unknown/null -> 'New'
+    (DocumentExtractStatus.java:12-18)."""
+    d = _t(spark, sf_dir, "documents")
+    raw = (
+        F.when(F.col("doc_id") % 6 == 0, "New")
+        .when(F.col("doc_id") % 6 == 1, "Submitted")
+        .when(F.col("doc_id") % 6 == 2, "SUCCEEDED")
+        .when(F.col("doc_id") % 6 == 3, "FAILED")
+        .when(F.col("doc_id") % 6 == 4, "garbage")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        d.select(coerce_status(raw).alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@_register(
+    "ordered_concat_per_source",
+    f"""
+    SELECT source,
+           string_agg(substr({_norm_sql('text')}, 1, 12), ' ' ORDER BY doc_id) AS concat_text,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def ordered_concat_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1, the central ordered aggregate (retrieveAnalysisTextResult,
+    DocumentExtractManager.java:540-599): deterministic ordered concat —
+    array_sort(collect_list(struct)) so the result never depends on
+    partitioning, exactly like the pipeline's assembly stage."""
+    d = _t(spark, sf_dir, "documents")
+    piece = F.substring(normalize_ws(F.col("text")), 1, 12)
+    return (
+        d.select("source", "doc_id", piece.alias("piece"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("piece")))
+                    ),
+                    lambda s: s["piece"],
+                ),
+                " ",
+            ).alias("concat_text"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+# =========================================================================
+# Text analysis (training-data pipeline operators)
+# =========================================================================
+
+
+def _stopword_sql(norm_expr: str) -> str:
+    terms = " + ".join(
+        f"len(regexp_extract_all(lower({norm_expr}), '\\b{w}\\b'))"
+        for w in EN_STOPWORDS
+    )
+    return f"({terms})"
+
+
+@_register(
+    "text_quality_scores",
+    f"""
+    WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)
+    SELECT doc_id,
+           length(t) AS n_chars,
+           CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS n_tokens,
+           CAST(CAST(len(regexp_extract_all(t, '[.,;:!?]'))
+                     / greatest(length(t), 1) AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS punct_ratio,
+           CAST(CAST({_stopword_sql('t')}
+                     / greatest(CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END, 1) AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS stopword_ratio,
+           CAST(CAST(length(t)
+                     / greatest(CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END, 1) AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS mean_token_len
+    FROM n
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus quality signals: length/punct/stopword ratios."""
+    from cies_ocr_java_spark.functions.text import quality_score_cols
+
+    d = _t(spark, sf_dir, "documents")
+    cols = quality_score_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        cols["n_tokens"].cast("bigint").alias("n_tokens"),
+        cols["punct_ratio"].alias("punct_ratio"),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+        cols["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+def _lang_fold_sql(norm_expr: str) -> str:
+    score = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(lower({norm_expr}), '\\b{w}\\b'))"
+            for w in words
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    # fold in the same order as functions.text.lang_id: de, fr, es, en with
+    # strict '>' (earlier language wins ties; 'und' when all zero)
+    b, v = "'und'", "0"
+    for lang in ("de", "fr", "es", "en"):
+        s = f"({score[lang]})"
+        b = f"CASE WHEN {s} > {v} THEN '{lang}' ELSE {b} END"
+        v = f"CASE WHEN {s} > {v} THEN {s} ELSE {v} END"
+    return b
+
+
+@_register(
+    "lang_id_agreement",
+    f"""
+    WITH n AS (SELECT lang, {_norm_sql('text')} AS t FROM documents)
+    SELECT lang AS labeled_lang, {_lang_fold_sql('t')} AS predicted_lang,
+           count(*) AS n_docs
+    FROM n GROUP BY 1, 2
+    """,
+)
+def lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language id vs the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("labeled_lang"), lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# =========================================================================
+# Deduplication (exact, MinHash+LSH, n-gram Jaccard, SimHash, winnowing)
+# =========================================================================
+
+_JACCARD_THR = 0.7
+_SHINGLE_SQL = f"""
+    toks AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t FROM documents),
+    grams AS (SELECT doc_id,
+                     [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 1, 1))] AS g
+              FROM toks),
+    sh AS (SELECT DISTINCT doc_id, unnest(g) AS shingle FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+_JACCARD_CORE = """
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(CAST(c.nc / (sa.n + sb.n - c.nc) AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS jaccard
+      FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
+                    JOIN sizes sb ON sb.doc_id = c.id_b)
+"""
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    SELECT md5(lower({_norm_sql('text')})) AS fp,
+           count(*) AS n_docs, min(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (the PET-CT1/1DAE93F8 twin-fixture
+    discovery operator). One shuffle; min(id) canonical pick is associative."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d, "text", "doc_id").select(
+        "fp", "n_docs", F.col("canonical_id")
+    )
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_SQL}, {_JACCARD_CORE}
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {_JACCARD_THR}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (the verification primitive;
+    at scale only run on LSH candidates — see dedup_minhash_lsh)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, "text", "doc_id", _JACCARD_THR)
+
+
+def _minhash_sql_cols(k: int) -> str:
+    return ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
+    )
+
+
+def _band_sql(k: int, bands: int) -> str:
+    rows = k // bands
+    selects = [
+        "SELECT doc_id, {b} AS band_idx, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+@_register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
+    bands AS ({_band_sql(8, 4)}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+    {_JACCARD_CORE}
+    SELECT v.id_a, v.id_b, v.jaccard
+    FROM verified v JOIN cand USING (id_a, id_b)
+    WHERE v.jaccard >= {_JACCARD_THR}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH(4 bands x 2 rows) candidates, exact-Jaccard
+    verified — the scale path for near-dup detection. Hashes are md5 hex
+    strings so candidate generation itself is oracle-verifiable."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(d, "text", "doc_id", _JACCARD_THR, k=8, bands=4)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+           FROM toks GROUP BY doc_id, tok),
+    bitsums AS (SELECT doc_id, {sums} FROM tf GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bitsums
+    """
+
+
+@_register("dedup_simhash", _simhash_sql(16))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit tf-weighted SimHash per document."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, "text", "doc_id", bits=16).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+@_register(
+    "doc_rolling_fingerprint",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t FROM documents)
+    SELECT doc_id,
+           list_min([md5(array_to_string(t[i:i+3], ' '))
+                     for i in range(1, greatest(len(t) - 2, 1))]) AS min_span_hash
+    FROM toks
+    """,
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprint: min hash over 4-token spans."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.rolling_fingerprint(d, "text", "doc_id", window=4).select(
+        F.col("id").alias("doc_id"), "min_span_hash"
+    )
+
+
+# =========================================================================
+# Similarity search (ANN over embeddings)
+# =========================================================================
+
+_ANN_K = 10
+_N_QUERIES = 5
+_EMB_DIM = 64
+
+# exact decimal dot/norm terms shared by both ANN oracles (see
+# operators/similarity.py for the Spark mirror of the same scheme)
+_ANN_TERMS_SQL = f"""
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {_N_QUERIES}),
+    pairs AS (SELECT e.vec_id AS neighbor_id, q.query_id, e.embedding AS ev, q.qv
+              FROM embeddings e, q WHERE e.vec_id != q.query_id),
+    terms AS (SELECT query_id, neighbor_id, ev, qv,
+                     unnest(range(1, {_EMB_DIM} + 1)) AS i
+              FROM pairs),
+    dots AS (SELECT query_id, neighbor_id,
+                    sum(CAST(CAST(CAST(ev[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                        * CAST(CAST(CAST(qv[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))) AS dotv,
+                    sum(CAST(CAST(CAST(ev[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                        * CAST(CAST(CAST(ev[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))) AS na2,
+                    sum(CAST(CAST(CAST(qv[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                        * CAST(CAST(CAST(qv[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))) AS nb2
+             FROM terms GROUP BY 1, 2),
+    scored AS (SELECT query_id, neighbor_id,
+                      CAST(CAST(CAST(dotv AS DOUBLE)
+                                / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+                                AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS score
+               FROM dots)
+"""
+
+
+@_register(
+    "ann_cosine_topk",
+    f"""
+    WITH {_ANN_TERMS_SQL}
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_ANN_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exactness baseline): broadcast query
+    set, decimal-exact dot products, rank after rounding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    out = similarity.brute_force_topk(emb, queries, k=_ANN_K)
+    return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank"))
+
+
+def _bucket_sql(vec: str, bits: int = 4) -> str:
+    parts = " || ".join(
+        f"(CASE WHEN {vec}[{i + 1}] > 0 THEN '1' ELSE '0' END)" for i in range(bits)
+    )
+    return f"({parts})"
+
+
+@_register(
+    "ann_lsh_bucketed",
+    f"""
+    WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+                       {_bucket_sql('embedding')} AS bucket
+                FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    e0 AS (SELECT vec_id AS neighbor_id, embedding AS ev,
+                  {_bucket_sql('embedding')} AS bucket
+           FROM embeddings),
+    pairs AS (SELECT e0.neighbor_id, q0.query_id, e0.ev, q0.qv
+              FROM e0 JOIN q0 USING (bucket) WHERE e0.neighbor_id != q0.query_id),
+    terms AS (SELECT query_id, neighbor_id, ev, qv,
+                     unnest(range(1, {_EMB_DIM} + 1)) AS i
+              FROM pairs),
+    dots AS (SELECT query_id, neighbor_id,
+                    sum(CAST(CAST(CAST(ev[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                        * CAST(CAST(CAST(qv[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))) AS dotv,
+                    sum(CAST(CAST(CAST(ev[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                        * CAST(CAST(CAST(ev[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))) AS na2,
+                    sum(CAST(CAST(CAST(qv[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                        * CAST(CAST(CAST(qv[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))) AS nb2
+             FROM terms GROUP BY 1, 2),
+    scored AS (SELECT query_id, neighbor_id,
+                      CAST(CAST(CAST(dotv AS DOUBLE)
+                                / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+                                AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS score
+               FROM dots)
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_ANN_K}
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the scale path: bucket equi-join instead of
+    cross product)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    out = similarity.lsh_bucketed_topk(emb, queries, k=_ANN_K, bits=4)
+    return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank"))
+
+
+@_register(
+    "embedding_norms",
+    f"""
+    WITH terms AS (SELECT vec_id, label, embedding AS ev,
+                          unnest(range(1, {_EMB_DIM} + 1)) AS i
+                   FROM embeddings),
+    s AS (SELECT vec_id, label,
+                 sum(CAST(CAST(CAST(ev[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                     * CAST(CAST(CAST(ev[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))) AS n2
+          FROM terms GROUP BY 1, 2)
+    SELECT vec_id, label,
+           CAST(CAST(sqrt(CAST(n2 AS DOUBLE)) AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS l2_norm
+    FROM s
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms (embedding hygiene check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", similarity.l2_norm(F.col("embedding")).alias("l2_norm"))
+
+
+# =========================================================================
+# Extraction-engine queries: the flagship. The interleaved documents table
+# (input_hint shape) is synthesized DETERMINISTICALLY from the flat
+# documents table, the REAL pipeline operators extract it, and the oracle
+# reconstructs the expected result algebraically.
+# =========================================================================
+
+_SUFF_1PAGE = int((MIN_TEXT_PCT / 100.0) * ASSUMED_MAX_CHAR_PER_PAGE)  # 264
+
+
+def _synth_pdf_payload(layer, ocr_b64) -> F.Column:
+    """Single-page synthetic PDF with a text layer + one OCR PAGE block."""
+    return F.concat_ws(
+        "\n",
+        F.lit("%PDF-1.4"),
+        F.lit("%%Page: 1"),
+        F.lit("BT"),
+        F.concat(F.lit("("), layer, F.lit(") Tj")),
+        F.lit("ET"),
+        F.concat(F.lit("%%OCRBlock PAGE "), ocr_b64),
+        F.lit("%%EOF"),
+        F.lit(""),
+    )
+
+
+def _b64_line(col) -> F.Column:
+    # Spark's base64 MIME-chunks with newlines; the block grammar is
+    # one-line, so strip them (unbase64 decodes either form).
+    return F.regexp_replace(F.base64(F.encode(col, "utf-8")), "[\\r\\n]", "")
+
+
+@_register(
+    "extract_pdf_textlayer",
+    f"""
+    SELECT doc_id, {_norm_sql('text')} AS pdf_text, 1 AS page_count,
+           length({_norm_sql('text')}) > {_SUFF_1PAGE} AS sufficient
+    FROM documents
+    """,
+)
+def extract_pdf_textlayer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-layer extraction parity (extractTextFromPdf,
+    DocumentExtractManager.java:438-461): wrap each doc into a synthetic PDF,
+    run the REAL parser columns, verify the recovered text algebraically."""
+    from cies_ocr_java_spark.operators.pdf_extract import pdf_layer_cols, text_sufficient
+
+    d = _t(spark, sf_dir, "documents")
+    payload = _synth_pdf_payload(F.col("text"), _b64_line(F.lit("x")))
+    cols = pdf_layer_cols(payload)
+    return d.select(
+        "doc_id",
+        cols["pdf_text"].alias("pdf_text"),
+        cols["page_count"].cast("int").alias("page_count"),
+        text_sufficient(cols["pdf_text"], cols["page_count"]).alias("sufficient"),
+    )
+
+
+@_register(
+    "extract_pdf_ocr_route",
+    f"""
+    WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)
+    SELECT doc_id,
+           CASE WHEN length(t) > {_SUFF_1PAGE} THEN t ELSE upper(t) END AS extracted,
+           length(t) <= {_SUFF_1PAGE} AS used_ocr
+    FROM n
+    """,
+)
+def extract_pdf_ocr_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EP2 extraction decision end-to-end: text layer when sufficient
+    (strict '>' vs 264 for one page), else decode the OCR PAGE block — whose
+    latent content is upper(text), so routing errors are detectable."""
+    from cies_ocr_java_spark.operators.ocr_mock import ocr_text_col
+    from cies_ocr_java_spark.operators.pdf_extract import pdf_layer_cols, text_sufficient
+
+    d = _t(spark, sf_dir, "documents")
+    ocr_content = F.upper(normalize_ws(F.col("text")))
+    payload = _synth_pdf_payload(F.col("text"), _b64_line(ocr_content))
+    cols = pdf_layer_cols(payload)
+    suff = text_sufficient(cols["pdf_text"], cols["page_count"])
+    return d.select(
+        "doc_id",
+        F.when(suff, cols["pdf_text"]).otherwise(ocr_text_col(payload)).alias("extracted"),
+        (~suff).alias("used_ocr"),
+    )
+
+
+@_register(
+    "extract_html_maincontent",
+    f"""
+    SELECT doc_id, {_norm_sql('text')} AS main_text
+    FROM documents WHERE n_chars >= 20
+    """,
+)
+def extract_html_maincontent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip end-to-end: wrap each doc in a page with nav,
+    a link-farm paragraph (every 3rd doc), and a footer; the density
+    heuristics must recover exactly the main paragraph."""
+    from cies_ocr_java_spark.operators.html_extract import html_main_text_udf
+
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") >= 20)
+    linkfarm = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit("<p><a href='/l0'>Link</a> <a href='/l1'>Farm</a> "
+              "<a href='/l2'>Here</a> <a href='/l3'>Now</a></p>"),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>T</title><style>p{color:red}</style></head><body>"
+              "<nav><a href='/'>Home</a> <a href='/a'>About</a> <a href='/c'>Contact</a></nav>"
+              "<div class='content'>"),
+        linkfarm,
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("</div><!-- x --><footer><a href='/ab'>About</a> &copy; 2024</footer></body></html>"),
+    )
+    return d.select("doc_id", html_main_text_udf(html).alias("main_text"))
+
+
+_E2E_BASE_SQL = f"""
+    base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS did, {_norm_sql('text')} AS n,
+             doc_id % 2 = 0 AS has_media
+      FROM documents WHERE length({_norm_sql('text')}) > 0
+    )
+"""
+
+_E2E_SQL = f"""
+    WITH {_E2E_BASE_SQL},
+    out AS (
+      SELECT did AS doc_id, 0 AS span_order, 'text' AS kind, n AS text,
+             CAST(NULL AS VARCHAR) AS media_ref
+      FROM base
+      UNION ALL
+      SELECT did, 1, 'text',
+             CASE WHEN length(n || ' ' || n || ' ' || n) > {_SUFF_1PAGE}
+                  THEN n || ' ' || n || ' ' || n ELSE upper(n) END,
+             NULL
+      FROM base
+      UNION ALL
+      SELECT did, 2, 'media', NULL, 'media://' || did || '/0001'
+      FROM base WHERE has_media
+    )
+    SELECT doc_id, span_order, kind, text, media_ref FROM out
+"""
+
+
+def _synth_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaved corpus (input_hint shape) from the flat
+    documents table: text span + single-page PDF span (layer = text x3, OCR
+    fallback = upper(text)) + a media span for even doc_ids."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    n = normalize_ws(F.col("text"))
+    layer3 = F.concat_ws(" ", F.col("text"), F.col("text"), F.col("text"))
+    payload = _synth_pdf_payload(layer3, _b64_line(F.upper(n)))
+
+    def span(kind, text, media_ref, offset):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (text if text is not None else F.lit(None).cast("string")).alias("text"),
+            (media_ref if media_ref is not None else F.lit(None).cast("string")).alias("media_ref"),
+            F.lit(offset).cast("int").alias("offset"),
+        )
+
+    two = F.array(
+        span("text", F.col("text"), None, 0),
+        span("pdf", payload, None, 1),
+    )
+    three = F.concat(
+        two,
+        F.array(span("media", None, F.concat(F.lit("media://"), did, F.lit("/0001")), 2)),
+    )
+    spans = F.when(F.col("doc_id") % 2 == 0, three).otherwise(two)
+    return d.where(F.length(n) > 0).select(did.alias("doc_id"), spans.alias("spans"))
+
+
+@_register("pipeline_end_to_end", _E2E_SQL)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the full extraction DAG (explode -> classify -> route ->
+    extract -> assemble) over the synthesized interleaved corpus; output is
+    the exploded span sequence, oracle-reconstructed algebraically."""
+    from cies_ocr_java_spark.plans.pipeline import extract_spans
+
+    docs = _synth_interleaved_docs(spark, sf_dir)
+    out = extract_spans(docs)
+    return (
+        out.where(~F.col("failed"))
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.order").alias("span_order"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
+@_register(
+    "multimodal_stub_features",
+    """
+    SELECT 'media://' || CAST(doc_id AS VARCHAR) AS media_ref,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+           CAST(1 + octet_length(encode(text)) % 5 AS INTEGER) AS n_frames,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+)
+def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> mapInPandas feature
+    extraction (deterministic stub decode — real codecs are NotImplemented
+    in this environment, see operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    return extract_media_features(media, fake_decode=True)
