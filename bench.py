@@ -45,8 +45,14 @@ def main() -> int:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
 
-    # warm the JVM/parquet footers once so per-query times measure the plans
+    # warm the JVM/parquet footers AND the Python UDF workers once, so
+    # per-query times measure the plans rather than interpreter startup
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    from pyspark.sql import functions as F
+
+    from cies_ocr_java_spark.operators.html_extract import html_main_text_udf
+
+    spark.range(1).select(html_main_text_udf(F.lit("<p>warm up</p>"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

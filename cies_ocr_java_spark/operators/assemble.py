@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame, functions as F
 
 def assemble_documents(spans: DataFrame) -> DataFrame:
     """Input: one row per surviving extracted span
-    (doc_id, offset, out_kind, out_text, media_ref, failed, error).
-    Output: (doc_id, spans, text, failed, error, partition_id) — one row/doc.
+    (doc_id, offset, out_kind, out_text, media_ref, failed, error, used_ocr).
+    Output: (doc_id, spans, text, failed, error, used_ocr, partition_id) —
+    one row/doc; ONE shuffle (all doc-level flags fold into the same agg).
     """
     collected = (
         spans.groupBy("doc_id")
@@ -38,6 +39,7 @@ def assemble_documents(spans: DataFrame) -> DataFrame:
             ).alias("ordered"),
             F.max(F.coalesce(F.col("failed"), F.lit(False))).alias("failed"),
             F.max("error").alias("error"),
+            F.max("used_ocr").alias("used_ocr"),
         )
     )
     # drop spans that extracted to nothing (boilerplate-only HTML, empty text),
@@ -72,5 +74,6 @@ def assemble_documents(spans: DataFrame) -> DataFrame:
         flat_text.alias("text"),
         "failed",
         "error",
+        "used_ocr",
         F.spark_partition_id().alias("partition_id"),
     )

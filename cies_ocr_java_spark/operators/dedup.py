@@ -80,15 +80,30 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     ex = exploded_shingles(df, text_col, id_col, n)
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+        # Scale path: intersect ONLY candidate pairs — never materialize the
+        # all-pairs shingle join. cand ⋈ shingles(id_a) ⋈ shingles(id_b) on
+        # (id_b, shingle): linear in |cand| x avg shingle count.
+        ex_a = ex.select(F.col("id").alias("id_a"), "shingle")
+        ex_b = ex.select(F.col("id").alias("id_b"), "shingle")
+        common = (
+            candidates.join(ex_a, "id_a")
+            .join(ex_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        a = ex.alias("a")
+        b = ex.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))

@@ -72,7 +72,17 @@ def extract_spans(
 ) -> DataFrame:
     """Full extraction transform: documents -> assembled per-doc output
     (doc_id, spans, text, failed, error, partition_id, used_ocr).
-    Pure transformation — no I/O, reusable from tests/bench/queries."""
+    Pure transformation — no I/O, reusable from tests/bench/queries.
+
+    SINGLE-PASS design: one scan, one salt shuffle, one projection. All JVM
+    routes (text/pdf/ocr/media/invalid) fold into CASE expressions — whole-
+    stage codegen short-circuits per row, so a text span never pays for PDF
+    parsing. An earlier union-of-filtered-branches design planned 5 source
+    scans (Catalyst pushed each branch filter below the repartition and broke
+    exchange reuse) — at 100 TB that is 5 reads of the corpus; this is one.
+    The HTML pandas UDF receives when(kind='html', payload): non-HTML rows
+    ship a NULL through Arrow (bytes stay on the JVM side), so Python cost
+    is proportional to HTML bytes only."""
     spark = docs.sparkSession
     n = repartition_to or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -87,83 +97,60 @@ def extract_spans(
     # the salt shuffle: spans of one giant doc spread across n tasks
     flat = flat.repartition(n, F.col("doc_id"), F.col("offset"))
 
-    nofail = (F.lit(False).alias("failed"), F.lit(None).cast("string").alias("error"))
-
-    text_b = flat.where((F.col("ekind") == "text") & ~F.col("invalid")).select(
-        "doc_id", "offset",
-        F.lit("text").alias("out_kind"),
-        normalize_ws("text").alias("out_text"),
-        F.lit(None).cast("string").alias("media_ref"),
-        *nofail,
-        F.lit(False).alias("used_ocr"),
-    )
-
-    media_b = flat.where((F.col("ekind") == "media") & ~F.col("invalid")).select(
-        "doc_id", "offset",
-        F.lit("media").alias("out_kind"),
-        F.lit(None).cast("string").alias("out_text"),
-        "media_ref",
-        *nofail,
-        F.lit(False).alias("used_ocr"),
-    )
-
-    html_b = flat.where((F.col("ekind") == "html") & ~F.col("invalid")).select(
-        "doc_id", "offset",
-        F.lit("text").alias("out_kind"),
-        html_main_text_udf(F.col("text")).alias("out_text"),
-        F.lit(None).cast("string").alias("media_ref"),
-        *nofail,
-        F.lit(False).alias("used_ocr"),
-    )
-
-    pdf_src = flat.where((F.col("ekind") == "pdf") & ~F.col("invalid"))
+    is_pdf = (F.col("ekind") == "pdf") & ~F.col("invalid")
     if use_pdf_udf:
-        parsed = pdf_src.withColumn("p", pdf_layer_udf(F.col("text"))).select(
-            "*", "p.pdf_text", "p.page_count", "p.pdf_malformed"
-        ).drop("p")
+        parsed = flat.withColumn(
+            "p", pdf_layer_udf(F.when(is_pdf, F.col("text")))
+        ).select("*", "p.pdf_text", "p.page_count", "p.pdf_malformed").drop("p")
     else:
         cols = pdf_layer_cols(F.col("text"))
-        parsed = pdf_src.select(
+        parsed = flat.select(
             "*",
-            cols["pdf_text"].alias("pdf_text"),
-            cols["page_count"].alias("page_count"),
-            cols["pdf_malformed"].alias("pdf_malformed"),
+            F.when(is_pdf, cols["pdf_text"]).alias("pdf_text"),
+            F.when(is_pdf, cols["page_count"]).alias("page_count"),
+            F.when(is_pdf, cols["pdf_malformed"]).alias("pdf_malformed"),
         )
+
     sufficient = text_sufficient(F.col("pdf_text"), F.col("page_count"))
-    pdf_b = parsed.select(
-        "doc_id", "offset",
-        F.lit("text").alias("out_kind"),
-        F.when(F.col("pdf_malformed"), F.lit(None).cast("string"))
+    is_html = (F.col("ekind") == "html") & ~F.col("invalid")
+    html_out = html_main_text_udf(F.when(is_html, F.col("text")))
+
+    out_text = (
+        F.when(F.col("invalid"), F.lit(None).cast("string"))
+        .when(F.col("ekind") == "media", F.lit(None).cast("string"))
+        .when(F.col("ekind") == "text", normalize_ws("text"))
+        .when(is_html, html_out)
+        .when(F.col("pdf_malformed"), F.lit(None).cast("string"))
         .when(sufficient, F.col("pdf_text"))
         .otherwise(ocr_text_col(F.col("text")))
-        .alias("out_text"),
-        F.lit(None).cast("string").alias("media_ref"),
-        F.col("pdf_malformed").alias("failed"),
-        F.when(F.col("pdf_malformed"), F.lit("malformed pdf payload"))
-        .cast("string").alias("error"),
-        (~F.col("pdf_malformed") & ~sufficient).alias("used_ocr"),
+    )
+    failed = F.col("invalid") | F.coalesce(F.col("pdf_malformed"), F.lit(False))
+    error = (
+        F.when(F.col("invalid"), F.lit("invalid span: missing required payload"))
+        .when(
+            F.coalesce(F.col("pdf_malformed"), F.lit(False)),
+            F.lit("malformed pdf payload"),
+        )
+        .cast("string")
+    )
+    used_ocr = is_pdf & ~F.coalesce(F.col("pdf_malformed"), F.lit(True)) & ~sufficient
+
+    all_spans = parsed.select(
+        "doc_id",
+        "offset",
+        F.when(F.col("ekind") == "media", F.lit("media"))
+        .otherwise(F.lit("text"))
+        .alias("out_kind"),
+        out_text.alias("out_text"),
+        F.when(F.col("ekind") == "media", F.col("media_ref"))
+        .cast("string")
+        .alias("media_ref"),
+        failed.alias("failed"),
+        error.alias("error"),
+        F.coalesce(used_ocr, F.lit(False)).alias("used_ocr"),
     )
 
-    invalid_b = flat.where(F.col("invalid")).select(
-        "doc_id", "offset",
-        F.lit("text").alias("out_kind"),
-        F.lit(None).cast("string").alias("out_text"),
-        F.lit(None).cast("string").alias("media_ref"),
-        F.lit(True).alias("failed"),
-        F.lit("invalid span: missing required payload").alias("error"),
-        F.lit(False).alias("used_ocr"),
-    )
-
-    all_spans = (
-        text_b.unionByName(media_b)
-        .unionByName(html_b)
-        .unionByName(pdf_b)
-        .unionByName(invalid_b)
-    )
-
-    assembled = assemble_documents(all_spans.select(*_OUT_COLS[:7]))
-    used_ocr = all_spans.groupBy("doc_id").agg(F.max("used_ocr").alias("used_ocr"))
-    return assembled.join(used_ocr, "doc_id", "left")
+    return assemble_documents(all_spans.select(*_OUT_COLS))
 
 
 def run(
