@@ -1,0 +1,149 @@
+"""Unit tests for the training-data operators: dedup family, similarity
+search, multimodal plumbing, and the streaming analogs."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cies_ocr_java_spark.operators import dedup, similarity
+from cies_ocr_java_spark.operators.multimodal import (
+    decode_media_payload,
+    extract_media_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup
+        (3, "the quick brown fox jumps over the sleepy dog"),        # near dup
+        (4, "completely different words in this tiny document here"),
+        (5, "  The  QUICK brown fox jumps over the lazy dog  "),     # ws/case dup
+        (6, "xy"),                                                   # < n tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    out = {r["fp"]: r for r in dedup.exact_duplicates(docs, "text", "doc_id").collect()}
+    dups = [r for r in out.values() if r["n_docs"] > 1]
+    assert len(dups) == 1
+    assert dups[0]["n_docs"] == 3  # 1, 2, 5 (ws/case-insensitive fingerprint)
+    assert dups[0]["canonical_id"] == 1
+
+
+def test_shingles_guard_short_docs(spark, docs):
+    ex = dedup.exploded_shingles(docs, "text", "doc_id")
+    ids = {r["id"] for r in ex.collect()}
+    assert 6 not in ids  # 2 tokens < n=3 -> no shingles, no descending-sequence bug
+
+
+def test_jaccard_pairs_exact(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0 and pairs[(2, 5)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_dups_and_verifies(spark, docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    # identical docs always share every band -> guaranteed candidates
+    assert out[(1, 2)] == 1.0 and out[(1, 5)] == 1.0
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    # LSH output is a subset of the exact pairs with identical scores
+    assert set(out) <= set(exact)
+    for k, v in out.items():
+        assert exact[k] == v
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    sig = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    assert sig[1] == sig[2] == sig[5]
+    ham_near = bin(sig[1] ^ sig[3]).count("1")
+    ham_far = bin(sig[1] ^ sig[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_rolling_fingerprint_properties(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail words appended"), (3, base), (4, "one two")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["min_span_hash"] for r in
+           dedup.rolling_fingerprint(df, "text", "doc_id").collect()}
+    assert out[1] == out[3]                    # identical content -> identical fp
+    assert out[2] <= out[1]                    # superset of spans -> min can only drop
+    assert out[4] is None                      # < window tokens -> no fingerprint
+
+
+def test_brute_force_topk_ranks_self_similar_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert out[0]["score"] > 0.99 and out[2]["score"] == -1.0
+
+
+def test_lsh_bucket_restricts_candidates(spark):
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [0.9, 0.8, 0.7, 0.6]),    # same sign bucket as 0
+        (2, [-1.0, 1.0, 1.0, 1.0]),   # different bucket
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") == 0)
+    out = similarity.lsh_bucketed_topk(emb, q, k=5, bits=4).collect()
+    assert {r["neighbor_id"] for r in out} == {1}  # 2 pruned by the bucket
+
+
+def test_multimodal_stub_plumbing(spark):
+    df = spark.createDataFrame(
+        [("media://a", bytearray(b"0123456789")), ("media://b", bytearray(b""))],
+        "media_ref string, content binary",
+    )
+    out = {r["media_ref"]: r for r in extract_media_features(df).collect()}
+    assert out["media://a"]["n_bytes"] == 10
+    assert out["media://a"]["width"] == 10 % 640
+    assert out["media://a"]["height"] == 70 % 480
+    assert out["media://a"]["n_frames"] == 1 + 10 % 5
+    assert out["media://b"]["n_bytes"] == 0
+    with pytest.raises(NotImplementedError):
+        decode_media_payload(b"\x89PNG")
+
+
+def test_status_counts_stream(spark, corpus_dir, tmp_path):
+    """Streaming analog of the HEAD status poll: stream doc_state appends
+    into running per-status counts (memory sink, availableNow trigger)."""
+    from cies_ocr_java_spark.plans import pipeline
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+    from cies_ocr_java_spark.streaming.status_stream import status_counts_stream
+
+    out_root = str(tmp_path / "out")
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    pipeline.run(spark, docs, out_root, run_id="s1", resume=False)
+
+    q = status_counts_stream(spark, f"{out_root}/doc_state/data/*", "sc_test")
+    q.processAllAvailable()
+    q.stop()
+    got = {r["status"]: r["n_docs"] for r in spark.sql("SELECT * FROM sc_test").collect()}
+    state = SnapshotTable(f"{out_root}/doc_state").read(spark)
+    want = {r["status"]: r["n"] for r in
+            state.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert got == want

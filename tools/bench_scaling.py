@@ -1,0 +1,123 @@
+"""Two-parallelism scaling benchmark driver (the north rule's N vs 4N
+executor-cluster criterion, evidenced per the sandbox instruction by running
+the same job on the same input at two local parallelism levels).
+
+Packages the library, runs tools/scaling_worker.py via spark-submit at
+--levels N,4N (fresh JVM per level, warm-up discarded, median of --runs
+timed runs, correctness asserted in-process), then prints the scaling
+summary as JSON and appends a results block to BENCH_SCALING.md.
+
+Usage:
+    python tools/bench_scaling.py [--docs 20000] [--levels 2,8] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_zip(path: str) -> None:
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "cies_ocr_java_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--corpus", default=None, help="reuse an existing corpus dir")
+    ap.add_argument("--driver-memory", default="16g")
+    ap.add_argument("--report", default=os.path.join(REPO, "BENCH_SCALING.md"))
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
+    assert len(levels) == 2 and levels[1] == 4 * levels[0], "levels must be N,4N"
+
+    workdir = tempfile.mkdtemp(prefix="cies-scaling-", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    corpus = args.corpus
+    if corpus is None:
+        corpus = os.path.join(workdir, "corpus")
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/make_fixtures.py"),
+             "--docs", str(args.docs), "--out", corpus],
+            check=True,
+        )
+
+    zip_path = os.path.join(workdir, "cies_ocr_java_spark.zip")
+    make_zip(zip_path)
+
+    results = {}
+    for n in levels:
+        cmd = [
+            "spark-submit",
+            "--master", f"local[{n}]",
+            "--driver-memory", args.driver_memory,
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools/scaling_worker.py"),
+            "--input", corpus,
+            "--workdir", workdir,
+            "--runs", str(args.runs),
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[n] = json.loads(line)
+        print(json.dumps(results[n]))
+
+    lo, hi = levels
+    speedup = results[lo]["median_wall"] / results[hi]["median_wall"]
+    efficiency = speedup / (hi / lo)
+    summary = {
+        "metric": "scaling_efficiency",
+        "levels": levels,
+        "speedup": round(speedup, 3),
+        "efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "meets_target": efficiency >= 0.8,
+        "docs_per_sec": {str(n): results[n]["docs_per_sec"] for n in levels},
+        "span_equality": {
+            str(n): results[n]["span_equality_pass_rate"] for n in levels
+        },
+    }
+    print(json.dumps(summary))
+
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(args.report, "a") as f:
+        f.write(
+            f"\n## Run {stamp} — corpus {results[lo]['n_docs']} docs, "
+            f"{results[lo]['payload_bytes']:,} payload bytes, "
+            f"{args.runs} timed runs/level (median; warm-up discarded)\n\n"
+            f"| master | median wall (s) | docs/sec | span-equality |\n"
+            f"|---|---|---|---|\n"
+        )
+        for n in levels:
+            r = results[n]
+            f.write(
+                f"| local[{n}] | {r['median_wall']} | {r['docs_per_sec']} | "
+                f"{r['span_equality_pass_rate']:.3f} ({r['golden_docs']} golden docs) |\n"
+            )
+        f.write(
+            f"\nSpeedup local[{lo}]→local[{hi}]: **{speedup:.2f}×** → scaling "
+            f"efficiency **{efficiency:.2f}** (target ≥ 0.8: "
+            f"{'MET' if efficiency >= 0.8 else 'NOT MET'}).\n"
+            f"All walls: local[{lo}]={results[lo]['walls']}, "
+            f"local[{hi}]={results[hi]['walls']}\n"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

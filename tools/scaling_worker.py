@@ -1,0 +1,105 @@
+"""Worker for the two-parallelism scaling benchmark (run via spark-submit).
+
+Protocol per BASELINE.md: one JVM per parallelism level; a discarded warm-up
+run, then --runs timed full-pipeline runs (read -> extract -> commit
+snapshots); correctness (span-sequence equality vs the golden oracle output)
+is asserted IN the same process so throughput numbers can never come from a
+wrong-answer build. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="bench corpus dir")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from cies_ocr_java_spark.plans import pipeline
+    from cies_ocr_java_spark.session import get_spark
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+    spark = get_spark(app_name="bench_scaling")
+    n_threads = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{args.input}/documents.parquet")
+    n_docs = docs.count()
+    n_bytes = docs.select(
+        F.sum(F.aggregate(
+            F.transform("spans", lambda s: F.coalesce(F.length(s["text"]), F.lit(0))),
+            F.lit(0), lambda a, x: a + x,
+        ))
+    ).collect()[0][0]
+
+    walls = []
+    last_out = None
+    for i in range(args.runs + 1):  # +1 warm-up, discarded
+        out = os.path.join(args.workdir, f"run-{n_threads}-{i}")
+        shutil.rmtree(out, ignore_errors=True)
+        m = pipeline.run(spark, docs, out, run_id=f"s{i}", resume=False)
+        if i > 0:
+            walls.append(m["wall_seconds"])
+        last_out = out
+
+    # correctness gate in the same process: span-sequence equality vs golden
+    got = SnapshotTable(os.path.join(last_out, "extracted_spans")).read(spark)
+    got_pdf = got.select("doc_id", F.to_json("spans").alias("spans_json")).toPandas()
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""SELECT doc_id, spans FROM read_parquet('{args.input}/expected_spans.parquet')"""
+    ).df()
+    import pandas as pd
+
+    def canon_exp(spans):
+        return json.dumps(
+            [
+                {k: v for k, v in
+                 {"kind": s["kind"], "text": s["text"],
+                  "media_ref": s["media_ref"], "order": int(s["order"])}.items()
+                 if v is not None}
+                for s in spans
+            ],
+            separators=(",", ":"),
+        )
+
+    exp_map = {r.doc_id: canon_exp(r.spans) for r in exp.itertuples()}
+    got_map = dict(zip(got_pdf["doc_id"], got_pdf["spans_json"]))
+    n_match = sum(1 for d, j in exp_map.items() if got_map.get(d) == j)
+    pass_rate = n_match / max(len(exp_map), 1)
+
+    median_wall = statistics.median(walls)
+    print(
+        json.dumps(
+            {
+                "threads": n_threads,
+                "n_docs": n_docs,
+                "payload_bytes": int(n_bytes),
+                "walls": [round(w, 2) for w in walls],
+                "median_wall": round(median_wall, 2),
+                "docs_per_sec": round(n_docs / median_wall, 1),
+                "span_equality_pass_rate": pass_rate,
+                "golden_docs": len(exp_map),
+            }
+        )
+    )
+    spark.stop()
+    return 0 if pass_rate == 1.0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
