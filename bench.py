@@ -45,14 +45,14 @@ def main() -> int:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
 
-    # warm the JVM/parquet footers AND the Python UDF workers once, so
-    # per-query times measure the plans rather than interpreter startup
-    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    from pyspark.sql import functions as F
-
-    from cies_ocr_java_spark.operators.html_extract import html_main_text_udf
-
-    spark.range(1).select(html_main_text_udf(F.lit("<p>warm up</p>"))).count()
+    # Warm-up, discarded (BASELINE.md protocol): run every headline query
+    # once at the smallest SF so per-query timings measure the PLAN, not
+    # one-time whole-stage-codegen compilation or Python worker startup.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

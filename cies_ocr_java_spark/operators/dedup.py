@@ -72,13 +72,16 @@ def exploded_shingles(df: DataFrame, text_col: str, id_col: str,
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                   threshold: float, n: int = DEFAULT_SHINGLE_N,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  exploded: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard pairs (id_a < id_b, jac >= threshold).
 
     Without ``candidates`` this self-joins on shingle — exact but O(n^2) in
     the worst case; at scale pass the LSH candidate pairs to verify instead.
+    ``exploded`` lets callers share one (persisted) shingle table across
+    signature/banding/verification stages instead of re-shingling.
     """
-    ex = exploded_shingles(df, text_col, id_col, n)
+    ex = exploded if exploded is not None else exploded_shingles(df, text_col, id_col, n)
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     if candidates is not None:
         # Scale path: intersect ONLY candidate pairs — never materialize the
@@ -120,10 +123,11 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        k: int = DEFAULT_MINHASH_K,
-                       n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+                       n: int = DEFAULT_SHINGLE_N,
+                       exploded: DataFrame | None = None) -> DataFrame:
     """k minhashes per doc: h_i = min over shingles of md5('<i>|' + shingle).
     One explode + ONE groupBy computing all k mins (single shuffle)."""
-    ex = exploded_shingles(df, text_col, id_col, n)
+    ex = exploded if exploded is not None else exploded_shingles(df, text_col, id_col, n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(k)
@@ -164,10 +168,19 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                         threshold: float, k: int = DEFAULT_MINHASH_K,
                         bands: int = DEFAULT_BANDS,
                         n: int = DEFAULT_SHINGLE_N) -> DataFrame:
-    """The scale path: LSH candidates -> exact-Jaccard verification."""
-    sigs = minhash_signatures(df, text_col, id_col, k, n)
+    """The scale path: LSH candidates -> exact-Jaccard verification.
+
+    The exploded shingle table feeds four consumers (signatures, sizes, and
+    both sides of the verification join); without persisting it Catalyst
+    re-plans the shingling subtree per consumer — 6 source scans and 6x the
+    tokenize/slice CPU. One persist makes it 1 scan + 1 shingling pass.
+    """
+    ex = exploded_shingles(df, text_col, id_col, n).persist()
+    sigs = minhash_signatures(df, text_col, id_col, k, n, exploded=ex)
     cands = lsh_candidate_pairs(sigs, k, bands)
-    return jaccard_pairs(df, text_col, id_col, threshold, n, candidates=cands)
+    return jaccard_pairs(
+        df, text_col, id_col, threshold, n, candidates=cands, exploded=ex
+    )
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
