@@ -1,0 +1,116 @@
+"""Document-lifecycle API — the reference's HTTP verb surface re-expressed
+over snapshot tables, so a user of cies-ocr-java can drive the same
+operations here:
+
+    reference (DocumentLambda.java:46-64)          this API
+    ------------------------------------------     ------------------------------
+    POST /{id}    ingest document                  ingest_documents(...)
+    GET  /{id}    fetch body+metadata              get_document(...)
+    HEAD /{id}    metadata+status only             get_document_metadata(...)
+    DELETE /{id}  remove from source store         delete_documents(...)
+    GET /text/{id}   extracted text                get_text(...)
+    GET /text/{id} (Accept: json)  span JSON       get_json(...)
+    HEAD polling loop (DocumentProcessor)          poll_status(...)
+
+Semantics pinned to the reference:
+  * POST of an existing id is a conflict (DocumentLambda.java:107-110).
+  * HEAD never reads the body — column-pruned scan (S3).
+  * .txt vs .json is the flat text column vs to_json(spans) (Utility.java:108-118).
+  * unknown status -> 'New' (DocumentExtractStatus.java:12-18).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cies_ocr_java_spark.functions.paths import coerce_status
+from cies_ocr_java_spark.schema import STATUS_NEW
+from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+
+class DocumentStore:
+    """Source + destination stores over one output root (documents /
+    extracted_spans / doc_state snapshot tables)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.documents = SnapshotTable(os.path.join(root, "documents"))
+        self.extracted = SnapshotTable(os.path.join(root, "extracted_spans"))
+        self.state = SnapshotTable(os.path.join(root, "doc_state"))
+
+    # --- POST ----------------------------------------------------------------
+    def ingest_documents(self, docs: DataFrame, on_conflict: str = "error") -> int:
+        """Append new documents; duplicate doc_ids are conflicts
+        (reference returns 409). on_conflict: 'error' | 'skip'."""
+        if self.documents.exists():
+            existing = self.documents.read(self.spark).select("doc_id")
+            if on_conflict == "error":
+                n = docs.join(existing, "doc_id", "left_semi").count()
+                if n:
+                    raise ValueError(f"conflict: {n} doc_id(s) already ingested")
+            else:
+                docs = docs.join(existing, "doc_id", "left_anti")
+        return self.documents.commit(docs, mode="append")
+
+    # --- GET / HEAD -----------------------------------------------------------
+    def get_document(self, doc_id: str) -> DataFrame:
+        """Body + metadata point lookup (S2) — predicate pushed to parquet."""
+        return self.documents.read(self.spark).where(F.col("doc_id") == doc_id)
+
+    def get_document_metadata(self, doc_id: str | None = None) -> DataFrame:
+        """HEAD: metadata + coerced status, NO body column read (S3/P1).
+        Column pruning reaches the scan — spans are never deserialized."""
+        docs = self.documents.read(self.spark).select("doc_id")
+        if doc_id is not None:
+            docs = docs.where(F.col("doc_id") == doc_id)
+        if self.state.exists():
+            st = (
+                self.state.read(self.spark)
+                .groupBy("doc_id")
+                .agg(F.max_by("status", "snapshot_id").alias("status"),
+                     F.max_by("job_id", "snapshot_id").alias("job_id"))
+            )
+            docs = docs.join(st, "doc_id", "left")
+        else:
+            docs = docs.withColumn("status", F.lit(None).cast("string")).withColumn(
+                "job_id", F.lit(None).cast("string")
+            )
+        # last-state-wins single-valued status; unknown/null -> New — the
+        # reference's INTENDED tag semantics (its updateStatusAndJobId
+        # appends duplicate tags and reads first-match; we pin the intent,
+        # SURVEY.md §2.7)
+        return docs.select(
+            "doc_id", coerce_status(F.col("status")).alias("status"), "job_id"
+        )
+
+    def poll_status(self, doc_id: str) -> str:
+        """The DocumentProcessor HEAD-poll answer, one value."""
+        rows = self.get_document_metadata(doc_id).collect()
+        return rows[0]["status"] if rows else STATUS_NEW
+
+    # --- results ---------------------------------------------------------------
+    def get_text(self, doc_id: str) -> DataFrame:
+        """GET /text/{id} with Accept: text/plain — the flat text column."""
+        return (
+            self.extracted.read(self.spark)
+            .where(F.col("doc_id") == doc_id)
+            .select("doc_id", "text")
+        )
+
+    def get_json(self, doc_id: str) -> DataFrame:
+        """GET /text/{id} with Accept: application/json — span JSON."""
+        return (
+            self.extracted.read(self.spark)
+            .where(F.col("doc_id") == doc_id)
+            .select("doc_id", F.to_json("spans").alias("spans_json"))
+        )
+
+    # --- DELETE ---------------------------------------------------------------
+    def delete_documents(self, doc_ids: list[str]) -> int:
+        """S8: row-level delete as an overwrite snapshot (anti-join), keeping
+        history — time travel to the pre-delete snapshot still works."""
+        current = self.documents.read(self.spark)
+        remaining = current.where(~F.col("doc_id").isin(doc_ids))
+        return self.documents.commit(remaining, mode="overwrite")

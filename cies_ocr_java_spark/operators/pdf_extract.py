@@ -93,7 +93,9 @@ def _extract_pdf_batch(payload: pd.Series) -> pd.DataFrame:
     s.index = rid
 
     # text layer: all Tj literals, unescaped, joined with ' ' per row
-    matches = s.str.extractall(_TJ_PATTERN)[0]  # MultiIndex (row, match)
+    # MultiIndex (row, match); pandas returns NaN for EMPTY captured groups
+    # (an empty '() Tj' literal), which must join as ''
+    matches = s.str.extractall(_TJ_PATTERN)[0].fillna("")
     if len(matches):
         matches = matches.str.replace(_UNESC_RE, r"\1", regex=True)
         joined = matches.groupby(level=0).agg(" ".join)

@@ -99,9 +99,16 @@ def extract_spans(
 
     is_pdf = (F.col("ekind") == "pdf") & ~F.col("invalid")
     if use_pdf_udf:
+        # mask outputs by is_pdf: the UDF sees NULL (-> '') for non-pdf rows
+        # and would flag them malformed otherwise
         parsed = flat.withColumn(
             "p", pdf_layer_udf(F.when(is_pdf, F.col("text")))
-        ).select("*", "p.pdf_text", "p.page_count", "p.pdf_malformed").drop("p")
+        ).select(
+            "*",
+            F.when(is_pdf, F.col("p.pdf_text")).alias("pdf_text"),
+            F.when(is_pdf, F.col("p.page_count")).alias("page_count"),
+            F.when(is_pdf, F.col("p.pdf_malformed")).alias("pdf_malformed"),
+        ).drop("p")
     else:
         cols = pdf_layer_cols(F.col("text"))
         parsed = flat.select(

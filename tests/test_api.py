@@ -1,0 +1,64 @@
+"""Document-lifecycle API tests — the reference's verb surface (POST/GET/
+HEAD/DELETE + text/json retrieval + status polling), including the pinned
+intended semantics for its quirks (conflict on duplicate POST, last-state-
+wins status, unknown->New coercion)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cies_ocr_java_spark.api import DocumentStore
+from cies_ocr_java_spark.plans import pipeline
+from cies_ocr_java_spark.schema import STATUS_NEW, STATUS_SUCCEEDED
+
+
+@pytest.fixture()
+def store(spark, corpus_dir, tmp_path):
+    root = str(tmp_path / "store")
+    s = DocumentStore(spark, root)
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    s.ingest_documents(docs.where(F.col("doc_id") < "doc-000050"))
+    return s
+
+
+def test_post_conflict_on_duplicate(spark, store, corpus_dir):
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    dup = docs.where(F.col("doc_id") == "doc-000001")
+    with pytest.raises(ValueError, match="conflict"):
+        store.ingest_documents(dup)
+    # skip mode ingests nothing new
+    before = store.documents.read(spark).count()
+    store.ingest_documents(dup, on_conflict="skip")
+    assert store.documents.read(spark).count() == before
+
+
+def test_get_and_head(spark, store):
+    got = store.get_document("doc-000001").collect()
+    assert len(got) == 1 and got[0]["spans"] is not None
+    head = store.get_document_metadata("doc-000001").collect()
+    assert len(head) == 1
+    assert "spans" not in head[0].asDict()          # HEAD never reads the body
+    assert head[0]["status"] == STATUS_NEW          # no state yet -> New
+
+
+def test_lifecycle_status_and_results(spark, store):
+    docs = store.documents.read(spark)
+    pipeline.run(spark, docs, store.documents.root.rsplit("/", 1)[0], run_id="api1")
+    ok_id = (
+        store.state.read(spark)
+        .where(F.col("status") == STATUS_SUCCEEDED)
+        .first()["doc_id"]
+    )
+    assert store.poll_status(ok_id) == STATUS_SUCCEEDED
+    txt = store.get_text(ok_id).collect()
+    assert len(txt) == 1 and isinstance(txt[0]["text"], str)
+    js = store.get_json(ok_id).collect()
+    assert js[0]["spans_json"].startswith("[")
+
+
+def test_delete_keeps_history(spark, store):
+    pre = store.documents.current_snapshot_id()
+    n_before = store.documents.read(spark).count()
+    store.delete_documents(["doc-000001", "doc-000002"])
+    assert store.documents.read(spark).count() == n_before - 2
+    assert store.documents.read(spark, snapshot_id=pre).count() == n_before
+    assert store.get_document("doc-000001").count() == 0

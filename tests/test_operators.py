@@ -36,6 +36,8 @@ def test_pdf_jvm_and_pandas_paths_agree(spark):
         make_pdf(["x"], truncated=True),
         make_pdf(["x"], headerless=True),
         "not a pdf at all",
+        make_pdf(["\n"]),  # two EMPTY '() Tj' literals (hypothesis-found edge)
+        make_pdf(["a\n\nb"]),
     ]
     jvm = _pdf_cols(spark, payloads)
     pdf = _extract_pdf_batch(pd.Series(payloads))
