@@ -45,3 +45,22 @@ def test_orphan_dirs_invisible_and_gcable(spark, tmp_path):
     removed = t.gc_orphans()
     assert removed == ["_tmp-deadbeef"]
     assert not os.path.exists(orphan)
+
+
+def test_partitioned_commit_prunes(spark, tmp_path):
+    """bucket(doc_id)-partitioned snapshots: a bucket-filtered read must
+    prune partitions at planning time (PartitionFilters in the scan)."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(1000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(8)).alias("bucket"),
+    )
+    t.commit(df, partition_by=["bucket"])
+    rd = t.read(spark).where(F.col("bucket") == 3)
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert rd.count() > 0
+    # all rows really belong to bucket 3
+    assert rd.where(F.col("bucket") != 3).count() == 0
