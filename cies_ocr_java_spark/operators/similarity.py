@@ -69,15 +69,30 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast the (small) query set,
     score every corpus vector, window-rank. Rank order: rounded score desc,
-    neighbor id asc (deterministic under ties)."""
+    neighbor id asc (deterministic under ties).
+
+    Norms are hoisted OUT of the pair loop: computed once per vector
+    (O(n*d)) before the join instead of per pair (O(n*q*d)) — same decimal
+    values, so oracle equality is unaffected."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(_sumsq_dec(F.col(vec_col)).cast("double")).alias("qnorm"),
     )
-    scored = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
-    ).crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    e = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.sqrt(_sumsq_dec(F.col(vec_col)).cast("double")).alias("enorm"),
+    )
+    scored = e.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    raw = _dot_dec(F.col("vec"), F.col("qvec")).cast("double") / (
+        F.col("enorm") * F.col("qnorm")
+    )
     scored = scored.select(
-        "query_id", "neighbor_id", cosine_score(F.col("vec"), F.col("qvec")).alias("score")
+        "query_id", "neighbor_id",
+        raw.cast("decimal(12,6)").cast("double").alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -110,17 +125,23 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        F.sqrt(_sumsq_dec(F.col(vec_col)).cast("double")).alias("enorm"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        F.sqrt(_sumsq_dec(F.col(vec_col)).cast("double")).alias("qnorm"),
     )
     scored = e.join(F.broadcast(q), "bucket").where(
         F.col("neighbor_id") != F.col("query_id")
     )
+    raw = _dot_dec(F.col("vec"), F.col("qvec")).cast("double") / (
+        F.col("enorm") * F.col("qnorm")
+    )
     scored = scored.select(
-        "query_id", "neighbor_id", cosine_score(F.col("vec"), F.col("qvec")).alias("score")
+        "query_id", "neighbor_id",
+        raw.cast("decimal(12,6)").cast("double").alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

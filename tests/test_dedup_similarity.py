@@ -147,3 +147,46 @@ def test_status_counts_stream(spark, corpus_dir, tmp_path):
     want = {r["status"]: r["n"] for r in
             state.groupBy("status").agg(F.count("*").alias("n")).collect()}
     assert got == want
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """Duplicates must be dropped across separate triggers: the seen-set
+    lives in the state store, not in the batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cies_ocr_java_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    src = tmp_path / "stream-src"
+    src.mkdir()
+    # batch 1: two docs, one internal dup pair (d1/d2 same content)
+    pq.write_table(
+        pa.table({"doc_id": ["d2", "d1", "d3"],
+                  "text": ["same content", "same content", "unique one"]}),
+        str(src / "batch1.parquet"),
+    )
+    # batch 2: a cross-batch dup of d1 plus a new doc
+    pq.write_table(
+        pa.table({"doc_id": ["d4", "d5"],
+                  "text": ["same content", "another unique"]}),
+        str(src / "batch2.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("dedup_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM dedup_stream_test").collect()
+    got = {r["doc_id"] for r in rows}
+    # d1 wins its batch (min doc_id), d4 deduped across batches
+    assert got == {"d1", "d3", "d5"}
+    assert len(rows) == 3
