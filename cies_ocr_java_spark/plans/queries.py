@@ -1001,7 +1001,8 @@ def extract_html_maincontent(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E2E_BASE_SQL = f"""
     base AS (
       SELECT CAST(doc_id AS VARCHAR) AS did, {_norm_sql('text')} AS n,
-             doc_id % 2 = 0 AS has_media
+             doc_id % 2 = 0 AS has_media,
+             doc_id % 3 = 0 AND length({_norm_sql('text')}) >= 10 AS has_html
       FROM documents WHERE length({_norm_sql('text')}) > 0
     )
 """
@@ -1021,6 +1022,10 @@ _E2E_SQL = f"""
       UNION ALL
       SELECT did, 2, 'media', NULL, 'media://' || did || '/0001'
       FROM base WHERE has_media
+      UNION ALL
+      -- html span: boilerplate (nav/linkfarm/footer) must strip to exactly n
+      SELECT did, CASE WHEN has_media THEN 3 ELSE 2 END, 'text', n, NULL
+      FROM base WHERE has_html
     )
     SELECT doc_id, span_order, kind, text, media_ref FROM out
 """
@@ -1029,12 +1034,21 @@ _E2E_SQL = f"""
 def _synth_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic interleaved corpus (input_hint shape) from the flat
     documents table: text span + single-page PDF span (layer = text x3, OCR
-    fallback = upper(text)) + a media span for even doc_ids."""
+    fallback = upper(text)) + a media span (even doc_ids) + a boilerplate-
+    wrapped HTML span (doc_ids % 3 == 0) — all four kinds, so the driver's
+    correctness gate exercises every extraction route incl. the pandas UDF."""
     d = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     n = normalize_ws(F.col("text"))
     layer3 = F.concat_ws(" ", F.col("text"), F.col("text"), F.col("text"))
     payload = _synth_pdf_payload(layer3, _b64_line(F.upper(n)))
+    html_payload = F.concat(
+        F.lit("<html><head><title>T</title></head><body>"
+              "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+              "<p><a>L0</a> <a>L1</a> <a>L2</a> <a>L3</a></p><p>"),
+        F.col("text"),
+        F.lit("</p><footer><a href='/f'>F</a></footer></body></html>"),
+    )
 
     def span(kind, text, media_ref, offset):
         return F.struct(
@@ -1048,11 +1062,18 @@ def _synth_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         span("text", F.col("text"), None, 0),
         span("pdf", payload, None, 1),
     )
-    three = F.concat(
-        two,
-        F.array(span("media", None, F.concat(F.lit("media://"), did, F.lit("/0001")), 2)),
+    empty = F.slice(two, 1, 0)  # correctly-typed empty span array
+    media_arr = F.array(
+        span("media", None, F.concat(F.lit("media://"), did, F.lit("/0001")), 2)
     )
-    spans = F.when(F.col("doc_id") % 2 == 0, three).otherwise(two)
+    html_arr = F.array(span("html", html_payload, None, 3))
+    has_media = F.col("doc_id") % 2 == 0
+    has_html = (F.col("doc_id") % 3 == 0) & (F.length(n) >= 10)
+    spans = F.concat(
+        two,
+        F.when(has_media, media_arr).otherwise(empty),
+        F.when(has_html, html_arr).otherwise(empty),
+    )
     return d.where(F.length(n) > 0).select(did.alias("doc_id"), spans.alias("spans"))
 
 
