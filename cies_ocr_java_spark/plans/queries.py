@@ -1192,3 +1192,33 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("min_value"),
         F.max("value").cast("double").alias("max_value"),
     )
+
+
+@_register(
+    "supplier_balance_rank",
+    """
+    SELECT s_suppkey, s_name, n_name, s_acctbal, rank
+    FROM (
+      SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal,
+             rank() OVER (PARTITION BY n.n_name
+                          ORDER BY s.s_acctbal DESC, s.s_suppkey ASC) AS rank
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ) WHERE rank <= 3
+    """,
+)
+def supplier_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL-API surface (spark.sql over temp views — same Catalyst plan
+    as the DataFrame API; registered here to keep both front doors tested)."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, n_name, s_acctbal, rank
+        FROM (
+          SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal,
+                 rank() OVER (PARTITION BY n.n_name
+                              ORDER BY s.s_acctbal DESC, s.s_suppkey ASC) AS rank
+          FROM v_supplier s JOIN v_nation n ON s.s_nationkey = n.n_nationkey
+        ) WHERE rank <= 3
+        """
+    )

@@ -64,3 +64,22 @@ def test_resume_after_partial_failure_skips_done(spark, corpus_dir, tmp_path):
     )
     assert m2["docs_processed"] == docs.count() - succeeded_first
     assert m1["docs_processed"] == first_half.count()
+
+
+def test_run_on_fully_resumed_input_is_safe(spark, corpus_dir, tmp_path):
+    """Third run when everything already SUCCEEDED/FAILED: the anti-join may
+    leave zero SUCCEEDED-able docs; empty commits must not corrupt the
+    table or the metrics."""
+    out_root = str(tmp_path / "out3")
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").where(
+        F.col("doc_id") < "doc-000020"
+    )
+    pipeline.run(spark, docs, out_root, run_id="e1")
+    m2 = pipeline.run(spark, docs, out_root, run_id="e2")  # only FAILED re-run
+    m3 = pipeline.run(spark, docs, out_root, run_id="e3")
+    assert m3["docs_processed"] == m2["failures"]
+    extracted = SnapshotTable(f"{out_root}/extracted_spans").read(spark)
+    # appended empty/failed-only snapshots never duplicate successes
+    assert extracted.groupBy("doc_id").count().where("count > 1").count() == 0
+    metrics = SnapshotTable(f"{out_root}/metrics").read(spark)
+    assert metrics.count() == 3

@@ -79,10 +79,17 @@ def build_pdf_scanned(rng, doc_id):
 
 
 def build_pdf_boundary(rng, doc_id):
-    # single page, text layer EXACTLY 264 == 0.5*528*1 chars -> NOT sufficient
-    layer = text_of_len(rng, 264)
-    ocr = [words(rng, 50)]
-    return [_span("pdf", make_pdf([layer], ocr_pages=ocr), None, 0)]
+    # text layer EXACTLY at threshold (0.5 * 528 * pages) -> NOT sufficient
+    # (strict '>' per DocumentExtractManager.java:417); 1 or 2 pages
+    if rng.random() < 0.5:
+        layer_pages = [text_of_len(rng, 264)]
+    else:
+        # two pages; join adds 1 separator char, so total must be 2*264:
+        # page lengths L and 528-L-1 plus the ' ' joiner = 528 exactly
+        left = rng.randint(200, 300)
+        layer_pages = [text_of_len(rng, left), text_of_len(rng, 2 * 264 - left - 1)]
+    ocr = [words(rng, 50) for _ in layer_pages]
+    return [_span("pdf", make_pdf(layer_pages, ocr_pages=ocr), None, 0)]
 
 
 def build_html(rng, doc_id):
@@ -100,6 +107,29 @@ def build_html(rng, doc_id):
         + "<div class=\"content\">" + linkfarm + "".join(pieces) + "</div>"
         + "<!-- comment --><footer><a href=\"/a\">About</a> &copy; 2024</footer>"
         + "</body></html>"
+    )
+    return [_span("html", html, None, 0)]
+
+
+def build_html_structured(rng, doc_id):
+    """Tables, nested lists, blockquotes, entity-heavy text — the block-tag
+    set beyond plain <p>."""
+    rows = "".join(
+        f"<tr><td>{words(rng, rng.randint(4, 9))}</td><td>{words(rng, rng.randint(4, 9))}</td></tr>"
+        for _ in range(rng.randint(2, 4))
+    )
+    items = "".join(f"<li>{words(rng, rng.randint(5, 12))}</li>" for _ in range(rng.randint(2, 5)))
+    entity_para = (
+        f"<p>{words(rng, 8)} &amp; {words(rng, 4)} &lt;tagged&gt; "
+        f"&quot;{words(rng, 3)}&quot; &#39;q&#39; &nbsp; {words(rng, 6)}</p>"
+    )
+    quote = f"<blockquote>{words(rng, rng.randint(12, 25))}</blockquote>"
+    html = (
+        "<html><head><title>S</title></head><body>"
+        "<header><a href='/'>Top</a> menu menu</header>"
+        f"<article><table>{rows}</table><ul>{items}</ul>{entity_para}{quote}</article>"
+        "<aside><a>ad one</a> <a>ad two</a></aside>"
+        "</body></html>"
     )
     return [_span("html", html, None, 0)]
 
@@ -167,7 +197,8 @@ CLASS_MIX = [
     ("pdf_rich", 0.19, build_pdf_rich),
     ("pdf_scanned", 0.19, build_pdf_scanned),
     ("pdf_boundary", 0.02, build_pdf_boundary),
-    ("html", 0.24, build_html),
+    ("html", 0.19, build_html),
+    ("html_structured", 0.05, build_html_structured),
     ("text", 0.09, build_text),
     ("interleaved", 0.15, build_interleaved),
     ("giant", 0.02, build_giant),
