@@ -41,6 +41,21 @@ def token_count(c: Column | str) -> Column:
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
 
 
+# GPT-2-style pretokenizer regex, restricted to the Java-regex / RE2 common
+# subset (no lookarounds, no \p classes) so Spark and the DuckDB oracle
+# tokenize identically. Whitespace alternatives are deliberately ABSENT:
+# the scan just skips between matches, so every match is one BPE-ish token.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    """BPE-ish token count: number of GPT-2-style pretokenizer matches
+    (contractions split, letters/digits/punctuation runs with optional
+    leading space). The standard 'how many LLM tokens is this corpus'
+    estimator; pure JVM regex, no Python."""
+    return F.size(F.regexp_extract_all(_col(c), F.lit(BPE_TOKEN_PATTERN), 0))
+
+
 def _word_occurrences(c: Column, word: str) -> Column:
     # \b word boundaries; case-insensitive via lower() on the caller side.
     return F.size(F.regexp_extract_all(c, F.lit(rf"\b{word}\b"), 0))

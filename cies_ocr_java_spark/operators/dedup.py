@@ -89,7 +89,13 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     ``exploded`` lets callers share one (persisted) shingle table across
     signature/banding/verification stages instead of re-shingling.
     """
-    ex = exploded if exploded is not None else exploded_shingles(df, text_col, id_col, n)
+    if exploded is not None:
+        ex = exploded
+    else:
+        # The shingle table feeds 3 consumers (sizes + both join sides);
+        # unpersisted, Catalyst re-plans the tokenize/zip_with subtree per
+        # consumer = 3 source scans and 3x the shingling CPU.
+        ex = exploded_shingles(df, text_col, id_col, n).persist()
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     if candidates is not None:
         # Scale path: intersect ONLY candidate pairs — never materialize the

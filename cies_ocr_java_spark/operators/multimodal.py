@@ -79,3 +79,81 @@ def extract_media_features(
             )
 
     return df.select(ref_col, content_col).mapInPandas(op, MEDIA_FEATURES_SCHEMA)
+
+
+RESIZE_PLAN_SCHEMA = (
+    "media_ref string, width int, height int, out_w int, out_h int, "
+    "scale_pct int"
+)
+
+
+def plan_resize(
+    features: DataFrame, max_w: int = 256, max_h: int = 256
+) -> DataFrame:
+    """Letterbox resize plan over decoded feature rows: scale = min(max_w/w,
+    max_h/h, 1), output dims floored. The arithmetic runs vectorized on
+    whole Arrow batches (numpy broadcasting inside mapInPandas) — this is
+    the stand-in for the real resample kernel, which would slot into the
+    same batch loop. scale_pct is an integer (floor of 100*scale) so the
+    plan is float-free and engine-exact."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].clip(lower=1).astype("int64")
+            h = pdf["height"].clip(lower=1).astype("int64")
+            # integer min(100*max_w/w, 100*max_h/h, 100): floor division
+            scale_pct = (
+                pd.concat([100 * max_w // w, 100 * max_h // h], axis=1)
+                .min(axis=1)
+                .clip(upper=100)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "width": pdf["width"].astype("int32"),
+                    "height": pdf["height"].astype("int32"),
+                    "out_w": (w * scale_pct // 100).astype("int32"),
+                    "out_h": (h * scale_pct // 100).astype("int32"),
+                    "scale_pct": scale_pct.astype("int32"),
+                }
+            )
+
+    return features.select("media_ref", "width", "height").mapInPandas(
+        op, RESIZE_PLAN_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, frame_ref string"
+
+
+def sample_frames(features: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling plan: one output row per sampled frame index
+    (0, stride, 2*stride, ... < n_frames). The explode happens inside the
+    Arrow batch via numpy repeat/concatenate — no per-row Python, and the
+    output batch is bounded because n_frames is bounded per input batch.
+    The real decoder would attach pixel payloads to these rows."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["n_frames"].clip(lower=0).astype("int64").to_numpy()
+            counts = (n + stride - 1) // stride  # frames sampled per row
+            refs = np.repeat(pdf["media_ref"].to_numpy(), counts)
+            idx = (
+                np.concatenate([np.arange(c) * stride for c in counts])
+                if len(counts)
+                else np.array([], dtype="int64")
+            )
+            refs_s = pd.Series(refs, dtype="object")
+            idx_s = pd.Series(idx, dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs_s,
+                    "frame_idx": idx_s.astype("int32"),
+                    "frame_ref": refs_s + "#f" + idx_s.astype("string").astype("object"),
+                }
+            )
+
+    return features.select("media_ref", "n_frames").mapInPandas(
+        op, FRAME_SAMPLE_SCHEMA
+    )

@@ -115,6 +115,132 @@ def sign_bucket(vec, bits: int = 4) -> F.Column:
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame, threshold: float, bits: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, score >= thr).
+
+    The scale path for semantic dedup over 10^9+ vectors: the all-pairs
+    space is pruned to SAME-sign-bucket pairs (a self equi-join on the
+    hyperplane-sign key — AQE splits hot buckets), then exact decimal cosine
+    verifies. Norms are computed once per vector before the join, never per
+    pair. Recall/cost trades via ``bits`` exactly like lsh_bucketed_topk."""
+    side = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        F.sqrt(_sumsq_dec(F.col(vec_col)).cast("double")).alias("nrm"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    )
+    raw = _dot_dec(F.col("a.vec"), F.col("b.vec")).cast("double") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        raw.cast("decimal(12,6)").cast("double").alias("score"),
+    ).where(F.col("score") >= threshold)
+
+
+def ivf_assignments(
+    emb: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by rounded cosine
+    (ties -> smallest centroid id): (id, vec, nrm, cell).
+
+    The centroid set is broadcast (it is small by construction); the argmax
+    is a row_number window over (score desc, centroid_id asc)."""
+    c = centroids.select(
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(_sumsq_dec(F.col(vec_col)).cast("double")).alias("cnorm"),
+    )
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.sqrt(_sumsq_dec(F.col(vec_col)).cast("double")).alias("nrm"),
+    )
+    raw = _dot_dec(F.col("vec"), F.col("cvec")).cast("double") / (
+        F.col("nrm") * F.col("cnorm")
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "id", "vec", "nrm", "cell",
+        raw.cast("decimal(12,6)").cast("double").alias("cscore"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cscore").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("id", "vec", "nrm", "cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, centroids: DataFrame,
+    k: int = 10, n_probe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: vectors are inverted-file partitioned by
+    nearest centroid; each query probes its ``n_probe`` nearest cells and
+    exact-ranks only those cells' vectors.
+
+    At scale the assignment table is written bucketed by ``cell`` so probes
+    are partition-pruned scans; here the probe is a broadcast semi-join.
+    Deterministic (no k-means iterations): centroids are caller-supplied
+    rows, so the DuckDB oracle can replay the exact same partitioning."""
+    assigned = ivf_assignments(emb, centroids, id_col, vec_col)
+    c = centroids.select(
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(_sumsq_dec(F.col(vec_col)).cast("double")).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(_sumsq_dec(F.col(vec_col)).cast("double")).alias("qnorm"),
+    )
+    qraw = _dot_dec(F.col("qvec"), F.col("cvec")).cast("double") / (
+        F.col("qnorm") * F.col("cnorm")
+    )
+    qscored = q.crossJoin(F.broadcast(c)).select(
+        "query_id", "qvec", "qnorm", "cell",
+        qraw.cast("decimal(12,6)").cast("double").alias("cscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qscored.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= n_probe)
+        .select("query_id", "qvec", "qnorm", "cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").where(
+        F.col("id") != F.col("query_id")
+    )
+    raw = _dot_dec(F.col("vec"), F.col("qvec")).cast("double") / (
+        F.col("nrm") * F.col("qnorm")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        raw.cast("decimal(12,6)").cast("double").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10, bits: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -34,15 +34,21 @@ from cies_ocr_java_spark.functions.paths import (
     text_result_id,
 )
 from cies_ocr_java_spark.functions.text import (
+    BPE_TOKEN_PATTERN,
     EN_STOPWORDS,
     LANG_MARKERS,
+    bpe_token_count,
     fingerprint,
     lang_id,
     normalize_ws,
     token_count,
 )
 from cies_ocr_java_spark.operators import dedup, similarity
-from cies_ocr_java_spark.operators.multimodal import extract_media_features
+from cies_ocr_java_spark.operators.multimodal import (
+    extract_media_features,
+    plan_resize,
+    sample_frames,
+)
 from cies_ocr_java_spark.formats import (
     ASSUMED_MAX_CHAR_PER_PAGE,
     MIN_TEXT_PCT,
@@ -1222,3 +1228,337 @@ def supplier_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rank <= 3
         """
     )
+
+
+# =========================================================================
+# Round-1 widening: BPE-ish tokens, embedding-cosine near-dup, IVF ANN,
+# media resize/frame-sample plans, as-of join, relational q4/q6.
+# =========================================================================
+
+_BPE_PAT_SQL = BPE_TOKEN_PATTERN.replace("'", "''")
+
+
+@_register(
+    "bpe_token_stats",
+    f"""
+    WITH c AS (SELECT doc_id, text, {_norm_sql('text')} AS t,
+                      len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS bpe
+               FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN length(t) = 0 THEN 0
+                     ELSE len(string_split(t, ' ')) END AS INTEGER) AS ws_tokens,
+           CAST(bpe AS INTEGER) AS bpe_tokens,
+           CAST(CAST(length(text) / greatest(bpe, 1) AS VARCHAR)
+                AS DECIMAL(12,6))::DOUBLE AS chars_per_bpe_token
+    FROM c
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a GPT-2-style BPE-ish
+    pretokenizer regex (the 'how many LLM tokens' corpus estimator). Pure
+    JVM regex — one codegen'd projection, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    bpe = bpe_token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("ws_tokens"),
+        bpe.cast("int").alias("bpe_tokens"),
+        (F.length("text") / F.greatest(bpe, F.lit(1)))
+        .cast("decimal(12,6)")
+        .cast("double")
+        .alias("chars_per_bpe_token"),
+    )
+
+
+_NEARDUP_THR = 0.25
+
+_DEC8 = "CAST(CAST(CAST({x} AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))"
+
+
+def _d8(x: str) -> str:
+    return _DEC8.format(x=x)
+
+
+_ROUND6 = (
+    "CAST(CAST(CAST({dot} AS DOUBLE)"
+    " / (sqrt(CAST({n1} AS DOUBLE)) * sqrt(CAST({n2} AS DOUBLE)))"
+    " AS VARCHAR) AS DECIMAL(12,6))::DOUBLE"
+)
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e0 AS (SELECT vec_id AS id, embedding AS v,
+                       {_bucket_sql('embedding')} AS bucket
+                FROM embeddings),
+    pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS av, b.v AS bv
+              FROM e0 a JOIN e0 b ON a.bucket = b.bucket AND a.id < b.id),
+    terms AS (SELECT id_a, id_b, av, bv,
+                     unnest(range(1, {_EMB_DIM} + 1)) AS i
+              FROM pairs),
+    dots AS (SELECT id_a, id_b,
+                    sum({_d8('av[i]')} * {_d8('bv[i]')}) AS dotv,
+                    sum({_d8('av[i]')} * {_d8('av[i]')}) AS na2,
+                    sum({_d8('bv[i]')} * {_d8('bv[i]')}) AS nb2
+             FROM terms GROUP BY 1, 2)
+    SELECT id_a, id_b, score FROM (
+      SELECT id_a, id_b,
+             {_ROUND6.format(dot='dotv', n1='na2', n2='nb2')} AS score
+      FROM dots
+    ) WHERE score >= {_NEARDUP_THR}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join
+    prunes the all-pairs space, exact decimal cosine verifies — semantic
+    dedup's scale path (same shape as MinHash: candidates -> verify)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, _NEARDUP_THR, bits=4)
+
+
+_IVF_C = 8
+_IVF_PROBE = 2
+
+_IVF_ASSIGN_SQL = f"""
+    cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+             WHERE vec_id < {_IVF_C}),
+    ap AS (SELECT e.vec_id AS id, e.embedding AS ev, c.cell, c.cv
+           FROM embeddings e, cent c),
+    at AS (SELECT id, cell, ev, cv, unnest(range(1, {_EMB_DIM} + 1)) AS i
+           FROM ap),
+    ad AS (SELECT id, cell,
+                  sum({_d8('ev[i]')} * {_d8('cv[i]')}) AS dotv,
+                  sum({_d8('ev[i]')} * {_d8('ev[i]')}) AS na2,
+                  sum({_d8('cv[i]')} * {_d8('cv[i]')}) AS nc2
+           FROM at GROUP BY 1, 2),
+    ascored AS (SELECT id, cell,
+                       {_ROUND6.format(dot='dotv', n1='na2', n2='nc2')} AS cscore
+                FROM ad),
+    assign AS (SELECT id, cell FROM (
+        SELECT id, cell,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cscore DESC, cell ASC) AS r
+        FROM ascored) WHERE r = 1),
+    probes AS (SELECT id AS query_id, cell FROM (
+        SELECT id, cell,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cscore DESC, cell ASC) AS r
+        FROM ascored WHERE id < {_N_QUERIES}) WHERE r <= {_IVF_PROBE})
+"""
+
+
+@_register(
+    "ann_ivf_topk",
+    f"""
+    WITH {_IVF_ASSIGN_SQL},
+    cand AS (SELECT p.query_id, a.id AS neighbor_id
+             FROM probes p JOIN assign a USING (cell)
+             WHERE a.id != p.query_id),
+    cp AS (SELECT c.query_id, c.neighbor_id,
+                  eq.embedding AS qv, en.embedding AS ev
+           FROM cand c
+           JOIN embeddings eq ON eq.vec_id = c.query_id
+           JOIN embeddings en ON en.vec_id = c.neighbor_id),
+    ct AS (SELECT query_id, neighbor_id, qv, ev,
+                  unnest(range(1, {_EMB_DIM} + 1)) AS i
+           FROM cp),
+    cd AS (SELECT query_id, neighbor_id,
+                  sum({_d8('ev[i]')} * {_d8('qv[i]')}) AS dotv,
+                  sum({_d8('ev[i]')} * {_d8('ev[i]')}) AS na2,
+                  sum({_d8('qv[i]')} * {_d8('qv[i]')}) AS nb2
+           FROM ct GROUP BY 1, 2),
+    scored AS (SELECT query_id, neighbor_id,
+                      {_ROUND6.format(dot='dotv', n1='na2', n2='nb2')} AS score
+               FROM cd)
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_ANN_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic centroid rows
+    (vec_id < C), inverted-file assignment by nearest centroid, queries
+    probe their n_probe nearest cells. At scale the assignment table is
+    bucketed by cell -> probes are partition-pruned scans."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < _IVF_C)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    out = similarity.ivf_topk(emb, queries, centroids, k=_ANN_K, n_probe=_IVF_PROBE)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+_MEDIA_FEATS_SQL = """
+    f AS (SELECT 'media://' || CAST(doc_id AS VARCHAR) AS media_ref,
+                 CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+                 CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+                 CAST(1 + octet_length(encode(text)) % 5 AS INTEGER) AS n_frames
+          FROM documents)
+"""
+
+
+def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+
+
+@_register(
+    "media_resize_plan",
+    f"""
+    WITH {_MEDIA_FEATS_SQL},
+    g AS (SELECT media_ref, width, height,
+                 greatest(width, 1) AS w, greatest(height, 1) AS h
+          FROM f),
+    s AS (SELECT *, least(25600 // w, 25600 // h, 100) AS scale_pct FROM g)
+    SELECT media_ref, width, height,
+           CAST(w * scale_pct // 100 AS INTEGER) AS out_w,
+           CAST(h * scale_pct // 100 AS INTEGER) AS out_h,
+           CAST(scale_pct AS INTEGER) AS scale_pct
+    FROM s
+    """,
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: decoded dims -> letterbox plan (integer
+    scale, floored output dims) on whole Arrow batches via mapInPandas."""
+    feats = extract_media_features(_synth_media(spark, sf_dir), fake_decode=True)
+    return plan_resize(feats, max_w=256, max_h=256)
+
+
+@_register(
+    "media_frame_sample",
+    f"""
+    WITH {_MEDIA_FEATS_SQL}
+    SELECT media_ref, CAST(fi * 2 AS INTEGER) AS frame_idx,
+           media_ref || '#f' || CAST(fi * 2 AS VARCHAR) AS frame_ref
+    FROM f, unnest(range(0, CAST((n_frames + 1) // 2 AS BIGINT))) AS t(fi)
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: one row per sampled frame index
+    (stride 2), exploded inside the Arrow batch with numpy repeat — the
+    video-frame fan-out a training-data pipeline does before per-frame
+    featurization."""
+    feats = extract_media_features(_synth_media(spark, sf_dir), fake_decode=True)
+    return sample_frames(feats, stride=2)
+
+
+@_register(
+    "events_asof_join",
+    """
+    SELECT event_id, user_id, ts_us, click_event_id, click_ts_us
+    FROM (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS ts_us,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER w AS click_event_id,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER w AS click_ts_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ) WHERE event_type = 'error'
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every error event, the most recent click by the same
+    user at or before it. Implemented as ONE windowed pass (last non-null
+    over an ordered frame) — a single shuffle on user_id, no range-join
+    explosion, no per-key driver loop; this is the scalable as-of shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    click_id = F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w)
+    click_ts = F.last(F.when(is_click, ts_us), ignorenulls=True).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            ts_us.alias("ts_us"),
+            click_id.alias("click_event_id"),
+            click_ts.alias("click_ts_us"),
+        )
+        .where(F.col("event_type") == "error")
+        .drop("event_type")
+    )
+
+
+@_register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(CAST(l_extendedprice * l_discount AS VARCHAR)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= CAST(0.05 AS DOUBLE)
+      AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — every predicate pushes to the
+    parquet scan (PushedFilters), the projection prunes to 4 columns, and
+    the whole thing is one codegen'd stage with a partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to this schema: 'shipped >60 days after
+    order' = the late-lineitem EXISTS): left-semi join + grouped count."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))

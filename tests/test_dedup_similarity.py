@@ -171,6 +171,14 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
                   "text": ["same content", "another unique"]}),
         str(src / "batch2.parquet"),
     )
+    # FileStreamSource orders files by mtime; the two writes can land in the
+    # same clock tick, which made trigger order (and thus which duplicate
+    # wins) nondeterministic. Pin batch1 strictly older.
+    import os, time  # noqa: E401
+
+    now = time.time()
+    os.utime(src / "batch1.parquet", (now - 10, now - 10))
+    os.utime(src / "batch2.parquet", (now, now))
     stream = (
         spark.readStream.schema("doc_id string, text string")
         .option("maxFilesPerTrigger", "1")
@@ -190,3 +198,79 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
     # d1 wins its batch (min doc_id), d4 deduped across batches
     assert got == {"d1", "d3", "d5"}
     assert len(rows) == 3
+
+
+def test_cosine_near_dup_pairs_bucketed(spark):
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [0.9, 0.9, 1.1, 1.0]),    # near-dup of 0, same sign bucket
+        (2, [-1.0, 1.0, 1.0, 1.0]),   # different bucket -> pruned even if close
+        (3, [1.0, 1.0, 1.0, -9.0]),   # same bucket as... no (last dim sign differs)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_near_dup_pairs(emb, threshold=0.9, bits=4).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert pairs == {(0, 1)}
+    assert all(r["id_a"] < r["id_b"] and r["score"] >= 0.9 for r in out)
+
+
+def test_ivf_full_probe_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = emb.where(F.col("vec_id") < 4)
+    queries = emb.where(F.col("vec_id") < 3)
+    # probing EVERY cell degenerates IVF to exact search
+    ivf = similarity.ivf_topk(emb, queries, centroids, k=5, n_probe=4)
+    bf = similarity.brute_force_topk(emb, queries, k=5)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_ivf_probe_restricts_candidates(spark):
+    rows = [
+        (0, [1.0, 0.0]),    # centroid A
+        (1, [-1.0, 0.0]),   # centroid B
+        (2, [0.99, 0.1]),   # cell A
+        (3, [-0.99, 0.1]),  # cell B
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = emb.where(F.col("vec_id") < 2)
+    queries = emb.where(F.col("vec_id") == 0)
+    out = similarity.ivf_topk(emb, queries, centroids, k=10, n_probe=1).collect()
+    # query 0 probes only cell A -> vectors 1 and 3 (cell B) are invisible
+    assert {r["neighbor_id"] for r in out} == {2}
+
+
+def test_plan_resize_letterbox_math(spark):
+    from cies_ocr_java_spark.operators.multimodal import plan_resize
+
+    feats = spark.createDataFrame(
+        [("a", 640, 480), ("b", 100, 50), ("c", 0, 480), ("d", 512, 256)],
+        "media_ref string, width int, height int",
+    )
+    out = {r["media_ref"]: r for r in plan_resize(feats, 256, 256).collect()}
+    # 640x480: scale = min(25600//640, 25600//480, 100) = 40 -> 256x192
+    assert (out["a"]["out_w"], out["a"]["out_h"], out["a"]["scale_pct"]) == (256, 192, 40)
+    # already small: no upscale
+    assert (out["b"]["out_w"], out["b"]["out_h"], out["b"]["scale_pct"]) == (100, 50, 100)
+    # degenerate zero width clamps to 1
+    assert out["c"]["scale_pct"] == 53 and out["c"]["out_w"] == 0
+    assert (out["d"]["out_w"], out["d"]["out_h"], out["d"]["scale_pct"]) == (256, 128, 50)
+
+
+def test_sample_frames_stride(spark):
+    from cies_ocr_java_spark.operators.multimodal import sample_frames
+
+    feats = spark.createDataFrame(
+        [("a", 5), ("b", 1), ("c", 0)], "media_ref string, n_frames int"
+    )
+    out = sample_frames(feats, stride=2).collect()
+    got = sorted((r["media_ref"], r["frame_idx"], r["frame_ref"]) for r in out)
+    assert got == [
+        ("a", 0, "a#f0"), ("a", 2, "a#f2"), ("a", 4, "a#f4"),
+        ("b", 0, "b#f0"),
+    ]

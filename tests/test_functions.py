@@ -80,3 +80,26 @@ def test_fingerprint_ws_insensitive(spark):
     a = _one(spark, "Hello   World", fingerprint)
     b = _one(spark, "hello world", fingerprint)
     assert a == b and len(a) == 32
+
+
+def test_bpe_token_count(spark):
+    from cies_ocr_java_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, it's 42 worlds!"),
+            (2, ""),
+            (3, "   "),
+            (4, "we'll don't I'm you're they've he'd"),
+            (5, "a2b"),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", bpe_token_count("t").alias("n")).collect()}
+    # Hello | , | ' it' | 's | ' 42' | ' worlds' | !
+    assert out[1] == 7
+    assert out[2] == 0 and out[3] == 0
+    # each word splits word + contraction suffix: 6 words -> 12 tokens
+    assert out[4] == 12
+    # letters/digits alternate: a | 2 | b
+    assert out[5] == 3
