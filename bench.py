@@ -28,9 +28,14 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "text_quality_scores",
+    "bpe_token_stats",
+    "media_frame_sample",
+    "events_asof_join",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",

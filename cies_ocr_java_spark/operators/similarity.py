@@ -137,10 +137,26 @@ def cosine_near_dup_pairs(
         b,
         (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
     )
+    # Two-phase scoring: a cheap all-double dot product prunes the candidate
+    # pairs first (~100x cheaper than decimal arithmetic per pair); the
+    # decimal-exact score is then computed ONLY for pairs within eps of the
+    # threshold boundary. eps=1e-4 dwarfs the double-vs-decimal rounding
+    # difference (~1e-7 relative), so no pair with exact score >= threshold
+    # can be lost — output is bit-identical to single-phase.
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("a.vec"),
+            F.col("b.vec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    survivors = pairs.where(approx >= threshold - 1e-4)
     raw = _dot_dec(F.col("a.vec"), F.col("b.vec")).cast("double") / (
         F.col("a.nrm") * F.col("b.nrm")
     )
-    return pairs.select(
+    return survivors.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         raw.cast("decimal(12,6)").cast("double").alias("score"),

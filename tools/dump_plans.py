@@ -51,6 +51,23 @@ COMMENTARY = {
         "decimal dot products stay in codegen; one exchange for the window "
         "top-k per query."
     ),
+    "dedup_embedding_cosine": (
+        "Sign-bucket self-join prunes the all-pairs space ~2^bits-fold; a "
+        "cheap all-double dot prefilters candidates in codegen, and the "
+        "decimal-exact score only runs for pairs within 1e-4 of the "
+        "threshold — same output, ~100x less decimal arithmetic."
+    ),
+    "ann_ivf_topk": (
+        "Centroids and probes are broadcast (both tiny by construction); the "
+        "only real shuffles are the two row_number windows (assignment "
+        "argmax, final top-k). At scale the assignment table is written "
+        "bucketed by cell so a probe is a partition-pruned scan."
+    ),
+    "events_asof_join": (
+        "As-of join as ONE windowed pass: last non-null click over an "
+        "ordered frame — a single exchange on user_id, no range-join pair "
+        "explosion, no driver-side loop."
+    ),
 }
 
 
