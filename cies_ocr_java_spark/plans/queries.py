@@ -1562,3 +1562,55 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@_register(
+    "events_props_parse",
+    """
+    SELECT CAST(props->>'k' AS INTEGER) AS k, count(*) AS n_events,
+           CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parse (reference F10: SNS message JobTag/Status extraction ->
+    F.from_json, ExtractStatusNotificationLambda.java:35-38): parse the
+    events.props JSON column, group by the extracted field. The parse is a
+    JVM JacksonParser projection — no shuffle beyond the agg."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return ev.groupBy(k.alias("k")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@_register(
+    "pipeline_metrics",
+    f"""
+    SELECT count(DISTINCT doc_id) AS docs_processed,
+           count(*) AS spans_emitted,
+           CAST(sum(CASE WHEN text IS NOT NULL
+                         THEN octet_length(encode(text)) ELSE 0 END) AS BIGINT)
+             AS text_bytes,
+           CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+             AS media_spans
+    FROM ({_E2E_SQL}) s
+    """,
+)
+def pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction metrics as an oracle-checked aggregate over the flagship
+    output (reference A4: docs/spans/bytes processed — the accumulator
+    totals in metrics.py, here recomputed exactly as one grouped pass)."""
+    out = pipeline_end_to_end(spark, sf_dir)
+    return out.agg(
+        F.countDistinct("doc_id").alias("docs_processed"),
+        F.count("*").alias("spans_emitted"),
+        F.sum(
+            F.when(F.col("text").isNotNull(), F.octet_length("text")).otherwise(0)
+        ).cast("bigint").alias("text_bytes"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+        .cast("bigint")
+        .alias("media_spans"),
+    )
