@@ -65,14 +65,16 @@ def flatten_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_spans(
+def span_level_extract(
     docs: DataFrame,
     repartition_to: int | None = None,
     use_pdf_udf: bool = False,
 ) -> DataFrame:
-    """Full extraction transform: documents -> assembled per-doc output
-    (doc_id, spans, text, failed, error, partition_id, used_ocr).
-    Pure transformation — no I/O, reusable from tests/bench/queries.
+    """The extraction kernel BEFORE per-doc assembly: documents -> one row
+    per span with its extracted output (_OUT_COLS). Stateless, so it runs
+    unchanged under Structured Streaming (streaming inputs skip the salt
+    repartition — microbatches are the parallelism unit there); the batch
+    pipeline is span_level_extract |> assemble_documents.
 
     SINGLE-PASS design: one scan, one salt shuffle, one projection. All JVM
     routes (text/pdf/ocr/media/invalid) fold into CASE expressions — whole-
@@ -94,8 +96,9 @@ def extract_spans(
         F.col("kind").isNull() & F.col("text").isNull() & F.col("media_ref").isNull()
         | span_invalid(F.col("ekind"), F.col("text"), F.col("media_ref")),
     )
-    # the salt shuffle: spans of one giant doc spread across n tasks
-    flat = flat.repartition(n, F.col("doc_id"), F.col("offset"))
+    if not docs.isStreaming:
+        # the salt shuffle: spans of one giant doc spread across n tasks
+        flat = flat.repartition(n, F.col("doc_id"), F.col("offset"))
 
     is_pdf = (F.col("ekind") == "pdf") & ~F.col("invalid")
     if use_pdf_udf:
@@ -157,7 +160,20 @@ def extract_spans(
         F.coalesce(used_ocr, F.lit(False)).alias("used_ocr"),
     )
 
-    return assemble_documents(all_spans.select(*_OUT_COLS))
+    return all_spans.select(*_OUT_COLS)
+
+
+def extract_spans(
+    docs: DataFrame,
+    repartition_to: int | None = None,
+    use_pdf_udf: bool = False,
+) -> DataFrame:
+    """Full extraction transform: documents -> assembled per-doc output
+    (doc_id, spans, text, failed, error, partition_id, used_ocr).
+    Pure transformation — no I/O, reusable from tests/bench/queries."""
+    return assemble_documents(
+        span_level_extract(docs, repartition_to=repartition_to, use_pdf_udf=use_pdf_udf)
+    )
 
 
 def run(

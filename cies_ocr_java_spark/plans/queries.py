@@ -1043,7 +1043,12 @@ def _synth_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback = upper(text)) + a media span (even doc_ids) + a boilerplate-
     wrapped HTML span (doc_ids % 3 == 0) — all four kinds, so the driver's
     correctness gate exercises every extraction route incl. the pandas UDF."""
-    d = _t(spark, sf_dir, "documents")
+    return _synth_spans_from(_t(spark, sf_dir, "documents"))
+
+
+def _synth_spans_from(d: DataFrame) -> DataFrame:
+    """The synthesis transform itself — pure projection, so it applies to a
+    streaming documents source unchanged (see extract_stream_spans)."""
     did = F.col("doc_id").cast("string")
     n = normalize_ws(F.col("text"))
     layer3 = F.concat_ws(" ", F.col("text"), F.col("text"), F.col("text"))
@@ -1614,3 +1619,64 @@ def pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("media_spans"),
     )
+
+
+@_register(
+    "extract_stream_spans",
+    f"""
+    WITH {_E2E_BASE_SQL}
+    SELECT doc_id, span_offset, out_kind, out_text, media_ref FROM (
+      SELECT did AS doc_id, 0 AS span_offset, 'text' AS out_kind,
+             n AS out_text, CAST(NULL AS VARCHAR) AS media_ref
+      FROM base
+      UNION ALL
+      SELECT did, 1, 'text',
+             CASE WHEN length(n || ' ' || n || ' ' || n) > {_SUFF_1PAGE}
+                  THEN n || ' ' || n || ' ' || n ELSE upper(n) END,
+             NULL
+      FROM base
+      UNION ALL
+      SELECT did, 2, 'media', NULL, 'media://' || did || '/0001'
+      FROM base WHERE has_media
+      UNION ALL
+      SELECT did, 3, 'text', n, NULL
+      FROM base WHERE has_html
+    ) s
+    """,
+)
+def extract_stream_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME extraction kernel under Structured Streaming: readStream
+    over the documents source -> interleaved-span synthesis -> the exact
+    span_level_extract projection the batch flagship uses (stateless, so it
+    streams unchanged; per-doc assembly stays batch-side where cross-batch
+    order is defined). Proves unified batch/stream extraction; the oracle is
+    the span-level batch SQL."""
+    import uuid as _uuid
+
+    from cies_ocr_java_spark.plans.pipeline import span_level_extract
+
+    batch = _t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    spans = span_level_extract(_synth_spans_from(stream))
+    out = spans.where(~F.col("failed")).select(
+        "doc_id",
+        F.col("offset").alias("span_offset"),
+        "out_kind",
+        "out_text",
+        "media_ref",
+    )
+    name = f"exs_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
