@@ -58,6 +58,14 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # 16 MB scan splits: the bench corpus is a few hundred MB on a
+        # 2-32-thread box, and the 128 MB default yields fewer splits than
+        # cores — the scan serializes and caps measured scaling at ~2.2x
+        # (a single-row-group file is even worse: 1 split total). On a real
+        # cluster the input is TBs across many files and either value gives
+        # thousands of splits; this only matters when input_size/cores is
+        # small, which is exactly local mode.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     if master:
         builder = builder.master(master)
