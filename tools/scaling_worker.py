@@ -56,9 +56,15 @@ def main() -> int:
             walls.append(m["wall_seconds"])
         last_out = out
 
-    # correctness gate in the same process: span-sequence equality vs golden
+    # correctness gate in the same process: span-sequence equality vs golden.
+    # Only (doc_id, md5-of-canonical-json) crosses to the driver — full span
+    # payloads for a large corpus would exceed spark.driver.maxResultSize.
+    import hashlib
+
     got = SnapshotTable(os.path.join(last_out, "extracted_spans")).read(spark)
-    got_pdf = got.select("doc_id", F.to_json("spans").alias("spans_json")).toPandas()
+    got_pdf = got.select(
+        "doc_id", F.md5(F.to_json("spans")).alias("spans_hash")
+    ).toPandas()
     con = duckdb.connect()
     exp = con.sql(
         f"""SELECT doc_id, spans FROM read_parquet('{args.input}/expected_spans.parquet')"""
@@ -77,8 +83,11 @@ def main() -> int:
             separators=(",", ":"),
         )
 
-    exp_map = {r.doc_id: canon_exp(r.spans) for r in exp.itertuples()}
-    got_map = dict(zip(got_pdf["doc_id"], got_pdf["spans_json"]))
+    exp_map = {
+        r.doc_id: hashlib.md5(canon_exp(r.spans).encode("utf-8")).hexdigest()
+        for r in exp.itertuples()
+    }
+    got_map = dict(zip(got_pdf["doc_id"], got_pdf["spans_hash"]))
     n_match = sum(1 for d, j in exp_map.items() if got_map.get(d) == j)
     pass_rate = n_match / max(len(exp_map), 1)
 
