@@ -263,16 +263,16 @@ def run(
     wall = time.time() - t0
     parallelism = spark.sparkContext.defaultParallelism
     m = metrics.snapshot()
-    metrics_row = spark.createDataFrame(
+    # driver-side fast commit: one metrics row must not pay a Spark job
+    metrics_tbl.commit_rows(
         [
             (
                 run_id, out_sid, m["docs_processed"], m["spans_emitted"],
                 m["bytes_processed"], m["failures"], wall, parallelism,
             )
         ],
-        schema=S.METRICS,
+        S.METRICS,
     )
-    metrics_tbl.commit(metrics_row, mode="append")
     result.unpersist()
     return {
         "run_id": run_id,

@@ -87,15 +87,42 @@ class SnapshotTable:
         point read touches 1/N of the files instead of all of them."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
-        log = self._read_log()
-        sid = int(log["current"]) + 1
         os.makedirs(self.data_root, exist_ok=True)
-
         tmp_dir = os.path.join(self.data_root, f"_tmp-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp_dir)
+        return self._finalize(tmp_dir, mode)
+
+    def commit_rows(self, rows: list[tuple], schema, mode: str = "append") -> int:
+        """Driver-side commit for SMALL control-plane tables (a metrics row,
+        a lineage marker): one pyarrow parquet write, no Spark job — a
+        1-row commit should not pay job-scheduling latency. ``schema`` is
+        the Spark StructType the table is read back with; same crash-safe
+        manifest protocol as commit()."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown commit mode {mode!r}")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        cols = [
+            pa.array([r[i] for r in rows], type=arrow_schema.field(i).type)
+            for i in range(len(arrow_schema))
+        ]
+        tbl = pa.Table.from_arrays(cols, schema=arrow_schema)
+        os.makedirs(self.data_root, exist_ok=True)
+        tmp_dir = os.path.join(self.data_root, f"_tmp-{uuid.uuid4().hex}")
+        os.makedirs(tmp_dir)
+        pq.write_table(tbl, os.path.join(tmp_dir, "part-00000.parquet"))
+        return self._finalize(tmp_dir, mode)
+
+    def _finalize(self, tmp_dir: str, mode: str) -> int:
+        """Steps 2-3 of the commit protocol: atomic rename + manifest swap."""
+        log = self._read_log()
+        sid = int(log["current"]) + 1
         final_rel = f"snap-{sid:06d}"
         os.rename(tmp_dir, os.path.join(self.data_root, final_rel))
 

@@ -64,3 +64,25 @@ def test_partitioned_commit_prunes(spark, tmp_path):
     assert rd.count() > 0
     # all rows really belong to bucket 3
     assert rd.where(F.col("bucket") != 3).count() == 0
+
+
+def test_commit_rows_driver_side(spark, tmp_path):
+    """Small control-plane commits go through pyarrow (no Spark job) but
+    read back through the same snapshot protocol with the Spark schema."""
+    from cies_ocr_java_spark import schema as S
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "metrics"))
+    sid = t.commit_rows(
+        [("r1", 1, 10, 20, 30, 0, 1.5, 8)], S.METRICS, mode="append"
+    )
+    assert sid == 1
+    sid2 = t.commit_rows(
+        [("r2", 2, 11, 21, 31, 1, 2.5, 8)], S.METRICS, mode="append"
+    )
+    assert sid2 == 2
+    rows = {r["run_id"]: r for r in t.read(spark).collect()}
+    assert set(rows) == {"r1", "r2"}
+    assert rows["r2"]["wall_seconds"] == 2.5 and rows["r2"]["parallelism"] == 8
+    # time travel still sees only the first commit
+    assert [r["run_id"] for r in t.read(spark, snapshot_id=1).collect()] == ["r1"]
