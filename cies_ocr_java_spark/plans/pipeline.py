@@ -219,6 +219,19 @@ def run(
     result = extract_spans(docs, repartition_to=repartition_to).persist(
         StorageLevel.DISK_ONLY
     )
+    # Metrics ride the FIRST action via Observation — counted while the
+    # extracted_spans commit streams past, so the old standalone agg pass
+    # (one full read of the persisted result per run) is gone.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"extraction-metrics-{run_id}")
+    result = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size("spans")).alias("spans"),
+        F.sum(F.length("text")).alias("bytes"),
+        F.sum(F.col("failed").cast("long")).alias("failures"),
+    )
 
     if record_submitted:
         # optional fidelity to the New->Submitted transition for OCR-path docs
@@ -250,12 +263,7 @@ def run(
     )
     state_sid = state_tbl.commit(state, mode="append")
 
-    agg = result.agg(
-        F.count("*").alias("docs"),
-        F.sum(F.size("spans")).alias("spans"),
-        F.sum(F.length("text")).alias("bytes"),
-        F.sum(F.col("failed").cast("long")).alias("failures"),
-    ).collect()[0]
+    agg = obs.get  # already complete: the extracted commit was the action
     metrics.docs_processed.add(int(agg["docs"] or 0))
     metrics.spans_emitted.add(int(agg["spans"] or 0))
     metrics.bytes_processed.add(int(agg["bytes"] or 0))
