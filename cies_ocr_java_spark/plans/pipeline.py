@@ -216,16 +216,20 @@ def run(
     # flat; point spark.local.dir at fast storage on the cluster.
     from pyspark import StorageLevel
 
-    result = extract_spans(docs, repartition_to=repartition_to).persist(
+    persisted = extract_spans(docs, repartition_to=repartition_to).persist(
         StorageLevel.DISK_ONLY
     )
     # Metrics ride the FIRST action via Observation — counted while the
     # extracted_spans commit streams past, so the old standalone agg pass
     # (one full read of the persisted result per run) is gone.
+    # NOTE: unpersist() must target ``persisted``, NOT the observe() wrapper
+    # — unpersisting the wrapper is a no-op, the blocks leak, and (worse)
+    # Spark's plan-based cache matching then silently serves the NEXT run's
+    # identical plan from this run's cache, which falsified a benchmark.
     from pyspark.sql import Observation
 
     obs = Observation(f"extraction-metrics-{run_id}")
-    result = result.observe(
+    result = persisted.observe(
         obs,
         F.count(F.lit(1)).alias("docs"),
         F.sum(F.size("spans")).alias("spans"),
@@ -281,7 +285,7 @@ def run(
         ],
         S.METRICS,
     )
-    result.unpersist()
+    persisted.unpersist()
     return {
         "run_id": run_id,
         "snapshot_id": out_sid,

@@ -83,3 +83,15 @@ def test_run_on_fully_resumed_input_is_safe(spark, corpus_dir, tmp_path):
     assert extracted.groupBy("doc_id").count().where("count > 1").count() == 0
     metrics = SnapshotTable(f"{out_root}/metrics").read(spark)
     assert metrics.count() == 3
+
+
+def test_run_leaves_no_persisted_blocks(spark, corpus_dir, tmp_path):
+    """run() must unpersist its intermediate: a leaked persist is a memory
+    leak AND a correctness hazard for measurements — Spark's plan-based
+    cache matching silently serves an identical later plan from the leaked
+    blocks (this falsified a scaling benchmark once)."""
+    out_root = str(tmp_path / "outp")
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").limit(30)
+    pipeline.run(spark, docs, out_root, run_id="p1", resume=False)
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
