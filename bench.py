@@ -59,11 +59,18 @@ def main() -> int:
     for name in HEADLINE:
         QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # Some operators (dedup.py) persist an internal shingle table that the
+    # returned plan consumes lazily; drop those blocks between queries so a
+    # 19-query sweep doesn't accumulate caches (and so no query is ever
+    # accidentally served from a previous query's identical cached subtree).
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -89,7 +89,13 @@ def test_run_leaves_no_persisted_blocks(spark, corpus_dir, tmp_path):
     """run() must unpersist its intermediate: a leaked persist is a memory
     leak AND a correctness hazard for measurements — Spark's plan-based
     cache matching silently serves an identical later plan from the leaked
-    blocks (this falsified a scaling benchmark once)."""
+    blocks (this falsified a scaling benchmark once).
+
+    The session is shared across the whole suite and other operators
+    (dedup.py) legitimately hand back plans over internally-persisted
+    tables, so reset the cache first — the assertion is about what
+    pipeline.run() itself leaves behind, order-independently."""
+    spark.catalog.clearCache()
     out_root = str(tmp_path / "outp")
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").limit(30)
     pipeline.run(spark, docs, out_root, run_id="p1", resume=False)

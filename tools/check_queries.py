@@ -91,6 +91,8 @@ def main() -> int:
         status = "PASS" if ok else "FAIL"
         print(f"{status}  {name}: {msg}")
         failures += 0 if ok else 1
+        # drop operators' internal persists (dedup.py) between queries
+        spark.catalog.clearCache()
     spark.stop()
     return 1 if failures else 0
 
