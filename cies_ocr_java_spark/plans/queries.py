@@ -63,8 +63,48 @@ def _norm_sql(x: str) -> str:
     return _NORM.format(x=x)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+_SCAN_SPLITS_CACHE: dict[str, int] = {}
+
+
+def _scan_splits(path: str) -> int:
+    """Upper bound on a parquet scan's task parallelism: the row group is
+    Spark's atomic split unit, so a file with one row group is one task no
+    matter what spark.sql.files.maxPartitionBytes says (round-1 finding,
+    BASELINE.md 'Scan-split parallelism')."""
+    if path not in _SCAN_SPLITS_CACHE:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = (
+            glob.glob(os.path.join(path, "*.parquet"))
+            if os.path.isdir(path)
+            else [path]
+        )
+        _SCAN_SPLITS_CACHE[path] = sum(
+            pq.ParquetFile(f).metadata.num_row_groups for f in files
+        )
+    return _SCAN_SPLITS_CACHE[path]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str, fanout: bool = False) -> DataFrame:
+    """Scan a testdata table. ``fanout=True`` marks the table as feeding
+    CPU-heavy per-row work (shingling, md5 banks, extraction UDFs): if the
+    file's row-group structure caps the scan below the session's default
+    parallelism, insert an explicit round-robin repartition so the compute
+    stage uses every core. On a real cluster a 100 TB input has orders of
+    magnitude more splits than cores, so the guard makes this a no-op —
+    it exists precisely for small single-row-group inputs we don't control
+    (like the driver's testdata). Filters still reach the scan: Catalyst
+    pushes predicates through Repartition (verified in PLANS.md)."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if fanout:
+        p = spark.sparkContext.defaultParallelism
+        if _scan_splits(path) < p:
+            df = df.repartition(p)
+    return df
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -449,7 +489,7 @@ def _mime_case_sql(ext_expr: str) -> str:
 def mime_and_result_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar functions F1-F4 + F6 (Utility.java:74-130): path handling,
     MIME guess from extension, result-id suffixing and its inverse."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     ext = (
         F.when(F.col("doc_id") % 4 == 0, ".pdf")
         .when(F.col("doc_id") % 4 == 1, ".html")
@@ -519,7 +559,7 @@ def ordered_concat_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     DocumentExtractManager.java:540-599): deterministic ordered concat —
     array_sort(collect_list(struct)) so the result never depends on
     partitioning, exactly like the pipeline's assembly stage."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     piece = F.substring(normalize_ws(F.col("text")), 1, 12)
     return (
         d.select("source", "doc_id", piece.alias("piece"))
@@ -572,7 +612,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining-corpus quality signals: length/punct/stopword ratios."""
     from cies_ocr_java_spark.functions.text import quality_score_cols
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     cols = quality_score_cols(F.col("text"))
     return d.select(
         "doc_id",
@@ -613,7 +653,7 @@ def _lang_fold_sql(norm_expr: str) -> str:
 )
 def lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language id vs the labeled lang column."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return (
         d.select(F.col("lang").alias("labeled_lang"), lang_id(F.col("text")).alias("predicted_lang"))
         .groupBy("labeled_lang", "predicted_lang")
@@ -657,7 +697,7 @@ _JACCARD_CORE = """
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content fingerprint (the PET-CT1/1DAE93F8 twin-fixture
     discovery operator). One shuffle; min(id) canonical pick is associative."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.exact_duplicates(d, "text", "doc_id").select(
         "fp", "n_docs", F.col("canonical_id")
     )
@@ -673,7 +713,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (the verification primitive;
     at scale only run on LSH candidates — see dedup_minhash_lsh)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.jaccard_pairs(d, "text", "doc_id", _JACCARD_THR)
 
 
@@ -714,7 +754,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=8) + LSH(4 bands x 2 rows) candidates, exact-Jaccard
     verified — the scale path for near-dup detection. Hashes are md5 hex
     strings so candidate generation itself is oracle-verifiable."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.minhash_dedup_pairs(d, "text", "doc_id", _JACCARD_THR, k=8, bands=4)
 
 
@@ -738,7 +778,7 @@ def _simhash_sql(bits: int = 16) -> str:
 @_register("dedup_simhash", _simhash_sql(16))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit tf-weighted SimHash per document."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.simhash(d, "text", "doc_id", bits=16).select(
         F.col("id").alias("doc_id"), "simhash"
     )
@@ -756,7 +796,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling fingerprint: min hash over 4-token spans."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.rolling_fingerprint(d, "text", "doc_id", window=4).select(
         F.col("id").alias("doc_id"), "min_span_hash"
     )
@@ -811,7 +851,7 @@ _ANN_TERMS_SQL = f"""
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (the exactness baseline): broadcast query
     set, decimal-exact dot products, rank after rounding."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
     out = similarity.brute_force_topk(emb, queries, k=_ANN_K)
     return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank"))
@@ -862,7 +902,7 @@ def _bucket_sql(vec: str, bits: int = 4) -> str:
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (the scale path: bucket equi-join instead of
     cross product)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
     out = similarity.lsh_bucketed_topk(emb, queries, k=_ANN_K, bits=4)
     return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank"))
@@ -885,7 +925,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norms (embedding hygiene check)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
     return emb.select("vec_id", "label", similarity.l2_norm(F.col("embedding")).alias("l2_norm"))
 
 
@@ -934,7 +974,7 @@ def extract_pdf_textlayer(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the REAL parser columns, verify the recovered text algebraically."""
     from cies_ocr_java_spark.operators.pdf_extract import pdf_layer_cols, text_sufficient
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     payload = _synth_pdf_payload(F.col("text"), _b64_line(F.lit("x")))
     cols = pdf_layer_cols(payload)
     return d.select(
@@ -962,7 +1002,7 @@ def extract_pdf_ocr_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cies_ocr_java_spark.operators.ocr_mock import ocr_text_col
     from cies_ocr_java_spark.operators.pdf_extract import pdf_layer_cols, text_sufficient
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     ocr_content = F.upper(normalize_ws(F.col("text")))
     payload = _synth_pdf_payload(F.col("text"), _b64_line(ocr_content))
     cols = pdf_layer_cols(payload)
@@ -987,7 +1027,7 @@ def extract_html_maincontent(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristics must recover exactly the main paragraph."""
     from cies_ocr_java_spark.operators.html_extract import html_main_text_udf
 
-    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") >= 20)
+    d = _t(spark, sf_dir, "documents", fanout=True).where(F.col("n_chars") >= 20)
     linkfarm = F.when(
         F.col("doc_id") % 3 == 0,
         F.lit("<p><a href='/l0'>Link</a> <a href='/l1'>Farm</a> "
@@ -1043,7 +1083,7 @@ def _synth_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback = upper(text)) + a media span (even doc_ids) + a boilerplate-
     wrapped HTML span (doc_ids % 3 == 0) — all four kinds, so the driver's
     correctness gate exercises every extraction route incl. the pandas UDF."""
-    return _synth_spans_from(_t(spark, sf_dir, "documents"))
+    return _synth_spans_from(_t(spark, sf_dir, "documents", fanout=True))
 
 
 def _synth_spans_from(d: DataFrame) -> DataFrame:
@@ -1126,7 +1166,7 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> mapInPandas feature
     extraction (deterministic stub decode — real codecs are NotImplemented
     in this environment, see operators/multimodal.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     media = d.select(
         F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.encode(F.col("text"), "utf-8").alias("content"),
@@ -1262,7 +1302,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a GPT-2-style BPE-ish
     pretokenizer regex (the 'how many LLM tokens' corpus estimator). Pure
     JVM regex — one codegen'd projection, no shuffle."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     bpe = bpe_token_count(F.col("text"))
     return d.select(
         "doc_id",
@@ -1318,7 +1358,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join
     prunes the all-pairs space, exact decimal cosine verifies — semantic
     dedup's scale path (same shape as MinHash: candidates -> verify)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
     return similarity.cosine_near_dup_pairs(emb, _NEARDUP_THR, bits=4)
 
 
@@ -1389,7 +1429,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id < C), inverted-file assignment by nearest centroid, queries
     probe their n_probe nearest cells. At scale the assignment table is
     bucketed by cell -> probes are partition-pruned scans."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
     centroids = emb.where(F.col("vec_id") < _IVF_C)
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
     out = similarity.ivf_topk(emb, queries, centroids, k=_ANN_K, n_probe=_IVF_PROBE)
@@ -1408,7 +1448,7 @@ _MEDIA_FEATS_SQL = """
 
 
 def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return d.select(
         F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.encode(F.col("text"), "utf-8").alias("content"),
@@ -1655,7 +1695,7 @@ def extract_stream_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cies_ocr_java_spark.plans.pipeline import span_level_extract
 
-    batch = _t(spark, sf_dir, "documents")
+    batch = _t(spark, sf_dir, "documents")  # schema donor only
     stream = (
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "documents.parquet")
