@@ -41,6 +41,10 @@ HEADLINE = [
     "q5_region_revenue",
     "events_sessionize",
     "events_window_agg",
+    "events_range_join",
+    "revenue_rollup",
+    "kmv_distinct_sketch",
+    "tfidf_top_terms",
 ]
 
 

@@ -1720,3 +1720,399 @@ def extract_stream_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+# =========================================================================
+# Round-1 continuation: multi-level aggregation, set ops, range join,
+# sketches, quantiles, and TF-IDF — widening the relational + training-data
+# surface (SURVEY.md §2.4/§2.5 said the reference has none of these; they
+# are the operations a 100 TB corpus pipeline needs daily).
+# =========================================================================
+
+
+@_register(
+    "revenue_rollup",
+    """
+    SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS o_year,
+           COALESCE(CAST(month(o_orderdate) AS BIGINT), -1) AS o_month,
+           CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (year -> month -> grand total) in ONE pass —
+    Spark plans ROLLUP as a single Expand + hash aggregate, so the 3
+    aggregation levels cost one shuffle, not three scans. NULL grouping
+    levels are coalesced to -1 so the output schema stays non-nullable
+    BIGINT in both engines (a NULL-able int column round-trips to pandas as
+    float and would hash differently)."""
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("string").cast("decimal(18,2)")
+    return (
+        o.withColumn("rev", dec)
+        .rollup(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.sum("rev").cast("double").alias("revenue"),
+             F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce(F.col("y").cast("bigint"), F.lit(-1)).alias("o_year"),
+            F.coalesce(F.col("m").cast("bigint"), F.lit(-1)).alias("o_month"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@_register(
+    "order_priority_cube",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one Expand +
+    one shuffle. Expand multiplies rows 4x BEFORE the shuffle — at 100 TB
+    prefer partial-agg-then-expand (Spark does map-side combine per
+    grouping set automatically, so the shuffle carries one row per
+    (set, group), not per input row)."""
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("string").cast("decimal(18,2)")
+    return (
+        o.withColumn("rev", dec)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("rev").cast("double").alias("revenue"),
+             F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@_register(
+    "order_cohort_setops",
+    """
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT 'only_1995' AS cohort, count(*) AS n_customers
+    FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'both' AS cohort, count(*) AS n_customers
+    FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+    """,
+)
+def order_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (EXCEPT / INTERSECT) as cohort analysis. Spark plans
+    both as joins (left-anti / left-semi) over the distinct key sets — the
+    same primitive as the pipeline's resume anti-join, shown here as the
+    user-facing relational operator."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    only95 = y95.exceptAll(y95.intersect(y96))  # distinct inputs: EXCEPT
+    both = y95.intersect(y96)
+    return (
+        only95.agg(F.count("*").alias("n_customers"))
+        .select(F.lit("only_1995").alias("cohort"), "n_customers")
+        .unionAll(
+            both.agg(F.count("*").alias("n_customers")).select(
+                F.lit("both").alias("cohort"), "n_customers"
+            )
+        )
+    )
+
+
+_RANGE_JOIN_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@_register(
+    "events_range_join",
+    """
+    SELECT e.event_id, count(f.event_id) AS n_next_hour
+    FROM events e LEFT JOIN events f
+      ON f.user_id = e.user_id AND f.ts > e.ts
+     AND f.ts <= e.ts + INTERVAL 1 HOUR
+    GROUP BY e.event_id
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join (events of the same user in the following hour),
+    executed the scale-safe way: a raw theta join `f.ts BETWEEN e.ts AND
+    e.ts + 1h` is a broadcast-nested-loop — O(n^2) per user and a
+    plan-killer at 10^9 events/day. Instead each left row probes exactly
+    TWO hour buckets (its own and the next: a (t, t+1h] window can only
+    intersect those), turning the range join into an equi-join on
+    (user_id, bucket) + an exact residual filter. Shuffle volume is 2x
+    events, join fan-in is bounded by events-per-user-hour."""
+    ev = _t(spark, sf_dir, "events", fanout=True).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    bucket = F.floor(F.col("us") / _RANGE_JOIN_US)
+    probes = ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    right = ev.select(
+        F.col("user_id").alias("r_user"),
+        F.col("us").alias("r_us"),
+        F.floor(F.col("us") / _RANGE_JOIN_US).alias("bucket"),
+    )
+    hits = (
+        probes.join(
+            right,
+            (probes.user_id == right.r_user)
+            & (probes.bucket == right.bucket)
+            & (right.r_us > probes.us)
+            & (right.r_us <= probes.us + _RANGE_JOIN_US),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("r_us").alias("n_next_hour"))
+    )
+    return hits
+
+
+_KMV_K = 32
+_KMV_SCALE = 1 << 48  # 12 hex chars
+
+
+@_register(
+    "kmv_distinct_sketch",
+    f"""
+    WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+               FROM events),
+    ranked AS (SELECT event_type, h,
+                      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+               FROM h),
+    kth AS (SELECT event_type,
+                   CAST(('0x' || substr(h, 1, 12)) AS BIGINT) AS hk
+            FROM ranked WHERE rk = {_KMV_K}),
+    exact AS (SELECT event_type, count(*) AS exact_distinct
+              FROM h GROUP BY event_type)
+    SELECT e.event_type,
+           e.exact_distinct,
+           COALESCE(
+             CAST(CAST(CAST(({_KMV_K} - 1) * {_KMV_SCALE}.0 / k.hk AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))::DOUBLE,
+             CAST(e.exact_distinct AS DOUBLE)) AS kmv_estimate
+    FROM exact e LEFT JOIN kth k USING (event_type)
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (k=32) per event_type — the
+    mergeable approximate-distinct primitive, built DETERMINISTICALLY
+    (md5-hex order) so the oracle verifies the estimate itself, not just
+    row counts (approx_count_distinct's HLL buckets are engine-specific
+    and unverifiable). est = (k-1) * 2^48 / h_k over the first 12 hex
+    chars; groups with < k distinct values fall back to the exact count,
+    which is what a real KMV union does below saturation."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        h.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == _KMV_K)
+        .select(
+            "event_type",
+            F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint").alias("hk"),
+        )
+    )
+    exact = h.groupBy("event_type").agg(F.count("*").alias("exact_distinct"))
+    est = (
+        (F.lit(_KMV_K - 1) * F.lit(float(_KMV_SCALE)) / F.col("hk"))
+        .cast("double")
+        .cast("string")
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    return exact.join(kth, "event_type", "left").select(
+        "event_type",
+        "exact_distinct",
+        F.coalesce(est, F.col("exact_distinct").cast("double")).alias(
+            "kmv_estimate"
+        ),
+    )
+
+
+@_register(
+    "events_value_quantiles",
+    """
+    SELECT event_type,
+           CAST(CAST(CAST(quantile_cont(value, 0.5) AS DOUBLE) AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS p50,
+           CAST(CAST(CAST(quantile_cont(value, 0.9) AS DOUBLE) AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS p90,
+           CAST(CAST(CAST(quantile_cont(value, 0.99) AS DOUBLE) AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles per group (percentile, not
+    percentile_approx: t-digest centroids are engine-specific and
+    unverifiable; at 100 TB switch to approx_percentile and accept the
+    error bound — the plan shape is identical). Rounded to 6 decimals
+    because the interpolation arithmetic may differ in the last ulp."""
+    ev = _t(spark, sf_dir, "events")
+
+    def q(p: float, name: str):
+        return (
+            F.percentile("value", F.lit(p))
+            .cast("string")
+            .cast("decimal(12,6)")
+            .cast("double")
+            .alias(name)
+        )
+
+    return ev.groupBy("event_type").agg(
+        q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99")
+    )
+
+
+_Q18_QTY = 150
+
+
+@_register(
+    "q18_large_orders",
+    f"""
+    WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS DOUBLE)) AS sum_qty
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING sum(CAST(l_quantity AS DOUBLE)) > {_Q18_QTY})
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(CAST(CAST(o.o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+           CAST(b.sum_qty AS DOUBLE) AS sum_qty
+    FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate-then-having as the
+    join's build side. The HAVING prunes the aggregate BEFORE the join, so
+    the orders join probes a tiny filtered set — push the reduction below
+    the join, never join-then-filter. (sum(quantity) of whole-number
+    quantities is exact in double well past 2^53, so no decimal cast is
+    needed on the quantity side.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("sum_qty"))
+        .where(F.col("sum_qty") > _Q18_QTY)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("string").cast("decimal(18,2)")
+        .cast("double")
+        .alias("total_price"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (SELECT l_partkey,
+                       sum(CAST(l_quantity AS DOUBLE)) AS sq,
+                       count(*) AS cnt
+                FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(CAST(CAST(
+             sum(CAST(CAST(l.l_extendedprice AS VARCHAR) AS DECIMAL(18,2))) / 7.0
+           AS DOUBLE) AS VARCHAR) AS DECIMAL(18,4))::DOUBLE AS avg_yearly
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE 5.0 * CAST(l.l_quantity AS DOUBLE) * pa.cnt < pa.sq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery `quantity < 0.2 * avg(quantity per part)` decorrelated
+    into an aggregate + equi-join. The predicate is algebraically
+    rearranged to `5*qty*cnt < sum_qty` — division-free, so the row set is
+    decided by EXACT integer-valued arithmetic instead of an
+    avg double whose last-ulp drift could flip membership between
+    engines (whole-number sums are exact in double)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("double")).alias("sq"),
+        F.count("*").alias("cnt"),
+    )
+    j = li.join(pa, "l_partkey").where(
+        F.lit(5.0) * F.col("l_quantity").cast("double") * F.col("cnt")
+        < F.col("sq")
+    )
+    return j.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("string").cast("decimal(18,2)"))
+            / F.lit(7.0)
+        )
+        .cast("double")
+        .cast("string")
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+_TFIDF_TOPK = 3
+
+
+@_register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (SELECT tf.doc_id, tf.term,
+                      CAST(CAST(CAST(tf.tf * ((n.n + 1.0) / (df.df + 1.0)) AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))::DOUBLE AS score
+               FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (SELECT doc_id, term, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term) AS rk
+               FROM scored)
+    SELECT doc_id, term, score, rk FROM ranked WHERE rk <= {_TFIDF_TOPK}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. IDF uses the rational form
+    (N+1)/(df+1) instead of its logarithm — same ranking (log is
+    monotonic), but a single IEEE division is bit-reproducible across
+    engines while libm log is not. Ranking happens AFTER 6-decimal
+    rounding with the term as tiebreak (the file-header exactness rules).
+    The doc-frequency table is tiny relative to the corpus — at scale
+    broadcast it into the per-doc TF stage instead of shuffling TFs."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    toks = d.select(
+        "doc_id", F.explode(dedup.tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.count()  # scalar: one lightweight count job on the metadata-only scan
+    score = (
+        (F.col("tf") * ((F.lit(n) + F.lit(1.0)) / (F.col("df") + F.lit(1.0))))
+        .cast("double")
+        .cast("string")
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        "doc_id", "term", score.alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "score", "rk")
+    )
