@@ -68,6 +68,32 @@ COMMENTARY = {
         "ordered frame — a single exchange on user_id, no range-join pair "
         "explosion, no driver-side loop."
     ),
+    "events_range_join": (
+        "Range self-join executed as an equi-join on (user, hour-bucket) "
+        "with each left row probing exactly two buckets + an exact residual "
+        "filter. The join must be an equi HASH join on the bucket keys "
+        "(BroadcastHashJoin at this SF, sort-merge once both sides are "
+        "big), NOT BroadcastNestedLoopJoin — that is the entire point: a "
+        "theta range join is O(n^2) per user at 10^9 events/day."
+    ),
+    "revenue_rollup": (
+        "ROLLUP = one Expand node + ONE hash aggregate + one shuffle for "
+        "all three grouping levels; map-side partial aggregation runs per "
+        "grouping set, so the exchange carries group rows, not input rows."
+    ),
+    "tfidf_top_terms": (
+        "The doc-frequency table joins back into the TF table via "
+        "BroadcastHashJoin (explicit F.broadcast — it is ~vocabulary-sized, "
+        "orders of magnitude smaller than the corpus); the only big "
+        "exchanges are the TF groupBy and the per-doc top-k window."
+    ),
+    "kmv_distinct_sketch": (
+        "Distinct hash set -> per-group row_number window -> kth hash. "
+        "All string/hash math is codegen'd JVM; the sketch estimate is one "
+        "projection. At scale replace the window with a bounded "
+        "min-k aggregation (collect k smallest per partition, merge) to "
+        "avoid sorting whole groups."
+    ),
 }
 
 
