@@ -2116,3 +2116,48 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _TFIDF_TOPK)
         .select("doc_id", "term", "score", "rk")
     )
+
+
+@_register(
+    "events_stream_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM join (click -> purchase attribution,
+    streaming/joins.py): StreamingSymmetricHashJoin on user_id with an
+    event-time bound + two-sided watermarks, so join state is
+    rate x horizon, not unbounded. Run here with availableNow over the
+    parquet source; the oracle is the batch equi-join + range filter the
+    unified API guarantees equivalent."""
+    import uuid as _uuid
+
+    from cies_ocr_java_spark.streaming.joins import click_purchase_attribution
+
+    batch = _t(spark, sf_dir, "events")  # schema donor only
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = click_purchase_attribution(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+    )
+    name = f"esj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

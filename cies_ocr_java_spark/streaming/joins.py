@@ -1,0 +1,69 @@
+"""Watermarked stream-stream join: click -> purchase attribution.
+
+The reference correlates an async completion event back to its document via
+JobTag (ExtractStatusNotificationLambda.java:36 — the job was tagged with
+the identifier at submission). That is a stream-stream correlation with a
+time horizon: a completion only makes sense within the job's lifetime.
+Generalized here as the canonical streaming correlation: join purchases to
+the same user's clicks from the preceding hour.
+
+Scale design: Spark plans this as StreamingSymmetricHashJoin keyed on
+user_id. The event-time bound (`purchase_ts` within (click_ts, click_ts+1h])
+plus watermarks on BOTH sides is what makes state finite — each side
+retains only rows younger than watermark+horizon, so state size is
+rate x horizon, independent of stream lifetime. Without the time bound the
+join state grows forever; Spark refuses some of those shapes outright and
+the ones it allows are the classic production OOM.
+
+The same function body works on batch DataFrames (the unified-API
+guarantee) — the batch plan is an ordinary equi-join + range filter, which
+is exactly the DuckDB oracle for the streaming result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+ATTRIBUTION_HORIZON = "1 hour"
+DEFAULT_WATERMARK = "2 hours"
+
+
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = ATTRIBUTION_HORIZON,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """(user_id, click_id, purchase_id, lag_us) for every purchase within
+    ``horizon`` after a click by the same user. Streaming in, streaming
+    out (append mode); batch in, batch out."""
+    # join-state watermarks require TIMESTAMP (not NTZ); the session runs
+    # UTC so the cast preserves the wall-clock value and epoch micros
+    ts = F.col("ts").cast("timestamp")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        ts.alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        ts.alias("purchase_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (c.c_user == p.p_user)
+        & (p.purchase_ts > c.click_ts)
+        & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+        ).alias("lag_us"),
+    )

@@ -274,3 +274,69 @@ def test_sample_frames_stride(spark):
         ("a", 0, "a#f0"), ("a", 2, "a#f2"), ("a", 4, "a#f4"),
         ("b", 0, "b#f0"),
     ]
+
+
+def test_stream_stream_join_across_microbatches(spark, tmp_path):
+    """Click->purchase attribution must join ACROSS triggers: the click
+    arrives in batch 1, its purchase in batch 2 — only symmetric join
+    state (not batch-local joining) can pair them."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cies_ocr_java_spark.streaming.joins import click_purchase_attribution
+
+    src = tmp_path / "ss-src"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000  # us
+    def ts(us):
+        return pa.scalar(us, type=pa.timestamp("us"))
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "user_id": pa.array([7, 8], type=pa.int64()),
+            "event_type": ["click", "click"],
+            "ts": pa.array([t0, t0], type=pa.timestamp("us")),
+        }),
+        str(src / "b1.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            # user 7 purchases 30 min after the click (in horizon);
+            # user 8 purchases 2 h after (outside the 1 h horizon)
+            "event_id": pa.array([3, 4], type=pa.int64()),
+            "user_id": pa.array([7, 8], type=pa.int64()),
+            "event_type": ["purchase", "purchase"],
+            "ts": pa.array(
+                [t0 + 1_800_000_000, t0 + 7_200_000_000],
+                type=pa.timestamp("us"),
+            ),
+        }),
+        str(src / "b2.parquet"),
+    )
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 10, now - 10))
+    os.utime(src / "b2.parquet", (now, now))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = click_purchase_attribution(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("ssj_test")
+        .option("checkpointLocation", str(tmp_path / "ssj-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM ssj_test").collect()
+    assert [(r["user_id"], r["click_id"], r["purchase_id"], r["lag_us"]) for r in rows] == [
+        (7, 1, 3, 1_800_000_000)
+    ]
