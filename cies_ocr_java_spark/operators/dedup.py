@@ -234,3 +234,66 @@ def rolling_fingerprint(df: DataFrame, text_col: str, id_col: str,
     return df.select(
         F.col(id_col).alias("id"), min_h.alias("min_span_hash")
     )
+
+
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Dedup CLUSTERS from near-dup pairs: per node, the minimum doc id
+    reachable through the pair graph (connected components by iterative
+    min-label propagation). Pairs alone don't answer "which copy do I
+    keep?" — the cluster's canonical id does.
+
+    ``pairs``: (id_a, id_b); ``nodes``: one column ``id`` covering every
+    node that needs a label (isolated docs become their own cluster).
+    Returns (id, cluster_id).
+
+    Scale notes: each round is one equi-join + one groupBy (both shuffle
+    on id) and converges in O(component diameter) rounds — near-dup
+    components are shallow (dozens of docs, diameter ~2-4), so 3-4 rounds
+    in practice; for adversarial long-chain graphs switch to the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log^2 n). Labels are
+    persisted per round and the loop exits on a converged counter, not a
+    fixed round count; the driver never touches row data (the count is the
+    only action)."""
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = nodes.select(F.col("id"), F.col("id").alias("cluster_id")).persist()
+    labels.count()
+    edges = sym.persist()
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("cluster_id").alias("neigh_min"))
+            )
+            new_labels = (
+                labels.join(neigh, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        # the returned frame reads the final persisted iterate (its lineage
+        # is max_iter joins deep — recomputing it would redo the loop);
+        # like the shingle-table persists above, the caller/bench releases
+        # it via spark.catalog.clearCache() when done
+        return labels.select("id", "cluster_id")
+    finally:
+        edges.unpersist()

@@ -2161,3 +2161,80 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
+                    JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(CAST(c.nc / (sa.n + sb.n - c.nc) AS VARCHAR) AS DECIMAL(12,6))::DOUBLE >= {_JACCARD_THR}),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id,
+           count(*) OVER (PARTITION BY min(r)) AS n_members
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified Jaccard
+    pair graph by iterative min-label propagation (operators/dedup.py:
+    connected_components) — pairs say "these two match"; the cluster's
+    canonical (minimum) id says "keep this copy, drop those". The oracle
+    computes the same components with a recursive CTE (transitive closure
+    + min) — tractable at oracle scale, while the Spark side is the
+    log-round label-propagation that survives 10^12 docs."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    pairs = dedup.jaccard_pairs(d, "text", "doc_id", _JACCARD_THR)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    labels = dedup.connected_components(pairs, nodes)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(w).alias("n_members"),
+    )
+
+
+_SPLIT_SCALE = float(1 << 48)
+
+
+@_register(
+    "corpus_split",
+    f"""
+    WITH u AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                      / {_SPLIT_SCALE} AS u
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (80/10/10) by hashing the doc
+    id into [0,1): reproducible across engines, runs, partitionings, and
+    corpus growth (a doc's split never changes when other docs are added —
+    the property random sampling lacks). This is how a 100 TB corpus is
+    split: no shuffle, no global sort, one codegen'd projection."""
+    d = _t(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint") / F.lit(_SPLIT_SCALE)
+    return d.select(
+        "doc_id",
+        F.when(u < 0.8, "train").when(u < 0.9, "valid").otherwise("test").alias("split"),
+    )

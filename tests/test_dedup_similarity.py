@@ -340,3 +340,26 @@ def test_stream_stream_join_across_microbatches(spark, tmp_path):
     assert [(r["user_id"], r["click_id"], r["purchase_id"], r["lag_us"]) for r in rows] == [
         (7, 1, 3, 1_800_000_000)
     ]
+
+
+def test_connected_components_chain_and_isolate(spark):
+    """A 5-node chain needs multiple propagation rounds (diameter 4);
+    an isolated node keeps itself as cluster id; two components never
+    merge."""
+    from cies_ocr_java_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    nodes = spark.createDataFrame(
+        [("b",), ("c",), ("d",), ("e",), ("f",), ("x",), ("y",), ("lone",)],
+        "id string",
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs, nodes).collect()}
+    assert got == {
+        "b": "b", "c": "b", "d": "b", "e": "b", "f": "b",
+        "x": "x", "y": "x",
+        "lone": "lone",
+    }
+    spark.catalog.clearCache()
