@@ -119,7 +119,7 @@ class SnapshotTable:
         pq.write_table(tbl, os.path.join(tmp_dir, "part-00000.parquet"))
         return self._finalize(tmp_dir, mode)
 
-    def _finalize(self, tmp_dir: str, mode: str) -> int:
+    def _finalize(self, tmp_dir: str, mode: str, op: str | None = None) -> int:
         """Steps 2-3 of the commit protocol: atomic rename + manifest swap."""
         log = self._read_log()
         sid = int(log["current"]) + 1
@@ -132,7 +132,7 @@ class SnapshotTable:
         entry = Snapshot(
             snapshot_id=sid,
             parent_id=int(log["current"]) or None,
-            op=mode,
+            op=op or mode,
             data_dirs=[*parent_dirs, final_rel],
             ts=time.time(),
         )
@@ -151,6 +151,41 @@ class SnapshotTable:
                 paths = [os.path.join(self.data_root, d) for d in s["data_dirs"]]
                 return spark.read.parquet(*paths)
         raise KeyError(f"snapshot {sid} not found in {self.root}")
+
+    def compact(self, spark: SparkSession, target_files: int | None = None) -> int:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` analog).
+
+        A long-running append pipeline accretes one data dir per run; reads
+        stay correct but open ever more small files — at 10^12 docs the
+        file-listing and per-file open cost, not the bytes, become the scan
+        bottleneck. Compaction rewrites the CURRENT snapshot's rows into a
+        single dir with a bounded file count and commits it as a new
+        snapshot (op='compact'); the manifest swap is atomic, so concurrent
+        readers see either the old file set or the new one, never a mix.
+        Older snapshots keep their dirs (time travel intact) until
+        ``expire_snapshots`` releases them.
+
+        ``target_files`` defaults to the session's parallelism; on a real
+        cluster size it as total_bytes / 128 MB so each output file is one
+        healthy scan split."""
+        df = self.read(spark)
+        n = target_files or spark.sparkContext.defaultParallelism
+        tmp_dir = os.path.join(self.data_root, f"_tmp-{uuid.uuid4().hex}")
+        df.repartition(n).write.mode("overwrite").parquet(tmp_dir)
+        return self._finalize(tmp_dir, "overwrite", op="compact")
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots from the manifest,
+        then GC data dirs no longer referenced by any surviving snapshot
+        (Iceberg ``expire_snapshots`` analog — the step that actually
+        reclaims space after compaction). Returns removed dirs."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        log = self._read_log()
+        if len(log["snapshots"]) > keep_last:
+            log["snapshots"] = log["snapshots"][-keep_last:]
+            self._write_log(log)
+        return self.gc_orphans()
 
     def gc_orphans(self) -> list[str]:
         """Remove data dirs not referenced by any snapshot (crash leftovers)."""

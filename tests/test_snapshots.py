@@ -86,3 +86,41 @@ def test_commit_rows_driver_side(spark, tmp_path):
     assert rows["r2"]["wall_seconds"] == 2.5 and rows["r2"]["parallelism"] == 8
     # time travel still sees only the first commit
     assert [r["run_id"] for r in t.read(spark, snapshot_id=1).collect()] == ["r1"]
+
+
+def test_compact_and_expire(spark, tmp_path):
+    """Compaction rewrites N append dirs into one bounded-file snapshot
+    with identical rows; expiry reclaims the old dirs while the compacted
+    current stays readable."""
+    import glob
+    import os
+
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(4):
+        t.commit(
+            spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "v"),
+            mode="append",
+        )
+    before = {r["v"] for r in t.read(spark).collect()}
+    n_dirs_before = len(os.listdir(t.data_root))
+    assert n_dirs_before == 4
+
+    sid = t.compact(spark, target_files=2)
+    assert t.history()[-1].op == "compact"
+    assert t.current_snapshot_id() == sid
+    after = {r["v"] for r in t.read(spark).collect()}
+    assert after == before == set(range(40))
+    # one data dir, bounded file count
+    cur_dirs = t.history()[-1].data_dirs
+    assert len(cur_dirs) == 1
+    files = glob.glob(os.path.join(t.data_root, cur_dirs[0], "*.parquet"))
+    assert len(files) == 2
+    # time travel to a pre-compaction snapshot still works
+    assert {r["v"] for r in t.read(spark, snapshot_id=2).collect()} == set(range(20))
+
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed  # the four append dirs are gone
+    assert len(os.listdir(t.data_root)) == 1
+    assert {r["v"] for r in t.read(spark).collect()} == set(range(40))
