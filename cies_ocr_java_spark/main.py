@@ -28,6 +28,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master (tests)")
+    ap.add_argument(
+        "--compact-after",
+        type=int,
+        default=0,
+        metavar="N",
+        help="after the run, compact output tables whose append history "
+        "exceeds N snapshots and expire all but the last N (0 = off). "
+        "Periodic maintenance for long-lived incremental deployments: "
+        "bounds the small-file count without a separate ops job.",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(master=args.master)
@@ -41,6 +51,16 @@ def main(argv: list[str] | None = None) -> int:
             resume=not args.no_resume,
             repartition_to=args.partitions,
         )
+        if args.compact_after:
+            import os
+
+            from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+            for name in ("extracted_spans", "doc_state"):
+                t = SnapshotTable(os.path.join(args.output, name))
+                if t.exists() and len(t.history()) > args.compact_after:
+                    t.compact(spark)
+                    t.expire_snapshots(keep_last=args.compact_after)
         print(json.dumps(metrics))
     finally:
         spark.stop()
