@@ -2238,3 +2238,148 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(u < 0.8, "train").when(u < 0.9, "valid").otherwise("test").alias("split"),
     )
+
+
+_STRATUM_K = 5
+
+
+@_register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {_STRATUM_K}
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: k docs per language stratum,
+    chosen by hash rank — the reproducible analog of sampleBy(). Hash
+    order (not insertion order) makes the sample stable under
+    repartitioning and corpus append; the per-stratum window is the only
+    shuffle. At 100 TB replace row_number with the bounded min-k
+    aggregation (same note as the KMV sketch) so no stratum is fully
+    sorted."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _STRATUM_K)
+    )
+
+
+@_register(
+    "running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+    FROM orders
+    """,
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) revenue per customer: an ordered window frame
+    with an exact decimal accumulator. The (date, orderkey) sort key makes
+    the frame total-ordered, so the cumulative value at every row is
+    engine-independent."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("string").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_revenue"),
+    )
+
+
+_BOILERPLATE_PCT = 0.005
+
+
+@_register(
+    "boilerplate_ngrams",
+    f"""
+    WITH {_SHINGLE_SQL},
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT df.shingle, df.df,
+           CAST(CAST(CAST(df.df AS DOUBLE) / n.n_docs AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS doc_pct
+    FROM df CROSS JOIN n
+    WHERE CAST(df.df AS DOUBLE) / n.n_docs >= {_BOILERPLATE_PCT}
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate mining (CCNet-style): word n-grams whose
+    document frequency exceeds 0.5% of the corpus — the shared shingle
+    machinery from dedup, turned global. One explode + one groupBy; the
+    result is vocabulary-sized, which at scale feeds back as a broadcast
+    blocklist into the extraction pass (the corpus-statistics analog of
+    the per-node link-density heuristic)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    ex = dedup.exploded_shingles(d, "text", "doc_id")
+    n = d.count()
+    df_tbl = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    pct = F.col("df").cast("double") / F.lit(n)
+    return df_tbl.where(pct >= _BOILERPLATE_PCT).select(
+        "shingle",
+        "df",
+        pct.cast("string").cast("decimal(12,6)").cast("double").alias("doc_pct"),
+    )
+
+
+@_register(
+    "embedding_centroids",
+    """
+    WITH el AS (
+      SELECT label,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings),
+    agg AS (
+      SELECT label, dim,
+             sum(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS s,
+             count(*) AS n
+      FROM el GROUP BY label, dim)
+    SELECT label, dim,
+           CAST(CAST(CAST(CAST(s AS DOUBLE) / n AS DOUBLE) AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS centroid
+    FROM agg
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (the k-means/IVF training step) as one
+    posexplode + one decimal-sum aggregation — exact and
+    order-independent, so the oracle matches to the digit. Output is
+    (label, dim, centroid) long-form: cluster-count x dim rows, which
+    stays tiny however big the input is (the classic
+    giant-input/small-output aggregation shape)."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    el = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    agg = el.groupBy("label", "dim").agg(
+        F.sum(
+            F.col("x").cast("double").cast("string").cast("decimal(18,9)")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "label",
+        "dim",
+        (F.col("s").cast("double") / F.col("n"))
+        .cast("double")
+        .cast("string")
+        .cast("decimal(12,6)")
+        .cast("double")
+        .alias("centroid"),
+    )
