@@ -42,7 +42,26 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(master=args.master)
     try:
-        docs = spark.read.parquet(args.input)
+        from cies_ocr_java_spark.sources.ingest import read_documents
+
+        if args.input.rstrip("/").lower().endswith(
+            (".jsonl", ".json", ".ndjson", ".csv", ".tsv")
+        ):
+            # text formats parse through the PERMISSIVE reject channel;
+            # unparseable lines are committed for replay, never dropped
+            import os
+
+            from cies_ocr_java_spark import schema as S
+            from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+            docs, rejects = read_documents(spark, args.input, schema=S.DOCUMENTS)
+            n_rejects = rejects.count()
+            if n_rejects:
+                SnapshotTable(os.path.join(args.output, "ingest_rejects")).commit(
+                    rejects, mode="append"
+                )
+        else:
+            docs = spark.read.parquet(args.input)
         metrics = run(
             spark,
             docs,

@@ -124,3 +124,34 @@ def test_compact_and_expire(spark, tmp_path):
     assert removed  # the four append dirs are gone
     assert len(os.listdir(t.data_root)) == 1
     assert {r["v"] for r in t.read(spark).collect()} == set(range(40))
+
+
+def test_ingest_jsonl_with_corrupt_side_channel(spark, tmp_path):
+    """Malformed JSONL lines land in the rejects frame with the raw
+    payload (never dropped, never fatal); valid lines parse to the
+    explicit schema. CSV path gets the same contract."""
+    from cies_ocr_java_spark.sources.ingest import read_documents
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id":"a","text":"hello world","lang":"en","source":"s1","n_chars":11}\n'
+        'this is not json at all\n'
+        '{"text":"no id here","lang":"en","source":"s1","n_chars":10}\n'
+        '{"doc_id":"b","text":"second","lang":"de","source":"s2","n_chars":6}\n'
+    )
+    valid, rejects = read_documents(spark, str(p))
+    got = {r["doc_id"]: r["text"] for r in valid.collect()}
+    assert got == {"a": "hello world", "b": "second"}
+    raws = [r["raw"] for r in rejects.collect()]
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws)
+
+    c = tmp_path / "docs.csv"
+    c.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "x,csv text,en,s1,8\n"
+        ",missing id,en,s1,10\n"
+    )
+    valid_c, rejects_c = read_documents(spark, str(c))
+    assert [r["doc_id"] for r in valid_c.collect()] == ["x"]
+    assert rejects_c.count() == 1
