@@ -43,6 +43,22 @@ EXTRACTED_SPANS = T.StructType(
     ]
 )
 
+# Physical layout of the pipeline's staged single-pass write: the logical
+# EXTRACTED_SPANS columns plus the lineage columns doc_state derives from.
+# The staged ok-partition directory is adopted into the extracted_spans
+# table by rename, so its data files carry these extra (small) columns;
+# readers project the logical schema (`.select("doc_id","spans","text")`).
+EXTRACTED_SPANS_STAGED = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(OUTPUT_SPAN)),
+        T.StructField("text", T.StringType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("used_ocr", T.BooleanType()),
+    ]
+)
+
 # --- lineage/state: replaces the reference's mutable S3 tags ocr-status /
 # job-id (HeaderTags.java:10-11, DocumentExtractManager.java:680-697) -----
 DOC_STATE = T.StructType(

@@ -119,6 +119,15 @@ class SnapshotTable:
         pq.write_table(tbl, os.path.join(tmp_dir, "part-00000.parquet"))
         return self._finalize(tmp_dir, mode)
 
+    def adopt_dir(self, src_dir: str, mode: str = "append", op: str | None = None) -> int:
+        """Adopt an externally-written parquet directory as a new snapshot
+        by RENAME — zero data rewrite. This is how a producer that already
+        wrote its output once (e.g. the pipeline's staged write) commits
+        without paying a second copy; src_dir must live on the table's
+        filesystem (write it under ``data/_tmp-*`` so a crash leaves only a
+        GC-able orphan). Same crash-safe manifest protocol as commit()."""
+        return self._finalize(src_dir, mode, op=op)
+
     def _finalize(self, tmp_dir: str, mode: str, op: str | None = None) -> int:
         """Steps 2-3 of the commit protocol: atomic rename + manifest swap."""
         log = self._read_log()
