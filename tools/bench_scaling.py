@@ -66,7 +66,7 @@ def main() -> int:
             "spark-submit",
             "--master", f"local[{n}]",
             "--driver-memory", args.driver_memory,
-            # DISK_ONLY persist + shuffle blocks land here; tmpfs, so the
+            # shuffle blocks land here; tmpfs, so the
             # bench measures compute scaling, not one local disk's bandwidth
             # (a cluster's storage bandwidth scales with executors).
             "--conf", f"spark.local.dir={workdir}/spark-local",
