@@ -54,6 +54,14 @@ class DocumentStore:
                 docs = docs.join(existing, "doc_id", "left_anti")
         return self.documents.commit(docs, mode="append")
 
+    # --- PUT -----------------------------------------------------------------
+    def put_documents(self, docs: DataFrame) -> int:
+        """PUT /{id}: idempotent create-or-replace. The reference's PUT
+        branch writes without an existence check (DocumentLambda.java PUT
+        path — only POST conflicts); here that is a row-level upsert
+        committed as one overwrite snapshot (SnapshotTable.merge)."""
+        return self.documents.merge(self.spark, docs, key="doc_id")
+
     # --- GET / HEAD -----------------------------------------------------------
     def get_document(self, doc_id: str) -> DataFrame:
         """Body + metadata point lookup (S2) — predicate pushed to parquet."""

@@ -117,3 +117,19 @@ def fingerprint(c: Column | str) -> Column:
     """Content fingerprint: md5 of the whitespace-normalized, lowercased text.
     Used for exact dedup; stable across engines (same md5 in DuckDB)."""
     return F.md5(F.lower(normalize_ws(c)))
+
+
+# --- PII scrubbing (training-data hygiene) --------------------------------
+# Patterns restricted to the Java-regex / RE2 common subset (no backrefs,
+# no lookaround) so the DuckDB oracle evaluates them identically.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(text_col):
+    """Replace emails then phone numbers with typed placeholder tokens —
+    one codegen'd projection, no Python."""
+    from pyspark.sql import functions as F
+
+    no_email = F.regexp_replace(text_col, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")

@@ -157,3 +157,17 @@ def sample_frames(features: DataFrame, stride: int = 2) -> DataFrame:
     return features.select("media_ref", "n_frames").mapInPandas(
         op, FRAME_SAMPLE_SCHEMA
     )
+
+
+def phash_col(content_text):
+    """60-bit perceptual-hash stand-in over the stubbed decode: hash of the
+    decoded payload's leading 'perceptual window' (first 64 bytes). With a
+    real codec this becomes DCT-low-frequency pHash over pixels; the
+    Spark-side shape — fixed-width integer hash, band-bucketed self-join,
+    hamming verify — is identical and is what this models. 15 hex chars =
+    60 bits keeps the value positive in a signed BIGINT for both engines."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(F.md5(F.substring(content_text, 1, 64)), 1, 15), 16, 10
+    ).cast("long")

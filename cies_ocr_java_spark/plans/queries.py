@@ -2383,3 +2383,128 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("centroid"),
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+@_register(
+    "pii_scrub",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      text || ' contact user-' || doc_id || '@example.com or +1-555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM t
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene): count + redact emails/phones
+    with placeholder tokens in one codegen'd projection. Patterns live in
+    the Java-regex/RE2 common subset so the oracle replays them exactly;
+    the scrubbed text is md5'd for the value hash (whitespace-exact).
+    Synthetic PII is injected deterministically since the corpus has none."""
+    from cies_ocr_java_spark.functions.text import scrub_pii
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user-"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = d.select("doc_id", raw.alias("raw"))
+    return t.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.md5(scrub_pii(F.col("raw"))).alias("scrubbed_md5"),
+    )
+
+
+_PHASH_BANDS = 4
+_PHASH_BITS_PER_BAND = 15
+_PHASH_MAX_HAMMING = 6
+
+
+@_register(
+    "media_phash_near_dup",
+    f"""
+    WITH m AS (SELECT 'media://' || doc_id AS media_ref, text AS content
+               FROM documents),
+    ph AS (SELECT media_ref,
+                  ('0x' || substr(md5(substr(content, 1, 64)), 1, 15))::BIGINT AS ph
+           FROM m),
+    bands AS (
+      SELECT media_ref, ph, b,
+             (ph >> (b * {_PHASH_BITS_PER_BAND})) & {(1 << _PHASH_BITS_PER_BAND) - 1} AS band_key
+      FROM ph CROSS JOIN (SELECT unnest(range({_PHASH_BANDS})) AS b)),
+    cand AS (SELECT DISTINCT a.media_ref AS ref_a, b.media_ref AS ref_b,
+                             a.ph AS ph_a, b.ph AS ph_b
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.band_key = b.band_key
+              AND a.media_ref < b.media_ref)
+    SELECT ref_a, ref_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ph_a, ph_b)) <= {_PHASH_MAX_HAMMING}
+    """,
+)
+def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media via perceptual hashing: banded LSH over a
+    60-bit pHash (any pair within hamming {_PHASH_MAX_HAMMING} shares at
+    least one clean {_PHASH_BITS_PER_BAND}-bit band by pigeonhole with
+    {_PHASH_BANDS} bands) then exact hamming verification — the image
+    analog of MinHash+LSH, same candidates-then-verify scale shape. The
+    codec is the stubbed decode (multimodal.py contract); with a real
+    decoder only phash_col's input changes."""
+    from cies_ocr_java_spark.operators.multimodal import phash_col
+
+    m = _synth_media(spark, sf_dir).select(
+        "media_ref", F.decode("content", "utf-8").alias("content")
+    )
+    ph = m.select("media_ref", phash_col(F.col("content")).alias("ph"))
+    mask = (1 << _PHASH_BITS_PER_BAND) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.shiftright(F.col("ph"), b * _PHASH_BITS_PER_BAND)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_key"),
+        )
+        for b in range(_PHASH_BANDS)
+    ]
+    bands = ph.select(
+        "media_ref", "ph", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "media_ref",
+        "ph",
+        F.col("bb.b").alias("b"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b2")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b2.b"))
+            & (F.col("a.band_key") == F.col("b2.band_key"))
+            & (F.col("a.media_ref") < F.col("b2.media_ref")),
+        )
+        .select(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("b2.media_ref").alias("ref_b"),
+            F.col("a.ph").alias("ph_a"),
+            F.col("b2.ph").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.where(hamming <= _PHASH_MAX_HAMMING).select(
+        "ref_a", "ref_b", hamming.cast("int").alias("hamming")
+    )

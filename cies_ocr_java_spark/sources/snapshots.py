@@ -161,6 +161,21 @@ class SnapshotTable:
                 return spark.read.parquet(*paths)
         raise KeyError(f"snapshot {sid} not found in {self.root}")
 
+    def merge(self, spark: SparkSession, updates: DataFrame, key: str = "doc_id") -> int:
+        """MERGE (upsert) by key — matched rows replaced by ``updates``,
+        unmatched kept — committed as ONE overwrite snapshot. This is
+        copy-on-write MERGE, the Iceberg analog of `MERGE INTO t USING u ON
+        t.key = u.key WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED THEN
+        INSERT *`. At 10^12 rows, partition the table (commit(partition_by=
+        ...)) and rewrite only partitions containing matches; history keeps
+        the pre-merge snapshot readable (time travel = audit trail of every
+        upsert)."""
+        if not self.exists():
+            return self.commit(updates, mode="overwrite")
+        current = self.read(spark)
+        kept = current.join(updates.select(key), key, "left_anti")
+        return self.commit(kept.unionByName(updates), mode="overwrite")
+
     def compact(self, spark: SparkSession, target_files: int | None = None) -> int:
         """Small-file compaction (Iceberg ``rewrite_data_files`` analog).
 

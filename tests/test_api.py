@@ -62,3 +62,36 @@ def test_delete_keeps_history(spark, store):
     assert store.documents.read(spark).count() == n_before - 2
     assert store.documents.read(spark, snapshot_id=pre).count() == n_before
     assert store.get_document("doc-000001").count() == 0
+
+
+def test_put_upserts_and_keeps_history(spark, store):
+    """PUT replaces an existing doc's spans and creates missing docs in
+    one overwrite snapshot; the pre-merge snapshot stays readable."""
+    docs = store.documents.read(spark)
+    n_before = docs.count()
+    pre = store.documents.current_snapshot_id()
+    one = docs.where(F.col("doc_id") == "doc-000001").limit(1)
+    replaced = one.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.lit("REPLACED BODY").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    fresh = replaced.select(
+        F.lit("doc-999999").alias("doc_id"), F.col("spans")
+    )
+    store.put_documents(replaced.unionByName(fresh))
+    after = store.documents.read(spark)
+    assert after.count() == n_before + 1
+    got = after.where(F.col("doc_id") == "doc-000001").first()
+    assert got["spans"][0]["text"] == "REPLACED BODY"
+    assert after.where(F.col("doc_id") == "doc-999999").count() == 1
+    # time travel: the pre-PUT snapshot still has the original body
+    old = store.documents.read(spark, snapshot_id=pre)
+    assert old.where(F.col("doc_id") == "doc-000001").first()["spans"][0]["text"] != "REPLACED BODY"
+    assert old.where(F.col("doc_id") == "doc-999999").count() == 0
