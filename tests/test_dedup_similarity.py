@@ -363,3 +363,72 @@ def test_connected_components_chain_and_isolate(spark):
         "lone": "lone",
     }
     spark.catalog.clearCache()
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas keeps per-key ValueState across
+    microbatches: batch 2's totals include batch 1's events.
+
+    Skipped where google.protobuf is unavailable (the TWS Python protocol
+    requires it; this sandbox lacks it — running_totals.py docstring)."""
+    pytest.importorskip("google.protobuf")
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cies_ocr_java_spark.streaming.running_totals import (
+        ROCKSDB_PROVIDER,
+        running_totals,
+    )
+
+    src = tmp_path / "rt-src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "user_id": pa.array([1, 1, 2], type=pa.int64()),
+            "value": pa.array([1.0, 2.0, 10.0], type=pa.float64()),
+        }),
+        str(src / "b1.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "user_id": pa.array([1, 2], type=pa.int64()),
+            "value": pa.array([4.0, 20.0], type=pa.float64()),
+        }),
+        str(src / "b2.parquet"),
+    )
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 10, now - 10))
+    os.utime(src / "b2.parquet", (now, now))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        out = running_totals(stream)
+        q = (
+            out.writeStream.outputMode("update").format("memory")
+            .queryName("rt_test")
+            .option("checkpointLocation", str(tmp_path / "rt-ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.sql("SELECT * FROM rt_test").collect()
+    # last emission per user must be the cross-batch running total
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert last[1] == (3, 7.0)
+    assert last[2] == (2, 30.0)

@@ -155,3 +155,57 @@ def test_ingest_jsonl_with_corrupt_side_channel(spark, tmp_path):
     valid_c, rejects_c = read_documents(spark, str(c))
     assert [r["doc_id"] for r in valid_c.collect()] == ["x"]
     assert rejects_c.count() == 1
+
+
+def test_warc_subset_reader(spark, tmp_path):
+    """WARC records split on the version line parse to typed columns with
+    payloads verbatim (including internal blank lines); warc_to_documents
+    maps responses onto the interleaved documents shape."""
+    from cies_ocr_java_spark.plans.pipeline import extract_spans
+    from cies_ocr_java_spark.sources.warc import read_warc, warc_to_documents
+
+    p = tmp_path / "sample.warc"
+    p.write_text(
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "WARC-Record-ID: <urn:uuid:info-1>\r\n"
+        "Content-Type: application/warc-fields\r\n"
+        "\r\n"
+        "software: test\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://example.com/a\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:rec-a>\r\n"
+        "Content-Type: text/html\r\n"
+        "\r\n"
+        "<html><body><p>hello page</p>\r\n"
+        "\r\n"
+        "<p>after blank line</p></body></html>\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://example.com/b\r\n"
+        "WARC-Date: 2024-01-02T00:00:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:rec-b>\r\n"
+        "Content-Type: text/plain\r\n"
+        "\r\n"
+        "plain text body\r\n"
+    )
+    parsed = read_warc(spark, str(p))
+    rows = {r["record_id"]: r for r in parsed.collect() if r["record_id"]}
+    assert set(rows) == {"<urn:uuid:info-1>", "<urn:uuid:rec-a>", "<urn:uuid:rec-b>"}
+    a = rows["<urn:uuid:rec-a>"]
+    assert a["warc_type"] == "response"
+    assert a["url"] == "http://example.com/a"
+    assert a["content_type"] == "text/html"
+    # internal blank line preserved in the payload
+    assert "after blank line" in a["content"] and "\n\n" in a["content"]
+
+    docs = warc_to_documents(parsed)
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert set(got) == {"<urn:uuid:rec-a>", "<urn:uuid:rec-b>"}
+    assert got["<urn:uuid:rec-a>"]["spans"][0]["kind"] == "html"
+    assert got["<urn:uuid:rec-b>"]["spans"][0]["kind"] == "text"
+    # and the extraction pipeline accepts it end-to-end
+    out = {r["doc_id"]: r for r in extract_spans(docs).collect()}
+    assert "hello page" in out["<urn:uuid:rec-a>"]["text"]
