@@ -2508,3 +2508,80 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(hamming <= _PHASH_MAX_HAMMING).select(
         "ref_a", "ref_b", hamming.cast("int").alias("hamming")
     )
+
+
+@_register(
+    "customer_order_full_outer",
+    """
+    WITH oa AS (SELECT o_custkey, count(*) AS n_orders,
+                       CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(c.c_custkey, oa.o_custkey) AS custkey,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COALESCE(oa.n_orders, 0) AS n_orders,
+           COALESCE(oa.revenue, 0.0) AS revenue,
+           (c.c_custkey IS NULL) AS order_without_customer,
+           (oa.o_custkey IS NULL) AS customer_without_order
+    FROM customer c FULL OUTER JOIN oa ON c.c_custkey = oa.o_custkey
+    """,
+)
+def customer_order_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with explicit null-side semantics — the
+    reconciliation primitive (SURVEY.md §2.3: golden-vs-output compare is
+    a full outer join + mismatch flags). Aggregate-below-join keeps the
+    outer join key-unique, so the join cannot fan out; both unmatched
+    directions surface as boolean flags instead of silently dropping."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    oa = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("string").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    j = c.join(oa, c.c_custkey == oa.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+        F.col("c_custkey").isNull().alias("order_without_customer"),
+        F.col("o_custkey").isNull().alias("customer_without_order"),
+    )
+
+
+@_register(
+    "quality_unpivot",
+    f"""
+    WITH q AS (SELECT doc_id,
+                      CAST(n_chars AS DOUBLE) AS chars,
+                      CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS ws_tokens,
+                      CAST(len(regexp_extract_all(text, '[.!?]')) AS DOUBLE) AS sentences
+               FROM documents)
+    SELECT doc_id, metric, value
+    FROM q UNPIVOT (value FOR metric IN (chars, ws_tokens, sentences))
+    """,
+)
+def quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide metrics -> long form) via stack() — the inverse of the
+    pivot operator, used to feed per-metric monitoring from a wide quality
+    table. stack is a generator expression (no shuffle, no UDF); the long
+    form is what per-metric windowing/alerting groups on."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    q = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + F.lit(1)
+        ).cast("double").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[.!?]")).cast("double").alias("sentences"),
+    )
+    return q.select(
+        "doc_id",
+        F.expr(
+            "stack(3, 'chars', chars, 'ws_tokens', ws_tokens, "
+            "'sentences', sentences) AS (metric, value)"
+        ),
+    )
