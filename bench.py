@@ -45,6 +45,10 @@ HEADLINE = [
     "revenue_rollup",
     "kmv_distinct_sketch",
     "tfidf_top_terms",
+    "pii_scrub",
+    "media_phash_near_dup",
+    "dedup_clusters",
+    "customer_order_full_outer",
 ]
 
 

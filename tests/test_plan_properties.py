@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the perf-critical plan properties the
+engine's scale story depends on (PLANS.md prose), pinned as assertions so
+a refactor can't silently lose them.
+
+These check plan SHAPE, not timings — shape is deterministic, timings are
+not. Each one failing means a 100 TB regression even if sf0.01 wall time
+looks fine.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cies_ocr_java_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_metadata_scan_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(QUERIES["doc_metadata_scan"](spark, SF))
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,400)]" in plan
+    # column pruning: the text payload must not be in the read schema
+    assert "text" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_pipeline_python_boundary_is_single_arrow_node(spark):
+    """Exactly ONE ArrowEvalPython in the flagship plan — the HTML UDF.
+    A second one means some expression fell out of codegen into Python."""
+    plan = plan_of(QUERIES["pipeline_end_to_end"](spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_tfidf_df_table_is_broadcast(spark):
+    plan = plan_of(QUERIES["tfidf_top_terms"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_equi_hash_not_nested_loop(spark):
+    """The bucket trick must plan as an equi hash join; a
+    BroadcastNestedLoopJoin means the theta condition leaked back in."""
+    plan = plan_of(QUERIES["events_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_q6_scan_pushes_range_predicates(spark):
+    # toString truncates FileScan metadata; formatted explain keeps the
+    # full PushedFilters list
+    jdf = QUERIES["q6_forecast_revenue"](spark, SF)._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = jdf.queryExecution().explainString(mode)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    """Exact dedup = scan -> partial agg -> ONE exchange -> final agg.
+    (AQE wraps the plan; count Exchange nodes in the final plan string.)"""
+    df = QUERIES["dedup_exact"](spark, SF)
+    df.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    plan = plan_of(df)
+    # fanout repartition (guarded, local-only) + the aggregate shuffle
+    assert plan.count("Exchange") <= 2
