@@ -209,3 +209,30 @@ def test_warc_subset_reader(spark, tmp_path):
     # and the extraction pipeline accepts it end-to-end
     out = {r["doc_id"]: r for r in extract_spans(docs).collect()}
     assert "hello page" in out["<urn:uuid:rec-a>"]["text"]
+
+
+def test_incremental_read_changes(spark, tmp_path):
+    """read_changes returns exactly the rows appended in (from, to]; an
+    overwrite in the range is refused (its delta is not a dir union)."""
+    import pytest
+
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(3):
+        t.commit(
+            spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "v"),
+            mode="append",
+        )
+    # snapshot ids: 1, 2, 3
+    assert {r["v"] for r in t.read_changes(spark, 1).collect()} == set(range(10, 30))
+    assert {r["v"] for r in t.read_changes(spark, 1, 2).collect()} == set(range(10, 20))
+    assert t.read_changes(spark, 3).count() == 0  # nothing after current
+    # full history from 0
+    assert t.read_changes(spark, 0).count() == 30
+
+    t.commit(spark.range(5).withColumnRenamed("id", "v"), mode="overwrite")  # sid 4
+    with pytest.raises(ValueError, match="op='overwrite'"):
+        t.read_changes(spark, 2)
+    # ranges before the overwrite still fine
+    assert t.read_changes(spark, 1, 3).count() == 20
