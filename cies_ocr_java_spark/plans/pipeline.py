@@ -212,13 +212,47 @@ def run(
     state_tbl = SnapshotTable(os.path.join(output_root, "doc_state"))
     metrics_tbl = SnapshotTable(os.path.join(output_root, "metrics"))
 
-    if resume and state_tbl.exists():
-        done = (
-            state_tbl.read(spark)
-            .where(F.col("status") == S.STATUS_SUCCEEDED)
-            .select("doc_id")
-            .distinct()
-        )
+    if resume and (state_tbl.exists() or extracted_tbl.exists()):
+        # Crash-window repair: a crash between the spans commit and the
+        # state commit leaves docs with committed spans but no state row.
+        # Re-extracting them would append DUPLICATE spans, so the resume
+        # truth is "state says SUCCEEDED, OR spans already committed" —
+        # and the orphans get their missing SUCCEEDED row appended here
+        # (derivable because the adopted data files carry the lineage
+        # columns, schema.EXTRACTED_SPANS_STAGED). Invariant after any
+        # run: extracted doc_ids ⊆ doc_state SUCCEEDED doc_ids.
+        done = None
+        if state_tbl.exists():
+            done = (
+                state_tbl.read(spark)
+                .where(F.col("status") == S.STATUS_SUCCEEDED)
+                .select("doc_id")
+                .distinct()
+            )
+        if extracted_tbl.exists():
+            committed = extracted_tbl.read(spark)
+            orphans = (
+                committed.join(done, "doc_id", "left_anti")
+                if done is not None
+                else committed
+            )
+            repair = orphans.select(
+                "doc_id",
+                F.lit(S.STATUS_SUCCEEDED).alias("status"),
+                F.when(
+                    F.col("used_ocr"),
+                    F.concat(F.lit("repair/"), F.col("doc_id")),
+                ).alias("job_id"),
+                F.col("partition_id"),
+                F.lit(extracted_tbl.current_snapshot_id())
+                .cast("long")
+                .alias("snapshot_id"),
+                F.col("error"),
+            )
+            if not repair.isEmpty():
+                state_tbl.commit(repair, mode="append")
+            spans_done = committed.select("doc_id").distinct()
+            done = spans_done if done is None else done.union(spans_done).distinct()
         docs = docs.join(done, "doc_id", "left_anti")
 
     metrics = ExtractionMetrics.create(spark.sparkContext)

@@ -3,6 +3,7 @@ resume-from-checkpoint (the reference's New->Submitted->SUCCEEDED/FAILED
 state machine as batch stage boundaries, SURVEY.md §2.7)."""
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from cies_ocr_java_spark.plans import pipeline
@@ -101,3 +102,54 @@ def test_run_leaves_no_persisted_blocks(spark, corpus_dir, tmp_path):
     pipeline.run(spark, docs, out_root, run_id="p1", resume=False)
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_crash_between_spans_and_state_commits_is_repaired(
+    spark, corpus_dir, tmp_path, monkeypatch
+):
+    """Kill the run after the spans snapshot is adopted but before the
+    state commit (the classic two-table crash window). The resumed run
+    must NOT re-extract those docs (no duplicate spans) and must append
+    their missing SUCCEEDED state rows (repair invariant:
+    extracted doc_ids ⊆ doc_state SUCCEEDED doc_ids)."""
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+    out_root = str(tmp_path / "outc")
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").where(
+        F.col("doc_id") < "doc-000030"
+    )
+
+    real_commit = SnapshotTable.commit
+
+    def exploding_commit(self, df, mode="append", partition_by=None):
+        if self.root.endswith("doc_state"):
+            raise RuntimeError("simulated crash before state commit")
+        return real_commit(self, df, mode=mode, partition_by=partition_by)
+
+    monkeypatch.setattr(SnapshotTable, "commit", exploding_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipeline.run(spark, docs, out_root, run_id="c1", resume=False)
+    monkeypatch.setattr(SnapshotTable, "commit", real_commit)
+
+    extracted = SnapshotTable(f"{out_root}/extracted_spans")
+    n_committed = extracted.read(spark).count()
+    assert n_committed > 0  # spans landed, state did not
+    assert not SnapshotTable(f"{out_root}/doc_state").exists()
+
+    m = pipeline.run(spark, docs, out_root, run_id="c2", resume=True)
+    got = extracted.read(spark)
+    # no doc extracted twice
+    assert got.groupBy("doc_id").count().where("count > 1").count() == 0
+    state = SnapshotTable(f"{out_root}/doc_state").read(spark)
+    # every committed doc has a SUCCEEDED state row (repaired or fresh)
+    succeeded = state.where(F.col("status") == "SUCCEEDED").select("doc_id")
+    assert got.select("doc_id").subtract(succeeded).count() == 0
+    # second resume run: nothing ok left to do
+    m3 = pipeline.run(spark, docs, out_root, run_id="c3", resume=True)
+    assert m3["docs_processed"] == m3["failures"]
+    # the crashed staging dir is an orphan and GC-able
+    assert all(d.startswith("snap-") or d.startswith("_tmp")
+               for d in __import__("os").listdir(extracted.data_root))
+    extracted.gc_orphans()
+    assert all(d.startswith("snap-")
+               for d in __import__("os").listdir(extracted.data_root))
