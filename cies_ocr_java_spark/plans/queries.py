@@ -2167,14 +2167,15 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_SHINGLE_SQL},
-    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
-               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-    pairs AS (
-      SELECT c.id_a, c.id_b
-      FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
-                    JOIN sizes sb ON sb.doc_id = c.id_b
-      WHERE CAST(CAST(c.nc / (sa.n + sb.n - c.nc) AS VARCHAR) AS DECIMAL(12,6))::DOUBLE >= {_JACCARD_THR}),
+    sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
+    bands AS ({_band_sql(8, 4)}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+    {_JACCARD_CORE},
+    pairs AS (SELECT v.id_a, v.id_b
+              FROM verified v JOIN cand USING (id_a, id_b)
+              WHERE v.jaccard >= {_JACCARD_THR}),
     e AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),
     reach(node, r) AS (
@@ -2188,15 +2189,17 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over the verified Jaccard
-    pair graph by iterative min-label propagation (operators/dedup.py:
-    connected_components) — pairs say "these two match"; the cluster's
-    canonical (minimum) id says "keep this copy, drop those". The oracle
+    """Near-dup CLUSTERS: connected components over the MinHash+LSH
+    candidate pairs verified by exact Jaccard (the scale path — never the
+    all-pairs shingle join), by iterative min-label propagation
+    (operators/dedup.py:connected_components). Pairs say "these two
+    match"; the cluster's canonical (minimum) id says "keep this copy,
+    drop those". The oracle mirrors the banding deterministically and
     computes the same components with a recursive CTE (transitive closure
     + min) — tractable at oracle scale, while the Spark side is the
     log-round label-propagation that survives 10^12 docs."""
     d = _t(spark, sf_dir, "documents", fanout=True)
-    pairs = dedup.jaccard_pairs(d, "text", "doc_id", _JACCARD_THR)
+    pairs = dedup.minhash_dedup_pairs(d, "text", "doc_id", _JACCARD_THR, k=8, bands=4)
     nodes = d.select(F.col("doc_id").alias("id"))
     labels = dedup.connected_components(pairs, nodes)
     w = Window.partitionBy("cluster_id")
