@@ -237,7 +237,7 @@ def rolling_fingerprint(df: DataFrame, text_col: str, id_col: str,
 
 
 def connected_components(pairs: DataFrame, nodes: DataFrame,
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 50) -> DataFrame:
     """Dedup CLUSTERS from near-dup pairs: per node, the minimum doc id
     reachable through the pair graph (connected components by iterative
     min-label propagation). Pairs alone don't answer "which copy do I
@@ -252,15 +252,19 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     components are shallow (dozens of docs, diameter ~2-4), so 3-4 rounds
     in practice; for adversarial long-chain graphs switch to the
     large-star/small-star alternation (Kiveris et al., "Connected
-    Components in MapReduce"), which converges in O(log^2 n). Labels are
-    persisted per round and the loop exits on a converged counter, not a
-    fixed round count; the driver never touches row data (the count is the
-    only action)."""
+    Components in MapReduce"), which converges in O(log^2 n). Each round's
+    labels are localCheckpoint'ed — iterative plans MUST truncate lineage,
+    or the logical plan nests one join deeper per round until planner
+    recursion blows the JVM stack (observed ~round 20 of a long chain);
+    on a cluster prefer a reliable checkpoint dir for fault tolerance.
+    The loop exits on a converged counter, not a fixed round count; the
+    driver never touches row data (the count is the only action)."""
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    labels = nodes.select(F.col("id"), F.col("id").alias("cluster_id")).persist()
-    labels.count()
+    labels = nodes.select(
+        F.col("id"), F.col("id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
     edges = sym.persist()
     try:
         for _ in range(max_iter):
@@ -278,7 +282,7 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                         F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
                     ).alias("cluster_id"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -290,10 +294,8 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
             labels = new_labels
             if changed == 0:
                 break
-        # the returned frame reads the final persisted iterate (its lineage
-        # is max_iter joins deep — recomputing it would redo the loop);
-        # like the shingle-table persists above, the caller/bench releases
-        # it via spark.catalog.clearCache() when done
+        # the returned frame reads the final checkpointed iterate (shallow
+        # plan); caller/bench releases blocks via clearCache() when done
         return labels.select("id", "cluster_id")
     finally:
         edges.unpersist()

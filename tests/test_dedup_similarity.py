@@ -432,3 +432,54 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         last[r["user_id"]] = (r["n_events"], r["total_value"])
     assert last[1] == (3, 7.0)
     assert last[2] == (2, 30.0)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized graphs: Spark label propagation must equal an
+    independent union-find on every one. Drawn once per suite run (a
+    hypothesis @given would rebuild Spark frames hundreds of times); 30
+    seeded graphs cover chains, stars, cliques, and isolates."""
+    import random
+
+    from cies_ocr_java_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    for trial in range(30):
+        n = rng.randint(1, 24)
+        ids = [f"n{i:02d}" for i in range(n)]
+        m = rng.randint(0, n * 2)
+        edges = [(rng.choice(ids), rng.choice(ids)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        # independent union-find
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in ids}
+        # canonical label = min id in component
+        comp = {}
+        for i, r in want.items():
+            comp.setdefault(find(r), []).append(i)
+        want = {i: min(members) for r, members in comp.items() for i in members}
+
+        pairs = spark.createDataFrame(
+            edges or [("zz", "zz")], "id_a string, id_b string"
+        )
+        if not edges:
+            pairs = pairs.limit(0)
+        nodes = spark.createDataFrame([(i,) for i in ids], "id string")
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(pairs, nodes).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+        spark.catalog.clearCache()
