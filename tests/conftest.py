@@ -9,8 +9,16 @@ from cies_ocr_java_spark.session import get_spark
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="cies-tests", master="local[8]", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        app_name="cies-tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        # saveAsTable targets (bucketed-join tests) go to a temp warehouse,
+        # never the repo working dir
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
     s.stop()
 

@@ -66,3 +66,35 @@ def test_exact_dedup_is_single_shuffle(spark):
     plan = plan_of(df)
     # fanout repartition (guarded, local-only) + the aggregate shuffle
     assert plan.count("Exchange") <= 2
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Co-located joins via bucketing: two tables bucketed by the join key
+    into the same bucket count join with ZERO Exchange nodes — at 100 TB
+    this is the difference between a join that moves the corpus over the
+    network and one that doesn't. (Bucketed scans can't use AQE coalescing
+    or codegen'd Exchange reuse, so reserve bucketing for keys joined
+    repeatedly — e.g. doc_id across extraction/dedup/state tables.)"""
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    stats = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13).alias("w")
+    )
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_stats")
+    docs.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("b_docs")
+    stats.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("b_stats")
+    # disable broadcast so the join would otherwise shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_docs").join(spark.table("b_stats"), "doc_id")
+        plan = plan_of(j)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_stats")
