@@ -93,10 +93,15 @@ def test_run_leaves_no_persisted_blocks(spark, corpus_dir, tmp_path):
     blocks (this falsified a scaling benchmark once).
 
     The session is shared across the whole suite and other operators
-    (dedup.py) legitimately hand back plans over internally-persisted
-    tables, so reset the cache first — the assertion is about what
-    pipeline.run() itself leaves behind, order-independently."""
+    (dedup.py) legitimately hand back plans over internally-persisted or
+    localCheckpoint'ed tables (clearCache only drops CacheManager plans,
+    NOT checkpoint RDD blocks), so reset both first — the assertion is
+    about what pipeline.run() itself leaves behind, order-independently."""
     spark.catalog.clearCache()
+    jsc0 = spark.sparkContext._jsc.sc()
+    it = jsc0.getPersistentRDDs().values().iterator()
+    while it.hasNext():
+        it.next().unpersist(True)
     out_root = str(tmp_path / "outp")
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").limit(30)
     pipeline.run(spark, docs, out_root, run_id="p1", resume=False)
