@@ -49,6 +49,7 @@ HEADLINE = [
     "media_phash_near_dup",
     "dedup_clusters",
     "customer_order_full_outer",
+    "training_corpus_curation",
 ]
 
 

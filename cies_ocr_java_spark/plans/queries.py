@@ -2588,3 +2588,85 @@ def quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'sentences', sentences) AS (metric, value)"
         ),
     )
+
+
+_CURATION_MIN_TOKENS = 30
+
+
+@_register(
+    "training_corpus_curation",
+    f"""
+    WITH RECURSIVE
+    docs_q AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(string_split({_norm_sql('lower(text)')}, ' ')) >= {_CURATION_MIN_TOKENS}),
+    toks AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t FROM docs_q),
+    grams AS (SELECT doc_id,
+                     [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 1, 1))] AS g
+              FROM toks),
+    sh AS (SELECT DISTINCT doc_id, unnest(g) AS shingle FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
+    bands AS ({_band_sql(8, 4)}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(CAST(c.nc / (sa.n + sb.n - c.nc) AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS jaccard
+      FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
+                    JOIN sizes sb ON sb.doc_id = c.id_b),
+    pairs AS (SELECT v.id_a, v.id_b
+              FROM verified v JOIN cand USING (id_a, id_b)
+              WHERE v.jaccard >= {_JACCARD_THR}),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM docs_q
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node
+    ),
+    clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    survivors AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+    u AS (SELECT s.doc_id,
+                 CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                 / {_SPLIT_SCALE} AS u,
+                 len(string_split({_norm_sql('lower(d.text)')}, ' ')) AS n_tokens
+          FROM survivors s JOIN docs_q d USING (doc_id))
+    SELECT doc_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM u
+    """,
+)
+def training_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation story in ONE declarative plan — what a user
+    actually runs nightly over the crawl: quality gate (min tokens) ->
+    MinHash+LSH near-dup clusters (scale path) -> keep each cluster's
+    canonical doc -> deterministic train/valid/test split. Every stage is
+    an operator from this registry composed as DataFrames; Catalyst fuses
+    the quality filter into the scan and reuses the shingle table across
+    the LSH stages (dedup.py persist). Oracle: the full chain in one SQL
+    statement, recursive closure included."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    toks = dedup.tokens_col(F.col("text"))
+    dq = d.where(F.size(toks) >= _CURATION_MIN_TOKENS).select("doc_id", "text")
+    pairs = dedup.minhash_dedup_pairs(dq, "text", "doc_id", _JACCARD_THR, k=8, bands=4)
+    nodes = dq.select(F.col("doc_id").alias("id"))
+    clusters = dedup.connected_components(pairs, nodes)
+    survivors = clusters.where(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint") / F.lit(_SPLIT_SCALE)
+    return survivors.join(dq, "doc_id").select(
+        "doc_id",
+        F.when(u < 0.8, "train").when(u < 0.9, "valid").otherwise("test").alias("split"),
+        F.size(dedup.tokens_col(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
