@@ -2670,3 +2670,44 @@ def training_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u < 0.8, "train").when(u < 0.9, "valid").otherwise("test").alias("split"),
         F.size(dedup.tokens_col(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
+
+
+@_register(
+    "events_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with dropDuplicatesWithinWatermark: duplicates of a
+    key arriving within the watermark horizon are dropped, and — unlike
+    plain dropDuplicates on a stream — the key's state EXPIRES once the
+    watermark passes it, so state is bounded by rate x horizon instead of
+    the stream's lifetime key cardinality. Keys-only projection makes the
+    result deterministic (which duplicate survives is arrival-order);
+    oracle = batch DISTINCT over the same source."""
+    import uuid as _uuid
+
+    batch = _t(spark, sf_dir, "events")  # schema donor only
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = (
+        stream.withColumn("ts_w", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_w", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"esd_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
