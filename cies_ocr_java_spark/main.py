@@ -22,8 +22,19 @@ from cies_ocr_java_spark.session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cies_ocr_java_spark")
-    ap.add_argument("--input", required=True, help="documents parquet path")
-    ap.add_argument("--output", required=True, help="output table root")
+    ap.add_argument(
+        "--query",
+        default=None,
+        metavar="NAME",
+        help="run a registry query (plans/queries.py) instead of the "
+        "extraction pipeline; prints rows as JSON lines. Use --query list "
+        "to enumerate.",
+    )
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="table dir for --query mode")
+    ap.add_argument("--limit", type=int, default=20, help="--query row cap")
+    ap.add_argument("--input", default=None, help="documents parquet path")
+    ap.add_argument("--output", default=None, help="output table root")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
@@ -39,6 +50,29 @@ def main(argv: list[str] | None = None) -> int:
         "bounds the small-file count without a separate ops job.",
     )
     args = ap.parse_args(argv)
+
+    if args.query:
+        from cies_ocr_java_spark.plans.queries import QUERIES
+
+        if args.query == "list":
+            for name in QUERIES:
+                print(name)
+            return 0
+        if args.query not in QUERIES:
+            print(f"unknown query {args.query!r}; --query list to enumerate",
+                  file=sys.stderr)
+            return 2
+        spark = get_spark(master=args.master)
+        try:
+            df = QUERIES[args.query](spark, args.sf_dir)
+            for row in df.limit(args.limit).toJSON().collect():
+                print(row)
+        finally:
+            spark.stop()
+        return 0
+
+    if not args.input or not args.output:
+        ap.error("--input and --output are required unless --query is given")
 
     spark = get_spark(master=args.master)
     try:
