@@ -15,6 +15,14 @@ scan (column pruning + predicate pushdown intact).
 
 Swapping in real Iceberg later is a config change: this class's API
 (commit/read/history/current) mirrors what a SparkCatalog table gives you.
+
+Concurrency contract: SINGLE WRITER per table (the pipeline's model — one
+driver owns its output tables), any number of readers. If two writers do
+race, the data-dir rename collides (both target ``snap-<N+1>``) and the
+loser aborts LOUDLY before touching the manifest — no torn state, but no
+retry either; real multi-writer needs a catalog with optimistic-commit
+CAS (which Iceberg's swap provides, and this log's ``os.replace`` does
+not arbitrate).
 """
 
 from __future__ import annotations
@@ -150,15 +158,29 @@ class SnapshotTable:
         self._write_log(log)
         return sid
 
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """Read the table at a snapshot (default: current). Multi-dir parquet
-        scan — Catalyst pushdown/pruning apply as with any parquet source."""
+        scan — Catalyst pushdown/pruning apply as with any parquet source.
+
+        ``merge_schema=True`` unions the schemas of all data dirs (columns
+        added by later commits come back NULL for older rows) — additive
+        schema evolution without rewriting history. It pays a per-file
+        footer read at planning time, so leave it off for fixed-schema
+        tables."""
         log = self._read_log()
         sid = snapshot_id if snapshot_id is not None else int(log["current"])
         for s in log["snapshots"]:
             if s["snapshot_id"] == sid:
                 paths = [os.path.join(self.data_root, d) for d in s["data_dirs"]]
-                return spark.read.parquet(*paths)
+                reader = spark.read
+                if merge_schema:
+                    reader = reader.option("mergeSchema", "true")
+                return reader.parquet(*paths)
         raise KeyError(f"snapshot {sid} not found in {self.root}")
 
     def merge(self, spark: SparkSession, updates: DataFrame, key: str = "doc_id") -> int:

@@ -236,3 +236,24 @@ def test_incremental_read_changes(spark, tmp_path):
         t.read_changes(spark, 2)
     # ranges before the overwrite still fine
     assert t.read_changes(spark, 1, 3).count() == 20
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """A later commit may ADD columns; merge_schema reads the union with
+    NULLs for older rows, and time travel still returns each snapshot's
+    own schema."""
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "id long, name string"))
+    t.commit(
+        spark.createDataFrame(
+            [(2, "b", "en")], "id long, name string, lang string"
+        )
+    )
+    merged = t.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"id", "name", "lang"}
+    rows = {r["id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+    # snapshot 1 alone: original schema
+    assert set(t.read(spark, snapshot_id=1).columns) == {"id", "name"}
