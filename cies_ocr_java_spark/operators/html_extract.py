@@ -100,3 +100,57 @@ def extract_main_text_batch(html: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def html_main_text_udf(html: pd.Series) -> pd.Series:
     return extract_main_text_batch(html)
+
+
+# --- pure-JVM expression path ---------------------------------------------
+# Same algorithm, as built-in column functions: with this the ENTIRE
+# extraction pipeline is zero-Python (the pandas UDF above remains the
+# parity reference and the extension point for an open-grammar parser).
+# Exactness notes vs the batch implementation: the density predicate uses
+# the identical float expression `lc / max(chars,1) <= d` (same IEEE ops),
+# entity replacement applies in the same dict order ('&amp;' last), and
+# Java/Python regex agree on every pattern used here (inline (?si) flags,
+# \b, lazy .*?).
+
+_BLOCK_SPLIT_PATTERN = rf"(?i)</?(?:{'|'.join(HTML_BLOCK_TAGS)})\b[^>]*/?>"
+_ANCHOR_PATTERN = r"(?si)<a\b[^>]*>(.*?)</a\s*>"
+
+
+def _clean_text_col(x) -> F.Column:
+    t = F.regexp_replace(x, "<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES.items():
+        t = F.regexp_replace(t, ent, ch)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_main_text_col(payload) -> F.Column:
+    """Main-content text as ONE codegen'd expression tree (no Python)."""
+    c = F.coalesce(payload, F.lit(""))
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    for tag in (*HTML_STRIP_CONTENT_TAGS, *HTML_BOILERPLATE_CONTAINERS):
+        c = F.regexp_replace(c, rf"(?si)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    frags = F.split(c, _BLOCK_SPLIT_PATTERN)
+
+    def link_chars(frag):
+        inners = F.regexp_extract_all(frag, F.lit(_ANCHOR_PATTERN), 1)
+        return F.aggregate(
+            inners,
+            F.lit(0),
+            lambda acc, a: acc + F.length(_clean_text_col(a)),
+        )
+
+    kept = F.filter(
+        F.transform(
+            frags,
+            lambda frag: F.struct(
+                _clean_text_col(frag).alias("t"),
+                link_chars(frag).alias("lc"),
+            ),
+        ),
+        lambda s: (F.length(s["t"]) >= HTML_MIN_BLOCK_CHARS)
+        & (
+            s["lc"] / F.greatest(F.length(s["t"]), F.lit(1))
+            <= F.lit(HTML_MAX_LINK_DENSITY)
+        ),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["t"]), " ")

@@ -4,7 +4,7 @@ into one Catalyst-optimized logical plan:
 
     read documents -> explode spans -> classify -> route by kind ->
       pdf:  text-layer parse -> sufficiency predicate P3 -> OCR fallback
-      html: density-based boilerplate strip (pandas UDF)
+      html: density-based boilerplate strip (codegen'd expression tree)
       text: normalize           media: pass-through
     -> union -> per-doc ordered assembly -> commit snapshots
        (extracted_spans, doc_state, metrics)
@@ -17,9 +17,9 @@ Scale notes (the part that matters at 100 TB / 10^12 docs):
   * The four kind-branches filter the SAME repartitioned child, so Catalyst
     reuses one exchange — the input is shuffled once, scanned once per branch
     from shuffle files, never recomputed from source.
-  * pdf/ocr/text branches are pure column expressions (whole-stage codegen,
-    zero Python). Only the html branch crosses into Arrow/pandas, and only
-    html rows are ever shipped to Python.
+  * ALL branches — pdf/ocr/text/html — are pure column expressions
+    (whole-stage codegen, zero Python; the Arrow/pandas implementations
+    remain as parity references and open-grammar extension points).
   * ONE more shuffle for assembly (groupBy doc_id). Nothing else shuffles.
   * Resume = left_anti join against SUCCEEDED doc_state (the one genuine
     join; AQE broadcasts it when small).
@@ -38,7 +38,10 @@ from cies_ocr_java_spark import schema as S
 from cies_ocr_java_spark.metrics import ExtractionMetrics
 from cies_ocr_java_spark.operators.assemble import assemble_documents
 from cies_ocr_java_spark.operators.classify import sniff_kind, span_invalid
-from cies_ocr_java_spark.operators.html_extract import html_main_text_udf
+from cies_ocr_java_spark.operators.html_extract import (
+    html_main_text_col,
+    html_main_text_udf,
+)
 from cies_ocr_java_spark.operators.ocr_mock import ocr_text_col
 from cies_ocr_java_spark.operators.pdf_extract import (
     pdf_layer_cols,
@@ -70,6 +73,7 @@ def span_level_extract(
     docs: DataFrame,
     repartition_to: int | None = None,
     use_pdf_udf: bool = False,
+    use_html_udf: bool = False,
 ) -> DataFrame:
     """The extraction kernel BEFORE per-doc assembly: documents -> one row
     per span with its extracted output (_OUT_COLS). Stateless, so it runs
@@ -83,9 +87,14 @@ def span_level_extract(
     parsing. An earlier union-of-filtered-branches design planned 5 source
     scans (Catalyst pushed each branch filter below the repartition and broke
     exchange reuse) — at 100 TB that is 5 reads of the corpus; this is one.
-    The HTML pandas UDF receives when(kind='html', payload): non-HTML rows
-    ship a NULL through Arrow (bytes stay on the JVM side), so Python cost
-    is proportional to HTML bytes only."""
+    ZERO Python by default: the HTML path too is a codegen'd expression
+    tree (html_main_text_col), so the whole kernel runs JVM-side — no
+    Arrow transfer at all. ``use_html_udf``/``use_pdf_udf`` switch in the
+    Arrow-vectorized pandas implementations, kept as parity references and
+    as the extension points where an open-grammar parser (or a real codec)
+    would slot in; the UDF path masks its input with when(kind=..., payload)
+    so non-matching rows ship a NULL through Arrow and Python cost stays
+    proportional to matching bytes only."""
     spark = docs.sparkSession
     n = repartition_to or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -124,7 +133,10 @@ def span_level_extract(
 
     sufficient = text_sufficient(F.col("pdf_text"), F.col("page_count"))
     is_html = (F.col("ekind") == "html") & ~F.col("invalid")
-    html_out = html_main_text_udf(F.when(is_html, F.col("text")))
+    if use_html_udf:
+        html_out = html_main_text_udf(F.when(is_html, F.col("text")))
+    else:
+        html_out = html_main_text_col(F.when(is_html, F.col("text")))
 
     out_text = (
         F.when(F.col("invalid"), F.lit(None).cast("string"))
@@ -168,12 +180,18 @@ def extract_spans(
     docs: DataFrame,
     repartition_to: int | None = None,
     use_pdf_udf: bool = False,
+    use_html_udf: bool = False,
 ) -> DataFrame:
     """Full extraction transform: documents -> assembled per-doc output
     (doc_id, spans, text, failed, error, partition_id, used_ocr).
     Pure transformation — no I/O, reusable from tests/bench/queries."""
     return assemble_documents(
-        span_level_extract(docs, repartition_to=repartition_to, use_pdf_udf=use_pdf_udf)
+        span_level_extract(
+            docs,
+            repartition_to=repartition_to,
+            use_pdf_udf=use_pdf_udf,
+            use_html_udf=use_html_udf,
+        )
     )
 
 

@@ -1044,6 +1044,37 @@ def extract_html_maincontent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", html_main_text_udf(html).alias("main_text"))
 
 
+@_register(
+    "extract_html_maincontent_jvm",
+    f"""
+    SELECT doc_id, {_norm_sql('text')} AS main_text
+    FROM documents WHERE n_chars >= 20
+    """,
+)
+def extract_html_maincontent_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same boilerplate strip as a pure codegen'd expression tree
+    (html_main_text_col) — the pipeline's default path. Both paths are
+    oracle-checked against the same SQL, so UDF/JVM parity is enforced by
+    the driver gate itself."""
+    from cies_ocr_java_spark.operators.html_extract import html_main_text_col
+
+    d = _t(spark, sf_dir, "documents", fanout=True).where(F.col("n_chars") >= 20)
+    linkfarm = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit("<p><a href='/l0'>Link</a> <a href='/l1'>Farm</a> "
+              "<a href='/l2'>Here</a> <a href='/l3'>Now</a></p>"),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>T</title><style>p{color:red}</style></head><body>"
+              "<nav><a href='/'>Home</a> <a href='/a'>About</a> <a href='/c'>Contact</a></nav>"
+              "<div class='content'>"),
+        linkfarm,
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("</div><!-- x --><footer><a href='/ab'>About</a> &copy; 2024</footer></body></html>"),
+    )
+    return d.select("doc_id", html_main_text_col(html).alias("main_text"))
+
+
 _E2E_BASE_SQL = f"""
     base AS (
       SELECT CAST(doc_id AS VARCHAR) AS did, {_norm_sql('text')} AS n,

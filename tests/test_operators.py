@@ -111,3 +111,32 @@ def test_giant_ocr_doc_crosses_batch_boundary(spark):
     df = spark.createDataFrame([(pdf,)], "payload string")
     [row] = df.select(ocr_text_col("payload").alias("t")).collect()
     assert row["t"] == " ".join(pages)
+
+
+def test_html_jvm_and_udf_paths_agree_on_corpus(spark, corpus_dir):
+    """html_main_text_col (codegen) and extract_main_text_batch (pandas)
+    must produce IDENTICAL output over every HTML span in the fixture
+    corpus — the JVM path is the pipeline default, the batch fn is the
+    independent parity reference."""
+    import pandas as pd
+
+    from cies_ocr_java_spark.operators.html_extract import (
+        extract_main_text_batch,
+        html_main_text_col,
+    )
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    html = (
+        docs.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "html")
+        .select(F.col("s.text").alias("h"))
+    )
+    got = [
+        r["out"]
+        for r in html.select(html_main_text_col(F.col("h")).alias("out"))
+        .collect()
+    ]
+    raw = [r["h"] for r in html.collect()]
+    want = list(extract_main_text_batch(pd.Series(raw, dtype=object)))
+    assert len(got) > 20
+    assert got == want

@@ -26,11 +26,13 @@ def test_metadata_scan_pushes_filter_and_prunes_columns(spark):
     assert "text" not in plan.split("ReadSchema:")[1].split("\n")[0]
 
 
-def test_pipeline_python_boundary_is_single_arrow_node(spark):
-    """Exactly ONE ArrowEvalPython in the flagship plan — the HTML UDF.
-    A second one means some expression fell out of codegen into Python."""
+def test_pipeline_is_zero_python(spark):
+    """ZERO ArrowEvalPython nodes in the flagship plan: every extraction
+    route — pdf, ocr, text, AND html — is a codegen'd expression tree.
+    Any Python node appearing means an expression fell out of the JVM."""
     plan = plan_of(QUERIES["pipeline_end_to_end"](spark, SF))
-    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("ArrowEvalPython") == 0
+    assert plan.count("BatchEvalPython") == 0
 
 
 def test_tfidf_df_table_is_broadcast(spark):
