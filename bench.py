@@ -24,6 +24,7 @@ from cies_ocr_java_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "pipeline_end_to_end",
     "extract_html_maincontent",
+    "extract_html_maincontent_jvm",
     "extract_pdf_ocr_route",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
