@@ -2742,3 +2742,66 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@_register(
+    "revenue_growth",
+    """
+    WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+                      CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+               FROM orders GROUP BY 1)
+    SELECT ym, revenue,
+           CAST(revenue - COALESCE(lag(revenue) OVER (ORDER BY ym), 0.0) AS DOUBLE) AS delta
+    FROM m
+    """,
+)
+def revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta: aggregate first (the series is
+    months-sized — tiny), THEN a lag window over the aggregate. A window
+    over a global ORDER BY is a single-partition sort, which is exactly
+    right here because the input to the window is the aggregated series,
+    never the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("string").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("ym")
+    return m.select(
+        "ym",
+        "revenue",
+        (F.col("revenue") - F.coalesce(F.lag("revenue").over(w), F.lit(0.0)))
+        .cast("double")
+        .alias("delta"),
+    )
+
+
+@_register(
+    "customer_revenue_quartiles",
+    """
+    WITH r AS (SELECT o_custkey,
+                      CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+               FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, revenue,
+           ntile(4) OVER (ORDER BY revenue DESC, o_custkey) AS quartile
+    FROM r
+    """,
+)
+def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) cohorts over per-customer revenue — deterministic because
+    the window orders by (revenue DESC, custkey): a bare revenue sort
+    would tie-break arbitrarily across engines and scramble the quartile
+    boundary rows."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("string").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    return r.select("o_custkey", "revenue", F.ntile(4).over(w).alias("quartile"))

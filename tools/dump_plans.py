@@ -87,6 +87,16 @@ COMMENTARY = {
         "orders of magnitude smaller than the corpus); the only big "
         "exchanges are the TF groupBy and the per-doc top-k window."
     ),
+    "training_corpus_curation": (
+        "The curation flagship: quality filter fused into the scan, the "
+        "persisted shingle table feeding signatures + both verify sides, "
+        "LSH band equi-join, then the label-propagation rounds appear as "
+        "separate checkpointed jobs (lineage truncated per round)."
+    ),
+    "extract_html_maincontent_jvm": (
+        "The default HTML path: one codegen'd projection, zero "
+        "ArrowEvalPython nodes, no shuffle at all before the sink."
+    ),
     "kmv_distinct_sketch": (
         "Distinct hash set -> per-group row_number window -> kth hash. "
         "All string/hash math is codegen'd JVM; the sketch estimate is one "
