@@ -24,10 +24,9 @@ COMMENTARY = {
     "pipeline_end_to_end": (
         "The flagship DAG. One parquet scan, ONE salt shuffle "
         "(repartition by (doc_id, offset) — spreads a giant document's spans), "
-        "one assembly shuffle (groupBy doc_id), one ArrowEvalPython node fed "
-        "when(kind='html', payload) so only HTML bytes cross into Python. "
-        "PDF parse / OCR decode / text normalize all live inside the codegen "
-        "stages as CASE branches."
+        "one assembly shuffle (groupBy doc_id), and ZERO Python nodes: "
+        "PDF parse / OCR decode / HTML strip / text normalize all live "
+        "inside the codegen stages as CASE branches."
     ),
     "q1_pricing_summary": (
         "Scan-side filter pushdown (PushedFilters on l_shipdate) + column "
@@ -142,8 +141,8 @@ def main() -> int:
         "# PLANS — physical-plan evidence (regenerate: `python tools/dump_plans.py`)",
         "",
         "What to look for at 100 TB: pushed filters + pruned ReadSchema on every",
-        "scan, few exchanges, joins broadcast when a side is small, and Python",
-        "(ArrowEvalPython) appearing exactly once — fed only the UDF column.",
+        "scan, few exchanges, joins broadcast when a side is small, and ZERO",
+        "Python (ArrowEvalPython) nodes anywhere in the default paths.",
         "",
     ]
     for name, note in COMMENTARY.items():
