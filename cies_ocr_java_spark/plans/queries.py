@@ -2805,3 +2805,41 @@ def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
     return r.select("o_custkey", "revenue", F.ntile(4).over(w).alias("quartile"))
+
+
+@_register(
+    "events_variant_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           event_type AS actor_type,
+           user_id AS actor_id
+    FROM events
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-on-read with the VARIANT type (Spark 4):
+    payloads round-trip through parse_json into a variant column and are
+    path-extracted with typed gets — no fixed from_json schema, so late
+    fields cost nothing until read. Here the props payload is re-wrapped
+    in a nested envelope first to exercise multi-level paths; the oracle
+    computes the same values straight from the source columns (what
+    extraction must recover)."""
+    ev = _t(spark, sf_dir, "events")
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_type").alias("type"), F.col("user_id").alias("id")
+            ).alias("actor"),
+            F.col("props").alias("raw"),
+        )
+    )
+    v = F.parse_json(envelope)
+    # $.raw is the props JSON *string*; parse it again for the inner get
+    inner = F.parse_json(F.try_variant_get(v, "$.raw", "string"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(inner, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.actor.type", "string").alias("actor_type"),
+        F.try_variant_get(v, "$.actor.id", "bigint").alias("actor_id"),
+    )

@@ -483,3 +483,51 @@ def test_connected_components_matches_union_find(spark):
         }
         assert got == want, f"trial {trial}: {got} != {want}"
         spark.catalog.clearCache()
+
+
+def test_streaming_dedup_state_survives_query_restart(spark, tmp_path):
+    """Resumability for STREAMING: stop the query, deliver more data,
+    start a NEW query instance on the same checkpoint — the seen-set must
+    come back from the state store, so a duplicate of a batch-1 doc
+    arriving after the restart is still dropped. (File sink, not memory:
+    the memory sink refuses checkpoint recovery.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cies_ocr_java_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    src = tmp_path / "restart-src"
+    src.mkdir()
+    ckpt = str(tmp_path / "restart-ckpt")
+    sink = str(tmp_path / "restart-sink")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .parquet(str(src))
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    pq.write_table(
+        pa.table({"doc_id": ["d1"], "text": ["original content"]}),
+        str(src / "b1.parquet"),
+    )
+    run_once()
+    assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {"d1"}
+
+    # after shutdown: a content-duplicate of d1 and a fresh doc arrive
+    pq.write_table(
+        pa.table({"doc_id": ["d9", "d2"], "text": ["original content", "new content"]}),
+        str(src / "b2.parquet"),
+    )
+    run_once()
+    # d9 is dropped purely via state restored from the checkpoint
+    assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {"d1", "d2"}
