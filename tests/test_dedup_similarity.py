@@ -531,3 +531,65 @@ def test_streaming_dedup_state_survives_query_restart(spark, tmp_path):
     run_once()
     # d9 is dropped purely via state restored from the checkpoint
     assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {"d1", "d2"}
+
+
+def test_streaming_sessionize_event_time_timeout(spark, tmp_path):
+    """A session must close via WATERMARK TIMEOUT — the user sends nothing
+    after their burst; only later events from OTHER users advance the
+    watermark past last+gap, which fires the timeout callback and emits
+    the closed session."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cies_ocr_java_spark.streaming.sessionize_stream import (
+        streaming_sessionize,
+    )
+
+    src = tmp_path / "ss-src"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000  # us
+    minute = 60_000_000
+    # batch 1: user 1 bursts 3 events over 2 min, then goes silent
+    pq.write_table(
+        pa.table({
+            "user_id": pa.array([1, 1, 1], type=pa.int64()),
+            "ts": pa.array([t0, t0 + minute, t0 + 2 * minute],
+                           type=pa.timestamp("us")),
+        }),
+        str(src / "b1.parquet"),
+    )
+    # batch 2: a DIFFERENT user 2 hours later pushes the watermark far past
+    # user 1's last+gap
+    pq.write_table(
+        pa.table({
+            "user_id": pa.array([2], type=pa.int64()),
+            "ts": pa.array([t0 + 120 * minute], type=pa.timestamp("us")),
+        }),
+        str(src / "b2.parquet"),
+    )
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 10, now - 10))
+    os.utime(src / "b2.parquet", (now, now))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sess_test")
+        .option("checkpointLocation", str(tmp_path / "sess-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess_test").collect()
+    got = {(r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+           for r in rows}
+    # user 1's burst closed by timeout: start t0, end t0+2min, 3 events.
+    # user 2's session stays OPEN (nothing advanced the watermark past it).
+    assert got == {(1, t0, t0 + 2 * minute, 3)}
