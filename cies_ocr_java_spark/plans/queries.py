@@ -2843,3 +2843,22 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.actor.type", "string").alias("actor_type"),
         F.try_variant_get(v, "$.actor.id", "bigint").alias("actor_id"),
     )
+
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view so the whole registry's
+    surface is ALSO reachable through plain ``spark.sql`` — the DataFrame
+    code here is sugar over the same Catalyst plans, and users who live in
+    SQL get the identical engine (see tests/test_sql_api.py for the
+    equivalence pin)."""
+    import os
+
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
