@@ -2862,3 +2862,53 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.exists(path):
             spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+@_register(
+    "doc_tags_map",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'New' WHEN 1 THEN 'Submitted'
+                           WHEN 2 THEN 'SUCCEEDED' ELSE 'FAILED' END AS status_tag,
+           CASE WHEN doc_id % 4 >= 1 THEN 'job-' || doc_id ELSE NULL END AS job_tag,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_custom_tags
+    FROM documents
+    """,
+)
+def doc_tags_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (tag lookup) as real MapType operations: the reference stores
+    mutable attributes as an S3 tag SET and reads them with a stream
+    filter on the key (getDocumentTagValue,
+    DocumentExtractManager.java:728-757). Here the tag set is a map
+    column; the point lookup is element_at, and the custom-tag count is
+    map_filter on a key prefix — all codegen'd. The oracle computes the
+    expected values directly (what any tag store must return)."""
+    d = _t(spark, sf_dir, "documents")
+    status = (
+        F.when(F.col("doc_id") % 4 == 0, "New")
+        .when(F.col("doc_id") % 4 == 1, "Submitted")
+        .when(F.col("doc_id") % 4 == 2, "SUCCEEDED")
+        .otherwise("FAILED")
+    )
+    job = F.when(
+        F.col("doc_id") % 4 >= 1, F.concat(F.lit("job-"), F.col("doc_id"))
+    )
+    # custom tags: every doc gets x-source; every 3rd also x-review
+    tags = F.map_filter(
+        F.create_map(
+            F.lit("ocr-status"), status,
+            F.lit("job-id"), job,
+            F.lit("x-source"), F.col("source"),
+            F.lit("x-review"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("yes")),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(tags, "ocr-status").alias("status_tag"),
+        F.element_at(tags, "job-id").alias("job_tag"),
+        F.size(
+            F.map_filter(tags, lambda k, v: k.startswith("x-"))
+        ).alias("n_custom_tags"),
+    )
