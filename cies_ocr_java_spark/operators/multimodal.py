@@ -171,3 +171,49 @@ def phash_col(content_text):
     return F.conv(
         F.substring(F.md5(F.substring(content_text, 1, 64)), 1, 15), 16, 10
     ).cast("long")
+
+
+AUDIO_CHUNK_SCHEMA = "media_ref string, chunk_idx int, start_ms long, end_ms long"
+
+
+def plan_audio_chunks(
+    features: DataFrame,
+    chunk_ms: int = 30_000,
+    overlap_ms: int = 5_000,
+) -> DataFrame:
+    """Audio chunking plan: overlapping windows (ASR-style 30s/5s) over a
+    stub duration derived from n_bytes (the fake codec's '1 byte = 1 ms').
+    Window math is numpy over whole Arrow batches; one output row per
+    chunk, clipped to the duration. The real decoder would attach PCM
+    slices to these rows — schema, batching, and chunk arithmetic are the
+    production plumbing."""
+    import numpy as np
+
+    step = chunk_ms - overlap_ms
+    assert step > 0
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dur = pdf["n_bytes"].clip(lower=0).astype("int64").to_numpy()
+            counts = np.maximum((dur + step - 1) // step, (dur > 0).astype("int64"))
+            refs = np.repeat(pdf["media_ref"].to_numpy(), counts)
+            durs = np.repeat(dur, counts)
+            idx = (
+                np.concatenate([np.arange(c) for c in counts])
+                if len(counts)
+                else np.array([], dtype="int64")
+            )
+            start = idx * step
+            end = np.minimum(start + chunk_ms, durs)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(refs, dtype="object"),
+                    "chunk_idx": pd.Series(idx, dtype="int64").astype("int32"),
+                    "start_ms": pd.Series(start, dtype="int64"),
+                    "end_ms": pd.Series(end, dtype="int64"),
+                }
+            )
+
+    return features.select("media_ref", "n_bytes").mapInPandas(
+        op, AUDIO_CHUNK_SCHEMA
+    )

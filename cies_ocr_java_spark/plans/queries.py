@@ -2912,3 +2912,83 @@ def doc_tags_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_filter(tags, lambda k, v: k.startswith("x-"))
         ).alias("n_custom_tags"),
     )
+
+
+@_register(
+    "nested_span_stats",
+    f"""
+    WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS did,
+                    doc_id % 2 = 0 AS has_media,
+                    doc_id % 3 = 0 AS has_html
+             FROM documents)
+    SELECT did AS doc_id,
+           CAST(2 + CASE WHEN has_media THEN 1 ELSE 0 END
+                  + CASE WHEN has_html THEN 1 ELSE 0 END AS INTEGER) AS n_spans,
+           CAST(CASE WHEN has_media THEN 1 ELSE 0 END AS INTEGER) AS n_media,
+           has_media AS any_media,
+           CAST(0 AS INTEGER) AS first_text_offset
+    FROM base
+    """,
+)
+def nested_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computing on NESTED data without exploding: size / filter / exists /
+    array_min+transform directly on the spans array — at 100 TB a
+    statistics pass that never generates the exploded row set is a
+    fraction of the I/O and zero shuffle. Runs over the synthesized
+    interleaved corpus (the input_hint shape); the oracle derives the
+    expected stats from the synthesis rule."""
+    docs = _synth_interleaved_docs(spark, sf_dir)
+    spans = F.col("spans")
+    return docs.select(
+        "doc_id",
+        F.size(spans).alias("n_spans"),
+        F.size(
+            F.filter(spans, lambda s: s["kind"] == "media")
+        ).alias("n_media"),
+        F.exists(spans, lambda s: s["kind"] == "media").alias("any_media"),
+        F.array_min(
+            F.transform(
+                F.filter(spans, lambda s: s["kind"] == "text"),
+                lambda s: s["offset"],
+            )
+        ).alias("first_text_offset"),
+    )
+
+
+_CHUNK_MS = 30_000
+_CHUNK_OVERLAP_MS = 5_000
+_CHUNK_STEP = _CHUNK_MS - _CHUNK_OVERLAP_MS
+
+
+@_register(
+    "media_audio_chunks",
+    f"""
+    WITH f AS (SELECT 'media://' || doc_id AS media_ref,
+                      CAST(n_chars AS BIGINT) AS dur_ms
+               FROM documents),
+    c AS (SELECT media_ref, dur_ms,
+                 greatest((dur_ms + {_CHUNK_STEP} - 1) // {_CHUNK_STEP},
+                          CASE WHEN dur_ms > 0 THEN 1 ELSE 0 END) AS n_chunks
+          FROM f),
+    e AS (SELECT media_ref, dur_ms, unnest(range(n_chunks)) AS chunk_idx FROM c)
+    SELECT media_ref,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK_STEP} AS BIGINT) AS start_ms,
+           CAST(least(chunk_idx * {_CHUNK_STEP} + {_CHUNK_MS}, dur_ms) AS BIGINT) AS end_ms
+    FROM e
+    """,
+)
+def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASR-style overlapping audio chunk plan (30 s windows, 5 s overlap)
+    over the stubbed decode's duration — window arithmetic as numpy over
+    whole Arrow batches inside mapInPandas (multimodal.plan_audio_chunks);
+    one row per chunk, clipped to the duration. The real decoder attaches
+    PCM slices to exactly these rows."""
+    from cies_ocr_java_spark.operators.multimodal import (
+        extract_media_features,
+        plan_audio_chunks,
+    )
+
+    m = _synth_media(spark, sf_dir)
+    feats = extract_media_features(m)
+    return plan_audio_chunks(feats, _CHUNK_MS, _CHUNK_OVERLAP_MS)
