@@ -593,3 +593,33 @@ def test_streaming_sessionize_event_time_timeout(spark, tmp_path):
     # user 1's burst closed by timeout: start t0, end t0+2min, 3 events.
     # user 2's session stays OPEN (nothing advanced the watermark past it).
     assert got == {(1, t0, t0 + 2 * minute, 3)}
+
+
+def test_plan_audio_chunks_edges(spark):
+    """Chunk plan edges: empty media -> zero chunks; short clip -> one
+    clipped chunk; long clip -> overlapping windows with exact bounds."""
+    from cies_ocr_java_spark.operators.multimodal import (
+        extract_media_features,
+        plan_audio_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("media://empty", bytearray(b"")),
+            ("media://short", bytearray(b"x" * 1000)),       # 1s
+            ("media://long", bytearray(b"x" * 60_000)),      # 60s
+        ],
+        "media_ref string, content binary",
+    )
+    out = plan_audio_chunks(
+        extract_media_features(df), chunk_ms=30_000, overlap_ms=5_000
+    )
+    rows = {(r["media_ref"], r["chunk_idx"]): (r["start_ms"], r["end_ms"])
+            for r in out.collect()}
+    assert not any(ref == "media://empty" for ref, _ in rows)
+    assert rows[("media://short", 0)] == (0, 1000)
+    # 60s at step 25s: chunks at 0, 25s, 50s — last clipped to 60s
+    assert rows[("media://long", 0)] == (0, 30_000)
+    assert rows[("media://long", 1)] == (25_000, 55_000)
+    assert rows[("media://long", 2)] == (50_000, 60_000)
+    assert ("media://long", 3) not in rows
