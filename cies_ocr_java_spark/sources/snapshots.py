@@ -43,9 +43,10 @@ LOG_FILE = "snapshot-log.json"
 class Snapshot:
     snapshot_id: int
     parent_id: int | None
-    op: str                 # 'append' | 'overwrite'
+    op: str                 # 'append' | 'overwrite' | 'compact'
     data_dirs: list[str]    # relative to table root
     ts: float
+    meta: dict | None = None  # producer metadata (e.g. stream batch id)
 
 
 class SnapshotTable:
@@ -86,6 +87,7 @@ class SnapshotTable:
         df: DataFrame,
         mode: str = "append",
         partition_by: list[str] | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new snapshot id.
 
@@ -101,7 +103,7 @@ class SnapshotTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp_dir)
-        return self._finalize(tmp_dir, mode)
+        return self._finalize(tmp_dir, mode, meta=meta)
 
     def commit_rows(self, rows: list[tuple], schema, mode: str = "append") -> int:
         """Driver-side commit for SMALL control-plane tables (a metrics row,
@@ -127,16 +129,18 @@ class SnapshotTable:
         pq.write_table(tbl, os.path.join(tmp_dir, "part-00000.parquet"))
         return self._finalize(tmp_dir, mode)
 
-    def adopt_dir(self, src_dir: str, mode: str = "append", op: str | None = None) -> int:
+    def adopt_dir(self, src_dir: str, mode: str = "append", op: str | None = None,
+                  meta: dict | None = None) -> int:
         """Adopt an externally-written parquet directory as a new snapshot
         by RENAME — zero data rewrite. This is how a producer that already
         wrote its output once (e.g. the pipeline's staged write) commits
         without paying a second copy; src_dir must live on the table's
         filesystem (write it under ``data/_tmp-*`` so a crash leaves only a
         GC-able orphan). Same crash-safe manifest protocol as commit()."""
-        return self._finalize(src_dir, mode, op=op)
+        return self._finalize(src_dir, mode, op=op, meta=meta)
 
-    def _finalize(self, tmp_dir: str, mode: str, op: str | None = None) -> int:
+    def _finalize(self, tmp_dir: str, mode: str, op: str | None = None,
+                  meta: dict | None = None) -> int:
         """Steps 2-3 of the commit protocol: atomic rename + manifest swap."""
         log = self._read_log()
         sid = int(log["current"]) + 1
@@ -152,6 +156,7 @@ class SnapshotTable:
             op=op or mode,
             data_dirs=[*parent_dirs, final_rel],
             ts=time.time(),
+            meta=meta,
         )
         log["snapshots"].append(entry.__dict__)
         log["current"] = sid

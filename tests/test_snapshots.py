@@ -257,3 +257,56 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert rows == {1: None, 2: "en"}
     # snapshot 1 alone: original schema
     assert set(t.read(spark, snapshot_id=1).columns) == {"id", "name"}
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    """Microbatches land as append snapshots stamped with their batch id;
+    a replayed batch (the at-least-once crash case) is skipped, so rows
+    never duplicate; incremental consumers see each batch via
+    read_changes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+    from cies_ocr_java_spark.streaming.snapshot_sink import (
+        committed_batch_ids,
+        write_stream_to_snapshot,
+    )
+
+    src = tmp_path / "sink-src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": ["a", "b"], "text": ["one", "two"]}),
+        str(src / "b1.parquet"),
+    )
+    stream = spark.readStream.schema("doc_id string, text string").parquet(str(src))
+    tbl_root = str(tmp_path / "sink-tbl")
+    q = write_stream_to_snapshot(stream, tbl_root, str(tmp_path / "sink-ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    tbl = SnapshotTable(tbl_root)
+    assert tbl.read(spark).count() == 2
+    assert committed_batch_ids(tbl) == {0}
+    # crash-replay: drive the sink's REAL callback with batch 0 again —
+    # the manifest guard must make it a no-op
+    from cies_ocr_java_spark.streaming.snapshot_sink import make_batch_committer
+
+    batch0 = spark.read.parquet(str(src / "b1.parquet"))
+    make_batch_committer(tbl)(batch0, 0)
+    assert tbl.read(spark).count() == 2  # unchanged
+    assert tbl.current_snapshot_id() == 1  # no new snapshot either
+
+    # second microbatch through a resumed query
+    pq.write_table(
+        pa.table({"doc_id": ["c"], "text": ["three"]}),
+        str(src / "b2.parquet"),
+    )
+    q2 = write_stream_to_snapshot(stream, tbl_root, str(tmp_path / "sink-ckpt"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert tbl.read(spark).count() == 3
+    assert committed_batch_ids(tbl) == {0, 1}
+    # incremental consumer: only the new batch's rows
+    delta = tbl.read_changes(spark, from_snapshot=1)
+    assert [r["doc_id"] for r in delta.collect()] == ["c"]
