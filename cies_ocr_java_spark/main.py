@@ -88,7 +88,22 @@ def main(argv: list[str] | None = None) -> int:
             from cies_ocr_java_spark import schema as S
             from cies_ocr_java_spark.sources.snapshots import SnapshotTable
 
-            docs, rejects = read_documents(spark, args.input, schema=S.DOCUMENTS)
+            if args.input.rstrip("/").lower().endswith((".csv", ".tsv")):
+                # CSV can't carry the nested spans array<struct>; ingest the
+                # flat one-row-per-span shape and assemble it (offset order)
+                from cies_ocr_java_spark.sources.ingest import (
+                    FLAT_SPAN_ROWS,
+                    assemble_flat_spans,
+                )
+
+                flat, rejects = read_documents(
+                    spark, args.input, schema=FLAT_SPAN_ROWS
+                )
+                docs = assemble_flat_spans(flat)
+            else:
+                docs, rejects = read_documents(
+                    spark, args.input, schema=S.DOCUMENTS
+                )
             n_rejects = rejects.count()
             if n_rejects:
                 SnapshotTable(os.path.join(args.output, "ingest_rejects")).commit(

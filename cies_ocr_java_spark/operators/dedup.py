@@ -262,9 +262,34 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    labels = nodes.select(
-        F.col("id"), F.col("id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+
+    # localCheckpoint blocks are NOT released by DataFrame.unpersist (that
+    # only uncaches CacheManager entries) — without explicit release, one
+    # label-table RDD per round accumulates in block storage for the
+    # session lifetime. Track each checkpoint's underlying persistent-RDD
+    # ids (getPersistentRDDs delta around the eager materialization) and
+    # unpersist the PREVIOUS iterate's blocks once the next one is durable
+    # and the convergence count no longer needs them.
+    sc = pairs.sparkSession.sparkContext
+
+    def _checkpoint_tracked(df):
+        # py4j exposes getPersistentRDDs() as a Python mapping {id: JavaRDD}
+        before = set(sc._jsc.getPersistentRDDs().keys())
+        out = df.localCheckpoint(eager=True)
+        after = sc._jsc.getPersistentRDDs()
+        new_ids = [k for k in after.keys() if k not in before]
+        return out, new_ids
+
+    def _release(rdd_ids):
+        jmap = sc._jsc.getPersistentRDDs()
+        for k in rdd_ids:
+            jrdd = jmap.get(k)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    labels, labels_blocks = _checkpoint_tracked(
+        nodes.select(F.col("id"), F.col("id").alias("cluster_id"))
+    )
     edges = sym.persist()
     try:
         for _ in range(max_iter):
@@ -273,7 +298,7 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("cluster_id").alias("neigh_min"))
             )
-            new_labels = (
+            new_labels, new_blocks = _checkpoint_tracked(
                 labels.join(neigh, "id", "left")
                 .select(
                     "id",
@@ -282,7 +307,6 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                         F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
                     ).alias("cluster_id"),
                 )
-                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -290,12 +314,12 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                 .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
                 .count()
             )
-            labels.unpersist()
-            labels = new_labels
+            _release(labels_blocks)
+            labels, labels_blocks = new_labels, new_blocks
             if changed == 0:
                 break
-        # the returned frame reads the final checkpointed iterate (shallow
-        # plan); caller/bench releases blocks via clearCache() when done
+        # only the FINAL iterate's blocks remain resident; the caller reads
+        # the returned frame from them and may clearCache()/release when done
         return labels.select("id", "cluster_id")
     finally:
         edges.unpersist()

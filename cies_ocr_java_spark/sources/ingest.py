@@ -35,6 +35,52 @@ FLAT_DOCUMENTS = T.StructType(
 )
 
 
+# one-row-per-span flat shape: what a CSV/TSV drop of the interleaved
+# documents table looks like (CSV cannot carry array<struct>, so the nested
+# DOCUMENTS schema is unreachable by the CSV reader — Spark's CSV source
+# rejects array/struct read schemas with AnalysisException)
+FLAT_SPAN_ROWS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+
+def assemble_flat_spans(flat: DataFrame) -> DataFrame:
+    """Flat (doc_id, kind, text, media_ref, offset) span rows -> nested
+    DOCUMENTS shape (doc_id, spans array<struct> in offset order).
+
+    ``sort_array`` over structs compares field-by-field, so putting
+    ``offset`` first sorts each doc's spans by reading position regardless
+    of arrival order — the same never-trust-arrival-order rule the
+    assembly operator enforces (operators/assemble.py). One shuffle on
+    doc_id; no Python."""
+    return (
+        flat.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("_s")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "_s",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+
+
 def _fmt_from_path(path: str) -> str:
     p = path.rstrip("/").lower()
     if p.endswith((".jsonl", ".json", ".ndjson")):

@@ -16,13 +16,16 @@ scan (column pruning + predicate pushdown intact).
 Swapping in real Iceberg later is a config change: this class's API
 (commit/read/history/current) mirrors what a SparkCatalog table gives you.
 
-Concurrency contract: SINGLE WRITER per table (the pipeline's model — one
-driver owns its output tables), any number of readers. If two writers do
-race, the data-dir rename collides (both target ``snap-<N+1>``) and the
-loser aborts LOUDLY before touching the manifest — no torn state, but no
-retry either; real multi-writer needs a catalog with optimistic-commit
-CAS (which Iceberg's swap provides, and this log's ``os.replace`` does
-not arbitrate).
+Concurrency contract: MULTI-WRITER on a shared POSIX filesystem. The
+commit critical section (read log -> rename data dir -> swap log) runs
+under an atomic ``os.mkdir`` lock with stale-lock breaking, so a
+concurrent streaming sink and batch job serialize their manifest swaps
+instead of aborting (the Iceberg-catalog CAS analog for a filesystem
+log; on an object store you would swap this for a real catalog commit).
+A writer that crashed between the data-dir rename and the manifest swap
+leaves an UNREFERENCED ``snap-<id>`` dir; the next commit detects that
+(target exists but no manifest entry points at it) and removes it before
+renaming — self-healing, no manual ``gc_orphans()`` required.
 """
 
 from __future__ import annotations
@@ -37,6 +40,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 LOG_FILE = "snapshot-log.json"
+LOCK_DIR = "_commit.lock"
+# A lock older than this is presumed held by a dead writer and broken. The
+# critical section it guards is metadata-only (one rename + one small JSON
+# write) — the Spark data write happens BEFORE _finalize — so a healthy
+# commit holds it for milliseconds.
+LOCK_STALE_SECONDS = 60.0
 
 
 @dataclass
@@ -139,13 +148,74 @@ class SnapshotTable:
         GC-able orphan). Same crash-safe manifest protocol as commit()."""
         return self._finalize(src_dir, mode, op=op, meta=meta)
 
+    # --- commit arbitration --------------------------------------------------
+    def _acquire_lock(self, timeout: float = 30.0) -> str:
+        """Atomic ``os.mkdir`` commit lock with stale-lock breaking.
+
+        Bounded wait: concurrent writers (e.g. a streaming sink racing a
+        batch job) spin briefly instead of aborting; a lock left by a dead
+        writer is broken after LOCK_STALE_SECONDS."""
+        os.makedirs(self.root, exist_ok=True)
+        lock = os.path.join(self.root, LOCK_DIR)
+        deadline = time.time() + timeout
+        while True:
+            try:
+                os.mkdir(lock)
+                return lock
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(lock).st_mtime
+                except FileNotFoundError:
+                    continue  # holder just released; retry immediately
+                if age > LOCK_STALE_SECONDS:
+                    try:
+                        os.rmdir(lock)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire commit lock on {self.root} "
+                        f"within {timeout}s (held {age:.1f}s)"
+                    )
+                time.sleep(0.02)
+
+    def _release_lock(self) -> None:
+        try:
+            os.rmdir(os.path.join(self.root, LOCK_DIR))
+        except FileNotFoundError:
+            pass
+
     def _finalize(self, tmp_dir: str, mode: str, op: str | None = None,
                   meta: dict | None = None) -> int:
-        """Steps 2-3 of the commit protocol: atomic rename + manifest swap."""
+        """Steps 2-3 of the commit protocol: atomic rename + manifest swap,
+        serialized across writers by the commit lock."""
+        self._acquire_lock()
+        try:
+            return self._finalize_locked(tmp_dir, mode, op=op, meta=meta)
+        finally:
+            self._release_lock()
+
+    def _finalize_locked(self, tmp_dir: str, mode: str, op: str | None,
+                         meta: dict | None) -> int:
         log = self._read_log()
         sid = int(log["current"]) + 1
         final_rel = f"snap-{sid:06d}"
-        os.rename(tmp_dir, os.path.join(self.data_root, final_rel))
+        target = os.path.join(self.data_root, final_rel)
+        if os.path.exists(target):
+            # Under the lock, sid = current+1 can only pre-exist as a crash
+            # orphan: a previous writer renamed its data dir then died before
+            # the manifest swap. No manifest entry references it (referenced
+            # ids are all <= current), so removing it is safe and un-wedges
+            # the table — the streaming sink's crash-replay commit and
+            # pipeline resume then proceed instead of ENOTEMPTY-failing.
+            referenced = {d for s in log["snapshots"] for d in s["data_dirs"]}
+            if final_rel in referenced:  # pragma: no cover - manifest corruption
+                raise RuntimeError(
+                    f"manifest references {final_rel} but current={log['current']}"
+                )
+            shutil.rmtree(target)
+        os.rename(tmp_dir, target)
 
         parent_dirs: list[str] = []
         if mode == "append" and log["snapshots"]:
@@ -232,10 +302,14 @@ class SnapshotTable:
         reclaims space after compaction). Returns removed dirs."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        log = self._read_log()
-        if len(log["snapshots"]) > keep_last:
-            log["snapshots"] = log["snapshots"][-keep_last:]
-            self._write_log(log)
+        self._acquire_lock()
+        try:
+            log = self._read_log()
+            if len(log["snapshots"]) > keep_last:
+                log["snapshots"] = log["snapshots"][-keep_last:]
+                self._write_log(log)
+        finally:
+            self._release_lock()
         return self.gc_orphans()
 
     def read_changes(
@@ -274,14 +348,28 @@ class SnapshotTable:
         paths = [os.path.join(self.data_root, d) for d in new_dirs]
         return spark.read.parquet(*paths)
 
-    def gc_orphans(self) -> list[str]:
-        """Remove data dirs not referenced by any snapshot (crash leftovers)."""
+    def gc_orphans(self, tmp_grace_seconds: float = LOCK_STALE_SECONDS) -> list[str]:
+        """Remove data dirs not referenced by any snapshot (crash leftovers).
+
+        ``_tmp-*`` dirs younger than ``tmp_grace_seconds`` are spared: a
+        concurrent writer may still be streaming data into them (its
+        rename happens only in _finalize), so GC must not yank an
+        in-flight commit's staging dir. Pass 0 to force-collect."""
         log = self._read_log()
         referenced = {d for s in log["snapshots"] for d in s["data_dirs"]}
         removed = []
+        now = time.time()
         if os.path.isdir(self.data_root):
             for d in os.listdir(self.data_root):
-                if d not in referenced:
-                    shutil.rmtree(os.path.join(self.data_root, d))
-                    removed.append(d)
+                if d in referenced:
+                    continue
+                path = os.path.join(self.data_root, d)
+                if d.startswith("_tmp-"):
+                    try:
+                        if now - os.stat(path).st_mtime < tmp_grace_seconds:
+                            continue
+                    except FileNotFoundError:
+                        continue
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(d)
         return removed

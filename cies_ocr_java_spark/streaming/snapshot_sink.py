@@ -31,16 +31,32 @@ def committed_batch_ids(table: SnapshotTable) -> set[int]:
     }
 
 
+def max_committed_batch_id(table: SnapshotTable) -> int:
+    """Highest stream_batch_id in the manifest, or -1 if none."""
+    ids = committed_batch_ids(table)
+    return max(ids) if ids else -1
+
+
 def make_batch_committer(table: SnapshotTable):
     """The idempotent foreachBatch callback (exposed so tests can drive
-    the crash-replay path directly)."""
+    the crash-replay path directly).
+
+    Replay detection is O(1) per batch, not O(history): Structured
+    Streaming's batch ids are monotonically increasing and a replayed id
+    is always <= the last one this query committed, so the committer reads
+    the manifest ONCE at query (re)start for the high-water mark and then
+    tracks it in the closure. Without this, a long-lived append stream
+    pays an O(total-batches) manifest parse per microbatch — quadratic
+    over the stream's lifetime."""
+    state = {"max_id": max_committed_batch_id(table)}
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batch_ids(table):
+        if batch_id <= state["max_id"]:
             return  # replay after a crash: already durable, skip
         table.commit(
             batch_df, mode="append", meta={"stream_batch_id": int(batch_id)}
         )
+        state["max_id"] = batch_id
 
     return commit_batch
 

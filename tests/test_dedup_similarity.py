@@ -623,3 +623,39 @@ def test_plan_audio_chunks_edges(spark):
     assert rows[("media://long", 1)] == (25_000, 55_000)
     assert rows[("media://long", 2)] == (50_000, 60_000)
     assert ("media://long", 3) not in rows
+
+
+def test_connected_components_releases_checkpoint_blocks(spark):
+    """ADVICE fix: each CC round localCheckpoints a label table; the
+    previous round's checkpoint RDD blocks must be RELEASED (DataFrame.
+    unpersist is a no-op for localCheckpoint blocks), or one RDD per
+    round accumulates for the session lifetime. After a multi-round run,
+    only the final iterate's blocks (+ nothing from earlier rounds) may
+    remain."""
+    from cies_ocr_java_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return len(sc._jsc.getPersistentRDDs())
+
+    def drain():
+        # py4j JavaMap supports the Python mapping protocol; values are JavaRDDs
+        for jrdd in list(sc._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist(False)
+
+    # drain any leftovers from earlier tests so the budget below is tight
+    drain()
+    assert n_persistent() == 0
+
+    # a 12-node chain forces multiple label-propagation rounds
+    ids = [f"n{i:02d}" for i in range(12)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(11)], "id_a string, id_b string"
+    )
+    nodes = spark.createDataFrame([(i,) for i in ids], "id string")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs, nodes).collect()}
+    assert set(got.values()) == {"n00"}
+    # final iterate only: at most 1 persistent RDD left, not one-per-round
+    assert n_persistent() <= 1
+    drain()

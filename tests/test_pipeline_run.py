@@ -155,6 +155,6 @@ def test_crash_between_spans_and_state_commits_is_repaired(
     # the crashed staging dir is an orphan and GC-able
     assert all(d.startswith("snap-") or d.startswith("_tmp")
                for d in __import__("os").listdir(extracted.data_root))
-    extracted.gc_orphans()
+    extracted.gc_orphans(tmp_grace_seconds=0)
     assert all(d.startswith("snap-")
                for d in __import__("os").listdir(extracted.data_root))
