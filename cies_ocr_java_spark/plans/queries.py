@@ -711,8 +711,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (the verification primitive;
-    at scale only run on LSH candidates — see dedup_minhash_lsh)."""
+    """Exact word-3-gram Jaccard near-dup pairs. The pair space is pruned
+    by the LOSSLESS prefix filter (operators/dedup.py
+    prefix_filter_candidates — rarest-shingle prefixes + length filter,
+    recall exactly 1), so the output equals the oracle's all-pairs join
+    while the engine never materializes one; safe to run standalone on
+    the full corpus. For sub-linear candidate generation with bounded
+    recall loss, dedup_minhash_lsh is the probabilistic alternative."""
     d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.jaccard_pairs(d, "text", "doc_id", _JACCARD_THR)
 
@@ -2122,8 +2127,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonic), but a single IEEE division is bit-reproducible across
     engines while libm log is not. Ranking happens AFTER 6-decimal
     rounding with the term as tiebreak (the file-header exactness rules).
-    The doc-frequency table is tiny relative to the corpus — at scale
-    broadcast it into the per-doc TF stage instead of shuffling TFs."""
+    Join strategy is deliberately LEFT TO AQE: the doc-frequency table is
+    vocabulary-sized, which is broadcast-friendly at corpus scale factors
+    but 10^8+ rows on a web corpus — a forced F.broadcast hint would OOM
+    the driver building the broadcast there. Under
+    spark.sql.autoBroadcastJoinThreshold AQE still picks a broadcast-hash
+    join at runtime (pinned for the small case in
+    tests/test_plan_properties.py); above it the join degrades gracefully
+    to shuffle."""
     d = _t(spark, sf_dir, "documents", fanout=True)
     toks = d.select(
         "doc_id", F.explode(dedup.tokens_col(F.col("text"))).alias("term")
@@ -2138,7 +2149,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .cast("double")
     )
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
+    scored = tf.join(df_tbl, "term").select(
         "doc_id", "term", score.alias("score")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
@@ -2793,18 +2804,61 @@ def revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) cohorts over per-customer revenue — deterministic because
-    the window orders by (revenue DESC, custkey): a bare revenue sort
-    would tie-break arbitrarily across engines and scramble the quartile
-    boundary rows."""
+    """ntile(4) cohorts over per-customer revenue, computed WITHOUT a
+    global single-partition window (the round-1 weak spot: ntile over
+    Window.orderBy moves the whole per-customer aggregate — billions of
+    rows at 100x — onto ONE task).
+
+    Distributed plan: range-repartition on the sort key (a distributed
+    sort — each partition holds a contiguous key range), take a
+    partition-LOCAL row_number, then add per-partition row-count offsets
+    (a partitions-sized table, broadcast). The global row number rn is
+    exact, and ntile(4)'s bucket arithmetic is a closed formula over
+    (rn, n): with base = n div 4 and rem = n mod 4, the first rem buckets
+    hold base+1 rows. Output is bit-identical to the oracle's ntile —
+    the order (revenue DESC, custkey) is a strict total order, so rn is
+    well-defined regardless of where range-partition bounds fall.
+
+    The only single-partition window left operates on the per-partition
+    COUNTS table (one row per shuffle partition), which is the same
+    post-aggregate-tiny-input exception revenue_growth documents."""
     o = _t(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("string").cast("decimal(18,2)"))
         .cast("double")
         .alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-    return r.select("o_custkey", "revenue", F.ntile(4).over(w).alias("quartile"))
+    parts = r.repartitionByRange(
+        F.desc("revenue"), F.asc("o_custkey")
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.desc("revenue"), F.asc("o_custkey")
+    )
+    local = parts.withColumn("_lrn", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    j = local.join(F.broadcast(offsets), "_pid")
+    rn = (F.col("_lrn") + F.col("_off")).cast("long")
+    n = F.col("_n")
+    base = F.floor(n / F.lit(4)).cast("long")
+    rem = (n - base * 4).cast("long")
+    bigcut = rem * (base + 1)
+    tile = F.when(
+        rn <= bigcut, F.floor((rn - 1) / (base + 1)) + 1
+    ).otherwise(
+        rem + F.floor((rn - bigcut - 1) / F.greatest(base, F.lit(1))) + 1
+    )
+    return j.select(
+        "o_custkey", "revenue", tile.cast("int").alias("quartile")
+    )
 
 
 @_register(

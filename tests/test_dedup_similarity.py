@@ -659,3 +659,50 @@ def test_connected_components_releases_checkpoint_blocks(spark):
     # final iterate only: at most 1 persistent RDD left, not one-per-round
     assert n_persistent() <= 1
     drain()
+
+
+def test_prefix_filter_is_lossless_vs_brute_force(spark):
+    """prefix_filter_candidates must have recall EXACTLY 1: jaccard_pairs
+    without explicit candidates (prefix-filtered) returns the identical
+    pair set a Python brute-force all-pairs Jaccard computes — including
+    near-threshold pairs and duplicate docs. Randomized corpus, fixed
+    seed."""
+    import random
+
+    from cies_ocr_java_spark.operators.dedup import jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n_tok = rng.randint(3, 25)
+        toks = [rng.choice(vocab) for _ in range(n_tok)]
+        docs.append((f"d{i:02d}", " ".join(toks)))
+    # inject exact and near duplicates
+    docs.append(("dup-a", docs[0][1]))
+    docs.append(("dup-b", docs[1][1] + " extra tail token"))
+
+    def shingle_set(text, n=3):
+        toks = text.split()
+        return {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
+
+    thr = 0.5
+    expected = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            (ia, ta), (ib, tb) = docs[i], docs[j]
+            sa, sb = shingle_set(ta), shingle_set(tb)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            # engine rounds through decimal(12,6) before thresholding
+            if round(jac, 6) >= thr:
+                expected.add(tuple(sorted((ia, ib))))
+
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(df, "text", "doc_id", thr).collect()
+    }
+    assert got == expected and len(expected) >= 2

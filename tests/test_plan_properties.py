@@ -35,9 +35,30 @@ def test_pipeline_is_zero_python(spark):
     assert plan.count("BatchEvalPython") == 0
 
 
-def test_tfidf_df_table_is_broadcast(spark):
-    plan = plan_of(QUERIES["tfidf_top_terms"](spark, SF))
-    assert "BroadcastHashJoin" in plan
+def test_tfidf_df_table_broadcast_when_small(spark):
+    """The DF-table join must NOT carry a forced broadcast hint (a web
+    corpus vocabulary is 10^8+ terms — the driver would OOM building it);
+    AQE governs. When the table IS small (here, sf0.01) AQE must still
+    end up at a broadcast-hash join at runtime."""
+    df = QUERIES["tfidf_top_terms"](spark, SF)
+    # no compile-time hint in the optimized logical plan
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    # AQE's runtime pick for the small case: broadcast
+    df.write.format("noop").mode("overwrite").save()
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_quartiles_have_no_global_single_partition_window(spark):
+    """customer_revenue_quartiles must compute global row numbers via
+    range repartition + local window + broadcast offsets — never an
+    ntile over an unpartitioned Window (the round-1 single-task sort).
+    The one allowed SinglePartition exchange feeds the partitions-sized
+    offsets table."""
+    plan = plan_of(QUERIES["customer_revenue_quartiles"](spark, SF))
+    assert "ntile" not in plan
+    assert "rangepartitioning" in plan  # the distributed sort
+    assert plan.count("Exchange SinglePartition") <= 1
 
 
 def test_range_join_is_equi_hash_not_nested_loop(spark):
