@@ -1,4 +1,4 @@
-"""Closed synthetic document grammars shared by the fixture generator, the
+r"""Closed synthetic document grammars shared by the fixture generator, the
 vectorized extractors, and the pure-Python oracle.
 
 The reference consumes real PDFs via PDFBox (DocumentExtractManager.java:446-449)
@@ -35,6 +35,62 @@ blocks per chunk, the maxResults(1000) analog) and joins with ' '.
 
 Synthetic HTML: ordinary HTML; extraction is DOM-ish block segmentation +
 text/link-density boilerplate scoring (see operators/html_extract.py).
+
+Degradation contract (open-grammar hardening, round 2)
+------------------------------------------------------
+A real crawl contains malformed and hostile documents the closed grammar
+never emits. The engine's behavior on ANY string input is DEFINED — never a
+crash, never a silent wrong span — by these rules, which all three
+implementations (JVM column expressions, Arrow/pandas batches, and the
+pure-Python oracle in tools/oracle.py) follow exactly:
+
+PDF:
+  * malformed iff missing header prefix, missing %%EOF, or zero %%Page
+    markers -> the document FAILS loudly (status FAILED,
+    error='malformed pdf payload'), nothing extracted. Well-formed-but-
+    hostile payloads degrade per the rules below.
+  * Text layer = every maximal well-formed show-text literal matching
+    TJ_PATTERN, scanned leftmost-first over the whole payload. Unterminated
+    literals, unbalanced parens, stray BT/ET, a backslash before a line
+    terminator, or trailing garbage contribute NOTHING (extract-what-
+    parses); they never corrupt neighboring literals because a failed
+    match restarts one character later.
+  * Escapes: exactly \\ \( \) unescape; a backslash before any other
+    character is content and survives verbatim.
+  * OCR blocks: the payload of '%%OCRBlock PAGE ' is the maximal run of
+    base64-alphabet characters (B64_TOKEN). A block is decoded iff that
+    run is CANONICAL base64 (B64_CANONICAL: length % 4 == 0, correct
+    padding, no interior '=') AND its bytes are valid UTF-8; otherwise the
+    block is SKIPPED — one bad scan block must not poison the readable
+    pages around it.
+
+HTML (phases, applied in order; all tag scanning is quote-aware — a '>'
+inside a quoted attribute value does not close the tag, matching the HTML5
+tokenizer):
+  1. closed comments <!--...--> -> ' '. An UNCLOSED '<!--' falls through
+     to rule 3 ('<!' markup declaration).
+  2. script/style, then head/nav/footer/header/aside pairs are dropped
+     with content, first-closing semantics (content runs to the FIRST
+     matching close tag — the script-CDATA rule, applied uniformly).
+     An unclosed container drops nothing (its open tag is stripped by 3).
+  3. a '<' followed by [a-zA-Z!?/] opens a tag: scanned quote-aware to the
+     closing '>'. Block tags (HTML_BLOCK_TAGS) segment blocks; every
+     matched tag contributes a ' '. A '<' followed by anything else, or a
+     tag whose closing '>' never comes (unclosed quote / EOF), is TEXT and
+     survives verbatim — exactly what html5 tokenizers emit as character
+     data.
+  4. entity decode strictly by HTML_ENTITIES in dict order ('&amp;' last);
+     any other entity form ('&copy;', '&amp' without ';', '&#160;') is
+     literal text. Numeric/named refs outside the table are NOT decoded —
+     the contract trades completeness for three-way bit-reproducibility.
+  5. whitespace: runs of ASCII whitespace (WS_RUN: space \t \n \x0B \f
+     \r) collapse to one space; leading/trailing SPACES trim. Non-ASCII
+     whitespace (\xa0, U+2007, ...) is CONTENT — Java regex \s is
+     ASCII-only, so the Python implementations must not use unicode \s.
+
+Text spans: rule 5 only. Invalid spans (missing payload) FAIL the document
+with error='invalid span: missing required payload' (all-or-nothing, the
+reference's per-document failure envelope).
 """
 
 from __future__ import annotations
@@ -49,6 +105,31 @@ PDF_HEADER = "%PDF-1.4"
 PDF_EOF = "%%EOF"
 PAGE_MARKER = "%%Page:"
 OCR_MARKER = "%%OCRBlock"
+
+# --- shared regex fragments (Java-regex / Python-re common subset) ---------
+# ASCII whitespace run — Java \s is exactly [ \t\n\x0B\f\r]; Python \s is
+# unicode-wide, so every Python-side implementation uses THIS class instead.
+WS_RUN = r"[ \t\n\x0B\f\r]+"
+
+# Show-text literal: '(...) Tj' with \\ \( \) escapes. The escape tail
+# excludes line terminators EXPLICITLY because Java '.' excludes \r and
+# U+0085/U+2028/U+2029 while Python '.' excludes only \n — a bare '\\.'
+# would make the two engines disagree on a backslash-before-\r.
+TJ_PATTERN = r"\(((?:[^()\\]|\\[^\n\r\u0085\u2028\u2029])*)\) Tj"
+
+# OCR block payload: maximal base64-alphabet run after the PAGE marker.
+B64_TOKEN = r"([A-Za-z0-9+/=]+)"
+# Canonical base64: full quanta + correct tail padding, no interior '='.
+# (Spark's unbase64 RAISES on interior '='; Python b64decode is lenient on
+# missing padding — only the canonical subset decodes identically in both.)
+B64_CANONICAL = (
+    r"(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?"
+)
+
+# Quote-aware tag body: a '>' inside "..." or '...' does not close the tag
+# (HTML5 tokenizer attribute-value states).
+TAG_BODY = r"(?:\"[^\"]*\"|'[^']*'|[^>\"'])*"
+WS_OPT = r"[ \t\n\x0B\f\r]*"
 
 # HTML extraction thresholds (jusText/Arc90-style density heuristics — the
 # north rule's per-node generalization of the per-document predicate P3).

@@ -1,5 +1,6 @@
-"""HTML main-content extraction: DOM-ish block segmentation + text/link-density
-boilerplate scoring, as an Arrow-vectorized pandas UDF.
+"""HTML main-content extraction: block segmentation + text/link-density
+boilerplate scoring, as both a codegen'd expression tree and an
+Arrow-vectorized pandas UDF.
 
 This generalizes the reference's per-document text-sufficiency predicate
 (DocumentExtractManager.java:410-429) to a per-node density heuristic
@@ -8,16 +9,23 @@ link-dominated, and anything inside structurally-boilerplate containers
 (head/nav/footer/header/aside) or non-content tags (script/style) is dropped
 outright.
 
-Algorithm (whole batch at once — pandas str ops over all documents, then one
-explode over candidate blocks; no per-document Python loop):
-  1. strip comments, script/style, and boilerplate containers with content;
-  2. segment the remaining markup into candidate blocks at block-level tag
-     boundaries (formats.HTML_BLOCK_TAGS);
-  3. per block: visible text = tag-strip + entity-decode + ws-normalize;
+Phases (the degradation contract, formats.py — identical in the JVM path,
+this pandas path, and tools/oracle.py; every tag scan is QUOTE-AWARE so an
+attribute value containing '>' cannot truncate a tag, and a '<' not
+followed by [a-zA-Z!?/] is text, matching the HTML5 tokenizer's
+bogus-markup rules):
+  1. closed comments -> ' ' (an unclosed '<!--' degrades to a '<!'
+     declaration in phase 3);
+  2. script/style then boilerplate containers stripped with content,
+     first-closing semantics (the script-CDATA rule applied uniformly);
+  3. segment into candidate blocks at block-level tag boundaries;
+  4. per block: visible text = tag-strip + entity-decode + ws-normalize;
      link text = the same over every <a>...</a> inner body;
-  4. keep blocks with chars >= HTML_MIN_BLOCK_CHARS and
-     link_chars/chars <= HTML_MAX_LINK_DENSITY;
-  5. join surviving blocks with ' ' in document order.
+  5. keep blocks with chars >= HTML_MIN_BLOCK_CHARS and
+     link_chars/chars <= HTML_MAX_LINK_DENSITY; join survivors with ' '.
+
+Whitespace is WS_RUN (ASCII), never Python's unicode \\s, and all pandas
+regexes compile with re.ASCII so \\b agrees with Java's ASCII \\b.
 """
 
 from __future__ import annotations
@@ -34,19 +42,32 @@ from cies_ocr_java_spark.formats import (
     HTML_MAX_LINK_DENSITY,
     HTML_MIN_BLOCK_CHARS,
     HTML_STRIP_CONTENT_TAGS,
+    TAG_BODY,
+    WS_OPT,
+    WS_RUN,
 )
 
-_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
-_DROP_CONTENT_RES = [
-    re.compile(rf"<{tag}\b[^>]*>.*?</{tag}\s*>", re.S | re.I)
+# Shared pattern STRINGS (flag-free; each side adds its own flags so the
+# same source text drives Java regex and Python re identically).
+COMMENT_PATTERN = r"<!--.*?-->"                      # + DOTALL
+CONTAINER_PATTERNS = [                                # + DOTALL|IGNORECASE
+    rf"<{tag}\b{TAG_BODY}>.*?</{tag}{WS_OPT}>"
     for tag in (*HTML_STRIP_CONTENT_TAGS, *HTML_BOILERPLATE_CONTAINERS)
 ]
-_BLOCK_SPLIT_RE = re.compile(
-    rf"</?(?:{'|'.join(HTML_BLOCK_TAGS)})\b[^>]*/?>", re.I
-)
-_ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.S | re.I)
-_TAG_RE = re.compile(r"<[^>]+>")
-_WS_RE = re.compile(r"\s+")
+BLOCK_SPLIT_PATTERN = rf"</?(?:{'|'.join(HTML_BLOCK_TAGS)})\b{TAG_BODY}>"  # + I
+ANCHOR_PATTERN = rf"<a\b{TAG_BODY}>(.*?)</a{WS_OPT}>"  # + DOTALL|IGNORECASE
+# Only [a-zA-Z!?/] opens a tag; any other '<' is character data.
+TAG_STRIP_PATTERN = rf"<[a-zA-Z!?/]{TAG_BODY}>"
+
+_ASCII = re.ASCII
+_COMMENT_RE = re.compile(COMMENT_PATTERN, re.S | _ASCII)
+_DROP_CONTENT_RES = [
+    re.compile(p, re.S | re.I | _ASCII) for p in CONTAINER_PATTERNS
+]
+_BLOCK_SPLIT_RE = re.compile(BLOCK_SPLIT_PATTERN, re.I | _ASCII)
+_ANCHOR_RE = re.compile(ANCHOR_PATTERN, re.S | re.I | _ASCII)
+_TAG_RE = re.compile(TAG_STRIP_PATTERN, _ASCII)
+_WS_RE = re.compile(WS_RUN)
 
 
 def _clean_text(s: pd.Series) -> pd.Series:
@@ -55,7 +76,8 @@ def _clean_text(s: pd.Series) -> pd.Series:
     s = s.str.replace(_TAG_RE, " ", regex=True)
     for ent, ch in HTML_ENTITIES.items():  # '&amp;' last — see formats.py
         s = s.str.replace(ent, ch, regex=False)
-    return s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    # strip(" ") not strip(): Spark's trim removes spaces only
+    return s.str.replace(_WS_RE, " ", regex=True).str.strip(" ")
 
 
 def extract_main_text_batch(html: pd.Series) -> pd.Series:
@@ -108,31 +130,29 @@ def html_main_text_udf(html: pd.Series) -> pd.Series:
 # parity reference and the extension point for an open-grammar parser).
 # Exactness notes vs the batch implementation: the density predicate uses
 # the identical float expression `lc / max(chars,1) <= d` (same IEEE ops),
-# entity replacement applies in the same dict order ('&amp;' last), and
-# Java/Python regex agree on every pattern used here (inline (?si) flags,
-# \b, lazy .*?).
-
-_BLOCK_SPLIT_PATTERN = rf"(?i)</?(?:{'|'.join(HTML_BLOCK_TAGS)})\b[^>]*/?>"
-_ANCHOR_PATTERN = r"(?si)<a\b[^>]*>(.*?)</a\s*>"
+# entity replacement applies in the same dict order ('&amp;' last), and the
+# pattern STRINGS are shared verbatim — Java gets inline (?si) flags where
+# the pandas side compiled with re.S/re.I, and Java's ASCII \b/\s match the
+# pandas side's re.ASCII compilation.
 
 
 def _clean_text_col(x) -> F.Column:
-    t = F.regexp_replace(x, "<[^>]+>", " ")
+    t = F.regexp_replace(x, TAG_STRIP_PATTERN, " ")
     for ent, ch in HTML_ENTITIES.items():
-        t = F.regexp_replace(t, ent, ch)
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+        t = F.regexp_replace(t, re.escape(ent), ch)
+    return F.trim(F.regexp_replace(t, WS_RUN, " "))
 
 
 def html_main_text_col(payload) -> F.Column:
     """Main-content text as ONE codegen'd expression tree (no Python)."""
     c = F.coalesce(payload, F.lit(""))
-    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
-    for tag in (*HTML_STRIP_CONTENT_TAGS, *HTML_BOILERPLATE_CONTAINERS):
-        c = F.regexp_replace(c, rf"(?si)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
-    frags = F.split(c, _BLOCK_SPLIT_PATTERN)
+    c = F.regexp_replace(c, f"(?s){COMMENT_PATTERN}", " ")
+    for p in CONTAINER_PATTERNS:
+        c = F.regexp_replace(c, f"(?si){p}", " ")
+    frags = F.split(c, f"(?i){BLOCK_SPLIT_PATTERN}")
 
     def link_chars(frag):
-        inners = F.regexp_extract_all(frag, F.lit(_ANCHOR_PATTERN), 1)
+        inners = F.regexp_extract_all(frag, F.lit(f"(?si){ANCHOR_PATTERN}"), 1)
         return F.aggregate(
             inners,
             F.lit(0),

@@ -13,6 +13,16 @@ concat is ``array_join`` over the match array (which preserves document
 order, exactly like the reference consumes blocks in service-returned order).
 No Python in this path: at 100 TB the OCR decode is a pure JVM map stage.
 
+Degradation contract (formats.py): the block payload is the maximal
+base64-alphabet run after the PAGE marker; a block decodes iff that run is
+CANONICAL base64 AND valid UTF-8, else it is SKIPPED. This matters twice
+over at scale: Spark's ``unbase64`` RAISES on an interior '=' and ``decode``
+raises MALFORMED_CHARACTER_CODING under ANSI — on a 100 TB crawl one
+corrupt scan block must kill neither the task nor the readable pages
+around it. The UTF-8 gate is ``is_valid_utf8`` over the binary
+reinterpreted as a string (binary->string cast does not validate), keeping
+the whole path codegen'd.
+
 ``ocr_decode_udf`` is the Arrow-vectorized equivalent kept for parity tests
 and as the extension point for real image decoding (see multimodal.py).
 """
@@ -25,13 +35,16 @@ import re
 import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
-from cies_ocr_java_spark.formats import OCR_MARKER
+from cies_ocr_java_spark.formats import B64_CANONICAL, B64_TOKEN, OCR_MARKER, WS_RUN
 
 # Only PAGE blocks contribute text — the BlockType.PAGE filter (P5) fused
-# into the extraction regex.
-_PAGE_BLOCK_PATTERN = rf"{re.escape(OCR_MARKER)} PAGE (\S+)"
+# into the extraction regex. The capture is the maximal b64-alphabet run:
+# trailing garbage (or a Java/Python \S-vs-unicode disagreement) can never
+# change WHAT gets captured, only whether the canonical check passes.
+_PAGE_BLOCK_PATTERN = rf"{re.escape(OCR_MARKER)} PAGE {B64_TOKEN}"
 _PAGE_RE = re.compile(_PAGE_BLOCK_PATTERN)
-_WS_RE = re.compile(r"\s+")
+_CANONICAL_RE = re.compile(rf"^{B64_CANONICAL}$")
+_WS_RE = re.compile(WS_RUN)
 
 
 def _col(c: Column | str) -> Column:
@@ -41,12 +54,15 @@ def _col(c: Column | str) -> Column:
 def ocr_text_col(payload: Column | str) -> Column:
     """Decode PAGE blocks in document order and join with ' ', normalized.
 
-    array_join(transform(regexp_extract_all(...), decode∘unbase64)) — the
-    whole OCR retrieval+filter+concat contract as one codegen'd expression.
-    """
+    array_join(filter(transform(filter(regexp_extract_all(...))))) — the
+    whole OCR retrieval+filter+concat contract as one codegen'd expression:
+    non-canonical b64 blocks and invalid-UTF-8 blocks are dropped, never
+    raised (degradation contract)."""
     blocks = F.regexp_extract_all(_col(payload), F.lit(_PAGE_BLOCK_PATTERN), 1)
-    decoded = F.transform(blocks, lambda b: F.decode(F.unbase64(b), "UTF-8"))
-    return F.trim(F.regexp_replace(F.array_join(decoded, " "), r"\s+", " "))
+    canonical = F.filter(blocks, lambda b: b.rlike(rf"^{B64_CANONICAL}$"))
+    decoded = F.transform(canonical, lambda b: F.unbase64(b).cast("string"))
+    valid = F.filter(decoded, F.is_valid_utf8)
+    return F.trim(F.regexp_replace(F.array_join(valid, " "), WS_RUN, " "))
 
 
 def ocr_block_count(payload: Column | str) -> Column:
@@ -57,20 +73,29 @@ def ocr_block_count(payload: Column | str) -> Column:
 # --- pandas-UDF parity path ------------------------------------------------
 
 
+def _decode_one(b: str) -> str | None:
+    """One block per the degradation contract: canonical b64 + valid UTF-8,
+    else None (skipped)."""
+    if not _CANONICAL_RE.fullmatch(b):
+        return None
+    try:
+        return base64.b64decode(b).decode("utf-8")
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
 def _decode_ocr_batch(payload: pd.Series) -> pd.Series:
     s = payload.fillna("")
     rid = pd.RangeIndex(len(s))
     s.index = rid
     matches = s.str.extractall(_PAGE_BLOCK_PATTERN)[0]
     if len(matches):
-        decoded = matches.map(
-            lambda b: base64.b64decode(b).decode("utf-8", errors="replace")
-        )
+        decoded = matches.map(_decode_one).dropna()
         joined = decoded.groupby(level=0).agg(" ".join)
     else:
         joined = pd.Series(dtype="object")
     out = joined.reindex(rid).fillna("")
-    return out.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return out.str.replace(_WS_RE, " ", regex=True).str.strip(" ")
 
 
 @F.pandas_udf(T.StringType())

@@ -30,10 +30,15 @@ from cies_ocr_java_spark.formats import (
     PAGE_MARKER,
     PDF_HEADER,
     PDF_EOF,
+    TJ_PATTERN,
+    WS_RUN,
 )
 
-# (escaped-literal) Tj — the show-text operator; escapes: \( \) \\
-_TJ_PATTERN = r"\(((?:[^()\\]|\\.)*)\) Tj"
+# (escaped-literal) Tj — the show-text operator (degradation-contract
+# semantics: see formats.py; the escape tail excludes line terminators so
+# Java and Python regex agree). Only \\ \( \) unescape; any other escape
+# survives verbatim.
+_TJ_PATTERN = TJ_PATTERN
 _UNESCAPE_PATTERN = r"\\([\\()])"
 
 
@@ -42,7 +47,9 @@ def _col(c: Column | str) -> Column:
 
 
 def _norm(c: Column) -> Column:
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    # WS_RUN, not \s: Java \s is ASCII-only and the Python-side
+    # implementations must match it exactly (degradation contract rule 5)
+    return F.trim(F.regexp_replace(c, WS_RUN, " "))
 
 
 def pdf_layer_cols(payload: Column | str) -> dict[str, Column]:
@@ -84,7 +91,7 @@ _PDF_STRUCT = T.StructType(
 
 _TJ_RE = re.compile(_TJ_PATTERN)
 _UNESC_RE = re.compile(_UNESCAPE_PATTERN)
-_WS_RE = re.compile(r"\s+")
+_WS_RE = re.compile(WS_RUN)
 
 
 def _extract_pdf_batch(payload: pd.Series) -> pd.DataFrame:
@@ -102,7 +109,9 @@ def _extract_pdf_batch(payload: pd.Series) -> pd.DataFrame:
     else:
         joined = pd.Series(dtype="object")
     text = joined.reindex(rid).fillna("")
-    text = text.str.replace(_WS_RE, " ", regex=True).str.strip()
+    # strip(" "): Spark's trim removes SPACES only; .strip() would also eat
+    # non-ASCII whitespace (e.g. \xa0) and diverge from the JVM path
+    text = text.str.replace(_WS_RE, " ", regex=True).str.strip(" ")
 
     pages = s.str.count(re.escape(PAGE_MARKER)).astype("int32")
     malformed = (

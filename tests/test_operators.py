@@ -140,3 +140,68 @@ def test_html_jvm_and_udf_paths_agree_on_corpus(spark, corpus_dir):
     want = list(extract_main_text_batch(pd.Series(raw, dtype=object)))
     assert len(got) > 20
     assert got == want
+
+
+def test_adversarial_three_way_parity_on_spark(spark):
+    """Degradation contract, end to end on the JVM: for a deterministic
+    sample of hostile payloads (the fixture generator's adversarial tier),
+    the codegen column paths, the Arrow batch paths, and the char-walk
+    oracle must produce IDENTICAL results — Java-vs-Python regex semantics
+    (\\s, \\b, '.', quote-aware tags, canonical base64, UTF-8 gates) are
+    exactly where they silently diverge if unpinned."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cies_ocr_java_spark.operators.html_extract import (
+        extract_main_text_batch,
+        html_main_text_col,
+    )
+    from cies_ocr_java_spark.operators.ocr_mock import (
+        _decode_ocr_batch,
+        ocr_text_col,
+    )
+    from cies_ocr_java_spark.operators.pdf_extract import pdf_layer_cols
+    from tools import oracle
+    from tools.make_fixtures import (
+        build_html_adversarial,
+        build_mixed_encoding,
+        build_pdf_adversarial,
+        build_truncated,
+    )
+
+    rng = random.Random(20240817)
+    pdfs, htmls = [], []
+    for _ in range(60):
+        pdfs.append(build_pdf_adversarial(rng, "x")[0]["text"])
+        pdfs.append(build_truncated(rng, "x")[0]["text"])
+        htmls.append(build_html_adversarial(rng, "x")[0]["text"])
+        s = build_mixed_encoding(rng, "x")[0]
+        (htmls if s["kind"] == "html" else pdfs).append(s["text"])
+
+    pdf_df = spark.createDataFrame(list(enumerate(pdfs)), "i int, p string")
+    cols = pdf_layer_cols(F.col("p"))
+    for r in pdf_df.select(
+        "i", cols["pdf_text"].alias("t"), cols["page_count"].alias("pc"),
+        cols["pdf_malformed"].alias("m"), ocr_text_col(F.col("p")).alias("o"),
+    ).collect():
+        want = oracle.parse_pdf(pdfs[r["i"]])
+        assert r["t"] == want["text"], pdfs[r["i"]][:200]
+        assert r["pc"] == want["page_count"]
+        assert bool(r["m"]) == want["malformed"]
+        assert r["o"] == want["ocr_text"], pdfs[r["i"]][:200]
+    batch = _extract_pdf_batch(pd.Series(pdfs))
+    ocr_batch = _decode_ocr_batch(pd.Series(pdfs))
+    for i, p in enumerate(pdfs):
+        want = oracle.parse_pdf(p)
+        assert batch.iloc[i]["pdf_text"] == want["text"]
+        assert ocr_batch.iloc[i] == want["ocr_text"]
+
+    html_df = spark.createDataFrame(list(enumerate(htmls)), "i int, p string")
+    for r in html_df.select(
+        "i", html_main_text_col(F.col("p")).alias("t")
+    ).collect():
+        assert r["t"] == oracle.extract_html(htmls[r["i"]]), htmls[r["i"]][:250]
+    hb = extract_main_text_batch(pd.Series(htmls))
+    for i, h in enumerate(htmls):
+        assert hb.iloc[i] == oracle.extract_html(h)

@@ -94,3 +94,73 @@ def test_ocr_block_order_and_filter(blocks):
     got = _decode_ocr_batch(pd.Series([payload])).iloc[0]
     want = oracle.parse_pdf(payload)["ocr_text"]
     assert got == want
+
+
+# --- adversarial tier: the degradation contract (formats.py) ----------------
+# Soup strategies draw from hostile construct atoms — unterminated literals,
+# unbalanced parens/BT-ET, bad escapes, invalid base64/UTF-8 OCR blocks,
+# unclosed comments/quotes, attribute bombs, bogus markup, undecodable
+# entities, non-ASCII whitespace — and assert the Arrow-batch extractors
+# equal the char-walk oracle on EVERY composition.
+
+_PDF_HOSTILE = st.sampled_from([
+    "%PDF-1.4\n", "%%Page: 1\n", "%%EOF\n", "BT\n", "ET\n", "(", ")", " Tj",
+    "\\", "\\(", "\\)", "\\\\", "(text) Tj\n", "(a\\) Tj\n", "((nested) Tj\n",
+    "\n", "\r", "\x0b", "\xa0", " ", "word ", "\t",
+    "%%OCRBlock PAGE aGVsbG8=\n", "%%OCRBlock PAGE !!bad!!\n",
+    "%%OCRBlock PAGE /w==\n", "%%OCRBlock PAGE abc\n",
+    "%%OCRBlock PAGE a=b=\n", "%%OCRBlock WORD aGk=\n", "%%OCRBlock PAGE \n",
+    "junk (x) Tj more", "(unterminated", "\\(esc) Tj", "(\\z) Tj\n",
+    "%%Page:", "x%%EOF", "(a\\\rb) Tj", "(a\\\nb) Tj", "(ok) Tjx",
+    "(a\\b) Tj", "(caf\xe9 日本) Tj\n",
+])
+
+_HTML_HOSTILE = st.sampled_from([
+    "<p>", "</p>", "<div>", "</div>", "<nav>", "</nav>", "<script>",
+    "</script>", "<a href='/x'>", "<a>", "</a>", "plain words here ",
+    "<b>", "</b>", "<!-- comment -->", "<!-- unclosed", "-->",
+    '<p class="x>y">', "<p a='q>r'>", '<img alt="<p>">', "&amp;", "&lt;",
+    "&copy;", "&amp", "&#39;", "&#160;", "< notag", "<1abc>", "</ x>", "<",
+    ">", '"', "'", '<p a="unclosed', "\xa0", "\x0b", "\t", "\n",
+    "text with enough length to pass the block filter ", "<aside>",
+    "</aside>", "<table>", "<td>", "</td>", "</table>", "<li>", "<ul>",
+    "</ul>", "<NAV>", "</NAV>", "<navx>", "<pre>", "</pre>", "<prex>",
+    "<h1>", "</h1>", "<style>p{}</style>", "<?pi >", "<! decl >",
+    "<a href=x>link text</a>", "<footer>", "</footer>", "caf\xe9 日",
+])
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(_PDF_HOSTILE, min_size=1, max_size=25))
+def test_pdf_adversarial_matches_oracle(atoms):
+    payload = "".join(atoms)
+    got = _extract_pdf_batch(pd.Series([payload])).iloc[0]
+    want = oracle.parse_pdf(payload)
+    assert got["pdf_text"] == want["text"]
+    assert got["page_count"] == want["page_count"]
+    assert bool(got["pdf_malformed"]) == want["malformed"]
+    assert _decode_ocr_batch(pd.Series([payload])).iloc[0] == want["ocr_text"]
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(_HTML_HOSTILE, min_size=1, max_size=30))
+def test_html_adversarial_matches_oracle(atoms):
+    payload = "".join(atoms)
+    got = extract_main_text_batch(pd.Series([payload])).iloc[0]
+    assert got == oracle.extract_html(payload)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(max_size=200))
+def test_extractors_never_crash_on_arbitrary_text(payload):
+    """Totality: ANY string (not just grammar soup) must produce a defined
+    result from every extractor — crash-freedom is half the degradation
+    contract — and the Arrow batch must agree with the oracle on it."""
+    got = _extract_pdf_batch(pd.Series([payload])).iloc[0]
+    want = oracle.parse_pdf(payload)
+    assert got["pdf_text"] == want["text"]
+    assert bool(got["pdf_malformed"]) == want["malformed"]
+    assert _decode_ocr_batch(pd.Series([payload])).iloc[0] == want["ocr_text"]
+    assert extract_main_text_batch(pd.Series([payload])).iloc[0] == (
+        oracle.extract_html(payload)
+    )

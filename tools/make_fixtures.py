@@ -172,6 +172,83 @@ def build_giant(rng, doc_id):
     return [_span("pdf", make_pdf([""], ocr_pages=ocr), None, 0)]
 
 
+# Hostile construct soup for the adversarial tier (degradation contract,
+# formats.py): unbalanced BT/ET and parens, unterminated literals, escapes
+# before line terminators, invalid/non-canonical/non-UTF8 base64 OCR blocks,
+# mid-line markers; unclosed comments and quotes, attribute bombs (quoted
+# '>'), bogus markup ('<' + non-tag-start), undecodable entities, non-ASCII
+# whitespace. Every atom is DEFINED behavior — the oracle computes the
+# golden output and the engine must match it exactly.
+PDF_HOSTILE_ATOMS = [
+    "BT\n", "ET\n", "(", ")", " Tj", "\\", "\\(", "\\)", "\\\\",
+    "(text inside) Tj\n", "(a\\) b) Tj\n", "((nested) Tj\n", "(\\z odd esc) Tj\n",
+    "(unterminated literal", "junk (mid) Tj trailing", "(ok) Tjx\n",
+    "(a\\\rb) Tj\n", "(a\\\nb) Tj\n", "\r", "\x0b", "\xa0", "\t",
+    "%%OCRBlock PAGE !!notb64!!\n", "%%OCRBlock PAGE abc\n",
+    "%%OCRBlock PAGE /w==\n", "%%OCRBlock PAGE a=b=\n",
+    "%%OCRBlock PAGE aGVsbG8=\n", "%%OCRBlock WORD aGk=\n",
+    "%%OCRBlock PAGE \n", "stray %%Page: 9 mid-line ", "plain words ",
+]
+HTML_HOSTILE_ATOMS = [
+    "<p>", "</p>", "<div>", "</div>", "<nav>", "</nav>",
+    "<script>var x = '</p>';</script>", "<a href='/x'>", "</a>",
+    "long enough visible words to pass the min block filter ",
+    "<!-- closed comment -->", "<!-- unclosed comment tail",
+    '<p class="attr > bomb">', "<p a='q>r'>", '<img alt="<p>not a split">',
+    '<p a="unclosed quote', "&amp;", "&lt;tag&gt;", "&copy;", "&amp",
+    "&#160;", "< notag", "<1abc>", "</ x>", "<", ">", "\xa0", "\x0b",
+    "<NAV>upper</NAV>", "<navx>not nav</navx>", "<prex>not pre</prex>",
+    "<?pi junk >", "<! decl >", "<a href=x>linkfarm linkfarm</a>",
+]
+MIXED_ENCODING_WORDS = [
+    "caf\xe9", "na\xefve", "stra\xdfe", "日本語",
+    "русский", "étude",
+    "A\xa0B", "tab\there", "x\x0by", "emoji\U0001f600",
+]
+
+
+def build_pdf_adversarial(rng, doc_id):
+    """Well-formed envelope (header/page/EOF) around hostile middle content:
+    exercises extract-what-parses degradation, not the malformed gate."""
+    middle = "".join(
+        rng.choice(PDF_HOSTILE_ATOMS) for _ in range(rng.randint(4, 30))
+    )
+    payload = f"%PDF-1.4\n%%Page: 1\n{middle}\n%%EOF\n"
+    return [_span("pdf", payload, None, 0)]
+
+
+def build_html_adversarial(rng, doc_id):
+    soup = "".join(
+        rng.choice(HTML_HOSTILE_ATOMS) for _ in range(rng.randint(5, 40))
+    )
+    return [_span("html", soup, None, 0)]
+
+
+def build_truncated(rng, doc_id):
+    """A well-formed PDF cut at a random character — usually malformed
+    (no %%EOF), occasionally still well-formed (cut inside the trailing
+    newline); the oracle decides, the engine must agree either way."""
+    base = make_pdf(
+        [words(rng, rng.randint(30, 80))],
+        ocr_pages=[words(rng, 20)] if rng.random() < 0.5 else None,
+    )
+    cut = rng.randrange(1, len(base))
+    return [_span("pdf", base[:cut], None, 0)]
+
+
+def build_mixed_encoding(rng, doc_id):
+    """Non-ASCII content everywhere: text spans, HTML, and PDF literals.
+    Pins the ASCII-whitespace contract (\\xa0 is content, \\x0b collapses)
+    across the unicode range, CJK through combining marks."""
+    t = " ".join(rng.choice(MIXED_ENCODING_WORDS) for _ in range(rng.randint(5, 20)))
+    mode = rng.randrange(3)
+    if mode == 0:
+        return [_span("text", t, None, 0)]
+    if mode == 1:
+        return [_span("html", f"<html><body><p>{t} {t}</p></body></html>", None, 0)]
+    return [_span("pdf", make_pdf([t + " " + words(rng, 60)]), None, 0)]
+
+
 def build_malformed(rng, doc_id):
     mode = rng.randrange(4)
     if mode == 0:  # truncated pdf
@@ -194,16 +271,20 @@ def build_sniffed(rng, doc_id):
 
 
 CLASS_MIX = [
-    ("pdf_rich", 0.19, build_pdf_rich),
-    ("pdf_scanned", 0.19, build_pdf_scanned),
+    ("pdf_rich", 0.16, build_pdf_rich),
+    ("pdf_scanned", 0.16, build_pdf_scanned),
     ("pdf_boundary", 0.02, build_pdf_boundary),
-    ("html", 0.19, build_html),
+    ("html", 0.16, build_html),
     ("html_structured", 0.05, build_html_structured),
-    ("text", 0.09, build_text),
-    ("interleaved", 0.15, build_interleaved),
+    ("text", 0.07, build_text),
+    ("interleaved", 0.13, build_interleaved),
     ("giant", 0.02, build_giant),
     ("malformed", 0.04, build_malformed),
     ("sniffed", 0.04, build_sniffed),
+    ("pdf_adversarial", 0.04, build_pdf_adversarial),
+    ("html_adversarial", 0.04, build_html_adversarial),
+    ("truncated", 0.02, build_truncated),
+    ("mixed_encoding", 0.03, build_mixed_encoding),
     # dup pairs handled separately: 0.02
 ]
 

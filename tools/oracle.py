@@ -1,9 +1,18 @@
 """Independent single-threaded pure-Python oracle for the extraction pipeline.
 
 Implements the same SEMANTICS as the Spark engine but with deliberately
-different machinery (stdlib html.parser / line-walking PDF parse / explicit
-loops) so golden tests compare two independent implementations — the
-reference's test strategy upgraded with golden outputs (SURVEY.md §5).
+different machinery (explicit char-walking scanners and loops instead of
+vectorized regex/codegen) so golden tests compare two independent
+implementations — the reference's test strategy upgraded with golden
+outputs (SURVEY.md §5).
+
+The semantics are the degradation contract at the top of formats.py: every
+phase here is a hand-written scanner for the construct the engine matches
+with a (shared-constant) regex — leftmost-first, non-overlapping, restart
+one character after a failed attempt — so hostile inputs (unterminated
+literals, unbalanced parens, unclosed quotes/comments, bogus markup,
+invalid base64/UTF-8 OCR blocks, non-ASCII whitespace) degrade
+identically in all three implementations.
 
 Reference semantics implemented:
   * PDF text layer + page count  (DocumentExtractManager.java:438-461)
@@ -18,12 +27,13 @@ from __future__ import annotations
 
 import base64
 import re
-from html.parser import HTMLParser
 
 from cies_ocr_java_spark.formats import (
     ASSUMED_MAX_CHAR_PER_PAGE,
+    B64_CANONICAL,
     HTML_BLOCK_TAGS,
     HTML_BOILERPLATE_CONTAINERS,
+    HTML_ENTITIES,
     HTML_MAX_LINK_DENSITY,
     HTML_MIN_BLOCK_CHARS,
     HTML_STRIP_CONTENT_TAGS,
@@ -34,45 +44,117 @@ from cies_ocr_java_spark.formats import (
     PDF_HEADER,
 )
 
-_WS = re.compile(r"\s+")
+# ASCII whitespace — the Java \s set; .strip(" ") mirrors Spark's trim.
+_WS_CHARS = " \t\n\x0b\f\r"
+_WS = re.compile("[" + _WS_CHARS + "]+")
+_LINE_TERM = {"\n", "\r", "\u0085", "\u2028", "\u2029"}
+_B64_ALPHABET = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/="
+)
+_B64_CANON = re.compile(B64_CANONICAL)
+_WORD_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
 
 
 def norm(s: str) -> str:
-    return _WS.sub(" ", s).strip()
+    return _WS.sub(" ", s).strip(" ")
 
 
 # --- PDF -------------------------------------------------------------------
 
 
+def _scan_tj_literals(payload: str) -> list[str]:
+    """Char-walk scanner with the exact semantics of TJ_PATTERN: a literal
+    opens at '(', consumes non-paren chars or backslash escapes (an escape
+    before a line terminator fails the attempt), closes at an unescaped
+    ')' that must be followed by ' Tj'. A failed attempt restarts one
+    character later; a match resumes after ' Tj'."""
+    out: list[str] = []
+    i, n = 0, len(payload)
+    while i < n:
+        if payload[i] != "(":
+            i += 1
+            continue
+        j = i + 1
+        buf: list[str] = []
+        closed = False
+        while j < n:
+            ch = payload[j]
+            if ch == "\\":
+                if j + 1 < n and payload[j + 1] not in _LINE_TERM:
+                    buf.append(payload[j : j + 2])
+                    j += 2
+                    continue
+                break  # bad escape: this attempt fails
+            if ch == ")":
+                closed = True
+                break
+            if ch == "(":
+                break  # unescaped '(' inside: attempt fails
+            buf.append(ch)
+            j += 1
+        if closed and payload[j + 1 : j + 4] == " Tj":
+            out.append("".join(buf))
+            i = j + 4
+        else:
+            i += 1
+    return out
+
+
+def _unescape(lit: str) -> str:
+    """Only \\\\ \\( \\) unescape; any other backslash is content."""
+    out, i = [], 0
+    while i < len(lit):
+        if lit[i] == "\\" and i + 1 < len(lit) and lit[i + 1] in "\\()":
+            out.append(lit[i + 1])
+            i += 2
+        else:
+            out.append(lit[i])
+            i += 1
+    return "".join(out)
+
+
+def _scan_ocr_blocks(payload: str) -> list[str]:
+    """PAGE blocks in document order: after each '%%OCRBlock PAGE ' the
+    payload is the maximal base64-alphabet run; decoded iff canonical
+    base64 AND valid UTF-8, else skipped (degradation contract)."""
+    marker = f"{OCR_MARKER} PAGE "
+    out: list[str] = []
+    i = 0
+    n = len(payload)
+    while True:
+        k = payload.find(marker, i)
+        if k < 0:
+            break
+        j = k + len(marker)
+        m = j
+        while m < n and payload[m] in _B64_ALPHABET:
+            m += 1
+        token = payload[j:m]
+        if token:
+            i = m
+            if _B64_CANON.fullmatch(token):
+                try:
+                    out.append(base64.b64decode(token).decode("utf-8"))
+                except (ValueError, UnicodeDecodeError):
+                    pass
+        else:
+            i = k + 1
+    return out
+
+
 def parse_pdf(payload: str) -> dict:
-    """Line-walking parser: returns dict(text, page_count, ocr_text, malformed)."""
-    lines = payload.split("\n")
-    has_header = bool(lines) and lines[0].startswith(PDF_HEADER)
-    has_eof = any(ln.startswith(PDF_EOF) for ln in lines)
-    pages = sum(1 for ln in lines if ln.startswith(PAGE_MARKER))
-    tj_parts: list[str] = []
-    ocr_parts: list[str] = []
-    for ln in lines:
-        if ln.endswith(") Tj") and ln.startswith("("):
-            lit = ln[1:-4]
-            # char-walk unescape (independent of the engine's regex)
-            out, i = [], 0
-            while i < len(lit):
-                if lit[i] == "\\" and i + 1 < len(lit):
-                    out.append(lit[i + 1])
-                    i += 2
-                else:
-                    out.append(lit[i])
-                    i += 1
-            tj_parts.append("".join(out))
-        elif ln.startswith(f"{OCR_MARKER} PAGE "):
-            b64 = ln.split(" ", 2)[2]
-            ocr_parts.append(base64.b64decode(b64).decode("utf-8"))
+    """-> dict(text, page_count, ocr_text, malformed). Marker checks are
+    position-free (payload-level startswith / substring / occurrence
+    count), matching the engine's regex semantics exactly."""
     return {
-        "text": norm(" ".join(tj_parts)),
-        "page_count": pages,
-        "ocr_text": norm(" ".join(ocr_parts)),
-        "malformed": not has_header or not has_eof or pages == 0,
+        "text": norm(" ".join(_unescape(t) for t in _scan_tj_literals(payload))),
+        "page_count": payload.count(PAGE_MARKER),
+        "ocr_text": norm(" ".join(_scan_ocr_blocks(payload))),
+        "malformed": (
+            not payload.startswith(PDF_HEADER)
+            or PDF_EOF not in payload
+            or PAGE_MARKER not in payload
+        ),
     }
 
 
@@ -92,75 +174,199 @@ def extract_pdf(payload: str) -> tuple[str | None, str | None]:
 
 # --- HTML --------------------------------------------------------------------
 
-_BLOCK = set(HTML_BLOCK_TAGS)
-_EXCLUDE = set(HTML_BOILERPLATE_CONTAINERS) | set(HTML_STRIP_CONTENT_TAGS)
+_BLOCK_TAGS_LOWER = tuple(t.lower() for t in HTML_BLOCK_TAGS)
 
 
-class _MainContentParser(HTMLParser):
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
-        self.exclude_depth = 0
-        self.blocks: list[tuple[str, int]] = []  # (block text, link_chars)
-        self._chunks: list[str] = []
-        self._link_chars = 0
-        self._anchor_chunks: list[str] | None = None
+def _tag_end(s: str, lt: int) -> int:
+    """s[lt] == '<' and s[lt+1] is a tag-start char: return the index AFTER
+    the quote-aware closing '>', or -1 if the tag never closes (unclosed
+    quote / EOF) — in which case the '<' is character data."""
+    i = lt + 1
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == '"' or c == "'":
+            j = s.find(c, i + 1)
+            if j < 0:
+                return -1
+            i = j + 1
+        elif c == ">":
+            return i + 1
+        else:
+            i += 1
+    return -1
 
-    def _flush(self) -> None:
-        text = norm(" ".join(self._chunks))
-        if text or self._link_chars:
-            self.blocks.append((text, self._link_chars))
-        self._chunks = []
-        self._link_chars = 0
 
-    def handle_starttag(self, tag, attrs):
-        if tag in _EXCLUDE:
-            self.exclude_depth += 1
-            return
-        if self.exclude_depth:
-            return
-        if tag in _BLOCK:
-            self._flush()
-        elif tag == "a":
-            self._anchor_chunks = []
+def _is_tag_start(c: str) -> bool:
+    return c.isascii() and (c.isalpha() or c in "!?/")
 
-    def handle_endtag(self, tag):
-        if tag in _EXCLUDE:
-            self.exclude_depth = max(0, self.exclude_depth - 1)
-            return
-        if self.exclude_depth:
-            return
-        if tag in _BLOCK:
-            self._flush()
-        elif tag == "a" and self._anchor_chunks is not None:
-            self._link_chars += len(norm(" ".join(self._anchor_chunks)))
-            self._anchor_chunks = None
 
-    def handle_startendtag(self, tag, attrs):
-        if not self.exclude_depth and tag in _BLOCK:
-            self._flush()
+def _find_named_tag(s_lower: str, s: str, name: str, start: int,
+                    closing: bool = False) -> tuple[int, int]:
+    """Next occurrence of <name...> (or </name...>) with an ASCII word
+    boundary after the name and a quote-aware closing '>'. For closing
+    tags only WS is allowed before '>' (the engine's </tag\\s*> form).
+    Returns (tag_start, tag_end_exclusive) or (-1, -1)."""
+    pat = ("</" if closing else "<") + name
+    i = start
+    while True:
+        k = s_lower.find(pat, i)
+        if k < 0:
+            return -1, -1
+        after = k + len(pat)
+        if after < len(s) and s[after] in _WORD_CHARS:
+            i = k + 1
+            continue
+        if closing:
+            m = after
+            while m < len(s) and s[m] in _WS_CHARS:
+                m += 1
+            if m < len(s) and s[m] == ">":
+                return k, m + 1
+            i = k + 1
+            continue
+        end = _tag_end(s, k)
+        if end < 0:
+            i = k + 1
+            continue
+        return k, end
 
-    def handle_data(self, data):
-        if self.exclude_depth:
-            return
-        self._chunks.append(data)
-        if self._anchor_chunks is not None:
-            self._anchor_chunks.append(data)
 
-    def close(self):
-        super().close()
-        self._flush()
+def _strip_comments(s: str) -> str:
+    """Closed <!--...--> -> ' '; an unclosed '<!--' is left for the tag
+    phase (where '<!' opens a markup declaration)."""
+    out: list[str] = []
+    i = 0
+    while True:
+        k = s.find("<!--", i)
+        if k < 0:
+            out.append(s[i:])
+            break
+        m = s.find("-->", k + 4)
+        if m < 0:
+            out.append(s[i:])
+            break
+        out.append(s[i:k])
+        out.append(" ")
+        i = m + 3
+    return "".join(out)
+
+
+def _strip_container(s: str, tag: str) -> str:
+    """First-closing pair strip: <tag...> ... </tag> -> ' ', leftmost,
+    non-overlapping; an open tag without a close drops nothing here."""
+    out: list[str] = []
+    i = 0
+    sl = s.lower()
+    while True:
+        k, open_end = _find_named_tag(sl, s, tag, i)
+        if k < 0:
+            out.append(s[i:])
+            break
+        ck, close_end = _find_named_tag(sl, s, tag, open_end, closing=True)
+        if ck < 0:
+            # no close anywhere after: the regex can never match from any
+            # later open either, but later opens must still be re-tried
+            # (an earlier failed open does not consume them) — simply
+            # continue scanning one char later, like the regex engine.
+            out.append(s[i : k + 1])
+            i = k + 1
+            continue
+        out.append(s[i:k])
+        out.append(" ")
+        i = close_end
+    return "".join(out)
+
+
+def _split_blocks(s: str) -> list[str]:
+    """Split at block-level tag occurrences (open or close, quote-aware),
+    exactly like the engine's split regex — including matches that sit
+    inside another tag's attribute text, because regex has no context."""
+    frags: list[str] = []
+    i = last = 0
+    sl = s.lower()
+    n = len(s)
+    while i < n:
+        if s[i] != "<":
+            i += 1
+            continue
+        j = i + 1
+        if j < n and s[j] == "/":
+            j += 1
+        # longest-alternation semantics do not matter here: tag names are
+        # boundary-checked, so at most one block tag can match at i
+        name_start = j
+        m = j
+        while m < n and s[m].isascii() and (s[m].isalnum()):
+            m += 1
+        name = sl[name_start:m]
+        if name in _BLOCK_TAGS_LOWER and not (m < n and s[m] in _WORD_CHARS):
+            end = _tag_end(s, i)
+            if end > 0:
+                frags.append(s[last:i])
+                last = i = end
+                continue
+        i += 1
+    frags.append(s[last:])
+    return frags
+
+
+def _scan_anchors(frag: str) -> list[str]:
+    """Inner bodies of <a ...>...</a> pairs, first-closing, non-overlapping."""
+    out: list[str] = []
+    i = 0
+    fl = frag.lower()
+    while True:
+        k, open_end = _find_named_tag(fl, frag, "a", i)
+        if k < 0:
+            break
+        ck, close_end = _find_named_tag(fl, frag, "a", open_end, closing=True)
+        if ck < 0:
+            i = k + 1
+            continue
+        out.append(frag[open_end:ck])
+        i = close_end
+    return out
+
+
+def _strip_tags(s: str) -> str:
+    """'<' + [a-zA-Z!?/] + quote-aware body + '>' -> ' '; any other '<'
+    (including one whose tag never closes) is character data."""
+    out: list[str] = []
+    i = last = 0
+    n = len(s)
+    while i < n:
+        if s[i] == "<" and i + 1 < n and _is_tag_start(s[i + 1]):
+            end = _tag_end(s, i)
+            if end > 0:
+                out.append(s[last:i])
+                out.append(" ")
+                last = i = end
+                continue
+        i += 1
+    out.append(s[last:])
+    return "".join(out)
+
+
+def _clean(fragment: str) -> str:
+    t = _strip_tags(fragment)
+    for ent, ch in HTML_ENTITIES.items():  # '&amp;' last
+        t = t.replace(ent, ch)
+    return norm(t)
 
 
 def extract_html(payload: str) -> str:
-    p = _MainContentParser()
-    p.feed(payload)
-    p.close()
-    kept = [
-        text
-        for text, link_chars in p.blocks
-        if len(text) >= HTML_MIN_BLOCK_CHARS
-        and link_chars / max(len(text), 1) <= HTML_MAX_LINK_DENSITY
-    ]
+    s = _strip_comments(payload)
+    for tag in (*HTML_STRIP_CONTENT_TAGS, *HTML_BOILERPLATE_CONTAINERS):
+        s = _strip_container(s, tag)
+    kept: list[str] = []
+    for frag in _split_blocks(s):
+        text = _clean(frag)
+        if len(text) < HTML_MIN_BLOCK_CHARS:
+            continue
+        link_chars = sum(len(_clean(inner)) for inner in _scan_anchors(frag))
+        if link_chars / max(len(text), 1) <= HTML_MAX_LINK_DENSITY:
+            kept.append(text)
     return norm(" ".join(kept))
 
 
@@ -185,7 +391,10 @@ def extract_document(doc_id: str, spans: list[dict]) -> dict:
                 kind = "media"
             elif text is not None and text.startswith(PDF_HEADER):
                 kind = "pdf"
-            elif text is not None and re.match(r"^\s*<(!doctype\s+html|html)", text.lower()):
+            elif text is not None and re.match(
+                r"^[ \t\n\x0b\f\r]*<(!doctype[ \t\n\x0b\f\r]+html|html)",
+                text.lower(),
+            ):
                 kind = "html"
             else:
                 kind = "text"
