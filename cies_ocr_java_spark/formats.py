@@ -156,6 +156,21 @@ HTML_ENTITIES = {
 }
 
 
+# --- ANALYSIS-mode layout grammar (FeatureType.LAYOUT analog) --------------
+# The reference's second OCR mode (application.properties:3 'TextractMode
+# may be either DETECTION or ANALYSIS'; DocumentExtractManager.java:304-308
+# switches, 483-491 submits with FeatureType.LAYOUT). The synthetic stream
+# carries layout blocks as '%%OCRBlock LAYOUT_<TYPE> <b64>' lines. ANALYSIS
+# extraction keeps CONTENT block types in stream order and drops page
+# furniture — the layout upgrade over DETECTION's flat PAGE concat.
+# Same base64/UTF-8 degradation gates as PAGE blocks.
+OCR_MODE_DETECTION = "DETECTION"
+OCR_MODE_ANALYSIS = "ANALYSIS"
+LAYOUT_CONTENT_TYPES = ("TITLE", "SECTION_HEADER", "TEXT", "LIST", "TABLE")
+LAYOUT_FURNITURE_TYPES = ("HEADER", "FOOTER", "PAGE_NUMBER")
+LAYOUT_TYPES = (*LAYOUT_CONTENT_TYPES, *LAYOUT_FURNITURE_TYPES)
+
+
 def pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
@@ -169,10 +184,13 @@ def sufficiency_threshold(page_count: int) -> float:
 
 
 def make_pdf(pages_text: list[str], ocr_pages: list[str] | None = None,
-             truncated: bool = False, headerless: bool = False) -> str:
+             truncated: bool = False, headerless: bool = False,
+             layout_blocks: list[tuple[str, str]] | None = None) -> str:
     """Emit a synthetic-PDF payload. ``pages_text`` is the embedded text layer
     (one entry per page, possibly empty strings for scanned pages);
-    ``ocr_pages`` is the latent scanned content recoverable only via OCR."""
+    ``ocr_pages`` is the latent scanned content recoverable only via OCR;
+    ``layout_blocks`` is the ANALYSIS-mode stream — (LAYOUT type, text)
+    pairs in reading order, types from LAYOUT_TYPES."""
     lines: list[str] = []
     if not headerless:
         lines.append(PDF_HEADER)
@@ -190,6 +208,9 @@ def make_pdf(pages_text: list[str], ocr_pages: list[str] | None = None,
         first_word = ocr_text.split(" ", 1)[0] if ocr_text else ""
         wb64 = base64.b64encode(first_word.encode("utf-8")).decode("ascii")
         lines.append(f"{OCR_MARKER} WORD {wb64}")
+    for btype, btext in layout_blocks or []:
+        bb64 = base64.b64encode(btext.encode("utf-8")).decode("ascii")
+        lines.append(f"{OCR_MARKER} LAYOUT_{btype} {bb64}")
     if not truncated:
         lines.append(PDF_EOF)
     return "\n".join(lines) + "\n"

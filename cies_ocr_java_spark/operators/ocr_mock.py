@@ -35,7 +35,13 @@ import re
 import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
-from cies_ocr_java_spark.formats import B64_CANONICAL, B64_TOKEN, OCR_MARKER, WS_RUN
+from cies_ocr_java_spark.formats import (
+    B64_CANONICAL,
+    B64_TOKEN,
+    LAYOUT_CONTENT_TYPES,
+    OCR_MARKER,
+    WS_RUN,
+)
 
 # Only PAGE blocks contribute text — the BlockType.PAGE filter (P5) fused
 # into the extraction regex. The capture is the maximal b64-alphabet run:
@@ -68,6 +74,75 @@ def ocr_text_col(payload: Column | str) -> Column:
 def ocr_block_count(payload: Column | str) -> Column:
     """Number of PAGE blocks — drives batch-chunk metrics and skew salting."""
     return F.size(F.regexp_extract_all(_col(payload), F.lit(_PAGE_BLOCK_PATTERN), 1))
+
+
+# --- ANALYSIS mode (FeatureType.LAYOUT analog) -----------------------------
+# The reference's second OCR mode: submitDocumentToTextAnalysis with
+# FeatureType.LAYOUT (DocumentExtractManager.java:483-491), switched by
+# TextractMode (application.properties:3, 304-308). The synthetic stream
+# carries '%%OCRBlock LAYOUT_<TYPE> <b64>' blocks; ANALYSIS extraction
+# classifies them by block type and keeps CONTENT types in stream order,
+# dropping page furniture (HEADER/FOOTER/PAGE_NUMBER) — the layout-aware
+# upgrade over DETECTION's flat PAGE concat. Same canonical-base64 +
+# valid-UTF-8 degradation gates as the PAGE path.
+
+_LAYOUT_BLOCK_PATTERN = rf"{re.escape(OCR_MARKER)} LAYOUT_([A-Z_]+) {B64_TOKEN}"
+_LAYOUT_RE = re.compile(_LAYOUT_BLOCK_PATTERN)
+
+
+def ocr_layout_blocks_col(payload: Column | str) -> Column:
+    """ANALYSIS block stream: array<struct<block_type, text>> in document
+    order — raw decoded text, all LAYOUT types (consumers filter)."""
+    ms = F.regexp_extract_all(_col(payload), F.lit(_LAYOUT_BLOCK_PATTERN), 0)
+    ok = F.filter(
+        ms,
+        lambda m: F.regexp_extract(m, _LAYOUT_BLOCK_PATTERN, 2).rlike(
+            rf"^{B64_CANONICAL}$"
+        ),
+    )
+    blocks = F.transform(
+        ok,
+        lambda m: F.struct(
+            F.regexp_extract(m, _LAYOUT_BLOCK_PATTERN, 1).alias("block_type"),
+            F.unbase64(F.regexp_extract(m, _LAYOUT_BLOCK_PATTERN, 2))
+            .cast("string")
+            .alias("text"),
+        ),
+    )
+    return F.filter(blocks, lambda b: F.is_valid_utf8(b["text"]))
+
+
+def ocr_analysis_text_col(payload: Column | str) -> Column:
+    """ANALYSIS main text: CONTENT-type layout blocks joined in order,
+    normalized — furniture (HEADER/FOOTER/PAGE_NUMBER) dropped."""
+    content = F.filter(
+        ocr_layout_blocks_col(payload),
+        lambda b: b["block_type"].isin(*LAYOUT_CONTENT_TYPES),
+    )
+    joined = F.array_join(F.transform(content, lambda b: b["text"]), " ")
+    return F.trim(F.regexp_replace(joined, WS_RUN, " "))
+
+
+def _layout_blocks_batch(payload: pd.Series) -> pd.Series:
+    """pandas parity: one list[(block_type, text)] per row."""
+    def one(p: str) -> list[tuple[str, str]]:
+        out = []
+        for m in _LAYOUT_RE.finditer(p or ""):
+            text = _decode_one(m.group(2))
+            if text is not None:
+                out.append((m.group(1), text))
+        return out
+
+    return payload.map(one)
+
+
+def _analysis_ocr_batch(payload: pd.Series) -> pd.Series:
+    content = _layout_blocks_batch(payload).map(
+        lambda blocks: " ".join(
+            t for bt, t in blocks if bt in LAYOUT_CONTENT_TYPES
+        )
+    )
+    return content.str.replace(_WS_RE, " ", regex=True).str.strip(" ")
 
 
 # --- pandas-UDF parity path ------------------------------------------------

@@ -42,7 +42,10 @@ from cies_ocr_java_spark.operators.html_extract import (
     html_main_text_col,
     html_main_text_udf,
 )
-from cies_ocr_java_spark.operators.ocr_mock import ocr_text_col
+from cies_ocr_java_spark.operators.ocr_mock import (
+    ocr_analysis_text_col,
+    ocr_text_col,
+)
 from cies_ocr_java_spark.operators.pdf_extract import (
     pdf_layer_cols,
     pdf_layer_udf,
@@ -74,6 +77,7 @@ def span_level_extract(
     repartition_to: int | None = None,
     use_pdf_udf: bool = False,
     use_html_udf: bool = False,
+    ocr_mode: str = "DETECTION",
 ) -> DataFrame:
     """The extraction kernel BEFORE per-doc assembly: documents -> one row
     per span with its extracted output (_OUT_COLS). Stateless, so it runs
@@ -94,7 +98,15 @@ def span_level_extract(
     as the extension points where an open-grammar parser (or a real codec)
     would slot in; the UDF path masks its input with when(kind=..., payload)
     so non-matching rows ship a NULL through Arrow and Python cost stays
-    proportional to matching bytes only."""
+    proportional to matching bytes only.
+
+    ``ocr_mode`` mirrors the reference's TextractMode switch
+    (application.properties:3, DocumentExtractManager.java:304-308):
+    DETECTION concatenates PAGE blocks; ANALYSIS extracts via the
+    FeatureType.LAYOUT analog — CONTENT-typed layout blocks in order,
+    furniture dropped (operators/ocr_mock.py). Both are codegen'd."""
+    if ocr_mode not in ("DETECTION", "ANALYSIS"):
+        raise ValueError(f"unknown ocr_mode {ocr_mode!r}")
     spark = docs.sparkSession
     n = repartition_to or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -145,7 +157,11 @@ def span_level_extract(
         .when(is_html, html_out)
         .when(F.col("pdf_malformed"), F.lit(None).cast("string"))
         .when(sufficient, F.col("pdf_text"))
-        .otherwise(ocr_text_col(F.col("text")))
+        .otherwise(
+            ocr_analysis_text_col(F.col("text"))
+            if ocr_mode == "ANALYSIS"
+            else ocr_text_col(F.col("text"))
+        )
     )
     failed = F.col("invalid") | F.coalesce(F.col("pdf_malformed"), F.lit(False))
     error = (
@@ -181,6 +197,7 @@ def extract_spans(
     repartition_to: int | None = None,
     use_pdf_udf: bool = False,
     use_html_udf: bool = False,
+    ocr_mode: str = "DETECTION",
 ) -> DataFrame:
     """Full extraction transform: documents -> assembled per-doc output
     (doc_id, spans, text, failed, error, partition_id, used_ocr).
@@ -191,6 +208,7 @@ def extract_spans(
             repartition_to=repartition_to,
             use_pdf_udf=use_pdf_udf,
             use_html_udf=use_html_udf,
+            ocr_mode=ocr_mode,
         )
     )
 
@@ -217,6 +235,7 @@ def run(
     resume: bool = True,
     repartition_to: int | None = None,
     record_submitted: bool = False,
+    ocr_mode: str = "DETECTION",
 ) -> dict:
     """Execute the pipeline and commit snapshots. Returns run metrics.
 
@@ -291,7 +310,9 @@ def run(
     from pyspark.sql import Observation
 
     obs = Observation(f"extraction-metrics-{run_id}")
-    result = extract_spans(docs, repartition_to=repartition_to).observe(
+    result = extract_spans(
+        docs, repartition_to=repartition_to, ocr_mode=ocr_mode
+    ).observe(
         obs,
         F.count(F.lit(1)).alias("docs"),
         F.sum(F.size("spans")).alias("spans"),

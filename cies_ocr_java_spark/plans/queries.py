@@ -1020,6 +1020,64 @@ def extract_pdf_ocr_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_ocr_layout",
+    f"""
+    WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)
+    SELECT doc_id,
+           {_norm_sql("substr(t, 1, 24) || ' ' || substr(t, 25, 48)")} AS layout_text,
+           3 + CASE WHEN length(substr(t, 1, 24)) > 0 THEN 1 ELSE 0 END
+             + CASE WHEN length(substr(t, 25, 48)) > 0 THEN 1 ELSE 0 END AS n_blocks,
+           CASE WHEN length(substr(t, 1, 24)) > 0 THEN 1 ELSE 0 END
+             + CASE WHEN length(substr(t, 25, 48)) > 0 THEN 1 ELSE 0 END AS n_content_blocks
+    FROM n
+    """,
+)
+def extract_ocr_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYSIS-mode layout extraction (the reference's second OCR mode:
+    TextractMode=ANALYSIS submits with FeatureType.LAYOUT,
+    DocumentExtractManager.java:304-308, 483-491). Each doc becomes a
+    synthetic layout stream — TITLE + TEXT content carrying slices of the
+    doc text, HEADER/PAGE_NUMBER furniture, an unknown LAYOUT_BOGUS type,
+    and an invalid-base64 block — and the REAL block classifier must
+    recover exactly the content slices in order, keep the bogus type in
+    the block stream but not the text, and skip the undecodable block.
+    The oracle reconstructs everything algebraically from the source text
+    (empty slices emit no block — base64 of '' is not a grammar token)."""
+    from cies_ocr_java_spark.formats import LAYOUT_CONTENT_TYPES
+    from cies_ocr_java_spark.operators.ocr_mock import (
+        ocr_analysis_text_col,
+        ocr_layout_blocks_col,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    t = normalize_ws(F.col("text"))
+    payload = F.concat_ws(
+        "\n",
+        F.lit("%PDF-1.4"),
+        F.lit("%%Page: 1"),
+        F.concat(F.lit("%%OCRBlock LAYOUT_TITLE "), _b64_line(F.substring(t, 1, 24))),
+        F.concat(F.lit("%%OCRBlock LAYOUT_HEADER "),
+                 _b64_line(F.lit("page header furniture"))),
+        F.concat(F.lit("%%OCRBlock LAYOUT_TEXT "), _b64_line(F.substring(t, 25, 48))),
+        F.concat(F.lit("%%OCRBlock LAYOUT_PAGE_NUMBER "), _b64_line(F.lit("1"))),
+        F.concat(F.lit("%%OCRBlock LAYOUT_BOGUS "), _b64_line(F.lit("ignored"))),
+        F.lit("%%OCRBlock LAYOUT_TEXT !!notb64!!"),
+        F.lit("%%EOF"),
+        F.lit(""),
+    )
+    blocks = ocr_layout_blocks_col(payload)
+    content = F.filter(
+        blocks, lambda b: b["block_type"].isin(*LAYOUT_CONTENT_TYPES)
+    )
+    return d.select(
+        "doc_id",
+        ocr_analysis_text_col(payload).alias("layout_text"),
+        F.size(blocks).cast("int").alias("n_blocks"),
+        F.size(content).cast("int").alias("n_content_blocks"),
+    )
+
+
+@_register(
     "extract_html_maincontent",
     f"""
     SELECT doc_id, {_norm_sql('text')} AS main_text

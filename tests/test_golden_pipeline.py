@@ -92,3 +92,38 @@ def test_media_refs_preserved(result_rows, golden):
                 assert got["media_ref"] == s["media_ref"]
                 assert got["text"] is None
     assert n_media > 0, "corpus must include interleaved media docs"
+
+
+def test_analysis_mode_matches_oracle(spark, corpus_dir):
+    """The TextractMode switch (application.properties:3): running the
+    pipeline with ocr_mode='ANALYSIS' must route insufficient PDFs through
+    the FeatureType.LAYOUT analog — CONTENT layout blocks in order,
+    furniture dropped — and match the oracle run in the same mode on every
+    document. The corpus's scanned PDFs carry layout streams, so ANALYSIS
+    and DETECTION genuinely differ (asserted below)."""
+    import duckdb as _d  # noqa: F401 (kept for symmetry with module imports)
+
+    from tools import oracle
+    from tools.make_fixtures import generate
+
+    docs_py = generate(160, seed=42)
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in extract_spans(docs, ocr_mode="ANALYSIS").collect()
+    }
+    n_diff = 0
+    for d in docs_py:
+        want = oracle.extract_document(d["doc_id"], d["spans"], ocr_mode="ANALYSIS")
+        det = oracle.extract_document(d["doc_id"], d["spans"])
+        r = out[d["doc_id"]]
+        if want["status"] == "FAILED":
+            assert r["failed"], d["doc_id"]
+            continue
+        got = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        exp = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in want["spans"]]
+        assert got == exp, f"ANALYSIS span mismatch for {d['doc_id']}"
+        assert r["text"] == want["text"], d["doc_id"]
+        if want["text"] != det["text"]:
+            n_diff += 1
+    assert n_diff > 10, "ANALYSIS must actually differ from DETECTION on scanned docs"

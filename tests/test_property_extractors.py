@@ -113,6 +113,10 @@ _PDF_HOSTILE = st.sampled_from([
     "junk (x) Tj more", "(unterminated", "\\(esc) Tj", "(\\z) Tj\n",
     "%%Page:", "x%%EOF", "(a\\\rb) Tj", "(a\\\nb) Tj", "(ok) Tjx",
     "(a\\b) Tj", "(caf\xe9 日本) Tj\n",
+    "%%OCRBlock LAYOUT_TITLE aGVsbG8=\n", "%%OCRBlock LAYOUT_BOGUS aGk=\n",
+    "%%OCRBlock LAYOUT_TEXT !!bad!!\n", "%%OCRBlock LAYOUT_ x\n",
+    "%%OCRBlock LAYOUT_TEXT /w==\n", "%%OCRBlock LAYOUT_PAGE_NUMBER MQ==\n",
+    "%%OCRBlock LAYOUT_TEXT abc\n", "%%OCRBlock LAYOUT_SECTION_HEADER IHNwYWNlZCA=\n",
 ])
 
 _HTML_HOSTILE = st.sampled_from([
@@ -140,6 +144,18 @@ def test_pdf_adversarial_matches_oracle(atoms):
     assert got["page_count"] == want["page_count"]
     assert bool(got["pdf_malformed"]) == want["malformed"]
     assert _decode_ocr_batch(pd.Series([payload])).iloc[0] == want["ocr_text"]
+    # ANALYSIS mode: layout block stream + content text, same payload
+    from cies_ocr_java_spark.operators.ocr_mock import (
+        _analysis_ocr_batch,
+        _layout_blocks_batch,
+    )
+
+    assert _layout_blocks_batch(pd.Series([payload])).iloc[0] == (
+        oracle._scan_layout_blocks(payload)
+    )
+    assert _analysis_ocr_batch(pd.Series([payload])).iloc[0] == (
+        oracle.ocr_analysis_text(payload)
+    )
 
 
 @settings(max_examples=250, deadline=None)

@@ -75,7 +75,16 @@ def build_pdf_scanned(rng, doc_id):
     n_pages = rng.randint(1, 4)
     layer = [words(rng, rng.randint(0, 6)) for _ in range(n_pages)]  # thin layer
     ocr = [words(rng, rng.randint(40, 90)) for _ in range(n_pages)]
-    return [_span("pdf", make_pdf(layer, ocr_pages=ocr), None, 0)]
+    # ANALYSIS-mode layout stream alongside the PAGE blocks: a title, the
+    # page bodies as TEXT, and furniture the LAYOUT filter must drop.
+    # Inert under DETECTION (LAYOUT_ lines never match the PAGE pattern).
+    layout = [("TITLE", words(rng, rng.randint(3, 8)))]
+    for i, page in enumerate(ocr):
+        layout.append(("HEADER", f"page header {i + 1}"))
+        layout.append(("TEXT", page))
+        layout.append(("PAGE_NUMBER", str(i + 1)))
+    return [_span("pdf", make_pdf(layer, ocr_pages=ocr, layout_blocks=layout),
+                  None, 0)]
 
 
 def build_pdf_boundary(rng, doc_id):
@@ -188,6 +197,9 @@ PDF_HOSTILE_ATOMS = [
     "%%OCRBlock PAGE /w==\n", "%%OCRBlock PAGE a=b=\n",
     "%%OCRBlock PAGE aGVsbG8=\n", "%%OCRBlock WORD aGk=\n",
     "%%OCRBlock PAGE \n", "stray %%Page: 9 mid-line ", "plain words ",
+    "%%OCRBlock LAYOUT_TITLE aGVsbG8=\n", "%%OCRBlock LAYOUT_BOGUS aGk=\n",
+    "%%OCRBlock LAYOUT_TEXT !!bad!!\n", "%%OCRBlock LAYOUT_ x\n",
+    "%%OCRBlock LAYOUT_TEXT /w==\n", "%%OCRBlock LAYOUT_PAGE_NUMBER MQ==\n",
 ]
 HTML_HOSTILE_ATOMS = [
     "<p>", "</p>", "<div>", "</div>", "<nav>", "</nav>",

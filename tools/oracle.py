@@ -142,6 +142,59 @@ def _scan_ocr_blocks(payload: str) -> list[str]:
     return out
 
 
+_LAYOUT_TYPE_CHARS = set("ABCDEFGHIJKLMNOPQRSTUVWXYZ_")
+
+
+def _scan_layout_blocks(payload: str) -> list[tuple[str, str]]:
+    """ANALYSIS-mode layout blocks in order: after '%%OCRBlock LAYOUT_' a
+    maximal [A-Z_]+ type run, one space, then the b64 payload under the
+    same canonical+UTF-8 gates as PAGE blocks. -> [(block_type, text)]."""
+    marker = f"{OCR_MARKER} LAYOUT_"
+    out: list[tuple[str, str]] = []
+    i = 0
+    n = len(payload)
+    while True:
+        k = payload.find(marker, i)
+        if k < 0:
+            break
+        j = k + len(marker)
+        t = j
+        while t < n and payload[t] in _LAYOUT_TYPE_CHARS:
+            t += 1
+        btype = payload[j:t]
+        if not btype or t >= n or payload[t] != " ":
+            i = k + 1
+            continue
+        m = t + 1
+        b = m
+        while b < n and payload[b] in _B64_ALPHABET:
+            b += 1
+        token = payload[m:b]
+        if not token:
+            i = k + 1
+            continue
+        i = b
+        if _B64_CANON.fullmatch(token):
+            try:
+                out.append((btype, base64.b64decode(token).decode("utf-8")))
+            except (ValueError, UnicodeDecodeError):
+                pass
+    return out
+
+
+def ocr_analysis_text(payload: str) -> str:
+    """ANALYSIS main text: CONTENT layout blocks joined in order,
+    normalized; furniture dropped (FeatureType.LAYOUT analog)."""
+    from cies_ocr_java_spark.formats import LAYOUT_CONTENT_TYPES
+
+    return norm(
+        " ".join(
+            t for bt, t in _scan_layout_blocks(payload)
+            if bt in LAYOUT_CONTENT_TYPES
+        )
+    )
+
+
 def parse_pdf(payload: str) -> dict:
     """-> dict(text, page_count, ocr_text, malformed). Marker checks are
     position-free (payload-level startswith / substring / occurrence
@@ -373,9 +426,14 @@ def extract_html(payload: str) -> str:
 # --- whole-document oracle -----------------------------------------------------
 
 
-def extract_document(doc_id: str, spans: list[dict]) -> dict:
+def extract_document(doc_id: str, spans: list[dict],
+                     ocr_mode: str = "DETECTION") -> dict:
     """-> dict(doc_id, spans=[{kind,text,media_ref,order}]|None, text, status, error).
-    spans is None (and status FAILED) when any input span fails."""
+    spans is None (and status FAILED) when any input span fails.
+    ``ocr_mode`` mirrors TextractMode (application.properties:3): DETECTION
+    concatenates PAGE blocks; ANALYSIS keeps CONTENT layout blocks in order
+    and drops furniture (FeatureType.LAYOUT,
+    DocumentExtractManager.java:483-491)."""
     if not spans:
         return {
             "doc_id": doc_id, "spans": None, "text": None,
@@ -406,13 +464,18 @@ def extract_document(doc_id: str, spans: list[dict]) -> dict:
         if text is None:
             return _failed(doc_id, "invalid span: missing required payload")
         if kind == "pdf":
-            extracted, err = extract_pdf(text)
-            if err:
-                return _failed(doc_id, err)
-            if not pdf_sufficient(
-                parse_pdf(text)["text"], parse_pdf(text)["page_count"]
-            ):
+            p = parse_pdf(text)
+            if p["malformed"]:
+                return _failed(doc_id, "malformed pdf payload")
+            if pdf_sufficient(p["text"], p["page_count"]):
+                extracted = p["text"]
+            else:
                 used_ocr = True
+                extracted = (
+                    ocr_analysis_text(text)
+                    if ocr_mode == "ANALYSIS"
+                    else p["ocr_text"]
+                )
         elif kind == "html":
             extracted = extract_html(text)
         else:  # text (or sniffed text)
