@@ -54,11 +54,91 @@ HEADLINE = [
 ]
 
 
+def _measure_skew(spark, docs: int = 5000, mega_spans: int = 1200) -> dict | None:
+    """Task-time skew evidence for the salt-shuffle claim (BENCH gate):
+    extract a corpus with ONE mega-document whose spans would all land in
+    a single task without `repartition(P, doc_id, offset)`; report the
+    heaviest extraction stage's per-task executorRunTime p50/max from the
+    UI REST store. A healthy salt keeps max/median near 1; the unsalted
+    plan would show one task carrying the mega-doc (ratio ~ n_cores+).
+    Never fails the bench — returns None with the error recorded."""
+    import tempfile
+    import urllib.request
+
+    import cies_ocr_java_spark.plans.pipeline as pl
+    from tools.make_fixtures import generate, words, write_corpus
+    from cies_ocr_java_spark.formats import make_pdf
+
+    sc = spark.sparkContext
+    if not sc.uiWebUrl:
+        return {"error": "spark.ui disabled; no task metrics endpoint"}
+    try:
+        import random
+        import shutil
+
+        workdir = tempfile.mkdtemp(
+            prefix="cies-bench-skew-",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        corpus = generate(docs, seed=42)
+        rng = random.Random(7)
+        corpus.append({
+            "doc_id": "doc-mega",
+            "spans": [
+                {"kind": "pdf",
+                 "text": make_pdf([""], ocr_pages=[words(rng, 8) for _ in range(60)]),
+                 "media_ref": None, "offset": i}
+                for i in range(mega_spans)
+            ],
+        })
+        cdir = os.path.join(workdir, "corpus")
+        write_corpus(corpus, cdir)
+        src = spark.read.parquet(f"{cdir}/documents.parquet")
+
+        app = sc.applicationId
+        base = f"{sc.uiWebUrl}/api/v1/applications/{app}"
+
+        def _get(path):
+            with urllib.request.urlopen(f"{base}{path}") as r:
+                return json.load(r)
+
+        before = {s["stageId"] for s in _get("/stages?status=complete")}
+        t0 = time.time()
+        pl.extract_spans(src).write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        new = [s for s in _get("/stages?status=complete")
+               if s["stageId"] not in before]
+        shutil.rmtree(workdir, ignore_errors=True)
+        if not new:
+            return {"error": "no completed stages recorded"}
+        heavy = max(new, key=lambda s: s.get("executorRunTime", 0))
+        ts = _get(
+            f"/stages/{heavy['stageId']}/{heavy['attemptId']}/taskSummary"
+            "?quantiles=0.5,1.0"
+        )
+        p50, mx = ts["executorRunTime"]
+        return {
+            "docs": docs,
+            "mega_spans": mega_spans,
+            "wall_s": round(wall, 3),
+            "stage_id": heavy["stageId"],
+            "stage_tasks": heavy.get("numCompleteTasks"),
+            "task_ms_p50": round(p50, 1),
+            "task_ms_max": round(mx, 1),
+            "max_over_median": round(mx / max(p50, 1e-9), 2),
+        }
+    except Exception as e:  # pragma: no cover - diagnostics only
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark(app_name="bench")
+    # UI store on: the skew section reads per-task executorRunTime from the
+    # REST endpoint (metrics-collection overhead is negligible vs the query
+    # wall times measured here)
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
 
     # Warm-up, discarded (BASELINE.md protocol): run every headline query
     # once at the smallest SF so per-query timings measure the PLAN, not
@@ -83,6 +163,7 @@ def main() -> int:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    skew = _measure_skew(spark)
     print(
         json.dumps(
             {
@@ -91,6 +172,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "skew": skew,
             }
         )
     )

@@ -1,12 +1,13 @@
 """Multimodal (image/audio/video) column handling.
 
 Media payloads are opaque ``binary`` columns with typed metadata, processed
-via Arrow-batched ``mapInPandas`` — the Spark-side plumbing (schema,
-batching, partitioning) is real and tested; the actual codec step is STUBBED
-(no image/audio libraries in this environment) behind
-``decode_media_payload``: by default it raises NotImplementedError, and the
-pipeline uses ``fake_decode=True`` which derives deterministic pseudo-
-metadata from the bytes so the dataflow is exercisable end-to-end.
+via Arrow-batched ``mapInPandas``. The decode step goes through the
+``MediaCodec`` interface (below): the shipped implementations are the
+deterministic ``StubCodec`` (no image/audio libraries exist in this
+environment — SURVEY.md §7.0) and the ``NativeCodec`` placeholder that
+raises until a real PIL/ffmpeg-backed codec is registered on a cluster
+that has the libraries. The Spark-side plumbing — schema, batching,
+partitioning, failure rows — is real and identical for every codec.
 
 At scale: media bytes never leave the executor as Python objects row-by-row
 — Arrow ships whole batches, batch size bounded by
@@ -16,6 +17,7 @@ cannot blow the heap.
 
 from __future__ import annotations
 
+from abc import ABC, abstractmethod
 from collections.abc import Iterator
 
 import pandas as pd
@@ -23,50 +25,120 @@ from pyspark.sql import DataFrame, functions as F
 
 MEDIA_FEATURES_SCHEMA = (
     "media_ref string, n_bytes long, width int, height int, n_frames int, "
-    "mime string"
+    "mime string, error string"
 )
 
 
-def decode_media_payload(content: bytes) -> dict:
-    """REAL codec hook — wire PIL/ffmpeg here on a cluster with the libs.
+class MediaCodec(ABC):
+    """The codec contract: one Arrow batch of payloads in, one metadata
+    frame out.
 
-    Stubbed: this sandbox ships no image/audio libraries (SURVEY.md §7.0).
-    """
-    raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; use fake_decode=True for the deterministic stub"
-    )
+    ``decode_batch`` receives a pandas Series of ``bytes | None`` and MUST
+    return a DataFrame with columns (width, height, n_frames, mime, error),
+    one row per input IN ORDER. A payload that fails to decode produces a
+    FAILURE ROW — null metadata, ``error`` set — never an exception: on a
+    100 TB crawl one corrupt JPEG must not kill the task. Raising is
+    reserved for environment faults (the codec's library is missing),
+    which is a configuration error, not a data error."""
+
+    name: str = "abstract"
+
+    @abstractmethod
+    def decode_batch(self, content: pd.Series) -> pd.DataFrame:
+        ...
 
 
-def _fake_decode(n_bytes: pd.Series) -> pd.DataFrame:
+class StubCodec(MediaCodec):
     """Deterministic pseudo-decode: metadata derived from payload size.
-    Stands in for the codec so plumbing/partitioning/batching are testable."""
-    return pd.DataFrame(
-        {
-            "width": (n_bytes % 640).astype("int32"),
-            "height": ((n_bytes * 7) % 480).astype("int32"),
-            "n_frames": (1 + n_bytes % 5).astype("int32"),
-        }
-    )
+    Stands in for a real codec so plumbing/partitioning/batching/failure
+    rows are testable in a no-libs environment."""
+
+    name = "stub"
+
+    def decode_batch(self, content: pd.Series) -> pd.DataFrame:
+        n = content.map(lambda b: len(b) if b is not None else -1).astype("int64")
+        missing = n < 0
+        nb = n.clip(lower=0)
+        out = pd.DataFrame(
+            {
+                "width": (nb % 640).astype("Int32"),
+                "height": ((nb * 7) % 480).astype("Int32"),
+                "n_frames": (1 + nb % 5).astype("Int32"),
+                "mime": "application/octet-stream",
+                "error": pd.Series([None] * len(n), dtype="object"),
+            },
+            index=content.index,
+        )
+        out.loc[missing, ["width", "height", "n_frames"]] = pd.NA
+        out.loc[missing, "mime"] = None
+        out.loc[missing, "error"] = "missing payload"
+        return out
+
+
+class NativeCodec(MediaCodec):
+    """REAL codec hook — register a PIL/ffmpeg-backed implementation under
+    this name on a cluster that ships the libraries. Unavailable here."""
+
+    name = "native"
+
+    def decode_batch(self, content: pd.Series) -> pd.DataFrame:
+        raise NotImplementedError(
+            "media decoding requires image/audio libraries not present in "
+            "this environment; register a real MediaCodec as 'native' or "
+            "use the 'stub' codec"
+        )
+
+
+_CODEC_REGISTRY: dict[str, MediaCodec] = {}
+
+
+def register_codec(codec: MediaCodec) -> None:
+    """Register (or replace) a codec by its ``name`` — the pluggable seam
+    where a real decoder slots in without touching the Spark plumbing."""
+    _CODEC_REGISTRY[codec.name] = codec
+
+
+def get_codec(codec: str | MediaCodec) -> MediaCodec:
+    if isinstance(codec, MediaCodec):
+        return codec
+    try:
+        return _CODEC_REGISTRY[codec]
+    except KeyError:
+        raise KeyError(
+            f"no codec registered under {codec!r}; "
+            f"available: {sorted(_CODEC_REGISTRY)}"
+        ) from None
+
+
+register_codec(StubCodec())
+register_codec(NativeCodec())
+
+
+def decode_media_payload(content: bytes) -> dict:
+    """Single-payload convenience over the 'native' codec (kept for the
+    original extension-point contract; still raises in this sandbox)."""
+    row = get_codec("native").decode_batch(pd.Series([content])).iloc[0]
+    return row.to_dict()  # pragma: no cover - requires codec libs
 
 
 def extract_media_features(
     df: DataFrame,
     ref_col: str = "media_ref",
     content_col: str = "content",
-    fake_decode: bool = True,
+    codec: str | MediaCodec = "stub",
 ) -> DataFrame:
-    """(media_ref, content:binary) -> typed feature rows via mapInPandas."""
+    """(media_ref, content:binary) -> typed feature rows via mapInPandas.
+
+    ``codec`` is a registry name or a MediaCodec instance; decode failures
+    surface as rows with null metadata and ``error`` set (never a task
+    failure). The codec object is shipped to executors inside the closure
+    — implementations must be picklable and stateless."""
+    c = get_codec(codec)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes = pdf[content_col].map(lambda b: len(b) if b is not None else 0)
-            if fake_decode:
-                meta = _fake_decode(n_bytes.astype("int64"))
-            else:  # pragma: no cover - requires codec libs
-                meta = pd.DataFrame(
-                    [decode_media_payload(b) for b in pdf[content_col]]
-                )
+            meta = c.decode_batch(pdf[content_col])
             yield pd.DataFrame(
                 {
                     "media_ref": pdf[ref_col],
@@ -74,7 +146,8 @@ def extract_media_features(
                     "width": meta["width"],
                     "height": meta["height"],
                     "n_frames": meta["n_frames"],
-                    "mime": "application/octet-stream",
+                    "mime": meta["mime"],
+                    "error": meta["error"],
                 }
             )
 

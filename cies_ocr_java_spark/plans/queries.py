@@ -1252,7 +1252,8 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
            CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
            CAST(1 + octet_length(encode(text)) % 5 AS INTEGER) AS n_frames,
-           'application/octet-stream' AS mime
+           'application/octet-stream' AS mime,
+           CAST(NULL AS VARCHAR) AS error
     FROM documents
     """,
 )
@@ -1265,7 +1266,7 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
-    return extract_media_features(media, fake_decode=True)
+    return extract_media_features(media)
 
 
 # =========================================================================
@@ -1567,7 +1568,7 @@ def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize plumbing: decoded dims -> letterbox plan (integer
     scale, floored output dims) on whole Arrow batches via mapInPandas."""
-    feats = extract_media_features(_synth_media(spark, sf_dir), fake_decode=True)
+    feats = extract_media_features(_synth_media(spark, sf_dir))
     return plan_resize(feats, max_w=256, max_h=256)
 
 
@@ -1585,7 +1586,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stride 2), exploded inside the Arrow batch with numpy repeat — the
     video-frame fan-out a training-data pipeline does before per-frame
     featurization."""
-    feats = extract_media_features(_synth_media(spark, sf_dir), fake_decode=True)
+    feats = extract_media_features(_synth_media(spark, sf_dir))
     return sample_frames(feats, stride=2)
 
 
