@@ -8,6 +8,9 @@ Reference parity (SURVEY.md §2.6):
   F4 createTextResultId/createJsonResultId  Utility.java:108-118
   F6 getDocumentIdFromResultId  Utility.java:126-130 (reference impl is broken
      — split(".") is regex so it splits on every char; we implement the intent)
+  F7 getDescriptionFromHttpStatus  Utility.java:12-71,132-134 (the full
+     static status->description table; unknown code -> null, matching
+     Map.get)
   status coercion            DocumentExtractStatus.java:12-18 (unknown -> New)
 """
 
@@ -75,6 +78,42 @@ def json_result_id(c: Column | str) -> Column:
 def doc_id_from_result_id(c: Column | str) -> Column:
     """F6 (intended semantics): strip a trailing '.txt'/'.json'."""
     return F.regexp_replace(_col(c), r"\.(txt|json)$", "")
+
+
+# F7: the reference's HTTP status description table, verbatim
+# (Utility.java:14-70 — including its idiosyncrasies: 'Ok' not 'OK',
+# 'Moved temporarily' for 302, the 419/420 WebDAV-era codes).
+STATUS_DESCRIPTIONS = {
+    100: "Continue", 102: "Processing", 101: "Switching protocols",
+    200: "Ok", 201: "Created", 202: "Accepted", 204: "No content",
+    205: "Reset content", 206: "Partial content", 207: "Multi status",
+    300: "Multiple choices", 301: "Moved permanently",
+    302: "Moved temporarily", 303: "See other", 304: "Not modified",
+    305: "Use proxy", 307: "Temporary redirect",
+    400: "Bad request", 401: "Unauthorized", 402: "Payment required",
+    403: "Forbidden", 404: "Not found", 405: "Method not allowed",
+    406: "Not acceptable", 407: "Proxy authentication required",
+    408: "Request timeout", 409: "Conflict", 410: "Gone",
+    411: "Length required", 412: "Precondition failed",
+    413: "Request too long", 414: "Request URI too long",
+    415: "Unsupported media type", 416: "Request range not satisfiable",
+    417: "Expectation failed", 419: "Insufficient space on resource",
+    420: "Method failure", 422: "Unprocessable entity", 423: "Locked",
+    424: "Failed dependency", 429: "Too many requests",
+    500: "Internal server error", 501: "Not implemented",
+    502: "Bad gateway", 503: "Service unavailable", 504: "Gateway timeout",
+    505: "HTTP version not supported", 507: "Insufficient storage",
+}
+
+
+def http_status_description(code: Column | str) -> Column:
+    """F7: status code -> description; unknown -> null (Map.get semantics,
+    Utility.java:132-134). A map literal + try_element_at — constant-folded
+    JVM-side, no join, no UDF."""
+    pairs = [
+        x for k, v in STATUS_DESCRIPTIONS.items() for x in (F.lit(k), F.lit(v))
+    ]
+    return F.try_element_at(F.create_map(*pairs), _col(code).cast("int"))
 
 
 def coerce_status(c: Column | str) -> Column:

@@ -511,6 +511,45 @@ def mime_and_result_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _status_case_sql() -> str:
+    from cies_ocr_java_spark.functions.paths import STATUS_DESCRIPTIONS
+
+    whens = " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in STATUS_DESCRIPTIONS.items()
+    )
+    return f"CASE code {whens} ELSE NULL END"
+
+
+@_register(
+    "http_status_descriptions",
+    f"""
+    WITH c AS (SELECT CAST(o_orderkey % 620 AS INTEGER) AS code FROM orders)
+    SELECT code, count(*) AS n_requests,
+           {_status_case_sql()} AS status_description
+    FROM c GROUP BY code
+    """,
+)
+def http_status_descriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (Utility.java:12-71,132-134): the ALB response status-description
+    table as a constant-folded map lookup — codes derived from order keys
+    cover known AND unknown values (unknown -> null, Map.get semantics).
+    The oracle CASE is generated from the SAME table, so the comparison
+    pins the lookup expression, not a second copy of the data."""
+    from cies_ocr_java_spark.functions.paths import http_status_description
+
+    o = _t(spark, sf_dir, "orders")
+    c = o.select((F.col("o_orderkey") % 620).cast("int").alias("code"))
+    return (
+        c.groupBy("code")
+        .agg(F.count("*").alias("n_requests"))
+        .select(
+            "code",
+            "n_requests",
+            http_status_description(F.col("code")).alias("status_description"),
+        )
+    )
+
+
 @_register(
     "status_coercion",
     """

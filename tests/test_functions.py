@@ -103,3 +103,28 @@ def test_bpe_token_count(spark):
     assert out[4] == 12
     # letters/digits alternate: a | 2 | b
     assert out[5] == 3
+
+
+def test_http_status_description_f7(spark):
+    """F7 (Utility.java:12-71): known codes map to the reference's exact
+    strings (incl. 'Ok', 'Moved temporarily', 419/420); unknown and null
+    codes return null (Map.get)."""
+    from cies_ocr_java_spark.functions.paths import (
+        STATUS_DESCRIPTIONS,
+        http_status_description,
+    )
+
+    rows = [(200,), (302,), (419,), (420,), (999,), (None,)]
+    df = spark.createDataFrame(rows, "code int")
+    got = {
+        r["code"]: r["d"]
+        for r in df.select(
+            "code", http_status_description("code").alias("d")
+        ).collect()
+    }
+    assert got[200] == "Ok"
+    assert got[302] == "Moved temporarily"
+    assert got[419] == "Insufficient space on resource"
+    assert got[420] == "Method failure"
+    assert got[999] is None and got[None] is None
+    assert len(STATUS_DESCRIPTIONS) == 48
