@@ -2303,10 +2303,11 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@_register(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE {_SHINGLE_SQL},
+# Shared by dedup_clusters and dedup_clusters_star: both must produce the
+# SAME clusters — the recursive-CTE transitive closure is the oracle for
+# either connected-components algorithm.
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {{shingle}},
     sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
     bands AS ({_band_sql(8, 4)}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2326,8 +2327,10 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node AS doc_id, min(r) AS cluster_id,
            count(*) OVER (PARTITION BY min(r)) AS n_members
     FROM reach GROUP BY node
-    """,
-)
+    """
+
+
+@_register("dedup_clusters", _CLUSTERS_ORACLE.format(shingle=_SHINGLE_SQL))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash+LSH
     candidate pairs verified by exact Jaccard (the scale path — never the
@@ -2342,6 +2345,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(d, "text", "doc_id", _JACCARD_THR, k=8, bands=4)
     nodes = d.select(F.col("doc_id").alias("id"))
     labels = dedup.connected_components(pairs, nodes)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(w).alias("n_members"),
+    )
+
+
+@_register("dedup_clusters_star", _CLUSTERS_ORACLE.format(shingle=_SHINGLE_SQL))
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as dedup_clusters, computed by the large-star /
+    small-star alternation (Kiveris et al., SoCC'14;
+    operators/dedup.py:connected_components_star) — the ADVERSARIAL-graph
+    scale path: O(log^2 n) rounds regardless of component diameter, where
+    min-label propagation needs O(diameter). Shares the recursive-CTE
+    oracle with dedup_clusters: both algorithms must produce identical
+    components."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    pairs = dedup.minhash_dedup_pairs(d, "text", "doc_id", _JACCARD_THR, k=8, bands=4)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    labels = dedup.connected_components_star(pairs, nodes)
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("id").alias("doc_id"),

@@ -778,3 +778,73 @@ def test_prefix_filter_is_lossless_vs_brute_force(spark):
         for r in jaccard_pairs(df, "text", "doc_id", thr).collect()
     }
     assert got == expected and len(expected) >= 2
+
+
+def test_star_cc_matches_min_label_on_random_graphs(spark):
+    """connected_components_star must produce the identical labeling as
+    min-label propagation on random graphs (dense, sparse, with isolated
+    nodes) — both equal a Python union-find ground truth."""
+    import random
+
+    from cies_ocr_java_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(31)
+    for trial, (n, m) in enumerate([(30, 15), (40, 60), (25, 5), (12, 0)]):
+        ids = [f"t{trial}-n{i:03d}" for i in range(n)]
+        edges = [
+            tuple(rng.sample(ids, 2)) for _ in range(m)
+        ]
+        # union-find ground truth
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = {i: find(i) for i in ids}
+
+        nodes = spark.createDataFrame([(i,) for i in ids], "id string")
+        pairs = (
+            spark.createDataFrame(edges, "id_a string, id_b string")
+            if edges
+            else spark.createDataFrame([], "id_a string, id_b string")
+        )
+        star = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components_star(pairs, nodes).collect()
+        }
+        assert star == truth, f"trial {trial}: star != union-find"
+        minlab = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(pairs, nodes).collect()
+        }
+        assert star == minlab, f"trial {trial}: star != min-label"
+
+
+def test_star_cc_long_chain_converges_in_log_rounds(spark):
+    """The case the star alternation exists for: a 200-node chain has
+    diameter 199 (min-label would need ~200 rounds; its default max_iter
+    is 50), but the star alternation must label the whole chain within
+    its default 30-round budget."""
+    from cies_ocr_java_spark.operators.dedup import connected_components_star
+
+    ids = [f"c{i:04d}" for i in range(200)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(199)], "id_a string, id_b string"
+    )
+    nodes = spark.createDataFrame([(i,) for i in ids], "id string")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(pairs, nodes).collect()
+    }
+    assert set(got.values()) == {"c0000"}
+    assert len(got) == 200

@@ -57,30 +57,51 @@ def main() -> int:
         last_out = out
 
     # correctness gate in the same process: span-sequence equality vs golden.
-    # Only (doc_id, md5-of-canonical-json) crosses to the driver — full span
-    # payloads for a large corpus would exceed spark.driver.maxResultSize.
+    # Only (doc_id, md5-of-canonical-string) crosses to the driver — full
+    # span payloads for a large corpus would exceed
+    # spark.driver.maxResultSize. The canonical form is raw fields joined
+    # with \x01/\x02/\x03 sentinels (never emitted by the grammar), NOT
+    # JSON: Jackson (Spark to_json) and Python json.dumps escape unicode
+    # and control characters differently, so a JSON-text hash would flag
+    # false mismatches on the adversarial/mixed-encoding corpus tier even
+    # when the spans are identical.
     import hashlib
 
     got = SnapshotTable(os.path.join(last_out, "extracted_spans")).read(spark)
+    canon_col = F.array_join(
+        F.transform(
+            "spans",
+            lambda s: F.concat_ws(
+                "\x01",
+                F.coalesce(s["kind"], F.lit("\x02")),
+                F.coalesce(s["text"], F.lit("\x02")),
+                F.coalesce(s["media_ref"], F.lit("\x02")),
+                s["order"].cast("string"),
+            ),
+        ),
+        "\x03",
+    )
     got_pdf = got.select(
-        "doc_id", F.md5(F.to_json("spans")).alias("spans_hash")
+        "doc_id", F.md5(canon_col).alias("spans_hash")
     ).toPandas()
     con = duckdb.connect()
     exp = con.sql(
         f"""SELECT doc_id, spans FROM read_parquet('{args.input}/expected_spans.parquet')"""
     ).df()
-    import pandas as pd
+
+    _S = "\x02"
 
     def canon_exp(spans):
-        return json.dumps(
-            [
-                {k: v for k, v in
-                 {"kind": s["kind"], "text": s["text"],
-                  "media_ref": s["media_ref"], "order": int(s["order"])}.items()
-                 if v is not None}
-                for s in spans
-            ],
-            separators=(",", ":"),
+        return "\x03".join(
+            "\x01".join(
+                [
+                    s["kind"] if s["kind"] is not None else _S,
+                    s["text"] if s["text"] is not None else _S,
+                    s["media_ref"] if s["media_ref"] is not None else _S,
+                    str(int(s["order"])),
+                ]
+            )
+            for s in spans
         )
 
     exp_map = {
