@@ -133,3 +133,74 @@ def scrub_pii(text_col):
 
     no_email = F.regexp_replace(text_col, EMAIL_PATTERN, "<EMAIL>")
     return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
+
+
+# --- token-window document chunking (context-window prep) ------------------
+# The training/RAG preprocessing step: split each document into overlapping
+# windows of CHUNK_TOKENS whitespace tokens with CHUNK_OVERLAP carried
+# between neighbors. Chunk rule (shared by the codegen path, the UDTF
+# parity path, and the DuckDB oracle): starts = 0, step, 2*step, ... with
+# step = tokens - overlap; a start s > 0 is kept only if s + overlap < n
+# (every chunk past the first must contribute at least one NEW token —
+# without this, a doc longer than one stride but shorter than a full
+# window emits a suffix chunk wholly contained in its predecessor).
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_text_col(c: Column | str, chunk_tokens: int = CHUNK_TOKENS,
+                   overlap: int = CHUNK_OVERLAP) -> Column:
+    """array<struct<chunk_idx,n_tokens,chunk>> — the SCALE path: sequence +
+    filter + slice as one codegen'd expression, no Python, no shuffle.
+    Callers should filter empty-normalized-text rows first (a zero-token
+    doc has no chunks)."""
+    step = chunk_tokens - overlap
+    assert step > 0
+    toks = F.split(normalize_ws(c), " ")
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(step)),
+        lambda s: (s == 0) | (s + overlap < n),
+    )
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / step).cast("int").alias("chunk_idx"),
+            F.least(n - s, F.lit(chunk_tokens)).cast("int").alias("n_tokens"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk"),
+        ),
+    )
+
+
+def make_chunk_udtf(chunk_tokens: int = CHUNK_TOKENS,
+                    overlap: int = CHUNK_OVERLAP):
+    """Python UDTF with the identical chunk rule — the §2.8 table-function
+    surface (SELECT ... FROM docs, LATERAL chunk_text(text)). This is the
+    SLOW path (row-at-a-time Python, no Arrow batching): it exists as the
+    parity reference and as the extension point for chunkers a column
+    expression can't express (real tokenizers, sentence-boundary models);
+    production chunking is chunk_text_col. Register with
+    spark.udtf.register(name, make_chunk_udtf())."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    step = chunk_tokens - overlap
+    assert step > 0
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk string")
+    class ChunkText:
+        def eval(self, text: str):
+            norm = ws.sub(" ", text or "").strip(" ")
+            if not norm:
+                return
+            toks = norm.split(" ")
+            n = len(toks)
+            for i, s in enumerate(range(0, n, step)):
+                if s > 0 and s + overlap >= n:
+                    break
+                window = toks[s : s + chunk_tokens]
+                yield i, len(window), " ".join(window)
+
+    return ChunkText

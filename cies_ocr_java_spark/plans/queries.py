@@ -3168,3 +3168,48 @@ def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _synth_media(spark, sf_dir)
     feats = extract_media_features(m)
     return plan_audio_chunks(feats, _CHUNK_MS, _CHUNK_OVERLAP_MS)
+
+
+_CHUNK_W = 64
+_CHUNK_O = 16
+_CHUNK_STEP_W = _CHUNK_W - _CHUNK_O
+
+
+@_register(
+    "text_chunks",
+    f"""
+    WITH nn AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    tok AS (SELECT doc_id, string_split(t, ' ') AS w,
+                   len(string_split(t, ' ')) AS n
+            FROM nn WHERE length(t) > 0),
+    st AS (SELECT doc_id, w, n, unnest(range(0, n, {_CHUNK_STEP_W})) AS s
+           FROM tok)
+    SELECT doc_id,
+           CAST(s / {_CHUNK_STEP_W} AS INTEGER) AS chunk_idx,
+           CAST(least(n - s, {_CHUNK_W}) AS INTEGER) AS n_tokens,
+           array_to_string(w[s + 1:s + {_CHUNK_W}], ' ') AS chunk
+    FROM st WHERE s = 0 OR s + {_CHUNK_O} < n
+    """,
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (context-window prep for training/
+    RAG): overlapping 64-token windows, 16 tokens carried between
+    neighbors, as ONE codegen'd sequence+filter+slice expression
+    (functions/text.py:chunk_text_col — zero Python; the Python-UDTF
+    parity path make_chunk_udtf covers the SQL table-function surface and
+    is pinned equal in tests). Chunk rule documented at the function: a
+    start past 0 must contribute at least one new token."""
+    from cies_ocr_java_spark.functions.text import chunk_text_col
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    t = normalize_ws(F.col("text"))
+    return (
+        d.where(F.length(t) > 0)
+        .select("doc_id", F.explode(chunk_text_col(F.col("text"))).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk").alias("chunk"),
+        )
+    )

@@ -128,3 +128,66 @@ def test_http_status_description_f7(spark):
     assert got[420] == "Method failure"
     assert got[999] is None and got[None] is None
     assert len(STATUS_DESCRIPTIONS) == 48
+
+
+def test_chunk_udtf_matches_codegen_path(spark, corpus_dir):
+    """§2.8 UDTF surface: the Python table function (LATERAL chunk_text)
+    must produce exactly the codegen chunker's rows on the fixture corpus
+    texts (incl. adversarial/mixed-encoding docs), and the chunk rule's
+    edge cases hold: overlap carried, no wholly-contained suffix chunk,
+    empty text yields no rows."""
+    from pyspark.sql import functions as F
+
+    from cies_ocr_java_spark.functions.text import (
+        chunk_text_col,
+        make_chunk_udtf,
+        normalize_ws,
+    )
+    from cies_ocr_java_spark.plans.pipeline import extract_spans
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    texts = (
+        extract_spans(docs)
+        .where(~F.col("failed"))
+        .select("doc_id", "text")
+        .where(F.length(normalize_ws(F.col("text"))) > 0)
+    )
+    texts.createOrReplaceTempView("chunk_src")
+    spark.udtf.register("chunk_text_udtf", make_chunk_udtf())
+
+    codegen = {
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk"])
+        for r in texts.select(
+            "doc_id", F.explode(chunk_text_col(F.col("text"))).alias("c")
+        )
+        .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk")
+        .collect()
+    }
+    via_udtf = {
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk"])
+        for r in spark.sql(
+            "SELECT s.doc_id, u.* FROM chunk_src s, LATERAL chunk_text_udtf(s.text) u"
+        ).collect()
+    }
+    assert codegen == via_udtf and len(codegen) > 100
+
+    # edge cases: a doc longer than one stride but within a window (n=60:
+    # starts 0 and 48, but chunk@48 would be wholly inside chunk@0) must
+    # emit ONE chunk; n=65 legitimately emits a second chunk carrying the
+    # one token chunk 0 cannot hold; overlap is carried between chunks.
+    one = spark.createDataFrame(
+        [("e1", " ".join(f"w{i}" for i in range(60))),
+         ("e1b", " ".join(f"w{i}" for i in range(65))),
+         ("e2", " ".join(f"w{i}" for i in range(81)))],
+        "doc_id string, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in one.select(
+            "doc_id", F.explode(chunk_text_col(F.col("text"))).alias("c")
+        ).select("doc_id", "c.*").collect()
+    }
+    assert ("e1", 1) not in out and out[("e1", 0)]["n_tokens"] == 60
+    assert ("e1b", 1) in out and out[("e1b", 1)]["n_tokens"] == 17
+    assert ("e2", 1) in out and out[("e2", 1)]["n_tokens"] == 33
+    assert out[("e2", 1)]["chunk"].split(" ")[0] == "w48"  # overlap carried
