@@ -3213,3 +3213,81 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.chunk").alias("chunk"),
         )
     )
+
+
+@_register(
+    "doc_length_median_udaf",
+    """
+    SELECT lang,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_length_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF surface (§2.8): a GROUPED_AGG pandas UDF computing the
+    per-language exact median document length over Arrow batches. Median
+    is deliberately the demo aggregate — it is NOT algebraic (no partial
+    aggregation exists), which is precisely when a pandas UDAF is the
+    right tool; every decomposable aggregate should stay a built-in
+    (map-side combinable, codegen). Exact because n_chars is integral:
+    numpy's median (midpoint of two ints) and DuckDB's agree bitwise.
+    At scale note: a grouped-agg pandas UDF shuffles the FULL group to
+    one executor — fine for per-language groups (bounded count), wrong
+    for unbounded-cardinality keys."""
+    from pyspark.sql.functions import PandasUDFType
+
+    def _median(v):
+        return float(v.median())
+
+    # explicit GROUPED_AGG functionType: the module-wide `from __future__
+    # import annotations` stringifies type hints, so signature inference
+    # cannot see pd.Series here
+    median_udaf = F.pandas_udf(_median, "double", PandasUDFType.GROUPED_AGG)
+    # Spark refuses to mix pandas and non-pandas aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas UDAF too
+    count_udaf = F.pandas_udf(
+        lambda v: len(v), "long", PandasUDFType.GROUPED_AGG
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        median_udaf(F.col("n_chars")).alias("median_chars"),
+        count_udaf(F.col("n_chars")).alias("n_docs"),
+    )
+
+
+@_register(
+    "lang_length_ranks",
+    """
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id) AS INTEGER) AS len_rank
+    FROM documents
+    """,
+)
+def lang_length_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map surface (§2.8): applyInPandas over language groups
+    assigning per-group length ranks with pandas sorting — deterministic
+    ((n_chars DESC, doc_id) is a strict total order) and integer-exact,
+    so the window-function oracle pins it. This is the batch shape for
+    per-group logic that genuinely needs imperative pandas (model-based
+    scoring, per-group fitting); anything expressible as a window stays
+    a window (this one is — the UDF exists to pin the surface, and its
+    per-group memory note applies: one language's rows materialize in one
+    pandas frame)."""
+    import pandas as pd
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        pdf["len_rank"] = range(1, len(pdf) + 1)
+        return pdf[["doc_id", "lang", "len_rank"]]
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(rank_group, "doc_id long, lang string, len_rank int")
+    )
