@@ -40,6 +40,22 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master (tests)")
     ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="treat --input as a SnapshotTable root and process ONLY the "
+        "snapshots appended since the last run (read_changes cursor in "
+        "<output>/ingest_cursor) — already-processed snapshots cost zero "
+        "scan I/O",
+    )
+    ap.add_argument(
+        "--ocr-mode",
+        default="DETECTION",
+        choices=("DETECTION", "ANALYSIS"),
+        help="TextractMode analog (application.properties:3): DETECTION "
+        "concatenates PAGE blocks; ANALYSIS extracts typed LAYOUT blocks "
+        "and drops page furniture",
+    )
+    ap.add_argument(
         "--compact-after",
         type=int,
         default=0,
@@ -76,6 +92,20 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(master=args.master)
     try:
+        if args.incremental:
+            from cies_ocr_java_spark.plans.pipeline import run_incremental
+
+            metrics = run_incremental(
+                spark,
+                args.input,
+                args.output,
+                run_id=args.run_id,
+                repartition_to=args.partitions,
+                ocr_mode=args.ocr_mode,
+            )
+            print(json.dumps(metrics))
+            return 0
+
         from cies_ocr_java_spark.sources.ingest import read_documents
 
         if args.input.rstrip("/").lower().endswith(
@@ -118,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
             run_id=args.run_id,
             resume=not args.no_resume,
             repartition_to=args.partitions,
+            ocr_mode=args.ocr_mode,
         )
         if args.compact_after:
             import os

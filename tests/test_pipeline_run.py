@@ -158,3 +158,47 @@ def test_crash_between_spans_and_state_commits_is_repaired(
     extracted.gc_orphans(tmp_grace_seconds=0)
     assert all(d.startswith("snap-")
                for d in __import__("os").listdir(extracted.data_root))
+
+
+def test_run_incremental_consumes_only_appended_snapshots(spark, corpus_dir, tmp_path):
+    """Incremental consumer (read_changes cursor): batch 2 processes ONLY
+    the delta (no re-extraction of batch 1's docs), a rerun with no new
+    input is a zero-doc no-op, and outputs equal a from-scratch full run."""
+    from cies_ocr_java_spark.plans.pipeline import run, run_incremental
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    b1 = docs.where(F.col("doc_id") < "doc-000080")
+    b2 = docs.where(
+        (F.col("doc_id") >= "doc-000080") & (F.col("doc_id") < "doc-000140")
+    )
+
+    src_root = str(tmp_path / "src")
+    out_root = str(tmp_path / "out")
+    src = SnapshotTable(src_root)
+    src.commit(b1, mode="append")
+
+    m1 = run_incremental(spark, src_root, out_root, run_id="i1")
+    assert m1["input_snapshot_from"] == 0 and m1["input_snapshot_to"] == 1
+    assert m1["docs_processed"] == b1.count()
+
+    src.commit(b2, mode="append")
+    m2 = run_incremental(spark, src_root, out_root, run_id="i2")
+    assert m2["input_snapshot_from"] == 1 and m2["input_snapshot_to"] == 2
+    assert m2["docs_processed"] == b2.count()  # the delta only
+
+    # no new input: metadata-only no-op
+    m3 = run_incremental(spark, src_root, out_root, run_id="i3")
+    assert m3["docs_processed"] == 0
+    assert SnapshotTable(f"{out_root}/extracted_spans").current_snapshot_id() == 2
+
+    # equivalence with a from-scratch full run over the union
+    full_root = str(tmp_path / "full")
+    run(spark, b1.unionByName(b2), full_root, run_id="f", resume=False)
+    inc = SnapshotTable(f"{out_root}/extracted_spans").read(spark)
+    full = SnapshotTable(f"{full_root}/extracted_spans").read(spark)
+    cols = ["doc_id", "text"]
+    assert (
+        inc.select(*cols).exceptAll(full.select(*cols)).isEmpty()
+        and full.select(*cols).exceptAll(inc.select(*cols)).isEmpty()
+    )
