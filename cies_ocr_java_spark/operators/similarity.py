@@ -257,6 +257,90 @@ def ivf_topk(
     )
 
 
+def centroid_update(assigned: DataFrame, centroids: DataFrame,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd mean step: per cell, the element-wise mean of member
+    vectors -> (cell, cvec:array<double>, n_members). Exact cross-engine:
+    elements quantize through decimal(12,8), the per-dimension sum is a
+    DECIMAL aggregate (order-independent, map-side combinable), the mean
+    divides in double and re-quantizes to decimal(12,8). A cell with no
+    members keeps its previous centroid (n_members = 0) — the standard
+    empty-cluster rule, mirrored by the oracle's left join."""
+    terms = assigned.select("cell", F.posexplode("vec").alias("i", "x"))
+    elem = F.col("x").cast("double").cast(_ELEM_DEC)
+    sums = terms.groupBy("cell", "i").agg(
+        F.sum(elem).alias("s"), F.count("*").alias("n")
+    )
+    mean = (
+        (F.col("s").cast("double") / F.col("n"))
+        .cast(_ELEM_DEC)
+        .cast("double")
+    )
+    means = (
+        sums.select("cell", "i", mean.alias("m"), "n")
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("mvec"),
+            F.max("n").alias("n_members"),
+        )
+    )
+    base = centroids.select(
+        F.col(id_col).alias("cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec0"),
+    )
+    return base.join(means, "cell", "left").select(
+        "cell",
+        F.coalesce("mvec", "cvec0").alias("cvec"),
+        F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
+    )
+
+
+def kmeans_refine(emb: DataFrame, centroids: DataFrame, iterations: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means refinement: ``iterations`` rounds of (assign every
+    vector to its nearest centroid by rounded cosine, recompute centroids
+    as member means) from caller-supplied deterministic seeds — the
+    training step IVF partitioning needs (ivf_topk consumes the refined
+    centroids unchanged).
+
+    Scale shape per round: one broadcast cross-score + argmax window
+    partitioned by vector id (no global sort), one posexplode + groupBy
+    (cell, dim) with decimal partial aggregation — both shuffles keyed on
+    high-cardinality columns. The iteration count is a FIXED small
+    constant (training uses 2-5 rounds), so no checkpoint loop is needed:
+    the lineage depth is bounded by construction, unlike the
+    until-convergence connected-components loops. Returns
+    (cell, cvec, n_members) after the final mean step."""
+    cents = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    )
+    out = None
+    for _ in range(iterations):
+        assigned = ivf_assignments(
+            emb,
+            cents.select(
+                F.col("cell").alias(id_col), F.col("cvec").alias(vec_col)
+            ),
+            id_col,
+            vec_col,
+        )
+        out = centroid_update(
+            assigned,
+            cents.select(
+                F.col("cell").alias(id_col), F.col("cvec").alias(vec_col)
+            ),
+            id_col,
+            vec_col,
+        )
+        cents = out.select("cell", "cvec")
+    return out
+
+
 def lsh_bucketed_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10, bits: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

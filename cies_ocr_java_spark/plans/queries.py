@@ -3291,3 +3291,78 @@ def lang_length_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .applyInPandas(rank_group, "doc_id long, lang string, len_rank int")
     )
+
+
+def _kmeans_round_sql(r: int, cent_in: str) -> str:
+    """One Lloyd round as DuckDB CTEs: assign every vector to its nearest
+    centroid by the same rounded-cosine argmax the engine uses, then the
+    per-(cell, dim) decimal mean; empty cells keep their centroid."""
+    return f"""
+    kap{r} AS (SELECT e.vec_id AS id, e.embedding AS ev, c.cell, c.cv
+               FROM embeddings e, {cent_in} c),
+    kat{r} AS (SELECT id, cell, ev, cv, unnest(range(1, {_EMB_DIM} + 1)) AS i
+               FROM kap{r}),
+    kad{r} AS (SELECT id, cell,
+                      sum({_d8('ev[i]')} * {_d8('cv[i]')}) AS dotv,
+                      sum({_d8('ev[i]')} * {_d8('ev[i]')}) AS na2,
+                      sum({_d8('cv[i]')} * {_d8('cv[i]')}) AS nc2
+               FROM kat{r} GROUP BY 1, 2),
+    kcs{r} AS (SELECT id, cell,
+                      {_ROUND6.format(dot='dotv', n1='na2', n2='nc2')} AS cscore
+               FROM kad{r}),
+    kas{r} AS (SELECT id, cell FROM (
+        SELECT id, cell,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cscore DESC, cell ASC) AS rk
+        FROM kcs{r}) WHERE rk = 1),
+    kmt{r} AS (SELECT a.cell, e.embedding AS ev,
+                      unnest(range(1, {_EMB_DIM} + 1)) AS i
+               FROM kas{r} a JOIN embeddings e ON e.vec_id = a.id),
+    kms{r} AS (SELECT cell, i,
+                      CAST(CAST(CAST(CAST(sum({_d8('ev[i]')}) AS DOUBLE)
+                           / count(*) AS VARCHAR) AS DECIMAL(12,8)) AS DOUBLE) AS m,
+                      count(*) AS n
+               FROM kmt{r} GROUP BY 1, 2),
+    kml{r} AS (SELECT cell, list(m ORDER BY i) AS mv, max(n) AS n
+               FROM kms{r} GROUP BY cell),
+    kc{r} AS (SELECT c.cell,
+                     coalesce(l.mv, CAST(c.cv AS DOUBLE[])) AS cv,
+                     coalesce(l.n, 0) AS n
+              FROM {cent_in} c LEFT JOIN kml{r} l USING (cell))"""
+
+
+@_register(
+    "embedding_kmeans",
+    f"""
+    WITH kcent0 AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+                    WHERE vec_id < {_IVF_C}),
+    {_kmeans_round_sql(1, 'kcent0')},
+    {_kmeans_round_sql(2, 'kc1')},
+    kfin AS (SELECT cell, n, cv, unnest(range(1, {_EMB_DIM} + 1)) AS i
+             FROM kc2)
+    SELECT cell, CAST(max(n) AS BIGINT) AS n_members,
+           CAST(CAST(sqrt(CAST(sum({_d8('cv[i]')} * {_d8('cv[i]')}) AS DOUBLE))
+                AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS centroid_norm,
+           max(CAST(cv[1] AS DOUBLE)) AS c0
+    FROM kfin GROUP BY cell
+    """,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means refinement (2 Lloyd rounds from the deterministic
+    IVF seeds) — the training step that produces the centroids ivf_topk
+    partitions by. Every round is assign (broadcast cross-score + per-id
+    argmax window) + mean (posexplode + decimal groupBy on (cell, dim)).
+    Exactness: rounded-cosine assignment and decimal(12,8)-quantized
+    means make both rounds bit-reproducible, so the DuckDB oracle replays
+    the full iteration and the outputs (member counts, centroid norms,
+    first elements) match exactly — an ITERATIVE algorithm under the
+    exact-value gate, not a rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    seeds = emb.where(F.col("vec_id") < _IVF_C)
+    out = similarity.kmeans_refine(emb, seeds, iterations=2)
+    return out.select(
+        "cell",
+        F.col("n_members").cast("long").alias("n_members"),
+        similarity.l2_norm(F.col("cvec")).alias("centroid_norm"),
+        F.element_at(F.col("cvec"), 1).alias("c0"),
+    )

@@ -848,3 +848,30 @@ def test_star_cc_long_chain_converges_in_log_rounds(spark):
     }
     assert set(got.values()) == {"c0000"}
     assert len(got) == 200
+
+
+def test_kmeans_refine_means_and_empty_cells(spark):
+    """One Lloyd round on a hand-computable dataset: two tight clusters
+    plus a seed that captures nothing — members assign to the nearest
+    seed, centroids become exact member means, the empty cell keeps its
+    seed vector with n_members=0; a second round is stable."""
+    from cies_ocr_java_spark.operators.similarity import kmeans_refine
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.2]),      # cluster around +x
+        (2, [0.0, 1.0]), (3, [0.2, 1.0]),      # cluster around +y
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [-1.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["cell"]: r for r in kmeans_refine(emb, seeds, iterations=1).collect()}
+    assert out[10]["n_members"] == 2 and out[11]["n_members"] == 2
+    assert out[12]["n_members"] == 0
+    assert out[12]["cvec"] == [-1.0, -1.0]          # empty cell keeps seed
+    assert out[10]["cvec"] == [1.0, 0.1]            # exact member mean
+    assert out[11]["cvec"] == [0.1, 1.0]
+    out2 = {r["cell"]: r for r in kmeans_refine(emb, seeds, iterations=2).collect()}
+    assert out2[10]["cvec"] == [1.0, 0.1]           # fixed point
+    assert out2[12]["n_members"] == 0
