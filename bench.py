@@ -51,6 +51,12 @@ HEADLINE = [
     "dedup_clusters",
     "customer_order_full_outer",
     "training_corpus_curation",
+    # round-2 additions (BASELINE.md: totals grow by added coverage, not
+    # regression — compare the r01 queries per-name, not the total)
+    "extract_ocr_layout",
+    "text_chunks",
+    "embedding_kmeans",
+    "dedup_clusters_star",
 ]
 
 

@@ -56,6 +56,7 @@ class Snapshot:
     data_dirs: list[str]    # relative to table root
     ts: float
     meta: dict | None = None  # producer metadata (e.g. stream batch id)
+    partition_by: list[str] | None = None  # hive layout of THIS commit's dir
 
 
 class SnapshotTable:
@@ -112,7 +113,7 @@ class SnapshotTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp_dir)
-        return self._finalize(tmp_dir, mode, meta=meta)
+        return self._finalize(tmp_dir, mode, meta=meta, partition_by=partition_by)
 
     def commit_rows(self, rows: list[tuple], schema, mode: str = "append") -> int:
         """Driver-side commit for SMALL control-plane tables (a metrics row,
@@ -187,17 +188,20 @@ class SnapshotTable:
             pass
 
     def _finalize(self, tmp_dir: str, mode: str, op: str | None = None,
-                  meta: dict | None = None) -> int:
+                  meta: dict | None = None,
+                  partition_by: list[str] | None = None) -> int:
         """Steps 2-3 of the commit protocol: atomic rename + manifest swap,
         serialized across writers by the commit lock."""
         self._acquire_lock()
         try:
-            return self._finalize_locked(tmp_dir, mode, op=op, meta=meta)
+            return self._finalize_locked(tmp_dir, mode, op=op, meta=meta,
+                                         partition_by=partition_by)
         finally:
             self._release_lock()
 
     def _finalize_locked(self, tmp_dir: str, mode: str, op: str | None,
-                         meta: dict | None) -> int:
+                         meta: dict | None,
+                         partition_by: list[str] | None = None) -> int:
         log = self._read_log()
         sid = int(log["current"]) + 1
         final_rel = f"snap-{sid:06d}"
@@ -227,6 +231,7 @@ class SnapshotTable:
             data_dirs=[*parent_dirs, final_rel],
             ts=time.time(),
             meta=meta,
+            partition_by=list(partition_by) if partition_by else None,
         )
         log["snapshots"].append(entry.__dict__)
         log["current"] = sid
@@ -258,6 +263,16 @@ class SnapshotTable:
                 return reader.parquet(*paths)
         raise KeyError(f"snapshot {sid} not found in {self.root}")
 
+    def current_partitioning(self) -> list[str] | None:
+        """The hive partition columns of the CURRENT snapshot (None if
+        unpartitioned or pre-partition-metadata history)."""
+        log = self._read_log()
+        sid = int(log["current"])
+        for s in log["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return s.get("partition_by") or None
+        return None
+
     def merge(self, spark: SparkSession, updates: DataFrame, key: str = "doc_id") -> int:
         """MERGE (upsert) by key — matched rows replaced by ``updates``,
         unmatched kept — committed as ONE overwrite snapshot. This is
@@ -271,7 +286,13 @@ class SnapshotTable:
             return self.commit(updates, mode="overwrite")
         current = self.read(spark)
         kept = current.join(updates.select(key), key, "left_anti")
-        return self.commit(kept.unionByName(updates), mode="overwrite")
+        # preserve the table's hive layout across the rewrite — an upsert
+        # must not silently cost the table its partition pruning
+        return self.commit(
+            kept.unionByName(updates),
+            mode="overwrite",
+            partition_by=self.current_partitioning(),
+        )
 
     def compact(self, spark: SparkSession, target_files: int | None = None) -> int:
         """Small-file compaction (Iceberg ``rewrite_data_files`` analog).
@@ -292,8 +313,16 @@ class SnapshotTable:
         df = self.read(spark)
         n = target_files or spark.sparkContext.defaultParallelism
         tmp_dir = os.path.join(self.data_root, f"_tmp-{uuid.uuid4().hex}")
-        df.repartition(n).write.mode("overwrite").parquet(tmp_dir)
-        return self._finalize(tmp_dir, "overwrite", op="compact")
+        # preserve the table's hive layout: compaction is maintenance, and
+        # maintenance must not silently drop the partition pruning the
+        # table was committed with (bounded files PER PARTITION then)
+        part = self.current_partitioning()
+        writer = df.repartition(n).write.mode("overwrite")
+        if part:
+            writer = writer.partitionBy(*part)
+        writer.parquet(tmp_dir)
+        return self._finalize(tmp_dir, "overwrite", op="compact",
+                              partition_by=part)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots from the manifest,

@@ -438,3 +438,41 @@ def test_flat_span_csv_ingest_assembles_documents(spark, tmp_path):
     assert out["d1"]["text"].index("first part") < out["d1"]["text"].index(
         "second part"
     )
+
+
+def test_compact_and_merge_preserve_partitioning(spark, tmp_path):
+    """Maintenance must not cost the table its partition pruning: after
+    compact() and merge() on a bucket-partitioned table, a bucket-filtered
+    read still plans PartitionFilters and rows stay correct."""
+    from pyspark.sql import functions as F
+
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(400).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(4)).alias("bucket"),
+        F.lit("v1").alias("v"),
+    )
+    t.commit(df, partition_by=["bucket"])
+    assert t.current_partitioning() == ["bucket"]
+
+    t.compact(spark, target_files=2)
+    assert t.current_partitioning() == ["bucket"]
+    rd = t.read(spark).where(F.col("bucket") == 2)
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert rd.count() > 0 and rd.where(F.col("bucket") != 2).count() == 0
+
+    upd = spark.range(10).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(4)).alias("bucket"),
+        F.lit("v2").alias("v"),
+    )
+    t.merge(spark, upd, key="doc_id")
+    assert t.current_partitioning() == ["bucket"]
+    got = t.read(spark)
+    assert got.count() == 400
+    assert got.where(F.col("v") == "v2").count() == 10
+    plan = got.where(F.col("bucket") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
