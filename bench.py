@@ -98,7 +98,9 @@ def _measure_skew(spark, docs: int = 5000, mega_spans: int = 1200) -> dict | Non
             ],
         })
         cdir = os.path.join(workdir, "corpus")
-        write_corpus(corpus, cdir)
+        # input only — the skew probe never reads goldens, and the oracle
+        # pass over the mega-doc is single-threaded driver time
+        write_corpus(corpus, cdir, goldens=False)
         src = spark.read.parquet(f"{cdir}/documents.parquet")
 
         app = sc.applicationId

@@ -185,9 +185,11 @@ def make_chunk_udtf(chunk_tokens: int = CHUNK_TOKENS,
 
     from pyspark.sql.functions import udtf
 
+    from cies_ocr_java_spark.formats import WS_RUN
+
     step = chunk_tokens - overlap
     assert step > 0
-    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    ws = re.compile(WS_RUN)
 
     @udtf(returnType="chunk_idx int, n_tokens int, chunk string")
     class ChunkText:

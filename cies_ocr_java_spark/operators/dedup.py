@@ -94,7 +94,14 @@ def prefix_filter_candidates(ex: DataFrame, sizes: DataFrame,
     output is IDENTICAL to the all-pairs join — while the join touches
     only prefix rows (a (1-t)+eps fraction of the shingle table, on its
     rarest shingles). This is what makes the standalone exact-Jaccard
-    query scale-safe: no unfiltered shingle self-join anywhere."""
+    query scale-safe: no unfiltered shingle self-join anywhere.
+
+    The candidate bounds use threshold - 1e-6, NOT the threshold itself:
+    the final predicate keeps pairs whose decimal(12,6)-ROUNDED Jaccard
+    >= t, and a raw J in [t - 5e-7, t) rounds UP into the output — the
+    relaxed bound keeps every such boundary pair in the candidate set
+    (recall can only grow; the exact verification still decides)."""
+    threshold = max(threshold - 1e-6, 0.0)
     dfreq = ex.groupBy("shingle").agg(F.count("*").alias("_dfreq"))
     w = Window.partitionBy("id").orderBy("_dfreq", "shingle")
     pre = (
@@ -335,10 +342,17 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     def _release(rdd_ids):
         _release_rdds(sc, rdd_ids)
 
+    # Materialize the edge cache BEFORE the first tracked checkpoint:
+    # getPersistentRDDs deltas attribute every RDD registered during the
+    # window to that checkpoint, so if the edges cache (or a caller's
+    # persisted upstream table, e.g. the shingle table) first registered
+    # inside a round's checkpoint, the next round's release would
+    # unpersist it and every later round would recompute it from source.
+    edges = sym.persist()
+    edges.count()
     labels, labels_blocks = _checkpoint_tracked(
         nodes.select(F.col("id"), F.col("id").alias("cluster_id"))
     )
-    edges = sym.persist()
     try:
         for _ in range(max_iter):
             neigh = (
@@ -401,6 +415,12 @@ def connected_components_star(pairs: DataFrame, nodes: DataFrame,
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # Force one full materialization BEFORE the tracked checkpoint so any
+    # caller-persisted upstream tables (e.g. minhash's shingle cache)
+    # register OUTSIDE the delta window — otherwise the round-1 release
+    # would unpersist them out from under the caller (same misattribution
+    # class connected_components guards against above).
+    edges0.count()
     edges, blocks = _checkpoint_tracked_rdds(sc, edges0)
     n_edges = edges.count()
     converged = n_edges == 0

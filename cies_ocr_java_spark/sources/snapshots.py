@@ -169,9 +169,20 @@ class SnapshotTable:
                 except FileNotFoundError:
                     continue  # holder just released; retry immediately
                 if age > LOCK_STALE_SECONDS:
+                    # Break by ATOMIC RENAME to a unique name: of N waiters
+                    # racing to break the same stale lock, exactly ONE
+                    # rename succeeds (the others get ENOENT) — a bare
+                    # rmdir here would let waiter B delete the fresh lock
+                    # waiter A just re-created in the stat->remove window.
+                    # The critical section is metadata-only (crash orphans
+                    # are RENAMED aside, never rmtree'd, under the lock),
+                    # so a healthy holder finishes far inside
+                    # LOCK_STALE_SECONDS.
+                    claimed = f"{lock}.stale-{uuid.uuid4().hex}"
                     try:
-                        os.rmdir(lock)
-                    except FileNotFoundError:
+                        os.rename(lock, claimed)
+                        os.rmdir(claimed)
+                    except OSError:
                         pass
                     continue
                 if time.time() > deadline:
@@ -210,15 +221,22 @@ class SnapshotTable:
             # Under the lock, sid = current+1 can only pre-exist as a crash
             # orphan: a previous writer renamed its data dir then died before
             # the manifest swap. No manifest entry references it (referenced
-            # ids are all <= current), so removing it is safe and un-wedges
-            # the table — the streaming sink's crash-replay commit and
-            # pipeline resume then proceed instead of ENOTEMPTY-failing.
+            # ids are all <= current), so moving it aside is safe and
+            # un-wedges the table — the streaming sink's crash-replay commit
+            # and pipeline resume then proceed instead of ENOTEMPTY-failing.
+            # RENAME, not rmtree: the orphan can be arbitrarily large, and
+            # deleting it inline would stretch the metadata-only critical
+            # section past the stale-lock bound; gc_orphans collects the
+            # _tmp-orphan-* dir later.
             referenced = {d for s in log["snapshots"] for d in s["data_dirs"]}
             if final_rel in referenced:  # pragma: no cover - manifest corruption
                 raise RuntimeError(
                     f"manifest references {final_rel} but current={log['current']}"
                 )
-            shutil.rmtree(target)
+            os.rename(
+                target,
+                os.path.join(self.data_root, f"_tmp-orphan-{uuid.uuid4().hex}"),
+            )
         os.rename(tmp_dir, target)
 
         parent_dirs: list[str] = []
@@ -380,25 +398,44 @@ class SnapshotTable:
     def gc_orphans(self, tmp_grace_seconds: float = LOCK_STALE_SECONDS) -> list[str]:
         """Remove data dirs not referenced by any snapshot (crash leftovers).
 
+        Runs UNDER the commit lock — without it, GC could rmtree a
+        concurrent committer's renamed-but-not-yet-manifested ``snap-<id>``
+        dir in the rename->manifest-swap window. Holding the lock only
+        for the (cheap) classification, the unreferenced dirs are first
+        renamed aside to ``_tmp-gc-*`` and the actual deletes happen
+        after release, so large orphans never stretch the lock hold.
+
         ``_tmp-*`` dirs younger than ``tmp_grace_seconds`` are spared: a
         concurrent writer may still be streaming data into them (its
         rename happens only in _finalize), so GC must not yank an
         in-flight commit's staging dir. Pass 0 to force-collect."""
-        log = self._read_log()
-        referenced = {d for s in log["snapshots"] for d in s["data_dirs"]}
-        removed = []
-        now = time.time()
-        if os.path.isdir(self.data_root):
-            for d in os.listdir(self.data_root):
-                if d in referenced:
-                    continue
-                path = os.path.join(self.data_root, d)
-                if d.startswith("_tmp-"):
-                    try:
-                        if now - os.stat(path).st_mtime < tmp_grace_seconds:
-                            continue
-                    except FileNotFoundError:
+        doomed: list[tuple[str, str]] = []
+        self._acquire_lock()
+        try:
+            log = self._read_log()
+            referenced = {d for s in log["snapshots"] for d in s["data_dirs"]}
+            now = time.time()
+            if os.path.isdir(self.data_root):
+                for d in os.listdir(self.data_root):
+                    if d in referenced:
                         continue
-                shutil.rmtree(path, ignore_errors=True)
-                removed.append(d)
-        return removed
+                    path = os.path.join(self.data_root, d)
+                    if d.startswith("_tmp-"):
+                        try:
+                            if now - os.stat(path).st_mtime < tmp_grace_seconds:
+                                continue
+                        except FileNotFoundError:
+                            continue
+                    aside = os.path.join(
+                        self.data_root, f"_tmp-gc-{uuid.uuid4().hex}"
+                    )
+                    try:
+                        os.rename(path, aside)
+                        doomed.append((d, aside))
+                    except OSError:  # pragma: no cover - raced removal
+                        pass
+        finally:
+            self._release_lock()
+        for _, aside in doomed:
+            shutil.rmtree(aside, ignore_errors=True)
+        return [d for d, _ in doomed]

@@ -131,6 +131,7 @@ _HTML_HOSTILE = st.sampled_from([
     "</ul>", "<NAV>", "</NAV>", "<navx>", "<pre>", "</pre>", "<prex>",
     "<h1>", "</h1>", "<style>p{}</style>", "<?pi >", "<! decl >",
     "<a href=x>link text</a>", "<footer>", "</footer>", "caf\xe9 日",
+    "\u0130stanbul \u0130\u0130", "<NAV>\u0130</NAV>", "stra\u00dfe \u1e9e",
 ])
 
 

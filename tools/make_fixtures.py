@@ -210,6 +210,7 @@ HTML_HOSTILE_ATOMS = [
     '<p a="unclosed quote', "&amp;", "&lt;tag&gt;", "&copy;", "&amp",
     "&#160;", "< notag", "<1abc>", "</ x>", "<", ">", "\xa0", "\x0b",
     "<NAV>upper</NAV>", "<navx>not nav</navx>", "<prex>not pre</prex>",
+    "\u0130stanbul length-changing-lower", "stra\u00dfe \u1e9e",
     "<?pi junk >", "<! decl >", "<a href=x>linkfarm linkfarm</a>",
 ]
 MIXED_ENCODING_WORDS = [
@@ -338,7 +339,10 @@ OUT_SPAN_T = pa.struct(
 )
 
 
-def write_corpus(docs: list[dict], out_dir: str) -> None:
+def write_corpus(docs: list[dict], out_dir: str, goldens: bool = True) -> None:
+    """``goldens=False`` writes only documents.parquet — for callers that
+    need an input corpus but not the (single-threaded, driver-side)
+    oracle pass, e.g. the bench skew probe."""
     os.makedirs(out_dir, exist_ok=True)
     tbl = pa.table(
         {
@@ -361,6 +365,8 @@ def write_corpus(docs: list[dict], out_dir: str) -> None:
     # the scan splittable at any corpus size.
     pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"),
                    row_group_size=4096)
+    if not goldens:
+        return
 
     golden = [oracle.extract_document(d["doc_id"], d["spans"]) for d in docs]
     ok = [g for g in golden if g["status"] == "SUCCEEDED"]

@@ -53,6 +53,19 @@ _B64_ALPHABET = set(
 )
 _B64_CANON = re.compile(B64_CANONICAL)
 _WORD_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+# ASCII-only lowercase (A-Z -> a-z, every other char untouched). Python's
+# str.lower() is NOT length-preserving (e.g. 'İ' U+0130 lowers to 2 chars),
+# which would misalign every index computed on the lowered copy — and
+# ASCII folding is also the DEFINED semantics: Java (?i) folds ASCII only
+# unless UNICODE_CASE is set, and the pandas paths compile with
+# re.I|re.ASCII, which restricts IGNORECASE to ASCII the same way.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _ascii_lower(s: str) -> str:
+    return s.translate(_ASCII_LOWER)
 
 
 def norm(s: str) -> str:
@@ -310,7 +323,7 @@ def _strip_container(s: str, tag: str) -> str:
     non-overlapping; an open tag without a close drops nothing here."""
     out: list[str] = []
     i = 0
-    sl = s.lower()
+    sl = _ascii_lower(s)
     while True:
         k, open_end = _find_named_tag(sl, s, tag, i)
         if k < 0:
@@ -337,7 +350,7 @@ def _split_blocks(s: str) -> list[str]:
     inside another tag's attribute text, because regex has no context."""
     frags: list[str] = []
     i = last = 0
-    sl = s.lower()
+    sl = _ascii_lower(s)
     n = len(s)
     while i < n:
         if s[i] != "<":
@@ -368,7 +381,7 @@ def _scan_anchors(frag: str) -> list[str]:
     """Inner bodies of <a ...>...</a> pairs, first-closing, non-overlapping."""
     out: list[str] = []
     i = 0
-    fl = frag.lower()
+    fl = _ascii_lower(frag)
     while True:
         k, open_end = _find_named_tag(fl, frag, "a", i)
         if k < 0:
