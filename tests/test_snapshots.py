@@ -476,3 +476,28 @@ def test_compact_and_merge_preserve_partitioning(spark, tmp_path):
     assert got.where(F.col("v") == "v2").count() == 10
     plan = got.where(F.col("bucket") == 1)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_stale_commit_lock_is_broken(spark, tmp_path):
+    """A lock left by a dead writer (mtime older than LOCK_STALE_SECONDS)
+    must not wedge the table: the next commit breaks it via atomic rename
+    and proceeds."""
+    import os
+    import time as _time
+
+    from cies_ocr_java_spark.sources.snapshots import (
+        LOCK_DIR,
+        LOCK_STALE_SECONDS,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1,)], "id int"))
+    lock = os.path.join(t.root, LOCK_DIR)
+    os.mkdir(lock)  # dead writer's leftover
+    old = _time.time() - LOCK_STALE_SECONDS - 5
+    os.utime(lock, (old, old))
+    sid = t.commit(spark.createDataFrame([(2,)], "id int"), mode="append")
+    assert sid == 2
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]
+    assert not os.path.exists(lock)  # released after the commit
