@@ -90,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
     if not args.input or not args.output:
         ap.error("--input and --output are required unless --query is given")
 
+    if args.incremental and args.no_resume:
+        # resume semantics are what make a replayed delta safe; running an
+        # incremental tick without them would re-append processed docs
+        ap.error("--no-resume is incompatible with --incremental")
+
     spark = get_spark(master=args.master)
     try:
         if args.incremental:
@@ -103,8 +108,7 @@ def main(argv: list[str] | None = None) -> int:
                 repartition_to=args.partitions,
                 ocr_mode=args.ocr_mode,
             )
-            print(json.dumps(metrics))
-            return 0
+            return _maintain_and_report(spark, args, metrics)
 
         from cies_ocr_java_spark.sources.ingest import read_documents
 
@@ -150,19 +154,26 @@ def main(argv: list[str] | None = None) -> int:
             repartition_to=args.partitions,
             ocr_mode=args.ocr_mode,
         )
-        if args.compact_after:
-            import os
-
-            from cies_ocr_java_spark.sources.snapshots import SnapshotTable
-
-            for name in ("extracted_spans", "doc_state"):
-                t = SnapshotTable(os.path.join(args.output, name))
-                if t.exists() and len(t.history()) > args.compact_after:
-                    t.compact(spark)
-                    t.expire_snapshots(keep_last=args.compact_after)
-        print(json.dumps(metrics))
+        return _maintain_and_report(spark, args, metrics)
     finally:
         spark.stop()
+
+
+def _maintain_and_report(spark, args, metrics: dict) -> int:
+    """Shared tail for batch AND incremental runs: --compact-after
+    maintenance (the long-lived incremental deployment is exactly who
+    needs the small-file bound), then the one-line metrics JSON."""
+    if args.compact_after:
+        import os
+
+        from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+        for name in ("extracted_spans", "doc_state"):
+            t = SnapshotTable(os.path.join(args.output, name))
+            if t.exists() and len(t.history()) > args.compact_after:
+                t.compact(spark)
+                t.expire_snapshots(keep_last=args.compact_after)
+    print(json.dumps(metrics))
     return 0
 
 

@@ -237,17 +237,31 @@ def run_incremental(
     already-processed delta is a no-op.
 
     Returns the run metrics plus ``input_snapshot_from``/``_to``.
-    Raises ValueError if the input history in range contains an
-    overwrite/compact snapshot (its delta is not a union of files —
-    rerun the full pipeline after maintenance windows, as read_changes
-    documents)."""
+
+    Maintenance snapshots: if the input history in range contains an
+    overwrite/compact (its row delta is not a union of files), the run
+    FALLS BACK to the full current table with resume=True — the anti-join
+    dedupes already-processed docs, so output stays correct at full-scan
+    cost for that one tick — and the cursor advances past the maintenance
+    window, so the next tick is incremental again (never permanently
+    wedged on a compaction).
+
+    Cost discipline: the cursor is read from the cursor table's MANIFEST
+    meta (pure JSON, no Spark job — the symmetric read of commit_rows'
+    no-job write), and the inner run skips the resume history scan
+    entirely on the clean path: resume=True only when the recorded output
+    snapshot id no longer matches (a crash window between the output
+    commit and the cursor commit, or between spans and state — exactly
+    when the repair scan pays for itself)."""
     src = SnapshotTable(input_table_root)
+    out_tbl = SnapshotTable(os.path.join(output_root, "extracted_spans"))
     cursor_tbl = SnapshotTable(os.path.join(output_root, "ingest_cursor"))
-    last = 0
-    if cursor_tbl.exists():
-        last = int(
-            cursor_tbl.read(spark).agg(F.max("input_snapshot_id")).collect()[0][0]
-        )
+    last, last_out_sid = 0, 0
+    for s in reversed(cursor_tbl.history()):
+        if s.meta and "input_snapshot_id" in s.meta:
+            last = int(s.meta["input_snapshot_id"])
+            last_out_sid = int(s.meta.get("out_snapshot_id", 0))
+            break
     current = src.current_snapshot_id()
     if current <= last:
         return {
@@ -259,13 +273,20 @@ def run_incremental(
             "bytes_processed": 0,
             "failures": 0,
         }
-    delta = src.read_changes(spark, from_snapshot=last, to_snapshot=current)
+    try:
+        delta = src.read_changes(spark, from_snapshot=last, to_snapshot=current)
+        clean = out_tbl.current_snapshot_id() == last_out_sid
+        resume = not clean  # crash window -> repair; clean -> zero history scan
+    except ValueError:
+        # overwrite/compact in range: full read + resume dedup this tick
+        delta = src.read(spark)
+        resume = True
     m = run(
         spark,
         delta,
         output_root,
         run_id=run_id,
-        resume=True,
+        resume=resume,
         repartition_to=repartition_to,
         ocr_mode=ocr_mode,
     )
@@ -273,6 +294,10 @@ def run_incremental(
         [(int(current), str(m["run_id"]))],
         _CURSOR_SCHEMA,
         mode="append",
+        meta={
+            "input_snapshot_id": int(current),
+            "out_snapshot_id": int(m["snapshot_id"]),
+        },
     )
     return {**m, "input_snapshot_from": last, "input_snapshot_to": current}
 

@@ -46,6 +46,13 @@ LOCK_DIR = "_commit.lock"
 # write) — the Spark data write happens BEFORE _finalize — so a healthy
 # commit holds it for milliseconds.
 LOCK_STALE_SECONDS = 60.0
+# GC grace for _tmp-* staging dirs. Deliberately on a DIFFERENT time scale
+# than the lock: a staging dir's root mtime is set at job start and a large
+# Spark write legitimately runs for hours before its files move into the
+# root, so the metadata-lock bound (60s) would let GC collect an in-flight
+# write. Crash leftovers linger up to this long before reclamation (or pass
+# tmp_grace_seconds=0 in a maintenance window with no writers running).
+TMP_GRACE_SECONDS = 6 * 3600.0
 
 
 @dataclass
@@ -63,6 +70,7 @@ class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
         self.data_root = os.path.join(root, "data")
+        self._orphan_aside: str | None = None
 
     # --- log ---------------------------------------------------------------
     def _log_path(self) -> str:
@@ -115,7 +123,8 @@ class SnapshotTable:
         writer.parquet(tmp_dir)
         return self._finalize(tmp_dir, mode, meta=meta, partition_by=partition_by)
 
-    def commit_rows(self, rows: list[tuple], schema, mode: str = "append") -> int:
+    def commit_rows(self, rows: list[tuple], schema, mode: str = "append",
+                    meta: dict | None = None) -> int:
         """Driver-side commit for SMALL control-plane tables (a metrics row,
         a lineage marker): one pyarrow parquet write, no Spark job — a
         1-row commit should not pay job-scheduling latency. ``schema`` is
@@ -137,7 +146,7 @@ class SnapshotTable:
         tmp_dir = os.path.join(self.data_root, f"_tmp-{uuid.uuid4().hex}")
         os.makedirs(tmp_dir)
         pq.write_table(tbl, os.path.join(tmp_dir, "part-00000.parquet"))
-        return self._finalize(tmp_dir, mode)
+        return self._finalize(tmp_dir, mode, meta=meta)
 
     def adopt_dir(self, src_dir: str, mode: str = "append", op: str | None = None,
                   meta: dict | None = None) -> int:
@@ -174,16 +183,37 @@ class SnapshotTable:
                     # rename succeeds (the others get ENOENT) — a bare
                     # rmdir here would let waiter B delete the fresh lock
                     # waiter A just re-created in the stat->remove window.
-                    # The critical section is metadata-only (crash orphans
-                    # are RENAMED aside, never rmtree'd, under the lock),
-                    # so a healthy holder finishes far inside
+                    # After claiming, RE-CHECK the claimed dir's mtime: if
+                    # it is fresh, we stole a lock that was re-acquired
+                    # between our stat and rename — restore it. (Residual
+                    # race: the restore can fail if yet another waiter
+                    # acquired inside our claim->restore microsecond window
+                    # after a 60-second stale period; a real object-store
+                    # deployment replaces this file lock with a catalog
+                    # CAS.) The critical section is metadata-only (crash
+                    # orphans are RENAMED aside, never rmtree'd, under the
+                    # lock), so a healthy holder finishes far inside
                     # LOCK_STALE_SECONDS.
                     claimed = f"{lock}.stale-{uuid.uuid4().hex}"
                     try:
                         os.rename(lock, claimed)
-                        os.rmdir(claimed)
                     except OSError:
-                        pass
+                        continue  # another waiter claimed it first
+                    try:
+                        claimed_age = time.time() - os.stat(claimed).st_mtime
+                    except OSError:  # pragma: no cover
+                        claimed_age = LOCK_STALE_SECONDS + 1
+                    if claimed_age <= LOCK_STALE_SECONDS:
+                        # stole a LIVE lock: put it back untouched
+                        try:
+                            os.rename(claimed, lock)
+                        except OSError:  # pragma: no cover - see note above
+                            pass
+                    else:
+                        try:
+                            os.rmdir(claimed)
+                        except OSError:  # pragma: no cover
+                            pass
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(
@@ -202,13 +232,20 @@ class SnapshotTable:
                   meta: dict | None = None,
                   partition_by: list[str] | None = None) -> int:
         """Steps 2-3 of the commit protocol: atomic rename + manifest swap,
-        serialized across writers by the commit lock."""
+        serialized across writers by the commit lock. A crash orphan the
+        locked section renamed aside is reclaimed HERE, after release —
+        space is freed at the very next commit without ever holding the
+        metadata lock across a large delete."""
+        self._orphan_aside = None
         self._acquire_lock()
         try:
             return self._finalize_locked(tmp_dir, mode, op=op, meta=meta,
                                          partition_by=partition_by)
         finally:
             self._release_lock()
+            aside, self._orphan_aside = self._orphan_aside, None
+            if aside:
+                shutil.rmtree(aside, ignore_errors=True)
 
     def _finalize_locked(self, tmp_dir: str, mode: str, op: str | None,
                          meta: dict | None,
@@ -233,10 +270,11 @@ class SnapshotTable:
                 raise RuntimeError(
                     f"manifest references {final_rel} but current={log['current']}"
                 )
-            os.rename(
-                target,
-                os.path.join(self.data_root, f"_tmp-orphan-{uuid.uuid4().hex}"),
+            aside = os.path.join(
+                self.data_root, f"_tmp-orphan-{uuid.uuid4().hex}"
             )
+            os.rename(target, aside)
+            self._orphan_aside = aside  # deleted by _finalize post-release
         os.rename(tmp_dir, target)
 
         parent_dirs: list[str] = []
@@ -335,9 +373,16 @@ class SnapshotTable:
         # maintenance must not silently drop the partition pruning the
         # table was committed with (bounded files PER PARTITION then)
         part = self.current_partitioning()
-        writer = df.repartition(n).write.mode("overwrite")
         if part:
+            # repartition ON the partition columns: round-robin would put
+            # every hive partition in every task and dynamic partitioning
+            # would write up to n x P files (worse than before compaction);
+            # hashing on the partition key concentrates each partition in
+            # one task -> ~max(n, P) output files total.
+            writer = df.repartition(n, *part).write.mode("overwrite")
             writer = writer.partitionBy(*part)
+        else:
+            writer = df.repartition(n).write.mode("overwrite")
         writer.parquet(tmp_dir)
         return self._finalize(tmp_dir, "overwrite", op="compact",
                               partition_by=part)
@@ -395,7 +440,7 @@ class SnapshotTable:
         paths = [os.path.join(self.data_root, d) for d in new_dirs]
         return spark.read.parquet(*paths)
 
-    def gc_orphans(self, tmp_grace_seconds: float = LOCK_STALE_SECONDS) -> list[str]:
+    def gc_orphans(self, tmp_grace_seconds: float = TMP_GRACE_SECONDS) -> list[str]:
         """Remove data dirs not referenced by any snapshot (crash leftovers).
 
         Runs UNDER the commit lock — without it, GC could rmtree a

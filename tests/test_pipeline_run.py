@@ -202,3 +202,24 @@ def test_run_incremental_consumes_only_appended_snapshots(spark, corpus_dir, tmp
         inc.select(*cols).exceptAll(full.select(*cols)).isEmpty()
         and full.select(*cols).exceptAll(inc.select(*cols)).isEmpty()
     )
+
+    # input-table maintenance must not brick the consumer: a compaction
+    # snapshot in range triggers ONE full-read tick (resume dedup keeps
+    # outputs duplicate-free), the cursor advances past it, and the next
+    # appended batch is consumed incrementally again
+    src.compact(spark)  # snapshot 3, op='compact'
+    b3 = docs.where(
+        (F.col("doc_id") >= "doc-000140") & (F.col("doc_id") < "doc-000150")
+    )
+    src.commit(b3, mode="append")  # snapshot 4
+    m4 = run_incremental(spark, src_root, out_root, run_id="i4")
+    assert m4["input_snapshot_to"] == 4
+    got = SnapshotTable(f"{out_root}/extracted_spans").read(spark)
+    assert got.groupBy("doc_id").count().where("count > 1").count() == 0
+    n_b3_ok = m4["docs_processed"] - m4["failures"]  # only the new batch ran ok
+    src.commit(
+        docs.where(F.col("doc_id") >= "doc-000150").limit(5), mode="append"
+    )  # snapshot 5
+    m5 = run_incremental(spark, src_root, out_root, run_id="i5")
+    assert m5["input_snapshot_from"] == 4 and m5["docs_processed"] == 5
+    assert n_b3_ok >= 0  # (compaction tick completed without error)
