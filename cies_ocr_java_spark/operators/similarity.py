@@ -257,6 +257,32 @@ def ivf_topk(
     )
 
 
+def int8_quantize(vec) -> dict[str, F.Column]:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale) — the storage-compression step for embedding
+    tables (4x smaller than float32; at 100 TB of embeddings the scan is
+    bandwidth-bound, so int8 + per-vector scale is the difference between
+    reading 25 TB and 100 TB per ANN sweep). Returns columns
+    {scale, q: array<int>}. Exact cross-engine: elements quantize through
+    decimal(12,8), the quotient rounds through a decimal(10,0) cast
+    (HALF_UP in both engines), and an all-zero vector defines q = 0.
+    |q_i| <= 127 by construction (|x_i| <= max|x| = 127*scale), so no
+    clipping branch exists to diverge."""
+    e = lambda x: x.cast("double").cast(_ELEM_DEC).cast("double")  # noqa: E731
+    absmax = F.array_max(F.transform(vec, lambda x: F.abs(e(x))))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        vec,
+        lambda x: F.when(scale == 0, F.lit(0)).otherwise(
+            (e(x) / scale).cast("decimal(10,0)").cast("int")
+        ),
+    )
+    return {
+        "scale": scale.cast(_ELEM_DEC).cast("double"),
+        "q": q,
+    }
+
+
 def centroid_update(assigned: DataFrame, centroids: DataFrame,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

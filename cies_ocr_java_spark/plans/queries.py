@@ -3371,3 +3371,44 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.l2_norm(F.col("cvec")).alias("centroid_norm"),
         F.element_at(F.col("cvec"), 1).alias("c0"),
     )
+
+
+@_register(
+    "embedding_quantize_int8",
+    f"""
+    WITH t AS (SELECT vec_id, embedding AS v FROM embeddings),
+    u AS (SELECT vec_id, v, unnest(range(1, {_EMB_DIM} + 1)) AS i FROM t),
+    m AS (SELECT vec_id, max(abs({_d8('v[i]')})) AS am FROM u GROUP BY 1),
+    q AS (SELECT u.vec_id,
+                 CASE WHEN m.am = 0 THEN 0
+                      ELSE CAST(CAST(CAST(CAST({_d8('v[i]')} AS DOUBLE)
+                           / (CAST(m.am AS DOUBLE) / 127.0)
+                           AS VARCHAR) AS DECIMAL(10,0)) AS INTEGER) END AS qv
+          FROM u JOIN m USING (vec_id))
+    SELECT q.vec_id,
+           CAST(CAST(CAST(CAST(m.am AS DOUBLE) / 127.0 AS VARCHAR)
+                AS DECIMAL(12,8)) AS DOUBLE) AS scale,
+           CAST(sum(qv) AS BIGINT) AS q_sum,
+           CAST(min(qv) AS INTEGER) AS q_min,
+           CAST(max(qv) AS INTEGER) AS q_max
+    FROM q JOIN m ON m.vec_id = q.vec_id
+    GROUP BY q.vec_id, m.am
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (similarity.int8_quantize):
+    per-vector scale + rounded int codes, the 4x storage compression an
+    embedding table needs before a 100 TB ANN sweep. Pure codegen (no
+    Python); the oracle replays the quantizer per element and the summary
+    stats (scale, code sum/min/max) match exactly. |q| <= 127 by
+    construction — the summary's q_min/q_max prove it corpus-wide."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    cols = similarity.int8_quantize(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        cols["scale"].alias("scale"),
+        F.aggregate(cols["q"], F.lit(0).cast("bigint"), lambda a, x: a + x)
+        .alias("q_sum"),
+        F.array_min(cols["q"]).cast("int").alias("q_min"),
+        F.array_max(cols["q"]).cast("int").alias("q_max"),
+    )

@@ -875,3 +875,32 @@ def test_kmeans_refine_means_and_empty_cells(spark):
     out2 = {r["cell"]: r for r in kmeans_refine(emb, seeds, iterations=2).collect()}
     assert out2[10]["cvec"] == [1.0, 0.1]           # fixed point
     assert out2[12]["n_members"] == 0
+
+
+def test_int8_quantize_roundtrip_properties(spark):
+    """Quantizer invariants: codes bounded by +/-127 with the max-|x|
+    element hitting exactly +/-127, dequantized error <= scale/2 per
+    element, all-zero vectors quantize to zeros with scale 0."""
+    from cies_ocr_java_spark.operators.similarity import int8_quantize
+
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [127.0, -127.0, 1.0, -1.0]),
+        (3, [1e-4, 2e-4, -3e-4, 5e-5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cols = int8_quantize(F.col("embedding"))
+    out = {
+        r["vec_id"]: r
+        for r in emb.select("vec_id", cols["scale"].alias("s"), cols["q"].alias("q")).collect()
+    }
+    assert out[1]["s"] == 0.0 and out[1]["q"] == [0, 0, 0, 0]
+    for vid, vec in [(0, rows[0][1]), (2, rows[2][1]), (3, rows[3][1])]:
+        s, q = out[vid]["s"], out[vid]["q"]
+        assert max(abs(c) for c in q) == 127
+        assert all(abs(c) <= 127 for c in q)
+        for x, c in zip(vec, q):
+            # s is the decimal(12,8)-REPORTED scale: its rounding (<=5e-9)
+            # amplifies by |c| <= 127 on dequant, hence the 1e-6 slack
+            assert abs(x - c * s) <= s / 2 + 1e-6, (vid, x, c, s)
