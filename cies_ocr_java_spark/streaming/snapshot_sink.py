@@ -4,10 +4,19 @@ foreachBatch gives at-least-once batch delivery — after a crash between
 the sink's write and the checkpoint advance, Structured Streaming REPLAYS
 the last batch. A sink is exactly-once only if it makes replays no-ops.
 Here idempotence comes from the snapshot manifest itself: every committed
-batch records its ``stream_batch_id`` in the snapshot's meta, and a
-replayed batch id is skipped before any write happens. (This is the same
-mechanism Iceberg/Delta use: the sink's transaction log carries the batch
-id, so "has this batch committed?" is one metadata read.)
+batch records its ``(stream_query, stream_batch_id)`` in the snapshot's
+meta, and a replayed batch id is skipped before any write happens. (This
+is the same mechanism Iceberg/Delta use: the sink's transaction log
+carries the batch id, so "has this batch committed?" is one metadata
+read.)
+
+Replay keys are QUERY-SCOPED: batch ids restart from 0 per streaming
+query, so two different queries appending into one table (the
+multi-writer case the table layer now arbitrates) must not dedupe each
+other's ids — each committer tracks the high-water mark of ITS
+``query_name`` only. Pre-scoping history (entries without
+``stream_query``) counts toward every query's mark, which keeps old
+tables replay-safe at the cost of never re-using their legacy id range.
 
 This closes the loop between the streaming operators and the table layer:
 a streaming dedup/extraction/sessionization can land in the SAME
@@ -22,22 +31,32 @@ from pyspark.sql import DataFrame
 
 from cies_ocr_java_spark.sources.snapshots import SnapshotTable
 
+DEFAULT_QUERY_NAME = "snapshot_sink"
 
-def committed_batch_ids(table: SnapshotTable) -> set[int]:
+
+def committed_batch_ids(
+    table: SnapshotTable, query_name: str = DEFAULT_QUERY_NAME
+) -> set[int]:
     return {
         s.meta["stream_batch_id"]
         for s in table.history()
-        if s.meta and "stream_batch_id" in s.meta
+        if s.meta
+        and "stream_batch_id" in s.meta
+        and s.meta.get("stream_query", query_name) == query_name
     }
 
 
-def max_committed_batch_id(table: SnapshotTable) -> int:
-    """Highest stream_batch_id in the manifest, or -1 if none."""
-    ids = committed_batch_ids(table)
+def max_committed_batch_id(
+    table: SnapshotTable, query_name: str = DEFAULT_QUERY_NAME
+) -> int:
+    """Highest stream_batch_id this query committed, or -1 if none."""
+    ids = committed_batch_ids(table, query_name)
     return max(ids) if ids else -1
 
 
-def make_batch_committer(table: SnapshotTable):
+def make_batch_committer(
+    table: SnapshotTable, query_name: str = DEFAULT_QUERY_NAME
+):
     """The idempotent foreachBatch callback (exposed so tests can drive
     the crash-replay path directly).
 
@@ -48,13 +67,18 @@ def make_batch_committer(table: SnapshotTable):
     tracks it in the closure. Without this, a long-lived append stream
     pays an O(total-batches) manifest parse per microbatch — quadratic
     over the stream's lifetime."""
-    state = {"max_id": max_committed_batch_id(table)}
+    state = {"max_id": max_committed_batch_id(table, query_name)}
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state["max_id"]:
             return  # replay after a crash: already durable, skip
         table.commit(
-            batch_df, mode="append", meta={"stream_batch_id": int(batch_id)}
+            batch_df,
+            mode="append",
+            meta={
+                "stream_batch_id": int(batch_id),
+                "stream_query": query_name,
+            },
         )
         state["max_id"] = batch_id
 
@@ -65,11 +89,13 @@ def write_stream_to_snapshot(
     stream_df: DataFrame,
     table_root: str,
     checkpoint: str,
-    query_name: str = "snapshot_sink",
+    query_name: str = DEFAULT_QUERY_NAME,
 ):
     """Start a foreachBatch query committing each microbatch as one
-    idempotent append snapshot. Returns the StreamingQuery."""
-    commit_batch = make_batch_committer(SnapshotTable(table_root))
+    idempotent append snapshot. Returns the StreamingQuery.
+    ``query_name`` scopes the replay keys — give each distinct stream
+    writing into one table its own name (and its own checkpoint)."""
+    commit_batch = make_batch_committer(SnapshotTable(table_root), query_name)
 
     return (
         stream_df.writeStream.outputMode("append")

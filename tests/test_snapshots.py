@@ -379,6 +379,8 @@ def test_streaming_committer_replay_is_o1(spark, tmp_path):
     manifest read at construction), and a fresh committer re-reads the
     manifest to resume — both skip replayed ids without re-parsing
     history per batch."""
+    from pyspark.sql import functions as F
+
     from cies_ocr_java_spark.sources.snapshots import SnapshotTable
     from cies_ocr_java_spark.streaming.snapshot_sink import (
         make_batch_committer,
@@ -501,3 +503,40 @@ def test_stale_commit_lock_is_broken(spark, tmp_path):
     assert sid == 2
     assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]
     assert not os.path.exists(lock)  # released after the commit
+
+
+def test_two_streaming_queries_one_table_do_not_collide(spark, tmp_path):
+    """Replay keys are query-scoped: two streams appending into ONE table
+    both restart their batch ids at 0 — each query's replay guard must
+    track only its own ids, never skipping the other's batch 0/1."""
+    from pyspark.sql import functions as F
+
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+    from cies_ocr_java_spark.streaming.snapshot_sink import (
+        make_batch_committer,
+        max_committed_batch_id,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    df_a = spark.createDataFrame([("a",)], "src string")
+    df_b = spark.createDataFrame([("b",)], "src string")
+    ca = make_batch_committer(tbl, "stream-a")
+    ca(df_a, 0)
+    ca(df_a, 1)
+    # second query starts at batch 0 — must COMMIT, not be deduped by
+    # stream-a's high-water mark
+    cb = make_batch_committer(tbl, "stream-b")
+    cb(df_b, 0)
+    cb(df_b, 0)  # its own replay: no-op
+    ca(df_a, 1)  # stream-a replay: no-op
+    assert tbl.current_snapshot_id() == 3
+    counts = {
+        r["src"]: r["n"]
+        for r in tbl.read(spark).groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 2, "b": 1}
+    assert max_committed_batch_id(tbl, "stream-a") == 1
+    assert max_committed_batch_id(tbl, "stream-b") == 0
+    # restart recovery stays per-query
+    assert make_batch_committer(tbl, "stream-b")(df_b, 0) is None
+    assert tbl.current_snapshot_id() == 3
