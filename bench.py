@@ -57,6 +57,9 @@ HEADLINE = [
     "text_chunks",
     "embedding_kmeans",
     "dedup_clusters_star",
+    "quality_repetition_rules",
+    "decontaminate_ngram_overlap",
+    "domain_token_budget_sample",
 ]
 
 

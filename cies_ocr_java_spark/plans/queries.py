@@ -3412,3 +3412,290 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(cols["q"]).cast("int").alias("q_min"),
         F.array_max(cols["q"]).cast("int").alias("q_max"),
     )
+
+
+# =========================================================================
+# Corpus curation round 2: repetition-quality rules, decontamination,
+# per-domain token budgets
+# =========================================================================
+
+# Gopher-style repetition thresholds (Rae et al. 2021, "Scaling Language
+# Models", table A1 analog): a document is flagged repetitive when the most
+# frequent word covers >20% of tokens, the most frequent 2-gram covers >18%
+# of 2-grams, or >60% of 3-gram occurrences are duplicated occurrences.
+# Values compared AFTER decimal(12,6) rounding so both engines flag
+# identically.
+_REP_TOP_WORD = 0.20
+_REP_TOP_BIGRAM = 0.18
+_REP_DUP_TRIGRAM = 0.60
+
+_ROUND6 = "CAST(CAST(CAST({x} AS VARCHAR) AS DECIMAL(12,6)) AS DOUBLE)"
+
+
+@_register(
+    "quality_repetition_rules",
+    f"""
+    WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    w AS (SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+                      ELSE string_split(t, ' ') END AS w
+          FROM n),
+    u AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w),
+    g AS (
+      SELECT doc_id, 1 AS k, w[i] AS g FROM u
+      UNION ALL
+      SELECT doc_id, 2, w[i] || ' ' || w[i+1] FROM u WHERE i <= len(w) - 1
+      UNION ALL
+      SELECT doc_id, 3, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      FROM u WHERE i <= len(w) - 2
+    ),
+    c AS (SELECT doc_id, k, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+    ka AS (SELECT doc_id, k, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS tot,
+                  CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup
+           FROM c GROUP BY 1, 2),
+    da AS (SELECT doc_id,
+                  max(CASE WHEN k = 1 THEN tot END) AS n_words,
+                  max(CASE WHEN k = 1 THEN {_ROUND6.format(x='CAST(maxc AS DOUBLE) / tot')} END) AS top_word_frac,
+                  max(CASE WHEN k = 2 THEN {_ROUND6.format(x='CAST(maxc AS DOUBLE) / tot')} END) AS top_bigram_frac,
+                  max(CASE WHEN k = 3 THEN {_ROUND6.format(x='CAST(dup AS DOUBLE) / tot')} END) AS dup_trigram_frac
+           FROM ka GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+           coalesce(top_word_frac, 0.0) AS top_word_frac,
+           coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+           coalesce(dup_trigram_frac, 0.0) AS dup_trigram_frac,
+           CASE WHEN coalesce(top_word_frac, 0.0) > {_REP_TOP_WORD}
+                  OR coalesce(top_bigram_frac, 0.0) > {_REP_TOP_BIGRAM}
+                  OR coalesce(dup_trigram_frac, 0.0) > {_REP_DUP_TRIGRAM}
+                THEN 1 ELSE 0 END AS repetitive
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN da USING (doc_id)
+    """,
+)
+def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: per-document top-word
+    fraction, top-2-gram fraction, and duplicated-3-gram fraction, plus a
+    repetitive flag — the standard pretraining signal for boilerplate /
+    spam / template pages. Pure columnar: ngram arrays by zip_with over
+    shifted slices (no Python), explode once carrying all three gram sizes,
+    then two doc-scoped groupBys (map-side combinable, no global shuffle
+    key — each doc's grams co-locate on (doc_id, k, gram)). At 100 TB the
+    widest shuffle is the gram-count one, bounded by corpus token count,
+    same class as the shingle tables the dedup operators already carry."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    t = normalize_ws(F.col("text"))
+    w = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+    sz = F.size(w)
+    m2 = F.greatest(sz - 1, F.lit(0))
+    m3 = F.greatest(sz - 2, F.lit(0))
+    bi = F.zip_with(
+        F.slice(w, 1, m2), F.slice(w, 2, m2), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(w, 1, m3), F.slice(w, 2, m3), lambda a, b: F.concat_ws(" ", a, b)
+        ),
+        F.slice(w, 3, m3),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+
+    def _tag(arr, k):
+        return F.transform(
+            arr, lambda x: F.struct(F.lit(k).alias("k"), x.alias("g"))
+        )
+
+    grams = d.select(
+        "doc_id",
+        F.explode(F.concat(_tag(w, 1), _tag(bi, 2), _tag(tri, 3))).alias("kg"),
+    ).select("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+
+    counts = grams.groupBy("doc_id", "k", "g").agg(F.count("*").alias("c"))
+    ka = counts.groupBy("doc_id", "k").agg(
+        F.max("c").alias("maxc"),
+        F.sum("c").alias("tot"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+    )
+
+    def _d6(c):
+        return c.cast("decimal(12,6)").cast("double")
+
+    da = ka.groupBy("doc_id").agg(
+        F.max(F.when(F.col("k") == 1, F.col("tot"))).alias("n_words"),
+        F.max(
+            F.when(F.col("k") == 1, _d6(F.col("maxc") / F.col("tot")))
+        ).alias("top_word_frac"),
+        F.max(
+            F.when(F.col("k") == 2, _d6(F.col("maxc") / F.col("tot")))
+        ).alias("top_bigram_frac"),
+        F.max(
+            F.when(F.col("k") == 3, _d6(F.col("dup") / F.col("tot")))
+        ).alias("dup_trigram_frac"),
+    )
+
+    twf = F.coalesce(F.col("top_word_frac"), F.lit(0.0))
+    tbf = F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    dtf = F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0))
+    return (
+        d.select("doc_id")
+        .join(da, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint").alias("n_words"),
+            twf.alias("top_word_frac"),
+            tbf.alias("top_bigram_frac"),
+            dtf.alias("dup_trigram_frac"),
+            F.when(
+                (twf > _REP_TOP_WORD)
+                | (tbf > _REP_TOP_BIGRAM)
+                | (dtf > _REP_DUP_TRIGRAM),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("repetitive"),
+        )
+    )
+
+
+# Decontamination: n-gram overlap against a held-out benchmark/eval set.
+# The eval set is a deterministic corpus slice (doc_id % _DECON_MOD == 0 —
+# in production this is the actual benchmark suite). 5-word-gram hashes of
+# every train doc equi-join the DISTINCT eval gram set; per-doc overlap
+# fraction >= 0.5 flags the doc contaminated. Joining on md5(gram) instead
+# of the raw gram string halves shuffle width at identical semantics (md5
+# is the same function in both engines).
+_DECON_N = 5
+_DECON_MOD = 97
+_DECON_FLAG_FRAC = 0.5
+
+
+@_register(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     [array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                      for i in range(1, greatest(len(t) - {_DECON_N - 2}, 1))] AS g
+              FROM toks),
+    sh AS (SELECT DISTINCT doc_id, md5(unnest(g)) AS h FROM grams),
+    ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+    tr AS (SELECT doc_id, h FROM sh WHERE doc_id % {_DECON_MOD} <> 0),
+    agg AS (SELECT tr.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(coalesce(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_overlap
+            FROM tr LEFT JOIN ev ON tr.h = ev.h
+            GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+           {_ROUND6.format(x=f'CAST(coalesce(n_overlap, 0) AS DOUBLE) / greatest(coalesce(n_grams, 0), 1)')} AS contam_frac,
+           CASE WHEN CAST(coalesce(n_overlap, 0) AS DOUBLE) / greatest(coalesce(n_grams, 0), 1)
+                     >= {_DECON_FLAG_FRAC} THEN 1 ELSE 0 END AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {_DECON_MOD} <> 0) d
+    LEFT JOIN agg USING (doc_id)
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx C / PaLM-style 13-gram filter,
+    here 5-gram to fit the fixture corpus): flag training documents whose
+    word-n-gram sets overlap the eval set. Shape at 100 TB: one explode of
+    per-doc DISTINCT gram hashes, one equi-join against the eval gram set
+    (bounded by benchmark-suite size in production — AQE broadcasts it when
+    small; no forced hint, since the eval slice here grows with the corpus),
+    one doc-keyed groupBy. Nothing all-pairs, nothing global."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    sh = d.select(
+        "doc_id",
+        F.explode(dedup.shingles_col(F.col("text"), _DECON_N)).alias("g"),
+    ).select("doc_id", F.md5("g").alias("h"))
+    ev = (
+        sh.where(F.col("doc_id") % _DECON_MOD == 0)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = sh.where(F.col("doc_id") % _DECON_MOD != 0)
+    agg = (
+        tr.join(ev, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_overlap"),
+        )
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint")
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
+    frac = n_overlap.cast("double") / F.greatest(n_grams, F.lit(1))
+    return (
+        d.select("doc_id")
+        .where(F.col("doc_id") % _DECON_MOD != 0)
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_overlap.alias("n_overlap"),
+            frac.cast("decimal(12,6)").cast("double").alias("contam_frac"),
+            F.when(frac >= _DECON_FLAG_FRAC, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("contaminated"),
+        )
+    )
+
+
+# Per-domain token budget: the corpus-mixing step that caps how many tokens
+# any one domain/source contributes to a training run.
+_DOMAIN_TOKEN_BUDGET = 5000
+
+
+@_register(
+    "domain_token_budget_sample",
+    f"""
+    WITH n AS (SELECT doc_id, source, {_norm_sql('text')} AS t FROM documents),
+    b AS (SELECT doc_id, source,
+                 CAST(CASE WHEN length(t) = 0 THEN 0
+                           ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tokens
+          FROM n),
+    r AS (SELECT *,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                                          ORDER BY n_tokens DESC, doc_id ASC
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM b)
+    SELECT source, doc_id, n_tokens, cum_tokens,
+           CASE WHEN cum_tokens <= {_DOMAIN_TOKEN_BUDGET} THEN 1 ELSE 0 END AS kept
+    FROM r
+    """,
+)
+def domain_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget sampling: within each source/domain, order
+    documents by a quality key (here token count desc, doc_id tiebreak —
+    the key is pluggable: any quality column slots into the window order)
+    and keep documents while the running token total stays under the
+    domain's budget. This is the corpus-mixing cap (no domain dominates
+    the training mix). The window partitions BY DOMAIN — per-partition
+    state is one running sum, no global sort; skewed giant domains are the
+    same skew class as the extraction pipeline's giant docs and would be
+    salted the same way (two-pass: per-salt running sums + broadcast
+    per-salt offsets) if one domain outgrew a task."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    base = d.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    ).withColumn(
+        "kept",
+        F.when(F.col("cum_tokens") <= _DOMAIN_TOKEN_BUDGET, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
