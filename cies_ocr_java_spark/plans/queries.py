@@ -3475,85 +3475,105 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters: per-document top-word
     fraction, top-2-gram fraction, and duplicated-3-gram fraction, plus a
     repetitive flag — the standard pretraining signal for boilerplate /
-    spam / template pages. Pure columnar: ngram arrays by zip_with over
-    shifted slices (no Python), explode once carrying all three gram sizes,
-    then two doc-scoped groupBys (map-side combinable, no global shuffle
-    key — each doc's grams co-locate on (doc_id, k, gram)). At 100 TB the
-    widest shuffle is the gram-count one, bounded by corpus token count,
-    same class as the shingle tables the dedup operators already carry."""
+    spam / template pages. MAP-ONLY: every stat is a function of one
+    document's own gram multiset, so instead of explode + groupBy (which
+    would shuffle the full gram stream), each row sorts its gram arrays and
+    run-length-folds them in a single codegen'd projection — at 100 TB this
+    is scan → project with ZERO shuffle, embarrassingly parallel across
+    splits. Gram arrays come from zip_with over shifted slices (the same
+    linear-pass construction shingles_col uses; no Python anywhere)."""
     d = _t(spark, sf_dir, "documents", fanout=True)
     t = normalize_ws(F.col("text"))
-    w = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, " ")
+    # Stage the token array through a projection so downstream references
+    # see a cheap attribute: CollapseProject refuses to re-inline non-cheap
+    # expressions referenced more than once, so split() runs ONCE per row
+    # instead of once per gram-size use.
+    staged = d.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(t, " "))
+        .alias("w"),
     )
+    w = F.col("w")
     sz = F.size(w)
     m2 = F.greatest(sz - 1, F.lit(0))
     m3 = F.greatest(sz - 2, F.lit(0))
-    bi = F.zip_with(
-        F.slice(w, 1, m2), F.slice(w, 2, m2), lambda a, b: F.concat_ws(" ", a, b)
-    )
-    tri = F.zip_with(
+    staged = staged.select(
+        "doc_id",
+        "w",
         F.zip_with(
-            F.slice(w, 1, m3), F.slice(w, 2, m3), lambda a, b: F.concat_ws(" ", a, b)
-        ),
-        F.slice(w, 3, m3),
-        lambda ab, c: F.concat_ws(" ", ab, c),
+            F.slice(w, 1, m2), F.slice(w, 2, m2), lambda a, b: F.concat_ws(" ", a, b)
+        ).alias("bi"),
+        F.zip_with(
+            F.zip_with(
+                F.slice(w, 1, m3),
+                F.slice(w, 2, m3),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            F.slice(w, 3, m3),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        ).alias("tri"),
     )
+    bi, tri = F.col("bi"), F.col("tri")
 
-    def _tag(arr, k):
-        return F.transform(
-            arr, lambda x: F.struct(F.lit(k).alias("k"), x.alias("g"))
+    def _run_stats(arr):
+        """Fold a sorted copy of ``arr`` into struct(maxc, dup): the longest
+        equal-run length (= max multiset count) and the total length of all
+        runs longer than 1 (= duplicated-occurrence count). One pass, no
+        shuffle; mirrors the oracle's groupBy max(c)/sum(c>1)."""
+        zero = F.lit(0).cast("bigint")
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("maxc"),
+            zero.alias("dup"),
         )
 
-    grams = d.select(
-        "doc_id",
-        F.explode(F.concat(_tag(w, 1), _tag(bi, 2), _tag(tri, 3))).alias("kg"),
-    ).select("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+        def step(s, x):
+            same = s["prev"].isNotNull() & (x == s["prev"])
+            new_run = F.when(same, s["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+            closed_dup = F.when(
+                ~same & (s["run"] > 1), s["dup"] + s["run"]
+            ).otherwise(s["dup"])
+            return F.struct(
+                x.alias("prev"),
+                new_run.alias("run"),
+                F.greatest(s["maxc"], new_run).alias("maxc"),
+                closed_dup.alias("dup"),
+            )
 
-    counts = grams.groupBy("doc_id", "k", "g").agg(F.count("*").alias("c"))
-    ka = counts.groupBy("doc_id", "k").agg(
-        F.max("c").alias("maxc"),
-        F.sum("c").alias("tot"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
-    )
+        def fin(s):
+            return F.struct(
+                s["maxc"].alias("maxc"),
+                F.when(s["run"] > 1, s["dup"] + s["run"])
+                .otherwise(s["dup"])
+                .alias("dup"),
+            )
+
+        return F.aggregate(F.array_sort(arr), init, step, fin)
 
     def _d6(c):
         return c.cast("decimal(12,6)").cast("double")
 
-    da = ka.groupBy("doc_id").agg(
-        F.max(F.when(F.col("k") == 1, F.col("tot"))).alias("n_words"),
-        F.max(
-            F.when(F.col("k") == 1, _d6(F.col("maxc") / F.col("tot")))
-        ).alias("top_word_frac"),
-        F.max(
-            F.when(F.col("k") == 2, _d6(F.col("maxc") / F.col("tot")))
-        ).alias("top_bigram_frac"),
-        F.max(
-            F.when(F.col("k") == 3, _d6(F.col("dup") / F.col("tot")))
-        ).alias("dup_trigram_frac"),
-    )
+    def _frac(num, tot):
+        return F.when(tot > 0, _d6(num.cast("double") / tot)).otherwise(F.lit(0.0))
 
-    twf = F.coalesce(F.col("top_word_frac"), F.lit(0.0))
-    tbf = F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
-    dtf = F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0))
-    return (
-        d.select("doc_id")
-        .join(da, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint").alias("n_words"),
-            twf.alias("top_word_frac"),
-            tbf.alias("top_bigram_frac"),
-            dtf.alias("dup_trigram_frac"),
-            F.when(
-                (twf > _REP_TOP_WORD)
-                | (tbf > _REP_TOP_BIGRAM)
-                | (dtf > _REP_DUP_TRIGRAM),
-                F.lit(1),
-            )
-            .otherwise(F.lit(0))
-            .alias("repetitive"),
-        )
+    s1, s2, s3 = _run_stats(w), _run_stats(bi), _run_stats(tri)
+    base = staged.select(
+        "doc_id",
+        sz.cast("bigint").alias("n_words"),
+        _frac(s1["maxc"], sz).alias("top_word_frac"),
+        _frac(s2["maxc"], m2).alias("top_bigram_frac"),
+        _frac(s3["dup"], m3).alias("dup_trigram_frac"),
+    )
+    return base.withColumn(
+        "repetitive",
+        F.when(
+            (F.col("top_word_frac") > _REP_TOP_WORD)
+            | (F.col("top_bigram_frac") > _REP_TOP_BIGRAM)
+            | (F.col("dup_trigram_frac") > _REP_DUP_TRIGRAM),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     )
 
 
