@@ -1,0 +1,184 @@
+"""Per-record-gzip WARC reader as a Spark 4 Python DataSource.
+
+Real Common Crawl WARCs gzip every record as its OWN gzip member and
+concatenate the members — a layout the plain-text ``lineSep`` trick in
+``sources/warc.py`` cannot split (the compressed stream has no text
+delimiter). This module closes that documented gap with the PySpark-native
+answer: a custom ``pyspark.sql.datasource.DataSource`` registered as
+``warc_gz``, so a user reads Common Crawl shards with ordinary reader
+syntax:
+
+    spark.dataSource.register(WarcGzDataSource)
+    df = spark.read.format("warc_gz").load("s3a://.../segment/*.warc.gz")
+
+Scale design:
+
+* **Partition planning = one InputPartition per file.** A member-gzip
+  stream is not byte-range splittable (a range almost never starts on a
+  member boundary), and Common Crawl ships ~1 GB shards by the million —
+  file granularity IS the parallelism unit every production CC pipeline
+  uses. Listing happens once on the driver; each task touches only its
+  own file.
+* **Arrow-vectorized hand-off.** ``read()`` yields ``pyarrow.RecordBatch``
+  (not per-row tuples), so rows cross the Python/JVM boundary in columnar
+  batches — the same no-per-row-Python rule the rest of the engine
+  follows, applied to the one place Python is unavoidable (stdlib zlib
+  member splitting).
+* **Bounded memory.** Records are flushed every ``_BATCH_ROWS`` and the
+  decompressor walks the file incrementally in ``_CHUNK`` byte chunks —
+  a task never holds a whole shard decompressed.
+
+Record grammar is byte-for-byte the one ``sources/warc.py`` implements
+(version line, ``Name: value`` headers, blank line, payload; CRLF
+normalized; first-match header extraction; content right-trimmed of
+spaces) — ``tests/test_snapshots.py::test_warc_gz_datasource_parity``
+pins the two readers row-equal on the same records.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import os
+import re
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+WARC_GZ_SCHEMA = (
+    "record_id string, warc_type string, url string, warc_date string, "
+    "content_type string, content string"
+)
+
+_FIELDS = ("record_id", "warc_type", "url", "warc_date", "content_type")
+_HDR = {
+    "url": "WARC-Target-URI",
+    "warc_date": "WARC-Date",
+    "record_id": "WARC-Record-ID",
+    "warc_type": "WARC-Type",
+    "content_type": "Content-Type",
+}
+_VERSION = "WARC/1.0"
+_BATCH_ROWS = 1024
+_CHUNK = 1 << 20
+
+
+def split_gzip_members(path: str, chunk: int = _CHUNK) -> Iterator[bytes]:
+    """Yield each gzip member of a multi-member file, decompressed.
+
+    zlib with wbits=47 (auto gzip header) decodes exactly one member;
+    ``unused_data`` hands back the bytes belonging to the next member.
+    Incremental feed keeps peak memory at O(chunk + one record)."""
+    with open(path, "rb") as f:
+        d = zlib.decompressobj(47)
+        out = bytearray()
+        pending = b""
+        while True:
+            data = pending or f.read(chunk)
+            if not data:
+                if out:
+                    yield bytes(out)
+                return
+            pending = b""
+            out += d.decompress(data)
+            if d.eof:  # member boundary
+                yield bytes(out)
+                out = bytearray()
+                leftover = d.unused_data
+                d = zlib.decompressobj(47)
+                if leftover:
+                    pending = leftover
+
+
+def parse_record(text: str) -> dict[str, str]:
+    """Parse one WARC record to the reader schema. Same grammar as the
+    codegen reader (warc.py): CRLF->LF, header block up to the first blank
+    line, payload verbatim after it, content right-trimmed of spaces."""
+    if text.startswith(_VERSION):
+        text = text[len(_VERSION):]
+    text = text.replace("\r\n", "\n")
+    if "\n\n" in text:
+        hdr, body = text.split("\n\n", 1)
+    else:
+        hdr, body = text, ""
+    row = {
+        name: (m.group(1) if (m := re.search(rf"(?m)^{header}:\s*(.*)$", hdr)) else "")
+        for name, header in _HDR.items()
+    }
+    row["content"] = body.rstrip(" ")
+    return row
+
+
+def write_warc_gz(path: str, records: list[str]) -> None:
+    """Write records in Common Crawl member framing: each record its own
+    gzip member, members concatenated. (Fixture/test helper — documents
+    the exact framing ``split_gzip_members`` undoes.)"""
+    with open(path, "wb") as f:
+        for rec in records:
+            f.write(gzip.compress(rec.encode("utf-8")))
+
+
+class _WarcGzReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc_gz: .load(path) is required")
+        self._path = path
+
+    def partitions(self):  # driver-side listing, one partition per file
+        p = self._path
+        if os.path.isdir(p):
+            files = sorted(_glob.glob(os.path.join(p, "*.warc.gz")))
+        elif _glob.has_magic(p):
+            files = sorted(_glob.glob(p))
+        else:
+            files = [p]
+        if not files:
+            raise FileNotFoundError(f"warc_gz: no files match {p!r}")
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        cols: dict[str, list[str]] = {k: [] for k in (*_FIELDS, "content")}
+
+        def flush():
+            batch = pa.RecordBatch.from_pydict(
+                {k: pa.array(v, type=pa.string()) for k, v in cols.items()}
+            )
+            for k in cols:
+                cols[k] = []
+            return batch
+
+        n = 0
+        for member in split_gzip_members(partition.value):
+            text = member.decode("utf-8", errors="replace")
+            if not text.strip():
+                continue
+            row = parse_record(text)
+            for k in cols:
+                cols[k].append(row[k])
+            n += 1
+            if n % _BATCH_ROWS == 0:
+                yield flush()
+        if cols["content"]:
+            yield flush()
+
+
+class WarcGzDataSource(DataSource):
+    """``spark.read.format("warc_gz")`` — member-gzip WARC shards."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc_gz"
+
+    def schema(self) -> str:
+        return WARC_GZ_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _WarcGzReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(WarcGzDataSource)

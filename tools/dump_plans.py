@@ -28,6 +28,19 @@ COMMENTARY = {
         "PDF parse / OCR decode / HTML strip / text normalize all live "
         "inside the codegen stages as CASE branches."
     ),
+    "quality_repetition_rules": (
+        "MAP-ONLY curation: all three Gopher repetition stats are doc-local, "
+        "computed by run-length folds over sorted gram arrays inside one "
+        "codegen'd projection — scan -> project, ZERO aggregation shuffle "
+        "(the only Exchange is the guarded single-split-input fanout, a "
+        "no-op at scale). The token array is staged through a projection so "
+        "split() evaluates once per row."
+    ),
+    "decontaminate_ngram_overlap": (
+        "Distinct per-doc 5-gram md5s equi-join the DISTINCT eval gram set "
+        "(no forced broadcast — AQE picks one when the benchmark slice is "
+        "small), then one doc-keyed groupBy. Nothing all-pairs."
+    ),
     "q1_pricing_summary": (
         "Scan-side filter pushdown (PushedFilters on l_shipdate) + column "
         "pruning (ReadSchema lists only the 7 referenced columns of 11); "
