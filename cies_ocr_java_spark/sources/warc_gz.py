@@ -44,7 +44,12 @@ import re
 import zlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 WARC_GZ_SCHEMA = (
     "record_id string, warc_type string, url string, warc_date string, "
@@ -139,35 +144,86 @@ class _WarcGzReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
-        import pyarrow as pa
+        yield from _read_file_partition(partition.value)
 
-        cols: dict[str, list[str]] = {k: [] for k in (*_FIELDS, "content")}
 
-        def flush():
-            batch = pa.RecordBatch.from_pydict(
-                {k: pa.array(v, type=pa.string()) for k, v in cols.items()}
-            )
-            for k in cols:
-                cols[k] = []
-            return batch
+def _read_file_partition(path: str):
+    """Shared record iterator for the batch and stream readers: yield
+    Arrow RecordBatches of parsed records from one shard."""
+    import pyarrow as pa
 
-        n = 0
-        for member in split_gzip_members(partition.value):
-            text = member.decode("utf-8", errors="replace")
-            if not text.strip():
-                continue
-            row = parse_record(text)
-            for k in cols:
-                cols[k].append(row[k])
-            n += 1
-            if n % _BATCH_ROWS == 0:
-                yield flush()
-        if cols["content"]:
+    cols: dict[str, list[str]] = {k: [] for k in (*_FIELDS, "content")}
+
+    def flush():
+        batch = pa.RecordBatch.from_pydict(
+            {k: pa.array(v, type=pa.string()) for k, v in cols.items()}
+        )
+        for k in cols:
+            cols[k] = []
+        return batch
+
+    n = 0
+    for member in split_gzip_members(path):
+        text = member.decode("utf-8", errors="replace")
+        if not text.strip():
+            continue
+        row = parse_record(text)
+        for k in cols:
+            cols[k].append(row[k])
+        n += 1
+        if n % _BATCH_ROWS == 0:
             yield flush()
+    if cols["content"]:
+        yield flush()
+
+
+class _WarcGzStreamReader(DataSourceStreamReader):
+    """Tail a directory of arriving member-gzip shards.
+
+    Offset design: Common Crawl shard names are monotone (crawl/segment/
+    sequence encoded in the name), so the checkpointed offset is a single
+    high-water mark — the lexicographically greatest shard name claimed so
+    far. O(1) offset size no matter how many shards the stream has
+    consumed (a seen-file SET would grow without bound over a crawl's
+    lifetime). Contract: a shard that sorts BELOW the high-water mark
+    after it was claimed is ignored — late out-of-order names need the
+    set-based variant, documented here rather than silently half-handled.
+    Each microbatch plans one InputPartition per new shard; the per-shard
+    read path is byte-identical to the batch reader."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc_gz: .load(path) is required")
+        self._path = path
+
+    def _list(self) -> list[str]:
+        p = self._path
+        if os.path.isdir(p):
+            return sorted(_glob.glob(os.path.join(p, "*.warc.gz")))
+        return sorted(_glob.glob(p)) if _glob.has_magic(p) else [p]
+
+    def initialOffset(self) -> dict:
+        return {"upto": ""}
+
+    def latestOffset(self) -> dict:
+        files = self._list()
+        return {"upto": files[-1] if files else ""}
+
+    def partitions(self, start: dict, end: dict):
+        new = [f for f in self._list() if start["upto"] < f <= end["upto"]]
+        return [InputPartition(f) for f in new]
+
+    def read(self, partition):
+        yield from _read_file_partition(partition.value)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class WarcGzDataSource(DataSource):
-    """``spark.read.format("warc_gz")`` — member-gzip WARC shards."""
+    """``spark.read.format("warc_gz")`` / ``spark.readStream.format("warc_gz")``
+    — member-gzip WARC shards, batch or tailed as they arrive."""
 
     @classmethod
     def name(cls) -> str:
@@ -178,6 +234,9 @@ class WarcGzDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _WarcGzReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _WarcGzStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -605,3 +605,53 @@ def test_warc_gz_datasource_parity(spark, tmp_path):
     docs = warc_to_documents(via_gz)
     out = {r["doc_id"]: r for r in extract_spans(docs).collect()}
     assert "hello page" in out["<urn:uuid:rec-a>"]["text"]
+
+
+def test_warc_gz_stream_tails_new_shards(spark, tmp_path):
+    """The warc_gz stream reader claims each arriving shard exactly once
+    across query restarts: run 1 reads shard-001, a shard arrives, run 2
+    on the SAME checkpoint reads only shard-002 (high-water-mark offset)."""
+    from cies_ocr_java_spark.sources.warc_gz import WarcGzDataSource, write_warc_gz
+
+    def rec(i):
+        return (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:r{i}>\r\n"
+            "Content-Type: text/plain\r\n"
+            "\r\n"
+            f"body {i}\r\n"
+        )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    write_warc_gz(str(d / "shard-001.warc.gz"), [rec(1), rec(2)])
+    spark.dataSource.register(WarcGzDataSource)
+
+    seen: list[set] = []
+
+    def run_once():
+        batch_ids = set()
+
+        def sink(batch_df, batch_id):
+            rows = {r["record_id"] for r in batch_df.collect()}
+            if rows:
+                batch_ids.update(rows)
+
+        q = (
+            spark.readStream.format("warc_gz")
+            .load(str(d))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        seen.append(batch_ids)
+
+    run_once()
+    assert seen[0] == {"<urn:uuid:r1>", "<urn:uuid:r2>"}
+    write_warc_gz(str(d / "shard-002.warc.gz"), [rec(3)])
+    run_once()
+    assert seen[1] == {"<urn:uuid:r3>"}  # shard-001 NOT re-read
