@@ -3625,10 +3625,18 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     small; no forced hint, since the eval slice here grows with the corpus),
     one doc-keyed groupBy. Nothing all-pairs, nothing global."""
     d = _t(spark, sf_dir, "documents", fanout=True)
-    sh = d.select(
-        "doc_id",
-        F.explode(dedup.shingles_col(F.col("text"), _DECON_N)).alias("g"),
-    ).select("doc_id", F.md5("g").alias("h"))
+    # Persisted because BOTH branches (eval-gram set, train side) consume
+    # it — same precedent as the dedup operators' shared shingle table:
+    # without the persist Catalyst plans the scan + shingling + md5 twice,
+    # doubling the most expensive stage.
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(dedup.shingles_col(F.col("text"), _DECON_N)).alias("g"),
+        )
+        .select("doc_id", F.md5("g").alias("h"))
+        .persist()
+    )
     ev = (
         sh.where(F.col("doc_id") % _DECON_MOD == 0)
         .select("h")

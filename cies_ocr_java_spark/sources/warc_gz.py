@@ -9,7 +9,15 @@ answer: a custom ``pyspark.sql.datasource.DataSource`` registered as
 syntax:
 
     spark.dataSource.register(WarcGzDataSource)
-    df = spark.read.format("warc_gz").load("s3a://.../segment/*.warc.gz")
+    df = spark.read.format("warc_gz").load("/data/crawl/segment/*.warc.gz")
+
+Path scope: listing and IO go through the local ``os``/``glob``/``open``
+layer — local disk or a FUSE/NFS mount of the object store. Direct
+``s3://``-style access would swap ``_list_shards``/``open`` for the
+object-store client (boto3 list_objects + streaming GET); the partition
+planning, member splitting, and parsing above it are unchanged. Not
+implemented here (no cloud SDK in this environment) — the seam is those
+two functions.
 
 Scale design:
 
@@ -74,24 +82,39 @@ def split_gzip_members(path: str, chunk: int = _CHUNK) -> Iterator[bytes]:
 
     zlib with wbits=47 (auto gzip header) decodes exactly one member;
     ``unused_data`` hands back the bytes belonging to the next member.
-    Incremental feed keeps peak memory at O(chunk + one record)."""
+    Incremental feed keeps peak memory at O(chunk + one record).
+
+    A file ending MID-member raises instead of yielding the partial
+    record: in the stream tailer a shard still being copied is the normal
+    case, not an edge — silently emitting the truncated tail would commit
+    corrupt data AND let the high-water-mark offset skip the completed
+    shard forever. Failing the task makes Spark retry the batch, which
+    succeeds once the copy finishes (writers that can't guarantee atomic
+    publish should stage under a non-matching name and rename)."""
     with open(path, "rb") as f:
         d = zlib.decompressobj(47)
         out = bytearray()
         pending = b""
+        fed = False  # bytes consumed by the CURRENT member's decompressor
         while True:
             data = pending or f.read(chunk)
             if not data:
-                if out:
-                    yield bytes(out)
+                if fed and not d.eof:
+                    raise EOFError(
+                        f"warc_gz: {path!r} ends mid-member "
+                        f"({len(out)} bytes decompressed) — truncated or "
+                        "still being written"
+                    )
                 return
             pending = b""
             out += d.decompress(data)
+            fed = True
             if d.eof:  # member boundary
                 yield bytes(out)
                 out = bytearray()
                 leftover = d.unused_data
                 d = zlib.decompressobj(47)
+                fed = False
                 if leftover:
                     pending = leftover
 
@@ -124,6 +147,18 @@ def write_warc_gz(path: str, records: list[str]) -> None:
             f.write(gzip.compress(rec.encode("utf-8")))
 
 
+def _list_shards(path: str) -> list[str]:
+    """Existence-checked shard listing shared by the batch and stream
+    readers (directory, glob, or literal file — a literal that doesn't
+    exist yet lists as empty rather than being claimed and crashing the
+    task that tries to open it)."""
+    if os.path.isdir(path):
+        return sorted(_glob.glob(os.path.join(path, "*.warc.gz")))
+    if _glob.has_magic(path):
+        return sorted(_glob.glob(path))
+    return [path] if os.path.exists(path) else []
+
+
 class _WarcGzReader(DataSourceReader):
     def __init__(self, options: dict):
         path = options.get("path")
@@ -132,15 +167,9 @@ class _WarcGzReader(DataSourceReader):
         self._path = path
 
     def partitions(self):  # driver-side listing, one partition per file
-        p = self._path
-        if os.path.isdir(p):
-            files = sorted(_glob.glob(os.path.join(p, "*.warc.gz")))
-        elif _glob.has_magic(p):
-            files = sorted(_glob.glob(p))
-        else:
-            files = [p]
+        files = _list_shards(self._path)
         if not files:
-            raise FileNotFoundError(f"warc_gz: no files match {p!r}")
+            raise FileNotFoundError(f"warc_gz: no files match {self._path!r}")
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
@@ -189,29 +218,37 @@ class _WarcGzStreamReader(DataSourceStreamReader):
     after it was claimed is ignored — late out-of-order names need the
     set-based variant, documented here rather than silently half-handled.
     Each microbatch plans one InputPartition per new shard; the per-shard
-    read path is byte-identical to the batch reader."""
+    read path is byte-identical to the batch reader.
+
+    ``latestOffset`` is MONOTONE within the reader's lifetime: the offset
+    it reports never goes below one it already reported, even if the
+    directory listing transiently shrinks (NFS blip, retention deleting
+    the greatest-named shard). A regressing offset would rewind the
+    checkpoint and re-ingest the whole history as duplicates. Across
+    restarts Spark resumes from the CHECKPOINTED offset as the batch
+    start, so a fresh reader instance starting at hwm="" is safe —
+    partitions() additionally clamps to start, never planning below it."""
 
     def __init__(self, options: dict):
         path = options.get("path")
         if not path:
             raise ValueError("warc_gz: .load(path) is required")
         self._path = path
-
-    def _list(self) -> list[str]:
-        p = self._path
-        if os.path.isdir(p):
-            return sorted(_glob.glob(os.path.join(p, "*.warc.gz")))
-        return sorted(_glob.glob(p)) if _glob.has_magic(p) else [p]
+        self._hwm = ""  # high-water mark this instance has reported
 
     def initialOffset(self) -> dict:
         return {"upto": ""}
 
     def latestOffset(self) -> dict:
-        files = self._list()
-        return {"upto": files[-1] if files else ""}
+        files = _list_shards(self._path)
+        newest = files[-1] if files else ""
+        self._hwm = max(self._hwm, newest)
+        return {"upto": self._hwm}
 
     def partitions(self, start: dict, end: dict):
-        new = [f for f in self._list() if start["upto"] < f <= end["upto"]]
+        new = [
+            f for f in _list_shards(self._path) if start["upto"] < f <= end["upto"]
+        ]
         return [InputPartition(f) for f in new]
 
     def read(self, partition):

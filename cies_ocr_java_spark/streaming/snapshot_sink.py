@@ -15,8 +15,12 @@ query, so two different queries appending into one table (the
 multi-writer case the table layer now arbitrates) must not dedupe each
 other's ids — each committer tracks the high-water mark of ITS
 ``query_name`` only. Pre-scoping history (entries without
-``stream_query``) counts toward every query's mark, which keeps old
-tables replay-safe at the cost of never re-using their legacy id range.
+``stream_query``) counts ONLY toward the default query name — counting
+it toward every name would make a brand-new named query silently drop
+its first batches as phantom replays (real data, never committed).
+Migration note: a stream started under a custom name BEFORE scoping
+existed must resume under the default name to keep its replay guard;
+post-scoping streams carry their name in every commit.
 
 This closes the loop between the streaming operators and the table layer:
 a streaming dedup/extraction/sessionization can land in the SAME
@@ -42,7 +46,7 @@ def committed_batch_ids(
         for s in table.history()
         if s.meta
         and "stream_batch_id" in s.meta
-        and s.meta.get("stream_query", query_name) == query_name
+        and s.meta.get("stream_query", DEFAULT_QUERY_NAME) == query_name
     }
 
 
@@ -69,9 +73,11 @@ def make_batch_committer(
     over the stream's lifetime."""
     state = {"max_id": max_committed_batch_id(table, query_name)}
 
-    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> bool:
+        """Returns True if the batch was committed, False for a replay
+        no-op — so tests (and metrics hooks) can assert which path ran."""
         if batch_id <= state["max_id"]:
-            return  # replay after a crash: already durable, skip
+            return False  # replay after a crash: already durable, skip
         table.commit(
             batch_df,
             mode="append",
@@ -81,6 +87,7 @@ def make_batch_committer(
             },
         )
         state["max_id"] = batch_id
+        return True
 
     return commit_batch
 

@@ -379,8 +379,6 @@ def test_streaming_committer_replay_is_o1(spark, tmp_path):
     manifest read at construction), and a fresh committer re-reads the
     manifest to resume — both skip replayed ids without re-parsing
     history per batch."""
-    from pyspark.sql import functions as F
-
     from cies_ocr_java_spark.sources.snapshots import SnapshotTable
     from cies_ocr_java_spark.streaming.snapshot_sink import (
         make_batch_committer,
@@ -537,8 +535,9 @@ def test_two_streaming_queries_one_table_do_not_collide(spark, tmp_path):
     assert counts == {"a": 2, "b": 1}
     assert max_committed_batch_id(tbl, "stream-a") == 1
     assert max_committed_batch_id(tbl, "stream-b") == 0
-    # restart recovery stays per-query
-    assert make_batch_committer(tbl, "stream-b")(df_b, 0) is None
+    # restart recovery stays per-query: the replayed batch reports
+    # skipped (False) and commits nothing
+    assert make_batch_committer(tbl, "stream-b")(df_b, 0) is False
     assert tbl.current_snapshot_id() == 3
 
 
@@ -655,3 +654,31 @@ def test_warc_gz_stream_tails_new_shards(spark, tmp_path):
     write_warc_gz(str(d / "shard-002.warc.gz"), [rec(3)])
     run_once()
     assert seen[1] == {"<urn:uuid:r3>"}  # shard-001 NOT re-read
+
+
+def test_legacy_unscoped_replay_marks_bind_to_default_query_only(spark, tmp_path):
+    """Pre-scoping commits (meta without stream_query) count toward the
+    DEFAULT query's replay mark only: a brand-new NAMED query on such a
+    table must commit its batch 0 (not silently drop it as a phantom
+    replay), while the default-name committer still skips the legacy id
+    range."""
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+    from cies_ocr_java_spark.streaming.snapshot_sink import (
+        make_batch_committer,
+        max_committed_batch_id,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([("x",)], "src string")
+    # simulate the old sink: batch id recorded WITHOUT a stream_query key
+    tbl.commit(df, mode="append", meta={"stream_batch_id": 0})
+    tbl.commit(df, mode="append", meta={"stream_batch_id": 1})
+
+    assert max_committed_batch_id(tbl) == 1  # default name owns legacy ids
+    assert max_committed_batch_id(tbl, "fresh-query") == -1
+
+    committed = make_batch_committer(tbl, "fresh-query")(df, 0)
+    assert committed is True and tbl.current_snapshot_id() == 3
+
+    replayed = make_batch_committer(tbl)(df, 1)  # legacy replay: no-op
+    assert replayed is False and tbl.current_snapshot_id() == 3
