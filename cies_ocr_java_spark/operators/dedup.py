@@ -37,18 +37,15 @@ def tokens_col(text) -> F.Column:
     return F.split(normalize_ws(F.lower(text)), " ")
 
 
-def shingles_col(text, n: int = DEFAULT_SHINGLE_N) -> F.Column:
-    """Distinct word n-grams via a zip_with chain over shifted arrays.
-
-    zip_with(tokens, tokens[2:], ..) pairs each token with its successor in
-    ONE linear pass; chaining n-1 shifts builds the n-gram. This is ~6x
-    faster than the transform(sequence, i -> array_join(slice(toks,i,n)))
-    form, whose per-position slice made shingling the hot stage. zip_with
-    null-pads the shorter side; nulls propagate (explicit isNotNull guard,
-    concat_ws would silently SKIP a null and fabricate wrong shingles) and
-    the trailing partial windows filter out. Output strings are identical
-    to the DuckDB oracle's 1-based list-slice construction."""
-    toks = tokens_col(text)
+def positional_grams_from_tokens(toks: F.Column, n: int) -> F.Column:
+    """Word n-grams with POSITION preserved: entry j (0-based) of the result
+    is the n-gram starting at token j+1; the trailing n-1 entries are null
+    (zip_with pads the shorter shifted array). Built as a zip_with chain
+    over shifted arrays — one linear pass per shift, ~6x faster than the
+    transform(sequence, i -> array_join(slice(toks,i,n))) form, whose
+    per-position slice made shingling the hot stage. nulls propagate
+    (explicit isNotNull guard: concat_ws would silently SKIP a null and
+    fabricate wrong grams)."""
     sz = F.size(toks)
     g = toks
     for j in range(2, n + 1):
@@ -58,6 +55,15 @@ def shingles_col(text, n: int = DEFAULT_SHINGLE_N) -> F.Column:
             nxt,
             lambda a, b: F.when(a.isNotNull() & b.isNotNull(), F.concat_ws(" ", a, b)),
         )
+    return g
+
+
+def shingles_col(text, n: int = DEFAULT_SHINGLE_N) -> F.Column:
+    """Distinct word n-grams (positions dropped): the positional gram chain
+    with trailing partial windows filtered and duplicates collapsed. Output
+    strings are identical to the DuckDB oracle's 1-based list-slice
+    construction."""
+    g = positional_grams_from_tokens(tokens_col(text), n)
     return F.array_distinct(F.filter(g, lambda x: x.isNotNull()))
 
 
@@ -75,6 +81,88 @@ def exploded_shingles(df: DataFrame, text_col: str, id_col: str,
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def duplicate_passages(df: DataFrame, text_col: str, id_col: str,
+                       n: int = 8) -> DataFrame:
+    """Exact-substring duplicate passage detection — the distributed analog
+    of suffix-array training-data dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): find the maximal token
+    ranges of each document that also occur verbatim in ANOTHER document.
+
+    Semantics: a token position i of doc d is *duplicated* iff the n-token
+    gram starting at i occurs in >= 2 distinct docs. Overlapping/adjacent
+    duplicated windows merge into maximal passages ([i, i+n-1] and
+    [i', i'+n-1] merge when i' - i <= n), so any shared substring of
+    length >= n is reported once as a single [start_tok, end_tok] range —
+    exactly the contiguous-duplicate-span semantics of the suffix-array
+    method, at word-gram granularity.
+
+    Plan at 10^12 docs (nothing all-pairs, nothing global):
+      1. one explode of positional gram hashes (linear in corpus tokens —
+         the same cost class as the MinHash shingle table);
+      2. one groupBy(h) for the cross-doc gram set (count(distinct id) is
+         a two-stage partial-agg expand, map-side combinable);
+      3. one equi-join of positions against that set (AQE broadcasts it
+         when the duplicated-gram vocabulary is small, which it is unless
+         the corpus is mostly duplicated);
+      4. interval merge as a doc-partitioned window (lag + running sum —
+         per-doc state only; equal-width windows make max-end monotone in
+         start, so a single lag suffices, no running max);
+      5. one doc-keyed join back to the token arrays to materialize the
+         passage text (inherent to the output, not overhead).
+    The position table feeds both the gram set and the join probe, so it
+    is persisted once (same precedent as the LSH shingle table).
+
+    Returns (id, start_tok, end_tok, n_tokens, passage): 1-based inclusive
+    token range plus the space-joined passage text."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    grams = positional_grams_from_tokens(F.col("t"), n)
+    ex = (
+        toks.select("id", F.posexplode(grams).alias("pos0", "g"))
+        .where(F.col("g").isNotNull())
+        .select("id", (F.col("pos0") + 1).alias("pos"), F.md5("g").alias("h"))
+        .persist()
+    )
+    dup = (
+        ex.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = ex.join(dup, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pas = (
+        hits.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) > n, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn("gid", F.sum("brk").over(run))
+        .groupBy("id", "gid")
+        .agg(
+            F.min("pos").cast("int").alias("start_tok"),
+            (F.max("pos") + n - 1).cast("int").alias("end_tok"),
+        )
+    )
+    return pas.join(toks, "id").select(
+        "id",
+        "start_tok",
+        "end_tok",
+        (F.col("end_tok") - F.col("start_tok") + 1).cast("int").alias("n_tokens"),
+        F.array_join(
+            F.slice(
+                F.col("t"),
+                F.col("start_tok"),
+                F.col("end_tok") - F.col("start_tok") + 1,
+            ),
+            " ",
+        ).alias("passage"),
     )
 
 

@@ -846,6 +846,49 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PASSAGE_N = 8
+
+
+@_register(
+    "duplicate_passages",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     [md5(array_to_string(t[i:i+{_PASSAGE_N - 1}], ' '))
+                      for i in range(1, greatest(len(t) - {_PASSAGE_N - 2}, 1))] AS g
+              FROM toks),
+    pos AS (SELECT doc_id, unnest(range(1, len(g) + 1)) AS pos, unnest(g) AS h
+            FROM grams),
+    dup AS (SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM pos JOIN dup USING (h)),
+    runs AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER w > {_PASSAGE_N}
+                         THEN 1 ELSE 0 END AS brk
+             FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    grp AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+            FROM runs),
+    pas AS (SELECT doc_id, CAST(min(pos) AS INTEGER) AS start_tok,
+                   CAST(max(pos) + {_PASSAGE_N - 1} AS INTEGER) AS end_tok
+            FROM grp GROUP BY doc_id, gid)
+    SELECT p.doc_id, p.start_tok, p.end_tok,
+           CAST(p.end_tok - p.start_tok + 1 AS INTEGER) AS n_tokens,
+           array_to_string(t[p.start_tok:p.end_tok], ' ') AS passage
+    FROM pas p JOIN toks USING (doc_id)
+    """,
+)
+def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate passages (suffix-array-dedup analog, Lee
+    et al. 2021): maximal token ranges of each document whose every
+    {_PASSAGE_N}-gram also appears in another document. See
+    operators/dedup.py duplicate_passages for the scale analysis."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return dedup.duplicate_passages(d, "text", "doc_id", n=_PASSAGE_N).select(
+        F.col("id").alias("doc_id"), "start_tok", "end_tok", "n_tokens", "passage"
+    )
+
+
 # =========================================================================
 # Similarity search (ANN over embeddings)
 # =========================================================================

@@ -904,3 +904,36 @@ def test_int8_quantize_roundtrip_properties(spark):
             # s is the decimal(12,8)-REPORTED scale: its rounding (<=5e-9)
             # amplifies by |c| <= 127 on dequant, hence the 1e-6 slack
             assert abs(x - c * s) <= s / 2 + 1e-6, (vid, x, c, s)
+
+
+def test_duplicate_passages_merge_semantics(spark):
+    """Pins the exact-substring passage contract: a position is duplicated
+    iff its n-gram occurs in >=2 distinct docs; runs of duplicated
+    positions merge while the start-gap is <= n (overlapping OR exactly
+    abutting windows), split when > n; docs shorter than n yield nothing."""
+    rows = [
+        (1, "a b c d e x y z a b c d e"),  # two disjoint shared passages
+        (2, "a b c d e"),                  # wholly contained in doc 1
+        (3, "a b c w d e f"),              # dup grams at 1,4,5: gap==n merges
+        (4, "a b c"),
+        (5, "d e f"),
+        (6, "q r"),                        # < n tokens -> no grams
+        (7, "w d e"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id"], r["start_tok"]): r
+        for r in dedup.duplicate_passages(docs, "text", "doc_id", n=3).collect()
+    }
+    expect = {
+        (1, 1): (5, 5, "a b c d e"),
+        (1, 9): (13, 5, "a b c d e"),      # gap 9-3=6 > n=3 -> split
+        (2, 1): (5, 5, "a b c d e"),
+        (3, 1): (7, 7, "a b c w d e f"),   # gaps 3 and 1 -> one passage
+        (4, 1): (3, 3, "a b c"),
+        (5, 1): (3, 3, "d e f"),
+        (7, 1): (3, 3, "w d e"),
+    }
+    assert {
+        k: (v["end_tok"], v["n_tokens"], v["passage"]) for k, v in out.items()
+    } == expect
