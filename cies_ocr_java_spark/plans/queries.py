@@ -43,7 +43,7 @@ from cies_ocr_java_spark.functions.text import (
     normalize_ws,
     token_count,
 )
-from cies_ocr_java_spark.operators import dedup, similarity
+from cies_ocr_java_spark.operators import dedup, packing, similarity
 from cies_ocr_java_spark.operators.multimodal import (
     extract_media_features,
     plan_resize,
@@ -3769,4 +3769,55 @@ def domain_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("cum_tokens") <= _DOMAIN_TOKEN_BUDGET, F.lit(1)).otherwise(
             F.lit(0)
         ),
+    )
+
+
+# =========================================================================
+# Sequence packing (global prefix sum -> fixed-length training sequences)
+# =========================================================================
+
+_SEQ_LEN = 512
+
+
+@_register(
+    "corpus_pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, {_norm_sql('text')} AS nt FROM documents),
+    n AS (SELECT doc_id,
+                 CAST(CASE WHEN length(nt) = 0 THEN 0
+                           ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_tok
+          FROM t),
+    o AS (SELECT doc_id, n_tok,
+                 CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS off
+          FROM n WHERE n_tok > 0),
+    e AS (SELECT doc_id, n_tok, off,
+                 unnest(range(off // {_SEQ_LEN},
+                              (off + n_tok - 1) // {_SEQ_LEN} + 1)) AS seq_id
+          FROM o)
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(off, seq_id * {_SEQ_LEN}) - off + 1 AS INTEGER)
+             AS doc_tok_start,
+           CAST(least(off + n_tok, (seq_id + 1) * {_SEQ_LEN}) - off AS INTEGER)
+             AS doc_tok_end,
+           CAST(least(off + n_tok, (seq_id + 1) * {_SEQ_LEN})
+                - greatest(off, seq_id * {_SEQ_LEN}) AS INTEGER) AS n_tokens,
+           CAST(greatest(off, seq_id * {_SEQ_LEN}) - seq_id * {_SEQ_LEN}
+                AS INTEGER) AS seq_tok_start
+    FROM e
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence-packing manifest: every document's whitespace tokens
+    laid end-to-end in doc_id order and sliced into {_SEQ_LEN}-token
+    training sequences. The global exclusive prefix sum is the two-level
+    distributed scan (operators/packing.py with_global_offset) — the
+    oracle's single global window is exactly what the engine must NOT do
+    at scale; outputs are bit-identical because the pack order is a
+    strict total order."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return packing.pack_sequences(d, "text", "doc_id", _SEQ_LEN).select(
+        "seq_id", F.col("id").alias("doc_id"), "doc_tok_start",
+        "doc_tok_end", "n_tokens", "seq_tok_start"
     )

@@ -937,3 +937,35 @@ def test_duplicate_passages_merge_semantics(spark):
     assert {
         k: (v["end_tok"], v["n_tokens"], v["passage"]) for k, v in out.items()
     } == expect
+
+
+def test_pack_sequences_manifest(spark):
+    """Pins the packing contract: offsets follow id order, fragments tile
+    each sequence exactly, doc-local ranges are 1-based inclusive, and
+    zero-token docs (empty or whitespace-only) contribute nothing."""
+    from cies_ocr_java_spark.operators.packing import pack_sequences
+
+    rows = [
+        (1, "a b c"),
+        (2, ""),
+        (3, "d e f g"),
+        (4, "   "),
+        (5, "h"),
+        (6, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # spans three sequences
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["seq_id"], r["id"]): (
+            r["doc_tok_start"], r["doc_tok_end"], r["n_tokens"], r["seq_tok_start"]
+        )
+        for r in pack_sequences(docs, "text", "doc_id", seq_len=4).collect()
+    }
+    assert got == {
+        (0, 1): (1, 3, 3, 0),
+        (0, 3): (1, 1, 1, 3),
+        (1, 3): (2, 4, 3, 0),
+        (1, 5): (1, 1, 1, 3),
+        (2, 6): (1, 4, 4, 0),
+        (3, 6): (5, 8, 4, 0),
+        (4, 6): (9, 9, 1, 0),
+    }

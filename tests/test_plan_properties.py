@@ -121,3 +121,15 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+def test_pack_sequences_has_no_global_data_window(spark):
+    """corpus_pack_sequences' global prefix sum must be the two-level
+    scan (range repartition + partition-local window + broadcast
+    offsets): the only SinglePartition exchange allowed is the one
+    feeding the partitions-sized subtotal table, and the fragment
+    explosion must ride on the range partitioning, not re-shuffle."""
+    plan = plan_of(QUERIES["corpus_pack_sequences"](spark, SF))
+    assert "rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BroadcastHashJoin" in plan  # offsets join back by _pid
