@@ -43,7 +43,7 @@ from cies_ocr_java_spark.functions.text import (
     normalize_ws,
     token_count,
 )
-from cies_ocr_java_spark.operators import dedup, packing, similarity
+from cies_ocr_java_spark.operators import dedup, packing, similarity, sketches
 from cies_ocr_java_spark.operators.multimodal import (
     extract_media_features,
     plan_resize,
@@ -3821,3 +3821,35 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq_id", F.col("id").alias("doc_id"), "doc_tok_start",
         "doc_tok_end", "n_tokens", "seq_tok_start"
     )
+
+
+# =========================================================================
+# Sketches: Misra-Gries heavy hitters (sketch -> candidates -> exact
+# recount; output partitioning-independent, hence oracle-exact)
+# =========================================================================
+
+_HH_SUPPORT = 0.002
+
+
+@_register(
+    "vocab_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS token
+                  FROM documents),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+    SELECT token, cnt,
+           CAST(CAST(CAST(cnt AS DOUBLE) / n_total AS VARCHAR)
+                AS DECIMAL(12,6))::DOUBLE AS share
+    FROM c, n WHERE cnt > {_HH_SUPPORT} * n_total
+    """,
+)
+def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters (> {_HH_SUPPORT:.1%} of all tokens)
+    via per-partition Misra-Gries summaries + exact candidate recount
+    (operators/sketches.py). The oracle does the full-vocabulary groupBy
+    the sketch path exists to avoid; outputs are identical because the
+    recount is exact and the sketch survivors are a guaranteed candidate
+    superset under any partitioning."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return sketches.heavy_hitters(d, "text", support=_HH_SUPPORT)

@@ -969,3 +969,27 @@ def test_pack_sequences_manifest(spark):
         (3, 6): (5, 8, 4, 0),
         (4, 6): (9, 9, 1, 0),
     }
+
+
+def test_heavy_hitters_exact_and_partitioning_independent(spark):
+    """The MG sketch path must return EXACT counts for every token above
+    support (candidate superset + exact recount), independent of how the
+    token stream is partitioned — even with the minimal sketch size k."""
+    from cies_ocr_java_spark.operators.sketches import heavy_hitters
+
+    # 50 a's + 30 b's + 20 unique fillers = 100 tokens
+    rows = (
+        [(i, "a a a a a") for i in range(10)]
+        + [(100 + i, "b b b") for i in range(10)]
+        + [(200 + i, f"u{i} u{i + 100}") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = {("a", 50, 0.5), ("b", 30, 0.3)}
+    for parts in (1, 2, 13):
+        got = {
+            (r["token"], r["cnt"], r["share"])
+            for r in heavy_hitters(
+                docs.repartition(parts), "text", support=0.25
+            ).collect()
+        }
+        assert got == expect, parts
