@@ -1,0 +1,102 @@
+"""Domain-authority PageRank over the cross-domain syndication graph.
+
+A web-scale training corpus wants a per-domain quality prior; with no
+hyperlinks in the extracted text, the strongest publicly observable
+inter-domain signal the corpus itself carries is SYNDICATION — the same
+content appearing on several domains. Near-duplicate pairs that cross
+domains therefore define an (undirected, symmetrized) domain graph, and
+PageRank over it scores how centrally a domain sits in the reuse network
+(a FineWeb/C4-style heuristic: heavily-syndicated hub domains get rank
+mass from every domain that shares their content).
+
+Scale shape (domains ~ 10^7 at web scale, i.e. tiny next to documents):
+  * edge derivation rides the existing LSH near-dup path (candidates via
+    banding, exact verification — nothing all-pairs), then two
+    broadcast-friendly joins docs->source;
+  * the static edge table (with out-degrees pre-joined) is persisted
+    ONCE; each PageRank round is one groupBy(dst) shuffle over edges;
+  * the rank iterate is localCheckpoint'ed per round with eager block
+    release of the previous iterate (dedup.py's tracked-RDD scheme —
+    deep lineage otherwise blows planner recursion, the documented
+    round-1 finding on connected_components).
+
+Determinism contract (hash-exact vs the DuckDB oracle): contributions
+are decimal(12,6)-rounded before the sum (decimal addition is exact and
+order-independent), the damping update is computed in double from the
+EXACT decimal sum, and the new rank is decimal(12,6)-rounded again —
+so every engine that follows the same recipe lands on identical bits,
+iteration after iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cies_ocr_java_spark.operators.dedup import (
+    _checkpoint_tracked_rdds,
+    _release_rdds,
+)
+
+
+def syndication_edges(pairs: DataFrame, docs: DataFrame,
+                      id_col: str = "doc_id",
+                      domain_col: str = "source") -> DataFrame:
+    """(id_a, id_b) near-dup pairs -> distinct symmetric cross-domain
+    edges (src, dst). Same-domain duplication is internal reuse, not
+    syndication, and is filtered out."""
+    sa = docs.select(F.col(id_col).alias("id_a"), F.col(domain_col).alias("da"))
+    sb = docs.select(F.col(id_col).alias("id_b"), F.col(domain_col).alias("db"))
+    e = (
+        pairs.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("da") != F.col("db"))
+        .select("da", "db")
+    )
+    return (
+        e.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+        .unionAll(e.select(F.col("db").alias("src"), F.col("da").alias("dst")))
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, nodes: DataFrame, iterations: int = 5,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank (simplified form: rank = (1-d) + d * sum
+    of in-contributions, dangling mass not redistributed — the classic
+    Spark-example semantics, which keeps the oracle a pure unrolled CTE).
+
+    ``edges``: (src, dst), already symmetrized/deduped as desired;
+    ``nodes``: one column ``source`` covering every node (isolated
+    domains settle at 1-d). Returns (source, rank:double)."""
+    sc = edges.sparkSession.sparkContext
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src").persist()
+    ranks = nodes.select("source", F.lit(1.0).alias("rank"))
+    held: list[int] = []
+    for _ in range(iterations):
+        contrib = ed.join(
+            ranks, ed.src == ranks.source
+        ).select(
+            F.col("dst"),
+            (F.col("rank") / F.col("deg")).cast("decimal(12,6)").alias("c"),
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        nxt = nodes.join(
+            sums, nodes.source == sums.dst, "left"
+        ).select(
+            "source",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            )
+            .cast("decimal(12,6)")
+            .cast("double")
+            .alias("rank"),
+        )
+        ranks, new_ids = _checkpoint_tracked_rdds(sc, nxt)
+        _release_rdds(sc, held)
+        held = new_ids
+    ed.unpersist()
+    return ranks

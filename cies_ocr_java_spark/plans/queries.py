@@ -43,7 +43,13 @@ from cies_ocr_java_spark.functions.text import (
     normalize_ws,
     token_count,
 )
-from cies_ocr_java_spark.operators import dedup, packing, similarity, sketches
+from cies_ocr_java_spark.operators import (
+    dedup,
+    packing,
+    pagerank as prk,
+    similarity,
+    sketches,
+)
 from cies_ocr_java_spark.operators.multimodal import (
     extract_media_features,
     plan_resize,
@@ -3853,3 +3859,60 @@ def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     superset under any partitioning."""
     d = _t(spark, sf_dir, "documents", fanout=True)
     return sketches.heavy_hitters(d, "text", support=_HH_SUPPORT)
+
+
+# =========================================================================
+# Domain-authority PageRank over the cross-domain syndication graph
+# =========================================================================
+
+_PR_EDGE_THR = 0.5
+_PR_D = 0.85
+_PR_ITERS = 5
+
+
+def _pagerank_iters_sql(n: int) -> str:
+    base = 1.0 - _PR_D
+    parts = ["r0 AS (SELECT source, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"]
+    for i in range(1, n + 1):
+        parts.append(f"""
+    c{i} AS (SELECT e.dst AS source,
+                    CAST(CAST(r.rank / d.deg AS VARCHAR) AS DECIMAL(12,6)) AS c
+             FROM edges e JOIN r{i - 1} r ON r.source = e.src
+                          JOIN deg d ON d.src = e.src),
+    s{i} AS (SELECT source, sum(c) AS sm FROM c{i} GROUP BY source),
+    r{i} AS (SELECT n.source,
+                    CAST(CAST({base!r} + {_PR_D!r} * coalesce(CAST(sm AS DOUBLE), 0.0)
+                              AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS rank
+             FROM nodes n LEFT JOIN s{i} USING (source))""")
+    return ", ".join(parts)
+
+
+@_register(
+    "domain_pagerank",
+    f"""
+    WITH {_SHINGLE_SQL}, {_JACCARD_CORE},
+    pr AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {_PR_EDGE_THR}),
+    e0 AS (SELECT da.source AS src, db.source AS dst
+           FROM pr JOIN documents da ON da.doc_id = pr.id_a
+                   JOIN documents db ON db.doc_id = pr.id_b
+           WHERE da.source != db.source),
+    edges AS (SELECT DISTINCT src, dst
+              FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+    nodes AS (SELECT DISTINCT source FROM documents),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    {_pagerank_iters_sql(_PR_ITERS)}
+    SELECT source, rank FROM r{_PR_ITERS}
+    """,
+)
+def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-authority PageRank over the syndication graph: cross-domain
+    near-dup pairs (exact-Jaccard >= {_PR_EDGE_THR}, lossless prefix-filter
+    path) symmetrized into domain edges, then {_PR_ITERS} fixed PageRank
+    rounds (operators/pagerank.py — decimal-rounded contributions, exact
+    decimal sums, localCheckpoint per round). The oracle unrolls the same
+    iterations as chained CTEs; isolated domains settle at 1-d."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    pairs = dedup.jaccard_pairs(d, "text", "doc_id", _PR_EDGE_THR)
+    edges = prk.syndication_edges(pairs, d)
+    nodes = d.select("source").distinct()
+    return prk.pagerank(edges, nodes, iterations=_PR_ITERS, damping=_PR_D)

@@ -993,3 +993,29 @@ def test_heavy_hitters_exact_and_partitioning_independent(spark):
             ).collect()
         }
         assert got == expect, parts
+
+
+def test_pagerank_hand_computed_and_edge_symmetry(spark):
+    from cies_ocr_java_spark.operators.pagerank import pagerank, syndication_edges
+
+    docs = spark.createDataFrame(
+        [(1, "da"), (2, "db"), (3, "da"), (4, "dc")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "id_a long, id_b long"
+    )
+    edges = {
+        (r["src"], r["dst"])
+        for r in syndication_edges(pairs, docs).collect()
+    }
+    # (1,3) is same-domain -> dropped; the rest symmetrized
+    assert edges == {("da", "db"), ("db", "da"), ("db", "dc"), ("dc", "db")}
+
+    # path graph a-b-c plus isolated d, 2 rounds, hand-computed
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")], "src string, dst string"
+    )
+    n = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "source string")
+    got = {r["source"]: r["rank"] for r in pagerank(e, n, iterations=2).collect()}
+    assert got == {"a": 0.93625, "b": 1.1275, "c": 0.93625, "d": 0.15}
