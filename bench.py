@@ -60,6 +60,10 @@ HEADLINE = [
     "quality_repetition_rules",
     "decontaminate_ngram_overlap",
     "domain_token_budget_sample",
+    "duplicate_passages",
+    "corpus_pack_sequences",
+    "vocab_heavy_hitters",
+    "domain_pagerank",
 ]
 
 

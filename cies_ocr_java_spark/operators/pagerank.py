@@ -70,11 +70,26 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iterations: int = 5,
     ``nodes``: one column ``source`` covering every node (isolated
     domains settle at 1-d). Returns (source, rank:double)."""
     sc = edges.sparkSession.sparkContext
+    # The edge table typically sits on an EXPENSIVE lineage (LSH near-dup
+    # derivation); it feeds two consumers (deg + the join) and then every
+    # round. persist makes the lineage compute once; the eager
+    # localCheckpoint of the degree-joined table cuts the lineage out of
+    # all 5 round plans entirely, after which the upstream cache can go.
+    edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src").persist()
+    ed, ed_ids = _checkpoint_tracked_rdds(sc, edges.join(deg, "src"))
+    edges.unpersist()
+    # nodes feeds every round's left join — without the persist each
+    # iteration re-derives it from the source scan
+    nodes = nodes.persist()
     ranks = nodes.select("source", F.lit(1.0).alias("rank"))
     held: list[int] = []
-    for _ in range(iterations):
+    # Lineage is truncated every few rounds rather than every round: each
+    # eager checkpoint is a scheduled job, and at 3 joins/round the plan
+    # only needs cutting before it nests deep enough to hurt the planner
+    # (the ~20-round blow-up documented on connected_components).
+    checkpoint_every = 4
+    for i in range(iterations):
         contrib = ed.join(
             ranks, ed.src == ranks.source
         ).select(
@@ -95,8 +110,12 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iterations: int = 5,
             .cast("double")
             .alias("rank"),
         )
-        ranks, new_ids = _checkpoint_tracked_rdds(sc, nxt)
-        _release_rdds(sc, held)
-        held = new_ids
-    ed.unpersist()
+        if (i + 1) % checkpoint_every == 0 or i + 1 == iterations:
+            ranks, new_ids = _checkpoint_tracked_rdds(sc, nxt)
+            _release_rdds(sc, held)
+            held = new_ids
+        else:
+            ranks = nxt
+    _release_rdds(sc, ed_ids)
+    nodes.unpersist()  # final iterate is checkpointed — safe to release
     return ranks

@@ -3865,7 +3865,6 @@ def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Domain-authority PageRank over the cross-domain syndication graph
 # =========================================================================
 
-_PR_EDGE_THR = 0.5
 _PR_D = 0.85
 _PR_ITERS = 5
 
@@ -3890,8 +3889,15 @@ def _pagerank_iters_sql(n: int) -> str:
 @_register(
     "domain_pagerank",
     f"""
-    WITH {_SHINGLE_SQL}, {_JACCARD_CORE},
-    pr AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {_PR_EDGE_THR}),
+    WITH {_SHINGLE_SQL},
+    sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
+    bands AS ({_band_sql(8, 4)}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+    {_JACCARD_CORE},
+    pr AS (SELECT v.id_a, v.id_b FROM verified v JOIN cand USING (id_a, id_b)
+           WHERE v.jaccard >= {_JACCARD_THR}),
     e0 AS (SELECT da.source AS src, db.source AS dst
            FROM pr JOIN documents da ON da.doc_id = pr.id_a
                    JOIN documents db ON db.doc_id = pr.id_b
@@ -3906,13 +3912,19 @@ def _pagerank_iters_sql(n: int) -> str:
 )
 def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-authority PageRank over the syndication graph: cross-domain
-    near-dup pairs (exact-Jaccard >= {_PR_EDGE_THR}, lossless prefix-filter
-    path) symmetrized into domain edges, then {_PR_ITERS} fixed PageRank
-    rounds (operators/pagerank.py — decimal-rounded contributions, exact
-    decimal sums, localCheckpoint per round). The oracle unrolls the same
-    iterations as chained CTEs; isolated domains settle at 1-d."""
+    near-dup pairs from the MinHash+LSH SCALE path (banded candidates +
+    exact-Jaccard >= {_JACCARD_THR} verification — the md5 minhashes make
+    the candidate set itself deterministic, so the oracle mirrors the
+    banding bit-for-bit), symmetrized into domain edges, then {_PR_ITERS}
+    fixed PageRank rounds (operators/pagerank.py — decimal-rounded
+    contributions, exact decimal sums, localCheckpoint per round). The
+    oracle unrolls the same iterations as chained CTEs; isolated domains
+    settle at 1-d. The lossless prefix-filter edge variant was measured
+    3x slower end-to-end (BASELINE.md round 2) with an identical graph
+    on this corpus."""
     d = _t(spark, sf_dir, "documents", fanout=True)
-    pairs = dedup.jaccard_pairs(d, "text", "doc_id", _PR_EDGE_THR)
+    pairs = dedup.minhash_dedup_pairs(d, "text", "doc_id", _JACCARD_THR,
+                                      k=8, bands=4)
     edges = prk.syndication_edges(pairs, d)
     nodes = d.select("source").distinct()
     return prk.pagerank(edges, nodes, iterations=_PR_ITERS, damping=_PR_D)
