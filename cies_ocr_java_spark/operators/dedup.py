@@ -284,10 +284,12 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return ex.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, k: int = DEFAULT_MINHASH_K,
-                        bands: int = DEFAULT_BANDS) -> DataFrame:
-    """Band the signature (rows = k/bands); docs sharing any band bucket are
-    candidates. Returns distinct (id_a, id_b), id_a < id_b."""
+def banded_signatures(signatures: DataFrame, k: int = DEFAULT_MINHASH_K,
+                      bands: int = DEFAULT_BANDS) -> DataFrame:
+    """(id, h0..h{k-1}) -> (id, band_idx, key): the banded LSH bucket
+    table. This is also the table a production deployment PERSISTS as its
+    dedup index — incremental lookups equi-join a new batch's bands
+    against it (incremental_dedup_pairs)."""
     rows = k // bands
     band_cols = [
         F.struct(
@@ -296,9 +298,16 @@ def lsh_candidate_pairs(signatures: DataFrame, k: int = DEFAULT_MINHASH_K,
         )
         for b in range(bands)
     ]
-    banded = signatures.select(
+    return signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("band")
     ).select("id", F.col("band.band_idx").alias("band_idx"), F.col("band.key").alias("key"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, k: int = DEFAULT_MINHASH_K,
+                        bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Band the signature (rows = k/bands); docs sharing any band bucket are
+    candidates. Returns distinct (id_a, id_b), id_a < id_b."""
+    banded = banded_signatures(signatures, k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -327,6 +336,44 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     ex = exploded_shingles(df, text_col, id_col, n).persist()
     sigs = minhash_signatures(df, text_col, id_col, k, n, exploded=ex)
     cands = lsh_candidate_pairs(sigs, k, bands)
+    return jaccard_pairs(
+        df, text_col, id_col, threshold, n, candidates=cands, exploded=ex
+    )
+
+
+def incremental_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
+                            new_col: F.Column, threshold: float,
+                            k: int = DEFAULT_MINHASH_K,
+                            bands: int = DEFAULT_BANDS,
+                            n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+    """Incremental near-dup lookup: a NEW batch of documents against the
+    already-ingested corpus, without re-deduplicating the corpus. This is
+    the shape a continuously-fed training pipeline runs on every arrival:
+    the banded signature table (banded_signatures) is the persisted dedup
+    INDEX; the batch computes its own bands and equi-joins the index —
+    batch x index collisions only, never batch x batch or index x index.
+    The batch side is typically orders of magnitude smaller than the
+    index, so AQE picks a broadcast for it at runtime (no forced hint —
+    a backfill 'batch' can be arbitrarily large).
+
+    ``new_col``: boolean column over ``df`` marking batch membership.
+    Returns (id_a=batch doc, id_b=indexed doc, jaccard >= threshold),
+    exact-verified on candidates only."""
+    ex = exploded_shingles(df, text_col, id_col, n).persist()
+    sigs = minhash_signatures(df, text_col, id_col, k, n, exploded=ex)
+    flags = df.select(F.col(id_col).alias("id"), new_col.alias("is_new"))
+    banded = banded_signatures(sigs, k, bands).join(flags, "id")
+    a = banded.where(F.col("is_new")).alias("a")
+    b = banded.where(~F.col("is_new")).alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
     return jaccard_pairs(
         df, text_col, id_col, threshold, n, candidates=cands, exploded=ex
     )

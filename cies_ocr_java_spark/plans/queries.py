@@ -3928,3 +3928,46 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = prk.syndication_edges(pairs, d)
     nodes = d.select("source").distinct()
     return prk.pagerank(edges, nodes, iterations=_PR_ITERS, damping=_PR_D)
+
+
+# =========================================================================
+# Incremental dedup: new batch vs persisted band index
+# =========================================================================
+
+
+@_register(
+    "dedup_incremental",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
+    bands AS ({_band_sql(8, 4)}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.key = b.key
+             WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS nc
+               FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                           JOIN sh b ON b.doc_id = c.id_b
+                                    AND b.shingle = a.shingle
+               GROUP BY 1, 2),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(CAST(c.nc / (sa.n + sb.n - c.nc) AS VARCHAR)
+                  AS DECIMAL(12,6))::DOUBLE AS jaccard
+      FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
+                    JOIN sizes sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {_JACCARD_THR}
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup lookup: the 'new batch' (doc_id % 10 == 0
+    stands in for an arrival batch) against the banded-signature INDEX of
+    the rest of the corpus — batch x index collisions only, exact-Jaccard
+    verified (operators/dedup.py incremental_dedup_pairs). A continuous
+    ingestion pipeline persists the band table once and pays only this
+    lookup per batch, never a corpus re-dedup."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return dedup.incremental_dedup_pairs(
+        d, "text", "doc_id", F.col("doc_id") % 10 == 0, _JACCARD_THR,
+        k=8, bands=4,
+    )

@@ -1019,3 +1019,18 @@ def test_pagerank_hand_computed_and_edge_symmetry(spark):
     n = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "source string")
     got = {r["source"]: r["rank"] for r in pagerank(e, n, iterations=2).collect()}
     assert got == {"a": 0.93625, "b": 1.1275, "c": 0.93625, "d": 0.15}
+
+
+def test_incremental_dedup_batch_vs_index_only(spark, docs):
+    """Only batch x index pairs may appear: identical docs across the
+    boundary are guaranteed candidates (all bands collide), while exact
+    dups WITHIN the index (1,2) or within the batch must never show up."""
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.incremental_dedup_pairs(
+            docs, "text", "doc_id", F.col("doc_id") >= 4, 0.5
+        ).collect()
+    }
+    assert out[(5, 1)] == 1.0 and out[(5, 2)] == 1.0
+    batch, index = {4, 5, 6}, {1, 2, 3}
+    assert all(a in batch and b in index for a, b in out)
