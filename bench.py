@@ -64,6 +64,9 @@ HEADLINE = [
     "corpus_pack_sequences",
     "vocab_heavy_hitters",
     "domain_pagerank",
+    "dedup_incremental",
+    "doc_length_percentiles",
+    "media_caption_pairs",
 ]
 
 

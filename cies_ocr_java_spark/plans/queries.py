@@ -4024,3 +4024,57 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p", F.col("v").alias("value"))
     )
+
+
+# =========================================================================
+# Media-caption pairing over the extracted interleaved span stream
+# =========================================================================
+
+
+@_register(
+    "media_caption_pairs",
+    f"""
+    SELECT doc_id, media_ref,
+           last_value(txt IGNORE NULLS) OVER (
+               PARTITION BY doc_id ORDER BY span_order
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS caption_before,
+           first_value(txt IGNORE NULLS) OVER (
+               PARTITION BY doc_id ORDER BY span_order
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS caption_after
+    FROM (
+      SELECT doc_id, span_order, media_ref, kind,
+             CASE WHEN kind != 'media' AND text IS NOT NULL
+                       AND length(text) > 0 THEN text END AS txt
+      FROM ({_E2E_SQL}) s
+    ) t
+    QUALIFY kind = 'media'
+    """,
+)
+def media_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pairing over the EXTRACTED interleaved stream (the
+    CLIP-style training-pair miner): for every media span, the nearest
+    extracted text span before and after it in reading order. Composes on
+    the flagship pipeline output; the windows partition BY DOCUMENT, so
+    per-task state is one doc's spans — same scale class as assembly.
+    A trainer takes coalesce(caption_before, caption_after) per pair."""
+    out = QUERIES["pipeline_end_to_end"](spark, sf_dir)
+    txt = F.when(
+        (F.col("kind") != "media")
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0),
+        F.col("text"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("span_order")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    return (
+        out.withColumn("txt", txt)
+        .withColumn(
+            "caption_before", F.last("txt", ignorenulls=True).over(before)
+        )
+        .withColumn(
+            "caption_after", F.first("txt", ignorenulls=True).over(after)
+        )
+        .where(F.col("kind") == "media")
+        .select("doc_id", "media_ref", "caption_before", "caption_after")
+    )
