@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_incremental",
     "doc_length_percentiles",
     "media_caption_pairs",
+    "domain_typo_pairs",
 ]
 
 

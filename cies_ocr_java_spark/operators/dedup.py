@@ -379,6 +379,42 @@ def incremental_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def edit1_pairs(df: DataFrame, col: str) -> DataFrame:
+    """All DISTINCT value pairs of ``col`` within edit distance 1, via the
+    SymSpell deletion neighborhood (Garbe's symmetric-delete scheme): two
+    strings are within one edit iff they share a member of {s} U
+    {s minus one char} — substitution deletes the same position on both
+    sides, insertion/deletion reaches the shorter string itself. The
+    equi-join on variants replaces the all-pairs cross product (linear
+    fanout of len(s)+1 variants per value); shared-variant false
+    positives (distance-2 transposition shapes) are removed by an exact
+    levenshtein check on candidates only. The mirror/typosquat-domain
+    detector when pointed at a domain column.
+
+    Returns (s_a, s_b), s_a < s_b."""
+    v = df.select(F.col(col).alias("s")).where(F.col("s").isNotNull()).distinct()
+    variants = v.select(
+        "s",
+        F.explode(
+            F.expr(
+                "array_append(transform(sequence(1, length(s)),"
+                " i -> concat(substr(s, 1, i - 1), substr(s, i + 1))), s)"
+            )
+        ).alias("var"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.var") == F.col("b.var")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .distinct()
+        .where(F.levenshtein("s_a", "s_b") <= 1)
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash over word tokens (term-frequency weighted): token hash =
     first 15 hex chars of md5 as int; bit b of the signature is set iff the

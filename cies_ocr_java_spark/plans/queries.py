@@ -4078,3 +4078,46 @@ def media_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("kind") == "media")
         .select("doc_id", "media_ref", "caption_before", "caption_after")
     )
+
+
+# =========================================================================
+# Mirror / typosquat domain detection (SymSpell deletion neighborhood)
+# =========================================================================
+
+
+@_register(
+    "domain_typo_pairs",
+    """
+    WITH v AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+    vars AS (SELECT s, unnest(list_append(
+                 [s[1:i-1] || s[i+1:] for i in range(1, len(s) + 1)], s)) AS var
+             FROM v),
+    cand AS (SELECT DISTINCT a.s AS src_a, b.s AS src_b
+             FROM vars a JOIN vars b ON a.var = b.var AND a.s < b.s),
+    hit AS (SELECT src_a, src_b FROM cand WHERE levenshtein(src_a, src_b) <= 1)
+    SELECT h.src_a, h.src_b, va.n_docs AS docs_a, vb.n_docs AS docs_b
+    FROM hit h JOIN v va ON va.s = h.src_a JOIN v vb ON vb.s = h.src_b
+    """,
+)
+def domain_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain pairs within one edit (mirror / typosquat candidates) via
+    the SymSpell deletion-neighborhood equi-join (dedup.edit1_pairs — no
+    all-pairs cross product even at 10^7 domains), each side annotated
+    with its document count: in curation, the low-count twin of a
+    high-count domain is the suspect mirror."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy(F.col("source").alias("s")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    pairs = dedup.edit1_pairs(d, "source")
+    ca = counts.select(F.col("s").alias("s_a"), F.col("n_docs").alias("docs_a"))
+    cb = counts.select(F.col("s").alias("s_b"), F.col("n_docs").alias("docs_b"))
+    return (
+        pairs.join(ca, "s_a")
+        .join(cb, "s_b")
+        .select(
+            F.col("s_a").alias("src_a"), F.col("s_b").alias("src_b"),
+            "docs_a", "docs_b",
+        )
+    )

@@ -1034,3 +1034,33 @@ def test_incremental_dedup_batch_vs_index_only(spark, docs):
     assert out[(5, 1)] == 1.0 and out[(5, 2)] == 1.0
     batch, index = {4, 5, 6}, {1, 2, 3}
     assert all(a in batch and b in index for a, b in out)
+
+
+def test_edit1_pairs_symspell_exactness(spark):
+    """Deletion-neighborhood candidates + exact verify must equal the
+    brute-force edit-distance-1 pair set: substitutions, insertions,
+    deletions are found; distance-2 shapes that share a deletion variant
+    (transpositions like ab/ba via '') are rejected by the verify."""
+    vals = ["cat", "car", "cart", "at", "dog", "dig", "ab", "ba", "x", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "source string")
+    got = {
+        (r["s_a"], r["s_b"])
+        for r in dedup.edit1_pairs(df, "source").collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    expect = {
+        tuple(sorted(p))
+        for p in itertools.combinations(vals, 2)
+        if lev(p[0], p[1]) <= 1
+    }
+    assert got == expect
