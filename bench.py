@@ -68,6 +68,7 @@ HEADLINE = [
     "doc_length_percentiles",
     "media_caption_pairs",
     "domain_typo_pairs",
+    "doc_unigram_surprisal",
 ]
 
 

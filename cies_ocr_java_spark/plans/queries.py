@@ -4121,3 +4121,70 @@ def domain_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_a", "docs_b",
         )
     )
+
+
+# =========================================================================
+# Unigram-LM surprisal quality score (CCNet-style LM filter analog)
+# =========================================================================
+
+
+@_register(
+    "doc_unigram_surprisal",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+    n AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM vocab),
+    s AS (SELECT tok,
+                 CAST(CAST(-log10(CAST(freq AS DOUBLE) / n_total) AS VARCHAR)
+                      AS DECIMAL(12,6)) AS sp
+          FROM vocab, n),
+    d AS (SELECT t.doc_id, sum(sp) AS ssum, CAST(count(*) AS BIGINT) AS n_tok
+          FROM toks t JOIN s USING (tok) GROUP BY 1)
+    SELECT doc_id, n_tok AS n_tokens,
+           CAST(CAST(CAST(ssum AS DOUBLE) / n_tok AS VARCHAR)
+                AS DECIMAL(12,6))::DOUBLE AS avg_surprisal
+    FROM d
+    """,
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram surprisal (-log10 p(token) under the
+    corpus's own unigram LM) — the CCNet/KenLM quality-filter analog with
+    the LM trained on the corpus itself: garbage documents full of rare
+    tokens score high, boilerplate scores low. Determinism note: each
+    token's surprisal is decimal(12,6)-rounded BEFORE the per-doc sum
+    (exact decimal addition; the rounding absorbs last-ulp log10
+    differences between engines — probed at 0/5000 mismatches). Scale:
+    the token table is persisted once and feeds vocab + probe (shingle-
+    table precedent); the vocabulary join is AQE-governed, never a
+    forced broadcast (a web vocab is 10^8+ terms — the round-1 TF-IDF
+    lesson); N folds out of the vocab aggregate, costing no extra
+    corpus pass."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    toks = d.select(
+        "doc_id", F.explode(dedup.tokens_col(F.col("text"))).alias("tok")
+    ).persist()
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("freq"))
+    n = vocab.agg(F.sum("freq").cast("bigint").alias("n_total"))
+    s = vocab.join(F.broadcast(n)).select(
+        "tok",
+        (-F.log10(F.col("freq").cast("double") / F.col("n_total")))
+        .cast("decimal(12,6)")
+        .alias("sp"),
+    )
+    return (
+        toks.join(s, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("sp").alias("ssum"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("ssum").cast("double") / F.col("n_tokens"))
+            .cast("decimal(12,6)")
+            .cast("double")
+            .alias("avg_surprisal"),
+        )
+    )
