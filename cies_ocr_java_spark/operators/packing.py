@@ -83,8 +83,11 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str,
         token_count(F.col(text_col)).cast("long").alias("n_tok"),
     ).where(F.col("n_tok") > 0)
     offs = with_global_offset(d, "n_tok", [F.asc("id")])
-    first = F.floor(F.col("offset") / seq_len)
-    last = F.floor((F.col("offset") + F.col("n_tok") - 1) / seq_len)
+    # integer `div`, NOT floor(a / b): the double division loses exactness
+    # once global offsets pass 2^53 — i.e. precisely the 10^12-doc regime
+    # this module targets (the DuckDB oracle's `//` is exact too)
+    first = F.expr(f"offset div {seq_len}")
+    last = F.expr(f"(offset + n_tok - 1) div {seq_len}")
     ex = offs.select(
         "id", "n_tok", "offset",
         F.explode(F.sequence(first, last)).alias("seq_id"),

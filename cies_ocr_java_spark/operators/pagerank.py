@@ -15,10 +15,12 @@ Scale shape (domains ~ 10^7 at web scale, i.e. tiny next to documents):
     broadcast-friendly joins docs->source;
   * the static edge table (with out-degrees pre-joined) is persisted
     ONCE; each PageRank round is one groupBy(dst) shuffle over edges;
-  * the rank iterate is localCheckpoint'ed per round with eager block
-    release of the previous iterate (dedup.py's tracked-RDD scheme —
-    deep lineage otherwise blows planner recursion, the documented
-    round-1 finding on connected_components).
+  * the rank iterate's lineage is truncated on a bounded cadence (an
+    eager localCheckpoint every 4 rounds, via dedup.py's tracked-RDD
+    scheme with eager release of the previous checkpoint) — at 3
+    joins/round that keeps plan depth well under the ~20-round planner
+    blow-up documented on connected_components while avoiding one
+    scheduled job per round.
 
 Determinism contract (hash-exact vs the DuckDB oracle): contributions
 are decimal(12,6)-rounded before the sum (decimal addition is exact and
@@ -80,8 +82,13 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iterations: int = 5,
     ed, ed_ids = _checkpoint_tracked_rdds(sc, edges.join(deg, "src"))
     edges.unpersist()
     # nodes feeds every round's left join — without the persist each
-    # iteration re-derives it from the source scan
+    # iteration re-derives it from the source scan. Materialize it NOW:
+    # if the cache first fills inside a later _checkpoint_tracked_rdds
+    # window, its RDD id is misattributed to that round's delta and the
+    # next release evicts it (the cache-misattribution hazard
+    # connected_components documents; same protocol as its edges guard).
     nodes = nodes.persist()
+    nodes.count()
     ranks = nodes.select("source", F.lit(1.0).alias("rank"))
     held: list[int] = []
     # Lineage is truncated every few rounds rather than every round: each

@@ -64,8 +64,11 @@ def heavy_hitters(df: DataFrame, text_col: str,
     Returns (token, cnt, share): exact count and its decimal(12,6)-rounded
     corpus share, for every token whose exact count strictly exceeds
     support * N (N = total token count)."""
-    if k is None:
-        k = int(1.0 / support) + 1
+    k_min = int(1.0 / support) + 1
+    # The superset guarantee needs k+1 >= 1/support IN EVERY PARTITION;
+    # a smaller caller-supplied k would silently drop true heavy hitters
+    # (no error, just missing rows), so clamp rather than trust it.
+    k = k_min if k is None else max(k, k_min)
     toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
 
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

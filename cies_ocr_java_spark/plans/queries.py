@@ -3917,7 +3917,7 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set itself deterministic, so the oracle mirrors the
     banding bit-for-bit), symmetrized into domain edges, then {_PR_ITERS}
     fixed PageRank rounds (operators/pagerank.py — decimal-rounded
-    contributions, exact decimal sums, localCheckpoint per round). The
+    contributions, exact decimal sums, bounded-cadence lineage cuts). The
     oracle unrolls the same iterations as chained CTEs; isolated domains
     settle at 1-d. The lossless prefix-filter edge variant was measured
     3x slower end-to-end (BASELINE.md round 2) with an identical graph
