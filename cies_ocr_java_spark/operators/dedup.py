@@ -166,6 +166,26 @@ def duplicate_passages(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def _prefix_rows(ex: DataFrame, sizes: DataFrame,
+                 threshold: float) -> DataFrame:
+    """Each doc's prefix-filter rows: its first |d| - ceil(t*|d|) + 1
+    shingles under the global (document frequency asc, shingle asc) total
+    order — the rarest-first prefix both the symmetric Jaccard filter and
+    the asymmetric containment filter join on. Returns (id, shingle)."""
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("_dfreq"))
+    w = Window.partitionBy("id").orderBy("_dfreq", "shingle")
+    return (
+        ex.join(dfreq, "shingle")
+        .withColumn("_rnk", F.row_number().over(w))
+        .join(sizes, "id")
+        .where(
+            F.col("_rnk")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("id", "shingle")
+    )
+
+
 def prefix_filter_candidates(ex: DataFrame, sizes: DataFrame,
                              threshold: float) -> DataFrame:
     """LOSSLESS candidate pairs for Jaccard >= threshold via prefix
@@ -190,18 +210,7 @@ def prefix_filter_candidates(ex: DataFrame, sizes: DataFrame,
     relaxed bound keeps every such boundary pair in the candidate set
     (recall can only grow; the exact verification still decides)."""
     threshold = max(threshold - 1e-6, 0.0)
-    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("_dfreq"))
-    w = Window.partitionBy("id").orderBy("_dfreq", "shingle")
-    pre = (
-        ex.join(dfreq, "shingle")
-        .withColumn("_rnk", F.row_number().over(w))
-        .join(sizes, "id")
-        .where(
-            F.col("_rnk")
-            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-        )
-        .select("id", "shingle")
-    )
+    pre = _prefix_rows(ex, sizes, threshold)
     a = pre.select(F.col("id").alias("id_a"), "shingle")
     b = pre.select(F.col("id").alias("id_b"), "shingle")
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("_na"))
@@ -376,6 +385,55 @@ def incremental_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     )
     return jaccard_pairs(
         df, text_col, id_col, threshold, n, candidates=cands, exploded=ex
+    )
+
+
+def containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                      threshold: float,
+                      n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+    """Asymmetric near-dup: containment C(A,B) = |sh(A) n sh(B)| / |sh(A)|
+    >= threshold — catches a small document quoted or embedded inside a
+    much larger one, which symmetric Jaccard structurally misses (J is
+    bounded by |A|/|B|). LOSSLESS prefix filter on the CONTAINED side
+    only: if B holds none of A's first |A| - ceil(t*|A|) + 1 rarest
+    shingles, then |A n B| < t*|A| — so joining the A-prefix against the
+    FULL shingle table finds every qualifying ordered pair. The prefix is
+    rarest-first (document frequency ascending), so every join key is a
+    low-frequency shingle and the full-side fanout per key is bounded by
+    that document frequency — what keeps prefix x full linear at scale
+    (a stopword shingle never becomes a join key).
+
+    Returns (id_a, id_b, containment): A contained in B; both directions
+    are evaluated independently (A-in-B and B-in-A are separate rows)."""
+    ex = exploded_shingles(df, text_col, id_col, n).persist()
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pre = _prefix_rows(ex, sizes, max(threshold - 1e-6, 0.0))
+    cand = (
+        pre.select(F.col("id").alias("id_a"), "shingle")
+        .join(ex.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ex_a = ex.select(F.col("id").alias("id_a"), "shingle")
+    ex_b = ex.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cand.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("nc"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        common.join(sa, "id_a")
+        .select(
+            "id_a", "id_b",
+            (F.col("nc") / F.col("n_a"))
+            .cast("decimal(12,6)")
+            .cast("double")
+            .alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
     )
 
 

@@ -4188,3 +4188,35 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_surprisal"),
         )
     )
+
+
+# =========================================================================
+# Asymmetric containment dedup (quoted/embedded document detection)
+# =========================================================================
+
+_CONTAIN_THR = 0.8
+
+
+@_register(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLE_SQL},
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+               FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                  AND a.doc_id != b.doc_id
+               GROUP BY 1, 2),
+    c AS (SELECT c.id_a, c.id_b,
+                 CAST(CAST(c.nc / sa.n AS VARCHAR)
+                      AS DECIMAL(12,6))::DOUBLE AS containment
+          FROM common c JOIN sizes sa ON sa.doc_id = c.id_a)
+    SELECT id_a, id_b, containment FROM c WHERE containment >= {_CONTAIN_THR}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (doc A's shingles >= {_CONTAIN_THR:.0%}
+    inside doc B): the quoted/embedded-document detector symmetric Jaccard
+    structurally misses. Lossless one-sided prefix filter — the oracle's
+    all-pairs join is exactly what the engine never materializes
+    (operators/dedup.py containment_pairs)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return dedup.containment_pairs(d, "text", "doc_id", _CONTAIN_THR)
