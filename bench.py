@@ -69,6 +69,8 @@ HEADLINE = [
     "media_caption_pairs",
     "domain_typo_pairs",
     "doc_unigram_surprisal",
+    "dedup_containment",
+    "media_region_segment",
 ]
 
 

@@ -246,6 +246,128 @@ def phash_col(content_text):
     ).cast("long")
 
 
+REGION_SCHEMA = (
+    "media_ref string, region_id int, y0 int, y1 int, n_tiles int, "
+    "ink_sum long"
+)
+
+
+def _ink_rows(features: DataFrame, tile: int, ink_threshold: int) -> DataFrame:
+    """Horizontal projection profile over the decoded canvas: one row per
+    ``tile``-pixel band, with a deterministic pseudo ink density in [0,100)
+    derived from md5(media_ref:band) — the stub stand-in for summing dark
+    pixels per band, which a real codec would produce from the bitmap.
+    Zero-height / failed decodes contribute no bands (the degradation
+    contract: no regions, never an error row here)."""
+    n_rows = F.expr(f"CAST((height + {tile - 1}) DIV {tile} AS INT)")
+    return (
+        features.where(F.col("height").isNotNull() & (F.col("height") > 0))
+        .select(
+            "media_ref",
+            "height",
+            F.explode(F.sequence(F.lit(0), n_rows - 1)).alias("r"),
+        )
+        .withColumn(
+            "ink",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("media_ref"), F.col("r").cast("string")
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100,
+        )
+        .where(F.col("ink") >= ink_threshold)
+    )
+
+
+def segment_regions(
+    features: DataFrame,
+    tile: int = 64,
+    ink_threshold: int = 40,
+    use_pandas: bool = False,
+) -> DataFrame:
+    """Image-region segmentation for media spans: the first pass of
+    recursive XY-cut document-layout analysis — maximal runs of consecutive
+    inked horizontal bands become regions (text blocks / figures), each
+    reported as (region_id, y0, y1, n_tiles, ink_sum) with region_id
+    numbered top-to-bottom. The real-codec version replaces the md5 ink
+    stand-in with per-band dark-pixel sums; the segmentation math is
+    identical.
+
+    Default path is 100% JVM codegen: band explode + gaps-and-islands
+    (r - row_number -> run key), windows partitioned BY IMAGE — no global
+    window, scale-free. ``use_pandas=True`` swaps the run-merge stage for
+    the vectorized-numpy kernel (`_merge_runs_pd`, applyInPandas) — the
+    Arrow-batched shape a real pixel-domain connected-components kernel
+    slots into; pytest pins both paths row-equal."""
+    rows = _ink_rows(features, tile, ink_threshold)
+    if use_pandas:
+        return rows.groupBy("media_ref").applyInPandas(
+            _make_merge_runs_pd(tile), REGION_SCHEMA
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_ref").orderBy("r")
+    grp = rows.withColumn("g", F.col("r") - F.row_number().over(w))
+    reg = grp.groupBy("media_ref", "g").agg(
+        F.min("r").alias("r0"),
+        F.max("r").alias("r1"),
+        F.count("*").alias("n_tiles"),
+        F.sum("ink").alias("ink_sum"),
+        F.first("height").alias("height"),
+    )
+    w2 = Window.partitionBy("media_ref").orderBy("r0")
+    return reg.select(
+        "media_ref",
+        F.row_number().over(w2).cast("int").alias("region_id"),
+        (F.col("r0") * tile).cast("int").alias("y0"),
+        F.least(F.col("r1") * tile + tile, F.col("height"))
+        .cast("int")
+        .alias("y1"),
+        F.col("n_tiles").cast("int").alias("n_tiles"),
+        F.col("ink_sum").cast("long").alias("ink_sum"),
+    )
+
+
+def _make_merge_runs_pd(tile: int):
+    """Vectorized run-merge kernel: run boundaries via np.diff, per-run
+    aggregates via np.*.reduceat — no per-row Python, one numpy pass per
+    image group."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("r")
+        r = pdf["r"].to_numpy(dtype="int64")
+        ink = pdf["ink"].to_numpy(dtype="int64")
+        height = int(pdf["height"].iloc[0])
+        new = np.ones(len(r), dtype=bool)
+        new[1:] = np.diff(r) > 1
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:] - 1, len(r) - 1]
+        r0, r1 = r[starts], r[ends]
+        return pd.DataFrame(
+            {
+                "media_ref": pdf["media_ref"].iloc[0],
+                "region_id": np.arange(1, len(starts) + 1, dtype="int32"),
+                "y0": (r0 * tile).astype("int32"),
+                "y1": np.minimum(r1 * tile + tile, height).astype("int32"),
+                "n_tiles": (ends - starts + 1).astype("int32"),
+                "ink_sum": np.add.reduceat(ink, starts).astype("int64"),
+            }
+        )
+
+    return merge
+
+
 AUDIO_CHUNK_SCHEMA = "media_ref string, chunk_idx int, start_ms long, end_ms long"
 
 

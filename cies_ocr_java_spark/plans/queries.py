@@ -54,6 +54,7 @@ from cies_ocr_java_spark.operators.multimodal import (
     extract_media_features,
     plan_resize,
     sample_frames,
+    segment_regions,
 )
 from cies_ocr_java_spark.formats import (
     ASSUMED_MAX_CHAR_PER_PAGE,
@@ -1676,6 +1677,48 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     featurization."""
     feats = extract_media_features(_synth_media(spark, sf_dir))
     return sample_frames(feats, stride=2)
+
+
+@_register(
+    "media_region_segment",
+    f"""
+    WITH {_MEDIA_FEATS_SQL},
+    bands AS (SELECT media_ref, height, t.r AS r,
+                     CAST(('0x' || substr(md5(media_ref || ':' ||
+                                              CAST(t.r AS VARCHAR)), 1, 4))
+                          AS BIGINT) % 100 AS ink
+              FROM f, unnest(range(0, CAST((height + 63) // 64 AS BIGINT)))
+                        AS t(r)
+              WHERE height > 0),
+    inked AS (SELECT * FROM bands WHERE ink >= 40),
+    runs AS (SELECT *,
+                    r - row_number() OVER (PARTITION BY media_ref ORDER BY r)
+                        AS g
+             FROM inked),
+    reg AS (SELECT media_ref, min(r) AS r0, max(r) AS r1,
+                   count(*) AS n_tiles, sum(ink) AS ink_sum,
+                   any_value(height) AS height
+            FROM runs GROUP BY media_ref, g)
+    SELECT media_ref,
+           CAST(row_number() OVER (PARTITION BY media_ref ORDER BY r0)
+                AS INTEGER) AS region_id,
+           CAST(r0 * 64 AS INTEGER) AS y0,
+           CAST(least(r1 * 64 + 64, height) AS INTEGER) AS y1,
+           CAST(n_tiles AS INTEGER) AS n_tiles,
+           CAST(ink_sum AS BIGINT) AS ink_sum
+    FROM reg
+    """,
+)
+def media_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-region segmentation for media spans (the north-star inner
+    loop's third kernel, alongside tokenization and block classification):
+    horizontal projection-profile runs -> layout regions, the first pass of
+    recursive XY-cut. Default plan is pure codegen (band explode +
+    gaps-and-islands, windows partitioned per image); the vectorized-numpy
+    applyInPandas kernel (`use_pandas=True`) is pytest-pinned row-equal
+    (operators/multimodal.py segment_regions)."""
+    feats = extract_media_features(_synth_media(spark, sf_dir))
+    return segment_regions(feats, tile=64, ink_threshold=40)
 
 
 @_register(

@@ -129,6 +129,29 @@ def test_multimodal_stub_plumbing(spark):
         decode_media_payload(b"\x89PNG")
 
 
+def test_segment_regions_codegen_pandas_parity(spark):
+    """The two segmentation paths — JVM gaps-and-islands default and the
+    vectorized-numpy applyInPandas kernel — must be row-identical, and a
+    zero-height decode must produce no regions (degradation contract)."""
+    from cies_ocr_java_spark.operators.multimodal import segment_regions
+
+    payloads = [
+        ("media://a", bytearray(bytes(range(200)) * 2)),   # height 400
+        ("media://b", bytearray(b"x" * 137)),              # height 479
+        ("media://zero", bytearray(b"")),                  # height 0 -> none
+        ("media://null", None),                            # failure row
+    ]
+    df = spark.createDataFrame(payloads, "media_ref string, content binary")
+    feats = extract_media_features(df)
+    jvm = sorted(map(tuple, segment_regions(feats).collect()))
+    pdp = sorted(map(tuple, segment_regions(feats, use_pandas=True).collect()))
+    assert jvm == pdp and len(jvm) > 0
+    refs = {t[0] for t in jvm}
+    assert "media://zero" not in refs and "media://null" not in refs
+    for _, rid, y0, y1, n_tiles, ink_sum in jvm:
+        assert 0 <= y0 < y1 and n_tiles >= 1 and ink_sum >= 40 * n_tiles
+
+
 def test_media_codec_interface_contract(spark):
     """The pluggable codec seam (judge item 6): codecs register by name;
     a registered custom codec drives the same Spark plumbing; per-payload
