@@ -71,6 +71,7 @@ HEADLINE = [
     "doc_unigram_surprisal",
     "dedup_containment",
     "media_region_segment",
+    "bm25_retrieval",
 ]
 
 

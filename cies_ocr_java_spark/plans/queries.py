@@ -4263,3 +4263,160 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py containment_pairs)."""
     d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.containment_pairs(d, "text", "doc_id", _CONTAIN_THR)
+
+
+# =========================================================================
+# BM25 ranked retrieval (inverted-index scoring over the corpus)
+# =========================================================================
+
+_BM25_QUERIES = {
+    "q_merge_join": ["merge", "join"],
+    "q_column_scan_filter": ["column", "scan", "filter"],
+    "q_window_order_value": ["window", "order", "value"],
+}
+_BM25_K = 10
+
+_BM25_QVALS = ", ".join(
+    f"('{qid}', '{t}')" for qid, ts in _BM25_QUERIES.items() for t in ts
+)
+
+
+@_register(
+    "bm25_retrieval",
+    f"""
+    WITH q(query_id, tok) AS (VALUES {_BM25_QVALS}),
+    toks AS (SELECT doc_id, unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS tok
+             FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(CAST(CAST(sum(dl) AS DOUBLE) / count(*) AS VARCHAR)
+                          AS DECIMAL(12,6))::DOUBLE AS avgdl
+              FROM dl),
+    tf AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks t WHERE t.tok IN (SELECT DISTINCT tok FROM q)
+           GROUP BY 1, 2),
+    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    idf AS (SELECT tok,
+                   CAST(CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                             AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS idf
+            FROM dft, stats),
+    sp AS (SELECT tf.doc_id, tf.tok,
+                  CAST(CAST(idf.idf * ((tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl))))
+                       AS VARCHAR) AS DECIMAL(12,6)) AS sp
+           FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok), stats),
+    scored AS (SELECT q.query_id, sp.doc_id, sum(sp.sp) AS ssum
+               FROM q JOIN sp USING (tok) GROUP BY 1, 2),
+    ranked AS (SELECT query_id, doc_id, CAST(ssum AS DOUBLE) AS score,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                                              ORDER BY ssum DESC, doc_id)
+                           AS INTEGER) AS rnk
+               FROM scored)
+    SELECT query_id, doc_id, score, rnk FROM ranked WHERE rnk <= {_BM25_K}
+    """,
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-{_BM25_K} retrieval for a fixed query set —
+    the inverted-index scoring pass of corpus search / eval-set mining.
+
+    Scale shape: the corpus-wide work is ONE tokenize pass (shared token
+    table) and a map-side dl aggregate; tf is computed AFTER a broadcast
+    semi-join on the query vocabulary, so every downstream shuffle carries
+    only matching postings (|docs containing a query term|, not |corpus|).
+    The per-query top-k avoids a global single-partition sort via the
+    two-level trick (partition-local row_number prune to k, then rank the
+    <= k*n_parts survivors) — same pattern as customer_revenue_quartiles.
+
+    Exactness: idf and avgdl are decimal(12,6)-absorbed (ln's last-ulp
+    libm differences), per-posting scores are decimal-rounded BEFORE the
+    per-query sum (exact, order-independent addition), and rank is taken
+    after rounding with a doc_id tiebreak — the registry's standard
+    exactness rules."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    toks = d.select(
+        "doc_id", F.explode(dedup.tokens_col(F.col("text"))).alias("tok")
+    ).persist()
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES.items() for t in ts],
+        "query_id string, tok string",
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*"))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .cast("double")
+        .alias("avgdl"),
+    )
+    tf = (
+        toks.join(
+            F.broadcast(qterms.select("tok").distinct()), "tok", "left_semi"
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    idf = dft.join(F.broadcast(stats)).select(
+        "tok",
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .cast("double")
+        .alias("idf"),
+    )
+    sp = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "tok")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("idf")
+                * (
+                    (F.col("tf") * F.lit(2.2))
+                    / (
+                        F.col("tf")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+                        )
+                    )
+                )
+            )
+            .cast("string")
+            .cast("decimal(12,6)")
+            .alias("sp"),
+        )
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(sp, "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("sp").alias("ssum"))
+    )
+    local = scored.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("query_id", "_pid").orderBy(
+        F.desc("ssum"), F.asc("doc_id")
+    )
+    pruned = (
+        local.withColumn("_lrn", F.row_number().over(w_local))
+        .where(F.col("_lrn") <= _BM25_K)
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("ssum"), F.asc("doc_id"))
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w_q).cast("int"))
+        .where(F.col("rnk") <= _BM25_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("ssum").cast("double").alias("score"),
+            "rnk",
+        )
+    )
