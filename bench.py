@@ -72,6 +72,7 @@ HEADLINE = [
     "dedup_containment",
     "media_region_segment",
     "bm25_retrieval",
+    "semdedup_keep",
 ]
 
 

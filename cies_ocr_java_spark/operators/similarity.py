@@ -367,6 +367,70 @@ def kmeans_refine(emb: DataFrame, centroids: DataFrame, iterations: int = 2,
     return out
 
 
+def semdedup(emb: DataFrame, seeds: DataFrame, threshold: float,
+             iterations: int = 1,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    prunes the pair space by K-MEANS CLUSTER, not by hash bucket — k-means
+    the embeddings (``iterations`` Lloyd rounds from deterministic seeds),
+    then compare pairs ONLY within a cluster and drop every vector that
+    has a same-cluster neighbor with cosine >= ``threshold`` and a smaller
+    id (the deterministic keep-the-lowest-id representative rule).
+
+    Returns (id, cell, keep) for EVERY input vector.
+
+    Scale shape: cluster count is chosen ~sqrt(n) in the paper, bounding a
+    cell to ~sqrt(n) members, so the within-cell self-join is n^1.5 total
+    pair work distributed across cells — never a global all-pairs. The
+    cheap all-double dot prunes candidates before the decimal-exact
+    boundary score (same two-phase trick as cosine_near_dup_pairs), and
+    hot cells split under AQE like any skewed equi-join."""
+    cents = kmeans_refine(emb, seeds, iterations, id_col, vec_col)
+    asg = ivf_assignments(
+        emb,
+        cents.select(
+            F.col("cell").alias(id_col), F.col("cvec").alias(vec_col)
+        ),
+        id_col,
+        vec_col,
+    )
+    a = asg.select(
+        "cell", F.col("id").alias("id_a"),
+        F.col("vec").alias("av"), F.col("nrm").alias("na"),
+    )
+    b = asg.select(
+        "cell", F.col("id").alias("id_b"),
+        F.col("vec").alias("bv"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("av"), F.col("bv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("na") * F.col("nb"))
+    survivors = pairs.where(approx >= threshold - 1e-4)
+    score = _dot_dec(F.col("av"), F.col("bv")).cast("double") / (
+        F.col("na") * F.col("nb")
+    )
+    dup = (
+        survivors.select(
+            "id_b", score.cast("decimal(12,6)").cast("double").alias("score")
+        )
+        .where(F.col("score") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        asg.join(dup, "id", "left")
+        .select("id", "cell", F.col("_dup").isNull().alias("keep"))
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10, bits: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -3521,7 +3521,7 @@ _REP_TOP_WORD = 0.20
 _REP_TOP_BIGRAM = 0.18
 _REP_DUP_TRIGRAM = 0.60
 
-_ROUND6 = "CAST(CAST(CAST({x} AS VARCHAR) AS DECIMAL(12,6)) AS DOUBLE)"
+_ROUND6X = "CAST(CAST(CAST({x} AS VARCHAR) AS DECIMAL(12,6)) AS DOUBLE)"
 
 
 @_register(
@@ -3547,9 +3547,9 @@ _ROUND6 = "CAST(CAST(CAST({x} AS VARCHAR) AS DECIMAL(12,6)) AS DOUBLE)"
            FROM c GROUP BY 1, 2),
     da AS (SELECT doc_id,
                   max(CASE WHEN k = 1 THEN tot END) AS n_words,
-                  max(CASE WHEN k = 1 THEN {_ROUND6.format(x='CAST(maxc AS DOUBLE) / tot')} END) AS top_word_frac,
-                  max(CASE WHEN k = 2 THEN {_ROUND6.format(x='CAST(maxc AS DOUBLE) / tot')} END) AS top_bigram_frac,
-                  max(CASE WHEN k = 3 THEN {_ROUND6.format(x='CAST(dup AS DOUBLE) / tot')} END) AS dup_trigram_frac
+                  max(CASE WHEN k = 1 THEN {_ROUND6X.format(x='CAST(maxc AS DOUBLE) / tot')} END) AS top_word_frac,
+                  max(CASE WHEN k = 2 THEN {_ROUND6X.format(x='CAST(maxc AS DOUBLE) / tot')} END) AS top_bigram_frac,
+                  max(CASE WHEN k = 3 THEN {_ROUND6X.format(x='CAST(dup AS DOUBLE) / tot')} END) AS dup_trigram_frac
            FROM ka GROUP BY 1)
     SELECT d.doc_id,
            CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
@@ -3701,7 +3701,7 @@ _DECON_FLAG_FRAC = 0.5
     SELECT d.doc_id,
            CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
            CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
-           {_ROUND6.format(x=f'CAST(coalesce(n_overlap, 0) AS DOUBLE) / greatest(coalesce(n_grams, 0), 1)')} AS contam_frac,
+           {_ROUND6X.format(x=f'CAST(coalesce(n_overlap, 0) AS DOUBLE) / greatest(coalesce(n_grams, 0), 1)')} AS contam_frac,
            CASE WHEN CAST(coalesce(n_overlap, 0) AS DOUBLE) / greatest(coalesce(n_grams, 0), 1)
                      >= {_DECON_FLAG_FRAC} THEN 1 ELSE 0 END AS contaminated
     FROM (SELECT doc_id FROM documents WHERE doc_id % {_DECON_MOD} <> 0) d
@@ -4420,3 +4420,51 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# =========================================================================
+# SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023)
+# =========================================================================
+
+_SEMDEDUP_THR = 0.4
+
+
+@_register(
+    "semdedup_keep",
+    f"""
+    WITH kcent0 AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+                    WHERE vec_id < {_IVF_C}),
+    {_kmeans_round_sql(1, 'kcent0')},
+    {_kmeans_round_sql(2, 'kc1')},
+    pv AS (SELECT a.id AS id_a, b.id AS id_b
+           FROM kas2 a JOIN kas2 b ON a.cell = b.cell AND a.id < b.id),
+    pe AS (SELECT pv.id_a, pv.id_b, ea.embedding AS av, eb.embedding AS bv
+           FROM pv JOIN embeddings ea ON ea.vec_id = pv.id_a
+                   JOIN embeddings eb ON eb.vec_id = pv.id_b),
+    terms AS (SELECT id_a, id_b, av, bv,
+                     unnest(range(1, {_EMB_DIM} + 1)) AS i
+              FROM pe),
+    dots AS (SELECT id_a, id_b,
+                    sum({_d8('av[i]')} * {_d8('bv[i]')}) AS dotv,
+                    sum({_d8('av[i]')} * {_d8('av[i]')}) AS na2,
+                    sum({_d8('bv[i]')} * {_d8('bv[i]')}) AS nb2
+             FROM terms GROUP BY 1, 2),
+    dup AS (SELECT DISTINCT id_b AS id FROM (
+              SELECT id_b,
+                     {_ROUND6.format(dot='dotv', n1='na2', n2='nb2')} AS score
+              FROM dots
+            ) WHERE score >= {_SEMDEDUP_THR})
+    SELECT k.id AS vec_id, k.cell, (d.id IS NULL) AS keep
+    FROM kas2 k LEFT JOIN dup d USING (id)
+    """,
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster-scoped semantic dedup — one Lloyd refine
+    from the IVF seeds, within-cluster cosine pairs only, drop any vector
+    with a smaller-id same-cluster neighbor at cosine >= {_SEMDEDUP_THR}.
+    The oracle replays the full Lloyd round AND the pair scoring exactly
+    (operators/similarity.py semdedup)."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    seeds = emb.where(F.col("vec_id") < _IVF_C)
+    out = similarity.semdedup(emb, seeds, _SEMDEDUP_THR, iterations=1)
+    return out.select(F.col("id").alias("vec_id"), "cell", "keep")
