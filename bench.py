@@ -73,6 +73,7 @@ HEADLINE = [
     "media_region_segment",
     "bm25_retrieval",
     "semdedup_keep",
+    "dsir_importance_weights",
 ]
 
 

@@ -4468,3 +4468,126 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = emb.where(F.col("vec_id") < _IVF_C)
     out = similarity.semdedup(emb, seeds, _SEMDEDUP_THR, iterations=1)
     return out.select(F.col("id").alias("vec_id"), "cell", "keep")
+
+
+# =========================================================================
+# DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169)
+# =========================================================================
+
+_DSIR_B = 1024  # hashed feature buckets
+
+
+@_register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (SELECT doc_id, lang,
+                         unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS tok
+                  FROM documents),
+    tb AS (SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT)
+                    % {_DSIR_B} AS b
+           FROM toks),
+    raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY 1),
+    tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb
+            WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT (SELECT sum(cr) FROM raw) AS cr_tot,
+                   (SELECT coalesce(sum(ct), 0) FROM tgt) AS ct_tot),
+    lr AS (SELECT r.b,
+                  CAST(CAST(log10((coalesce(t.ct, 0) + 1.0)
+                                  / (ct_tot + {_DSIR_B}.0)) AS VARCHAR)
+                       AS DECIMAL(12,6))
+                  - CAST(CAST(log10((r.cr + 1.0)
+                                    / (cr_tot + {_DSIR_B}.0)) AS VARCHAR)
+                         AS DECIMAL(12,6)) AS lr
+           FROM raw r LEFT JOIN tgt t USING (b), tot),
+    d AS (SELECT tb.doc_id, sum(lr.lr) AS w,
+                 CAST(count(*) AS BIGINT) AS n_tok
+          FROM tb JOIN lr USING (b) GROUP BY 1),
+    m AS (SELECT CAST(sum(w) AS DOUBLE) / count(*) AS mean_w FROM d)
+    SELECT doc_id, n_tok AS n_tokens, CAST(w AS DOUBLE) AS dsir_weight,
+           (CAST(w AS DOUBLE) > mean_w) AS selected
+    FROM d, m
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): per-document importance
+    weight = sum over hashed unigram features of
+    log10 p_target(bucket) - log10 p_raw(bucket), target = the corpus's
+    English subset, +1/B-smoothed; selected = weight above the corpus
+    MEAN weight (the smoothing denominators bias every raw weight by a
+    constant-ish offset, so the mean — not zero — is the discriminating
+    cut; both engines compute it as exact-decimal sum / count).
+
+    Scale shape: ONE tokenize pass; both LM estimates are {_DSIR_B}-key
+    aggregates (map-side combinable, shuffle carries <= {_DSIR_B} rows per
+    task); the per-bucket log-ratio table is {_DSIR_B} rows and broadcast;
+    the per-doc sum shuffles on doc_id once. Nothing scales with
+    vocabulary size — that is DSIR's point (hashed features), and why it
+    runs where tfidf's term table cannot be broadcast.
+
+    Exactness: each log10 is decimal(12,6)-absorbed BEFORE the subtraction
+    and the per-doc sum is exact decimal addition (surprisal precedent)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(dedup.tokens_col(F.col("text"))).alias("tok"),
+    )
+    tb = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast(
+                "bigint"
+            )
+            % _DSIR_B
+        ).alias("b"),
+    ).persist()
+    raw = tb.groupBy("b").agg(F.count("*").cast("bigint").alias("cr"))
+    tgt = (
+        tb.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").alias("cr_tot")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("ct_tot"))
+    )
+    smooth = float(_DSIR_B)
+    lr = (
+        raw.join(tgt, "b", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log10(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("ct_tot") + F.lit(smooth))
+                )
+                .cast("string")
+                .cast("decimal(12,6)")
+                - F.log10(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("cr_tot") + F.lit(smooth))
+                )
+                .cast("string")
+                .cast("decimal(12,6)")
+            ).alias("lr"),
+        )
+    )
+    dw = (
+        tb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lr").alias("w"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+    )
+    m = dw.agg(
+        (F.sum("w").cast("double") / F.count("*")).alias("mean_w")
+    )
+    return dw.join(F.broadcast(m)).select(
+        "doc_id",
+        "n_tokens",
+        F.col("w").cast("double").alias("dsir_weight"),
+        (F.col("w").cast("double") > F.col("mean_w")).alias("selected"),
+    )
