@@ -74,6 +74,7 @@ HEADLINE = [
     "bm25_retrieval",
     "semdedup_keep",
     "dsir_importance_weights",
+    "bpe_train_merges",
 ]
 
 

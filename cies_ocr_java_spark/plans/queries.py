@@ -4591,3 +4591,134 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").cast("double").alias("dsir_weight"),
         (F.col("w").cast("double") > F.col("mean_w")).alias("selected"),
     )
+
+
+# =========================================================================
+# Distributed BPE merge training (Sennrich et al. 2016) — iterative, exact
+# =========================================================================
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE round as DuckDB CTEs: adjacent-pair counts over the symbol
+    sequences (weighted by word frequency), argmax with (count DESC,
+    s1, s2) tie-break, then the leftmost non-overlapping merge — replace()
+    scans left-to-right in both engines, which IS greedy BPE application."""
+    return f"""
+    sym{r} AS (SELECT cnt, string_split(trim(enc, '()'), ')(') AS s
+               FROM enc{r - 1}),
+    pr{r} AS (SELECT cnt, s[i] AS s1, s[i + 1] AS s2
+              FROM sym{r}, unnest(range(1, len(s))) AS t(i)),
+    pc{r} AS (SELECT s1, s2, CAST(sum(cnt) AS BIGINT) AS c
+              FROM pr{r} GROUP BY 1, 2),
+    bp{r} AS (SELECT s1, s2, c FROM pc{r} ORDER BY c DESC, s1, s2 LIMIT 1),
+    enc{r} AS (SELECT replace(enc, '(' || b.s1 || ')(' || b.s2 || ')',
+                              '(' || b.s1 || b.s2 || ')') AS enc, cnt
+               FROM enc{r - 1}, bp{r} b)"""
+
+
+@_register(
+    "bpe_train_merges",
+    f"""
+    WITH toks AS (SELECT unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS tok
+                  FROM documents),
+    w0 AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt FROM toks
+           WHERE regexp_matches(tok, '^[a-z0-9]+$') GROUP BY 1),
+    enc0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc, cnt
+             FROM w0),
+    {",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))}
+    {" UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, s1, s2, s1 || s2 AS merged, "
+        f"c AS pair_count FROM bp{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )}
+    """,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, first {_BPE_ROUNDS} merges
+    (Sennrich et al. 2016): count adjacent symbol pairs over the WORD
+    VOCABULARY (frequency-weighted — never the raw corpus), merge the most
+    frequent pair everywhere, repeat. The symbol encoding wraps each
+    symbol as (sym) so the merge is a plain literal replace with no
+    cross-symbol false matches, and replace()'s leftmost non-overlapping
+    scan is exactly greedy BPE application in both engines (probed:
+    '(a)(a)(a)(a)' -> '(aa)(aa)').
+
+    Scale shape: all per-round work is keyed on the word vocabulary
+    (|V| rows, not corpus rows) — the corpus is touched ONCE to build
+    word counts; pair counting is a map-side-combinable agg; the argmax
+    reduces via max(count) + min(struct) scalar aggregates (no global
+    sort); the single best-pair row broadcasts into the merge. Rounds are
+    a fixed small constant, so lineage stays bounded (kmeans precedent).
+    The oracle replays every round exactly — an iterative algorithm under
+    the exact-value gate. Ties break on (count DESC, s1, s2) in both
+    engines."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    enc = (
+        d.select(F.explode(dedup.tokens_col(F.col("text"))).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.regexp_replace("w", "(.)", "($1)").alias("enc"), "cnt"
+        )
+        .persist()
+    )
+    merges = None
+    for r in range(1, _BPE_ROUNDS + 1):
+        syms = enc.select(
+            "cnt",
+            F.split(F.expr("trim(BOTH '()' FROM enc)"), r"\)\(").alias("s"),
+        )
+        pairs = syms.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(s, 1, size(s) - 1), "
+                    "slice(s, 2, size(s) - 1), "
+                    "(a, b) -> named_struct('s1', a, 's2', b))"
+                )
+            ).alias("p"),
+        )
+        pc = pairs.groupBy("p.s1", "p.s2").agg(F.sum("cnt").alias("c"))
+        mx = pc.agg(F.max("c").alias("c"))
+        best = (
+            pc.join(F.broadcast(mx), "c")
+            .agg(
+                F.min(F.struct("s1", "s2")).alias("b"),
+                F.max("c").cast("bigint").alias("c"),
+            )
+        )
+        row = best.select(
+            F.lit(r).cast("int").alias("round"),
+            F.col("b.s1").alias("s1"),
+            F.col("b.s2").alias("s2"),
+            F.concat(F.col("b.s1"), F.col("b.s2")).alias("merged"),
+            F.col("c").alias("pair_count"),
+        )
+        merges = row if merges is None else merges.unionAll(row)
+        enc = (
+            enc.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("b.s1").alias("_m1"), F.col("b.s2").alias("_m2")
+                    )
+                )
+            )
+            .select(
+                F.replace(
+                    F.col("enc"),
+                    F.concat(
+                        F.lit("("), F.col("_m1"), F.lit(")("),
+                        F.col("_m2"), F.lit(")"),
+                    ),
+                    F.concat(
+                        F.lit("("), F.col("_m1"), F.col("_m2"), F.lit(")")
+                    ),
+                ).alias("enc"),
+                "cnt",
+            )
+            .persist()
+        )
+    return merges
