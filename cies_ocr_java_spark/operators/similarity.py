@@ -387,6 +387,8 @@ def semdedup(emb: DataFrame, seeds: DataFrame, threshold: float,
     boundary score (same two-phase trick as cosine_near_dup_pairs), and
     hot cells split under AQE like any skewed equi-join."""
     cents = kmeans_refine(emb, seeds, iterations, id_col, vec_col)
+    # the assignment feeds three consumers (both pair-join sides + the
+    # final keep join) — persist it once or the Lloyd subtree replans 3x
     asg = ivf_assignments(
         emb,
         cents.select(
@@ -394,7 +396,7 @@ def semdedup(emb: DataFrame, seeds: DataFrame, threshold: float,
         ),
         id_col,
         vec_col,
-    )
+    ).persist()
     a = asg.select(
         "cell", F.col("id").alias("id_a"),
         F.col("vec").alias("av"), F.col("nrm").alias("na"),

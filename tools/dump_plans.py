@@ -109,6 +109,44 @@ COMMENTARY = {
         "The default HTML path: one codegen'd projection, zero "
         "ArrowEvalPython nodes, no shuffle at all before the sink."
     ),
+    "dedup_containment": (
+        "Asymmetric containment: the rarest-first PREFIX of the contained "
+        "side equi-joins the FULL shingle table — every join key is a "
+        "low-document-frequency shingle, so per-key fanout is bounded and "
+        "the join stays linear; the oracle's all-pairs form never appears "
+        "in the plan."
+    ),
+    "media_region_segment": (
+        "Segmentation default path: band explode + md5 ink + "
+        "gaps-and-islands, ALL codegen (zero ArrowEvalPython); windows are "
+        "partitioned per image (media_ref), never global. The decode "
+        "feeding it is the one mapInPandas stage (codec seam)."
+    ),
+    "bm25_retrieval": (
+        "The corpus is touched once (tokenize + dl aggregate); tf exists "
+        "only AFTER the broadcast semi-join on the query vocabulary, so "
+        "every shuffle after the scan carries postings, not the corpus. "
+        "Top-k is two-level (partition-local prune to k, then rank "
+        "survivors) — no single-partition global sort."
+    ),
+    "semdedup_keep": (
+        "SemDeDup: assignment is a broadcast cross-score + per-id argmax "
+        "window; the pair join is an equi-join on the CLUSTER key (cells "
+        "bound the pair space), with the cheap double dot pruning "
+        "candidates before decimal verification."
+    ),
+    "dsir_importance_weights": (
+        "Nothing in this plan scales with vocabulary: both LM estimates "
+        "aggregate to 1024 hashed buckets (map-side combinable), the "
+        "log-ratio table broadcasts, and the only corpus-keyed shuffle is "
+        "the final per-doc sum."
+    ),
+    "bpe_train_merges": (
+        "Each BPE round is vocab-keyed: pair counts aggregate over the "
+        "word-vocabulary table (persisted once per round), the argmax is "
+        "two scalar aggregates (max count, min struct) — no global sort — "
+        "and the single best-pair row broadcasts into the merge projection."
+    ),
     "kmv_distinct_sketch": (
         "Distinct hash set -> per-group row_number window -> kth hash. "
         "All string/hash math is codegen'd JVM; the sketch estimate is one "
