@@ -75,6 +75,7 @@ HEADLINE = [
     "semdedup_keep",
     "dsir_importance_weights",
     "bpe_train_merges",
+    "bpe_encode_stats",
 ]
 
 

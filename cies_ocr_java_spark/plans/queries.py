@@ -4722,3 +4722,107 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
     return merges
+
+
+def _bpe_apply_sql() -> str:
+    """SQL expression applying the 4 learned merges to one word `w`
+    (wrap chars, chained leftmost replaces in merge order), returning the
+    symbol count = number of '(' left."""
+    e = "regexp_replace(w, '(.)', '(\\1)', 'g')"
+    for r in range(1, _BPE_ROUNDS + 1):
+        pat = f"'(' || m.a{r} || ')(' || m.b{r} || ')'"
+        rep = f"'(' || m.a{r} || m.b{r} || ')'"
+        e = f"replace({e}, {pat}, {rep})"
+    return f"length({e}) - length(replace({e}, '(', ''))"
+
+
+@_register(
+    "bpe_encode_stats",
+    f"""
+    WITH toks AS (SELECT unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS tok
+                  FROM documents),
+    w0 AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt FROM toks
+           WHERE regexp_matches(tok, '^[a-z0-9]+$') GROUP BY 1),
+    enc0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc, cnt
+             FROM w0),
+    {",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))},
+    m AS (SELECT {", ".join(
+        f"(SELECT s1 FROM bp{r}) AS a{r}, (SELECT s2 FROM bp{r}) AS b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )}),
+    dt AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS ws
+           FROM documents),
+    enc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(ws, w ->
+                     CASE WHEN regexp_matches(w, '^[a-z0-9]+$')
+                          THEN {_bpe_apply_sql()}
+                          ELSE 1 END)) AS BIGINT) AS n_symbols
+            FROM dt, m)
+    SELECT doc_id, n_words, n_symbols,
+           CAST(CAST(CAST(n_symbols AS DOUBLE) / n_words AS VARCHAR)
+                AS DECIMAL(12,6))::DOUBLE AS symbols_per_word
+    FROM enc
+    """,
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: encode every document with
+    the {_BPE_ROUNDS} merges learned by bpe_train_merges and report
+    per-doc symbol counts + compression (symbols per whitespace word).
+
+    Scale shape: the trainer's vocab-keyed rounds produce a 1-ROW merge
+    table (pivoted via first-per-round aggregates, never collected to the
+    driver) that broadcasts into a single codegen projection over the
+    corpus — encode is map-only, zero Python, zero extra shuffles. This is
+    the shape tokenizer application must have at 100 TB: train on the
+    vocabulary, broadcast the merges, encode in the scan projection.
+    Non-alnum words count 1 symbol (the trainer's pre-tokenize contract)."""
+    merges = QUERIES["bpe_train_merges"](spark, sf_dir)
+    m = merges.agg(
+        *[
+            f
+            for r in range(1, _BPE_ROUNDS + 1)
+            for f in (
+                F.max(F.when(F.col("round") == r, F.col("s1"))).alias(f"a{r}"),
+                F.max(F.when(F.col("round") == r, F.col("s2"))).alias(f"b{r}"),
+            )
+        ]
+    )
+    d = _t(spark, sf_dir, "documents", fanout=True).crossJoin(F.broadcast(m))
+
+    def sym_count(w):
+        e = F.regexp_replace(w, "(.)", "($1)")
+        for r in range(1, _BPE_ROUNDS + 1):
+            e = F.replace(
+                e,
+                F.concat(
+                    F.lit("("), F.col(f"a{r}"), F.lit(")("),
+                    F.col(f"b{r}"), F.lit(")"),
+                ),
+                F.concat(
+                    F.lit("("), F.col(f"a{r}"), F.col(f"b{r}"), F.lit(")")
+                ),
+            )
+        return F.length(e) - F.length(F.replace(e, F.lit("("), F.lit("")))
+
+    ws = dedup.tokens_col(F.col("text"))
+    n_words = F.size(ws).cast("bigint")
+    n_symbols = F.aggregate(
+        F.transform(
+            ws,
+            lambda w: F.when(w.rlike("^[a-z0-9]+$"), sym_count(w)).otherwise(
+                F.lit(1)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_symbols.alias("n_symbols"),
+        (n_symbols.cast("double") / n_words)
+        .cast("string")
+        .cast("decimal(12,6)")
+        .cast("double")
+        .alias("symbols_per_word"),
+    )
