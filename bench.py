@@ -76,6 +76,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "bpe_train_merges",
     "bpe_encode_stats",
+    "hll_distinct_sketch",
 ]
 
 

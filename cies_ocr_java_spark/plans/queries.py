@@ -4826,3 +4826,142 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("symbols_per_word"),
     )
+
+
+# =========================================================================
+# HyperLogLog distinct sketch — exact register replay, audited estimate
+# =========================================================================
+
+_HLL_M = 1024  # registers (p = 10)
+_HLL_K = 51   # hash word width + 1 = (60 - p) + 1
+
+
+@_register(
+    "hll_distinct_sketch",
+    f"""
+    WITH h AS (SELECT event_type,
+                      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           1, 15)) AS BIGINT) AS hv
+               FROM events),
+    b AS (SELECT event_type, hv % {_HLL_M} AS idx, hv // {_HLL_M} AS w
+          FROM h),
+    reg AS (SELECT event_type, idx,
+                   max(CASE WHEN w = 0 THEN {_HLL_K}
+                            ELSE {_HLL_K} - length(bin(w)) END) AS r
+            FROM b GROUP BY 1, 2),
+    agg AS (SELECT event_type,
+                   CAST(sum(1::BIGINT << ({_HLL_K} - r)) AS BIGINT)
+                     + ({_HLL_M} - count(*)) * (1::BIGINT << {_HLL_K}) AS s_scaled,
+                   {_HLL_M} - CAST(count(*) AS BIGINT) AS v
+            FROM reg GROUP BY 1),
+    est AS (SELECT event_type, v,
+                   (0.7213 / (1.0 + 1.079 / {_HLL_M}.0))
+                     * {_HLL_M}.0 * {_HLL_M}.0
+                     * CAST(1::BIGINT << {_HLL_K} AS DOUBLE)
+                     / CAST(s_scaled AS DOUBLE) AS raw
+            FROM agg),
+    fin AS (SELECT event_type,
+                   CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
+                        THEN CAST(CAST({_HLL_M}.0 * ln({_HLL_M}.0 / v)
+                                  AS VARCHAR) AS DECIMAL(12,6))::DOUBLE
+                        ELSE CAST(CAST(raw AS VARCHAR)
+                                  AS DECIMAL(12,6))::DOUBLE END
+                     AS hll_estimate
+            FROM est),
+    ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+                    AS n_exact
+           FROM events GROUP BY 1)
+    SELECT ex.event_type, n_exact, hll_estimate,
+           CAST(CAST((hll_estimate - n_exact) / n_exact AS VARCHAR)
+                AS DECIMAL(12,6))::DOUBLE AS rel_err
+    FROM ex JOIN fin USING (event_type)
+    """,
+)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event type (p=10, 1024
+    registers, 60-bit md5 hash), reported NEXT TO the exact count so the
+    estimate is audited every run — the mergeable-sketch alternative to
+    kmv_distinct_sketch.
+
+    Scale shape: the register table is (group x 1024) rows max regardless
+    of input size and the max-aggregate is map-side combinable — this is
+    the sketch's point: distinct-counting 10^12 rows shuffles kilobytes.
+    Exactness: rho comes from integer/string bit math (bin() length — no
+    libm), the harmonic sum is an exact BIGINT sum of 2^(K-r) (scaled to
+    avoid float accumulation entirely), and the final estimate (plus the
+    small-range linear-counting branch, decided on bit-identical doubles)
+    is decimal(12,6)-absorbed. approx_count_distinct exists in Spark, but
+    its HLL++ registers are opaque — this one the oracle replays bit-for-
+    bit."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+        "user_id",
+    )
+    b = h.select(
+        "event_type",
+        (F.col("hv") % _HLL_M).alias("idx"),
+        F.expr(f"hv DIV {_HLL_M}").alias("w"),
+    )
+    reg = b.groupBy("event_type", "idx").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(_HLL_K)).otherwise(
+                F.lit(_HLL_K) - F.length(F.bin(F.col("w")))
+            )
+        ).alias("r")
+    )
+    one = F.lit(1).cast("bigint")
+    agg = reg.groupBy("event_type").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - r)"))
+            .cast("bigint")
+            + (F.lit(_HLL_M) - F.count("*")) * F.shiftleft(one, _HLL_K)
+        ).alias("s_scaled"),
+        (F.lit(_HLL_M) - F.count("*")).cast("bigint").alias("v"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(_HLL_M))
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.shiftleft(one, _HLL_K).cast("double")
+        / F.col("s_scaled").cast("double")
+    )
+    est = agg.select("event_type", "v", raw.alias("raw"))
+    fin = est.select(
+        "event_type",
+        F.when(
+            (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v") > 0),
+            (
+                F.lit(float(_HLL_M))
+                * F.log(F.lit(float(_HLL_M)) / F.col("v"))
+            )
+            .cast("string")
+            .cast("decimal(12,6)")
+            .cast("double"),
+        )
+        .otherwise(
+            F.col("raw").cast("string").cast("decimal(12,6)").cast("double")
+        )
+        .alias("hll_estimate"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return ex.join(fin, "event_type").select(
+        "event_type",
+        "n_exact",
+        "hll_estimate",
+        ((F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .cast("double")
+        .alias("rel_err"),
+    )
