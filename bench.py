@@ -77,6 +77,7 @@ HEADLINE = [
     "bpe_train_merges",
     "bpe_encode_stats",
     "hll_distinct_sketch",
+    "events_zorder_keys",
 ]
 
 

@@ -4965,3 +4965,47 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rel_err"),
     )
+
+
+# =========================================================================
+# Z-order clustering keys (multi-dimensional layout for scan pruning)
+# =========================================================================
+
+from cies_ocr_java_spark.functions.layout import zorder_key, zorder_key_sql  # noqa: E402
+
+_Z_BITS = 16
+
+
+@_register(
+    "events_zorder_keys",
+    f"""
+    SELECT event_id,
+           CAST(user_id & {(1 << _Z_BITS) - 1} AS BIGINT) AS zx,
+           CAST((epoch_us(ts) // 86400000000) & {(1 << _Z_BITS) - 1}
+                AS BIGINT) AS zy,
+           CAST({zorder_key_sql('user_id',
+                                '(epoch_us(ts) // 86400000000)',
+                                _Z_BITS)} AS BIGINT) AS zkey
+    FROM events
+    """,
+)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, event day) — the
+    layout key a 100 TB events table is OPTIMIZE'd by so that BOTH
+    user-scoped and time-range scans prune files: write with
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` and every
+    file gets a tight (user, day) bounding box for min/max skipping
+    (tests/test_plan_properties.py::test_zorder_layout_prunes_files
+    measures the file-level pruning on a real written layout). The key
+    itself is map-only integer bit math, codegen'd, zero shuffle."""
+    e = _t(spark, sf_dir, "events")
+    day = F.expr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+    )
+    mask = (1 << _Z_BITS) - 1
+    return e.select(
+        "event_id",
+        F.col("user_id").cast("bigint").bitwiseAND(F.lit(mask)).alias("zx"),
+        day.cast("bigint").bitwiseAND(F.lit(mask)).alias("zy"),
+        zorder_key(F.col("user_id"), day, _Z_BITS).alias("zkey"),
+    )
