@@ -78,6 +78,7 @@ HEADLINE = [
     "bpe_encode_stats",
     "hll_distinct_sketch",
     "events_zorder_keys",
+    "neardup_triangle_counts",
 ]
 
 

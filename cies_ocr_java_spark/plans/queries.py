@@ -5009,3 +5009,92 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         day.cast("bigint").bitwiseAND(F.lit(mask)).alias("zy"),
         zorder_key(F.col("user_id"), day, _Z_BITS).alias("zkey"),
     )
+
+
+# =========================================================================
+# Triangle counting over the near-dup similarity graph
+# =========================================================================
+
+_TRI_THR = 0.2
+
+
+def _cosine_edges_sql(thr: float) -> str:
+    """Sign-bucketed cosine pair CTEs at threshold ``thr`` (same replay as
+    dedup_embedding_cosine's oracle), ending in an `e(id_a, id_b)` CTE."""
+    return f"""
+    e0 AS (SELECT vec_id AS id, embedding AS v,
+                  {_bucket_sql('embedding')} AS bucket
+           FROM embeddings),
+    epairs AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS av, b.v AS bv
+               FROM e0 a JOIN e0 b ON a.bucket = b.bucket AND a.id < b.id),
+    eterms AS (SELECT id_a, id_b, av, bv,
+                      unnest(range(1, {_EMB_DIM} + 1)) AS i
+               FROM epairs),
+    edots AS (SELECT id_a, id_b,
+                     sum({_d8('av[i]')} * {_d8('bv[i]')}) AS dotv,
+                     sum({_d8('av[i]')} * {_d8('av[i]')}) AS na2,
+                     sum({_d8('bv[i]')} * {_d8('bv[i]')}) AS nb2
+              FROM eterms GROUP BY 1, 2),
+    e AS (SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   {_ROUND6.format(dot='dotv', n1='na2', n2='nb2')} AS score
+            FROM edots
+          ) WHERE score >= {thr})"""
+
+
+@_register(
+    "neardup_triangle_counts",
+    f"""
+    WITH {_cosine_edges_sql(_TRI_THR)},
+    tri AS (SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+            FROM e ab JOIN e bc ON ab.id_b = bc.id_a
+                      JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b),
+    nodes AS (SELECT a AS vec_id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY 1
+    """,
+)
+def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the embedding near-dup graph (cosine
+    >= {_TRI_THR} on sign-bucket candidates) — the clustering-coefficient
+    diagnostic that separates tight duplicate cliques from chains of
+    borderline pairs before committing to a dedup keep-rule.
+
+    Scale shape: edges are oriented a < b, so every triangle is
+    enumerated exactly once as wedge(ab, bc) closed by ac — two equi-joins
+    on edge endpoints, no enumeration of non-edges. At web scale, orient
+    edges low-degree -> high-degree instead of by id (the standard
+    compact-forward refinement) so per-vertex wedge fan-out is bounded by
+    sqrt(|E|); the id orientation keeps the oracle exactly replayable
+    here. The edge table is persisted once and feeds all three join
+    sides."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    e = (
+        similarity.cosine_near_dup_pairs(emb, _TRI_THR, bits=4)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.id_b") == F.col("bc.id_a"))
+        .join(
+            ac,
+            (F.col("ac.id_a") == F.col("ab.id_a"))
+            & (F.col("ac.id_b") == F.col("bc.id_b")),
+        )
+        .select(
+            F.col("ab.id_a").alias("a"),
+            F.col("ab.id_b").alias("b"),
+            F.col("bc.id_b").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("vec_id"))
+        .unionAll(tri.select(F.col("b").alias("vec_id")))
+        .unionAll(tri.select(F.col("c").alias("vec_id")))
+    )
+    return nodes.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
