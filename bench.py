@@ -79,6 +79,8 @@ HEADLINE = [
     "hll_distinct_sketch",
     "events_zorder_keys",
     "neardup_triangle_counts",
+    "q7_nation_volume",
+    "q10_returned_items",
 ]
 
 
