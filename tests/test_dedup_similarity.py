@@ -1087,3 +1087,51 @@ def test_edit1_pairs_symspell_exactness(spark):
         if lev(p[0], p[1]) <= 1
     }
     assert got == expect
+
+
+def test_streaming_heavy_hitters_misra_gries_across_batches(spark, tmp_path):
+    """The MG sketch must persist across triggers with bounded state and
+    apply the batched decrement exactly: with k=2 and one shard, batch 1
+    {a:5, b:2, c:1} reduces (cut = 3rd-largest = 1) to {a:4, b:1}; batch 2
+    adds {c:4} and reduces (cut = 1) to {a:3, c:3}. Counts are lower
+    bounds; the heavy token a survives both reductions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cies_ocr_java_spark.streaming.heavy_hitters_stream import (
+        streaming_heavy_hitters,
+    )
+
+    src = tmp_path / "hh-src"
+    src.mkdir()
+    ckpt = str(tmp_path / "hh-ckpt")
+    stream = spark.readStream.schema("token string").parquet(str(src))
+    out = streaming_heavy_hitters(stream, k=2, shards=1)
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("hh_stream").option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        pq.write_table(
+            pa.table({"token": ["a"] * 5 + ["b"] * 2 + ["c"]}),
+            str(src / "b1.parquet"),
+        )
+        q.processAllAvailable()
+        t1 = {
+            (r["token"], r["lower_count"])
+            for r in spark.sql("SELECT * FROM hh_stream").collect()
+        }
+        assert t1 == {("a", 4), ("b", 1)}
+
+        pq.write_table(
+            pa.table({"token": ["c"] * 4}), str(src / "b2.parquet")
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hh_stream").collect()
+        t_all = {(r["token"], r["lower_count"]) for r in rows}
+        # trigger-2 sketch rows present; b decremented away, a survives
+        assert {("a", 3), ("c", 3)} <= t_all
+        assert t_all == {("a", 4), ("b", 1), ("a", 3), ("c", 3)}
+    finally:
+        q.stop()
