@@ -4690,7 +4690,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("c").cast("bigint").alias("c"),
             )
         )
-        row = best.select(
+        # degenerate corpus guard (oracle parity): a round with zero
+        # adjacent pairs yields a null best row — emit NO merge row for it
+        # (the oracle's empty bp{r} contributes none), and make the merge
+        # replace a no-op via a sentinel pattern (chr(1) never occurs in
+        # the alnum-only symbols), matching the oracle's "no further
+        # merges" fixpoint.
+        row = best.where(F.col("b").isNotNull()).select(
             F.lit(r).cast("int").alias("round"),
             F.col("b.s1").alias("s1"),
             F.col("b.s2").alias("s2"),
@@ -4698,11 +4704,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("pair_count"),
         )
         merges = row if merges is None else merges.unionAll(row)
+        sentinel = F.lit("\x01")
         enc = (
             enc.crossJoin(
                 F.broadcast(
                     best.select(
-                        F.col("b.s1").alias("_m1"), F.col("b.s2").alias("_m2")
+                        F.coalesce(F.col("b.s1"), sentinel).alias("_m1"),
+                        F.coalesce(F.col("b.s2"), sentinel).alias("_m2"),
                     )
                 )
             )
@@ -4730,8 +4738,12 @@ def _bpe_apply_sql() -> str:
     symbol count = number of '(' left."""
     e = "regexp_replace(w, '(.)', '(\\1)', 'g')"
     for r in range(1, _BPE_ROUNDS + 1):
-        pat = f"'(' || m.a{r} || ')(' || m.b{r} || ')'"
-        rep = f"'(' || m.a{r} || m.b{r} || ')'"
+        # coalesce to a chr(1) sentinel: a round with no learned merge
+        # (empty bp{r} -> NULL scalar subquery) becomes a no-op pattern
+        # that can never match the alnum-only symbols (engine mirror)
+        a, b = f"coalesce(m.a{r}, chr(1))", f"coalesce(m.b{r}, chr(1))"
+        pat = f"'(' || {a} || ')(' || {b} || ')'"
+        rep = f"'(' || {a} || {b} || ')'"
         e = f"replace({e}, {pat}, {rep})"
     return f"length({e}) - length(replace({e}, '(', ''))"
 
@@ -4792,15 +4804,12 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sym_count(w):
         e = F.regexp_replace(w, "(.)", "($1)")
         for r in range(1, _BPE_ROUNDS + 1):
+            a = F.coalesce(F.col(f"a{r}"), F.lit("\x01"))
+            b = F.coalesce(F.col(f"b{r}"), F.lit("\x01"))
             e = F.replace(
                 e,
-                F.concat(
-                    F.lit("("), F.col(f"a{r}"), F.lit(")("),
-                    F.col(f"b{r}"), F.lit(")"),
-                ),
-                F.concat(
-                    F.lit("("), F.col(f"a{r}"), F.col(f"b{r}"), F.lit(")")
-                ),
+                F.concat(F.lit("("), a, F.lit(")("), b, F.lit(")")),
+                F.concat(F.lit("("), a, b, F.lit(")")),
             )
         return F.length(e) - F.length(F.replace(e, F.lit("("), F.lit("")))
 
@@ -5124,10 +5133,12 @@ def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping): two facts x two dimension paths
-    into the SAME tiny table with a cross-nation disjunction. Both nation
-    sides and the supplier table broadcast; the only large shuffle is the
-    lineitem-orders key join; the disjunctive nation filter evaluates
-    post-broadcast (26 rows) rather than exploding the plan into a union."""
+    into the SAME tiny table with a cross-nation disjunction. Only the
+    nation sides carry a broadcast hint (25 rows by construction);
+    supplier and customer scale O(SF), so their join strategy is left to
+    AQE (the round-1 TF-IDF lesson: never force-broadcast a table that
+    grows with the data). The disjunctive nation filter evaluates
+    post-broadcast rather than exploding the plan into a union."""
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -5144,8 +5155,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(

@@ -197,6 +197,9 @@ def main() -> int:
         "",
     ]
     for name, note in COMMENTARY.items():
+        # a previous query's persisted tables must not leak into this
+        # plan as InMemoryTableScan (same rule as bench/check_queries)
+        spark.catalog.clearCache()
         df = QUERIES[name](spark, args.sf)
         plan = df._jdf.queryExecution().explainString(mode)
         s = summarize(plan)
