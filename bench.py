@@ -81,6 +81,7 @@ HEADLINE = [
     "neardup_triangle_counts",
     "q7_nation_volume",
     "q10_returned_items",
+    "phrase_search",
 ]
 
 

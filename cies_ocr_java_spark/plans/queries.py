@@ -5220,3 +5220,78 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+# =========================================================================
+# Phrase search over a positional posting list
+# =========================================================================
+
+_PHRASES = {
+    "p_merge_join": ["merge", "join"],
+    "p_column_scan": ["column", "scan"],
+    "p_window_order_value": ["window", "order", "value"],
+}
+
+_PHRASE_VALS = ", ".join(
+    f"('{pid}', '{t}', {off}, {len(ts)})"
+    for pid, ts in _PHRASES.items()
+    for off, t in enumerate(ts)
+)
+
+
+@_register(
+    "phrase_search",
+    f"""
+    WITH ph(phrase_id, tok, off, plen) AS (VALUES {_PHRASE_VALS}),
+    toks AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t
+             FROM documents),
+    pos AS (SELECT doc_id, t[i] AS tok, i - 1 AS pos
+            FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+    hits AS (SELECT ph.phrase_id, pos.doc_id, pos.pos - ph.off AS base,
+                    ph.plen
+             FROM pos JOIN ph USING (tok)),
+    matches AS (SELECT phrase_id, doc_id, base
+                FROM hits
+                GROUP BY phrase_id, doc_id, base, plen
+                HAVING count(*) = plen)
+    SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM matches GROUP BY 1, 2
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via a positional posting list: a phrase of
+    length L matches at base position p iff all L (term, offset) pairs
+    hit (doc, p + offset) — ONE broadcast join of the postings against
+    the phrase-term table and a (phrase, doc, base) count equal to L.
+    This is how phrase queries run against a positional inverted index at
+    scale: only postings of the phrase's terms shuffle (never the
+    corpus), and adjacency is integer arithmetic, not string scanning.
+    Complements bm25_retrieval's bag-of-words ranking with exact
+    adjacency semantics."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    pos = d.select(
+        "doc_id",
+        F.posexplode(dedup.tokens_col(F.col("text"))).alias("pos", "tok"),
+    )
+    ph = spark.createDataFrame(
+        [
+            (pid, t, off, len(ts))
+            for pid, ts in _PHRASES.items()
+            for off, t in enumerate(ts)
+        ],
+        "phrase_id string, tok string, off int, plen int",
+    )
+    hits = pos.join(F.broadcast(ph), "tok").select(
+        "phrase_id",
+        "doc_id",
+        (F.col("pos") - F.col("off")).alias("base"),
+        "plen",
+    )
+    matches = (
+        hits.groupBy("phrase_id", "doc_id", "base", "plen")
+        .agg(F.count("*").alias("nhit"))
+        .where(F.col("nhit") == F.col("plen"))
+    )
+    return matches.groupBy("phrase_id", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )
