@@ -82,6 +82,7 @@ HEADLINE = [
     "q7_nation_volume",
     "q10_returned_items",
     "phrase_search",
+    "pmi_collocations",
 ]
 
 

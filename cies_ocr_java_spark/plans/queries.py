@@ -5295,3 +5295,114 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matches.groupBy("phrase_id", "doc_id").agg(
         F.count("*").cast("bigint").alias("n_matches")
     )
+
+
+# =========================================================================
+# PMI collocation mining (top bigrams by pointwise mutual information)
+# =========================================================================
+
+_PMI_MIN_COUNT = 5
+_PMI_K = 20
+
+
+@_register(
+    "pmi_collocations",
+    f"""
+    WITH toks AS (SELECT string_split({_norm_sql('lower(text)')}, ' ') AS t
+                  FROM documents),
+    uni AS (SELECT u.tok, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(t) AS tok FROM toks) u GROUP BY 1),
+    nu AS (SELECT CAST(sum(n) AS BIGINT) AS n_uni FROM uni),
+    bi AS (SELECT t[i] AS a, t[i + 1] AS b, CAST(count(*) AS BIGINT) AS nab
+           FROM toks, unnest(range(1, len(t))) AS u(i)
+           GROUP BY 1, 2
+           HAVING count(*) >= {_PMI_MIN_COUNT}),
+    nb AS (SELECT CAST(sum(nab) AS BIGINT) AS n_bi
+           FROM (SELECT t[i] AS a, CAST(count(*) AS BIGINT) AS nab
+                 FROM toks, unnest(range(1, len(t))) AS u(i) GROUP BY t[i], t[i+1])),
+    sc AS (SELECT bi.a, bi.b, bi.nab,
+                  CAST(CAST(log10((CAST(bi.nab AS DOUBLE) / n_bi)
+                       / ((CAST(ua.n AS DOUBLE) / n_uni)
+                          * (CAST(ub.n AS DOUBLE) / n_uni))) AS VARCHAR)
+                       AS DECIMAL(12,6))::DOUBLE AS pmi
+           FROM bi JOIN uni ua ON ua.tok = bi.a
+                   JOIN uni ub ON ub.tok = bi.b, nu, nb)
+    SELECT a, b, nab, pmi,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, a, b) AS rnk
+          FROM sc)
+    WHERE rnk <= {_PMI_K}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_K} collocations by pointwise mutual information over
+    adjacent token pairs (min pair count {_PMI_MIN_COUNT}) — the
+    multi-word-expression miner feeding tokenizer vocab decisions and
+    boilerplate phrase lists.
+
+    Scale shape: unigram and bigram tables are vocab-keyed map-side-
+    combinable aggregates over ONE tokenize pass; totals fold out of the
+    aggregates; the PMI join keys on single terms (postings-sized). The
+    final top-k uses the two-level prune (partition-local row_number to k
+    on the count-filtered pair table, then rank the survivors) so no
+    unbounded single-partition sort exists in the plan. Exactness: one
+    log10 over a deterministic double ratio of exact integer counts,
+    decimal(12,6)-absorbed; rank after rounding with (a, b) tiebreak."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    toks = d.select(dedup.tokens_col(F.col("text")).alias("t")).persist()
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    nu = uni.agg(F.sum("n").cast("bigint").alias("n_uni"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+                "(a, b) -> named_struct('a', a, 'b', b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bi_all = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("nab")
+    ).persist()
+    nb = bi_all.agg(F.sum("nab").cast("bigint").alias("n_bi"))
+    bi = bi_all.where(F.col("nab") >= _PMI_MIN_COUNT)
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("na"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("nb_"))
+    sc = (
+        bi.join(ua, "a")
+        .join(ub, "b")
+        .join(F.broadcast(nu))
+        .join(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            "nab",
+            F.log10(
+                (F.col("nab").cast("double") / F.col("n_bi"))
+                / (
+                    (F.col("na").cast("double") / F.col("n_uni"))
+                    * (F.col("nb_").cast("double") / F.col("n_uni"))
+                )
+            )
+            .cast("string")
+            .cast("decimal(12,6)")
+            .cast("double")
+            .alias("pmi"),
+        )
+    )
+    local = sc.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.desc("pmi"), F.asc("a"), F.asc("b")
+    )
+    pruned = local.withColumn("_lrn", F.row_number().over(w_local)).where(
+        F.col("_lrn") <= _PMI_K
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _PMI_K)
+        .select("a", "b", "nab", "pmi", "rnk")
+    )
