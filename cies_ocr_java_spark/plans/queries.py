@@ -5406,3 +5406,500 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _PMI_K)
         .select("a", "b", "nab", "pmi", "rnk")
     )
+
+
+# =========================================================================
+# Relational round-2 widening: scalar/correlated subqueries, semi/anti
+# self-joins, disjunctive predicate joins, conditional market share —
+# the TPC-H shapes (Q2/Q8/Q12/Q13/Q14/Q15/Q19/Q21/Q22) expressible over
+# this corpus (no partsupp table; no shipmode/commit/receipt columns —
+# where the canonical query needs one, the nearest available predicate
+# is substituted and the substitution documented on the query).
+# =========================================================================
+
+
+@_register(
+    "q8_market_share",
+    """
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(CAST(CAST(
+             CAST(sum(CASE WHEN n1.n_name = 'NATION_7'
+                  THEN CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR) AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS DOUBLE)
+           AS VARCHAR) AS DECIMAL(12,6)) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+    WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): a six-way star join where
+    the measure is a CONDITIONAL ratio — one nation's slice over the
+    whole market, per year. Both numerator and denominator are exact
+    decimal sums folded into ONE aggregate pass (a CASE inside the sum,
+    not a self-join of two aggregates); the ratio is a single double
+    division rounded to 6 decimals. nation/region broadcast (25/5 rows
+    by construction); part, supplier, customer scale O(SF) so their
+    strategy stays with AQE (round-1 TF-IDF lesson)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_regionkey").alias("n2_region"),
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(p.where(F.col("p_type") == "PROMO"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("n2_region") == F.col("r_regionkey"),
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("double")
+    den = F.sum(vol).cast("double")
+    return joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        (num / den)
+        .cast("string")
+        .cast("decimal(12,6)")
+        .cast("double")
+        .alias("mkt_share")
+    )
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH priced AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(CAST(l.l_extendedprice AS VARCHAR) AS DECIMAL(18,2)) AS price
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_size >= 48
+    ),
+    minp AS (SELECT l_partkey, min(price) AS min_price FROM priced GROUP BY 1)
+    SELECT DISTINCT pr.l_partkey AS p_partkey,
+           CAST(m.min_price AS DOUBLE) AS min_price,
+           s.s_name, n.n_name
+    FROM priced pr
+      JOIN minp m ON pr.l_partkey = m.l_partkey AND pr.price = m.min_price
+      JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated per-group
+    MIN subquery, decorrelated the way every engine's optimizer does it —
+    aggregate once per part, then join the detail back on (key, value =
+    group-min). The equality join is on a decimal(18,2), never a raw
+    double (decimal compare is exact; the same stored value always
+    matches). All ties at the minimum survive, so the result is a set,
+    not an arbitrary pick. The p_size filter prunes the part side at the
+    scan; at 100x the min-agg and the join-back shuffle on the same key
+    (l_partkey), so AQE can reuse the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    priced = li.join(
+        p.where(F.col("p_size") >= 48), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    minp = priced.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("price").alias("min_price")
+    )
+    return (
+        priced.join(
+            minp,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("price") == F.col("min_price")),
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("min_price").cast("double").alias("min_price"),
+            "s_name",
+            "n_name",
+        )
+        .distinct()
+    )
+
+
+@_register(
+    "q12_priority_by_returnflag",
+    """
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split), with l_returnflag
+    standing in for the absent l_shipmode column: one fact-fact equi-join
+    with the date filter pushed to the lineitem scan, and BOTH output
+    measures as conditional sums in a single aggregate pass (two CASE
+    branches, not two grouped queries unioned). Counts are integers —
+    exact by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q13_order_count_histogram",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with the filter in the JOIN CONDITION (not WHERE — a WHERE would
+    silently turn the outer join inner and drop zero-order customers),
+    then a two-level aggregation: per-customer count including the
+    zeros, re-grouped into a histogram. count(o_orderkey) — not
+    count(*) — is what makes the unmatched row count 0, matching SQL
+    semantics exactly. The o_orderpriority predicate substitutes for the
+    canonical comment-pattern filter (no o_comment column). The second
+    groupBy input is customer-cardinality, already a fraction of the
+    first shuffle — no single-partition stage anywhere."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.where(F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(CAST(CAST(
+             100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR) AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS DOUBLE)
+           AS VARCHAR) AS DECIMAL(12,6)) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): global conditional-share
+    scalar over one month of shipments. The month filter is pushed to
+    the lineitem scan, so the part join moves ~1/36 of the fact table;
+    numerator and denominator are one aggregate pass (CASE inside the
+    decimal sum). The output is ONE row — the aggregation is map-side
+    combinable down to a single value, nothing global before the final
+    1-row reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    num = F.sum(
+        F.when(F.col("p_type") == "PROMO", vol).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("double")
+    den = F.sum(vol).cast("double")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * num / den)
+            .cast("string")
+            .cast("decimal(12,6)")
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS total_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_dec AS DOUBLE) AS total_revenue
+    FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_dec = (SELECT max(total_dec) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): an uncorrelated scalar MAX
+    subquery over a derived aggregate. The quarter's revenue is
+    aggregated ONCE per supplier (decimal-exact), the 1-row global max
+    is broadcast back as an equality filter — never a global
+    sort-then-take-first (ties must all surface, and a global sort of
+    the supplier aggregate is a single-partition stage at 100x). The
+    equality compares decimals, which are exact, so cross-engine ties
+    are identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-10-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(vol).alias("total_dec"))
+    )
+    mx = rev.agg(F.max("total_dec").alias("max_dec"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_dec") == F.col("max_dec"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "q19_disjunctive_join",
+    """
+    SELECT CAST(sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1  AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    classic OR-of-conjunctions join. The join itself stays a plain
+    equi-hash join on l_partkey with the disjunction as a residual
+    filter — NOT a union of three joins (three scans of the fact table)
+    and NOT a theta join. Catalyst additionally derives the implied
+    single-column prefilters (brand IN (...), size <= 15, quantity <= 30)
+    and pushes them into both scans, so the join probes only rows that
+    can satisfy SOME branch."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "q21_sole_returned_supplier",
+    """
+    SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), with
+    l_returnflag='R' standing in for the absent receipt>commit lateness
+    predicate: the EXISTS / NOT-EXISTS double self-join. Expressed as
+    left_semi then left_anti joins on l_orderkey with the suppkey
+    inequality as a residual — both stay equi-hash joins (the round-1
+    range-join lesson: never let a correlated predicate degenerate to a
+    nested loop). The three lineitem legs shuffle on the same key
+    (l_orderkey), so the exchange is reusable across both joins. Dedup
+    to distinct orders BEFORE the supplier join keeps the count
+    per-order, not per-line."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    r1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    others_r = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+    )
+    waiting = (
+        r1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            others_r,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .distinct()
+    )
+    return (
+        waiting.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@_register(
+    "q22_idle_balance_cohorts",
+    """
+    WITH thr AS (
+      SELECT CAST(sum(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c.c_custkey % 10 AS INT) AS cohort,
+           count(*) AS numcust,
+           CAST(sum(CAST(CAST(c.c_acctbal AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY 1
+    """,
+)
+def q22_idle_balance_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): an uncorrelated scalar
+    AVG subquery gating the detail scan, plus a NOT-EXISTS anti-join,
+    grouped by a derived cohort key (c_custkey % 10 substitutes for the
+    absent phone country code). The average is spelled out as exact
+    decimal sum / count in BOTH engines — never the engine's avg(), whose
+    internal accumulation order is unspecified — then broadcast as a
+    1-row cross join (a scalar, not a shuffle). The anti-join is against
+    RECENT orders (every customer in this corpus has some order, so the
+    canonical no-orders-ever predicate is vacuous here); the date filter
+    pushes to the orders scan, and the anti-join is the only fact-sized
+    exchange."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    thr = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("int").alias("cohort"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

@@ -239,3 +239,44 @@ def test_bm25_topk_is_two_level(spark):
     # Spark pushes the rank-<=-k prune below each window as WindowGroupLimit
     # (partial+final), so no task ever materializes the unpruned scored table.
     assert "WindowGroupLimit" in plan
+
+
+def test_q19_single_join_no_union(spark):
+    """q19_disjunctive_join: the OR-of-conjunctions must stay ONE
+    equi-join with a residual filter — a Union in the plan means the
+    optimizer (or a refactor) split it into three scans of the fact
+    table; a nested-loop means the equi key was lost under the
+    disjunction."""
+    plan = plan_of(QUERIES["q19_disjunctive_join"](spark, SF))
+    assert "Union" not in plan
+    assert "NestedLoop" not in plan
+    assert plan.count("Join") >= 1
+
+
+def test_q21_semi_and_anti_stay_equi_hash(spark):
+    """q21_sole_returned_supplier: EXISTS/NOT-EXISTS compile to LeftSemi/
+    LeftAnti equi joins on l_orderkey with the suppkey inequality as a
+    residual condition — never a BroadcastNestedLoopJoin (the correlated
+    predicate degenerating to a theta join, O(|lineitem|^2) at scale)."""
+    plan = plan_of(QUERIES["q21_sole_returned_supplier"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_max_subquery_no_global_sort(spark):
+    """q15_top_supplier: the scalar-max tie filter must be a broadcast
+    equality join against the 1-row max — not a global sort of the
+    supplier aggregate (single-partition stage) and not a window."""
+    plan = plan_of(QUERIES["q15_top_supplier"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q8_share_is_single_aggregate_pass(spark):
+    """q8_market_share: numerator and denominator are CASE branches of
+    ONE aggregate — a second Aggregate-over-join pass (self-join of two
+    grouped queries) would scan and shuffle the star join twice."""
+    plan = plan_of(QUERIES["q8_market_share"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # nation/region dims broadcast
+    assert "CartesianProduct" not in plan
