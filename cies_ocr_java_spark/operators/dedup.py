@@ -707,3 +707,60 @@ def connected_components_star(pairs: DataFrame, nodes: DataFrame,
     return nodes.join(leaf_labels, "id", "left").select(
         "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
     )
+
+
+def sentence_dedup(df: DataFrame, text_col: str, id_col: str,
+                   min_docs: int = 3) -> DataFrame:
+    """CCNet-style sentence-level dedup REWRITE: drop every sentence whose
+    normalized form appears in >= ``min_docs`` distinct documents (site
+    boilerplate — nav text, cookie banners, footers — repeats verbatim
+    across a domain's pages), keep the rest in original order.
+
+    Differs from duplicate_passages (which REPORTS cross-doc passages)
+    and boilerplate_ngrams (which MINES frequent grams): this one emits
+    the cleaned corpus — per doc, the surviving-sentence count and an
+    md5 over the sentinel-joined kept sequence (US char 0x1f: the
+    BASELINE.md round-2 lesson — never hash a JSON rendering, engines
+    escape differently).
+
+    Plan at corpus scale: explode sentences (linear), ONE groupBy on the
+    sentence hash with a distinct-doc count (the hash table is
+    sentence-vocabulary-sized — heavy-tailed, far smaller than the
+    corpus), join the counts back (strategy left to AQE: the vocab can
+    exceed broadcast size on a web corpus — the round-1 TF-IDF lesson),
+    then ONE groupBy doc to reassemble. Nothing all-pairs, no window.
+    Reference parity: none (beyond-reference curation operator; CCNet,
+    Wenzek et al. 2020, does this per-shard — here it is corpus-global).
+    """
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\\. ")).alias("pos", "sent"),
+    ).withColumn("h", F.md5(F.lower(F.trim(F.col("sent")))))
+    counts = s.groupBy("h").agg(F.count_distinct("id").alias("nd"))
+    kept = (
+        s.join(counts, "h")
+        .where(F.col("nd") < min_docs)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    "\u001f",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                        lambda x: x["sent"],
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\\. ")).alias("n_sent"),
+    )
+    return base.join(kept, "id", "left").select(
+        "id",
+        "n_sent",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+    )

@@ -5903,3 +5903,37 @@ def q22_idle_balance_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+_SENT_DEDUP_MIN_DOCS = 3
+
+
+@_register(
+    "sentence_dedup_rewrite",
+    f"""
+    WITH arrs AS (SELECT doc_id, string_split(text, '. ') AS arr FROM documents),
+    s AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos, unnest(arr) AS sent
+          FROM arrs),
+    k AS (SELECT doc_id, pos, sent, md5(lower(trim(sent))) AS h FROM s),
+    cnt AS (SELECT h, count(DISTINCT doc_id) AS nd FROM k GROUP BY h),
+    kept AS (SELECT doc_id, count(*) AS n_kept,
+                    md5(string_agg(sent, chr(31) ORDER BY pos)) AS kept_md5
+             FROM k JOIN cnt USING (h)
+             WHERE nd < {_SENT_DEDUP_MIN_DOCS}
+             GROUP BY doc_id),
+    base AS (SELECT doc_id, CAST(len(arr) AS INT) AS n_sent FROM arrs)
+    SELECT b.doc_id, b.n_sent,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(k.kept_md5, md5('')) AS kept_md5
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def sentence_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level boilerplate dedup rewrite (CCNet-style): see
+    operators/dedup.py sentence_dedup for the scale analysis. The kept
+    text is verified by md5 over the sentinel-joined ordered sentence
+    sequence, so the oracle checks content AND order, not just counts."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return dedup.sentence_dedup(
+        d, "text", "doc_id", min_docs=_SENT_DEDUP_MIN_DOCS
+    ).select(F.col("id").alias("doc_id"), "n_sent", "n_kept", "kept_md5")
