@@ -280,3 +280,21 @@ def test_q8_share_is_single_aggregate_pass(spark):
     plan = plan_of(QUERIES["q8_market_share"](spark, SF))
     assert "BroadcastHashJoin" in plan  # nation/region dims broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_url_canonicalize_is_map_only_codegen(spark):
+    """url_canonicalize: a pure projection — ZERO exchanges (fuses into
+    the scan at 100 TB) and zero Python nodes (all regexp/array ops are
+    codegen)."""
+    plan = plan_of(QUERIES["url_canonicalize"](spark, SF))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_url_blocklist_is_broadcast_equi_join(spark):
+    """url_host_blocklist: the suffix match must be a broadcast EQUI-join
+    of the exploded suffix chain against the (human-sized) blocklist —
+    never a LIKE-style nested loop."""
+    plan = plan_of(QUERIES["url_host_blocklist"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
