@@ -6128,3 +6128,90 @@ def url_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.join(blocked, "doc_id", "left").select(
         "doc_id", "host", F.coalesce(F.col("_b"), F.lit(False)).alias("blocked")
     )
+
+
+@_register(
+    "span_kind_transitions",
+    """
+    WITH base AS (SELECT doc_id,
+                         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+                  FROM documents),
+    k AS (SELECT doc_id,
+            ['text', 'pdf']
+            || CASE WHEN doc_id % 2 = 0 THEN ['media'] ELSE [] END
+            || CASE WHEN doc_id % 3 = 0 AND len(n) >= 10
+                    THEN ['html'] ELSE [] END AS kinds
+          FROM base WHERE len(n) > 0),
+    pairs AS (SELECT unnest(kinds[1:len(kinds) - 1]) AS kind_from,
+                     unnest(kinds[2:len(kinds)])     AS kind_to
+              FROM k WHERE len(kinds) > 1)
+    SELECT kind_from, kind_to, count(*) AS n
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def span_kind_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality transition matrix over the INTERLEAVED span sequences
+    (the input_hint payload): corpus-wide counts of adjacent
+    (kind -> kind) pairs — the statistic a multimodal training pipeline
+    uses to size its text/media interleaving curriculum. The adjacent
+    pairs are built INSIDE the array (transform over an index sequence —
+    no self-join of the exploded spans on position, which would shuffle
+    the corpus twice at 100 TB); the only shuffle is the final tiny
+    groupBy on (kind_from, kind_to) — at most |kinds|^2 groups, map-side
+    combined. The oracle derives the same pairs from the synthesis rule
+    algebraically."""
+    docs = _synth_interleaved_docs(spark, sf_dir)
+    kinds = F.transform(F.col("spans"), lambda s: s["kind"])
+    pairs = F.transform(
+        F.sequence(F.lit(2), F.size(kinds)),
+        lambda i: F.struct(
+            F.element_at(kinds, i - 1).alias("kind_from"),
+            F.element_at(kinds, i).alias("kind_to"),
+        ),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.kind_from", "p.kind_to")
+        .groupBy("kind_from", "kind_to")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "order_priority_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def order_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the third multi-grain aggregate shape next to the
+    registry's rollup and cube: two independent single-column grains plus
+    the grand total in ONE pass (Expand feeds one aggregation — the
+    alternative is three scans unioned). grouping_id disambiguates the
+    NULL that marks "aggregated over" from a NULL data value, exactly as
+    in revenue_rollup/order_priority_cube."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "gid", "n_orders", "total_price"
+        )
+    )
