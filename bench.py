@@ -83,6 +83,18 @@ HEADLINE = [
     "q10_returned_items",
     "phrase_search",
     "pmi_collocations",
+    # round-2 late additions (same per-name comparison rule)
+    "sentence_dedup_rewrite",
+    "url_canonicalize",
+    "url_host_blocklist",
+    "span_kind_transitions",
+    "order_priority_grouping_sets",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q13_order_count_histogram",
+    "q15_top_supplier",
+    "q19_disjunctive_join",
+    "q21_sole_returned_supplier",
 ]
 
 

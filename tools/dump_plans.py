@@ -154,6 +154,31 @@ COMMENTARY = {
         "min-k aggregation (collect k smallest per partition, merge) to "
         "avoid sorting whole groups."
     ),
+    "sentence_dedup_rewrite": (
+        "CCNet-style rewrite: explode sentences, ONE groupBy on the "
+        "sentence hash (vocabulary-sized, map-side combined), counts join "
+        "back with strategy LEFT TO AQE (a web corpus sentence vocab can "
+        "exceed broadcast size), then one doc-keyed reassembly groupBy. "
+        "No window, nothing all-pairs."
+    ),
+    "url_host_blocklist": (
+        "Suffix blocklist as an exploded-suffix EQUI-join: each host emits "
+        "its <=6 dot-suffixes and hash-joins the broadcast blocklist — the "
+        "broadcast is CORRECT here (curated list, human-sized by nature). "
+        "The LIKE formulation would be a corpus x blocklist nested loop."
+    ),
+    "q19_disjunctive_join": (
+        "OR-of-conjunctions stays ONE equi-join on l_partkey with the "
+        "disjunction as residual; Catalyst pushes the derived single-column "
+        "prefilters (brand IN, size/qty bounds) into both scans. No Union "
+        "(3x fact scans), no nested loop."
+    ),
+    "q21_sole_returned_supplier": (
+        "EXISTS / NOT-EXISTS as LeftSemi + LeftAnti equi-hash joins on "
+        "l_orderkey with the suppkey inequality as residual condition; all "
+        "three lineitem legs shuffle on the same key so the exchange is "
+        "reusable. Never a BroadcastNestedLoopJoin."
+    ),
 }
 
 
