@@ -6215,3 +6215,50 @@ def order_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority", "o_orderstatus", "gid", "n_orders", "total_price"
         )
     )
+
+
+@_register(
+    "events_stream_enrich",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, n.n_name, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+                  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment (streaming/joins.py enrich_with_dimension):
+    the third streaming-join shape next to stream-stream attribution and
+    watermarked dedup — zero join state, static side re-resolved per
+    microbatch. Run with availableNow over the parquet events; the oracle
+    is the batch equi-join the unified API guarantees equivalent. The
+    value column passes through untouched (same stored doubles on both
+    sides — no arithmetic, so exact equality holds)."""
+    import uuid as _uuid
+
+    from cies_ocr_java_spark.streaming.joins import enrich_with_dimension
+
+    batch = _t(spark, sf_dir, "events")  # schema donor only
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation")
+    dim = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    out = enrich_with_dimension(stream, dim, "user_id", "c_custkey").select(
+        "event_id", "user_id", "c_name", "n_name", "value"
+    )
+    name = f"ese_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

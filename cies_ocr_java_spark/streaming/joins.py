@@ -67,3 +67,26 @@ def click_purchase_attribution(
             F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
         ).alias("lag_us"),
     )
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """STREAM-STATIC enrichment join: decorate each event with dimension
+    attributes at arrival time. Unlike the stream-stream join above this
+    keeps NO join state at all — the static side is re-resolved against
+    each microbatch (so a dim table updated between triggers is picked up
+    on the next one), and no watermark is required.
+
+    Scale design: the static side's join strategy is the ordinary batch
+    planner's choice per microbatch — broadcast when the dim fits
+    (customer/nation-sized dims at 100 TB usually don't; nation-sized
+    ones do), shuffled hash otherwise. For a large dim joined every
+    trigger, pre-bucket it by the join key so each microbatch co-locates
+    without reshuffling the dim (the bucketed-join evidence in
+    tests/test_plan_properties.py). Batch in, batch out — the unified-API
+    guarantee makes the DuckDB oracle the plain equi-join."""
+    return stream.join(dim, stream[stream_key] == dim[dim_key])

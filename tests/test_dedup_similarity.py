@@ -1204,3 +1204,41 @@ def test_zorder_key_roundtrip_and_locality(spark):
             x |= ((z >> (2 * i)) & 1) << i
             y |= ((z >> (2 * i + 1)) & 1) << i
         assert (x, y) == (r["x"], r["y"])  # exact de-interleave
+
+
+def test_stream_static_enrich_keeps_no_join_state(spark):
+    """enrich_with_dimension is a STREAM-STATIC join: unlike the
+    stream-stream attribution join it must register ZERO stateful
+    operators — the static side is re-resolved per microbatch, nothing
+    is buffered in the state store."""
+    import uuid
+
+    from cies_ocr_java_spark.streaming.joins import enrich_with_dimension
+
+    sf = "/root/testdata/sf0.01"
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    dim = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    out = enrich_with_dimension(stream, dim, "user_id", "c_custkey")
+    name = f"sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        prog = q.lastProgress
+        assert prog is not None
+        assert prog["stateOperators"] == []  # no streaming state at all
+    finally:
+        q.stop()
+    assert spark.table(name).count() == 10000
