@@ -57,13 +57,20 @@ def url_path(url: Column) -> Column:
     return F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
 
 
+def _is_tracking(p: Column) -> Column:
+    cond = F.lit(False)
+    for prefix in TRACKING_PREFIXES:
+        cond = cond | p.startswith(prefix)
+    return cond
+
+
 def url_query_canonical(url: Column) -> Column:
     """Sorted, tracking-stripped query string (no leading '?'); ''
     when nothing survives."""
     q = F.regexp_extract(url, "\\?([^#]*)", 1)
     params = F.filter(
         F.split(q, "&"),
-        lambda p: (p != "") & ~p.startswith(TRACKING_PREFIXES[0]),
+        lambda p: (p != "") & ~_is_tracking(p),
     )
     return F.concat_ws("&", F.array_sort(params))
 
@@ -92,9 +99,15 @@ def host_suffixes(host: Column) -> Column:
     by equi-joining this exploded column — never by LIKE."""
     arr = F.split(host, "\\.")
     n = F.size(arr)
-    return F.transform(
-        F.sequence(F.lit(2), n),
-        lambda length: F.concat_ws(
-            ".", F.slice(arr, n - length + 1, length)
+    # guard: a single-label host (localhost, intranet names) has no
+    # >=2-label suffix — sequence(2, 1) would descend and slice() throws;
+    # CaseWhen evaluates only the taken branch, so the guard is total
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda length: F.concat_ws(
+                ".", F.slice(arr, n - length + 1, length)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))

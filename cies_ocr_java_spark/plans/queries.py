@@ -6022,11 +6022,11 @@ def _synth_url_col():
             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
             regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1) AS hostport,
             regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS rawpath,
-            coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS rawq
+            coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS rawq
           FROM u),
     c AS (SELECT doc_id, url, scheme,
             regexp_replace(lower(string_split(hostport, ':')[1]),
-                           '^www\.', '') AS host,
+                           '^www\\.', '') AS host,
             string_split(hostport, ':')[2] AS port,
             CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
                  ELSE regexp_replace(rawpath, '/+$', '') END AS path,
@@ -6068,15 +6068,12 @@ _URL_BLOCKLIST = ("example.net", "src3.example.com", "src7.example.org")
 @_register(
     "url_host_blocklist",
     f"""
-    WITH u AS (SELECT doc_id,
-        regexp_replace(lower(
-          CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
-          || CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
-          || source || '.example.'
-          || CASE WHEN doc_id % 4 IN (0, 1) THEN 'com'
-                  WHEN doc_id % 4 = 2 THEN 'org' ELSE 'net' END),
-          '^www\.', '') AS host
-      FROM documents),
+    WITH u0 AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+    u AS (SELECT doc_id,
+            regexp_replace(lower(string_split(
+              regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1), ':')[1]),
+              '^www\\.', '') AS host
+          FROM u0),
     bl(suffix) AS (VALUES {", ".join(f"('{s}')" for s in _URL_BLOCKLIST)}),
     sfx AS (SELECT doc_id,
                    unnest(list_transform(range(2, len(a) + 1),
@@ -6099,20 +6096,11 @@ def url_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cies_ocr_java_spark.functions import urls
 
     d = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    sub = F.when(did % 5 == 0, F.lit("cdn.")).otherwise(F.lit(""))
-    www = F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit(""))
-    tld = (
-        F.when((did % 4).isin(0, 1), F.lit("com"))
-        .when(did % 4 == 2, F.lit("org"))
-        .otherwise(F.lit("net"))
+    # ONE copy of the synth grammar: the host is derived from the same
+    # synthesized URL url_canonicalize uses, via the same url_host rule
+    u = d.select(
+        "doc_id", urls.url_host(_synth_url_col()).alias("host")
     )
-    host = F.regexp_replace(
-        F.lower(F.concat(www, sub, F.col("source"), F.lit(".example."), tld)),
-        "^www\\.",
-        "",
-    )
-    u = d.select("doc_id", host.alias("host"))
     bl = spark.createDataFrame(
         [(s,) for s in _URL_BLOCKLIST], "suffix string"
     )

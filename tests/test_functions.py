@@ -191,3 +191,41 @@ def test_chunk_udtf_matches_codegen_path(spark, corpus_dir):
     assert ("e1b", 1) in out and out[("e1b", 1)]["n_tokens"] == 17
     assert ("e2", 1) in out and out[("e2", 1)]["n_tokens"] == 33
     assert out[("e2", 1)]["chunk"].split(" ")[0] == "w48"  # overlap carried
+
+
+def test_host_suffixes_single_label_is_empty_not_crash(spark):
+    """A 1-label host (localhost, intranet names) must yield an EMPTY
+    suffix list — not a descending sequence feeding slice(arr, 0, ...)
+    which kills the whole job (review finding, round 2)."""
+    from pyspark.sql import functions as F
+
+    from cies_ocr_java_spark.functions.urls import host_suffixes
+
+    df = spark.createDataFrame(
+        [("localhost",), ("a.b.com",), ("example.com",)], "host string"
+    )
+    got = {
+        r["host"]: r["s"]
+        for r in df.select(
+            "host", host_suffixes(F.col("host")).alias("s")
+        ).collect()
+    }
+    assert got["localhost"] == []
+    assert got["a.b.com"] == ["b.com", "a.b.com"]
+    assert got["example.com"] == ["example.com"]
+
+
+def test_tracking_prefix_fold_honors_every_prefix(spark, monkeypatch):
+    """url_query_canonical must fold ALL of TRACKING_PREFIXES — extending
+    the tuple must actually strip the new prefix (review finding: the
+    original lambda hardcoded element [0])."""
+    from pyspark.sql import functions as F
+
+    from cies_ocr_java_spark.functions import urls
+
+    monkeypatch.setattr(urls, "TRACKING_PREFIXES", ("utm_", "gclid"))
+    df = spark.createDataFrame(
+        [("http://x.com/p?gclid=9&utm_a=1&z=2",)], "url string"
+    )
+    q = df.select(urls.url_query_canonical(F.col("url")).alias("q")).collect()
+    assert q[0]["q"] == "z=2"
