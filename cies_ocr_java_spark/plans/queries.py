@@ -6250,3 +6250,68 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@_register(
+    "ann_recall_at_k",
+    f"""
+    WITH {_ANN_TERMS_SQL},
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS r
+        FROM scored) WHERE r <= {_ANN_K}),
+    b AS (SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+    approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.score DESC, s.neighbor_id ASC) AS r
+        FROM scored s JOIN b bq ON bq.vec_id = s.query_id
+                      JOIN b bn ON bn.vec_id = s.neighbor_id
+                                AND bn.bucket = bq.bucket)
+        WHERE r <= {_ANN_K}),
+    hits AS (SELECT query_id, count(*) AS n_hits
+             FROM exact JOIN approx USING (query_id, neighbor_id)
+             GROUP BY 1)
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CAST(CAST(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {_ANN_K}
+                AS VARCHAR) AS DECIMAL(12,6)) AS DOUBLE) AS recall
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h USING (query_id)
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@{_ANN_K} of the sign-LSH bucketed
+    path against the exact brute-force ranking, per query. This is the
+    metric that decides bits/n_probe when tuning the scale path — and the
+    reason the registry keeps the brute-force baseline at all. The
+    evaluation itself is scale-sane: it runs on a SAMPLE of queries
+    (here {_N_QUERIES}; at 100 TB a few thousand) — only the exact
+    baseline is corpus x sample, and only for the sample. Both rankings
+    reuse the registry's decimal-exact scoring, so the oracle replays
+    them bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    exact = similarity.brute_force_topk(emb, queries, k=_ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.lsh_bucketed_topk(emb, queries, k=_ANN_K, bits=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = exact.select("query_id").distinct()
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hits.alias("n_hits"),
+        (n_hits.cast("double") / F.lit(float(_ANN_K)))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .cast("double")
+        .alias("recall"),
+    )

@@ -298,3 +298,29 @@ def test_url_blocklist_is_broadcast_equi_join(spark):
     plan = plan_of(QUERIES["url_host_blocklist"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark):
+    """Scan-less aggregation evidence: with the V2 parquet source and
+    spark.sql.parquet.aggregatePushdown, MIN/MAX/COUNT compile to a
+    PushedAggregation BatchScan — at 100 TB these global stats are
+    answered from row-group footers without touching a data page. The
+    engine's metadata queries (ingest cursors, snapshot stats, scan-split
+    planning) qualify; anything with a residual filter or AVG falls back
+    to a normal scan, which is why the default session keeps the V1
+    source (this is an opt-in per-query config, pinned here)."""
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        df = spark.read.parquet(f"{SF}/lineitem.parquet").selectExpr(
+            "min(l_shipdate) AS mn", "max(l_shipdate) AS mx", "count(*) AS n"
+        )
+        plan = plan_of(df)
+        assert "PushedAggregation" in plan
+        row = df.collect()[0]
+        assert row["n"] == 60000  # sf0.01 lineitem cardinality
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
