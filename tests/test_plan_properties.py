@@ -324,3 +324,48 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark):
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Executable evidence for the 'AQE handles hot buckets' claims in
+    the dedup/LSH docstrings: a 95%-hot-key fact joined to a dim must
+    come out of AQE with the hot partition SPLIT (SortMergeJoin(skew=true)
+    + 'AQEShuffleRead ... skewed') instead of one straggler task sorting
+    95% of the data. Thresholds are scaled down to fixture size; the
+    mechanism (factor x median + byte threshold) is the same one that
+    fires at 100 TB."""
+    restore = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 224).alias("attr"),
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 200_000  # finalize the adaptive plan
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
