@@ -7,6 +7,14 @@ Packages the library, runs tools/scaling_worker.py via spark-submit at
 timed runs, correctness asserted in-process), then prints the scaling
 summary as JSON and appends a results block to BENCH_SCALING.md.
 
+Before timing anything it measures the AMBIENT machine state (CPU steal
+from /proc/stat and a Spark-free numpy memory-bandwidth 1-vs-4-proc probe)
+and stamps both into the output JSON and the report: this workload is
+string/shuffle-bandwidth-bound, so a co-tenant consuming memory bandwidth
+bounds the measurable efficiency below the code's own ceiling (see
+BASELINE.md "ambient-contention audit" — a below-target result is only
+meaningful when ambient_bandwidth_eff >= 0.8 and steal < 0.5%).
+
 Usage:
     python tools/bench_scaling.py [--docs 20000] [--levels 2,8] [--runs 3]
 """
@@ -35,6 +43,43 @@ def make_zip(path: str) -> None:
                     z.write(full, os.path.relpath(full, REPO))
 
 
+def ambient_probe() -> dict:
+    """Steal%% over 8s + a 1-vs-4-process numpy bandwidth efficiency —
+    the environment gate from BASELINE.md's measurement protocol."""
+    def snap():
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+
+    a = snap()
+    time.sleep(8)
+    b = snap()
+    d = [y - x for x, y in zip(a, b)]
+    steal_pct = 100 * d[7] / sum(d) if sum(d) else 0.0
+
+    import multiprocessing as mp
+
+    t0 = time.time()
+    _mem_work(0)
+    one = time.time() - t0
+    with mp.Pool(4) as pool:
+        t0 = time.time()
+        pool.map(_mem_work, range(4))
+        four = time.time() - t0
+    return {
+        "steal_pct": round(steal_pct, 2),
+        "bandwidth_eff_1v4": round(one / four, 3) if four else None,
+    }
+
+
+def _mem_work(_):
+    import numpy as np
+
+    arr = np.zeros(400_000_000 // 8)  # 400 MB — long enough to see co-tenant bandwidth pressure
+    for _ in range(6):
+        arr = arr + 1.0
+    return float(arr[0])
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=20000)
@@ -59,6 +104,9 @@ def main() -> int:
 
     zip_path = os.path.join(workdir, "cies_ocr_java_spark.zip")
     make_zip(zip_path)
+
+    ambient = ambient_probe()
+    print(json.dumps({"metric": "ambient", **ambient}))
 
     results = {}
     for n in levels:
@@ -95,6 +143,9 @@ def main() -> int:
         "span_equality": {
             str(n): results[n]["span_equality_pass_rate"] for n in levels
         },
+        "ambient": ambient,
+        "ambient_ok": ambient["steal_pct"] < 0.5
+        and (ambient["bandwidth_eff_1v4"] or 0) >= 0.8,
     }
     print(json.dumps(summary))
 
@@ -119,6 +170,9 @@ def main() -> int:
             f"{'MET' if efficiency >= 0.8 else 'NOT MET'}).\n"
             f"All walls: local[{lo}]={results[lo]['walls']}, "
             f"local[{hi}]={results[hi]['walls']}\n"
+            f"Ambient gate: steal {ambient['steal_pct']}%, bandwidth-probe "
+            f"efficiency {ambient['bandwidth_eff_1v4']} "
+            f"({'OK' if summary['ambient_ok'] else 'CONTENDED — result is a lower bound, not the code ceiling'})\n"
         )
     return 0
 
