@@ -369,3 +369,39 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in restore.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_join_probe_side(spark):
+    """Runtime row-level pruning evidence: with runtime.bloomFilter on, a
+    selective dim filter injects a might_contain(bloom) predicate into
+    the FACT scan side of the join — at 100 TB the shuffle moves only
+    rows that can possibly match, the semi-join effect without a second
+    pass. Pinned here because several registry joins (decontaminate,
+    postings semi-joins) rely on exactly this class of runtime filter
+    when the filtered side is too big to broadcast."""
+    restore = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = plan_of(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
