@@ -6315,3 +6315,69 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("recall"),
     )
+
+
+_SSESS_GAP_MS = 30 * 60 * 1000
+
+
+@_register(
+    "events_stream_sessionize",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+    g AS (SELECT user_id, us,
+            CASE WHEN us - lag(us) OVER w > {_SSESS_GAP_MS} * 1000
+                   OR lag(us) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id, us,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    sess AS (SELECT user_id, sid, min(us) AS session_start_us,
+                    max(us) AS session_end_us,
+                    CAST(count(*) AS BIGINT) AS n_events
+             FROM s GROUP BY 1, 2),
+    last AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY 1),
+    wm AS (SELECT max(us) // 1000 AS wm_ms FROM e)
+    SELECT sess.user_id, session_start_us, session_end_us, n_events
+    FROM sess JOIN last USING (user_id), wm
+    WHERE sid < last_sid
+       OR wm_ms > (session_end_us // 1000 + {_SSESS_GAP_MS})
+    """,
+)
+def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming sessionization with EVENT-TIME timeouts
+    (streaming/sessionize_stream.py, applyInPandasWithState): closed
+    sessions only — a session emits either when a later event of the
+    same user breaks the gap inside a batch, or when the WATERMARK
+    passes last_event + gap (the timeout path a lag-window cannot do
+    incrementally). The oracle replays BOTH rules algebraically:
+    gaps-and-islands sessions, where every non-final island closed by
+    construction and the final island closed iff the final watermark
+    (max event time, 0s delay, ms-floored exactly as Spark floors it)
+    passed its end + gap. Exact-value checked INCLUDING the ms-floor
+    boundary semantics of GroupStateTimeout.EventTimeTimeout."""
+    import uuid as _uuid
+
+    from cies_ocr_java_spark.streaming.sessionize_stream import (
+        streaming_sessionize,
+    )
+
+    batch = _t(spark, sf_dir, "events")  # schema donor only
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = streaming_sessionize(stream, watermark="0 seconds")
+    name = f"sss_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
