@@ -6381,3 +6381,63 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@_register(
+    "snapshot_time_travel",
+    """
+    SELECT 'v1' AS label, count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id < 300
+    UNION ALL
+    SELECT 'v2', count(*), CAST(sum(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id < 400
+    UNION ALL
+    SELECT 'v3', count(*), CAST(sum(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'changes_1_2', count(*), CAST(sum(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id >= 300 AND doc_id < 400
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table TIME TRAVEL + incremental CDC, oracle-checked: two
+    appends then an overwrite (the delete analog) are committed to a
+    scratch SnapshotTable, and every history version is read back by
+    snapshot id — v1/v2 must still show the pre-overwrite rows (history
+    is immutable; the overwrite only moves `current`), and
+    read_changes(1, 2) must return exactly the second append's rows (the
+    incremental-consumer contract: zero scan I/O over processed
+    history). The oracle derives all four row sets algebraically from
+    the commit predicates. Aggregates are materialized before the
+    scratch table is deleted, so the returned frame owns its data."""
+    import shutil
+    import tempfile
+
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    root = tempfile.mkdtemp(prefix="cies-tt-")
+    try:
+        t = SnapshotTable(root)
+        t.commit(d.where(F.col("doc_id") < 300), mode="append")
+        t.commit(
+            d.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)),
+            mode="append",
+        )
+        t.commit(d.where(F.col("doc_id") % 2 == 0), mode="overwrite")
+        agg = [F.count("*").alias("n"), F.sum("n_chars").alias("s")]
+        rows = []
+        for label, df in (
+            ("v1", t.read(spark, snapshot_id=1)),
+            ("v2", t.read(spark, snapshot_id=2)),
+            ("v3", t.read(spark, snapshot_id=3)),
+            ("changes_1_2", t.read_changes(spark, 1, 2)),
+        ):
+            r = df.agg(*agg).collect()[0]
+            rows.append((label, int(r["n"]), int(r["s"])))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_rows bigint, sum_chars bigint"
+    )
