@@ -6441,3 +6441,52 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "label string, n_rows bigint, sum_chars bigint"
     )
+
+
+_SALT_BUCKETS = 16
+
+
+@_register(
+    "salted_hot_key_agg",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""SALTED two-phase aggregation — the hot-key pattern as a
+    first-class operator (the same salt shuffle the flagship pipeline
+    uses on (doc_id, offset), here in its aggregate form): phase 1
+    groups on (key, salt) so a key that owns 95% of the rows spreads
+    over {_SALT_BUCKETS} reducers; phase 2 merges the {_SALT_BUCKETS}
+    partials per key. Decimal partials make the two-phase sum exactly
+    equal to the one-phase oracle (decimal addition is associative —
+    a double sum would drift with the split). count DISTINCT cannot be
+    salted this way (partial distincts don't merge by addition), so it
+    rides phase 2 on collect_set union — sized by the per-key distinct
+    cardinality, not the row count, which is what makes the hot key
+    hot. For distincts too large for a set, swap in the KMV/HLL
+    sketches from the registry."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "_salt", (F.col("event_id") % _SALT_BUCKETS).cast("int")
+    )
+    phase1 = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_s"),
+        F.collect_set("user_id").alias("_u"),
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.sum("_s").cast("double").alias("total_value"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("_u")))
+            ).cast("bigint").alias("n_users"),
+        )
+    )

@@ -405,3 +405,15 @@ def test_runtime_bloom_filter_prunes_join_probe_side(spark):
     finally:
         for k, v in restore.items():
             spark.conf.set(k, v)
+
+
+def test_salted_agg_has_two_phase_exchanges(spark):
+    """salted_hot_key_agg: phase 1 shuffles on (event_type, _salt) —
+    spreading a hot key over the salt buckets — and phase 2 on
+    event_type alone. Losing the salted exchange re-creates the hot-key
+    straggler this query exists to defuse."""
+    import re
+
+    plan = plan_of(QUERIES["salted_hot_key_agg"](spark, SF))
+    assert re.search(r"hashpartitioning\(event_type#\d+, _salt#\d+", plan)
+    assert re.search(r"hashpartitioning\(event_type#\d+, \d+\)", plan)
