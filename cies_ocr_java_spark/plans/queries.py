@@ -6490,3 +6490,84 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_users"),
         )
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_rounds_sql(rounds: int, k: int) -> str:
+    parts = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    d{i} AS (SELECT src, count(*) AS deg FROM {prev} GROUP BY src),
+    s{i} AS (SELECT src FROM d{i} WHERE deg >= {k}),
+    e{i} AS (SELECT e.src, e.dst FROM {prev} e
+             JOIN s{i} a ON e.src = a.src
+             JOIN s{i} b ON e.dst = b.src)""")
+        prev = f"e{i}"
+    return ", ".join(parts)
+
+
+@_register(
+    "neardup_kcore",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
+    bands AS ({_band_sql(8, 4)}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+    {_JACCARD_CORE},
+    pairs AS (SELECT v.id_a, v.id_b FROM verified v JOIN cand USING (id_a, id_b)
+              WHERE v.jaccard >= {_JACCARD_THR}),
+    e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+    {_kcore_rounds_sql(_KCORE_ROUNDS, _KCORE_K)}
+    SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{_KCORE_ROUNDS} GROUP BY src
+    """,
+)
+def neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""k-core decomposition (k={_KCORE_K}) of the near-dup graph — the
+    third iterative-graph operator next to connected components and
+    PageRank, with the OPPOSITE update direction: nodes are peeled
+    (degree < k removed, degrees recomputed) instead of labels
+    propagated. The dense core that survives is the template-farm /
+    mirror-cluster signal a curation pass inspects before mass-dropping.
+
+    Fixed {_KCORE_ROUNDS} peel rounds, like pagerank's fixed 5: the
+    fixpoint on this corpus is reached in 2 (probed), rounds past the
+    fixpoint are no-ops (peeling is monotone), and a FIXED count is what
+    lets the oracle unroll the exact same computation as chained CTEs.
+    At corpus scale switch the exit to a converged-counter like
+    connected_components and localCheckpoint per round — each round is
+    one degree agg + two semi-joins on the shrinking edge set, all
+    equi-hash."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    pairs = dedup.minhash_dedup_pairs(d, "text", "doc_id", _JACCARD_THR,
+                                      k=8, bands=4)
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").union(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    # each round references `edges` three times (degree + two semi-joins):
+    # without a lineage cut the LSH subtree re-evaluates ~3^rounds times.
+    # localCheckpoint per round + release of the PREVIOUS round's blocks,
+    # exactly like connected_components (the round-1 ADVICE fix: unpersist
+    # on a checkpointed frame is a no-op; the tracked-RDD release is not).
+    sc = spark.sparkContext
+    edges, held = dedup._checkpoint_tracked_rdds(sc, edges)
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= _KCORE_K).select("src")
+        nxt = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+        )
+        edges, new_held = dedup._checkpoint_tracked_rdds(sc, nxt)
+        dedup._release_rdds(sc, held)
+        held = new_held
+    return edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("core_deg")
+    )
