@@ -206,3 +206,37 @@ def make_chunk_udtf(chunk_tokens: int = CHUNK_TOKENS,
                 yield i, len(window), " ".join(window)
 
     return ChunkText
+
+
+def accent_fold_udf():
+    """Arrow-vectorized accent folding: NFKD-decompose, drop combining
+    marks. Unicode normalization has no JVM builtin in Spark SQL, so this
+    is a legitimate pandas-UDF surface (unlike the extraction kernels,
+    which stay codegen by default) — one Arrow batch in, one out, no
+    per-row Python. The oracle (DuckDB strip_accents) agrees with NFKD
+    mark-stripping on the synthesized accent set; full-Unicode parity is
+    NOT claimed (ligatures, stroked letters differ between the two
+    definitions — a corpus using those needs a golden-fixture contract
+    like formats.py's)."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fold(s):
+        def fold(x):
+            if x is None:
+                return None
+            return "".join(
+                c
+                for c in unicodedata.normalize("NFKD", x)
+                if not unicodedata.combining(c)
+            )
+
+        return s.map(fold)
+
+    # annotations as real class objects: pandas is imported locally, so
+    # string annotations would not resolve in this module's globals when
+    # pandas_udf re-evaluates them via get_type_hints
+    _fold.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_fold, "string")

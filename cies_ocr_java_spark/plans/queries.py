@@ -6571,3 +6571,44 @@ def neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count("*").cast("bigint").alias("core_deg")
     )
+
+
+@_register(
+    "text_accent_fold",
+    """
+    WITH a AS (SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN translate(text, 'aeio', 'àéîô')
+                      ELSE translate(text, 'cnu', 'çñü') END AS acc
+               FROM documents)
+    SELECT doc_id, md5(acc) AS accented_md5,
+           md5(strip_accents(acc)) AS folded_md5,
+           CAST(length(regexp_replace(acc, '[\\x00-\\x7F]', '', 'g')) AS INT)
+             AS n_accents
+    FROM a
+    """,
+)
+def text_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode accent folding over a synthesized accented corpus
+    (functions/text.py accent_fold_udf — the one text op that genuinely
+    needs Python, Arrow-batched): every vowel/consonant in the rule set
+    becomes its accented form via a codegen translate, the UDF folds it
+    back, and the oracle folds with DuckDB strip_accents — md5s pin both
+    the accented input AND the folded output, n_accents pins the
+    non-ASCII count. At 100 TB this is a map-only projection whose only
+    cost is one Arrow hop; the accent INJECTION side stays codegen."""
+    from cies_ocr_java_spark.functions.text import accent_fold_udf
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    acc = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.translate(F.col("text"), "aeio", "\u00e0\u00e9\u00ee\u00f4"),
+    ).otherwise(F.translate(F.col("text"), "cnu", "\u00e7\u00f1\u00fc"))
+    fold = accent_fold_udf()
+    return d.select(
+        "doc_id",
+        F.md5(acc).alias("accented_md5"),
+        F.md5(fold(acc)).alias("folded_md5"),
+        F.length(F.regexp_replace(acc, "[\\x00-\\x7F]", "")).cast("int").alias(
+            "n_accents"
+        ),
+    )

@@ -417,3 +417,12 @@ def test_salted_agg_has_two_phase_exchanges(spark):
     plan = plan_of(QUERIES["salted_hot_key_agg"](spark, SF))
     assert re.search(r"hashpartitioning\(event_type#\d+, _salt#\d+", plan)
     assert re.search(r"hashpartitioning\(event_type#\d+, \d+\)", plan)
+
+
+def test_accent_fold_single_arrow_stage(spark):
+    """text_accent_fold: exactly ONE ArrowEvalPython node (the NFKD fold
+    — the only part with no JVM builtin); injection, hashing, and the
+    non-ASCII count stay codegen."""
+    plan = plan_of(QUERIES["text_accent_fold"](spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
