@@ -6282,12 +6282,12 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality evaluation: recall@{_ANN_K} of the sign-LSH bucketed
-    path against the exact brute-force ranking, per query. This is the
-    metric that decides bits/n_probe when tuning the scale path — and the
-    reason the registry keeps the brute-force baseline at all. The
-    evaluation itself is scale-sane: it runs on a SAMPLE of queries
-    (here {_N_QUERIES}; at 100 TB a few thousand) — only the exact
+    """ANN quality evaluation: recall@k (k=_ANN_K) of the sign-LSH
+    bucketed path against the exact brute-force ranking, per query. This
+    is the metric that decides bits/n_probe when tuning the scale path —
+    and the reason the registry keeps the brute-force baseline at all.
+    The evaluation itself is scale-sane: it runs on a SAMPLE of queries
+    (_N_QUERIES here; at 100 TB a few thousand) — only the exact
     baseline is corpus x sample, and only for the sample. Both rankings
     reuse the registry's decimal-exact scoring, so the oracle replays
     them bit-for-bit."""
@@ -6317,20 +6317,25 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SSESS_GAP_MS = 30 * 60 * 1000
+# Single source of truth: the oracle SQL below is generated from the SAME
+# constant the streaming engine runs on — tuning the gap cannot drift the
+# two sides apart (three-way-agreement invariant, CLAUDE.md).
+from cies_ocr_java_spark.streaming.sessionize_stream import (  # noqa: E402
+    SESSION_GAP_MS as _SSESS_GAP_MS,
+)
 
 
 @_register(
     "events_stream_sessionize",
     f"""
     WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
-    g AS (SELECT user_id, us,
+    g AS (SELECT user_id, us, event_id,
             CASE WHEN us - lag(us) OVER w > {_SSESS_GAP_MS} * 1000
                    OR lag(us) OVER w IS NULL
                  THEN 1 ELSE 0 END AS brk
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
     s AS (SELECT user_id, us,
-            sum(brk) OVER (PARTITION BY user_id ORDER BY us
+            sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
           FROM g),
     sess AS (SELECT user_id, sid, min(us) AS session_start_us,
@@ -6458,11 +6463,11 @@ _SALT_BUCKETS = 16
     """,
 )
 def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""SALTED two-phase aggregation — the hot-key pattern as a
+    """SALTED two-phase aggregation — the hot-key pattern as a
     first-class operator (the same salt shuffle the flagship pipeline
     uses on (doc_id, offset), here in its aggregate form): phase 1
     groups on (key, salt) so a key that owns 95% of the rows spreads
-    over {_SALT_BUCKETS} reducers; phase 2 merges the {_SALT_BUCKETS}
+    over _SALT_BUCKETS (16) reducers; phase 2 merges those
     partials per key. Decimal partials make the two-phase sum exactly
     equal to the one-phase oracle (decimal addition is associative —
     a double sum would drift with the split). count DISTINCT cannot be
@@ -6530,14 +6535,14 @@ def _kcore_rounds_sql(rounds: int, k: int) -> str:
     """,
 )
 def neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""k-core decomposition (k={_KCORE_K}) of the near-dup graph — the
+    """k-core decomposition (k=_KCORE_K=2) of the near-dup graph — the
     third iterative-graph operator next to connected components and
     PageRank, with the OPPOSITE update direction: nodes are peeled
     (degree < k removed, degrees recomputed) instead of labels
     propagated. The dense core that survives is the template-farm /
     mirror-cluster signal a curation pass inspects before mass-dropping.
 
-    Fixed {_KCORE_ROUNDS} peel rounds, like pagerank's fixed 5: the
+    Fixed _KCORE_ROUNDS (4) peel rounds, like pagerank's fixed 5: the
     fixpoint on this corpus is reached in 2 (probed), rounds past the
     fixpoint are no-ops (peeling is monotone), and a FIXED count is what
     lets the oracle unroll the exact same computation as chained CTEs.
