@@ -95,6 +95,16 @@ HEADLINE = [
     "q15_top_supplier",
     "q19_disjunctive_join",
     "q21_sole_returned_supplier",
+    # round-2 final additions (same per-name comparison rule)
+    "events_stream_enrich",
+    "ann_recall_at_k",
+    "events_stream_sessionize",
+    "salted_hot_key_agg",
+    "neardup_kcore",
+    "text_accent_fold",
+    "customer_revenue_quartiles",
+    "pdf_reading_order",
+    "pdf_table_cells",
 ]
 
 

@@ -6617,3 +6617,240 @@ def text_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_accents"
         ),
     )
+
+
+@_register(
+    "pdf_reading_order",
+    """
+    WITH b AS (
+      SELECT doc_id, doc_id % 3 AS layout, t.b AS blk
+      FROM documents,
+           unnest(range(0, CAST(4 + doc_id % 5 AS BIGINT))) AS t(b)
+    ),
+    g AS (
+      SELECT doc_id, blk,
+             CASE WHEN layout = 0 THEN 0 ELSE blk % 2 END AS col_true,
+             CASE WHEN layout = 0 THEN blk ELSE blk // 2 END AS rw
+      FROM b
+    ),
+    c AS (
+      SELECT doc_id, blk,
+             CAST(col_true * 330 + 10 + (doc_id * 7 + blk * 13) % 20
+                  AS BIGINT) AS x0,
+             CAST(250 + (doc_id * 3 + blk * 5) % 30 AS BIGINT) AS w,
+             CAST(rw * 60 + (doc_id * 11 + blk * 17) % 15 AS BIGINT) AS y0
+      FROM g
+    ),
+    m AS (SELECT doc_id, blk, x0, y0, (x0 + x0 + w) // 2 AS mid FROM c),
+    lg AS (SELECT *, mid - lag(mid) OVER (PARTITION BY doc_id
+                                          ORDER BY mid, blk) AS gap
+           FROM m),
+    mg AS (SELECT *, max(gap) OVER (PARTITION BY doc_id) AS max_gap FROM lg),
+    sp AS (SELECT *, min(CASE WHEN gap = max_gap AND max_gap > 100
+                              THEN mid END)
+                       OVER (PARTITION BY doc_id) AS boundary
+           FROM mg)
+    SELECT doc_id, CAST(blk AS INT) AS block_id,
+           CAST(CASE WHEN boundary IS NOT NULL AND mid >= boundary
+                     THEN 1 ELSE 0 END AS INT) AS col,
+           CAST(x0 AS INT) AS x0, CAST(y0 AS INT) AS y0,
+           CAST(row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY CASE WHEN boundary IS NOT NULL AND mid >= boundary
+                              THEN 1 ELSE 0 END, y0, x0, blk)
+                AS INT) AS read_rank
+    FROM sp
+    """,
+)
+def pdf_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READING-ORDER RECONSTRUCTION over positioned layout blocks — the
+    north-star's 'PDF layout parsing with reading-order reconstruction'
+    as a standalone operator (the reference's PDFBox path gets order from
+    the content stream, DocumentExtractManager.java:446-449; a layout
+    parser must RECONSTRUCT it from geometry). Blocks are synthesized
+    deterministically per doc (1- and 2-column layouts, jittered integer
+    coordinates, arrival order INTERLEAVING the columns so the input
+    order is wrong by construction). The reconstruction is data-driven,
+    not layout-aware: (1) per doc, the column gutter is detected as the
+    largest gap between sorted block x-midpoints, accepted only when it
+    exceeds the 100pt gutter threshold (single-column docs never split —
+    their max mid-gap is jitter-bounded < 35); (2) blocks are ranked
+    (column, y, x) — left column top-to-bottom, then right. All integer
+    codegen: one explode + three windows partitioned by doc_id (per-doc
+    block counts are bounded, so no skew); zero Python. At 100 TB this
+    is a map-side synth + one shuffle on doc_id."""
+    d = _t(spark, sf_dir, "documents", fanout=True).select("doc_id")
+    n_blocks = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    b = d.select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("layout"),
+        F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("blk"),
+    )
+    one_col = F.col("layout") == 0
+    col_true = F.when(one_col, F.lit(0)).otherwise(F.col("blk") % 2)
+    rw = F.when(one_col, F.col("blk")).otherwise(F.floor(F.col("blk") / 2))
+    x0 = col_true * 330 + 10 + (F.col("doc_id") * 7 + F.col("blk") * 13) % 20
+    w = F.lit(250) + (F.col("doc_id") * 3 + F.col("blk") * 5) % 30
+    y0 = rw * 60 + (F.col("doc_id") * 11 + F.col("blk") * 17) % 15
+    c = b.select(
+        "doc_id",
+        "blk",
+        x0.cast("long").alias("x0"),
+        y0.cast("long").alias("y0"),
+        F.floor((x0 + x0 + w) / 2).cast("long").alias("mid"),
+    )
+    w_mid = Window.partitionBy("doc_id").orderBy("mid", "blk")
+    w_doc = Window.partitionBy("doc_id")
+    lg = c.withColumn("gap", F.col("mid") - F.lag("mid").over(w_mid))
+    mg = lg.withColumn("max_gap", F.max("gap").over(w_doc))
+    sp = mg.withColumn(
+        "boundary",
+        F.min(
+            F.when(
+                (F.col("gap") == F.col("max_gap"))
+                & (F.col("max_gap") > 100),
+                F.col("mid"),
+            )
+        ).over(w_doc),
+    )
+    col_rec = F.when(
+        F.col("boundary").isNotNull() & (F.col("mid") >= F.col("boundary")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        col_rec.asc(), F.col("y0").asc(), F.col("x0").asc(), F.col("blk").asc()
+    )
+    return sp.select(
+        "doc_id",
+        F.col("blk").cast("int").alias("block_id"),
+        col_rec.cast("int").alias("col"),
+        F.col("x0").cast("int").alias("x0"),
+        F.col("y0").cast("int").alias("y0"),
+        F.row_number().over(w_rank).cast("int").alias("read_rank"),
+    )
+
+
+@_register(
+    "pdf_table_cells",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             3 + doc_id % 3 AS rows_n,
+             2 + (doc_id // 3) % 3 AS cols_n
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, rows_n, cols_n, t.k AS k
+      FROM dims,
+           unnest(range(0, CAST(rows_n * cols_n AS BIGINT))) AS t(k)
+    ),
+    rc AS (
+      SELECT doc_id, k, k // cols_n AS r, k % cols_n AS c
+      FROM k
+      WHERE (doc_id * 31 + (k // cols_n) * 7 + (k % cols_n) * 11) % 10 <> 0
+    ),
+    cell AS (
+      SELECT doc_id, k,
+             CAST(c * 150 + (doc_id * 13 + r * 3 + c * 17) % 10
+                  AS BIGINT) AS x0,
+             CAST(r * 40 + (doc_id * 19 + r * 11 + c * 5) % 8
+                  AS BIGINT) AS y0
+      FROM rc
+    ),
+    yb AS (SELECT *,
+             CASE WHEN y0 - lag(y0) OVER wy > 20 THEN 1 ELSE 0 END AS ybrk
+           FROM cell WINDOW wy AS (PARTITION BY doc_id ORDER BY y0, x0, k)),
+    yi AS (SELECT *,
+             sum(ybrk) OVER (PARTITION BY doc_id ORDER BY y0, x0, k
+                             ROWS UNBOUNDED PRECEDING) AS row_id
+           FROM yb),
+    xb AS (SELECT *,
+             CASE WHEN x0 - lag(x0) OVER wx > 50 THEN 1 ELSE 0 END AS xbrk
+           FROM yi WINDOW wx AS (PARTITION BY doc_id ORDER BY x0, y0, k)),
+    xi AS (SELECT *,
+             sum(xbrk) OVER (PARTITION BY doc_id ORDER BY x0, y0, k
+                             ROWS UNBOUNDED PRECEDING) AS col_id
+           FROM xb)
+    SELECT doc_id,
+           CAST(x0 AS INT) AS x0, CAST(y0 AS INT) AS y0,
+           CAST(row_id AS INT) AS row_id, CAST(col_id AS INT) AS col_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY row_id, col_id)
+                AS INT) AS cell_rank
+    FROM xi
+    """,
+)
+def pdf_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-STRUCTURE RECONSTRUCTION from positioned cell boxes — the
+    second classic layout structure after reading order: given unordered
+    cell rectangles from a sparse grid (10% of cells deterministically
+    missing, jittered integer coordinates, no (row, col) labels), recover
+    row/column indices by independent 1-D gaps-and-islands clustering on
+    each axis (y-breaks > 20pt start a new row — intra-row jitter is < 8,
+    row pitch 40; x-breaks > 50pt start a new column — jitter < 10, pitch
+    150), then emit cells in row-major rank. Unlike pdf_reading_order's
+    single split, this clusters MANY islands per axis, and the two axis
+    clusterings are independent passes over the same doc partition. All
+    integer codegen: one explode, four windows partitioned by doc_id,
+    zero Python; one shuffle on doc_id at 100 TB."""
+    d = _t(spark, sf_dir, "documents", fanout=True).select("doc_id")
+    dims = d.select(
+        "doc_id",
+        (F.lit(3) + F.col("doc_id") % 3).alias("rows_n"),
+        (F.lit(2) + F.floor(F.col("doc_id") / 3) % 3).alias("cols_n"),
+    )
+    k = dims.select(
+        "doc_id",
+        "cols_n",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("rows_n") * F.col("cols_n") - 1))
+        ).alias("k"),
+    )
+    r = F.floor(F.col("k") / F.col("cols_n"))
+    c = F.col("k") % F.col("cols_n")
+    rc = k.where(
+        (F.col("doc_id") * 31 + r * 7 + c * 11) % 10 != 0
+    )
+    cell = rc.select(
+        "doc_id",
+        "k",
+        (c * 150 + (F.col("doc_id") * 13 + r * 3 + c * 17) % 10)
+        .cast("long")
+        .alias("x0"),
+        (r * 40 + (F.col("doc_id") * 19 + r * 11 + c * 5) % 8)
+        .cast("long")
+        .alias("y0"),
+    )
+    wy = Window.partitionBy("doc_id").orderBy("y0", "x0", "k")
+    wx = Window.partitionBy("doc_id").orderBy("x0", "y0", "k")
+    yi = cell.withColumn(
+        "_ybrk",
+        F.when(F.col("y0") - F.lag("y0").over(wy) > 20, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "row_id",
+        F.sum("_ybrk").over(
+            wy.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    xi = yi.withColumn(
+        "_xbrk",
+        F.when(F.col("x0") - F.lag("x0").over(wx) > 50, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "col_id",
+        F.sum("_xbrk").over(
+            wx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy("row_id", "col_id")
+    return xi.select(
+        "doc_id",
+        F.col("x0").cast("int").alias("x0"),
+        F.col("y0").cast("int").alias("y0"),
+        F.col("row_id").cast("int").alias("row_id"),
+        F.col("col_id").cast("int").alias("col_id"),
+        F.row_number().over(w_rank).cast("int").alias("cell_rank"),
+    )

@@ -426,3 +426,15 @@ def test_accent_fold_single_arrow_stage(spark):
     plan = plan_of(QUERIES["text_accent_fold"](spark, SF))
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_layout_reconstruction_single_exchange_zero_python(spark):
+    """pdf_reading_order / pdf_table_cells: every window is partitioned
+    by doc_id, so ALL of them must reuse ONE hash exchange (re-sorting is
+    fine; re-shuffling the same keys is the regression), and the whole
+    reconstruction stays codegen — no Arrow/Python nodes."""
+    for name in ("pdf_reading_order", "pdf_table_cells"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "Python" not in plan and "Arrow" not in plan, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Exchange SinglePartition" not in plan, name
