@@ -105,6 +105,8 @@ HEADLINE = [
     "customer_revenue_quartiles",
     "pdf_reading_order",
     "pdf_table_cells",
+    "quality_c4_line_filter",
+    "quality_lr_train",
 ]
 
 

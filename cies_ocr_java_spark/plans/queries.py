@@ -6854,3 +6854,221 @@ def pdf_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col_id").cast("int").alias("col_id"),
         F.row_number().over(w_rank).cast("int").alias("cell_rank"),
     )
+
+
+# =========================================================================
+# C4-style line-level quality filtering (Raffel et al. 2020 §2.2; the
+# RefinedWeb line-wise correction stage). Lines are synthesized from the
+# corpus by a closed grammar — two body lines cut from the real text plus
+# mod-keyed boilerplate injections — so every rule fires on a known subset
+# and the oracle can re-derive the exact rewrite.
+# =========================================================================
+
+_C4_US = "\u001f"
+_C4_JS_LINE = "Please enable javascript and accept our cookie policy to continue."
+_C4_NAV_LINE = "home about contact"
+_C4_RIGHTS_LINE = "all rights reserved."
+_C4_LOREM_LINE = "lorem ipsum dolor sit amet."
+_C4_CODE_LINE = "function() { return 0; }"
+_C4_MIN_WORDS = 5
+_C4_MIN_KEPT_LINES = 2  # C4 uses >=3 sentences/page; grammar has 2 body lines
+
+
+@_register(
+    "quality_c4_line_filter",
+    f"""
+    WITH L AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN ['{_C4_NAV_LINE}'] ELSE [] END
+        || [array_to_string(string_split(text, ' ')[1:8], ' ') || '.']
+        || CASE WHEN doc_id % 4 = 0 THEN ['{_C4_JS_LINE}'] ELSE [] END
+        || [array_to_string(string_split(text, ' ')[9:16], ' ')
+            || CASE WHEN doc_id % 5 = 0 THEN '' ELSE '!' END]
+        || CASE WHEN doc_id % 97 = 0 THEN ['{_C4_LOREM_LINE}'] ELSE [] END
+        || CASE WHEN doc_id % 89 = 0 THEN ['{_C4_CODE_LINE}'] ELSE [] END
+        || CASE WHEN doc_id % 2 = 0 THEN ['{_C4_RIGHTS_LINE}'] ELSE [] END
+        AS lines
+      FROM documents),
+    K AS (
+      SELECT doc_id, lines,
+        list_filter(lines, l ->
+          regexp_matches(l, '[.!?"]$')
+          AND len(string_split(l, ' ')) >= {_C4_MIN_WORDS}
+          AND NOT contains(lower(l), 'javascript')
+          AND NOT contains(lower(l), 'cookie')) AS kept,
+        len(list_filter(lines, l ->
+          contains(lower(l), 'lorem ipsum') OR contains(l, '{{'))) > 0
+        AS page_kill
+      FROM L)
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept,
+           (NOT page_kill AND len(kept) >= {_C4_MIN_KEPT_LINES}) AS page_kept,
+           CASE WHEN NOT page_kill AND len(kept) >= {_C4_MIN_KEPT_LINES}
+                THEN md5(array_to_string(kept, chr(31))) ELSE md5('') END
+           AS kept_md5
+    FROM K
+    ORDER BY doc_id
+    """,
+)
+def quality_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level quality filter with REWRITE semantics (Raffel et al.
+    2020 §2.2, the RefinedWeb line-wise correction analog): keep only
+    lines that end in terminal punctuation, have >= 5 words, and carry no
+    javascript/cookie boilerplate; kill the whole page on 'lorem ipsum'
+    or a code brace, or when fewer than _C4_MIN_KEPT_LINES lines survive.
+    The kept text is verified by md5 over the sentinel-joined ordered
+    line sequence (US 0x1f — never a JSON rendering), so the oracle
+    checks content AND order of the rewrite, not just counts.
+
+    Lines are synthesized by a closed grammar (two body lines sliced from
+    the real text + mod-keyed boilerplate injections), the same pattern
+    url_canonicalize uses: every rule provably fires on a known doc
+    subset, and both engines re-derive identical input lines.
+
+    Plan at corpus scale: ONE map-only projection — the line array, both
+    rule filters, and the page gate are higher-order array expressions
+    fused into the scan. No explode, no shuffle, no Python; a 100 TB
+    corpus pays exactly one pass. Reference parity: none (beyond-reference
+    curation operator; complements sentence_dedup_rewrite, which removes
+    CROSS-doc repeats, where these rules are per-line local)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    did = F.col("doc_id")
+    words = F.split(F.col("text"), " ")
+
+    def _opt(cond, line):
+        return F.when(cond, F.array(F.lit(line))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    lines = F.concat(
+        _opt(did % 3 == 0, _C4_NAV_LINE),
+        F.array(F.concat(F.concat_ws(" ", F.slice(words, 1, 8)), F.lit("."))),
+        _opt(did % 4 == 0, _C4_JS_LINE),
+        F.array(
+            F.concat(
+                F.concat_ws(" ", F.slice(words, 9, 8)),
+                F.when(did % 5 == 0, F.lit("")).otherwise(F.lit("!")),
+            )
+        ),
+        _opt(did % 97 == 0, _C4_LOREM_LINE),
+        _opt(did % 89 == 0, _C4_CODE_LINE),
+        _opt(did % 2 == 0, _C4_RIGHTS_LINE),
+    )
+
+    def _line_ok(l):
+        return (
+            l.rlike('[.!?"]$')
+            & (F.size(F.split(l, " ")) >= _C4_MIN_WORDS)
+            & ~F.lower(l).contains("javascript")
+            & ~F.lower(l).contains("cookie")
+        )
+
+    base = d.select("doc_id", lines.alias("lines"))
+    k = base.select(
+        "doc_id",
+        "lines",
+        F.filter("lines", _line_ok).alias("kept"),
+        F.exists(
+            "lines",
+            lambda l: F.lower(l).contains("lorem ipsum") | l.contains("{"),
+        ).alias("page_kill"),
+    )
+    page_kept = ~F.col("page_kill") & (
+        F.size("kept") >= _C4_MIN_KEPT_LINES
+    )
+    return k.select(
+        "doc_id",
+        F.size("lines").cast("int").alias("n_lines"),
+        F.size("kept").cast("int").alias("n_kept"),
+        page_kept.alias("page_kept"),
+        F.when(page_kept, F.md5(F.concat_ws(_C4_US, F.col("kept"))))
+        .otherwise(F.md5(F.lit("")))
+        .alias("kept_md5"),
+    )
+
+
+# =========================================================================
+# Quality-classifier training: full-batch logistic regression over the
+# corpus (the fastText/DCLM curation-classifier analog). The oracle
+# unrolls every GD round as chained CTEs — exact-value, not rows-only.
+# =========================================================================
+
+_LR_ROUNDS = 3
+_LR_LABEL_LEN = 35
+_LR_FLIP_MOD = 17
+
+
+def _lr_oracle_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    sql = f"""
+    WITH F AS (
+      SELECT doc_id,
+        CASE WHEN (len(string_split(text, ' ')) >= {_LR_LABEL_LEN})
+                  <> (doc_id % {_LR_FLIP_MOD} = 0)
+             THEN 1 ELSE 0 END AS y,
+        CAST(1 AS DECIMAL(12,6)) AS xq0,
+        CAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0
+             AS DECIMAL(12,6)) AS xq1,
+        CAST(CAST(n_chars AS DOUBLE) / 1000.0 AS DECIMAL(12,6)) AS xq2,
+        CAST(CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({stop}))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE)
+             AS DECIMAL(12,6)) AS xq3
+      FROM documents),
+    W0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                  CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)"""
+    for r in range(1, _LR_ROUNDS + 1):
+        sql += f""",
+    P{r} AS (
+      SELECT f.y, f.xq0, f.xq1, f.xq2, f.xq3,
+        CAST(1.0 / (1.0 + exp(-(w.w0
+             + w.w1 * CAST(f.xq1 AS DOUBLE)
+             + w.w2 * CAST(f.xq2 AS DOUBLE)
+             + w.w3 * CAST(f.xq3 AS DOUBLE)))) AS DECIMAL(12,6)) AS p
+      FROM F f CROSS JOIN W{r - 1} w),
+    G{r} AS (
+      SELECT count(*) AS n,
+             sum((p - y) * xq0) AS g0, sum((p - y) * xq1) AS g1,
+             sum((p - y) * xq2) AS g2, sum((p - y) * xq3) AS g3
+      FROM P{r}),
+    W{r} AS (
+      SELECT""" + ",".join(
+            f"""
+        CAST(CAST(w.w{j} - (0.5 * (CAST(g.g{j} AS DOUBLE) / g.n))
+             AS DECIMAL(12,8)) AS DOUBLE) AS w{j}"""
+            for j in range(4)
+        ) + f"""
+      FROM W{r - 1} w CROSS JOIN G{r} g)"""
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS round, {j} AS j, w{j} AS w FROM W{r}"
+        for r in range(1, _LR_ROUNDS + 1)
+        for j in range(4)
+    )
+    return sql + f"\n    {selects}\n    ORDER BY round, j"
+
+
+@_register("quality_lr_train", _lr_oracle_sql())
+def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch logistic-regression training of a document-quality
+    classifier (operators/logreg.py — the fastText/DCLM-style curation
+    classifier, Li et al. 2024). Three GD rounds; each round is ONE
+    map-side-combinable decimal aggregation (4 gradient sums + a count),
+    so driver traffic is constant-size regardless of corpus scale — the
+    textbook distributed-LR topology. The oracle unrolls all three
+    rounds as chained CTEs and re-derives every weight exactly: the
+    sigmoid quantizes to decimal(12,6) before it touches the gradient
+    (libm ulp differences cannot survive), gradients are exact decimal
+    sums, and the weight update is fixed-order IEEE double arithmetic
+    re-quantized to decimal(12,8)."""
+    from cies_ocr_java_spark.operators import logreg
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    feats = logreg.lr_features(
+        d, EN_STOPWORDS, label_len=_LR_LABEL_LEN, flip_mod=_LR_FLIP_MOD
+    ).persist()
+    try:
+        rows = logreg.logreg_train(feats, rounds=_LR_ROUNDS)
+    finally:
+        feats.unpersist()
+    return spark.createDataFrame(rows, "round int, j int, w double")

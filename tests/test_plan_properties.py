@@ -438,3 +438,37 @@ def test_layout_reconstruction_single_exchange_zero_python(spark):
         assert "Python" not in plan and "Arrow" not in plan, name
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert "Exchange SinglePartition" not in plan, name
+
+
+def test_c4_line_filter_map_only_zero_python(spark):
+    """quality_c4_line_filter: the whole rewrite — line synthesis, both
+    rule filters, the page gate, and the kept-text hash — is higher-order
+    array expressions fused into the scan. No DATA shuffle (the guarded
+    single-split fanout RoundRobin is the documented local-input no-op)
+    and no Python: a 100 TB corpus pays exactly one map pass."""
+    plan = plan_of(QUERIES["quality_c4_line_filter"](spark, SF))
+    for shuffle in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+        assert shuffle not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_lr_features_gradient_is_decimal_and_zero_python(spark):
+    """quality_lr_train's per-round aggregation: gradient sums are
+    DECIMAL (exact, order-independent, map-side combinable — a double
+    sum would drift between engines AND between Spark's own partition
+    orders) and the feature/sigmoid math is all codegen, no Python."""
+    from cies_ocr_java_spark.functions.text import EN_STOPWORDS
+    from cies_ocr_java_spark.operators import logreg
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    feats = logreg.lr_features(d, EN_STOPWORDS)
+    e = (F.lit(0.5).cast(logreg.FEAT_DEC) - F.col("y"))
+    agg = feats.select(
+        F.sum(e * F.col("xq1")).alias("g1"), F.count("*").alias("n")
+    )
+    assert dict(agg.dtypes)["g1"].startswith("decimal")
+    plan = plan_of(agg)
+    assert "Python" not in plan and "Arrow" not in plan
+    # a partial_sum stage exists = map-side combine (the plan string is
+    # top-down, so the partial aggregate prints BELOW the exchange)
+    assert "partial_sum" in plan
