@@ -329,7 +329,8 @@ class SnapshotTable:
                 return s.get("partition_by") or None
         return None
 
-    def merge(self, spark: SparkSession, updates: DataFrame, key: str = "doc_id") -> int:
+    def merge(self, spark: SparkSession, updates: DataFrame, key: str = "doc_id",
+              meta: dict | None = None) -> int:
         """MERGE (upsert) by key — matched rows replaced by ``updates``,
         unmatched kept — committed as ONE overwrite snapshot. This is
         copy-on-write MERGE, the Iceberg analog of `MERGE INTO t USING u ON
@@ -339,7 +340,7 @@ class SnapshotTable:
         the pre-merge snapshot readable (time travel = audit trail of every
         upsert)."""
         if not self.exists():
-            return self.commit(updates, mode="overwrite")
+            return self.commit(updates, mode="overwrite", meta=meta)
         current = self.read(spark)
         kept = current.join(updates.select(key), key, "left_anti")
         # preserve the table's hive layout across the rewrite — an upsert
@@ -348,6 +349,7 @@ class SnapshotTable:
             kept.unionByName(updates),
             mode="overwrite",
             partition_by=self.current_partitioning(),
+            meta=meta,
         )
 
     def compact(self, spark: SparkSession, target_files: int | None = None) -> int:

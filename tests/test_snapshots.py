@@ -682,3 +682,77 @@ def test_legacy_unscoped_replay_marks_bind_to_default_query_only(spark, tmp_path
 
     replayed = make_batch_committer(tbl)(df, 1)  # legacy replay: no-op
     assert replayed is False and tbl.current_snapshot_id() == 3
+
+
+def test_streaming_upsert_sink_applies_cdc_and_replays_noop(spark, tmp_path):
+    """The MERGE sink: microbatches of row versions keyed by doc_id keep
+    the table at the latest version per key; within-batch conflicts
+    resolve to the highest version deterministically; a crash-replayed
+    batch is a no-op (no new snapshot, contents unchanged)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cies_ocr_java_spark.sources.snapshots import SnapshotTable
+    from cies_ocr_java_spark.streaming.snapshot_sink import (
+        make_upsert_committer,
+        write_stream_upsert_to_snapshot,
+    )
+
+    src = tmp_path / "ups-src"
+    src.mkdir()
+    # batch 0: insert a@v1, b@v1 — plus an in-batch conflict: b@v2 must win
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ["a", "b", "b"],
+                "v": [1, 1, 2],
+                "text": ["a1", "b1", "b2"],
+            }
+        ),
+        str(src / "b1.parquet"),
+    )
+    stream = spark.readStream.schema("doc_id string, v long, text string").parquet(
+        str(src)
+    )
+    tbl_root = str(tmp_path / "ups-tbl")
+    q = write_stream_upsert_to_snapshot(
+        stream, tbl_root, str(tmp_path / "ups-ckpt"), key="doc_id", version_col="v"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    tbl = SnapshotTable(tbl_root)
+    got = {
+        r["doc_id"]: (r["v"], r["text"]) for r in tbl.read(spark).collect()
+    }
+    assert got == {"a": (1, "a1"), "b": (2, "b2")}
+    sid_after_b0 = tbl.current_snapshot_id()
+
+    # crash-replay of batch 0 through the REAL callback: no-op
+    batch0 = spark.read.parquet(str(src / "b1.parquet"))
+    assert (
+        make_upsert_committer(tbl, key="doc_id", version_col="v")(batch0, 0)
+        is False
+    )
+    assert tbl.current_snapshot_id() == sid_after_b0
+
+    # batch 1 on a resumed query: update a, insert c — b survives untouched
+    pq.write_table(
+        pa.table({"doc_id": ["a", "c"], "v": [2, 1], "text": ["a2", "c1"]}),
+        str(src / "b2.parquet"),
+    )
+    q2 = write_stream_upsert_to_snapshot(
+        stream, tbl_root, str(tmp_path / "ups-ckpt"), key="doc_id", version_col="v"
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = {
+        r["doc_id"]: (r["v"], r["text"]) for r in tbl.read(spark).collect()
+    }
+    assert got == {"a": (2, "a2"), "b": (2, "b2"), "c": (1, "c1")}
+    # the pre-merge state stays readable (time travel = upsert audit trail)
+    old = {
+        r["doc_id"]: r["text"]
+        for r in tbl.read(spark, snapshot_id=sid_after_b0).collect()
+    }
+    assert old == {"a": "a1", "b": "b2"}
