@@ -107,6 +107,8 @@ HEADLINE = [
     "pdf_table_cells",
     "quality_c4_line_filter",
     "quality_lr_train",
+    "weighted_reservoir_sample",
+    "interleaved_pack_manifest",
 ]
 
 

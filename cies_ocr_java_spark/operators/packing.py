@@ -104,3 +104,75 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str,
         (g_end - g_start + 1).cast("int").alias("n_tokens"),
         (g_start - F.col("seq_id") * seq_len).cast("int").alias("seq_tok_start"),
     )
+
+
+def pack_interleaved_spans(spans: DataFrame, seq_len: int,
+                           media_tokens: int = 16,
+                           id_col: str = "doc_id",
+                           order_col: str = "span_order") -> DataFrame:
+    """Multimodal sequence packing over an INTERLEAVED span stream (the
+    Flamingo/Chameleon-style training-prep step): text spans cost their
+    whitespace token count, media spans cost a fixed ``media_tokens``
+    placeholder budget, and every document's spans are laid end-to-end IN
+    READING ORDER (documents atomic, ordered by id) into fixed-length
+    context windows.
+
+    Returns one row per (window, contributing span):
+      (seq_id, doc_id, span_order, kind, span_tok_start, span_tok_end,
+       n_tokens, seq_tok_start)
+    with 1-based inclusive span-local token ranges; concatenating
+    fragments by (seq_id, seq_tok_start) reproduces the interleaved
+    global stream, media placeholders in position.
+
+    Scale shape: the within-doc prefix is a DOC-partitioned window (one
+    doc's spans per task — assembly-class state); only the doc-LEVEL
+    totals go through the two-level distributed scan
+    (with_global_offset), so the global-order structure never sees
+    span-granularity rows. Window straddling explodes a span into at
+    most n/seq_len + 1 fragments — a giant span fans out instead of
+    hot-spotting one window task."""
+    cost = F.when(
+        F.col("kind") == "media", F.lit(media_tokens).cast("long")
+    ).otherwise(token_count(F.col("text")).cast("long"))
+    # the narrow cost projection feeds THREE consumers (the within-doc
+    # window, the doc totals, and the final join back) — persist it once
+    # or the upstream span stream (often a full extraction DAG, e.g.
+    # pipeline_end_to_end) is recomputed per consumer; the cached form is
+    # 4 skinny columns, not the payloads (same rule as dedup.py's shingle
+    # table). check_queries/bench clearCache() between queries.
+    s = spans.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(order_col).alias("span_order"),
+        "kind",
+        cost.alias("n_tok"),
+    ).where(F.col("n_tok") > 0).persist()
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_order")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = s.withColumn("loff", F.coalesce(F.sum("n_tok").over(w_doc), F.lit(0)))
+    totals = s.groupBy("doc_id").agg(F.sum("n_tok").alias("doc_tok"))
+    offs = with_global_offset(
+        totals, "doc_tok", [F.asc("doc_id")], out_col="doc_off"
+    )
+    j = s.join(offs.select("doc_id", "doc_off"), "doc_id").withColumn(
+        "gstart", (F.col("doc_off") + F.col("loff")).cast("long")
+    )
+    first = F.expr(f"gstart div {seq_len}")
+    last = F.expr(f"(gstart + n_tok - 1) div {seq_len}")
+    ex = j.withColumn("seq_id", F.explode(F.sequence(first, last)))
+    f_start = F.greatest(F.col("gstart"), F.col("seq_id") * seq_len)
+    f_end = F.least(
+        F.col("gstart") + F.col("n_tok"), (F.col("seq_id") + 1) * seq_len
+    ) - 1
+    return ex.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        F.col("span_order").cast("int").alias("span_order"),
+        "kind",
+        (f_start - F.col("gstart") + 1).cast("int").alias("span_tok_start"),
+        (f_end - F.col("gstart") + 1).cast("int").alias("span_tok_end"),
+        (f_end - f_start + 1).cast("int").alias("n_tokens"),
+        (f_start - F.col("seq_id") * seq_len).cast("int").alias("seq_tok_start"),
+    )

@@ -7072,3 +7072,136 @@ def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         feats.unpersist()
     return spark.createDataFrame(rows, "round int, j int, w double")
+
+
+# =========================================================================
+# Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+# A-Res): the corpus-mixing primitive — sample k docs per source with
+# probability proportional to a weight (here n_chars: prefer long docs),
+# deterministic and engine-exact via hashed uniforms + decimal-absorbed
+# log rounding.
+# =========================================================================
+
+_WRS_K = 5
+
+
+@_register(
+    "weighted_reservoir_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+        CAST(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) + 0.5) / {_SPLIT_SCALE!r})
+             / CAST(n_chars AS DOUBLE) AS DECIMAL(18,12)) AS kq
+      FROM documents)
+    SELECT doc_id, source, n_chars, CAST(kq AS DOUBLE) AS kq, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY kq, doc_id) AS rk
+      FROM keyed)
+    WHERE rk <= {_WRS_K}
+    ORDER BY source, rk
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per source stratum
+    (Efraimidis & Spirakis 2006 A-Res, the corpus-mixing sampler): each
+    doc draws u = hash(doc_id) mapped into (0,1), gets key -ln(u)/w with
+    w = n_chars, and the k SMALLEST keys per stratum win — provably a
+    weighted sample, yet fully deterministic: reproducible across
+    engines, runs, partitionings, and corpus growth.
+
+    Exactness: the key is the one transcendental (ln); it quantizes to
+    decimal(18,12) before ranking (libm ulp ~4e-15 absolute cannot move
+    a 1e-12-rounded value), and rank ties break on doc_id. The +0.5
+    offset keeps u strictly inside (0,1) so ln never sees 0.
+
+    Scale shape: one codegen projection + one per-stratum window (the
+    only shuffle). At 100 TB replace row_number with the bounded min-k
+    aggregation (the KMV note) so no stratum fully sorts."""
+    d = _t(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    u = (v + F.lit(0.5)) / F.lit(_SPLIT_SCALE)
+    kq = ((-F.log(u)) / F.col("n_chars").cast("double")).cast("decimal(18,12)")
+    w = Window.partitionBy("source").orderBy(F.col("kq").asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", "n_chars", kq.alias("kq"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _WRS_K)
+        .select(
+            "doc_id", "source", "n_chars",
+            F.col("kq").cast("double").alias("kq"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+# =========================================================================
+# Interleaved multimodal sequence packing (the Flamingo/Chameleon-style
+# training-prep step) over the EXTRACTED span stream
+# =========================================================================
+
+_MM_SEQ_LEN = 128
+_MM_MEDIA_TOK = 16
+_TOKC_SQL = (
+    "CASE WHEN length(trim(regexp_replace({x}, '\\s+', ' ', 'g'))) = 0 "
+    "THEN 0 ELSE len(string_split("
+    "trim(regexp_replace({x}, '\\s+', ' ', 'g')), ' ')) END"
+)
+
+
+@_register(
+    "interleaved_pack_manifest",
+    f"""
+    WITH s0 AS ({{e2e}}),
+    c AS (SELECT doc_id, span_order, kind,
+            CASE WHEN kind = 'media' THEN {_MM_MEDIA_TOK}
+                 ELSE {_TOKC_SQL.format(x='text')} END AS n_tok
+          FROM s0),
+    f AS (SELECT * FROM c WHERE n_tok > 0),
+    l AS (SELECT *,
+            coalesce(sum(n_tok) OVER (PARTITION BY doc_id ORDER BY span_order
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS loff
+          FROM f),
+    d AS (SELECT doc_id, sum(n_tok) AS doc_tok FROM f GROUP BY doc_id),
+    o AS (SELECT doc_id,
+            coalesce(sum(doc_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_off
+          FROM d),
+    g AS (SELECT l.doc_id, l.span_order, l.kind,
+                 CAST(l.n_tok AS BIGINT) AS n_tok,
+                 CAST(l.loff + o.doc_off AS BIGINT) AS gstart
+          FROM l JOIN o USING (doc_id)),
+    e AS (SELECT *, unnest(range(gstart // {_MM_SEQ_LEN},
+                                 (gstart + n_tok - 1) // {_MM_SEQ_LEN} + 1))
+                    AS seq_id
+          FROM g)
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(span_order AS INT) AS span_order, kind,
+           CAST(greatest(gstart, seq_id * {_MM_SEQ_LEN}) - gstart + 1
+                AS INT) AS span_tok_start,
+           CAST(least(gstart + n_tok, (seq_id + 1) * {_MM_SEQ_LEN}) - 1
+                - gstart + 1 AS INT) AS span_tok_end,
+           CAST(least(gstart + n_tok, (seq_id + 1) * {_MM_SEQ_LEN})
+                - greatest(gstart, seq_id * {_MM_SEQ_LEN}) AS INT) AS n_tokens,
+           CAST(greatest(gstart, seq_id * {_MM_SEQ_LEN})
+                - seq_id * {_MM_SEQ_LEN} AS INT) AS seq_tok_start
+    FROM e
+    ORDER BY seq_id, doc_id, span_order
+    """.replace("{e2e}", _E2E_SQL),
+)
+def interleaved_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence-packing manifest over the extracted interleaved
+    stream (operators/packing.py pack_interleaved_spans): text spans cost
+    whitespace tokens, media spans a fixed 16-token placeholder, docs laid
+    end-to-end in reading order into 128-token context windows — the
+    manifest a Flamingo/Chameleon-style trainer consumes. Composes on the
+    flagship pipeline output, so the oracle replays extraction AND packing
+    (its global window is exactly what the engine must not do at scale —
+    the engine uses the doc-partitioned prefix + two-level scan instead;
+    outputs are bit-identical because the pack order is strict)."""
+    out = QUERIES["pipeline_end_to_end"](spark, sf_dir)
+    return packing.pack_interleaved_spans(
+        out, _MM_SEQ_LEN, media_tokens=_MM_MEDIA_TOK
+    )

@@ -205,3 +205,43 @@ def test_adversarial_three_way_parity_on_spark(spark):
     hb = extract_main_text_batch(pd.Series(htmls))
     for i, h in enumerate(htmls):
         assert hb.iloc[i] == oracle.extract_html(h)
+
+
+def test_interleaved_pack_windows_are_exact_and_reassemblable(spark):
+    """pack_interleaved_spans invariants: every context window except the
+    last holds exactly seq_len tokens with no overlap (fragment starts
+    partition [0, seq_len)); per-span fragments are contiguous and cover
+    the span exactly; media spans cost exactly the placeholder budget."""
+    from cies_ocr_java_spark.operators.packing import pack_interleaved_spans
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    out = QUERIES["pipeline_end_to_end"](spark, "/root/testdata/sf0.001")
+    m = pack_interleaved_spans(out, 128, media_tokens=16)
+    rows = m.collect()
+    assert rows
+
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    last = max(by_seq)
+    for sid, frs in by_seq.items():
+        tot = sum(f["n_tokens"] for f in frs)
+        if sid != last:
+            assert tot == 128, sid
+        # fragments tile the window: sorted starts are cumulative sums
+        frs.sort(key=lambda f: f["seq_tok_start"])
+        pos = 0
+        for f in frs:
+            assert f["seq_tok_start"] == pos
+            pos += f["n_tokens"]
+
+    by_span = {}
+    for r in rows:
+        by_span.setdefault((r["doc_id"], r["span_order"]), []).append(r)
+    for (did, so), frs in by_span.items():
+        frs.sort(key=lambda f: f["span_tok_start"])
+        assert frs[0]["span_tok_start"] == 1
+        for a, b in zip(frs, frs[1:]):
+            assert b["span_tok_start"] == a["span_tok_end"] + 1
+        if frs[0]["kind"] == "media":
+            assert sum(f["n_tokens"] for f in frs) == 16
