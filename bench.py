@@ -109,6 +109,9 @@ HEADLINE = [
     "quality_lr_train",
     "weighted_reservoir_sample",
     "interleaved_pack_manifest",
+    "domain_temperature_mix",
+    "url_robots_filter",
+    "dedup_url_canonical",
 ]
 
 

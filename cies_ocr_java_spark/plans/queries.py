@@ -7205,3 +7205,233 @@ def interleaved_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_interleaved_spans(
         out, _MM_SEQ_LEN, media_tokens=_MM_MEDIA_TOK
     )
+
+
+# =========================================================================
+# Temperature-scaled domain mixing weights (the GPT-3/PaLM/XLM-R corpus
+# rebalancing rule: p_d proportional to (n_d/N)^alpha, alpha < 1 upweights
+# small domains)
+# =========================================================================
+
+_MIX_ALPHA = 0.3
+
+
+@_register(
+    "domain_temperature_mix",
+    f"""
+    WITH d AS (
+      SELECT source,
+             CAST(sum({_TOKC_SQL.format(x='text')}) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source),
+    n AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM d),
+    s AS (SELECT source, n_tok,
+                 CAST(pow(CAST(n_tok AS DOUBLE) / CAST(n.n_total AS DOUBLE),
+                          {_MIX_ALPHA}) AS DECIMAL(18,12)) AS scaled
+          FROM d CROSS JOIN n),
+    t AS (SELECT CAST(sum(scaled) AS DECIMAL(28,12)) AS total FROM s)
+    SELECT source, n_tok,
+           CAST(CAST(CAST(scaled AS DOUBLE) / CAST(t.total AS DOUBLE)
+                AS DECIMAL(18,12)) AS DOUBLE) AS mix_weight
+    FROM s CROSS JOIN t
+    ORDER BY source
+    """,
+)
+def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights (the GPT-3/PaLM/XLM-R
+    corpus-mixing rule): weight_d = (n_d/N)^alpha / sum_d'(n_d'/N)^alpha
+    with alpha = 0.3 — small domains upweighted, the mixing table a data
+    loader samples from. One token-count aggregation (long sum, exact) +
+    two broadcast scalars; the pow (the one transcendental) quantizes to
+    decimal(18,12) before the normalizing sum, so the normalizer is an
+    exact decimal sum and both engines derive identical weights. Scale
+    shape: domain cardinality is tiny relative to the corpus — the heavy
+    pass is the single map-side-combinable groupBy(source)."""
+    d = _t(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tok")
+    )
+    n = agg.select(F.sum("n_tok").cast("bigint").alias("n_total"))
+    s = agg.join(F.broadcast(n)).select(
+        "source",
+        "n_tok",
+        F.pow(
+            F.col("n_tok").cast("double") / F.col("n_total").cast("double"),
+            F.lit(_MIX_ALPHA),
+        )
+        .cast("decimal(18,12)")
+        .alias("scaled"),
+    )
+    t = s.select(F.sum("scaled").cast("decimal(28,12)").alias("total"))
+    return s.join(F.broadcast(t)).select(
+        "source",
+        "n_tok",
+        (F.col("scaled").cast("double") / F.col("total").cast("double"))
+        .cast("decimal(18,12)")
+        .cast("double")
+        .alias("mix_weight"),
+    )
+
+
+# =========================================================================
+# robots.txt path filtering (Google REP semantics: longest matching
+# prefix wins; on a length tie Allow beats Disallow; no match = allowed)
+# =========================================================================
+
+_ROBOTS_RULES = (
+    ("src1.example.com", "/articles/1", False),
+    ("src1.example.com", "/articles/12", True),
+    ("src3.example.org", "/articles", False),
+    ("cdn.src5.example.com", "/", False),
+)
+
+
+@_register(
+    "url_robots_filter",
+    f"""
+    WITH u0 AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+    p AS (SELECT doc_id,
+            regexp_replace(lower(string_split(
+              regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1), ':')[1]),
+              '^www\\.', '') AS host,
+            CASE WHEN regexp_replace(
+                   regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+                   '/+$', '') = '' THEN '/'
+                 ELSE regexp_replace(
+                   regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+                   '/+$', '') END AS path
+          FROM u0),
+    r(host, prefix, allow) AS (VALUES {", ".join(
+        f"('{h}', '{p}', {str(a).upper()})" for h, p, a in _ROBOTS_RULES)}),
+    m AS (SELECT p.doc_id, p.host, p.path, r.prefix, r.allow
+          FROM p LEFT JOIN r
+            ON p.host = r.host AND starts_with(p.path, r.prefix)),
+    g AS (SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY (prefix IS NOT NULL) DESC, len(prefix) DESC,
+                     allow DESC) AS rn
+          FROM m)
+    SELECT doc_id, host, path, prefix AS rule_prefix,
+           coalesce(allow, TRUE) AS allowed
+    FROM g WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def url_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt path filtering with Google REP precedence (the
+    crawl-curation gate url_host_blocklist doesn't cover: PATH-scoped
+    rules): per URL, the longest rule prefix matching the canonical path
+    wins; on a length tie Allow beats Disallow; hosts/paths with no rule
+    default to allowed. The winner is picked by ONE max-of-struct
+    aggregate ordered (prefix_len, allow) — no window over the corpus —
+    after a BROADCAST equi-join on host (a real rules table is millions
+    of rows against 10^12 URLs: still broadcast-range, and the join is
+    host-equi so AQE handles hot hosts). Rules are a closed literal
+    table exercising every precedence case."""
+    from cies_ocr_java_spark.functions import urls
+
+    d = _t(spark, sf_dir, "documents")
+    u = d.select("doc_id", _synth_url_col().alias("url"))
+    pu = u.select(
+        "doc_id",
+        urls.url_host(F.col("url")).alias("host"),
+        urls.url_path(F.col("url")).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        list(_ROBOTS_RULES), "host string, prefix string, allow boolean"
+    )
+    m = pu.join(F.broadcast(rules), "host", "left").withColumn(
+        "hit",
+        F.col("prefix").isNotNull()
+        & F.col("path").startswith(F.col("prefix")),
+    )
+    w = F.max(
+        F.when(
+            F.col("hit"),
+            F.struct(
+                F.length("prefix").alias("l"),
+                F.col("allow").alias("a"),
+                F.col("prefix").alias("p"),
+            ),
+        )
+    )
+    return (
+        m.groupBy("doc_id", "host", "path")
+        .agg(w.alias("w"))
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.col("w.p").alias("rule_prefix"),
+            F.coalesce(F.col("w.a"), F.lit(True)).alias("allowed"),
+        )
+    )
+
+
+# =========================================================================
+# URL-canonical dedup with keep-best survivor selection (the cheap first
+# dedup stage of every web pipeline — before any content hashing)
+# =========================================================================
+
+
+@_register(
+    "dedup_url_canonical",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url, text FROM documents),
+    c AS (SELECT doc_id,
+            lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+            || regexp_replace(lower(string_split(
+                 regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1), ':')[1]),
+                 '^www\\.', '')
+            || CASE WHEN regexp_replace(
+                      regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+                      '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(
+                      regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+                      '/+$', '') END AS ckey,
+            {_TOKC_SQL.format(x='text')} AS n_tok
+          FROM u),
+    g AS (SELECT *, row_number() OVER (
+            PARTITION BY ckey ORDER BY n_tok DESC, doc_id) AS rn,
+            count(*) OVER (PARTITION BY ckey) AS n_dupes
+          FROM c)
+    SELECT doc_id, ckey, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_dupes AS BIGINT) AS n_dupes, (rn = 1) AS keep
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonical dedup with keep-best survivor selection: group docs
+    by canonical (scheme, host, path) — query strings and fragments are
+    recrawl noise — and keep the doc with the most tokens (ties to the
+    lowest doc_id). This is the FIRST dedup stage of a web pipeline: one
+    codegen canonicalization + one window partitioned by the canonical
+    key, orders of magnitude cheaper than content hashing, and it runs
+    before MinHash so the expensive stages see each page once. Scale
+    shape: the per-key window is the only shuffle; hot keys (a viral URL
+    recrawled millions of times) split under AQE like any skewed
+    partition-by. Port is deliberately NOT in the key (mirrors vs
+    distinct services disambiguate by content dedup downstream)."""
+    from cies_ocr_java_spark.functions import text as tx, urls
+
+    d = _t(spark, sf_dir, "documents")
+    u = d.select("doc_id", _synth_url_col().alias("url"), "text")
+    ckey = F.concat(
+        urls.url_scheme(F.col("url")),
+        F.lit("://"),
+        urls.url_host(F.col("url")),
+        urls.url_path(F.col("url")),
+    )
+    c = u.select(
+        "doc_id",
+        ckey.alias("ckey"),
+        tx.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("ckey").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    return c.select(
+        "doc_id",
+        "ckey",
+        "n_tok",
+        F.count("*").over(Window.partitionBy("ckey")).alias("n_dupes"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
