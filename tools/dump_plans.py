@@ -179,6 +179,41 @@ COMMENTARY = {
         "three lineitem legs shuffle on the same key so the exchange is "
         "reusable. Never a BroadcastNestedLoopJoin."
     ),
+    "quality_c4_line_filter": (
+        "MAP-ONLY rewrite: line synthesis, both C4 rule filters, the page "
+        "gate, and the kept-text hash are higher-order array expressions "
+        "fused into the scan — zero shuffle, zero Python. A 100 TB corpus "
+        "pays exactly one pass."
+    ),
+    "interleaved_pack_manifest": (
+        "Multimodal packing over the extracted stream: the within-doc token "
+        "prefix is a doc-partitioned window (assembly-class state); only "
+        "DOC-level totals enter the two-level distributed prefix scan, so "
+        "the global-order structure never sees span-granularity rows. The "
+        "narrow cost projection is persisted once for its three consumers "
+        "(window / totals / join-back) instead of re-running extraction."
+    ),
+    "url_robots_filter": (
+        "Rules broadcast + host equi-join, longest-prefix winner picked by "
+        "ONE max-of-struct aggregate ordered (prefix_len, allow) — no "
+        "window over the corpus, no nested-loop prefix match."
+    ),
+    "dedup_url_canonical": (
+        "Codegen canonicalization feeding one window partitioned by the "
+        "canonical key — the only shuffle; keep-best survivor and dupe "
+        "counts ride the same exchange. Runs BEFORE content hashing so "
+        "MinHash sees each page once."
+    ),
+    "weighted_reservoir_sample": (
+        "A-Res weighted sampling: hashed-uniform keys are pure codegen; the "
+        "per-stratum window is the only shuffle (at 100 TB swap row_number "
+        "for the bounded min-k aggregation, as noted in the docstring)."
+    ),
+    "quality_lr_train": (
+        "Each GD round is one map-side-combinable DECIMAL aggregation over "
+        "the persisted feature projection — 4 gradient sums + a count to "
+        "the driver per round, constant traffic at any corpus size."
+    ),
 }
 
 
