@@ -112,6 +112,10 @@ HEADLINE = [
     "domain_temperature_mix",
     "url_robots_filter",
     "dedup_url_canonical",
+    # round-2 session-3 additions (same per-name comparison rule)
+    "dedup_passage_rewrite",
+    "leakage_safe_split",
+    "contrastive_pairs",
 ]
 
 

@@ -166,6 +166,94 @@ def duplicate_passages(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def passage_rewrite(df: DataFrame, text_col: str, id_col: str,
+                    n: int = 8) -> DataFrame:
+    """Exact-substring duplicate REMOVAL — the rewrite half of suffix-array
+    training-data dedup (Lee et al. 2021 remove duplicated substrings from
+    all but one occurrence; RefinedWeb applies the same policy). Where
+    duplicate_passages REPORTS cross-doc passages, this returns each doc
+    with its duplicated ranges elided.
+
+    Semantics (deterministic, engine-portable):
+      * token position i of doc d is REMOVABLE iff the n-gram starting at i
+        occurs in >= 2 distinct docs AND d is not the minimum doc id among
+        them (the min-id doc is the kept "first occurrence" — min is
+        associative, so the keeper choice is map-side combinable and does
+        not depend on partitioning);
+      * removable windows [i, i+n-1] merge into maximal intervals (gap > n
+        breaks — with equal-width windows that merge rule yields EXACTLY the
+        union of covered positions, no holes), and the rewritten text is the
+        space-join of the tokens outside every interval.
+    Output text is at normalized-token granularity (same tokenizer as every
+    other dedup operator here), so rewrite composes with downstream shingle
+    or MinHash passes without re-normalizing.
+
+    Plan at 10^12 docs — same cost class as duplicate_passages:
+      one positional-gram explode (persisted once, feeds both the gram-stat
+      groupBy and the probe join), one groupBy(h) with (count distinct,
+      min) both partial-aggregable, one equi-join, per-doc window merge,
+      and one doc-keyed join back to the token arrays. The interval set per
+      doc is collected as an array (bounded by doc length / n) and the kept
+      tokens are selected with a codegen'd higher-order filter — no Python,
+      no second pass over the corpus.
+
+    Returns (id, n_tokens_before, n_tokens_after, text_rewritten)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    grams = positional_grams_from_tokens(F.col("t"), n)
+    ex = (
+        toks.select("id", F.posexplode(grams).alias("pos0", "g"))
+        .where(F.col("g").isNotNull())
+        .select("id", (F.col("pos0") + 1).alias("pos"), F.md5("g").alias("h"))
+        .persist()
+    )
+    stats = (
+        ex.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"), F.min("id").alias("keeper"))
+        .where(F.col("nd") >= 2)
+        .select("h", "keeper")
+    )
+    rem = (
+        ex.join(stats, "h")
+        .where(F.col("id") != F.col("keeper"))
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ivs = (
+        rem.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) > n, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn("gid", F.sum("brk").over(run))
+        .groupBy("id", "gid")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + n - 1).alias("e"),
+        )
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    covered = F.coalesce(
+        F.col("ivs"), F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.exists(
+            covered, lambda v: (i + 1 >= v["s"]) & (i + 1 <= v["e"])
+        ),
+    )
+    return toks.join(ivs, "id", "left").select(
+        "id",
+        F.size("t").cast("int").alias("n_tokens_before"),
+        F.size(kept).cast("int").alias("n_tokens_after"),
+        F.array_join(kept, " ").alias("text_rewritten"),
+    )
+
+
 def _prefix_rows(ex: DataFrame, sizes: DataFrame,
                  threshold: float) -> DataFrame:
     """Each doc's prefix-filter rows: its first |d| - ceil(t*|d|) + 1

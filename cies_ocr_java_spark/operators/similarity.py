@@ -469,3 +469,56 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+def hard_negative_pairs(
+    emb: DataFrame, lo: float, hi: float, k: int = 5, bits: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for EVERY vector
+    (anchor), the top-k same-sign-bucket neighbors whose cosine lands in
+    the [lo, hi) band — similar enough to be informative negatives, below
+    the near-dup threshold that would make them false negatives (the
+    standard in-batch-negatives upgrade for embedding/CLIP-style training;
+    the positives above `hi` are what cosine_near_dup_pairs finds).
+
+    Unlike lsh_bucketed_topk the anchor side is the WHOLE corpus, so this
+    is a bucket self-equi-join, not a broadcast: one shuffle on the bucket
+    key each side. At 10^12 vectors raise `bits` so buckets stay bounded
+    (expected n/2^bits candidates per anchor) and let AQE's skew-join split
+    the hot all-positive/all-negative buckets; the scoring itself reuses
+    the decimal-exact dot/norm scheme, norms hoisted out of the pair loop.
+
+    Returns (anchor_id, negative_id, score, rank) with rank over (score
+    desc, negative_id asc) — deterministic under rounded-score ties."""
+    e = emb.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        F.sqrt(_sumsq_dec(F.col(vec_col)).cast("double")).alias("enorm"),
+    )
+    a = emb.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("avec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        F.sqrt(_sumsq_dec(F.col(vec_col)).cast("double")).alias("anorm"),
+    )
+    raw = _dot_dec(F.col("vec"), F.col("avec")).cast("double") / (
+        F.col("enorm") * F.col("anorm")
+    )
+    scored = (
+        e.join(a, "bucket")
+        .where(F.col("negative_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id", "negative_id",
+            raw.cast("decimal(12,6)").cast("double").alias("score"),
+        )
+        .where((F.col("score") >= lo) & (F.col("score") < hi))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "score", "rank")
+    )

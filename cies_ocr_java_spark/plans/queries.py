@@ -896,6 +896,61 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_passage_rewrite",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     [md5(array_to_string(t[i:i+{_PASSAGE_N - 1}], ' '))
+                      for i in range(1, greatest(len(t) - {_PASSAGE_N - 2}, 1))] AS g
+              FROM toks),
+    pos AS (SELECT doc_id, unnest(range(1, len(g) + 1)) AS pos, unnest(g) AS h
+            FROM grams),
+    stats AS (SELECT h, min(doc_id) AS keeper FROM pos
+              GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    rem AS (SELECT doc_id, pos FROM pos JOIN stats USING (h)
+            WHERE doc_id != keeper),
+    runs AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER w > {_PASSAGE_N}
+                         THEN 1 ELSE 0 END AS brk
+             FROM rem WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    grp AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+            FROM runs),
+    ivs AS (SELECT doc_id, min(pos) AS s, max(pos) + {_PASSAGE_N - 1} AS e
+            FROM grp GROUP BY doc_id, gid),
+    tokpos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p
+               FROM toks),
+    kept AS (SELECT tp.doc_id, tp.tok, tp.p FROM tokpos tp
+             WHERE NOT EXISTS (SELECT 1 FROM ivs c
+                               WHERE c.doc_id = tp.doc_id
+                                 AND tp.p BETWEEN c.s AND c.e)),
+    agg AS (SELECT doc_id, count(*) AS n_after,
+                   string_agg(tok, ' ' ORDER BY p) AS txt
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS INTEGER) AS n_tokens_before,
+           CAST(coalesce(a.n_after, 0) AS INTEGER) AS n_tokens_after,
+           coalesce(a.txt, '') AS text_rewritten
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_passage_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate REMOVAL (Lee et al. 2021 rewrite step):
+    every doc with its cross-doc-duplicated {_PASSAGE_N}-gram runs elided,
+    keeping the min-doc-id occurrence corpus-wide. The map-output
+    counterpart of duplicate_passages — see operators/dedup.py
+    passage_rewrite for semantics + the 10^12-doc plan."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return dedup.passage_rewrite(d, "text", "doc_id", n=_PASSAGE_N).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens_before",
+        "n_tokens_after",
+        "text_rewritten",
+    )
+
+
 # =========================================================================
 # Similarity search (ANN over embeddings)
 # =========================================================================
@@ -1000,6 +1055,64 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
     out = similarity.lsh_bucketed_topk(emb, queries, k=_ANN_K, bits=4)
     return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank"))
+
+
+_HARDNEG_LO = 0.05
+_HARDNEG_HI = 0.95
+_HARDNEG_K = 5
+
+
+@_register(
+    "contrastive_pairs",
+    f"""
+    WITH e0 AS (SELECT vec_id, embedding AS v,
+                       {_bucket_sql('embedding')} AS bucket
+                FROM embeddings),
+    pairs AS (SELECT a.vec_id AS anchor_id, e.vec_id AS negative_id,
+                     a.v AS av, e.v AS ev
+              FROM e0 a JOIN e0 e USING (bucket)
+              WHERE a.vec_id != e.vec_id),
+    terms AS (SELECT anchor_id, negative_id, av, ev,
+                     unnest(range(1, {_EMB_DIM} + 1)) AS i
+              FROM pairs),
+    dots AS (SELECT anchor_id, negative_id,
+                    sum(CAST(CAST(CAST(ev[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                        * CAST(CAST(CAST(av[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))) AS dotv,
+                    sum(CAST(CAST(CAST(ev[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                        * CAST(CAST(CAST(ev[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))) AS na2,
+                    sum(CAST(CAST(CAST(av[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                        * CAST(CAST(CAST(av[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))) AS nb2
+             FROM terms GROUP BY 1, 2),
+    scored AS (SELECT anchor_id, negative_id,
+                      CAST(CAST(CAST(dotv AS DOUBLE)
+                                / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+                                AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS score
+               FROM dots),
+    band AS (SELECT * FROM scored
+             WHERE score >= {_HARDNEG_LO} AND score < {_HARDNEG_HI})
+    SELECT anchor_id, negative_id, score, rank FROM (
+      SELECT anchor_id, negative_id, score,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY score DESC, negative_id ASC) AS rank
+      FROM band
+    ) WHERE rank <= {_HARDNEG_K}
+    """,
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-{_HARDNEG_K} same-sign-bucket neighbors with cosine in
+    [{_HARDNEG_LO}, {_HARDNEG_HI}) — informative negatives below the
+    near-dup line. Bucket SELF-join (whole corpus is the anchor side), not
+    a broadcast; see operators/similarity.py hard_negative_pairs for the
+    10^12-vector notes (more bits + AQE skew split)."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    out = similarity.hard_negative_pairs(
+        emb, _HARDNEG_LO, _HARDNEG_HI, k=_HARDNEG_K, bits=4
+    )
+    return out.select(
+        "anchor_id", "negative_id", "score",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 @_register(
@@ -2495,6 +2608,63 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint") / F.lit(_SPLIT_SCALE)
     return d.select(
         "doc_id",
+        F.when(u < 0.8, "train").when(u < 0.9, "valid").otherwise("test").alias("split"),
+    )
+
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+    WITH RECURSIVE {{shingle}},
+    sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
+    bands AS ({_band_sql(8, 4)}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+    {_JACCARD_CORE},
+    pairs AS (SELECT v.id_a, v.id_b
+              FROM verified v JOIN cand USING (id_a, id_b)
+              WHERE v.jaccard >= {_JACCARD_THR}),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node
+    ),
+    lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    u AS (SELECT doc_id, cluster_id,
+                 CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                 / {_SPLIT_SCALE} AS u
+          FROM lab)
+    SELECT doc_id, cluster_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM u
+    """
+
+
+@_register("leakage_safe_split", _LEAKAGE_SPLIT_ORACLE.format(shingle=_SHINGLE_SQL))
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/valid/test split: hash the CLUSTER id (the
+    connected-component canonical over verified MinHash+LSH pairs), not the
+    doc id, so every member of a near-duplicate cluster lands in the SAME
+    split — the split-leakage guard corpus_split alone cannot give (a
+    near-copy of a test doc in train is train/test contamination). Exactly
+    the dedup_clusters labeling followed by corpus_split's hash rule on the
+    label; singleton docs are their own cluster, so the split remains
+    append-stable for them. One extra projection over dedup_clusters — no
+    new shuffle; at 10^12 docs the cost is the CC labeling it already
+    shares."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    pairs = dedup.minhash_dedup_pairs(d, "text", "doc_id", _JACCARD_THR, k=8, bands=4)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    labels = dedup.connected_components(pairs, nodes)
+    u = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint") / F.lit(_SPLIT_SCALE)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
         F.when(u < 0.8, "train").when(u < 0.9, "valid").otherwise("test").alias("split"),
     )
 
