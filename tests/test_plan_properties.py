@@ -472,3 +472,25 @@ def test_lr_features_gradient_is_decimal_and_zero_python(spark):
     # a partial_sum stage exists = map-side combine (the plan string is
     # top-down, so the partial aggregate prints BELOW the exchange)
     assert "partial_sum" in plan
+
+
+def test_contrastive_pairs_is_bucket_equi_join(spark):
+    """Hard-negative mining must stay a bucket equi self-join: a
+    CartesianProduct / nested-loop means the [lo, hi) band condition
+    leaked into the join and the corpus is being cross-producted."""
+    plan = plan_of(QUERIES["contrastive_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_passage_rewrite_zero_python_no_cartesian(spark):
+    """The rewrite's kept-token selection is a codegen'd higher-order
+    indexed filter over the collected interval array — Python here would
+    put the whole corpus through an Arrow hop; a cartesian means the
+    coverage test degenerated to positions x intervals."""
+    plan = plan_of(QUERIES["dedup_passage_rewrite"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan and "Arrow" not in plan

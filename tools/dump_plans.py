@@ -214,6 +214,25 @@ COMMENTARY = {
         "the persisted feature projection — 4 gradient sums + a count to "
         "the driver per round, constant traffic at any corpus size."
     ),
+    "dedup_passage_rewrite": (
+        "One positional-gram explode persisted once (gram-stat groupBy + "
+        "probe join both read it), (count distinct, min) both partial-agg, "
+        "per-doc window interval merge, and the kept-token rebuild is a "
+        "codegen'd indexed higher-order filter — no cartesian coverage "
+        "test, no Python, no second corpus pass."
+    ),
+    "leakage_safe_split": (
+        "dedup_clusters' CC labeling plus ONE codegen projection (hash the "
+        "cluster id, range-case the split) — no shuffle beyond what the "
+        "labeling already pays; the plan below is the post-checkpoint "
+        "label table, lineage truncated by design."
+    ),
+    "contrastive_pairs": (
+        "Bucket SELF-equi-join (anchor side is the whole corpus — NOT a "
+        "broadcast): one shuffle per side on the sign bucket, norms hoisted "
+        "out of the pair loop, the [lo,hi) band applied post-join as a "
+        "residual filter. At 10^12 vectors raise bits + AQE skew split."
+    ),
 }
 
 
