@@ -116,6 +116,8 @@ HEADLINE = [
     "dedup_passage_rewrite",
     "leakage_safe_split",
     "contrastive_pairs",
+    "html_links_extract",
+    "ccnet_perplexity_buckets",
 ]
 
 

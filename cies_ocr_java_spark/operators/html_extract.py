@@ -174,3 +174,25 @@ def html_main_text_col(payload) -> F.Column:
         ),
     )
     return F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+
+
+# Anchor/outlink extraction: the link-graph feed (hosts -> pagerank /
+# blocklists) that runs BESIDE main-content extraction on the same scan.
+# Conservative Java/RE2-common regex (no lookaround, no lazy dot): an <a>
+# tag with a double-quoted href and a text-only body. Deliberately shared
+# verbatim with the DuckDB oracle so candidate extraction itself is
+# oracle-verifiable (same rule as the dedup md5 hashes).
+ANCHOR_LINK_PATTERN = '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_links_col(html) -> F.Column:
+    """array<struct<href,anchor>> of every matching anchor, in document
+    order — pure codegen (two regexp_extract_all passes zipped), zero
+    Python, zero shuffle: at 10^12 docs link extraction is a free rider
+    on whatever scan already reads the page bytes."""
+    hrefs = F.regexp_extract_all(html, F.lit(ANCHOR_LINK_PATTERN), F.lit(1))
+    anchors = F.regexp_extract_all(html, F.lit(ANCHOR_LINK_PATTERN), F.lit(2))
+    return F.zip_with(
+        hrefs, anchors,
+        lambda h, a: F.struct(h.alias("href"), a.alias("anchor")),
+    )

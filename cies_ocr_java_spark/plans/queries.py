@@ -1279,6 +1279,72 @@ def extract_ocr_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANCHOR_SQL_PAT = '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+@_register(
+    "html_links_extract",
+    f"""
+    WITH h AS (SELECT doc_id,
+        '<html><body><nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+        || CASE WHEN doc_id % 3 = 0
+                THEN '<p><a href="/promo">Offers</a> <a href="/promo2">More</a></p>'
+                ELSE '' END
+        || '<p>' || text || '</p>'
+        || '<footer><a href="https://partner.example/p?id='
+        || CAST(doc_id % 5 AS VARCHAR)
+        || '">Partner</a></footer></body></html>' AS html
+      FROM documents),
+    l AS (SELECT doc_id,
+                 regexp_extract_all(html, '{_ANCHOR_SQL_PAT}', 1) AS hs,
+                 regexp_extract_all(html, '{_ANCHOR_SQL_PAT}', 2) AS an
+          FROM h),
+    x AS (SELECT doc_id,
+                 unnest(range(1, len(hs) + 1)) AS link_pos,
+                 unnest(hs) AS href, unnest(an) AS anchor
+          FROM l)
+    SELECT doc_id, CAST(link_pos AS INTEGER) AS link_pos, href, anchor,
+           href LIKE '/%' AS is_internal
+    FROM x
+    """,
+)
+def html_links_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor/outlink extraction — the link-graph feed (host edges ->
+    domain_pagerank / url_host_blocklist) that rides the same page scan as
+    main-content extraction. Each doc is wrapped in a deterministic page
+    (nav links, a promo block every 3rd doc, a parameterized partner
+    footer link) and the REAL operator
+    (operators/html_extract.py:anchor_links_col — two zipped
+    regexp_extract_all passes, zero Python, zero shuffle) must recover
+    every anchor in document order. The regex is shared VERBATIM with the
+    oracle, so the extraction rule itself is what's verified — both
+    engines parse the same constructed page bytes."""
+    from cies_ocr_java_spark.operators.html_extract import anchor_links_col
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> '
+              '<a href="/about">About</a></nav>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<p><a href="/promo">Offers</a> <a href="/promo2">More</a></p>'),
+        ).otherwise(F.lit("")),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<footer><a href="https://partner.example/p?id='),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('">Partner</a></footer></body></html>'),
+    )
+    return d.select(
+        "doc_id", F.posexplode(anchor_links_col(html)).alias("pos0", "lnk")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("link_pos"),
+        F.col("lnk.href").alias("href"),
+        F.col("lnk.anchor").alias("anchor"),
+        F.col("lnk.href").startswith("/").alias("is_internal"),
+    )
+
+
 @_register(
     "extract_html_maincontent",
     f"""
@@ -4399,6 +4465,59 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(12,6)")
             .cast("double")
             .alias("avg_surprisal"),
+        )
+    )
+
+
+@_register(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+    n AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM vocab),
+    s AS (SELECT tok,
+                 CAST(CAST(-log10(CAST(freq AS DOUBLE) / n_total) AS VARCHAR)
+                      AS DECIMAL(12,6)) AS sp
+          FROM vocab, n),
+    d AS (SELECT t.doc_id, sum(sp) AS ssum, CAST(count(*) AS BIGINT) AS n_tok
+          FROM toks t JOIN s USING (tok) GROUP BY 1),
+    surp AS (SELECT doc_id,
+                    CAST(CAST(CAST(ssum AS DOUBLE) / n_tok AS VARCHAR)
+                         AS DECIMAL(12,6))::DOUBLE AS avg_surprisal
+             FROM d),
+    ranked AS (SELECT s.doc_id, doc.lang, s.avg_surprisal,
+                      ntile(3) OVER (PARTITION BY doc.lang
+                                     ORDER BY s.avg_surprisal ASC, s.doc_id ASC) AS t3
+               FROM surp s JOIN documents doc USING (doc_id))
+    SELECT doc_id, lang, avg_surprisal,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per LANGUAGE,
+    rank documents by LM score — here the corpus-trained unigram
+    surprisal of doc_unigram_surprisal, decimal-rounded so the rank key
+    is engine-exact — and cut into tertiles with ntile(3); low surprisal
+    = head (the slice CCNet keeps first). The window is PARTITIONED by
+    lang, so no global single-partition sort; at 100 TB replace ntile
+    with the distributed boundary computation + broadcast range assign
+    used by customer_revenue_quartiles (same output, no per-lang full
+    sort). doc_id tiebreak makes the tertile assignment total-ordered
+    and deterministic."""
+    base = doc_unigram_surprisal(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_surprisal").asc(), F.col("doc_id").asc()
+    )
+    t3 = F.ntile(3).over(w)
+    return (
+        base.join(d, "doc_id")
+        .select(
+            "doc_id", "lang", "avg_surprisal",
+            F.when(t3 == 1, "head").when(t3 == 2, "middle").otherwise("tail")
+            .alias("bucket"),
         )
     )
 
