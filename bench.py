@@ -118,6 +118,8 @@ HEADLINE = [
     "contrastive_pairs",
     "html_links_extract",
     "ccnet_perplexity_buckets",
+    "char_entropy_filter",
+    "domain_quality_rollup",
 ]
 
 

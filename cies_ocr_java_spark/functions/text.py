@@ -94,6 +94,51 @@ def quality_score_cols(c: Column | str) -> dict[str, Column]:
     }
 
 
+def char_entropy_cols(c: Column | str) -> dict[str, Column]:
+    """Character-level Shannon entropy — the gibberish/repetition filter
+    signal (low entropy = keyboard-mash or repeated-char pages, the class
+    Gopher's repetition rules miss when the repeat unit is ONE char).
+
+    MAP-ONLY at any scale: the per-doc char distribution is computed with
+    higher-order array functions (distinct chars -> per-char counts via a
+    codegen'd filter — O(distinct x len) per doc with distinct bounded by
+    the alphabet), never an explode: a character explode is one row per
+    corpus CHARACTER, catastrophic at 100 TB. The oracle uses the explode
+    form (fine at oracle scale) — both reduce to the same counts.
+
+    Each -p*log2(p) term is decimal(12,6)-quantized BEFORE the exact
+    decimal sum (absorbs libm log2 ulp differences — the transcendental
+    rule in plans/queries.py), so the entropy is engine-exact. Char
+    arithmetic is codepoint-based and the fixture corpus is ASCII (probed
+    0 non-ASCII docs at every SF); non-BMP text would need grapheme care.
+
+    Returns {n_chars, n_distinct_chars, char_entropy}."""
+    t = normalize_ws(c)
+    cs = F.filter(F.split(t, ""), lambda x: x != F.lit(""))
+    n = F.size(cs)
+    dc = F.array_distinct(cs)
+    term_dec = "decimal(12,6)"
+    sum_dec = "decimal(30,6)"
+
+    def _term(ch):
+        k = F.size(F.filter(cs, lambda x: x == ch)).cast("double")
+        p = k / n.cast("double")
+        return (-(p) * F.log2(p)).cast(term_dec)
+
+    s = F.aggregate(
+        F.transform(dc, _term),
+        F.lit(0).cast(sum_dec),
+        lambda acc, x: (acc + x).cast(sum_dec),
+    )
+    return {
+        "n_chars": n.cast("bigint"),
+        "n_distinct_chars": F.size(dc).cast("int"),
+        "char_entropy": F.when(n == 0, F.lit(0.0)).otherwise(
+            s.cast("double")
+        ),
+    }
+
+
 def lang_id(c: Column | str) -> Column:
     """Marker-word language heuristic: argmax over per-language marker counts
     (ties broken by language code order en<es<fr<de via strict > comparison)."""

@@ -670,6 +670,121 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENTROPY_KEEP = 2.0
+
+
+@_register(
+    "char_entropy_filter",
+    f"""
+    WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    cc AS (SELECT doc_id, t[i] AS c
+           FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM n)),
+    cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k FROM cc GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS nch FROM n),
+    terms AS (SELECT cnt.doc_id,
+                     CAST(CAST(-(CAST(k AS DOUBLE) / nch)
+                               * log2(CAST(k AS DOUBLE) / nch)
+                               AS VARCHAR) AS DECIMAL(12,6)) AS term
+              FROM cnt JOIN tot USING (doc_id)),
+    e AS (SELECT doc_id, sum(term) AS s, CAST(count(*) AS INTEGER) AS ndc
+          FROM terms GROUP BY doc_id)
+    SELECT t.doc_id, t.nch AS n_chars,
+           coalesce(e.ndc, 0) AS n_distinct_chars,
+           coalesce(CAST(e.s AS DOUBLE), 0.0) AS char_entropy,
+           coalesce(CAST(e.s AS DOUBLE), 0.0) >= {_ENTROPY_KEEP} AS keep
+    FROM tot t LEFT JOIN e USING (doc_id)
+    """,
+)
+def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish filter: per-doc Shannon entropy of the
+    char distribution, keep when >= {_ENTROPY_KEEP} bits (repeated-char /
+    keyboard-mash pages score far lower; normal prose ~4 bits). Spark side
+    is MAP-ONLY higher-order array math (no char explode — one row per
+    corpus character would be catastrophic at 100 TB); the oracle uses the
+    explode form, fine at oracle scale. See
+    functions/text.py:char_entropy_cols for the exactness scheme."""
+    from cies_ocr_java_spark.functions.text import char_entropy_cols
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    cols = char_entropy_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        cols["n_distinct_chars"].alias("n_distinct_chars"),
+        cols["char_entropy"].alias("char_entropy"),
+        (cols["char_entropy"] >= _ENTROPY_KEEP).alias("keep"),
+    )
+
+
+_DOMAIN_MIN_DOCS = 3
+_DOMAIN_MIN_STOPWORD = 0.05
+
+
+@_register(
+    "domain_quality_rollup",
+    f"""
+    WITH n AS (SELECT doc_id, source, {_norm_sql('text')} AS t FROM documents),
+    per AS (SELECT doc_id, source,
+                   CAST(length(t) AS BIGINT) AS n_chars,
+                   CAST(CAST(len(regexp_extract_all(t, '[.,;:!?]'))
+                             / greatest(length(t), 1) AS VARCHAR)
+                        AS DECIMAL(12,6)) AS punct_ratio,
+                   CAST(CAST({_stopword_sql('t')}
+                             / greatest(CASE WHEN length(t) = 0 THEN 0
+                                             ELSE len(string_split(t, ' ')) END, 1)
+                             AS VARCHAR) AS DECIMAL(12,6)) AS stopword_ratio
+            FROM n)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(CAST(sum(stopword_ratio) AS DOUBLE) / count(*) AS VARCHAR)
+                AS DECIMAL(12,6))::DOUBLE AS mean_stopword_ratio,
+           CAST(CAST(CAST(sum(punct_ratio) AS DOUBLE) / count(*) AS VARCHAR)
+                AS DECIMAL(12,6))::DOUBLE AS mean_punct_ratio,
+           count(*) >= {_DOMAIN_MIN_DOCS}
+             AND CAST(CAST(CAST(sum(stopword_ratio) AS DOUBLE) / count(*) AS VARCHAR)
+                      AS DECIMAL(12,6))::DOUBLE >= {_DOMAIN_MIN_STOPWORD} AS keep
+    FROM per GROUP BY source
+    """,
+)
+def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality rollup (RefinedWeb/RedPajama-style curation
+    decisions are made per SOURCE, not per doc): mean stopword/punct
+    ratios + volume per source, keep when the domain has enough docs AND
+    healthy mean stopword density. Per-doc ratios are decimal-quantized
+    BEFORE the sum (exact, order-independent, map-side combinable) — one
+    groupBy(source) shuffle total; at 100 TB the hot mega-domains ride
+    AQE skew split or the salted_hot_key_agg pattern."""
+    from cies_ocr_java_spark.functions.text import quality_score_cols
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    cols = quality_score_cols(F.col("text"))
+    per = d.select(
+        "source",
+        cols["n_chars"].cast("bigint").alias("n_chars"),
+        cols["punct_ratio"].cast("decimal(12,6)").alias("punct_ratio"),
+        cols["stopword_ratio"].cast("decimal(12,6)").alias("stopword_ratio"),
+    )
+    mean_stop = (
+        (F.sum("stopword_ratio").cast("double") / F.count("*"))
+        .cast("decimal(12,6)").cast("double")
+    )
+    mean_punct = (
+        (F.sum("punct_ratio").cast("double") / F.count("*"))
+        .cast("decimal(12,6)").cast("double")
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        mean_stop.alias("mean_stopword_ratio"),
+        mean_punct.alias("mean_punct_ratio"),
+        (
+            (F.count("*") >= _DOMAIN_MIN_DOCS)
+            & (mean_stop >= _DOMAIN_MIN_STOPWORD)
+        ).alias("keep"),
+    )
+
+
 def _lang_fold_sql(norm_expr: str) -> str:
     score = {
         lang: " + ".join(

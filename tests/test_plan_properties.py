@@ -494,3 +494,15 @@ def test_passage_rewrite_zero_python_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_char_entropy_is_map_only_zero_python(spark):
+    """The entropy signal must stay a single map pass: a char explode
+    (one row per corpus character) or a Python node here is a 100 TB
+    catastrophe; the distribution math lives in higher-order array
+    expressions inside the scan projection."""
+    plan = plan_of(QUERIES["char_entropy_filter"](spark, SF))
+    for shuffle in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+        assert shuffle not in plan
+    assert "Generate" not in plan  # no explode
+    assert "Python" not in plan and "Arrow" not in plan
