@@ -120,6 +120,7 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "char_entropy_filter",
     "domain_quality_rollup",
+    "domain_epoch_schedule",
 ]
 
 

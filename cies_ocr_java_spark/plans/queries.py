@@ -7676,6 +7676,86 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_BUDGET = 10_000_000  # total training-token budget for the mixture
+_EPOCH_CAP = 4.0  # max repeats per domain (data-constrained scaling rule)
+
+
+@_register(
+    "domain_epoch_schedule",
+    f"""
+    WITH d AS (
+      SELECT source,
+             CAST(sum({_TOKC_SQL.format(x='text')}) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source),
+    n AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM d),
+    s AS (SELECT source, n_tok,
+                 CAST(pow(CAST(n_tok AS DOUBLE) / CAST(n.n_total AS DOUBLE),
+                          {_MIX_ALPHA}) AS DECIMAL(18,12)) AS scaled
+          FROM d CROSS JOIN n),
+    t AS (SELECT CAST(sum(scaled) AS DECIMAL(28,12)) AS total FROM s),
+    w AS (SELECT source, n_tok,
+                 CAST(CAST(CAST(scaled AS DOUBLE) / CAST(t.total AS DOUBLE)
+                      AS DECIMAL(18,12)) AS DOUBLE) AS mix_weight
+          FROM s CROSS JOIN t),
+    e AS (SELECT source, n_tok, mix_weight,
+                 CAST(CAST({_EPOCH_BUDGET} * mix_weight AS VARCHAR)
+                      AS DECIMAL(18,2))::DOUBLE AS target_tokens
+          FROM w)
+    SELECT source, n_tok, mix_weight, target_tokens,
+           CAST(CAST(target_tokens / n_tok AS VARCHAR)
+                AS DECIMAL(12,6))::DOUBLE AS epochs,
+           least(CAST(CAST(target_tokens / n_tok AS VARCHAR)
+                      AS DECIMAL(12,6))::DOUBLE, {_EPOCH_CAP}) AS capped_epochs,
+           CAST(CAST(target_tokens / n_tok AS VARCHAR)
+                AS DECIMAL(12,6))::DOUBLE > {_EPOCH_CAP} AS data_constrained
+    FROM e ORDER BY source
+    """,
+)
+def domain_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/repeat schedule realizing the temperature mixture under a
+    fixed training-token budget (the data-constrained scaling recipe,
+    Muennighoff et al. 2023: repeating beyond ~4 epochs stops helping):
+    target_tokens_d = budget * mix_weight_d, epochs_d = target/n_tok_d,
+    capped at {_EPOCH_CAP} with a data_constrained flag where the cap
+    binds (the signal to go find MORE data for that domain rather than
+    repeat). Same single groupBy(source) + broadcast scalars as
+    domain_temperature_mix; every derived number is quantized before
+    comparison so the schedule is engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tok")
+    )
+    n = agg.select(F.sum("n_tok").cast("bigint").alias("n_total"))
+    s = agg.join(F.broadcast(n)).select(
+        "source", "n_tok",
+        F.pow(
+            F.col("n_tok").cast("double") / F.col("n_total").cast("double"),
+            F.lit(_MIX_ALPHA),
+        ).cast("decimal(18,12)").alias("scaled"),
+    )
+    t = s.select(F.sum("scaled").cast("decimal(28,12)").alias("total"))
+    w = s.join(F.broadcast(t)).select(
+        "source", "n_tok",
+        (F.col("scaled").cast("double") / F.col("total").cast("double"))
+        .cast("decimal(18,12)").cast("double").alias("mix_weight"),
+    )
+    target = (
+        (F.lit(_EPOCH_BUDGET) * F.col("mix_weight"))
+        .cast("decimal(18,2)").cast("double")
+    )
+    e = w.select("source", "n_tok", "mix_weight", target.alias("target_tokens"))
+    epochs = (
+        (F.col("target_tokens") / F.col("n_tok"))
+        .cast("decimal(12,6)").cast("double")
+    )
+    return e.select(
+        "source", "n_tok", "mix_weight", "target_tokens",
+        epochs.alias("epochs"),
+        F.least(epochs, F.lit(_EPOCH_CAP)).alias("capped_epochs"),
+        (epochs > _EPOCH_CAP).alias("data_constrained"),
+    )
+
+
 # =========================================================================
 # robots.txt path filtering (Google REP semantics: longest matching
 # prefix wins; on a length tie Allow beats Disallow; no match = allowed)
