@@ -121,6 +121,7 @@ HEADLINE = [
     "char_entropy_filter",
     "domain_quality_rollup",
     "domain_epoch_schedule",
+    "dataset_profile",
 ]
 
 

@@ -7676,6 +7676,79 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dataset_profile: (table -> integer/varchar columns) — doubles/timestamps/
+# arrays deliberately excluded: their string renderings are not
+# engine-portable (scientific notation, fractional-second formats), and the
+# profile op's contract is engine-exact stats over portable types.
+_PROFILE_COLS = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey"),
+    "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size"),
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_returnflag", "l_linestatus"),
+    "events": ("event_id", "user_id", "event_type", "props"),
+    "documents": ("doc_id", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "label"),
+}
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{tbl}' AS tbl, '{col}' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(min({col}) AS VARCHAR) AS vmin,
+           CAST(max({col}) AS VARCHAR) AS vmax
+    FROM {tbl}"""
+    for tbl, cols in _PROFILE_COLS.items()
+    for col in cols
+)
+
+
+@_register("dataset_profile", _PROFILE_ORACLE)
+def dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-dataset column profile — the data-card / schema-drift gate a
+    pipeline runs before training on a new corpus drop: per (table,
+    column) row counts, null counts, exact distinct counts, and min/max
+    (min/max over the NATIVE type, rendered to string after — never
+    lexicographic over stringified numbers). ONE aggregation pass per
+    table (all columns' stats in a single agg; Spark plans the
+    multi-count-distinct via Expand — at 100 TB swap exact distinct for
+    approx_count_distinct/HLL, the same trade hll_distinct_sketch
+    documents, or run one pass per column). Doubles/timestamps excluded
+    by contract (_PROFILE_COLS note)."""
+    pieces = []
+    for tbl, cols in _PROFILE_COLS.items():
+        d = _t(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        for c in cols:
+            aggs += [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint").alias(f"nn_{c}"),
+                F.countDistinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+            ]
+        stats = d.agg(*aggs)
+        for c in cols:
+            pieces.append(
+                stats.select(
+                    F.lit(tbl).alias("tbl"), F.lit(c).alias("col"),
+                    F.col("n_rows"),
+                    F.col(f"nn_{c}").alias("n_nulls"),
+                    F.col(f"nd_{c}").alias("n_distinct"),
+                    F.col(f"mn_{c}").alias("vmin"),
+                    F.col(f"mx_{c}").alias("vmax"),
+                )
+            )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 _EPOCH_BUDGET = 10_000_000  # total training-token budget for the mixture
 _EPOCH_CAP = 4.0  # max repeats per domain (data-constrained scaling rule)
 
