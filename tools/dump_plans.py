@@ -233,6 +233,35 @@ COMMENTARY = {
         "out of the pair loop, the [lo,hi) band applied post-join as a "
         "residual filter. At 10^12 vectors raise bits + AQE skew split."
     ),
+    "html_links_extract": (
+        "Link extraction is a FREE RIDER on the page scan: two "
+        "regexp_extract_all passes zipped into structs + one posexplode, "
+        "all codegen — no shuffle until a consumer aggregates the edges."
+    ),
+    "ccnet_perplexity_buckets": (
+        "Surprisal table (persisted token explode + AQE-governed vocab "
+        "join) feeds a window PARTITIONED by lang — no global sort; the "
+        "tertile cut is ntile over a decimal-rounded, doc_id-tiebroken "
+        "total order."
+    ),
+    "char_entropy_filter": (
+        "MAP-ONLY: the per-doc char distribution lives in higher-order "
+        "array expressions inside the scan projection (distinct chars x "
+        "indexed count filters) — a char explode would be one row per "
+        "corpus CHARACTER at 100 TB. Zero exchanges beyond the guarded "
+        "fanout, zero Python."
+    ),
+    "domain_quality_rollup": (
+        "Per-doc ratios decimal-quantized in the scan projection, then ONE "
+        "map-side-combinable groupBy(source) — the curation decision table "
+        "for 10^7 domains costs a single shuffle of pre-aggregated rows."
+    ),
+    "dataset_profile": (
+        "One aggregation pass per table computing every column's stats "
+        "(multi-count-distinct plans as Expand — swap for HLL at 100 TB), "
+        "then a constant-width union of 1-row results: profile cost is "
+        "one scan per table, never per column."
+    ),
 }
 
 
