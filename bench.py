@@ -122,6 +122,7 @@ HEADLINE = [
     "domain_quality_rollup",
     "domain_epoch_schedule",
     "dataset_profile",
+    "events_stream_join_outer",
 ]
 
 

@@ -2689,6 +2689,68 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@_register(
+    "events_stream_join_outer",
+    """
+    WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(cus) FROM c) // 1000,
+                        (SELECT max(pus) FROM p) // 1000) AS wm_ms),
+    j AS (SELECT c.user_id, c.click_id, p.purchase_id,
+                 p.pus - c.cus AS lag_us, c.cus
+          FROM c LEFT JOIN p
+            ON p.user_id = c.user_id
+           AND p.pus > c.cus AND p.pus <= c.cus + 3600000000)
+    SELECT user_id, click_id, purchase_id, lag_us,
+           purchase_id IS NOT NULL AS attributed
+    FROM j, wm
+    WHERE purchase_id IS NOT NULL
+       OR cus <= (wm.wm_ms - 3600000 - 1) * 1000
+    """,
+)
+def events_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join
+    (streaming/joins.py:click_purchase_attribution_outer): matched pairs
+    plus one null-purchase row per never-matched click, emitted on state
+    EVICTION. The oracle replays the watermark machinery exactly: global
+    wm = min of both sides' ms-floored max event time (delay 0s,
+    multipleWatermarkPolicy=min), and a never-matched click emits iff
+    click_us <= (wm_ms - horizon_ms - 1ms) in micros — Spark's 1 ms
+    strictness margin on the derived state-value watermark, probed at
+    the .998999/.999000/.999500 boundaries. Clicks still inside the
+    horizon at stream end stay in state and must NOT appear."""
+    import uuid as _uuid
+
+    from cies_ocr_java_spark.streaming.joins import (
+        click_purchase_attribution_outer,
+    )
+
+    batch = _t(spark, sf_dir, "events")  # schema donor only
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = click_purchase_attribution_outer(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        watermark="0 seconds",
+    )
+    name = f"esjo_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 # Shared by dedup_clusters and dedup_clusters_star: both must produce the
 # SAME clusters — the recursive-CTE transitive closure is the oracle for
 # either connected-components algorithm.

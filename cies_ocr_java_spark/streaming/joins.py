@@ -90,3 +90,59 @@ def enrich_with_dimension(
     tests/test_plan_properties.py). Batch in, batch out — the unified-API
     guarantee makes the DuckDB oracle the plain equi-join."""
     return stream.join(dim, stream[stream_key] == dim[dim_key])
+
+
+def click_purchase_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = ATTRIBUTION_HORIZON,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """LEFT OUTER stream-stream attribution: every matched (click,
+    purchase) pair AND, for each never-matched click, exactly one
+    null-purchase row emitted when the watermark evicts the click's
+    state — the "which impressions converted, which expired" query shape
+    that an inner join cannot answer incrementally.
+
+    State/eviction semantics (probed empirically on this Spark, pinned by
+    the registry oracle): the global watermark is the MIN of both sides'
+    (ms-floored max event time - delay) [multipleWatermarkPolicy=min];
+    a click row is evicted — and its null row emitted iff it never
+    matched — when click_us <= (wm_ms - horizon_ms - 1) * 1000 (Spark
+    keeps a 1 ms strictness margin when deriving the state-value
+    watermark from the non-strict `pts <= cts + horizon` bound). Rows
+    younger than that stay in state and are NOT emitted at stream end —
+    the oracle replays exactly this rule, like the sessionize oracle
+    replays EventTimeTimeout.
+
+    Same finite-state story as the inner join: each side retains only
+    rows above its state watermark, so memory is rate x horizon."""
+    ts = F.col("ts").cast("timestamp")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        ts.alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        ts.alias("purchase_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (c.c_user == p.p_user)
+        & (p.purchase_ts > c.click_ts)
+        & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "leftOuter").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+        ).alias("lag_us"),
+        F.col("purchase_id").isNotNull().alias("attributed"),
+    )
