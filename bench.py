@@ -123,6 +123,7 @@ HEADLINE = [
     "domain_epoch_schedule",
     "dataset_profile",
     "events_stream_join_outer",
+    "retrieval_rrf_fusion",
 ]
 
 

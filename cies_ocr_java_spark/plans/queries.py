@@ -4747,9 +4747,7 @@ _BM25_QVALS = ", ".join(
 )
 
 
-@_register(
-    "bm25_retrieval",
-    f"""
+_BM25_SQL = f"""
     WITH q(query_id, tok) AS (VALUES {_BM25_QVALS}),
     toks AS (SELECT doc_id, unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS tok
              FROM documents),
@@ -4779,8 +4777,10 @@ _BM25_QVALS = ", ".join(
                            AS INTEGER) AS rnk
                FROM scored)
     SELECT query_id, doc_id, score, rnk FROM ranked WHERE rnk <= {_BM25_K}
-    """,
-)
+    """
+
+
+@_register("bm25_retrieval", _BM25_SQL)
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (k1=1.2, b=0.75) top-{_BM25_K} retrieval for a fixed query set —
     the inverted-index scoring pass of corpus search / eval-set mining.
@@ -4884,6 +4884,108 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("ssum").cast("double").alias("score"),
             "rnk",
+        )
+    )
+
+
+_RRF_C = 60
+
+
+@_register(
+    "retrieval_rrf_fusion",
+    f"""
+    WITH b AS ({_BM25_SQL}),
+    q2(query_id, tok) AS (VALUES {_BM25_QVALS}),
+    toks2 AS (SELECT doc_id, unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS tok
+              FROM documents),
+    tfq AS (SELECT q2.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS tf_sum
+            FROM toks2 t JOIN q2 USING (tok) GROUP BY 1, 2),
+    tr AS (SELECT query_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY tf_sum DESC, doc_id)
+                       AS INTEGER) AS rnk
+           FROM tfq),
+    t10 AS (SELECT * FROM tr WHERE rnk <= {_BM25_K}),
+    f AS (SELECT coalesce(b.query_id, t.query_id) AS query_id,
+                 coalesce(b.doc_id, t.doc_id) AS doc_id,
+                 b.rnk AS rb, t.rnk AS rt
+          FROM b FULL JOIN t10 t
+            ON b.query_id = t.query_id AND b.doc_id = t.doc_id),
+    s AS (SELECT query_id, doc_id,
+                 coalesce(CAST(CAST(1.0 / ({_RRF_C} + rb) AS VARCHAR)
+                               AS DECIMAL(18,12)), 0)
+                 + coalesce(CAST(CAST(1.0 / ({_RRF_C} + rt) AS VARCHAR)
+                                 AS DECIMAL(18,12)), 0) AS fused,
+                 rb IS NOT NULL AS in_bm25, rt IS NOT NULL AS in_tf
+          FROM f)
+    SELECT query_id, doc_id, rrf_score, rnk, in_bm25, in_tf FROM (
+      SELECT query_id, doc_id, CAST(fused AS DOUBLE) AS rrf_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY fused DESC, doc_id)
+                  AS INTEGER) AS rnk,
+             in_bm25, in_tf
+      FROM s
+    ) WHERE rnk <= {_BM25_K}
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, c={_RRF_C}) of two
+    retrieval systems over the same query set: the BM25 top-{_BM25_K}
+    (the full bm25_retrieval plan, composed as a subquery) and a raw
+    term-frequency ranking — the standard hybrid-retrieval merge (in
+    production usually BM25 + dense ANN; both sides here are
+    oracle-exact, which a float dense score wouldn't survive). Each
+    1/(c+rank) contribution is decimal(18,12)-quantized, the fusion sum
+    is exact decimal, and the fused rank is doc_id-tiebroken. Scale: both
+    inputs are per-query top-k lists (k*|queries| rows) — the fusion
+    itself is a full-outer equi-join on (query_id, doc_id) over tiny
+    inputs; all corpus-scale work happens inside the two upstream
+    rankings."""
+    bm = bm25_retrieval(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rnk").alias("rb")
+    )
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    toks = d.select(
+        "doc_id", F.explode(dedup.tokens_col(F.col("text"))).alias("tok")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES.items() for t in ts],
+        "query_id string, tok string",
+    )
+    tfq = (
+        toks.join(F.broadcast(qterms), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf_sum"))
+    )
+    w_t = Window.partitionBy("query_id").orderBy(
+        F.desc("tf_sum"), F.asc("doc_id")
+    )
+    t10 = (
+        tfq.withColumn("rt", F.row_number().over(w_t).cast("int"))
+        .where(F.col("rt") <= _BM25_K)
+        .select("query_id", "doc_id", "rt")
+    )
+    zero = F.lit(0).cast("decimal(18,12)")
+    rec = lambda r: (  # noqa: E731
+        (F.lit(1.0) / (F.lit(_RRF_C) + F.col(r)))
+        .cast("string").cast("decimal(18,12)")
+    )
+    f = bm.join(t10, ["query_id", "doc_id"], "full_outer")
+    s = f.select(
+        "query_id", "doc_id",
+        (F.coalesce(rec("rb"), zero) + F.coalesce(rec("rt"), zero))
+        .alias("fused"),
+        F.col("rb").isNotNull().alias("in_bm25"),
+        F.col("rt").isNotNull().alias("in_tf"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("fused"), F.asc("doc_id"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w_f).cast("int"))
+        .where(F.col("rnk") <= _BM25_K)
+        .select(
+            "query_id", "doc_id",
+            F.col("fused").cast("double").alias("rrf_score"),
+            "rnk", "in_bm25", "in_tf",
         )
     )
 
