@@ -124,6 +124,8 @@ HEADLINE = [
     "dataset_profile",
     "events_stream_join_outer",
     "retrieval_rrf_fusion",
+    "countmin_sketch",
+    "training_shuffle_order",
 ]
 
 

@@ -4317,6 +4317,141 @@ def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.heavy_hitters(d, "text", support=_HH_SUPPORT)
 
 
+_CM_D = 4   # count-min hash rows
+_CM_W = 64  # buckets per row
+_CM_TOPN = 20
+
+
+@_register(
+    "countmin_sketch",
+    f"""
+    WITH toks AS (SELECT unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS token
+                  FROM documents),
+    vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
+    rows_ AS (SELECT unnest(range(0, {_CM_D})) AS r),
+    cells AS (SELECT r,
+                     CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 12))
+                          AS BIGINT) % {_CM_W} AS bucket,
+                     cnt
+              FROM vocab CROSS JOIN rows_),
+    sketch AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS bsum
+               FROM cells GROUP BY r, bucket),
+    probes AS (SELECT token, cnt FROM (
+                 SELECT token, cnt,
+                        row_number() OVER (ORDER BY cnt DESC, token) AS rk
+                 FROM vocab) WHERE rk <= {_CM_TOPN}),
+    est AS (SELECT p.token, p.cnt,
+                   min(s.bsum) AS cm_estimate
+            FROM probes p CROSS JOIN rows_
+            JOIN sketch s
+              ON s.r = rows_.r
+             AND s.bucket = CAST(('0x' || substr(md5(CAST(rows_.r AS VARCHAR) || ':' || p.token), 1, 12))
+                                 AS BIGINT) % {_CM_W}
+            GROUP BY p.token, p.cnt)
+    SELECT token, cnt AS true_count, cm_estimate,
+           CAST(cm_estimate - cnt AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005; d={_CM_D} rows x
+    w={_CM_W} buckets, md5-keyed buckets so the sketch itself is
+    engine-portable) evaluated against exact truth for the top-{_CM_TOPN}
+    tokens: estimate = min over rows of the bucket sum, always >= true
+    (one-sided error — the overestimate column is the collision mass).
+    Complements the Misra-Gries heavy-hitters path: CM answers POINT
+    queries and is LINEAR, so per-partition sketches merge by cell-wise
+    addition — here built from the vocab aggregate (sketch linearity
+    makes pre-aggregation free); at 100 TB each executor sketches its
+    partition and d*w integers shuffle, not the vocabulary. The top-N
+    probe window is vocab-sized (swap for bounded min-k at scale — the
+    KMV note)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    toks = d.select(
+        F.explode(dedup.tokens_col(F.col("text"))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
+    vocab = vocab.persist()
+    rows_ = spark.range(_CM_D).select(F.col("id").cast("int").alias("r"))
+
+    def bucket(rcol, tokcol):
+        return (
+            F.conv(F.substring(F.md5(F.concat(rcol.cast("string"), F.lit(":"), tokcol)), 1, 12), 16, 10)
+            .cast("bigint") % _CM_W
+        )
+
+    cells = vocab.crossJoin(F.broadcast(rows_)).select(
+        "r", bucket(F.col("r"), F.col("token")).alias("bucket"), "cnt"
+    )
+    sketch = cells.groupBy("r", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("bsum")
+    )
+    w_top = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    probes = (
+        vocab.withColumn("rk", F.row_number().over(w_top))
+        .where(F.col("rk") <= _CM_TOPN)
+        .select("token", "cnt")
+    )
+    est = (
+        probes.crossJoin(F.broadcast(rows_))
+        .withColumn("bucket", bucket(F.col("r"), F.col("token")))
+        .join(sketch, ["r", "bucket"])
+        .groupBy("token", "cnt")
+        .agg(F.min("bsum").alias("cm_estimate"))
+    )
+    return est.select(
+        "token",
+        F.col("cnt").alias("true_count"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("cnt")).cast("bigint").alias("overestimate"),
+    )
+
+
+_SHUFFLE_SEED = 17
+_SHUFFLE_SHARDS = 8
+
+
+@_register(
+    "training_shuffle_order",
+    f"""
+    WITH k AS (SELECT doc_id,
+                      md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS key
+               FROM documents)
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(key, 1, 12)) AS BIGINT) % {_SHUFFLE_SHARDS}
+                AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY CAST(('0x' || substr(key, 1, 12)) AS BIGINT)
+                               % {_SHUFFLE_SHARDS}
+                  ORDER BY key, doc_id) AS INTEGER) AS pos
+    FROM k
+    """,
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for the data loader: every doc gets a
+    (shard, pos) from hashing (seed, doc_id) — the same global example
+    order on ANY cluster size, partitioning, or retry, which
+    orderBy(rand()) cannot give (and a global sort would cost a full
+    exchange anyway). Per-epoch reshuffle = bump the seed. The only
+    shuffle is the per-shard window; shards bound the sort (corpus/S per
+    task) and map 1:1 to loader workers. Same hash recipe as
+    corpus_split, so split/shuffle/sample all derive from one portable
+    primitive."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string")))
+    k = d.select("doc_id", key.alias("key"))
+    shard = (
+        F.conv(F.substring(F.col("key"), 1, 12), 16, 10).cast("bigint")
+        % _SHUFFLE_SHARDS
+    )
+    k = k.withColumn("shard", shard.cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.asc("key"), F.asc("doc_id"))
+    return k.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
 # =========================================================================
 # Domain-authority PageRank over the cross-domain syndication graph
 # =========================================================================
