@@ -7919,9 +7919,7 @@ def interleaved_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_ALPHA = 0.3
 
 
-@_register(
-    "domain_temperature_mix",
-    f"""
+_MIX_SQL = f"""
     WITH d AS (
       SELECT source,
              CAST(sum({_TOKC_SQL.format(x='text')}) AS BIGINT) AS n_tok
@@ -7937,8 +7935,10 @@ _MIX_ALPHA = 0.3
                 AS DECIMAL(18,12)) AS DOUBLE) AS mix_weight
     FROM s CROSS JOIN t
     ORDER BY source
-    """,
-)
+    """
+
+
+@_register("domain_temperature_mix", _MIX_SQL)
 def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain sampling weights (the GPT-3/PaLM/XLM-R
     corpus-mixing rule): weight_d = (n_d/N)^alpha / sum_d'(n_d'/N)^alpha
@@ -8055,20 +8055,7 @@ _EPOCH_CAP = 4.0  # max repeats per domain (data-constrained scaling rule)
 @_register(
     "domain_epoch_schedule",
     f"""
-    WITH d AS (
-      SELECT source,
-             CAST(sum({_TOKC_SQL.format(x='text')}) AS BIGINT) AS n_tok
-      FROM documents GROUP BY source),
-    n AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM d),
-    s AS (SELECT source, n_tok,
-                 CAST(pow(CAST(n_tok AS DOUBLE) / CAST(n.n_total AS DOUBLE),
-                          {_MIX_ALPHA}) AS DECIMAL(18,12)) AS scaled
-          FROM d CROSS JOIN n),
-    t AS (SELECT CAST(sum(scaled) AS DECIMAL(28,12)) AS total FROM s),
-    w AS (SELECT source, n_tok,
-                 CAST(CAST(CAST(scaled AS DOUBLE) / CAST(t.total AS DOUBLE)
-                      AS DECIMAL(18,12)) AS DOUBLE) AS mix_weight
-          FROM s CROSS JOIN t),
+    WITH w AS ({_MIX_SQL}),
     e AS (SELECT source, n_tok, mix_weight,
                  CAST(CAST({_EPOCH_BUDGET} * mix_weight AS VARCHAR)
                       AS DECIMAL(18,2))::DOUBLE AS target_tokens
@@ -8093,24 +8080,7 @@ def domain_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeat). Same single groupBy(source) + broadcast scalars as
     domain_temperature_mix; every derived number is quantized before
     comparison so the schedule is engine-exact."""
-    d = _t(spark, sf_dir, "documents")
-    agg = d.groupBy("source").agg(
-        F.sum(token_count(F.col("text")).cast("long")).alias("n_tok")
-    )
-    n = agg.select(F.sum("n_tok").cast("bigint").alias("n_total"))
-    s = agg.join(F.broadcast(n)).select(
-        "source", "n_tok",
-        F.pow(
-            F.col("n_tok").cast("double") / F.col("n_total").cast("double"),
-            F.lit(_MIX_ALPHA),
-        ).cast("decimal(18,12)").alias("scaled"),
-    )
-    t = s.select(F.sum("scaled").cast("decimal(28,12)").alias("total"))
-    w = s.join(F.broadcast(t)).select(
-        "source", "n_tok",
-        (F.col("scaled").cast("double") / F.col("total").cast("double"))
-        .cast("decimal(18,12)").cast("double").alias("mix_weight"),
-    )
+    w = domain_temperature_mix(spark, sf_dir)
     target = (
         (F.lit(_EPOCH_BUDGET) * F.col("mix_weight"))
         .cast("decimal(18,2)").cast("double")

@@ -33,10 +33,14 @@ def click_purchase_attribution(
     purchases: DataFrame,
     horizon: str = ATTRIBUTION_HORIZON,
     watermark: str = DEFAULT_WATERMARK,
+    how: str = "inner",
 ) -> DataFrame:
     """(user_id, click_id, purchase_id, lag_us) for every purchase within
     ``horizon`` after a click by the same user. Streaming in, streaming
-    out (append mode); batch in, batch out."""
+    out (append mode); batch in, batch out. ``how='leftOuter'`` adds one
+    null-purchase row per never-matched click, emitted when the watermark
+    evicts the click's state (see click_purchase_attribution_outer for
+    the eviction semantics and their oracle)."""
     # join-state watermarks require TIMESTAMP (not NTZ); the session runs
     # UTC so the cast preserves the wall-clock value and epoch micros
     ts = F.col("ts").cast("timestamp")
@@ -59,7 +63,7 @@ def click_purchase_attribution(
         & (p.purchase_ts > c.click_ts)
         & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {horizon}"))
     )
-    return c.join(p, cond, "inner").select(
+    out = c.join(p, cond, how).select(
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
@@ -67,6 +71,9 @@ def click_purchase_attribution(
             F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
         ).alias("lag_us"),
     )
+    if how == "leftOuter":
+        out = out.withColumn("attributed", F.col("purchase_id").isNotNull())
+    return out
 
 
 def enrich_with_dimension(
@@ -117,32 +124,7 @@ def click_purchase_attribution_outer(
 
     Same finite-state story as the inner join: each side retains only
     rows above its state watermark, so memory is rate x horizon."""
-    ts = F.col("ts").cast("timestamp")
-    c = clicks.select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("click_id"),
-        ts.alias("click_ts"),
+    return click_purchase_attribution(
+        clicks, purchases, horizon, watermark, how="leftOuter"
     )
-    p = purchases.select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        ts.alias("purchase_ts"),
-    )
-    if c.isStreaming:
-        c = c.withWatermark("click_ts", watermark)
-    if p.isStreaming:
-        p = p.withWatermark("purchase_ts", watermark)
-    cond = (
-        (c.c_user == p.p_user)
-        & (p.purchase_ts > c.click_ts)
-        & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {horizon}"))
-    )
-    return c.join(p, cond, "leftOuter").select(
-        F.col("c_user").alias("user_id"),
-        "click_id",
-        "purchase_id",
-        (
-            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
-        ).alias("lag_us"),
-        F.col("purchase_id").isNotNull().alias("attributed"),
-    )
+

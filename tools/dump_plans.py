@@ -256,6 +256,33 @@ COMMENTARY = {
         "map-side-combinable groupBy(source) — the curation decision table "
         "for 10^7 domains costs a single shuffle of pre-aggregated rows."
     ),
+    "domain_epoch_schedule": (
+        "Composes domain_temperature_mix (one map-side-combinable "
+        "groupBy(source) + two broadcast scalars) and adds only codegen "
+        "projections — the schedule costs nothing beyond the mixture."
+    ),
+    "events_stream_join_outer": (
+        "Batch-replay plan of the left-outer stream-stream join; in "
+        "streaming this runs as StreamingSymmetricHashJoin with "
+        "min-of-sides watermark eviction emitting the null rows (state = "
+        "rate x horizon per side)."
+    ),
+    "retrieval_rrf_fusion": (
+        "All corpus-scale work is inside the two upstream rankings; the "
+        "fusion itself is a full-outer equi-join over two top-k lists "
+        "(k x |queries| rows) + one window — constant-sized at any corpus."
+    ),
+    "countmin_sketch": (
+        "Sketch linearity: cells build from the vocab aggregate, so the "
+        "only vocab-sized shuffles are the tf groupBy and the d x w cell "
+        "sum (d*w integers). The top-N probe window is the documented "
+        "vocab-scale trade (KMV note)."
+    ),
+    "training_shuffle_order": (
+        "One codegen hash projection + a window PARTITIONED by shard — "
+        "the global example order is identical on any cluster size with "
+        "corpus/S rows per sort task, no global exchange."
+    ),
     "dataset_profile": (
         "One aggregation pass per table computing every column's stats "
         "(multi-count-distinct plans as Expand — swap for HLL at 100 TB), "
