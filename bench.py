@@ -126,6 +126,8 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "countmin_sketch",
     "training_shuffle_order",
+    "pdf_dehyphenate",
+    "readability_scores",
 ]
 
 

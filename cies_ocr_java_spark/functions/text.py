@@ -139,6 +139,58 @@ def char_entropy_cols(c: Column | str) -> dict[str, Column]:
     }
 
 
+# De-hyphenation / line-wrap repair. Shared VERBATIM with the DuckDB
+# oracle (conservative Java/RE2-common subset) — same rule as the anchor
+# pattern in operators/html_extract.py: the repair itself is what the
+# oracle verifies.
+DEHYPHEN_PATTERN = "([a-z])-\n([a-z])"
+LINEWRAP_PATTERN = "\n"
+
+
+def dehyphenate_col(c: Column | str) -> Column:
+    """Repair PDF/OCR line wrapping: a lowercase-letter + '-' + newline +
+    lowercase-letter sequence is a hyphenated word split (rejoin, drop
+    the hyphen); any remaining newline is an ordinary wrap (becomes a
+    space). The lowercase guard keeps real compounds ('state-of-the-art'
+    at a break) conservative the way pdftotext/Grobid do. Pure codegen —
+    two regexp_replace passes, zero Python, zero shuffle: at 10^12 docs
+    this rides whatever scan already touches the text."""
+    joined = F.regexp_replace(_col(c), DEHYPHEN_PATTERN, "$1$2")
+    return F.regexp_replace(joined, LINEWRAP_PATTERN, " ")
+
+
+def readability_cols(c: Column | str) -> dict[str, Column]:
+    """Flesch reading-ease signals (the classic prose-quality filter —
+    pairs with stopword/punct ratios for curation): words, sentences
+    (terminal-punct runs, floored at 1), syllables (vowel-group
+    approximation, the standard regex estimator), and
+    flesch = 206.835 - 1.015*(W/S) - 84.6*(Syl/W). Ratios are
+    decimal(12,6)-quantized before the linear combination and the result
+    re-quantized, so the score is engine-exact. Map-only codegen."""
+    t = normalize_ws(c)
+    words = F.greatest(token_count(t), F.lit(1)).cast("bigint")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    ).cast("bigint")
+    syll = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    wps = (words.cast("double") / sents.cast("double")).cast("decimal(12,6)")
+    spw = (syll.cast("double") / words.cast("double")).cast("decimal(12,6)")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * wps.cast("double")
+        - F.lit(84.6) * spw.cast("double")
+    ).cast("decimal(12,6)").cast("double")
+    return {
+        "n_words": words,
+        "n_sentences": sents,
+        "n_syllables": syll,
+        "flesch": flesch,
+    }
+
+
 def lang_id(c: Column | str) -> Column:
     """Marker-word language heuristic: argmax over per-language marker counts
     (ties broken by language code order en<es<fr<de via strict > comparison)."""

@@ -670,6 +670,108 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pdf_dehyphenate",
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t
+               FROM documents),
+    s AS (SELECT doc_id,
+                 array_to_string(
+                   [t[i] || CASE WHEN i >= len(t) THEN ''
+                                 WHEN i % 7 = 0 THEN '-' || chr(10)
+                                 WHEN i % 11 = 0 THEN chr(10)
+                                 ELSE ' ' END
+                    for i in range(1, len(t) + 1)], '') AS synth
+          FROM n)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(synth, '([a-z])-\\n([a-z])')) AS INTEGER)
+             AS n_joins,
+           regexp_replace(regexp_replace(synth, '([a-z])-\\n([a-z])',
+                                         '\\1\\2', 'g'),
+                          '\\n', ' ', 'g') AS text_repaired
+    FROM s
+    """,
+)
+def pdf_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-wrap repair — the classic PDF/OCR post-extraction fix: each
+    doc is re-wrapped deterministically (a hyphen-break at every 7th
+    token boundary, a plain wrap at every 11th), and the REAL operator
+    (functions/text.py:dehyphenate_col — rejoin lowercase-hyphen-newline-
+    lowercase splits, flatten remaining newlines) must repair it. The
+    repair regexes are shared VERBATIM with the oracle (the anchor-
+    pattern rule), so the rule itself is what's verified, on the same
+    constructed bytes, including Java/RE2's shared non-overlapping match
+    semantics. Pure codegen, zero shuffle."""
+    from cies_ocr_java_spark.functions.text import (
+        DEHYPHEN_PATTERN,
+        dehyphenate_col,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    toks = dedup.tokens_col(F.lower(F.col("text")))
+    staged = d.select("doc_id", toks.alias("t"))
+    sep = lambda i: (  # noqa: E731
+        F.when(i + 1 >= F.size(F.col("t")), F.lit(""))
+        .when((i + 1) % 7 == 0, F.lit("-\n"))
+        .when((i + 1) % 11 == 0, F.lit("\n"))
+        .otherwise(F.lit(" "))
+    )
+    synth = F.array_join(
+        F.transform(F.col("t"), lambda x, i: F.concat(x, sep(i))), ""
+    )
+    s = staged.select("doc_id", synth.alias("synth"))
+    return s.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("synth"), F.lit(DEHYPHEN_PATTERN), F.lit(0))
+        ).cast("int").alias("n_joins"),
+        dehyphenate_col(F.col("synth")).alias("text_repaired"),
+    )
+
+
+@_register(
+    "readability_scores",
+    f"""
+    WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    base AS (SELECT doc_id,
+               greatest(CASE WHEN length(t) = 0 THEN 0
+                             ELSE len(string_split(t, ' ')) END, 1) AS w,
+               greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS s,
+               greatest(len(regexp_extract_all(lower(t), '[aeiouy]+')), 1) AS syl
+             FROM n),
+    r AS (SELECT doc_id,
+                 CAST(w AS BIGINT) AS n_words,
+                 CAST(s AS BIGINT) AS n_sentences,
+                 CAST(syl AS BIGINT) AS n_syllables,
+                 CAST(CAST(CAST(w AS DOUBLE) / s AS VARCHAR) AS DECIMAL(12,6)) AS wps,
+                 CAST(CAST(CAST(syl AS DOUBLE) / w AS VARCHAR) AS DECIMAL(12,6)) AS spw
+          FROM base)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(CAST(206.835 - 1.015 * CAST(wps AS DOUBLE)
+                             - 84.6 * CAST(spw AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS flesch
+    FROM r
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (functions/text.py:
+    readability_cols): words / terminal-punct sentence runs /
+    vowel-group syllable estimate, ratios decimal-quantized before the
+    linear combination — the classic prose-quality curation signal next
+    to stopword/punct ratios. Map-only codegen, zero shuffle."""
+    from cies_ocr_java_spark.functions.text import readability_cols
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    cols = readability_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        cols["n_words"].alias("n_words"),
+        cols["n_sentences"].alias("n_sentences"),
+        cols["n_syllables"].alias("n_syllables"),
+        cols["flesch"].alias("flesch"),
+    )
+
+
 _ENTROPY_KEEP = 2.0
 
 
