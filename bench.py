@@ -128,6 +128,9 @@ HEADLINE = [
     "training_shuffle_order",
     "pdf_dehyphenate",
     "readability_scores",
+    "q11_value_concentration",
+    "q16_supplier_count_by_class",
+    "q20_dominant_part_suppliers",
 ]
 
 

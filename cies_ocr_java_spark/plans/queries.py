@@ -6710,6 +6710,165 @@ def q22_idle_balance_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q11_FRACTION = 0.0005
+_Q16_SIZES = (1, 4, 9, 14, 19, 24, 28, 36)
+_Q20_DOMINANCE = 0.3
+
+
+@_register(
+    "q11_value_concentration",
+    f"""
+    WITH v AS (
+      SELECT l.l_partkey,
+             sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS VARCHAR) AS DECIMAL(18,4))) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_1'
+      GROUP BY 1),
+    t AS (SELECT CAST(sum(value) AS DOUBLE) AS total FROM v)
+    SELECT v.l_partkey, CAST(v.value AS DOUBLE) AS value
+    FROM v, t
+    WHERE CAST(v.value AS DOUBLE) > t.total * {_Q11_FRACTION}
+    """,
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part value
+    from one nation's suppliers, kept only where it exceeds a FRACTION of
+    the grand total — the group-by-with-global-scalar-HAVING pattern. The
+    scalar total reduces to one row and broadcasts into the filter (no
+    second pass over the fact, no global sort); value sums are exact
+    decimals and the threshold compare happens on the same derived
+    doubles in both engines. Adapted to this schema: no partsupp table,
+    so lineitem revenue stands in for ps_supplycost*ps_availqty — the
+    plan shape (fact agg + broadcast scalar gate) is Q11's."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    v = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_1")
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value"))
+    )
+    t = v.agg(F.sum("value").cast("double").alias("total"))
+    return (
+        v.join(F.broadcast(t))
+        .where(F.col("value").cast("double") > F.col("total") * _Q11_FRACTION)
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+@_register(
+    "q16_supplier_count_by_class",
+    f"""
+    WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS INTEGER) AS p_size,
+           CAST(count(DISTINCT r.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM rel r JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE p.p_brand != 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN ({", ".join(str(x) for x in _Q16_SIZES)})
+      AND r.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_count_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier-part relationships, a negated dimension predicate set, a
+    NOT-IN exclusion list (suppliers with complaints -> here negative
+    balance) executed as a LEFT ANTI join — never a per-row subquery —
+    and a count(DISTINCT) per dimension class. The relationship table
+    derives from lineitem (no partsupp in this schema); the exclusion
+    list is tiny and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    excl = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        rel.join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").startswith("PROMO"))
+            & (F.col("p_size").isin(*_Q16_SIZES))
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "q20_dominant_part_suppliers",
+    f"""
+    WITH pair AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,4))) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, sum(q) AS tq FROM pair GROUP BY 1),
+    dom AS (SELECT DISTINCT pair.l_suppkey
+            FROM pair JOIN tot USING (l_partkey)
+            WHERE CAST(pair.q AS DOUBLE) > {_Q20_DOMINANCE} * CAST(tot.tq AS DOUBLE))
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_1'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM dom)
+    """,
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): a correlated
+    quantity-threshold subquery — did this supplier ship more than a
+    DOMINANCE fraction of a part's seasonal volume — decorrelated into
+    two grains of the same aggregate (pair sums re-aggregated to part
+    totals, so the fact is scanned ONCE) joined on the part key, then a
+    LEFT SEMI into the supplier dimension. Quantity sums are exact
+    decimals; the threshold compares the same derived doubles in both
+    engines. Adapted: availqty has no home without partsupp, so
+    dominance-of-shipped-volume stands in, preserving the
+    two-grain-decorrelation + semi-join plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    pair = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("string").cast("decimal(18,4)")).alias("q"))
+    )
+    tot = pair.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    dom = (
+        pair.join(tot, "l_partkey")
+        .where(
+            F.col("q").cast("double") > F.lit(_Q20_DOMINANCE) * F.col("tq").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_1")
+        .join(dom, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 _SENT_DEDUP_MIN_DOCS = 3
 
 
