@@ -283,6 +283,33 @@ COMMENTARY = {
         "the global example order is identical on any cluster size with "
         "corpus/S rows per sort task, no global exchange."
     ),
+    "pdf_dehyphenate": (
+        "Synthesis + repair are ONE codegen projection (transform/"
+        "array_join to re-wrap, two regexp_replace passes to repair) — "
+        "zero shuffle, zero Python; the repair rides any scan that "
+        "already touches the text."
+    ),
+    "readability_scores": (
+        "Map-only: three regexp counters + decimal-quantized ratios in a "
+        "single projection. A 100 TB corpus pays one map pass, same class "
+        "as quality_c4_line_filter."
+    ),
+    "q11_value_concentration": (
+        "Fact scanned once into the per-part aggregate; the grand total "
+        "is a 1-row re-aggregate of the GROUP table (not a second fact "
+        "pass) broadcast into the gate."
+    ),
+    "q16_supplier_count_by_class": (
+        "NOT IN executed as a broadcast LEFT ANTI on the tiny exclusion "
+        "list, then count-distinct per class — no per-row subquery, no "
+        "Expand beyond the distinct."
+    ),
+    "q20_dominant_part_suppliers": (
+        "The correlated threshold decorrelates into two grains of ONE "
+        "aggregate (pair sums re-aggregated to part totals) joined on "
+        "the part key; suppliers arrive via LEFT SEMI — the fact is "
+        "scanned once."
+    ),
     "dataset_profile": (
         "One aggregation pass per table computing every column's stats "
         "(multi-count-distinct plans as Expand — swap for HLL at 100 TB), "
