@@ -506,3 +506,14 @@ def test_char_entropy_is_map_only_zero_python(spark):
         assert shuffle not in plan
     assert "Generate" not in plan  # no explode
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_dehyphenate_and_readability_are_map_only(spark):
+    """Both text-repair/quality signals must stay single map passes
+    (the c4-line-filter class): any shuffle or Python node means a
+    100 TB corpus pays more than one scan-side projection."""
+    for name in ("pdf_dehyphenate", "readability_scores"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        for shuffle in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+            assert shuffle not in plan, name
+        assert "Python" not in plan and "Arrow" not in plan, name
