@@ -131,6 +131,7 @@ HEADLINE = [
     "q11_value_concentration",
     "q16_supplier_count_by_class",
     "q20_dominant_part_suppliers",
+    "lsh_recall_eval",
 ]
 
 

@@ -1026,6 +1026,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(d, "text", "doc_id", _JACCARD_THR, k=8, bands=4)
 
 
+@_register(
+    "lsh_recall_eval",
+    f"""
+    WITH {_SHINGLE_SQL}, {_JACCARD_CORE},
+    truth AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {_JACCARD_THR}),
+    sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
+    b2 AS ({_band_sql(8, 2)}),
+    b4 AS ({_band_sql(8, 4)}),
+    c2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM b2 a JOIN b2 b
+             ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+    c4 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM b4 a JOIN b4 b
+             ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+    n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+           FROM truth JOIN c2 USING (id_a, id_b)),
+    n4 AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+           FROM truth JOIN c4 USING (id_a, id_b))
+    SELECT 2 AS bands, nt.n_true, n2.n_found,
+           CAST(CAST(CAST(n2.n_found AS DOUBLE) / greatest(nt.n_true, 1)
+                AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS recall
+    FROM nt, n2
+    UNION ALL
+    SELECT 4, nt.n_true, n4.n_found,
+           CAST(CAST(CAST(n4.n_found AS DOUBLE) / greatest(nt.n_true, 1)
+                AS VARCHAR) AS DECIMAL(12,6))::DOUBLE
+    FROM nt, n4
+    """,
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding recall vs EXACT truth — the dedup counterpart of
+    ann_recall_at_k and the tuning table for the bands/rows trade
+    (k=8 as 2 bands x 4 rows vs 4 bands x 2 rows): truth is the lossless
+    prefix-filtered exact-Jaccard pair set (never an all-pairs join —
+    operators/dedup.py:jaccard_pairs), and each banding's verified pairs
+    are by construction a subset of truth, so recall is a count ratio.
+    More bands = higher candidate recall at more bucket-join volume; the
+    measured table is what picks the operating point before a 100 TB
+    run. Corpus-scale work: one shingle pass shared by truth and both
+    signatures."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    truth = dedup.jaccard_pairs(d, "text", "doc_id", _JACCARD_THR)
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    out = None
+    for b in (2, 4):
+        lsh = dedup.minhash_dedup_pairs(
+            d, "text", "doc_id", _JACCARD_THR, k=8, bands=b
+        )
+        nb = lsh.agg(F.count("*").cast("bigint").alias("n_found"))
+        row = nt.join(F.broadcast(nb)).select(
+            F.lit(b).cast("int").alias("bands"),
+            "n_true",
+            "n_found",
+            (
+                F.col("n_found").cast("double")
+                / F.greatest(F.col("n_true"), F.lit(1))
+            ).cast("decimal(12,6)").cast("double").alias("recall"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 def _simhash_sql(bits: int = 16) -> str:
     sums = ", ".join(
         f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
