@@ -295,9 +295,10 @@ COMMENTARY = {
         "as quality_c4_line_filter."
     ),
     "q11_value_concentration": (
-        "Fact scanned once into the per-part aggregate; the grand total "
-        "is a 1-row re-aggregate of the GROUP table (not a second fact "
-        "pass) broadcast into the gate."
+        "The per-part aggregate is PERSISTED (two consumers: the 1-row "
+        "grand total and the gated probe), so the fact join runs once at "
+        "runtime — the plan shows InMemoryRelation on both branches, not "
+        "a duplicated fact subtree."
     ),
     "q16_supplier_count_by_class": (
         "NOT IN executed as a broadcast LEFT ANTI on the tiny exclusion "
@@ -306,9 +307,15 @@ COMMENTARY = {
     ),
     "q20_dominant_part_suppliers": (
         "The correlated threshold decorrelates into two grains of ONE "
-        "aggregate (pair sums re-aggregated to part totals) joined on "
-        "the part key; suppliers arrive via LEFT SEMI — the fact is "
-        "scanned once."
+        "persisted aggregate (pair sums re-aggregated to part totals, "
+        "InMemoryRelation on both branches) joined on the part key; "
+        "suppliers arrive via LEFT SEMI."
+    ),
+    "lsh_recall_eval": (
+        "ONE persisted shingle table feeds truth + signatures; each "
+        "banding adds only its bucket join, and found-counts intersect "
+        "the persisted truth set instead of re-verifying. The union of "
+        "four 1-row aggregates is constant-width."
     ),
     "dataset_profile": (
         "One aggregation pass per table computing every column's stats "
