@@ -132,6 +132,7 @@ HEADLINE = [
     "q16_supplier_count_by_class",
     "q20_dominant_part_suppliers",
     "lsh_recall_eval",
+    "record_linkage_blocked",
 ]
 
 

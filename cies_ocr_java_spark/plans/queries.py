@@ -1099,6 +1099,103 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_register(
+    "record_linkage_blocked",
+    """
+    WITH src AS (SELECT p_partkey, p_name,
+                        (p_partkey % length(p_name)) + 1 AS pos
+                 FROM part),
+    cor AS (SELECT p_partkey, p_name AS orig,
+                   substr(p_name, 1, pos - 1)
+                   || substr(p_name, pos + 1, length(p_name)) AS corrupted
+            FROM src),
+    names AS (SELECT DISTINCT p_name FROM part),
+    nk AS (SELECT p_name, substr(p_name, 1, 2) AS k1,
+                  substr(p_name, length(p_name) - 1, 2) AS k2
+           FROM names),
+    ck AS (SELECT p_partkey, orig, corrupted,
+                  substr(corrupted, 1, 2) AS k1,
+                  substr(corrupted, length(corrupted) - 1, 2) AS k2
+           FROM cor),
+    cand AS (SELECT ck.p_partkey, ck.orig, ck.corrupted, nk.p_name
+             FROM ck JOIN nk ON ck.k1 = nk.k1
+             UNION
+             SELECT ck.p_partkey, ck.orig, ck.corrupted, nk.p_name
+             FROM ck JOIN nk ON ck.k2 = nk.k2),
+    scored AS (SELECT p_partkey, orig, corrupted, p_name,
+                      levenshtein(corrupted, p_name) AS lev
+               FROM cand WHERE levenshtein(corrupted, p_name) <= 1),
+    best AS (SELECT p_partkey, p_name AS matched_name, lev, orig,
+                    row_number() OVER (PARTITION BY p_partkey
+                                       ORDER BY lev, p_name) AS rk
+             FROM scored)
+    SELECT c.p_partkey, c.corrupted, b.matched_name,
+           CAST(b.lev AS INTEGER) AS lev,
+           coalesce(b.matched_name = c.orig, FALSE) AS correct
+    FROM cor c LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+      USING (p_partkey)
+    """,
+)
+def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage with BLOCKING: every part name
+    is deterministically corrupted (one char deleted at a key-derived
+    position) and must be linked back to the clean name table. Candidates
+    come from TWO cheap blocking keys (first-2 / last-2 chars, equi-joins
+    union'd — a single-char deletion always preserves at least one end,
+    so recall is structural, not luck); matches are Levenshtein <= 1 with
+    a (distance, name) tiebroken best pick; unlinked rows survive as NULL
+    via the left join. This is the scale shape of record linkage: never
+    an all-pairs edit-distance — candidates are |rows| x per-block
+    fanout, and levenshtein runs only on candidates (same
+    candidates-only discipline as the dedup verifiers)."""
+    p = _t(spark, sf_dir, "part")
+    cor = p.select(
+        "p_partkey",
+        F.col("p_name").alias("orig"),
+        F.expr(
+            "concat(substring(p_name, 1, (p_partkey % length(p_name) + 1) - 1), "
+            "substring(p_name, (p_partkey % length(p_name) + 1) + 1, length(p_name)))"
+        ).alias("corrupted"),
+    )
+    names = p.select("p_name").distinct()
+    nk = names.select(
+        "p_name",
+        F.substring("p_name", 1, 2).alias("k1"),
+        F.expr("substring(p_name, length(p_name) - 1, 2)").alias("k2"),
+    )
+    ck = cor.select(
+        "p_partkey", "orig", "corrupted",
+        F.substring("corrupted", 1, 2).alias("k1"),
+        F.expr("substring(corrupted, length(corrupted) - 1, 2)").alias("k2"),
+    )
+    cand = (
+        ck.join(F.broadcast(nk.select("p_name", "k1")), "k1")
+        .select("p_partkey", "orig", "corrupted", "p_name")
+        .union(
+            ck.join(F.broadcast(nk.select("p_name", "k2")), "k2")
+            .select("p_partkey", "orig", "corrupted", "p_name")
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "p_partkey", "orig", "corrupted", "p_name",
+        F.levenshtein("corrupted", "p_name").alias("lev"),
+    ).where(F.col("lev") <= 1)
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("lev"), F.asc("p_name"))
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("p_partkey", F.col("p_name").alias("matched_name"), "lev")
+    )
+    return cor.join(best, "p_partkey", "left").select(
+        "p_partkey", "corrupted", "matched_name",
+        F.col("lev").cast("int").alias("lev"),
+        F.coalesce(
+            F.col("matched_name") == F.col("orig"), F.lit(False)
+        ).alias("correct"),
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     sums = ", ".join(
         f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
