@@ -133,6 +133,7 @@ HEADLINE = [
     "q20_dominant_part_suppliers",
     "lsh_recall_eval",
     "record_linkage_blocked",
+    "interleaved_integrity_repair",
 ]
 
 

@@ -3913,6 +3913,120 @@ def nested_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "interleaved_integrity_repair",
+    f"""
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS did, doc_id,
+             doc_id % 2 = 0 AS has_media,
+             doc_id % 3 = 0 AND length({_norm_sql('text')}) >= 10 AS has_html,
+             doc_id % 5 = 0 AS all_zero,
+             doc_id % 5 != 0 AND doc_id % 7 = 0 AS stretched
+      FROM documents),
+    shape AS (
+      SELECT did AS doc_id, has_media, has_html, all_zero, stretched,
+             doc_id % 2 = 0 AS reversed_,
+             2 + CASE WHEN has_media THEN 1 ELSE 0 END
+               + CASE WHEN has_html THEN 1 ELSE 0 END AS n,
+             CASE WHEN has_html THEN 3 WHEN has_media THEN 2 ELSE 1 END AS maxb,
+             [{{'o': 0, 'k': 'text', 'm': ''}}, {{'o': 1, 'k': 'pdf', 'm': ''}}]
+             || CASE WHEN has_media
+                     THEN [{{'o': 2, 'k': 'media',
+                             'm': 'media://' || did || '/0001'}}]
+                     ELSE [] END
+             || CASE WHEN has_html
+                     THEN [{{'o': 3, 'k': 'html', 'm': ''}}] ELSE [] END AS items
+      FROM base),
+    corrupted AS (
+      SELECT doc_id, n, maxb, all_zero, stretched, reversed_,
+             [{{'o': CASE WHEN all_zero THEN 0
+                          WHEN stretched THEN x.o * 3
+                          ELSE x.o END,
+                'k': x.k, 'm': x.m}} for x in items] AS items
+      FROM shape),
+    rep AS (
+      SELECT doc_id, n, maxb, all_zero, stretched, reversed_,
+             list_sort(items) AS repaired
+      FROM corrupted)
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_spans,
+           CAST(CASE WHEN all_zero THEN n - 1 ELSE 0 END AS INTEGER)
+             AS dup_offsets,
+           CAST(CASE WHEN all_zero THEN 0
+                     WHEN stretched THEN 3 * maxb + 1 - n
+                     ELSE maxb + 1 - n END AS INTEGER) AS gap_count,
+           (NOT reversed_ OR all_zero OR n <= 1) AS was_sorted,
+           (all_zero = FALSE AND stretched = FALSE
+            AND maxb + 1 - n = 0
+            AND (NOT reversed_ OR n <= 1)) AS is_well_formed,
+           md5(array_to_string(
+             [CAST(x.o AS VARCHAR) || ':' || x.k || ':' || x.m
+              for x in repaired], chr(31))) AS order_fp
+    FROM rep
+    """,
+)
+def interleaved_integrity_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence integrity check + deterministic repair over the
+    interleaved table (input_hint shape) — the ingest-validation gate a
+    10^12-doc pipeline runs BEFORE extraction, since assembly order is
+    only trustworthy if offsets are: per doc, duplicate-offset count,
+    offset-gap count, arrival-order-was-sorted, a combined
+    well-formedness verdict, and the md5 fingerprint of the REPAIRED
+    (offset, kind, media_ref)-sorted sequence (sentinel-joined raw
+    fields — never a JSON rendering). The corpus is the standard
+    synthesized interleaved table with deterministic corruptions layered
+    on (all-zero offsets every 5th doc, 3x-stretched offsets every 7th,
+    reversed arrival for even docs); the operator is pure higher-order
+    array math — no explode, no shuffle, one map pass at any scale —
+    and the oracle derives every stat and the fingerprint algebraically
+    from the synthesis rule."""
+    docs = _synth_interleaved_docs(spark, sf_dir)
+    is_all_zero = F.col("doc_id").cast("bigint") % 5 == 0
+    is_stretched = (~is_all_zero) & (F.col("doc_id").cast("bigint") % 7 == 0)
+    is_reversed = F.col("doc_id").cast("bigint") % 2 == 0
+    items = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            F.when(is_all_zero, F.lit(0))
+            .when(is_stretched, s["offset"] * 3)
+            .otherwise(s["offset"]).cast("int").alias("o"),
+            s["kind"].alias("k"),
+            F.coalesce(s["media_ref"], F.lit("")).alias("m"),
+        ),
+    )
+    d = docs.select(
+        "doc_id",
+        F.when(is_reversed, F.reverse(items)).otherwise(items).alias("items"),
+    )
+    offs = F.transform(F.col("items"), lambda x: x["o"])
+    n = F.size(F.col("items"))
+    nd = F.size(F.array_distinct(offs))
+    dup = (n - nd).cast("int")
+    gaps = F.when(n == 0, F.lit(0)).otherwise(
+        F.array_max(offs) - F.array_min(offs) + 1 - nd
+    ).cast("int")
+    was_sorted = offs == F.sort_array(offs)
+    repaired = F.sort_array(F.col("items"))
+    fp = F.md5(
+        F.array_join(
+            F.transform(
+                repaired,
+                lambda x: F.concat_ws(":", x["o"].cast("string"), x["k"], x["m"]),
+            ),
+            "\x1f",
+        )
+    )
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_spans"),
+        dup.alias("dup_offsets"),
+        gaps.alias("gap_count"),
+        was_sorted.alias("was_sorted"),
+        ((dup == 0) & (gaps == 0) & was_sorted).alias("is_well_formed"),
+        fp.alias("order_fp"),
+    )
+
+
 _CHUNK_MS = 30_000
 _CHUNK_OVERLAP_MS = 5_000
 _CHUNK_STEP = _CHUNK_MS - _CHUNK_OVERLAP_MS
