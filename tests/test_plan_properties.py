@@ -517,3 +517,23 @@ def test_dehyphenate_and_readability_are_map_only(spark):
         for shuffle in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
             assert shuffle not in plan, name
         assert "Python" not in plan and "Arrow" not in plan, name
+
+
+def test_record_linkage_is_blocked_equi_join(spark):
+    """Record linkage must get its candidates from blocking-key equi
+    joins — a nested-loop/cartesian means edit distance leaked into the
+    join condition (the all-pairs trap the blocking exists to avoid)."""
+    plan = plan_of(QUERIES["record_linkage_blocked"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_integrity_repair_is_map_only(spark):
+    """The ingest integrity gate is one map pass: no explode of the span
+    arrays (Generate), no shuffle, no Python."""
+    plan = plan_of(QUERIES["interleaved_integrity_repair"](spark, SF))
+    assert "Generate" not in plan
+    for shuffle in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+        assert shuffle not in plan
+    assert "Python" not in plan and "Arrow" not in plan

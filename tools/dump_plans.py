@@ -317,6 +317,18 @@ COMMENTARY = {
         "the persisted truth set instead of re-verifying. The union of "
         "four 1-row aggregates is constant-width."
     ),
+    "record_linkage_blocked": (
+        "Blocking keys are codegen substrings; candidates come from two "
+        "broadcast equi-joins union'd (never an all-pairs edit-distance); "
+        "levenshtein runs on candidates only and the best pick is one "
+        "per-key window."
+    ),
+    "interleaved_integrity_repair": (
+        "Pure higher-order array math fused into the scan projection — "
+        "dup/gap/order verdicts and the repaired-sequence fingerprint "
+        "without a single explode or shuffle: the ingest gate costs one "
+        "map pass at any corpus size."
+    ),
     "dataset_profile": (
         "One aggregation pass per table computing every column's stats "
         "(multi-count-distinct plans as Expand — swap for HLL at 100 TB), "
