@@ -134,6 +134,7 @@ HEADLINE = [
     "lsh_recall_eval",
     "record_linkage_blocked",
     "interleaved_integrity_repair",
+    "embedding_pq_codes",
 ]
 
 

@@ -522,3 +522,67 @@ def hard_negative_pairs(
         .where(F.col("rank") <= k)
         .select("anchor_id", "negative_id", "score", "rank")
     )
+
+def pq_codes(
+    emb: DataFrame, codebook_src: DataFrame, m: int = 8, k: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011) — the third ANN
+    index family here beside IVF (cell pruning) and sign-LSH (bucketing):
+    each vector splits into ``m`` subspaces of dim/m dims, and each
+    subvector is assigned its nearest codebook entry by exact decimal
+    squared-L2 (ties -> smallest code id). ``codebook_src`` supplies the
+    k codebook vectors per subspace (deterministic seed vectors, same
+    convention as the IVF seeds — a Lloyd refinement would slot in
+    exactly like embedding_kmeans).
+
+    Scale: the codebook is m*k subvectors — broadcast; encoding is one
+    equi-join on the subspace index + a per-(vector, subspace) argmin
+    window. Codes compress dim floats to m small ints (here 64x4B ->
+    8 codes): the memory step that makes 10^12-vector indexes fit, with
+    asymmetric distance computation downstream a lookup-table sum.
+
+    Returns (id, m, code, sq_dist)."""
+    sub = dim // m
+
+    def subspaces(df, idc, codeside):
+        arr = F.array(*[
+            F.struct(
+                F.lit(s).alias("m"),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias("sv"),
+            )
+            for s in range(m)
+        ])
+        out = df.select(F.col(idc).alias("_id"), F.explode(arr).alias("x")).select(
+            "_id", F.col("x.m").alias("m"), F.col("x.sv").alias("sv")
+        )
+        return out
+
+    e = subspaces(emb, id_col, False).withColumnRenamed("_id", "id")
+    cb = (
+        subspaces(codebook_src, id_col, True)
+        .withColumnRenamed("_id", "code")
+        .withColumnRenamed("sv", "cv")
+    )
+    diff2 = _dec_sum(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cv"),
+            lambda x, y: (
+                x.cast("double").cast(_ELEM_DEC) - y.cast("double").cast(_ELEM_DEC)
+            )
+            * (
+                x.cast("double").cast(_ELEM_DEC) - y.cast("double").cast(_ELEM_DEC)
+            ),
+        )
+    )
+    scored = e.join(F.broadcast(cb), "m").select(
+        "id", "m", "code",
+        diff2.cast("double").cast("decimal(12,6)").cast("double").alias("sq_dist"),
+    )
+    w = Window.partitionBy("id", "m").orderBy(F.asc("sq_dist"), F.asc("code"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("id", "m", "code", "sq_dist")
+    )

@@ -1502,6 +1502,54 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8
+_PQ_K = 4
+_PQ_SUB = _EMB_DIM // _PQ_M
+
+_PQ_DIFF2 = f"""sum((CAST(CAST(CAST(e.embedding[m * {_PQ_SUB} + i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                     - CAST(CAST(CAST(c.embedding[m * {_PQ_SUB} + i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8)))
+                    * (CAST(CAST(CAST(e.embedding[m * {_PQ_SUB} + i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                       - CAST(CAST(CAST(c.embedding[m * {_PQ_SUB} + i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))))"""
+
+
+@_register(
+    "embedding_pq_codes",
+    f"""
+    WITH ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+    iis AS (SELECT unnest(range(1, {_PQ_SUB} + 1)) AS i),
+    cbk AS (SELECT vec_id AS code, embedding FROM embeddings
+            WHERE vec_id < {_PQ_K}),
+    d AS (SELECT e.vec_id AS id, ms.m, c.code, {_PQ_DIFF2} AS d2
+          FROM embeddings e CROSS JOIN ms CROSS JOIN iis
+          JOIN cbk c ON TRUE
+          GROUP BY 1, 2, 3),
+    scored AS (SELECT id, m, code,
+                      CAST(CAST(CAST(d2 AS DOUBLE) AS VARCHAR)
+                           AS DECIMAL(12,6))::DOUBLE AS sq_dist
+               FROM d)
+    SELECT id, CAST(m AS INTEGER) AS m, code, sq_dist FROM (
+      SELECT id, m, code, sq_dist,
+             row_number() OVER (PARTITION BY id, m
+                                ORDER BY sq_dist ASC, code ASC) AS r
+      FROM scored
+    ) WHERE r = 1
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): {_PQ_M}
+    subspaces x {_PQ_K}-entry codebooks (deterministic seed vectors, the
+    IVF-seed convention), nearest entry by exact decimal squared-L2 with
+    a code-id tiebreak. The compression step that makes a 10^12-vector
+    index RAM-resident — see operators/similarity.py:pq_codes for the
+    broadcast/argmin plan."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    seeds = emb.where(F.col("vec_id") < _PQ_K)
+    out = similarity.pq_codes(emb, seeds, m=_PQ_M, k=_PQ_K, dim=_EMB_DIM)
+    return out.select(
+        F.col("id"), F.col("m").cast("int").alias("m"), "code", "sq_dist"
+    )
+
+
 @_register(
     "embedding_norms",
     f"""
