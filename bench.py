@@ -135,6 +135,7 @@ HEADLINE = [
     "record_linkage_blocked",
     "interleaved_integrity_repair",
     "embedding_pq_codes",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -586,3 +586,69 @@ def pq_codes(
         .where(F.col("r") == 1)
         .select("id", "m", "code", "sq_dist")
     )
+
+def pq_adc_topk(
+    emb: DataFrame, queries: DataFrame, codebook_src: DataFrame,
+    m: int = 8, k: int = 4, topk: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes — the SEARCH half of
+    product quantization: per query, an m x k lookup table of exact
+    decimal subspace distances to every codebook entry; a vector's
+    approximate distance is then the SUM of m table lookups selected by
+    its codes, never touching the original floats. At 10^12 vectors the
+    scan side reads m small ints per vector and the per-query LUT
+    (m*k quantized decimals) broadcasts — the memory/bandwidth economics
+    that make PQ indexes practical.
+
+    Returns (query_id, id, adc_dist, rank) — nearest first, ties to the
+    smaller vector id; the query vector itself is excluded."""
+    sub = dim // m
+    codes = pq_codes(emb, codebook_src, m=m, k=k,
+                     id_col=id_col, vec_col=vec_col, dim=dim)
+
+    def subspaces(df, out_id):
+        arr = F.array(*[
+            F.struct(
+                F.lit(s).alias("m"),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias("sv"),
+            )
+            for s in range(m)
+        ])
+        return df.select(F.col(id_col).alias(out_id), F.explode(arr).alias("x")) \
+                 .select(out_id, F.col("x.m").alias("m"), F.col("x.sv").alias("sv"))
+
+    q = subspaces(queries, "query_id")
+    cb = subspaces(codebook_src, "code").withColumnRenamed("sv", "cv")
+    diff2 = _dec_sum(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cv"),
+            lambda x, y: (
+                x.cast("double").cast(_ELEM_DEC) - y.cast("double").cast(_ELEM_DEC)
+            )
+            * (
+                x.cast("double").cast(_ELEM_DEC) - y.cast("double").cast(_ELEM_DEC)
+            ),
+        )
+    )
+    lut = q.join(cb, "m").select(
+        "query_id", "m", "code",
+        diff2.cast("double").cast("decimal(12,6)").alias("d2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("d2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id", "id",
+            F.col("adc").cast("double").alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -1512,9 +1512,7 @@ _PQ_DIFF2 = f"""sum((CAST(CAST(CAST(e.embedding[m * {_PQ_SUB} + i] AS DOUBLE) AS
                        - CAST(CAST(CAST(c.embedding[m * {_PQ_SUB} + i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))))"""
 
 
-@_register(
-    "embedding_pq_codes",
-    f"""
+_PQ_CODES_SQL = f"""
     WITH ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
     iis AS (SELECT unnest(range(1, {_PQ_SUB} + 1)) AS i),
     cbk AS (SELECT vec_id AS code, embedding FROM embeddings
@@ -1533,8 +1531,63 @@ _PQ_DIFF2 = f"""sum((CAST(CAST(CAST(e.embedding[m * {_PQ_SUB} + i] AS DOUBLE) AS
                                 ORDER BY sq_dist ASC, code ASC) AS r
       FROM scored
     ) WHERE r = 1
+    """
+
+
+@_register(
+    "ann_pq_adc_topk",
+    f"""
+    WITH codes AS ({_PQ_CODES_SQL}),
+    ms2 AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+    iis2 AS (SELECT unnest(range(1, {_PQ_SUB} + 1)) AS i),
+    cbk2 AS (SELECT vec_id AS code, embedding FROM embeddings
+             WHERE vec_id < {_PQ_K}),
+    lutd AS (SELECT e.vec_id AS query_id, ms2.m AS m, c.code,
+                    sum((CAST(CAST(CAST(e.embedding[m * {_PQ_SUB} + i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                         - CAST(CAST(CAST(c.embedding[m * {_PQ_SUB} + i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8)))
+                        * (CAST(CAST(CAST(e.embedding[m * {_PQ_SUB} + i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8))
+                           - CAST(CAST(CAST(c.embedding[m * {_PQ_SUB} + i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,8)))) AS d2r
+             FROM embeddings e CROSS JOIN ms2 CROSS JOIN iis2
+             JOIN cbk2 c ON TRUE
+             WHERE e.vec_id < {_N_QUERIES}
+             GROUP BY 1, 2, 3),
+    lut AS (SELECT query_id, m, code,
+                   CAST(CAST(CAST(d2r AS DOUBLE) AS VARCHAR)
+                        AS DECIMAL(12,6)) AS d2
+            FROM lutd),
+    adc AS (SELECT l.query_id, k.id, sum(l.d2) AS adc
+            FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
+            WHERE k.id != l.query_id
+            GROUP BY 1, 2)
+    SELECT query_id, id, adc_dist, rank FROM (
+      SELECT query_id, id, CAST(adc AS DOUBLE) AS adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc ASC, id ASC) AS INTEGER)
+               AS rank
+      FROM adc
+    ) WHERE rank <= {_ANN_K}
     """,
 )
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-{_ANN_K} search
+    (operators/similarity.py:pq_adc_topk): per query an m x k lookup
+    table of exact decimal subspace distances; each vector's approximate
+    distance is the exact decimal SUM of {_PQ_M} table lookups selected
+    by its codes — the scan never touches the original floats. Completes
+    the PQ pair with embedding_pq_codes (encode) and the ANN family
+    (flat / IVF / sign-LSH / PQ)."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    seeds = emb.where(F.col("vec_id") < _PQ_K)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    out = similarity.pq_adc_topk(
+        emb, queries, seeds, m=_PQ_M, k=_PQ_K, topk=_ANN_K, dim=_EMB_DIM
+    )
+    return out.select(
+        "query_id", "id", "adc_dist", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@_register("embedding_pq_codes", _PQ_CODES_SQL)
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (Jégou et al. 2011): {_PQ_M}
     subspaces x {_PQ_K}-entry codebooks (deterministic seed vectors, the
