@@ -136,6 +136,9 @@ HEADLINE = [
     "interleaved_integrity_repair",
     "embedding_pq_codes",
     "ann_pq_adc_topk",
+    "events_funnel",
+    "events_retention_cohorts",
+    "dedup_intradoc_rewrite",
 ]
 
 

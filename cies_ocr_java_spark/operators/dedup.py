@@ -219,6 +219,15 @@ def passage_rewrite(df: DataFrame, text_col: str, id_col: str,
         .where(F.col("id") != F.col("keeper"))
         .select("id", "pos")
     )
+    return _elide_covered(toks, rem, n)
+
+
+def _elide_covered(toks: DataFrame, rem: DataFrame, n: int) -> DataFrame:
+    """Shared elision tail for the rewrite operators: merge removable
+    window starts ``rem`` (id, pos) into maximal intervals (gap > n
+    breaks — exact union of [pos, pos+n-1] windows), then rebuild each
+    doc's text from the tokens outside every interval with a codegen'd
+    indexed higher-order filter. ``toks`` is (id, t:array<string>)."""
     w = Window.partitionBy("id").orderBy("pos")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ivs = (
@@ -252,6 +261,38 @@ def passage_rewrite(df: DataFrame, text_col: str, id_col: str,
         F.size(kept).cast("int").alias("n_tokens_after"),
         F.array_join(kept, " ").alias("text_rewritten"),
     )
+
+
+def intradoc_repetition_rewrite(df: DataFrame, text_col: str, id_col: str,
+                                n: int = 3) -> DataFrame:
+    """WITHIN-document repetition removal — the rewrite form of Gopher's
+    repetition QUALITY rules (quality_repetition_rules flags these docs;
+    this op repairs them): a token position is removable iff the n-gram
+    starting there already occurred at an EARLIER position of the same
+    document (first occurrence kept — a per-(doc, gram) window rank, no
+    cross-doc state at all), and removable windows elide exactly like
+    passage_rewrite (shared _elide_covered tail). Complements the
+    cross-doc passage_rewrite: that one needs a corpus-wide gram table;
+    this one is doc-local — the shuffle keys are (id, h) and (id), so at
+    10^12 docs it scales as a pure per-doc pipeline.
+
+    Returns (id, n_tokens_before, n_tokens_after, text_rewritten)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    grams = positional_grams_from_tokens(F.col("t"), n)
+    ex = (
+        toks.select("id", F.posexplode(grams).alias("pos0", "g"))
+        .where(F.col("g").isNotNull())
+        .select("id", (F.col("pos0") + 1).alias("pos"), F.md5("g").alias("h"))
+    )
+    w = Window.partitionBy("id", "h").orderBy("pos")
+    rem = (
+        ex.withColumn("occ", F.row_number().over(w))
+        .where(F.col("occ") > 1)
+        .select("id", "pos")
+    )
+    return _elide_covered(toks, rem, n)
 
 
 def _prefix_rows(ex: DataFrame, sizes: DataFrame,

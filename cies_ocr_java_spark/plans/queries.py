@@ -1338,6 +1338,69 @@ def dedup_passage_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTRADOC_N = 3
+
+
+@_register(
+    "dedup_intradoc_rewrite",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     [md5(array_to_string(t[i:i+{_INTRADOC_N - 1}], ' '))
+                      for i in range(1, greatest(len(t) - {_INTRADOC_N - 2}, 1))] AS g
+              FROM toks),
+    pos AS (SELECT doc_id, unnest(range(1, len(g) + 1)) AS pos, unnest(g) AS h
+            FROM grams),
+    rem AS (SELECT doc_id, pos FROM (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY doc_id, h
+                                        ORDER BY pos) AS occ
+              FROM pos) WHERE occ > 1),
+    runs AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER w > {_INTRADOC_N}
+                         THEN 1 ELSE 0 END AS brk
+             FROM rem WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    grp AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+            FROM runs),
+    ivs AS (SELECT doc_id, min(pos) AS s, max(pos) + {_INTRADOC_N - 1} AS e
+            FROM grp GROUP BY doc_id, gid),
+    tokpos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p
+               FROM toks),
+    kept AS (SELECT tp.doc_id, tp.tok, tp.p FROM tokpos tp
+             WHERE NOT EXISTS (SELECT 1 FROM ivs c
+                               WHERE c.doc_id = tp.doc_id
+                                 AND tp.p BETWEEN c.s AND c.e)),
+    agg AS (SELECT doc_id, count(*) AS n_after,
+                   string_agg(tok, ' ' ORDER BY p) AS txt
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS INTEGER) AS n_tokens_before,
+           CAST(coalesce(a.n_after, 0) AS INTEGER) AS n_tokens_after,
+           coalesce(a.txt, '') AS text_rewritten
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_intradoc_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition REMOVAL (the rewrite form of Gopher's
+    repetition rules — quality_repetition_rules flags, this repairs):
+    every repeated {_INTRADOC_N}-gram run after its first in-document
+    occurrence is elided. Entirely doc-local — shuffle keys are (doc, h)
+    and (doc), so it scales as a per-doc pipeline with no corpus-wide
+    gram table (operators/dedup.py:intradoc_repetition_rewrite; shares
+    the interval-union elision tail with dedup_passage_rewrite)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return dedup.intradoc_repetition_rewrite(
+        d, "text", "doc_id", n=_INTRADOC_N
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens_before",
+        "n_tokens_after",
+        "text_rewritten",
+    )
+
+
 # =========================================================================
 # Similarity search (ANN over embeddings)
 # =========================================================================
@@ -3014,6 +3077,145 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _TFIDF_TOPK)
         .select("doc_id", "term", "score", "rk")
+    )
+
+
+@_register(
+    "events_funnel",
+    """
+    WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+          GROUP BY 1),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+          GROUP BY 1),
+    n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS nv,
+                 (SELECT CAST(count(*) AS BIGINT) FROM c) AS nc,
+                 (SELECT CAST(count(*) AS BIGINT) FROM p) AS np)
+    SELECT 1 AS stage_idx, 'view' AS stage, nv AS users,
+           CAST(1.0 AS DOUBLE) AS conversion FROM n
+    UNION ALL
+    SELECT 2, 'click', nc,
+           CAST(CAST(CAST(nc AS DOUBLE) / greatest(nv, 1) AS VARCHAR)
+                AS DECIMAL(12,6))::DOUBLE FROM n
+    UNION ALL
+    SELECT 3, 'purchase', np,
+           CAST(CAST(CAST(np AS DOUBLE) / greatest(nc, 1) AS VARCHAR)
+                AS DECIMAL(12,6))::DOUBLE FROM n
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel (view -> click -> purchase): a user advances only
+    with a strictly-later event than the previous stage's FIRST qualifying
+    event — the sequence constraint that makes funnels harder than three
+    counts. Each stage is one conditional-min aggregation joined to the
+    previous stage's firsts (fact scanned once per stage on a pushed
+    event_type filter); stage rows + decimal conversion rates come from
+    three 1-row aggregates, no window, no global sort."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min(us).alias("v_us"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(us > F.col("v_us"))
+        .groupBy("user_id").agg(F.min(us).alias("c_us"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(us > F.col("c_us"))
+        .groupBy("user_id").agg(F.min(us).alias("p_us"))
+    )
+    n = (
+        v.agg(F.count("*").cast("bigint").alias("nv"))
+        .join(F.broadcast(c.agg(F.count("*").cast("bigint").alias("nc"))))
+        .join(F.broadcast(p.agg(F.count("*").cast("bigint").alias("np"))))
+    )
+    conv = lambda a, b: (  # noqa: E731
+        (F.col(a).cast("double") / F.greatest(F.col(b), F.lit(1)))
+        .cast("decimal(12,6)").cast("double")
+    )
+    s1 = n.select(
+        F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"),
+        F.col("nv").alias("users"), F.lit(1.0).alias("conversion"),
+    )
+    s2 = n.select(
+        F.lit(2), F.lit("click"), F.col("nc"), conv("nc", "nv")
+    )
+    s3 = n.select(
+        F.lit(3), F.lit("purchase"), F.col("np"), conv("np", "nc")
+    )
+    return s1.unionAll(s2).unionAll(s3)
+
+
+@_register(
+    "events_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id,
+                      date_trunc('week', min(ts)) AS cohort_week
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT e.user_id, f.cohort_week,
+                 CAST((epoch(date_trunc('week', e.ts))
+                       - epoch(f.cohort_week)) // 604800 AS INTEGER)
+                   AS week_offset
+          FROM events e JOIN f USING (user_id)),
+    size_ AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+              FROM f GROUP BY 1),
+    act AS (SELECT cohort_week, week_offset,
+                   CAST(count(*) AS BIGINT) AS active_users
+            FROM a GROUP BY 1, 2)
+    SELECT strftime(act.cohort_week, '%Y-%m-%d') AS cohort_week,
+           act.week_offset, act.active_users, s.cohort_users,
+           CAST(CAST(CAST(act.active_users AS DOUBLE) / s.cohort_users
+                AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS retention
+    FROM act JOIN size_ s USING (cohort_week)
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by the week of their
+    FIRST event; each later active week lands in (cohort, offset) with
+    retention = active/cohort size. Two aggregations over one fact scan
+    (first-event week, then distinct active weeks per user) — the
+    classic product-analytics matrix, exact decimal rates, Monday-start
+    date_trunc('week') agreeing across engines."""
+    e = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(ts)).alias("cohort_week")
+    )
+    a = (
+        e.join(f, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            (
+                (
+                    F.unix_seconds(F.date_trunc("week", ts))
+                    - F.unix_seconds(F.col("cohort_week"))
+                )
+                / 604800
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    size_ = f.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    act = a.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("active_users")
+    )
+    return act.join(size_, "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset", "active_users", "cohort_users",
+        (F.col("active_users").cast("double") / F.col("cohort_users"))
+        .cast("decimal(12,6)").cast("double").alias("retention"),
     )
 
 
