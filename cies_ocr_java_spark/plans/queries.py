@@ -9121,3 +9121,70 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(Window.partitionBy("ckey")).alias("n_dupes"),
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# =========================================================================
+# TPC-H Q9 (product-type profit) — completes the 22-query relational suite
+# =========================================================================
+
+
+@_register(
+    "q9_product_type_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(
+             CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR) AS DECIMAL(18,4))
+             - CAST(CAST(p.p_retailprice * 0.1 AS VARCHAR) AS DECIMAL(18,4)) * CAST(l.l_quantity AS BIGINT)
+           ) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): revenue minus supply cost per
+    supplier-nation per order-year, part side pruned by a substring
+    predicate at the scan. This corpus has no partsupp table (TESTDATA.md),
+    so ps_supplycost is substituted by the deterministic per-part cost
+    p_retailprice * 0.1 — the join topology (lineitem x part x supplier x
+    nation x orders, profit measured per lineitem) is the canonical one.
+    Both measure terms are quantized to decimal(18,4) BEFORE the subtract
+    (exact, order-independent sums; the cost x quantity product stays in
+    decimal); one aggregate pass, no self-joins. nation broadcasts (25
+    rows); part/supplier/orders scale O(SF) so AQE picks their strategy.
+    Reference parity: relational-core analog beyond the reference's verb
+    surface (SURVEY.md section 2.1); LIKE '%bolt%' mirrors Q9's
+    '%green%' against this corpus's adjective+noun p_name grammar."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    # l_quantity is stored as double (integral values, TESTDATA.md); cast
+    # to bigint on BOTH engines so the cost product stays in exact decimal
+    # instead of collapsing back to float.
+    cost = (F.col("p_retailprice") * F.lit(0.1)).cast("decimal(18,4)") * F.col(
+        "l_quantity"
+    ).cast("long")
+    return (
+        li.join(
+            p.where(F.col("p_name").like("%bolt%")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(vol - cost).cast("double").alias("sum_profit"))
+    )
