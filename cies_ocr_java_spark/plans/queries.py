@@ -9188,3 +9188,163 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(vol - cost).cast("double").alias("sum_profit"))
     )
+
+
+# =========================================================================
+# Runtime Bloom-filter join pruning (explicit, oracle-checkable analog of
+# spark.sql.optimizer.runtime.bloomFilter.* / runtime filter pushdown)
+# =========================================================================
+
+_BLOOM_M = 4096  # bits (~10 bits/key at sf0.01's ~300 dim keys -> ~1% FP)
+_BLOOM_K = 3  # hash functions
+_BLOOM_W = 32  # bits per word -> 1<<bit always fits a positive int64
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    """DuckDB: i-th bloom position for key (md5 prefix -> 48-bit int -> mod m)."""
+    return (
+        f"CAST(('0x' || substr(md5({key} || '#{i}'), 1, 12)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_col(key, i: int):
+    """Spark twin of _bloom_pos_sql (conv hex->dec, identical md5 input)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(key, F.lit(f"#{i}"))), 1, 12), 16, 10)
+        .cast("bigint")
+        % _BLOOM_M
+    )
+
+
+@_register(
+    "bloom_filter_semijoin",
+    f"""
+    WITH dim AS (
+      SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+      FROM customer WHERE c_nationkey < 5
+    ),
+    dim_pos AS (
+      {' UNION ALL '.join(f"SELECT {_bloom_pos_sql('k', i)} AS pos FROM dim" for i in range(3))}
+    ),
+    words AS (
+      SELECT pos // {_BLOOM_W} AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_W} AS INT)) AS bits
+      FROM dim_pos GROUP BY 1
+    ),
+    fact AS (
+      SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS k FROM orders
+    ),
+    checked AS (
+      SELECT f.o_orderkey, f.k,
+             {' AND '.join(
+               f"(COALESCE(w{i}.bits, 0) >> CAST(({_bloom_pos_sql('f.k', i)}) % {_BLOOM_W} AS INT)) & 1 = 1"
+               for i in range(3)
+             )} AS bloom_pass
+      FROM fact f
+      {' '.join(
+        f"LEFT JOIN words w{i} ON w{i}.word = ({_bloom_pos_sql('f.k', i)}) // {_BLOOM_W}"
+        for i in range(3)
+      )}
+    ),
+    truth AS (
+      SELECT c.o_orderkey, TRUE AS is_match
+      FROM (SELECT DISTINCT o_orderkey FROM orders o JOIN customer c
+              ON CAST(o.o_custkey AS VARCHAR) = CAST(c.c_custkey AS VARCHAR)
+             AND c.c_nationkey < 5) c
+    )
+    SELECT count(*) AS n_fact,
+           sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_pass,
+           sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_match,
+           sum(CASE WHEN bloom_pass AND is_match IS NULL THEN 1 ELSE 0 END) AS n_false_pos,
+           sum(CASE WHEN NOT bloom_pass AND is_match THEN 1 ELSE 0 END) AS n_missed,
+           CAST(CAST(CAST(sum(CASE WHEN bloom_pass AND is_match IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) AS VARCHAR) AS DECIMAL(12,6)) AS fp_rate
+    FROM checked LEFT JOIN truth USING (o_orderkey)
+    """,
+)
+def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning, made explicit and verifiable.
+    Spark's optimizer injects bloom runtime filters to prune a fact scan
+    before a selective join (InjectRuntimeFilter); this query builds the
+    same artifact deterministically so its behavior is oracle-checkable:
+    a 4096-bit / 3-hash bloom over the FILTERED dimension keys (customers
+    in nations 0-4), packed into <=128 bigint words by a bit_or aggregate,
+    collapsed to ONE map literal and broadcast. The fact side
+    (orders) is then checked MAP-ONLY — three md5 positions per row
+    probed against the broadcast map; no shuffle, no join, which is the
+    entire point at 100 TB: the bloom travels to the scan, the fact
+    never moves. The exact semi-join runs only to grade the filter
+    (n_false_pos / n_missed — the latter MUST be 0, blooms have no false
+    negatives). Output is the 1-row evaluation summary. Positions use the
+    md5-prefix->48-bit recipe (identical in both engines); 32-bit words
+    keep 1<<bit positive in signed int64."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dim = (
+        c.where(F.col("c_nationkey") < 5)
+        .select(F.col("c_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    pos = None
+    for i in range(_BLOOM_K):
+        p = dim.select(_bloom_pos_col(F.col("k"), i).alias("pos"))
+        pos = p if pos is None else pos.unionAll(p)
+    # shiftleft/shiftright's amount parameter is Python-int-only in the
+    # DataFrame API; route the variable-shift through F.expr on named cols.
+    words = (
+        pos.select(
+            (F.col("pos") / _BLOOM_W).cast("bigint").alias("word"),
+            (F.col("pos") % _BLOOM_W).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits"))
+    )
+    bloom_map = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+    fact = o.select("o_orderkey", F.col("o_custkey").cast("string").alias("k"))
+    checked = fact.join(F.broadcast(bloom_map))  # 1-row broadcast, map-only check
+    for i in range(_BLOOM_K):
+        p = _bloom_pos_col(F.col("k"), i)
+        checked = checked.withColumn(f"_w{i}", (p / _BLOOM_W).cast("bigint"))
+        checked = checked.withColumn(f"_b{i}", (p % _BLOOM_W).cast("int"))
+    pass_expr = F.expr(
+        " AND ".join(
+            f"(shiftright(coalesce(element_at(bloom, _w{i}), CAST(0 AS BIGINT)), _b{i}) & 1) = 1"
+            for i in range(_BLOOM_K)
+        )
+    )
+    checked = checked.select("o_orderkey", pass_expr.alias("bloom_pass"))
+    truth = (
+        o.join(
+            c.where(F.col("c_nationkey") < 5),
+            F.col("o_custkey").cast("string") == F.col("c_custkey").cast("string"),
+            "left_semi",
+        )
+        .select("o_orderkey")
+        .distinct()
+        .withColumn("is_match", F.lit(True))
+    )
+    graded = checked.join(truth, "o_orderkey", "left")
+    return graded.agg(
+        F.count("*").alias("n_fact"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_match"),
+        F.sum(
+            F.when(F.col("bloom_pass") & F.col("is_match").isNull(), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(~F.col("bloom_pass") & F.col("is_match"), 1).otherwise(0)
+        ).alias("n_missed"),
+        (
+            F.sum(
+                F.when(
+                    F.col("bloom_pass") & F.col("is_match").isNull(), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count("*")
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("fp_rate"),
+    )
