@@ -9348,3 +9348,82 @@ def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(12,6)")
         .alias("fp_rate"),
     )
+
+
+# =========================================================================
+# Incremental view maintenance: algebraic delta merge, no base rescan
+# =========================================================================
+
+_IVM_CUTOFF = "1995-06-01 00:00:00"
+
+
+@_register(
+    "ivm_incremental_agg",
+    f"""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{_IVM_CUTOFF}'
+    ),
+    inserts AS (
+      SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{_IVM_CUTOFF}'
+    ),
+    maintained AS (  -- ground truth the merge must equal: full recompute
+      SELECT * FROM base WHERE o_orderkey % 17 <> 3
+      UNION ALL SELECT * FROM inserts
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM maintained
+    GROUP BY 1
+    """,
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a grouped count/sum aggregate. The
+    materialized state is the per-priority aggregate of the base period;
+    the CDC delta is (inserts = new period rows, deletes = o_orderkey%17==3
+    of the base). Count and decimal-sum are SELF-MAINTAINABLE aggregates:
+    new_state = state (+) delta_agg where the delta rows carry a +/-1
+    sign, merged by ONE full-outer join on the group key — the base FACT
+    ROWS are never rescanned, which is the whole point at 100 TB (the MV
+    merge costs O(|delta| + |groups|), not O(|base|)). Decimal sums make
+    the merge exact (order/sign independent); groups whose maintained
+    count reaches 0 are dropped, matching the recompute. The ORACLE is the
+    full recompute over (base minus deletes) union inserts — the merge
+    result must equal it exactly. Snapshot CDC feed analog:
+    sources/snapshots.read_changes supplies exactly this delta shape
+    (test_pipeline_run.py incremental consumer)."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+    base = o.where(F.col("o_orderdate") < cutoff)
+    # the stored MV (computed once here; persisted table in production)
+    state = base.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum(price).alias("t")
+    )
+    inserts = o.where(F.col("o_orderdate") >= cutoff).withColumn(
+        "_sign", F.lit(1).cast("long")
+    )
+    deletes = base.where(F.col("o_orderkey") % 17 == 3).withColumn(
+        "_sign", F.lit(-1).cast("long")
+    )
+    delta = inserts.unionByName(deletes)
+    delta_agg = delta.groupBy("o_orderpriority").agg(
+        F.sum("_sign").alias("dn"),
+        F.sum(
+            F.when(F.col("_sign") == 1, price).otherwise(-price)
+        ).alias("dt"),
+    )
+    zero_t = F.lit(0).cast(delta_agg.schema["dt"].dataType.simpleString())
+    merged = state.join(delta_agg, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias(
+            "n_orders"
+        ),
+        (F.coalesce(F.col("t").cast(delta_agg.schema["dt"].dataType), zero_t)
+         + F.coalesce(F.col("dt"), zero_t)).alias("total_price"),
+    )
+    return merged.where(F.col("n_orders") > 0).select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+    )
