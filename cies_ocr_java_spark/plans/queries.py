@@ -8562,7 +8562,9 @@ _LR_LABEL_LEN = 35
 _LR_FLIP_MOD = 17
 
 
-def _lr_oracle_sql() -> str:
+def _lr_cte_sql() -> str:
+    """The shared WITH-chain re-deriving features and every GD round's
+    weights (W1..W{_LR_ROUNDS}); train and infer oracles both build on it."""
     stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     sql = f"""
     WITH F AS (
@@ -8603,12 +8605,16 @@ def _lr_oracle_sql() -> str:
             for j in range(4)
         ) + f"""
       FROM W{r - 1} w CROSS JOIN G{r} g)"""
+    return sql
+
+
+def _lr_oracle_sql() -> str:
     selects = " UNION ALL ".join(
         f"SELECT {r} AS round, {j} AS j, w{j} AS w FROM W{r}"
         for r in range(1, _LR_ROUNDS + 1)
         for j in range(4)
     )
-    return sql + f"\n    {selects}\n    ORDER BY round, j"
+    return _lr_cte_sql() + f"\n    {selects}\n    ORDER BY round, j"
 
 
 @_register("quality_lr_train", _lr_oracle_sql())
@@ -9426,4 +9432,63 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n_orders",
         F.col("total_price").cast("double").alias("total_price"),
+    )
+
+
+def _lr_infer_oracle_sql() -> str:
+    r = _LR_ROUNDS
+    return _lr_cte_sql() + f"""
+    SELECT f.doc_id,
+           CAST(CAST(1.0 / (1.0 + exp(-(w.w0
+                + w.w1 * CAST(f.xq1 AS DOUBLE)
+                + w.w2 * CAST(f.xq2 AS DOUBLE)
+                + w.w3 * CAST(f.xq3 AS DOUBLE)))) AS DECIMAL(12,6)) AS DOUBLE)
+             AS p_quality,
+           CAST(1.0 / (1.0 + exp(-(w.w0
+                + w.w1 * CAST(f.xq1 AS DOUBLE)
+                + w.w2 * CAST(f.xq2 AS DOUBLE)
+                + w.w3 * CAST(f.xq3 AS DOUBLE)))) AS DECIMAL(12,6)) >= 0.5
+             AS keep
+    FROM F f CROSS JOIN W{r} w
+    """
+
+
+@_register("quality_lr_infer", _lr_infer_oracle_sql())
+def quality_lr_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide INFERENCE with the trained quality classifier — the
+    other half of quality_lr_train (the fastText/DCLM curation pattern:
+    train once, score every document). The trained weight vector is
+    constant-size driver state (logreg_train's documented collect
+    exception); scoring is then a MAP-ONLY projection with the weights
+    folded in as literals — no join, no shuffle, no Python — which is
+    what lets it run over 100 TB as a pure scan: sigmoid(w.x) quantized
+    to decimal(12,6) (the train-side recipe — libm ulp differences are
+    absorbed before the value is compared or thresholded), keep = p >=
+    0.5. The oracle re-derives the full GD weight chain and scores with
+    the same quantization."""
+    from cies_ocr_java_spark.operators import logreg
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    feats = logreg.lr_features(
+        d, EN_STOPWORDS, label_len=_LR_LABEL_LEN, flip_mod=_LR_FLIP_MOD
+    ).persist()
+    try:
+        rows = logreg.logreg_train(feats, rounds=_LR_ROUNDS)
+    finally:
+        # training is done with the cache; the returned scoring plan
+        # recomputes the narrow feature projection once from the scan
+        # (map-only) rather than pinning executor memory for its lifetime
+        feats.unpersist()
+    w = {j: wv for (r, j, wv) in rows if r == _LR_ROUNDS}
+    m = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("xq1").cast("double")
+        + F.lit(w[2]) * F.col("xq2").cast("double")
+        + F.lit(w[3]) * F.col("xq3").cast("double")
+    )
+    p = (F.lit(1.0) / (F.lit(1.0) + F.exp(-m))).cast("decimal(12,6)")
+    return feats.select(
+        "doc_id",
+        p.cast("double").alias("p_quality"),
+        (p >= F.lit(0.5).cast("decimal(12,6)")).alias("keep"),
     )
