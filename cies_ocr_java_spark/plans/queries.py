@@ -9492,3 +9492,63 @@ def quality_lr_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.cast("double").alias("p_quality"),
         (p >= F.lit(0.5).cast("decimal(12,6)")).alias("keep"),
     )
+
+
+# =========================================================================
+# SimHash near-dup PAIRING (Manku, Jain & Das Sarma, WWW 2007): banded
+# candidates by pigeonhole, exact hamming verify — Google's crawl-dedup
+# =========================================================================
+
+_SIMHASH_BITS = 48  # Manku used 64; md5-prefix token hashes give 60 usable bits
+_SIMHASH_BANDS = 4  # 4 bands x 12 bits: hamming<=3 => >=1 untouched band
+_SIMHASH_MAX_HAMMING = 3
+
+
+@_register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH S AS ({_simhash_sql(_SIMHASH_BITS)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM S a JOIN S b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs the way Google deduped its crawl
+    (Manku et al., WWW 2007): signatures within hamming distance 3 are
+    near-dups. The scale path is the pigeonhole banding — split the
+    {_SIMHASH_BITS}-bit signature into {_SIMHASH_BANDS} bands; any pair
+    within hamming {_SIMHASH_MAX_HAMMING} agrees EXACTLY on at least one
+    band, so candidates come from a band-value EQUI-join (shuffle on
+    (band, value) — never all-pairs), then the exact hamming check runs
+    on candidates only. Same candidate topology as media_phash_near_dup
+    and the LSH text path; the ORACLE is the all-pairs O(n^2) check,
+    affordable only at oracle scale — the pigeonhole guarantees the two
+    agree exactly (no recall loss at <= {_SIMHASH_MAX_HAMMING})."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    sig = dedup.simhash(d, "text", "doc_id", bits=_SIMHASH_BITS)
+    width = _SIMHASH_BITS // _SIMHASH_BANDS
+    bands = sig.select(
+        "id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(_SIMHASH_BANDS)])).alias("b"),
+    ).withColumn(
+        "bv", F.expr(f"(simhash >> ({width} * b)) & {(1 << width) - 1}")
+    )
+    a = bands.select(
+        F.col("id").alias("doc_a"), F.col("simhash").alias("sh_a"), "b", "bv"
+    )
+    bb = bands.select(
+        F.col("id").alias("doc_b"), F.col("simhash").alias("sh_b"), "b", "bv"
+    )
+    cand = (
+        a.join(bb, ["b", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()  # a pair may collide in several bands
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.where(hamming <= _SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
