@@ -9552,3 +9552,64 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(hamming <= _SIMHASH_MAX_HAMMING).select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     )
+
+
+# =========================================================================
+# SCD Type-2 dimension history build (warehouse-standard: change stream ->
+# effective_from/effective_to validity intervals, one open current row)
+# =========================================================================
+
+
+@_register(
+    "scd2_dimension_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS effective_from_us,
+           CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS BIGINT)
+             AS effective_to_us,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build: turn a per-entity change
+    stream (here: each user's event_type over time) into validity
+    intervals — a row per VALUE RUN with [effective_from, effective_to)
+    and exactly one open is_current row per entity. Two window passes,
+    both partitioned BY THE ENTITY (never global): (1) lag() change
+    detection keeps only rows whose attribute differs from the previous
+    version (gaps-and-islands compression — repeated values collapse),
+    (2) lead() closes each interval with the next change's start,
+    exclusive. Ties broken by event_id so the build is deterministic
+    under any partitioning. At 100 TB this is one shuffle on user_id;
+    skewed entities split like any hot key under AQE. Timestamps emitted
+    as unix micros (header exactness rules). This is the batch analog of
+    the streaming upsert sink's CDC-apply (snapshot_sink.py) — there the
+    latest version wins; here the full history is materialized."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("effective_from_us"),
+        F.unix_micros(nxt.cast("timestamp")).alias("effective_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
