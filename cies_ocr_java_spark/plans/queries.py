@@ -9613,3 +9613,70 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(nxt.cast("timestamp")).alias("effective_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# =========================================================================
+# Length-bucketed batching plan: padding-waste accounting for the loader
+# =========================================================================
+
+_PAD_BUCKET = 16  # tokens per bucket step
+_PAD_MAX_LEN = 512  # loader context cap: longer docs truncate to this
+
+
+@_register(
+    "batch_padding_plan",
+    f"""
+    WITH lens AS (
+      SELECT doc_id,
+             least(len(string_split({_norm_sql('text')}, ' ')), {_PAD_MAX_LEN}) AS n_tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok,
+             CAST(ceil(CAST(n_tok AS DOUBLE) / {_PAD_BUCKET}) AS BIGINT) * {_PAD_BUCKET}
+               AS bucket_len
+      FROM lens
+    )
+    SELECT bucket_len,
+           count(*) AS n_docs,
+           sum(n_tok) AS real_tokens,
+           sum(bucket_len - n_tok) AS pad_tokens,
+           CAST(CAST(CAST(sum(bucket_len - n_tok) AS DOUBLE)
+                / CAST(sum(bucket_len) AS DOUBLE) AS VARCHAR) AS DECIMAL(12,6))
+             AS pad_fraction
+    FROM bucketed
+    GROUP BY 1
+    """,
+)
+def batch_padding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan for the training data loader: docs
+    are grouped into buckets of {_PAD_BUCKET}-token steps (capped at the
+    {_PAD_MAX_LEN}-token context), and each bucket reports how many real
+    vs padding tokens a fixed-shape batch of that length would carry —
+    the number that decides between naive padding, length-bucketed
+    batching, and full sequence packing (corpus_pack_sequences is the
+    zero-waste endpoint; this query prices the simpler alternatives).
+    MAP-ONLY per doc then ONE small groupBy on the bucket id — no joins,
+    no window, no Python; at 100 TB it is a pure scan plus a ~10-row
+    aggregate. Padding fraction is decimal-quantized after one double
+    division (header rules)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n_tok = F.least(
+        F.size(F.split(normalize_ws(F.col("text")), " ")), F.lit(_PAD_MAX_LEN)
+    )
+    bucket = (
+        F.ceil(n_tok.cast("double") / _PAD_BUCKET).cast("bigint") * _PAD_BUCKET
+    )
+    b = d.select(n_tok.alias("n_tok"), bucket.alias("bucket_len"))
+    return b.groupBy("bucket_len").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("real_tokens"),
+        F.sum(F.col("bucket_len") - F.col("n_tok")).alias("pad_tokens"),
+        (
+            F.sum(F.col("bucket_len") - F.col("n_tok")).cast("double")
+            / F.sum("bucket_len").cast("double")
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("pad_fraction"),
+    )
