@@ -9680,3 +9680,314 @@ def batch_padding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(12,6)")
         .alias("pad_fraction"),
     )
+
+
+# =========================================================================
+# Classifier EVALUATION: exact ROC-AUC (Mann-Whitney with tie credit) and
+# calibration (reliability bins) for the trained quality classifier —
+# the offline-eval half of the fastText/DCLM curation loop. Both reuse
+# the GD weight chain (_lr_cte_sql) so the scored corpus is identical
+# to quality_lr_infer's.
+# =========================================================================
+
+
+def _lr_scored_sql() -> str:
+    """Shared CTE: every doc scored with the round-_LR_ROUNDS weights,
+    sigmoid quantized to decimal(12,6) (the train-side recipe)."""
+    r = _LR_ROUNDS
+    return _lr_cte_sql() + f""",
+    S AS (
+      SELECT f.doc_id, f.y,
+        CAST(1.0 / (1.0 + exp(-(w.w0
+             + w.w1 * CAST(f.xq1 AS DOUBLE)
+             + w.w2 * CAST(f.xq2 AS DOUBLE)
+             + w.w3 * CAST(f.xq3 AS DOUBLE)))) AS DECIMAL(12,6)) AS p
+      FROM F f CROSS JOIN W{r} w)"""
+
+
+@_register(
+    "classifier_eval_auc",
+    _lr_scored_sql()
+    + """,
+    G AS (
+      SELECT p, CAST(sum(y) AS BIGINT) AS pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM S GROUP BY p),
+    C AS (
+      SELECT pos, neg,
+             CAST(sum(neg) OVER (ORDER BY p) AS BIGINT) - neg AS cumneg_below
+      FROM G)
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CAST(sum(pos * (2 * cumneg_below + neg)) AS BIGINT) AS u2,
+           CAST(CAST(CAST(sum(pos * (2 * cumneg_below + neg)) AS DOUBLE)
+                / (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE))
+                AS VARCHAR) AS DECIMAL(12,6)) AS auc
+    FROM C
+    """,
+)
+def classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the trained quality classifier via the
+    Mann-Whitney rank statistic with tie credit: AUC = U / (P*N) where
+    U counts (pos, neg) score pairs with pos > neg, plus 0.5 per tied
+    pair. Instead of the O(P*N) pair formulation, scores are grouped by
+    their decimal(12,6)-quantized value — AT MOST 10^6+1 distinct bins
+    REGARDLESS of corpus size — so the plan is: map-only scoring with
+    the trained weights folded in as literals, ONE groupBy on the
+    quantized score, a cumulative window over the bounded score
+    histogram, and a single global aggregate. 2U = sum over score
+    values of pos_s * (2*cumneg_below + neg_s) keeps every intermediate
+    an exact integer; the only division is the final AUC, quantized to
+    decimal per the header rules. At 100 TB this is one scan + one
+    bounded-cardinality shuffle — the standard distributed-AUC
+    topology. Reference parity: none (beyond-reference eval operator,
+    pairs with quality_lr_train/quality_lr_infer)."""
+    from cies_ocr_java_spark.operators import logreg
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    feats = logreg.lr_features(
+        d, EN_STOPWORDS, label_len=_LR_LABEL_LEN, flip_mod=_LR_FLIP_MOD
+    ).persist()
+    try:
+        rows = logreg.logreg_train(feats, rounds=_LR_ROUNDS)
+    finally:
+        feats.unpersist()
+    w = {j: wv for (r, j, wv) in rows if r == _LR_ROUNDS}
+    m = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("xq1").cast("double")
+        + F.lit(w[2]) * F.col("xq2").cast("double")
+        + F.lit(w[3]) * F.col("xq3").cast("double")
+    )
+    p = (F.lit(1.0) / (F.lit(1.0) + F.exp(-m))).cast("decimal(12,6)")
+    g = (
+        feats.select(F.col("y"), p.alias("p"))
+        .groupBy("p")
+        .agg(
+            F.sum("y").cast("bigint").alias("pos"),
+            (F.count("*") - F.sum("y")).cast("bigint").alias("neg"),
+        )
+    )
+    # cumulative over the score histogram: bounded at 10^6+1 rows by the
+    # decimal(12,6) quantization, so the single-partition window is over
+    # a CONSTANT-bounded table (the revenue_growth precedent), not the
+    # corpus
+    wspec = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "pos",
+        "neg",
+        (F.sum("neg").over(wspec).cast("bigint") - F.col("neg")).alias(
+            "cumneg_below"
+        ),
+    )
+    u2 = F.sum(F.col("pos") * (F.lit(2) * F.col("cumneg_below") + F.col("neg")))
+    return c.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        u2.cast("bigint").alias("u2"),
+        (
+            u2.cast("double")
+            / (F.lit(2.0) * F.sum("pos").cast("double") * F.sum("neg").cast("double"))
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("auc"),
+    )
+
+
+_CAL_BINS = 10
+
+
+@_register(
+    "classifier_calibration_bins",
+    _lr_scored_sql()
+    + f""",
+    B AS (
+      SELECT least(CAST(floor(p * {_CAL_BINS}) AS BIGINT), {_CAL_BINS - 1})
+               AS bin,
+             y, p
+      FROM S)
+    SELECT bin,
+           count(*) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(CAST(CAST(sum(p) AS DOUBLE) / count(*) AS VARCHAR)
+                AS DECIMAL(12,6)) AS mean_p,
+           CAST(CAST(CAST(sum(y) AS DOUBLE) / count(*) AS VARCHAR)
+                AS DECIMAL(12,6)) AS frac_pos,
+           abs(CAST(CAST(CAST(sum(p) AS DOUBLE) / count(*) AS VARCHAR)
+                    AS DECIMAL(12,6))
+               - CAST(CAST(CAST(sum(y) AS DOUBLE) / count(*) AS VARCHAR)
+                      AS DECIMAL(12,6))) AS abs_gap
+    FROM B GROUP BY bin
+    """,
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained quality classifier: scores
+    bucketed into {_CAL_BINS} equal-width bins; each bin reports its
+    doc count, positive count, mean predicted probability, empirical
+    positive rate, and |gap| (the per-bin ECE contribution before
+    weighting). MAP-ONLY scoring (weights folded as literals) + ONE
+    {_CAL_BINS}-row groupBy — at 100 TB a pure scan and a constant-size
+    aggregate. Means are exact decimal sums divided once and quantized
+    (header rules); |gap| subtracts the two quantized decimals so it is
+    exact. Reference parity: none (beyond-reference eval operator)."""
+    from cies_ocr_java_spark.operators import logreg
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    feats = logreg.lr_features(
+        d, EN_STOPWORDS, label_len=_LR_LABEL_LEN, flip_mod=_LR_FLIP_MOD
+    ).persist()
+    try:
+        rows = logreg.logreg_train(feats, rounds=_LR_ROUNDS)
+    finally:
+        feats.unpersist()
+    w = {j: wv for (r, j, wv) in rows if r == _LR_ROUNDS}
+    m = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("xq1").cast("double")
+        + F.lit(w[2]) * F.col("xq2").cast("double")
+        + F.lit(w[3]) * F.col("xq3").cast("double")
+    )
+    p = (F.lit(1.0) / (F.lit(1.0) + F.exp(-m))).cast("decimal(12,6)")
+    b = feats.select(
+        F.least(
+            F.floor(p * _CAL_BINS).cast("bigint"), F.lit(_CAL_BINS - 1)
+        ).alias("bin"),
+        F.col("y"),
+        p.alias("p"),
+    )
+    mean_p = (F.sum("p").cast("double") / F.count("*")).cast("string").cast(
+        "decimal(12,6)"
+    )
+    frac_pos = (F.sum("y").cast("double") / F.count("*")).cast("string").cast(
+        "decimal(12,6)"
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        mean_p.alias("mean_p"),
+        frac_pos.alias("frac_pos"),
+        F.abs(mean_p - frac_pos).alias("abs_gap"),
+    )
+
+
+# =========================================================================
+# Time-range window frame: per-user 7-day rolling activity (RANGE frame
+# on event-time micros). The frame is defined on the ORDER VALUE, so
+# equal-timestamp rows share one frame — no tiebreak ambiguity.
+# =========================================================================
+
+_ROLL_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+@_register(
+    "events_rolling_range_window",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS vq
+      FROM events)
+    SELECT event_id, user_id, ts_us,
+           count(*) OVER w AS n_7d,
+           CAST(sum(vq) OVER w AS DOUBLE) AS sum_7d
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {_ROLL_7D_US - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-day rolling count and value sum using a RANGE
+    window frame on event-time microseconds — the time-window analog of
+    a rows frame, and the primitive behind per-entity rate limits,
+    trailing-spend features, and sliding fraud scores. The frame
+    [t-7d+1us, t] is anchored on the ORDER VALUE, so rows with the same
+    timestamp see identical frames (deterministic under ties, unlike a
+    rows frame). Partitioned by user_id — the window never crosses
+    users, so at 100 TB it is one shuffle on the user key and a sorted
+    scan per partition; no global ordering anywhere. Values quantized
+    to decimal(18,6) BEFORE the frame sum (exact, order-independent;
+    header rules). Reference parity: none (beyond-reference temporal
+    operator, complements events_window_agg's tumbling buckets and
+    events_asof_join's point lookups)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").cast("string").cast("decimal(18,6)").alias("vq"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-(_ROLL_7D_US - 1), 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_7d"),
+        F.sum("vq").over(w).cast("double").alias("sum_7d"),
+    )
+
+
+# =========================================================================
+# Pareto frontier (skyline) per category: parts not dominated on
+# (price, size) within their p_type — the classic multi-criteria
+# shortlist query (Börzsönyi et al., ICDE 2001 "The Skyline Operator").
+# =========================================================================
+
+
+@_register(
+    "pareto_frontier_parts",
+    """
+    WITH parts_c AS (
+      SELECT p_partkey, p_type, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part)
+    SELECT p.p_partkey, p.p_type, p.price_cents, p.p_size
+    FROM parts_c p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM parts_c q
+      WHERE q.p_type = p.p_type
+        AND q.price_cents <= p.price_cents AND q.p_size <= p.p_size
+        AND (q.price_cents < p.price_cents OR q.p_size < p.p_size))
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category Pareto frontier: within each p_type, keep parts not
+    dominated on (minimize price, minimize size) — dominance requires
+    <= on both and < on at least one, so exact duplicates survive
+    together. The 2-D skyline needs NO pair join: sort each category by
+    price and a part is dominated iff (a) some strictly-cheaper row has
+    size <= its size — a running min over RANGE UNBOUNDED PRECEDING TO
+    1 PRECEDING — or (b) some same-price row has a strictly smaller
+    size — a per-(type, price) min. Two windows, both PARTITIONED BY
+    p_type, no global sort, no self-join: at 100 TB this is one shuffle
+    on the category key versus the oracle's O(n^2) NOT-EXISTS (which is
+    the independent-formulation cross-check, not the plan). Prices are
+    compared in exact integer cents (synthetic prices are 2-decimal, so
+    round() is ulp-safe). Reference parity: none (beyond-reference
+    multi-criteria operator)."""
+    pc = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_type",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    w_lower = (
+        Window.partitionBy("p_type")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_type", "price_cents")
+    flagged = pc.select(
+        "p_partkey",
+        "p_type",
+        "price_cents",
+        "p_size",
+        (F.min("p_size").over(w_lower) <= F.col("p_size")).alias("dom_lower"),
+        (F.min("p_size").over(w_same) < F.col("p_size")).alias("dom_same"),
+    )
+    return flagged.where(
+        ~F.coalesce(F.col("dom_lower"), F.lit(False))
+        & ~F.col("dom_same")
+    ).select("p_partkey", "p_type", "price_cents", "p_size")
