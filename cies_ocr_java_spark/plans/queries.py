@@ -9991,3 +9991,265 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~F.coalesce(F.col("dom_lower"), F.lit(False))
         & ~F.col("dom_same")
     ).select("p_partkey", "p_type", "price_cents", "p_size")
+
+
+# =========================================================================
+# Compaction / split planning: Iceberg rewriteDataFiles-binpack analog.
+# Files (docs as stand-ins, n_chars = size) are packed into target-sized
+# output groups by START OFFSET of a per-partition cumulative sum — the
+# same rule Spark's own file-scan coalescing (maxPartitionBytes) uses.
+# =========================================================================
+
+_COMPACT_TARGET = 32768
+
+
+@_register(
+    "compaction_bin_packing",
+    f"""
+    WITH f AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(COALESCE(sum(n_chars) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM documents)
+    SELECT lang, cum_before // {_COMPACT_TARGET} AS bin,
+           count(*) AS n_files,
+           sum(n_chars) AS total_bytes,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM f GROUP BY 1, 2
+    """,
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (the Iceberg rewriteDataFiles binpack
+    maintenance job the reference's snapshot tables need; parity note:
+    the reference leaves table maintenance to Iceberg itself — this is
+    the planning half re-expressed relationally). Within each partition
+    (lang), files are ordered deterministically and assigned to an
+    output group by the START OFFSET of a running byte total divided by
+    the {_COMPACT_TARGET}-byte target — exactly how Spark's file-scan
+    coalescing packs splits under maxPartitionBytes, so every group but
+    the last is within one file of the target. ONE window cumsum
+    partitioned by lang + ONE groupBy — no global sort; at 100 TB the
+    plan is a per-partition sorted scan, and the output-group manifest
+    (what a rewrite job would feed its write tasks) is tiny. All
+    integer arithmetic."""
+    f = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.coalesce(
+            F.sum("n_chars").over(
+                Window.partitionBy("lang")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    return (
+        f.withColumn("bin", F.expr(f"cum_before div {_COMPACT_TARGET}"))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_chars").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# =========================================================================
+# Robust anomaly detection on the event stream: median/MAD day-level
+# outliers per event type, ALL-INTEGER arithmetic (doubled medians /
+# quadrupled MADs) so both engines agree bit-for-bit with no decimals.
+# =========================================================================
+
+
+@_register(
+    "events_anomaly_mad",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    r1 AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n_events, day) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily),
+    m1 AS (
+      SELECT *,
+             sum(CASE WHEN rk = (n + 1) // 2 THEN n_events ELSE 0 END)
+               OVER (PARTITION BY event_type)
+             + sum(CASE WHEN rk = n // 2 + 1 THEN n_events ELSE 0 END)
+               OVER (PARTITION BY event_type) AS med2
+      FROM r1),
+    d1 AS (
+      SELECT event_type, day, n_events, med2,
+             abs(2 * n_events - med2) AS dev2
+      FROM m1),
+    r2 AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev2, day) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d1),
+    m2 AS (
+      SELECT *,
+             sum(CASE WHEN rk = (n + 1) // 2 THEN dev2 ELSE 0 END)
+               OVER (PARTITION BY event_type)
+             + sum(CASE WHEN rk = n // 2 + 1 THEN dev2 ELSE 0 END)
+               OVER (PARTITION BY event_type) AS mad4
+      FROM r2)
+    SELECT event_type, day, n_events,
+           CAST(med2 AS BIGINT) AS med2, CAST(dev2 AS BIGINT) AS dev2,
+           CAST(mad4 AS BIGINT) AS mad4,
+           4 * dev2 > 3 * mad4 AS is_anomaly
+    FROM m2
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection over per-type daily event
+    counts — the data-quality monitor that catches ingest spikes and
+    silent drops without being skewed by the outliers themselves (mean/
+    stddev would be). A day is anomalous when |count - median| >
+    3*MAD. EXACTNESS: medians are kept as integers by doubling — med2 =
+    lower-middle + upper-middle via explicit row_number rank picks (no
+    engine median(), whose even-n interpolation differs in type), dev2
+    = |2c - med2|, mad4 = the two middles of dev2, and the flag
+    compares 4*dev2 > 3*mad4 — every intermediate is a BIGINT, nothing
+    to quantize. PLAN: one groupBy to the (type, day) grain — bounded
+    by types x days regardless of event volume — then two rank windows
+    PARTITIONED BY event_type over that tiny table; at 100 TB the only
+    full-data pass is the first map-side-combinable count. Reference
+    parity: none (beyond-reference monitoring operator)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("n_events"))
+
+    def _med2(df: DataFrame, val: str, out: str) -> DataFrame:
+        wp = Window.partitionBy("event_type")
+        r = df.withColumn(
+            "rk", F.row_number().over(wp.orderBy(val, "day"))
+        ).withColumn("n", F.count("*").over(wp))
+        lo = F.expr("(n + 1) div 2")
+        hi = F.expr("n div 2 + 1")
+        m = (
+            F.sum(F.when(F.col("rk") == lo, F.col(val)).otherwise(0)).over(wp)
+            + F.sum(F.when(F.col("rk") == hi, F.col(val)).otherwise(0)).over(wp)
+        )
+        return r.withColumn(out, m).drop("rk", "n")
+
+    d1 = _med2(daily, "n_events", "med2").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("n_events") - F.col("med2"))
+    )
+    d2 = _med2(d1, "dev2", "mad4")
+    return d2.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("med2").cast("bigint").alias("med2"),
+        F.col("dev2").cast("bigint").alias("dev2"),
+        F.col("mad4").cast("bigint").alias("mad4"),
+        (F.lit(4) * F.col("dev2") > F.lit(3) * F.col("mad4")).alias("is_anomaly"),
+    )
+
+
+# =========================================================================
+# Token-level F1 (SQuAD/HELM answer-overlap metric) between paired docs:
+# multiset token intersection, F1 = 2*overlap / (len_p + len_g) — the
+# algebraic identity that makes the metric one exact division.
+# =========================================================================
+
+
+@_register(
+    "qa_token_f1",
+    f"""
+    WITH valid AS (
+      SELECT a.doc_id AS pair_id
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0),
+    tok AS (
+      SELECT v.pair_id, t.token, CASE WHEN d.doc_id % 2 = 0 THEN 'p' ELSE 'g' END AS side
+      FROM documents d
+      JOIN valid v ON v.pair_id = d.doc_id - (d.doc_id % 2),
+      unnest(string_split(lower({_norm_sql('d.text')}), ' ')) AS t(token)),
+    cnt AS (
+      SELECT pair_id, token,
+             sum(CASE WHEN side = 'p' THEN 1 ELSE 0 END) AS cp,
+             sum(CASE WHEN side = 'g' THEN 1 ELSE 0 END) AS cg
+      FROM tok GROUP BY 1, 2)
+    SELECT pair_id, pair_id + 1 AS gold_doc,
+           CAST(sum(cp) AS BIGINT) AS p_len,
+           CAST(sum(cg) AS BIGINT) AS g_len,
+           CAST(sum(least(cp, cg)) AS BIGINT) AS overlap,
+           CAST(CAST(2.0 * CAST(sum(least(cp, cg)) AS DOUBLE)
+                / CAST(sum(cp) + sum(cg) AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(12,6)) AS f1
+    FROM cnt GROUP BY 1
+    """,
+)
+def qa_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level F1 between paired documents (even doc_id = prediction,
+    odd neighbor = gold) — the SQuAD/HELM answer-overlap metric a
+    model-eval pipeline computes at corpus scale. Overlap is the
+    MULTISET intersection: per (pair, token) counts on each side, sum
+    of least(c_pred, c_gold). F1 collapses algebraically: with P=o/p
+    and R=o/g, 2PR/(P+R) = 2o/(p+g) — ONE division, quantized to
+    decimal (header rules); every other value is an exact integer.
+    PLAN: tokens explode once with a side tag, ONE groupBy to the
+    (pair, token) grain (map-side combinable), ONE groupBy to the pair
+    grain — both shuffles are keyed on pair_id, so at 100 TB this
+    scales as the token count with no skewed global state. Reference
+    parity: none (beyond-reference eval operator; complements
+    lang_id_agreement and readability_scores)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    valid = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .alias("a")
+        .join(
+            d.select((F.col("doc_id") - 1).alias("doc_id")).alias("b"),
+            "doc_id",
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("pair_id"))
+    )
+    tok = (
+        d.join(
+            valid,
+            (F.col("doc_id") - (F.col("doc_id") % 2)) == F.col("pair_id"),
+        )
+        .select(
+            "pair_id",
+            F.explode(
+                F.split(F.lower(normalize_ws(F.col("text"))), " ")
+            ).alias("token"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("p"))
+            .otherwise(F.lit("g"))
+            .alias("side"),
+        )
+    )
+    cnt = tok.groupBy("pair_id", "token").agg(
+        F.sum(F.when(F.col("side") == "p", 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("side") == "g", 1).otherwise(0)).alias("cg"),
+    )
+    return cnt.groupBy("pair_id").agg(
+        F.expr("pair_id + 1").alias("gold_doc"),
+        F.sum("cp").cast("bigint").alias("p_len"),
+        F.sum("cg").cast("bigint").alias("g_len"),
+        F.sum(F.least("cp", "cg")).cast("bigint").alias("overlap"),
+        (
+            F.lit(2.0)
+            * F.sum(F.least("cp", "cg")).cast("double")
+            / (F.sum("cp") + F.sum("cg")).cast("double")
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("f1"),
+    )
