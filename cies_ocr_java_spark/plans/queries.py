@@ -10253,3 +10253,302 @@ def qa_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(12,6)")
         .alias("f1"),
     )
+
+
+# =========================================================================
+# Media context windows over the interleaved span stream: for every media
+# span, the concatenated text of the k nearest preceding/following spans
+# — the context-mining step that turns an interleaved doc into
+# (image, surrounding-text) training pairs (complements
+# media_caption_pairs, which pairs only the immediate neighbor).
+# =========================================================================
+
+_CTX_K = 2
+_CTX_SEP = 31  # unit separator; sentinel-join rule from the header
+
+
+@_register(
+    "media_context_windows",
+    f"""
+    WITH s0 AS ({{e2e}}),
+    w AS (
+      SELECT doc_id, span_order, kind, media_ref,
+             coalesce(list(CASE WHEN kind = 'text' THEN text END)
+               OVER (PARTITION BY doc_id ORDER BY span_order
+                     ROWS BETWEEN {_CTX_K} PRECEDING AND 1 PRECEDING),
+               []) AS lb,
+             coalesce(list(CASE WHEN kind = 'text' THEN text END)
+               OVER (PARTITION BY doc_id ORDER BY span_order
+                     ROWS BETWEEN 1 FOLLOWING AND {_CTX_K} FOLLOWING),
+               []) AS la
+      FROM s0)
+    SELECT doc_id, CAST(span_order AS INT) AS span_order, media_ref,
+           CAST(len(list_filter(lb, x -> x IS NOT NULL)) AS INT) AS n_before,
+           CAST(len(list_filter(la, x -> x IS NOT NULL)) AS INT) AS n_after,
+           coalesce(array_to_string(list_filter(lb, x -> x IS NOT NULL),
+                                    chr({_CTX_SEP})), '') AS ctx_before,
+           coalesce(array_to_string(list_filter(la, x -> x IS NOT NULL),
+                                    chr({_CTX_SEP})), '') AS ctx_after
+    FROM w WHERE kind = 'media'
+    """.replace("{e2e}", _E2E_SQL),
+)
+def media_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context mining around media spans in the EXTRACTED interleaved
+    stream: each media span is paired with the text of up to {_CTX_K}
+    spans on either side (reading order, text spans only — interleaved
+    media neighbors contribute nothing), joined with the US sentinel.
+    This is the op that turns interleaved documents into (image,
+    surrounding-text) multimodal training pairs with more context than
+    the immediate caption (media_caption_pairs). PLAN: composes on the
+    flagship pipeline output, then TWO rows-frame windows PARTITIONED
+    BY doc_id — the window never crosses documents, so at 100 TB it
+    rides the same doc-keyed shuffle the assembly stage already did;
+    no global sort, no Python. Spark's collect_list skips NULLs while
+    DuckDB's list() keeps them — the oracle filters explicitly so both
+    sides agree on empty frames ([] not NULL) and element sets.
+    Reference parity: spans stream shape per
+    DocumentExtractManager.java block assembly (see SURVEY.md §2.4)."""
+    out = QUERIES["pipeline_end_to_end"](spark, sf_dir)
+    sep = chr(_CTX_SEP)
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    wb = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_order")
+        .rowsBetween(-_CTX_K, -1)
+    )
+    wa = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_order")
+        .rowsBetween(1, _CTX_K)
+    )
+    w = out.select(
+        "doc_id",
+        "span_order",
+        "kind",
+        "media_ref",
+        F.collect_list(txt).over(wb).alias("lb"),
+        F.collect_list(txt).over(wa).alias("la"),
+    )
+    return w.where(F.col("kind") == "media").select(
+        "doc_id",
+        F.col("span_order").cast("int").alias("span_order"),
+        "media_ref",
+        F.size("lb").cast("int").alias("n_before"),
+        F.size("la").cast("int").alias("n_after"),
+        F.concat_ws(sep, F.col("lb")).alias("ctx_before"),
+        F.concat_ws(sep, F.col("la")).alias("ctx_after"),
+    )
+
+
+# =========================================================================
+# Moments sketch (Gan et al., VLDB 2018): per-group exact power sums —
+# the constant-size mergeable state behind distributed quantile/moment
+# estimation — plus derived mean/variance/skew/kurtosis.
+# =========================================================================
+
+
+@_register(
+    "moments_sketch",
+    """
+    WITH s AS (
+      SELECT lang,
+             count(*) AS n,
+             sum(CAST(n_chars AS HUGEINT)) AS s1,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+             sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars) AS s3,
+             sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars) AS s4
+      FROM documents GROUP BY lang),
+    d AS (
+      SELECT lang, n,
+             CAST(s1 AS DECIMAL(38,0)) AS s1, CAST(s2 AS DECIMAL(38,0)) AS s2,
+             CAST(s3 AS DECIMAL(38,0)) AS s3, CAST(s4 AS DECIMAL(38,0)) AS s4,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM s),
+    m AS (
+      SELECT *,
+             r2 - mu * mu AS m2,
+             r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+             r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                - 3.0 * mu * mu * mu * mu AS m4
+      FROM d)
+    SELECT lang, n, s1, s2, s3, s4,
+           CAST(CAST(mu AS VARCHAR) AS DECIMAL(18,6)) AS mean,
+           CAST(CAST(m2 AS VARCHAR) AS DECIMAL(18,6)) AS var_pop,
+           CASE WHEN m2 = 0 THEN NULL
+                ELSE CAST(CAST(CASE WHEN m3 < 0 THEN -1.0 ELSE 1.0 END
+                     * (m3 * m3) / (m2 * m2 * m2) AS VARCHAR) AS DECIMAL(18,6))
+           END AS skew_sq_signed,
+           CASE WHEN m2 = 0 THEN NULL
+                ELSE CAST(CAST(m4 / (m2 * m2) - 3.0 AS VARCHAR)
+                          AS DECIMAL(18,6))
+           END AS excess_kurtosis
+    FROM m
+    """,
+)
+def moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments sketch (Gan et al., VLDB 2018) over doc lengths per lang:
+    the sketch STATE is the exact integer power sums (n, Σx, Σx², Σx³,
+    Σx⁴) — constant-size per group, merged by plain addition, which is
+    why it distributes: ONE map-side-combinable aggregation regardless
+    of corpus size, no window, no second pass. Derived statistics come
+    from the raw moments: variance = r2-μ², the m3/m4 central-moment
+    expansions, and — to stay engine-exact without pow()/sqrt() libm
+    calls — skewness is emitted as its SIGNED SQUARE g1² = m3²/m2³ and
+    kurtosis as m4/m2²-3, pure +-*/ double arithmetic with an identical
+    parse tree on both engines, quantized per the header rules. Sums
+    stay in HUGEINT/decimal(38,0) (a 100 TB corpus's Σx⁴ overflows
+    int64; 38 digits holds to ~10^38). Constant groups emit NULL shape
+    stats. Reference parity: none (beyond-reference statistics
+    operator; complements dataset_profile and hll/kmv sketches)."""
+    d = _t(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(19,0)")
+    s = d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("s1"),
+        F.sum(x * F.col("n_chars")).cast("decimal(38,0)").alias("s2"),
+        F.sum(x * F.col("n_chars") * F.col("n_chars"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+        F.sum(x * F.col("n_chars") * F.col("n_chars") * F.col("n_chars"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m = s.select(
+        "lang", "n", "s1", "s2", "s3", "s4",
+        mu.alias("mu"),
+        (r2 - mu * mu).alias("m2"),
+        (r3 - F.lit(3.0) * mu * r2 + F.lit(2.0) * mu * mu * mu).alias("m3"),
+        (
+            r4
+            - F.lit(4.0) * mu * r3
+            + F.lit(6.0) * mu * mu * r2
+            - F.lit(3.0) * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    return m.select(
+        "lang", "n", "s1", "s2", "s3", "s4",
+        F.col("mu").cast("string").cast("decimal(18,6)").alias("mean"),
+        m2.cast("string").cast("decimal(18,6)").alias("var_pop"),
+        F.when(m2 == 0, F.lit(None).cast("decimal(18,6)"))
+        .otherwise(
+            (
+                F.when(m3 < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+                * (m3 * m3)
+                / (m2 * m2 * m2)
+            )
+            .cast("string")
+            .cast("decimal(18,6)")
+        )
+        .alias("skew_sq_signed"),
+        F.when(m2 == 0, F.lit(None).cast("decimal(18,6)"))
+        .otherwise(
+            (m4 / (m2 * m2) - F.lit(3.0)).cast("string").cast("decimal(18,6)")
+        )
+        .alias("excess_kurtosis"),
+    )
+
+
+# =========================================================================
+# Link prediction on the domain syndication graph: common-neighbor count
+# + neighbor-set Jaccard for 2-hop non-adjacent pairs (Liben-Nowell &
+# Kleinberg, CIKM 2003) — "domains that syndicate with the same partners
+# but not (yet) each other", the crawl-frontier prioritization signal.
+# =========================================================================
+
+
+@_register(
+    "graph_link_prediction",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
+    bands AS ({_band_sql(8, 4)}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+    {_JACCARD_CORE},
+    pr AS (SELECT v.id_a, v.id_b FROM verified v JOIN cand USING (id_a, id_b)
+           WHERE v.jaccard >= {_JACCARD_THR}),
+    e0 AS (SELECT da.source AS src, db.source AS dst
+           FROM pr JOIN documents da ON da.doc_id = pr.id_a
+                   JOIN documents db ON db.doc_id = pr.id_b
+           WHERE da.source != db.source),
+    edges AS (SELECT DISTINCT src, dst
+              FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    cn AS (SELECT e1.src AS a, e2.dst AS b, count(*) AS common
+           FROM edges e1 JOIN edges e2 ON e2.src = e1.dst AND e1.src < e2.dst
+           GROUP BY 1, 2),
+    nonadj AS (SELECT cn.a, cn.b, cn.common FROM cn
+               LEFT JOIN edges e ON e.src = cn.a AND e.dst = cn.b
+               WHERE e.src IS NULL)
+    SELECT n.a AS domain_a, n.b AS domain_b,
+           CAST(n.common AS BIGINT) AS common_neighbors,
+           CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+           CAST(CAST(CAST(n.common AS DOUBLE)
+                / CAST(da.deg + db.deg - n.common AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(12,6)) AS nbr_jaccard
+    FROM nonadj n JOIN deg da ON da.src = n.a JOIN deg db ON db.src = n.b
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
+    over the domain syndication graph: for every NON-adjacent domain
+    pair reachable in 2 hops, the number of shared syndication partners
+    and the neighbor-set Jaccard common/(deg_a+deg_b-common) — the
+    signal that ranks crawl-frontier candidates. The graph is the same
+    LSH-verified near-dup derivation domain_pagerank uses (banded
+    candidates, exact-Jaccard verify — never all-pairs on docs).
+    Candidate pairs come from ONE self-join of the edge list on the
+    middle node — bounded by Σdeg², the standard triangle/2-hop bound
+    (at web scale you additionally cap hub degree, the same mitigation
+    neardup_triangle_counts documents) — then an anti-join removes
+    existing edges. Integer counts; one quantized division. The edge
+    table is persisted once across its four consumers (e1, e2, the
+    anti-join probe, deg) per the shared-subtree rule."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    pairs = dedup.minhash_dedup_pairs(d, "text", "doc_id", _JACCARD_THR,
+                                      k=8, bands=4)
+    edges = prk.syndication_edges(pairs, d).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
+    e2 = edges.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
+    cn = (
+        e1.join(e2, "mid")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    nonadj = cn.join(
+        edges,
+        (cn["a"] == edges["src"]) & (cn["b"] == edges["dst"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        nonadj.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("domain_a"),
+            F.col("b").alias("domain_b"),
+            F.col("common").cast("bigint").alias("common_neighbors"),
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast("double")
+            )
+            .cast("string")
+            .cast("decimal(12,6)")
+            .alias("nbr_jaccard"),
+        )
+    )
