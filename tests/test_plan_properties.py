@@ -537,3 +537,56 @@ def test_integrity_repair_is_map_only(spark):
     for shuffle in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
         assert shuffle not in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_rolling_range_window_is_user_partitioned(spark):
+    """The 7-day RANGE frame must ride a user-keyed hash partitioning —
+    a SinglePartition exchange here means the window lost its PARTITION
+    BY and the whole event stream sorts on one task."""
+    plan = plan_of(QUERIES["events_rolling_range_window"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_pareto_frontier_has_no_pair_join(spark):
+    """The skyline must come from the two category-partitioned windows —
+    any join node means the oracle's O(n^2) NOT-EXISTS leaked into the
+    engine plan."""
+    plan = plan_of(QUERIES["pareto_frontier_parts"](spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(p_type" in plan
+
+
+def test_auc_window_is_over_bounded_histogram(spark):
+    """classifier_eval_auc's cumulative window runs AFTER the groupBy on
+    the quantized score (bounded histogram) — the plan must aggregate
+    before the single-partition window, and stay zero-Python."""
+    plan = plan_of(QUERIES["classifier_eval_auc"](spark, SF))
+    assert "Python" not in plan and "Arrow" not in plan
+    # the window input is the aggregated histogram: HashAggregate appears
+    # below the Window node in the tree dump (deeper = later in string)
+    win = plan.index("Window")
+    assert "HashAggregate" in plan[win:]
+
+
+def test_anomaly_mad_windows_are_type_partitioned(spark):
+    plan = plan_of(QUERIES["events_anomaly_mad"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_moments_sketch_is_one_aggregation(spark):
+    """Moments state must be ONE map-side-combinable aggregation: two
+    HashAggregates (partial+final) around a single exchange, no window,
+    no Python."""
+    plan = plan_of(QUERIES["moments_sketch"](spark, SF))
+    assert "Window" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read at most)
+
+
+def test_link_prediction_has_no_cartesian(spark):
+    plan = plan_of(QUERIES["graph_link_prediction"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -335,6 +335,58 @@ COMMENTARY = {
         "then a constant-width union of 1-row results: profile cost is "
         "one scan per table, never per column."
     ),
+    "classifier_eval_auc": (
+        "Distributed exact AUC: map-only scoring (trained weights folded "
+        "as literals), ONE groupBy on the decimal(12,6)-quantized score — "
+        "a histogram bounded at 10^6+1 rows regardless of corpus size — "
+        "then a cumulative window over that bounded table and one global "
+        "aggregate. The single-partition window is over the histogram, "
+        "never the corpus."
+    ),
+    "events_rolling_range_window": (
+        "RANGE frame on event-time micros PARTITIONED BY user_id: one "
+        "shuffle on the user key, per-partition sort, no global ordering. "
+        "Values quantized to decimal before the frame sum."
+    ),
+    "pareto_frontier_parts": (
+        "2-D skyline with NO pair join: two windows PARTITIONED BY "
+        "p_type (running-min over strictly-cheaper rows via RANGE "
+        "UNBOUNDED..1 PRECEDING + per-(type,price) min). The oracle's "
+        "NOT-EXISTS is the independent O(n^2) cross-check, not the plan."
+    ),
+    "compaction_bin_packing": (
+        "Iceberg rewriteDataFiles-binpack analog: per-partition window "
+        "cumsum (start-offset packing, the maxPartitionBytes rule) + one "
+        "groupBy. No global sort; the output manifest is tiny."
+    ),
+    "events_anomaly_mad": (
+        "The only full-data pass is the map-side-combinable (type, day) "
+        "count; both median rank-windows run over that bounded table, "
+        "PARTITIONED BY event_type. All-integer doubled-median/quadrupled-"
+        "MAD arithmetic — nothing to quantize."
+    ),
+    "qa_token_f1": (
+        "Tokens explode once with a side tag; both shuffles key on "
+        "pair_id (map-side combinable counts, then the pair rollup). "
+        "F1 = 2o/(p+g) — one division, everything else integer."
+    ),
+    "media_context_windows": (
+        "Composes on the flagship pipeline output; two rows-frame windows "
+        "PARTITIONED BY doc_id ride the assembly stage's existing doc-"
+        "keyed distribution. No global sort, no Python."
+    ),
+    "moments_sketch": (
+        "Constant-size mergeable state (n + four power sums) in ONE "
+        "map-side-combinable aggregation; derived skew/kurtosis are pure "
+        "+-*/ double math (signed-square identity avoids pow/sqrt libm "
+        "divergence) over the exact sums."
+    ),
+    "graph_link_prediction": (
+        "Edge list persisted once across four consumers; 2-hop candidates "
+        "from one self-join on the middle node (Σdeg² bound, hub capping "
+        "at web scale); existing edges removed by LEFT ANTI; degree "
+        "tables join broadcast-small."
+    ),
 }
 
 
