@@ -139,6 +139,17 @@ HEADLINE = [
     "events_funnel",
     "events_retention_cohorts",
     "dedup_intradoc_rewrite",
+    # round-2 session-4 additions (same per-name comparison rule)
+    "classifier_eval_auc",
+    "classifier_calibration_bins",
+    "events_rolling_range_window",
+    "pareto_frontier_parts",
+    "compaction_bin_packing",
+    "events_anomaly_mad",
+    "qa_token_f1",
+    "media_context_windows",
+    "moments_sketch",
+    "graph_link_prediction",
 ]
 
 

@@ -10552,3 +10552,310 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nbr_jaccard"),
         )
     )
+
+
+# =========================================================================
+# Exact-substring duplication coverage (Lee et al., ACL 2022
+# "Deduplicating Training Data Makes Language Models Better"): fraction
+# of each doc's tokens covered by 8-gram windows that occur >= 2 times
+# corpus-wide — the per-doc signal ExactSubstr dedup thresholds on.
+# =========================================================================
+
+_DUPCOV_W = 8
+
+
+@_register(
+    "dup_ngram_coverage",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t
+      FROM documents),
+    base AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks
+             WHERE len(t) >= {_DUPCOV_W}),
+    g0 AS (SELECT doc_id, t,
+                  unnest(range(1, len(t) - {_DUPCOV_W - 2})) AS pos
+           FROM base),
+    g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                 md5(array_to_string(t[pos:pos + {_DUPCOV_W - 1}], ' ')) AS gram
+          FROM g0),
+    cnt AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    dup AS (SELECT g.doc_id, g.pos FROM g JOIN cnt USING (gram)),
+    cov AS (SELECT doc_id, pos,
+                   lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM dup),
+    agg AS (SELECT doc_id, count(*) AS n_dup_grams,
+                   CAST(sum(CASE WHEN nxt IS NULL THEN {_DUPCOV_W}
+                            ELSE least({_DUPCOV_W}, nxt - pos) END)
+                        AS BIGINT) AS covered_tokens
+            FROM cov GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(a.covered_tokens, 0) AS covered_tokens,
+           CAST(CAST(CAST(coalesce(a.covered_tokens, 0) AS DOUBLE)
+                / CAST(b.n_tokens AS DOUBLE) AS VARCHAR) AS DECIMAL(12,6))
+             AS coverage
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplication coverage (Lee et al. 2022): the fraction
+    of each document's tokens lying inside an {_DUPCOV_W}-gram that
+    occurs at least twice corpus-wide. Interval union is computed
+    WITHOUT materializing intervals: duplicated gram start positions
+    sorted per doc contribute min(W, next_pos - pos) each (full W for
+    the last) — one lead() window PARTITIONED BY doc_id. PLAN: one
+    gram explode (~n_tokens rows), ONE shuffle on the gram fingerprint
+    for the global count (map-side combinable), a semi-join back
+    (duplicated grams only — the join shrinks to the dup subset), the
+    doc-partitioned lead window, and a doc-keyed rollup. Nothing
+    all-pairs, nothing global: the same topology as dedup_exact scaled
+    to gram grain, which is how ExactSubstr runs at web scale (their
+    suffix-array step replaces the count shuffle; the coverage math is
+    identical). All integers; one quantized division."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    W = _DUPCOV_W
+    base = d.select(
+        "doc_id",
+        F.split(F.lower(normalize_ws(F.col("text"))), " ").alias("t"),
+    ).where(F.size("t") >= W)
+    g = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (W - 2)),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, W))).alias(
+                        "gram"
+                    ),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    dup_grams = g.groupBy("gram").agg(F.count("*").alias("c")).where(F.col("c") >= 2)
+    dup = g.join(dup_grams, "gram", "left_semi")
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    cov = dup.select("doc_id", "pos", F.lead("pos").over(wl).alias("nxt"))
+    agg = cov.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_grams"),
+        F.sum(
+            F.when(F.col("nxt").isNull(), F.lit(W)).otherwise(
+                F.least(F.lit(W), F.col("nxt") - F.col("pos"))
+            )
+        )
+        .cast("bigint")
+        .alias("covered_tokens"),
+    )
+    b = base.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    return b.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        (
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double")
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("coverage"),
+    )
+
+
+# =========================================================================
+# Tokenizer fertility (tokens per word, per language) — the standard
+# multilingual-tokenizer efficiency metric (XLM-R/NLLB reports): high
+# fertility = the vocab under-serves that language.
+# =========================================================================
+
+
+@_register(
+    "tokenizer_fertility",
+    f"""
+    WITH c AS (
+      SELECT lang,
+             {_TOKC_SQL.format(x='text')} AS ws,
+             len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS bpe
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS n_words,
+           CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(CAST(CAST(sum(bpe) AS DOUBLE)
+                / CAST(greatest(sum(ws), 1) AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(12,6)) AS fertility
+    FROM c GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word (the XLM-R/NLLB vocabulary-equity metric — a
+    language with fertility 2x another pays 2x the context budget for
+    the same content, which skews both training mix and serving cost).
+    MAP-ONLY token counting (two JVM regexes fused into the scan
+    projection) + ONE languages-sized aggregate; at 100 TB a pure scan.
+    Exact integer sums; one quantized division (header rules)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    c = d.select(
+        "lang",
+        token_count(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    )
+    return c.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("n_words"),
+        F.sum("bpe").cast("bigint").alias("n_bpe_tokens"),
+        (
+            F.sum("bpe").cast("double")
+            / F.greatest(F.sum("ws"), F.lit(1)).cast("double")
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("fertility"),
+    )
+
+
+# =========================================================================
+# Mojibake repair (ftfy-style): UTF-8-read-as-Latin-1 artifacts mapped
+# back to their intended characters, with a ROUND-TRIP proof — the
+# corruption is synthesized deterministically, repaired, and compared
+# against the intended accented original.
+# =========================================================================
+
+
+@_register(
+    "text_mojibake_repair",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             doc_id % 7 = 0 AS corrupt_a,
+             doc_id % 11 = 0 AS corrupt_o,
+             CASE WHEN doc_id % 11 = 0
+                  THEN replace(CASE WHEN doc_id % 7 = 0
+                                    THEN replace(text, 'a', 'Ã¡')
+                                    ELSE text END, 'o', 'Ã¶')
+                  ELSE CASE WHEN doc_id % 7 = 0
+                            THEN replace(text, 'a', 'Ã¡') ELSE text END
+             END AS corrupted,
+             CASE WHEN doc_id % 11 = 0
+                  THEN replace(CASE WHEN doc_id % 7 = 0
+                                    THEN replace(text, 'a', 'á')
+                                    ELSE text END, 'o', 'ö')
+                  ELSE CASE WHEN doc_id % 7 = 0
+                            THEN replace(text, 'a', 'á') ELSE text END
+             END AS expected
+      FROM documents),
+    r AS (
+      SELECT *, replace(replace(corrupted, 'Ã¡', 'á'), 'Ã¶', 'ö') AS repaired
+      FROM c)
+    SELECT doc_id, corrupt_a, corrupt_o,
+           CAST(length(corrupted) - length(repaired) AS BIGINT) AS n_fixed,
+           repaired = expected AS round_trip_ok,
+           md5(repaired) AS repaired_md5
+    FROM r
+    """,
+)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style mojibake repair: UTF-8 bytes decoded as Latin-1 leave
+    artifacts like 'Ã¡' for 'á'; the repair maps a closed artifact
+    table back to intended characters. The query PROVES the repair by
+    round trip: corruption is synthesized deterministically (doc_id
+    mod classes pick which artifacts a doc carries), the repair chain
+    runs on the corrupted text, and the result is compared to the
+    intended accented original — repaired = expected must hold for
+    every row, and n_fixed (each artifact shrinks 2 chars -> 1) counts
+    the repairs. MAP-ONLY: the whole corruption+repair+verdict is one
+    codegen'd projection — a 100 TB cleanup pass costs one scan, which
+    is why ftfy-at-scale is a Spark job not a driver loop. Artifact
+    replacements are ordered non-overlapping (no 'Ã¡'/'Ã¶' prefix
+    collisions). Reference parity: none (beyond-reference cleanup
+    operator; complements text_accent_fold and pdf_dehyphenate)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    corrupt_a = F.col("doc_id") % 7 == 0
+    corrupt_o = F.col("doc_id") % 11 == 0
+
+    def chain(a_to: str, o_to: str):
+        base = F.when(
+            corrupt_a, F.replace(F.col("text"), F.lit("a"), F.lit(a_to))
+        ).otherwise(F.col("text"))
+        return F.when(corrupt_o, F.replace(base, F.lit("o"), F.lit(o_to))).otherwise(
+            base
+        )
+
+    c = d.select(
+        "doc_id",
+        corrupt_a.alias("corrupt_a"),
+        corrupt_o.alias("corrupt_o"),
+        chain("Ã¡", "Ã¶").alias("corrupted"),
+        chain("á", "ö").alias("expected"),
+    )
+    repaired = F.replace(
+        F.replace(F.col("corrupted"), F.lit("Ã¡"), F.lit("á")),
+        F.lit("Ã¶"),
+        F.lit("ö"),
+    )
+    return c.select(
+        "doc_id",
+        "corrupt_a",
+        "corrupt_o",
+        (F.length("corrupted") - F.length(repaired)).cast("bigint").alias("n_fixed"),
+        (repaired == F.col("expected")).alias("round_trip_ok"),
+        F.md5(repaired).alias("repaired_md5"),
+    )
+
+
+# =========================================================================
+# Wordlist content filter (the C4 "bad words" gate, mechanism only —
+# the word list is configuration; a neutral stand-in list exercises
+# the word-boundary matching and the ratio threshold).
+# =========================================================================
+
+_WORDLIST = ("the", "of")
+_WORDLIST_THR = "0.050000"
+
+
+@_register(
+    "content_wordlist_filter",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             {_TOKC_SQL.format(x='text')} AS ws,
+             len(regexp_extract_all(lower(text),
+                 '\\b({'|'.join(_WORDLIST)})\\b')) AS hits
+      FROM documents)
+    SELECT doc_id, CAST(ws AS BIGINT) AS n_words,
+           CAST(hits AS BIGINT) AS n_hits,
+           CAST(CAST(CAST(hits AS DOUBLE)
+                / CAST(greatest(ws, 1) AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(12,6)) AS hit_ratio,
+           CAST(CAST(CAST(hits AS DOUBLE)
+                / CAST(greatest(ws, 1) AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(12,6)) > {_WORDLIST_THR} AS flagged
+    FROM c
+    """,
+)
+def content_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-based content gate — the C4 badwords-filter MECHANISM
+    with a neutral stand-in list ({', '.join(_WORDLIST)}): word-boundary
+    regex hits per doc, hit ratio over whitespace words, flag when the
+    quantized ratio exceeds {_WORDLIST_THR}. In production the list is
+    swapped for the real blocklist; the plan is list-size-independent
+    (one alternation regex compiled once per task). MAP-ONLY — counting
+    and the flag are one codegen'd projection, no shuffle, no Python;
+    the threshold compares QUANTIZED decimals so both engines flag
+    identically at the boundary. Reference parity: none
+    (beyond-reference curation gate; complements url_host_blocklist,
+    which gates on the URL side)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    pat = r"\b(" + "|".join(_WORDLIST) + r")\b"
+    ws = token_count(F.col("text"))
+    hits = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0))
+    ratio = (hits.cast("double") / F.greatest(ws, F.lit(1)).cast("double")).cast(
+        "string"
+    ).cast("decimal(12,6)")
+    return d.select(
+        "doc_id",
+        ws.cast("bigint").alias("n_words"),
+        hits.cast("bigint").alias("n_hits"),
+        ratio.alias("hit_ratio"),
+        (ratio > F.lit(_WORDLIST_THR).cast("decimal(12,6)")).alias("flagged"),
+    )
