@@ -10859,3 +10859,282 @@ def content_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("hit_ratio"),
         (ratio > F.lit(_WORDLIST_THR).cast("decimal(12,6)")).alias("flagged"),
     )
+
+
+# =========================================================================
+# Two-proportion z-test (A/B experiment readout) — exact across engines
+# because IEEE-754 requires sqrt to be correctly rounded (unlike
+# exp/ln/pow, which the header rules quantize away).
+# =========================================================================
+
+
+@_register(
+    "ab_test_two_proportion",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    assign AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 2 AS variant
+      FROM users),
+    conv AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 150.0),
+    agg AS (
+      SELECT a.variant, count(*) AS n,
+             sum(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) AS x
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+      GROUP BY a.variant),
+    w AS (
+      SELECT CAST(max(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+             CAST(max(CASE WHEN variant = 0 THEN x END) AS BIGINT) AS x0,
+             CAST(max(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+             CAST(max(CASE WHEN variant = 1 THEN x END) AS BIGINT) AS x1
+      FROM agg),
+    z AS (
+      SELECT *,
+        CASE WHEN x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN NULL
+             ELSE CAST(CAST(
+               (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+               AS VARCHAR) AS DECIMAL(12,6))
+        END AS z_score
+      FROM w)
+    SELECT n0, x0, n1, x1, CAST(z_score AS DOUBLE) AS z_score,
+           abs(z_score) > 1.96 AS significant_95
+    FROM z
+    """,
+)
+def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over the event stream: users assigned to
+    variants by the md5 hash rule (the same deterministic-uniform
+    recipe the split operators use), conversion = any purchase event,
+    z = (p0-p1)/sqrt(p(1-p)(1/n0+1/n1)). ENGINE-EXACT because sqrt is
+    CORRECTLY ROUNDED under IEEE-754 (a required operation, unlike the
+    libm transcendentals the header rules quantize before use), so
+    both engines produce the identical double before the one
+    quantization; significance compares the quantized decimal to the
+    1.96 literal. PLAN: two user-grain aggregates (distinct users,
+    distinct converters — both map-side combinable), a user-keyed left
+    join, a 2-row variant rollup, and a 1-row pivot — at 100 TB the
+    only full-data passes are the two distincts, and the final stats
+    are constant-size. Degenerate experiments (0% or 100% pooled)
+    yield NULL z. Reference parity: none (beyond-reference experiment
+    readout; complements events_retention_cohorts)."""
+    e = _t(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    assign = users.select(
+        "user_id",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("bigint")
+            % 2
+        ).alias("variant"),
+    )
+    conv = (
+        e.where((F.col("event_type") == "purchase") & (F.col("value") > 150.0))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    agg = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias("x"),
+        )
+    )
+    w = agg.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).cast("bigint").alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).cast("bigint").alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).cast("bigint").alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).cast("bigint").alias("x1"),
+    )
+    n0, x0 = F.col("n0").cast("double"), F.col("x0").cast("double")
+    n1, x1 = F.col("n1").cast("double"), F.col("x1").cast("double")
+    pp = (x0 + x1) / (n0 + n1)
+    zq = (
+        ((x0 / n0 - x1 / n1)
+         / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)))
+        .cast("string")
+        .cast("decimal(12,6)")
+    )
+    z = w.select(
+        "n0", "x0", "n1", "x1",
+        F.when(
+            (F.col("x0") + F.col("x1") == 0)
+            | (F.col("x0") + F.col("x1") == F.col("n0") + F.col("n1")),
+            F.lit(None).cast("decimal(12,6)"),
+        )
+        .otherwise(zq)
+        .alias("z_score"),
+    )
+    return z.select(
+        "n0", "x0", "n1", "x1",
+        F.col("z_score").cast("double").alias("z_score"),
+        (F.abs(F.col("z_score")) > 1.96).alias("significant_95"),
+    )
+
+
+# =========================================================================
+# Snapshot CDC diff (Iceberg changelog analog): classify INSERT/UPDATE/
+# DELETE between two table versions with one full-outer join on the key.
+# =========================================================================
+
+
+@_register(
+    "snapshot_diff_cdc",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,6)) AS price
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CAST(CAST(CASE WHEN o_orderkey % 13 = 0
+                            THEN o_totalprice * 1.1
+                            ELSE o_totalprice END AS VARCHAR)
+                  AS DECIMAL(18,6)) AS price
+      FROM orders WHERE o_orderkey % 17 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000,
+             CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,6))
+      FROM orders WHERE o_orderkey % 29 = 0),
+    d AS (
+      SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.price AS old_price, b.price AS new_price,
+             CASE WHEN a.o_orderkey IS NULL THEN 'INSERT'
+                  WHEN b.o_orderkey IS NULL THEN 'DELETE'
+                  WHEN a.price IS DISTINCT FROM b.price THEN 'UPDATE'
+                  ELSE NULL END AS change_type
+      FROM v1 a FULL OUTER JOIN v2 b ON b.o_orderkey = a.o_orderkey)
+    SELECT o_orderkey, change_type,
+           CAST(old_price AS DOUBLE) AS old_price,
+           CAST(new_price AS DOUBLE) AS new_price
+    FROM d WHERE change_type IS NOT NULL
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC: the changelog between two versions of
+    a keyed table (the Iceberg create_changelog_view / Delta CDF
+    analog, and the inverse of ivm_incremental_agg, which CONSUMES such
+    a delta). Version 2 is synthesized deterministically from v1 —
+    deletes (key % 17), price updates (% 13), inserts (% 29 re-keyed) —
+    then ONE full-outer join on the key classifies every row as
+    INSERT / UPDATE / DELETE, with unchanged rows dropped. Prices are
+    decimal-quantized BEFORE comparison so the update predicate is
+    engine-exact (IS DISTINCT FROM handles the null sides). At 100 TB
+    this is the canonical one-shuffle diff: both sides hash on the
+    key; AQE handles any hot key; no sort, no window, no second pass.
+    Reference parity: sources/snapshots.py snapshot lineage (the
+    engine's own table format) — this query is the read-side diff of
+    that write-side history."""
+    o = _t(spark, sf_dir, "orders")
+    pq = F.col("o_totalprice").cast("string").cast("decimal(18,6)")
+    v1 = o.select("o_orderkey", pq.alias("price"))
+    v2 = (
+        o.where(F.col("o_orderkey") % 17 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .cast("string")
+            .cast("decimal(18,6)")
+            .alias("price"),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 29 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                pq.alias("price"),
+            )
+        )
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    d = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.col("a.price").alias("old_price"),
+        F.col("b.price").alias("new_price"),
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("INSERT"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("DELETE"))
+        .when(
+            ~F.col("a.price").eqNullSafe(F.col("b.price")), F.lit("UPDATE")
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("change_type"),
+    )
+    return d.where(F.col("change_type").isNotNull()).select(
+        "o_orderkey",
+        "change_type",
+        F.col("old_price").cast("double").alias("old_price"),
+        F.col("new_price").cast("double").alias("new_price"),
+    )
+
+
+# =========================================================================
+# Gini concentration of the token supply across domains — the corpus-
+# diversity headline number (a mix dominated by three domains trains a
+# worse model than the same token count spread evenly).
+# =========================================================================
+
+
+@_register(
+    "gini_domain_concentration",
+    f"""
+    WITH d AS (
+      SELECT source,
+             CAST(sum({_TOKC_SQL.format(x='text')}) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source),
+    r AS (
+      SELECT source, n_tok,
+             row_number() OVER (ORDER BY n_tok, source) AS i,
+             count(*) OVER () AS n
+      FROM d)
+    SELECT CAST(max(n) AS BIGINT) AS n_domains,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(CAST(
+             CAST(2 * sum(i * n_tok) - (max(n) + 1) * sum(n_tok) AS DOUBLE)
+             / CAST(max(n) * sum(n_tok) AS DOUBLE)
+             AS VARCHAR) AS DECIMAL(12,6)) AS gini
+    FROM r
+    """,
+)
+def gini_domain_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token supply across domains via the sorted-
+    rank identity G = (2Σi·x_i - (n+1)Σx_i) / (nΣx_i) — integer
+    numerator and denominator from exact sums, ONE quantized division.
+    PLAN: the full-data pass is the map-side-combinable per-domain
+    token sum; the rank window then runs over the DOMAINS-sized
+    aggregate (the bounded-table global-window precedent — millions of
+    domains sort in one task comfortably, and the revenue_growth rule
+    applies: post-aggregate grain, not corpus grain). Deterministic
+    tiebreak on (n_tok, source). Reference parity: none (beyond-
+    reference mix-diagnostics operator; feeds the same decisions as
+    domain_temperature_mix and domain_token_budget_sample)."""
+    d = (
+        _t(spark, sf_dir, "documents", fanout=True)
+        .groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tok"))
+    )
+    r = d.select(
+        "n_tok",
+        F.row_number().over(Window.orderBy("n_tok", "source")).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    num = F.lit(2) * F.sum(F.col("i") * F.col("n_tok")) - (
+        F.max("n") + 1
+    ) * F.sum("n_tok")
+    den = F.max("n") * F.sum("n_tok")
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_domains"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        (num.cast("double") / den.cast("double"))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("gini"),
+    )
