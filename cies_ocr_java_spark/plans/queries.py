@@ -11138,3 +11138,346 @@ def gini_domain_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(12,6)")
         .alias("gini"),
     )
+
+
+# =========================================================================
+# Forward fill / LOCF (last observation carried forward) — the canonical
+# sparse-telemetry gap repair, via IGNORE NULLS last_value frames.
+# =========================================================================
+
+
+@_register(
+    "events_forward_fill",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      FROM events)
+    SELECT event_id, user_id, ts_us, CAST(v AS DOUBLE) AS v_raw,
+           CAST(last_value(v IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS v_filled
+    FROM e
+    """,
+)
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF): carry each user's last non-null measurement
+    forward over null gaps — the canonical sparse-telemetry repair
+    (here 'view' events are synthesized as measurement-less). One
+    IGNORE-NULLS last_value over a running frame, PARTITIONED BY
+    user_id with a (ts, event_id) tiebreak — at 100 TB one shuffle on
+    the user key, per-partition sort, no global ordering. Values pass
+    through untouched (no arithmetic to quantize); rows before a
+    user's first measurement stay NULL — emitted as DOUBLE so both
+    engines render the hole identically. Reference parity: none
+    (beyond-reference temporal repair; complements
+    events_rolling_range_window and scd2_dimension_history)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.when(F.col("event_type") == "view", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("v").cast("double").alias("v_raw"),
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("v_filled"),
+    )
+
+
+# =========================================================================
+# Bot/automation detection on sessionized traffic: machine-regular
+# inter-event gaps inside high-volume sessions — all-integer per-session
+# stats over the same lag/gap sessionization events_sessionize uses.
+# =========================================================================
+
+_BOT_MIN_EVENTS = 10
+_BOT_MAX_GAP_US = 2_000_000
+
+
+@_register(
+    "session_bot_flags",
+    f"""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *,
+             CAST(sum(new_session)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_no
+      FROM g)
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+           CAST(min(CASE WHEN new_session = 0 THEN gap_us END) AS BIGINT)
+             AS min_gap_us,
+           CAST(max(CASE WHEN new_session = 0 THEN gap_us END) AS BIGINT)
+             AS max_gap_us,
+           count(*) >= {_BOT_MIN_EVENTS}
+             AND max(CASE WHEN new_session = 0 THEN gap_us END)
+                 <= {_BOT_MAX_GAP_US} AS bot_flag
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def session_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-traffic flags per session: a session with >= {_BOT_MIN_EVENTS}
+    events whose inter-event gaps never exceed {_BOT_MAX_GAP_US/1e6:g}s
+    is machine-regular — the crawler/click-farm heuristic that cleans
+    engagement data before it trains anything. Builds on the SAME
+    lag/gap sessionization as events_sessionize (session id = running
+    sum of gap breaks), then ONE per-session rollup of all-INTEGER gap
+    stats (within-session gaps only — the session-opening lag is
+    excluded by the new_session mask). Both windows and the rollup are
+    user-partitioned: one shuffle at any scale. Single-event sessions
+    emit NULL gaps and never flag. Reference parity: none
+    (beyond-reference traffic-quality operator)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    g = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        (us - prev).alias("gap_us"),
+        F.when(prev.isNull() | ((us - prev) > _SESSION_GAP_US), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = g.withColumn("session_no", F.sum("new_session").over(w2).cast("bigint"))
+    in_gap = F.when(F.col("new_session") == 0, F.col("gap_us"))
+    return s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("duration_us"),
+        F.min(in_gap).cast("bigint").alias("min_gap_us"),
+        F.max(in_gap).cast("bigint").alias("max_gap_us"),
+        (
+            (F.count("*") >= _BOT_MIN_EVENTS)
+            & (F.max(in_gap) <= _BOT_MAX_GAP_US)
+        ).alias("bot_flag"),
+    )
+
+
+# =========================================================================
+# Zipf's-law fit of the corpus vocabulary: least-squares slope of
+# ln(freq) on ln(rank) over the top-K terms — the corpus-health
+# diagnostic (natural text ~ -1; templated/spammy corpora flatten).
+# =========================================================================
+
+_ZIPF_TOP_K = 1000
+
+
+@_register(
+    "zipf_law_fit",
+    f"""
+    WITH tf AS (
+      SELECT t.token, count(*) AS freq
+      FROM (SELECT unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS token
+            FROM documents) t
+      WHERE t.token <> '' GROUP BY t.token),
+    rk AS (
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rank
+      FROM tf),
+    xy AS (
+      SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+             CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,12)) AS y
+      FROM rk WHERE rank <= {_ZIPF_TOP_K}),
+    s AS (
+      SELECT count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           CAST(CAST(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS VARCHAR) AS DECIMAL(12,6)) AS zipf_slope,
+           CAST(CAST(
+             (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             AS VARCHAR) AS DECIMAL(12,6)) AS intercept
+    FROM s
+    """,
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-{_ZIPF_TOP_K} vocabulary: OLS slope of
+    ln(freq) on ln(rank) — natural language sits near -1, while
+    boilerplate/templated corpora flatten the curve, making the slope a
+    one-number corpus-health diagnostic (Piantadosi 2014). PLAN: the
+    full-data pass is the term-frequency groupBy (map-side
+    combinable); ranking is a window over the VOCABULARY-sized
+    aggregate (bounded-table precedent: tfidf/vocab_heavy_hitters),
+    truncated to the top K before any transcendental is taken. ln()
+    results are decimal-absorbed IMMEDIATELY (the header recipe — libm
+    ulps die before the sums), the five regression sums are exact
+    decimal adds, and slope/intercept are fixed-order double
+    expressions quantized once. Reference parity: none
+    (beyond-reference corpus-diagnostics operator)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    tf = (
+        d.select(
+            F.explode(
+                F.split(F.lower(normalize_ws(F.col("text"))), " ")
+            ).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    rk = tf.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("token")))
+        .alias("rank"),
+    ).where(F.col("rank") <= _ZIPF_TOP_K)
+    xy = rk.select(
+        F.log(F.col("rank").cast("double")).cast("decimal(18,12)").alias("x"),
+        F.log(F.col("freq").cast("double")).cast("decimal(18,12)").alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        slope.cast("string").cast("decimal(12,6)").alias("zipf_slope"),
+        ((sy - slope * sx) / nd)
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("intercept"),
+    )
+
+
+# =========================================================================
+# MinHash estimator accuracy: signature-agreement Jaccard estimate vs
+# the exact value on LSH candidates — the k-tuning companion to
+# lsh_recall_eval (which tunes the BANDING; this grades the ESTIMATOR).
+# =========================================================================
+
+
+@_register(
+    "minhash_jaccard_estimate",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
+    bands AS ({_band_sql(8, 4)}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             CAST(CAST(CAST(
+               (CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0
+               AS VARCHAR) AS DECIMAL(12,6)) AS jaccard_est
+      FROM cand c JOIN sig a ON a.doc_id = c.id_a
+                  JOIN sig b ON b.doc_id = c.id_b),
+    {_JACCARD_CORE}
+    SELECT e.id_a, e.id_b, e.jaccard_est,
+           CAST(CAST(v.jaccard AS VARCHAR) AS DECIMAL(12,6)) AS jaccard_exact,
+           abs(e.jaccard_est
+               - CAST(CAST(v.jaccard AS VARCHAR) AS DECIMAL(12,6))) AS abs_err
+    FROM est e JOIN verified v USING (id_a, id_b)
+    """,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR accuracy on the LSH candidate set: the
+    fraction of agreeing signature components (an unbiased Jaccard
+    estimator, Broder 1997) against the exact shingle Jaccard, with
+    per-pair absolute error — the k-tuning companion to
+    lsh_recall_eval (that query grades the banding's recall; this one
+    grades the estimator a pipeline would use INSTEAD of exact
+    verification at web scale, where re-joining shingles for every
+    candidate is the expensive step this estimator deletes).
+    Candidates come from the banded equi-join (never all-pairs); the
+    estimate is pure signature-column math (k=8 equality flags / 8 —
+    exact eighths in decimal); the exact value reuses the shared
+    verification CTE. Reference parity: none (beyond-reference
+    dedup-evaluation operator)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    # ONE persisted shingle table across signatures + verification (the
+    # minhash_dedup_pairs rule — without it Catalyst re-plans the
+    # shingling subtree per consumer)
+    ex = dedup.exploded_shingles(d, "text", "doc_id").persist()
+    try:
+        sig = dedup.minhash_signatures(d, "text", "doc_id", k=8, exploded=ex)
+        cand = dedup.lsh_candidate_pairs(sig, k=8, bands=4)
+        a, b = sig.alias("a"), sig.alias("b")
+        agree = None
+        for i in range(8):
+            term = F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+            agree = term if agree is None else agree + term
+        est = (
+            cand.join(a, F.col("a.id") == F.col("id_a"))
+            .join(b, F.col("b.id") == F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                (agree.cast("double") / F.lit(8.0))
+                .cast("string")
+                .cast("decimal(12,6)")
+                .alias("jaccard_est"),
+            )
+        )
+        exact = dedup.jaccard_pairs(
+            d, "text", "doc_id", threshold=0.0, candidates=cand, exploded=ex
+        ).select(
+            "id_a",
+            "id_b",
+            F.col("jaccard").cast("string").cast("decimal(12,6)").alias(
+                "jaccard_exact"
+            ),
+        )
+        out = est.join(exact, ["id_a", "id_b"]).select(
+            "id_a",
+            "id_b",
+            "jaccard_est",
+            "jaccard_exact",
+            F.abs(F.col("jaccard_est") - F.col("jaccard_exact")).alias("abs_err"),
+        )
+        # materialize before releasing the shared shingle cache
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ex.unpersist()
+    return out
