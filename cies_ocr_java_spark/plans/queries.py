@@ -11481,3 +11481,266 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         ex.unpersist()
     return out
+
+
+# =========================================================================
+# Date-spine densification: generate the full day range and zero-fill
+# days with no events — the gap-filling step every reporting/forecast
+# pipeline needs before time-series math (a missing day must be a 0,
+# not an absent row).
+# =========================================================================
+
+_DAY_US = 86_400_000_000
+
+
+@_register(
+    "events_date_spine",
+    f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day_num,
+             count(*) AS n_events,
+             sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) AS sv
+      FROM events GROUP BY 1),
+    b AS (SELECT CAST(min(day_num) AS BIGINT) AS d0,
+                 CAST(max(day_num) AS BIGINT) AS d1 FROM daily),
+    spine AS (SELECT unnest(range(d0, d1 + 1)) AS day_num FROM b)
+    SELECT CAST(s.day_num AS BIGINT) AS day_num,
+           coalesce(d.n_events, 0) AS n_events,
+           CAST(coalesce(d.sv, 0) AS DOUBLE) AS sum_value,
+           d.day_num IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d ON d.day_num = s.day_num
+    """,
+)
+def events_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification: the contiguous day range from first to
+    last event, LEFT-joined with per-day aggregates so silent days
+    appear as explicit zeros (is_gap marks them) — the densification
+    every time-series consumer (forecasting, the MAD anomaly monitor,
+    charts) requires. PLAN: the full-data pass is the map-side-
+    combinable daily rollup; the spine generates from a 1-row min/max
+    aggregate via sequence+explode (days-sized, trivially broadcast
+    into the join). Day arithmetic is integer division of event-time
+    micros — no timezone/calendar functions to disagree on. Decimal
+    value sums (header rules), rendered as double. Reference parity:
+    none (beyond-reference temporal operator; feeds events_anomaly_mad
+    with a complete series)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_DAY_US))
+            .cast("bigint")
+            .alias("day_num"),
+            F.col("value").cast("string").cast("decimal(18,6)").alias("vq"),
+        )
+        .groupBy("day_num")
+        .agg(F.count("*").alias("n_events"), F.sum("vq").alias("sv"))
+    )
+    b = daily.agg(
+        F.min("day_num").cast("bigint").alias("d0"),
+        F.max("day_num").cast("bigint").alias("d1"),
+    )
+    spine = b.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_num")
+    )
+    return spine.join(daily, "day_num", "left").select(
+        F.col("day_num").cast("bigint").alias("day_num"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+# =========================================================================
+# Winsorized robust statistics per group: clamp at the p05/p95
+# positional quantiles (explicit rank picks — engine-independent
+# percentile_disc), then exact clipped means.
+# =========================================================================
+
+
+@_register(
+    "winsorize_doc_lengths",
+    """
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents),
+    q AS (
+      SELECT lang, max(n) AS n,
+             CAST(sum(CASE WHEN rk = (5 * max_n + 99) // 100
+                      THEN n_chars ELSE 0 END) AS BIGINT) AS p05,
+             CAST(sum(CASE WHEN rk = (95 * max_n + 99) // 100
+                      THEN n_chars ELSE 0 END) AS BIGINT) AS p95
+      FROM (SELECT *, max(n) OVER (PARTITION BY lang) AS max_n FROM r) t
+      GROUP BY lang),
+    c AS (
+      SELECT d.lang, q.n, q.p05, q.p95,
+             least(greatest(d.n_chars, q.p05), q.p95) AS clamped,
+             CASE WHEN d.n_chars < q.p05 OR d.n_chars > q.p95
+                  THEN 1 ELSE 0 END AS clipped
+      FROM documents d JOIN q ON q.lang = d.lang)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs, p05, p95,
+           CAST(sum(clipped) AS BIGINT) AS n_clipped,
+           CAST(CAST(CAST(sum(clamped) AS DOUBLE) / CAST(n AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(18,6)) AS winsorized_mean
+    FROM c GROUP BY lang, n, p05, p95
+    """,
+)
+def winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-language length statistics: clamp each doc's
+    n_chars into [p05, p95] (positional quantiles via EXPLICIT rank
+    picks — rk = ceil(q*n) in integer math, so both engines select the
+    identical order statistic with no percentile-function semantics to
+    reconcile) and report the clipped count and winsorized mean — the
+    robust summary a mixture-weighting or pricing model uses when a
+    few giant documents would otherwise own the mean. PLAN: one rank
+    window PARTITIONED BY lang, a languages-sized quantile table
+    joined back broadcast, one aggregation; integer arithmetic until
+    the single quantized division. Reference parity: none
+    (beyond-reference statistics operator; complements
+    doc_length_percentiles' global exact percentiles)."""
+    d = _t(spark, sf_dir, "documents")
+    wp = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(wp.orderBy("n_chars", "doc_id")).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    lo = F.expr("(5 * n + 99) div 100")
+    hi = F.expr("(95 * n + 99) div 100")
+    q = r.groupBy("lang").agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("rk") == lo, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("p05"),
+        F.sum(F.when(F.col("rk") == hi, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("p95"),
+    )
+    c = d.join(q, "lang").select(
+        "lang",
+        "n",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95")).alias(
+            "clamped"
+        ),
+        F.when(
+            (F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95")),
+            1,
+        )
+        .otherwise(0)
+        .alias("clipped"),
+    )
+    return c.groupBy("lang", "n", "p05", "p95").agg(
+        F.sum("clipped").cast("bigint").alias("n_clipped"),
+        (F.sum("clamped").cast("double") / F.col("n").cast("double"))
+        .cast("string")
+        .cast("decimal(18,6)")
+        .alias("winsorized_mean"),
+    ).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        "p05",
+        "p95",
+        "n_clipped",
+        "winsorized_mean",
+    )
+
+
+# =========================================================================
+# k-anonymity audit over quasi-identifiers — the privacy gate a dataset
+# release runs before publishing: any quasi-identifier combination
+# matching fewer than k individuals re-identifies them.
+# =========================================================================
+
+_KANON_K = 5
+_KANON_BUCKET = 100
+
+
+@_register(
+    "k_anonymity_audit",
+    f"""
+    WITH g AS (
+      SELECT lang, source,
+             (n_chars // {_KANON_BUCKET}) * {_KANON_BUCKET} AS len_bucket,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2, 3)
+    SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(n AS BIGINT) AS group_size,
+           n < {_KANON_K} AS violates_k
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier tuple
+    (lang, source, length bucket): every equivalence class smaller than
+    k={_KANON_K} is a re-identification risk the release process must
+    suppress or generalize. ONE map-side-combinable groupBy — the audit
+    costs one scan at any corpus size, and the violating-class list is
+    what the suppression pass consumes. Integer bucketing, no floats
+    anywhere. Reference parity: none (beyond-reference governance
+    operator; complements pii_scrub, which redacts direct identifiers
+    — k-anonymity is about the QUASI-identifiers left behind)."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy(
+        "lang",
+        "source",
+        (F.expr(f"n_chars div {_KANON_BUCKET}") * _KANON_BUCKET).alias("len_bucket"),
+    ).agg(F.count("*").alias("n"))
+    return g.select(
+        "lang",
+        "source",
+        F.col("len_bucket").cast("bigint").alias("len_bucket"),
+        F.col("n").cast("bigint").alias("group_size"),
+        (F.col("n") < _KANON_K).alias("violates_k"),
+    )
+
+
+# =========================================================================
+# Duplicate-aware loss weights (the SoftDedup idea: instead of deleting
+# near-dup copies, downweight each copy by 1/cluster_size so the
+# cluster's total gradient contribution equals one document's).
+# =========================================================================
+
+
+@_register(
+    "dedup_loss_weights",
+    f"""
+    SELECT doc_id, cluster_id, n_members,
+           CAST(CAST(1.0 / CAST(n_members AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(12,6)) AS loss_weight
+    FROM ({_CLUSTERS_ORACLE.format(shingle=_SHINGLE_SQL)}) t
+    """,
+)
+def dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware loss weighting (the SoftDedup alternative to hard
+    removal): every doc keeps training but carries weight
+    1/cluster_size, so a 40-copy boilerplate cluster contributes one
+    document's worth of gradient instead of forty — removal without
+    deletion, preserving any copy-specific signal. Reuses the SAME
+    LSH-verified connected-components labeling as dedup_clusters (the
+    scale path — banded candidates, min-label propagation with
+    checkpointed rounds); the weight is one quantized division on top.
+    At 100 TB the cost IS dedup_clusters; the weight column is free.
+    Reference parity: none (beyond-reference curation operator; the
+    soft counterpart of training_corpus_curation's hard keep/drop)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    pairs = dedup.minhash_dedup_pairs(d, "text", "doc_id", _JACCARD_THR, k=8, bands=4)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    labels = dedup.connected_components(pairs, nodes)
+    w = Window.partitionBy("cluster_id")
+    n_members = F.count("*").over(w)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        n_members.alias("n_members"),
+        (F.lit(1.0) / n_members.cast("double"))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("loss_weight"),
+    )
