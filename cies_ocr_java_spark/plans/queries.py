@@ -11744,3 +11744,281 @@ def dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(12,6)")
         .alias("loss_weight"),
     )
+
+
+# =========================================================================
+# Chi-square independence test on the lang x source contingency table —
+# "is language mix independent of the domain?" (it never is; the
+# statistic quantifies how far off, guiding stratified mixing).
+# =========================================================================
+
+
+@_register(
+    "chi_square_lang_source",
+    """
+    WITH cells AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+    t AS (
+      SELECT lang, source, o,
+             CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS row_tot,
+             CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS col_tot,
+             CAST(sum(o) OVER () AS BIGINT) AS grand
+      FROM cells),
+    c AS (
+      SELECT lang, source,
+             CAST(CAST(
+               (CAST(o AS DOUBLE)
+                - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(grand AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                    / CAST(grand AS DOUBLE))
+               / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(grand AS DOUBLE))
+               AS VARCHAR) AS DECIMAL(18,9)) AS contrib
+      FROM t)
+    SELECT count(*) AS n_cells,
+           (SELECT CAST((count(DISTINCT lang) - 1)
+                 * (count(DISTINCT source) - 1) AS BIGINT) FROM cells) AS dof,
+           CAST(sum(contrib) AS DOUBLE) AS chi_square
+    FROM c
+    """,
+)
+def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test over the lang x source
+    contingency table — the statistic that quantifies how skewed the
+    language mix is across domains (feeding stratified sampling
+    decisions). EXACTNESS: each cell's (o-e)^2/e contribution is a
+    fixed-order double expression QUANTIZED to decimal before the sum,
+    so the total is an exact, order-independent decimal add — the
+    floating sum-over-cells (whose result depends on reduction order)
+    never happens. PLAN: one map-side-combinable groupBy to the
+    (lang, source) grain — bounded by langs x sources — then window
+    marginals over that tiny table and one 1-row aggregate; at 100 TB
+    the only full-data pass is the first count. Reference parity: none
+    (beyond-reference statistics operator)."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    t = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).cast("bigint").alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("source")).cast("bigint").alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("grand"),
+    )
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    contrib = (
+        ((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e)
+        .cast("string")
+        .cast("decimal(18,9)")
+    )
+    c = t.select("lang", "source", contrib.alias("contrib"))
+    dof = (
+        cells.agg(
+            (
+                (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+            ).cast("bigint").alias("dof")
+        )
+    )
+    return (
+        c.agg(
+            F.count("*").alias("n_cells"),
+            F.sum("contrib").cast("double").alias("chi_square"),
+        )
+        .crossJoin(dof)
+        .select("n_cells", "dof", "chi_square")
+    )
+
+
+# =========================================================================
+# Media near-dup CLUSTERS: connected components over the pHash pairs —
+# the asset-level dedup that picks one canonical image per visual
+# cluster (the image analog of dedup_clusters).
+# =========================================================================
+
+
+@_register(
+    "media_phash_clusters",
+    f"""
+    WITH RECURSIVE m AS (SELECT 'media://' || doc_id AS media_ref, text AS content
+               FROM documents),
+    ph AS (SELECT media_ref,
+                  ('0x' || substr(md5(substr(content, 1, 64)), 1, 15))::BIGINT AS ph
+           FROM m),
+    bands AS (
+      SELECT media_ref, ph, b,
+             (ph >> (b * {_PHASH_BITS_PER_BAND})) & {(1 << _PHASH_BITS_PER_BAND) - 1} AS band_key
+      FROM ph CROSS JOIN (SELECT unnest(range({_PHASH_BANDS})) AS b)),
+    cand AS (SELECT DISTINCT a.media_ref AS ref_a, b.media_ref AS ref_b,
+                             a.ph AS ph_a, b.ph AS ph_b
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.band_key = b.band_key
+              AND a.media_ref < b.media_ref),
+    prs AS (SELECT ref_a, ref_b FROM cand
+            WHERE bit_count(xor(ph_a, ph_b)) <= {_PHASH_MAX_HAMMING}),
+    e AS (SELECT ref_a AS src, ref_b AS dst FROM prs
+          UNION ALL SELECT ref_b, ref_a FROM prs),
+    reach(node, r) AS (
+      SELECT media_ref, media_ref FROM ph
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node)
+    SELECT node AS media_ref, min(r) AS cluster_id,
+           count(*) OVER (PARTITION BY min(r)) AS n_members,
+           node = min(r) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup CLUSTERS: connected components over the banded-
+    pHash pairs (media_phash_near_dup's candidates-then-verify
+    derivation), labeling every media asset with its cluster and
+    electing the minimum ref as canonical — the asset-level dedup that
+    stores one image per visual cluster and rewrites the rest as
+    references. Same scale shape as dedup_clusters: banded equi-join
+    candidates (never all-pairs), min-label propagation with
+    checkpointed rounds on the Spark side, recursive-CTE closure as
+    the oracle. Reference parity: media spans per SURVEY §2.4; the
+    clustering itself is beyond-reference."""
+    pairs = QUERIES["media_phash_near_dup"](spark, sf_dir).select(
+        F.col("ref_a").alias("id_a"), F.col("ref_b").alias("id_b")
+    )
+    nodes = _synth_media(spark, sf_dir).select(F.col("media_ref").alias("id"))
+    labels = dedup.connected_components(pairs, nodes)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("id").alias("media_ref"),
+        "cluster_id",
+        F.count("*").over(w).alias("n_members"),
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+# =========================================================================
+# Embedding-space label outliers: distance of each vector to its own
+# label's centroid, z-scored within the label — the mislabeled-sample /
+# label-noise miner (confident-learning style QC before training).
+# =========================================================================
+
+
+@_register(
+    "embedding_label_outliers",
+    """
+    WITH el AS (
+      SELECT vec_id, label,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings),
+    q AS (SELECT vec_id, label, dim,
+                 CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS xq
+          FROM el),
+    cent AS (
+      SELECT label, dim,
+             CAST(CAST(CAST(sum(xq) AS DOUBLE) / count(*) AS VARCHAR)
+                  AS DECIMAL(12,6)) AS c
+      FROM q GROUP BY label, dim),
+    d2 AS (
+      SELECT q.vec_id, q.label,
+             CAST(CAST(CAST(sum((q.xq - t.c) * (q.xq - t.c)) AS DOUBLE)
+                  AS VARCHAR) AS DECIMAL(18,6)) AS d2
+      FROM q JOIN cent t ON t.label = q.label AND t.dim = q.dim
+      GROUP BY q.vec_id, q.label),
+    st AS (
+      SELECT label, count(*) AS n,
+             sum(d2) AS sd, sum(d2 * d2) AS sdd
+      FROM d2 GROUP BY label),
+    z AS (
+      SELECT d.vec_id, d.label, d.d2,
+             CASE WHEN CAST(s.sdd AS DOUBLE) / s.n
+                       - (CAST(s.sd AS DOUBLE) / s.n)
+                         * (CAST(s.sd AS DOUBLE) / s.n) <= 0 THEN NULL
+                  ELSE CAST(CAST(
+                    (CAST(d.d2 AS DOUBLE) - CAST(s.sd AS DOUBLE) / s.n)
+                    / sqrt(CAST(s.sdd AS DOUBLE) / s.n
+                           - (CAST(s.sd AS DOUBLE) / s.n)
+                             * (CAST(s.sd AS DOUBLE) / s.n))
+                    AS VARCHAR) AS DECIMAL(12,6))
+             END AS zq
+      FROM d2 d JOIN st s ON s.label = d.label)
+    SELECT vec_id, label, CAST(d2 AS DOUBLE) AS dist_sq,
+           CAST(zq AS DOUBLE) AS z_score,
+           coalesce(abs(zq) > 2, FALSE) AS outlier
+    FROM z
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise mining in embedding space (confident-learning style
+    QC): each vector's squared distance to ITS OWN label centroid,
+    z-scored within the label — a vector sitting >2 sigma from its
+    class center is a candidate mislabel/outlier to route for review
+    before it trains anything. EXACTNESS: coordinates and centroids
+    quantized to decimal, the distance is an exact decimal
+    sum-of-squares quantized once, per-label moment sums are exact
+    decimals, and the z-score is fixed-order double arithmetic whose
+    only non-rational op is the IEEE-correctly-rounded sqrt. PLAN: one
+    posexplode + (label, dim) centroid aggregate (bounded output), a
+    broadcast-sized centroid join back, a vec-keyed rollup, and a
+    labels-sized stats join — two full-data passes, no window over raw
+    data, nothing all-pairs (contrast semdedup_keep, which compares
+    vectors to EACH OTHER; this compares to class centers only).
+    Zero-variance labels yield NULL z and never flag. Reference
+    parity: none (beyond-reference embedding-QC operator)."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.col("x").cast("double").cast("string").cast("decimal(18,9)").alias("xq"),
+    )
+    cent = q.groupBy("label", "dim").agg(
+        (F.sum("xq").cast("double") / F.count("*"))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("c")
+    )
+    d2 = (
+        q.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c")))
+            .cast("double")
+            .cast("string")
+            .cast("decimal(18,6)")
+            .alias("d2")
+        )
+    )
+    st = d2.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("d2").alias("sd"),
+        F.sum(F.col("d2") * F.col("d2")).alias("sdd"),
+    )
+    m = F.col("sd").cast("double") / F.col("n")
+    var = F.col("sdd").cast("double") / F.col("n") - m * m
+    zq = (
+        ((F.col("d2").cast("double") - m) / F.sqrt(var))
+        .cast("string")
+        .cast("decimal(12,6)")
+    )
+    z = d2.join(st, "label").select(
+        "vec_id",
+        "label",
+        F.col("d2").cast("double").alias("dist_sq"),
+        F.when(var <= 0, F.lit(None).cast("decimal(12,6)"))
+        .otherwise(zq)
+        .alias("zq"),
+    )
+    return z.select(
+        "vec_id",
+        "label",
+        "dist_sq",
+        F.col("zq").cast("double").alias("z_score"),
+        F.coalesce(F.abs(F.col("zq")) > 2, F.lit(False)).alias("outlier"),
+    )
