@@ -150,6 +150,24 @@ HEADLINE = [
     "media_context_windows",
     "moments_sketch",
     "graph_link_prediction",
+    "dup_ngram_coverage",
+    "tokenizer_fertility",
+    "text_mojibake_repair",
+    "content_wordlist_filter",
+    "ab_test_two_proportion",
+    "snapshot_diff_cdc",
+    "gini_domain_concentration",
+    "events_forward_fill",
+    "session_bot_flags",
+    "zipf_law_fit",
+    "minhash_jaccard_estimate",
+    "events_date_spine",
+    "winsorize_doc_lengths",
+    "k_anonymity_audit",
+    "dedup_loss_weights",
+    "chi_square_lang_source",
+    "media_phash_clusters",
+    "embedding_label_outliers",
 ]
 
 
