@@ -400,11 +400,64 @@ class SnapshotTable:
         try:
             log = self._read_log()
             if len(log["snapshots"]) > keep_last:
-                log["snapshots"] = log["snapshots"][-keep_last:]
+                # tagged snapshots are pinned: retention drops only
+                # unreferenced history (Iceberg retainLast + ref semantics)
+                pinned = set(log.get("tags", {}).values())
+                tail = log["snapshots"][-keep_last:]
+                tail_ids = {s["snapshot_id"] for s in tail}
+                kept = [
+                    s for s in log["snapshots"]
+                    if s["snapshot_id"] in tail_ids or s["snapshot_id"] in pinned
+                ]
+                log["snapshots"] = kept
                 self._write_log(log)
         finally:
             self._release_lock()
         return self.gc_orphans()
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a NAMED, immutable reference to a snapshot (the Iceberg
+        tag analog — 'the data the v3 model trained on'). Tagged
+        snapshots survive ``expire_snapshots``: retention drops only
+        unreferenced history. Returns the pinned snapshot id."""
+        self._acquire_lock()
+        try:
+            log = self._read_log()
+            sid = snapshot_id if snapshot_id is not None else int(log["current"])
+            if not any(s["snapshot_id"] == sid for s in log["snapshots"]):
+                raise KeyError(f"snapshot {sid} not found in {self.root}")
+            tags = log.setdefault("tags", {})
+            if name in tags and tags[name] != sid:
+                raise ValueError(
+                    f"tag {name!r} already pins snapshot {tags[name]} "
+                    "(tags are immutable; delete_tag first)"
+                )
+            tags[name] = sid
+            self._write_log(log)
+            return sid
+        finally:
+            self._release_lock()
+
+    def delete_tag(self, name: str) -> None:
+        self._acquire_lock()
+        try:
+            log = self._read_log()
+            log.get("tags", {}).pop(name, None)
+            self._write_log(log)
+        finally:
+            self._release_lock()
+
+    def tags(self) -> dict[str, int]:
+        return dict(self._read_log().get("tags", {}))
+
+    def read_tag(self, spark: SparkSession, name: str,
+                 merge_schema: bool = False) -> DataFrame:
+        """Read the table AS OF a named tag — reproducible training-set
+        reads that survive later appends, compaction, and retention."""
+        t = self._read_log().get("tags", {})
+        if name not in t:
+            raise KeyError(f"tag {name!r} not found in {self.root}")
+        return self.read(spark, snapshot_id=t[name], merge_schema=merge_schema)
 
     def read_changes(
         self, spark: SparkSession, from_snapshot: int, to_snapshot: int | None = None

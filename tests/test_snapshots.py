@@ -756,3 +756,41 @@ def test_streaming_upsert_sink_applies_cdc_and_replays_noop(spark, tmp_path):
         for r in tbl.read(spark, snapshot_id=sid_after_b0).collect()
     }
     assert old == {"a": "a1", "b": "b2"}
+
+
+def test_tags_pin_snapshots_through_retention(spark, tmp_path):
+    """Named tags (Iceberg ref analog): read_tag reproduces the tagged
+    snapshot after later appends AND after expire_snapshots retention —
+    a tagged training set stays readable while unreferenced history is
+    reclaimed; tags are immutable until deleted."""
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(3):
+        t.commit(
+            spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "v"),
+            mode="append",
+        )
+    t.create_tag("train-v1", snapshot_id=2)
+    assert t.tags() == {"train-v1": 2}
+    # later history doesn't move the tag
+    t.commit(spark.range(30, 40).withColumnRenamed("id", "v"), mode="append")
+    assert {r["v"] for r in t.read_tag(spark, "train-v1").collect()} == set(
+        range(20)
+    )
+    # immutable: re-pinning elsewhere raises
+    with _pytest.raises(ValueError):
+        t.create_tag("train-v1", snapshot_id=1)
+    # retention keeps the tagged snapshot (and its data dirs) alive
+    t.expire_snapshots(keep_last=1)
+    kept_ids = [s.snapshot_id for s in t.history()]
+    assert 2 in kept_ids and kept_ids[-1] == 4
+    assert {r["v"] for r in t.read_tag(spark, "train-v1").collect()} == set(
+        range(20)
+    )
+    # dropping the tag releases it for the next retention pass
+    t.delete_tag("train-v1")
+    t.expire_snapshots(keep_last=1)
+    assert [s.snapshot_id for s in t.history()] == [4]
+    with _pytest.raises(KeyError):
+        t.read_tag(spark, "train-v1")
