@@ -12022,3 +12022,226 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zq").cast("double").alias("z_score"),
         F.coalesce(F.abs(F.col("zq")) > 2, F.lit(False)).alias("outlier"),
     )
+
+
+# =========================================================================
+# Power-of-two latency histogram: floor(log2) buckets via BINARY STRING
+# LENGTH — integer-exact (no libm log whose boundary ulps could flip a
+# bucket), the HdrHistogram-style shape every latency dashboard uses.
+# =========================================================================
+
+
+@_register(
+    "events_log2_histogram",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value > 0),
+    b AS (
+      SELECT event_type, length(to_base(cents, 2)) - 1 AS bucket
+      FROM c)
+    SELECT event_type, CAST(bucket AS INT) AS log2_bucket,
+           count(*) AS n_events
+    FROM b GROUP BY 1, 2
+    """,
+)
+def events_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two value histogram per event type (the HdrHistogram
+    bucket shape): bucket = floor(log2(cents)), computed as the BINARY
+    REPRESENTATION LENGTH minus one — pure integer logic on both
+    engines (Spark bin(), DuckDB to_base(x,2)), so a value sitting
+    exactly on a power-of-two boundary can never flip buckets the way
+    a libm log2 ulp would. MAP-ONLY bucketing + ONE bounded groupBy
+    (types x ~64 buckets); at 100 TB a pure scan with a map-side-
+    combinable count. Values in exact integer cents (2-decimal
+    synthetics; round() is ulp-safe). Reference parity: none
+    (beyond-reference monitoring operator; complements
+    events_value_quantiles' exact percentiles)."""
+    e = _t(spark, sf_dir, "events").where(F.col("value") > 0)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bucket = (F.length(F.bin(cents)) - 1).cast("int")
+    return (
+        e.select("event_type", bucket.alias("log2_bucket"))
+        .groupBy("event_type", "log2_bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# =========================================================================
+# RFM customer segmentation: recency/frequency/monetary quintile scores
+# via explicit rank arithmetic (1 + 5*(rank-1)//n) — the classic
+# retention-marketing rollup, engine-exact with zero percentile calls.
+# =========================================================================
+
+
+@_register(
+    "orders_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+             count(*) AS freq,
+             sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS mon
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT o_custkey, last_us, freq, CAST(mon AS DECIMAL(18,2)) AS mon,
+             row_number() OVER (ORDER BY last_us, o_custkey) AS rk_r,
+             row_number() OVER (ORDER BY freq, o_custkey) AS rk_f,
+             row_number() OVER (ORDER BY mon, o_custkey) AS rk_m,
+             count(*) OVER () AS n
+      FROM base)
+    SELECT o_custkey, last_us, freq, CAST(mon AS DOUBLE) AS monetary,
+           CAST(1 + (5 * (rk_r - 1)) // n AS INT) AS r_score,
+           CAST(1 + (5 * (rk_f - 1)) // n AS INT) AS f_score,
+           CAST(1 + (5 * (rk_m - 1)) // n AS INT) AS m_score,
+           CAST(1 + (5 * (rk_r - 1)) // n AS VARCHAR)
+           || CAST(1 + (5 * (rk_f - 1)) // n AS VARCHAR)
+           || CAST(1 + (5 * (rk_m - 1)) // n AS VARCHAR) AS segment
+    FROM r
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer scored 1-5 on Recency (last
+    order date), Frequency (order count), and Monetary (exact decimal
+    spend) by QUINTILE RANK — computed as 1 + 5*(rank-1) div n with
+    deterministic custkey tiebreaks, so both engines assign identical
+    quintiles with no ntile/percentile semantics in play. PLAN: one
+    map-side-combinable customer rollup, then three rank windows over
+    the CUSTOMERS-sized aggregate (post-aggregate grain — the
+    revenue_growth precedent; at larger grains use the distributed
+    rank of customer_revenue_quartiles). Reference parity: none
+    (beyond-reference analytics operator)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .cast("bigint")
+        .alias("last_us"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("string").cast("decimal(18,2)")).alias(
+            "mon"
+        ),
+    )
+    r = base.select(
+        "o_custkey",
+        "last_us",
+        "freq",
+        F.col("mon").cast("decimal(18,2)").alias("mon"),
+        F.row_number().over(Window.orderBy("last_us", "o_custkey")).alias("rk_r"),
+        F.row_number().over(Window.orderBy("freq", "o_custkey")).alias("rk_f"),
+        F.row_number().over(Window.orderBy("mon", "o_custkey")).alias("rk_m"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    def score(rk):
+        return (F.lit(1) + F.expr(f"(5 * ({rk} - 1)) div n")).cast("int")
+    return r.select(
+        "o_custkey",
+        "last_us",
+        "freq",
+        F.col("mon").cast("double").alias("monetary"),
+        score("rk_r").alias("r_score"),
+        score("rk_f").alias("f_score"),
+        score("rk_m").alias("m_score"),
+        F.concat(
+            score("rk_r").cast("string"),
+            score("rk_f").cast("string"),
+            score("rk_m").cast("string"),
+        ).alias("segment"),
+    )
+
+
+# =========================================================================
+# Market-basket lift between part types co-occurring in an order —
+# association mining's core statistic, bounded by per-order item counts
+# (never a global cross product).
+# =========================================================================
+
+_BASKET_MIN_PAIRS = 5
+
+
+@_register(
+    "basket_type_lift",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_type
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+                 FROM lineitem),
+    tcount AS (SELECT p_type, count(*) AS c FROM items GROUP BY p_type),
+    pairs AS (
+      SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS c_ab
+      FROM items a JOIN items b
+        ON b.l_orderkey = a.l_orderkey AND a.p_type < b.p_type
+      GROUP BY 1, 2
+      HAVING count(*) >= {_BASKET_MIN_PAIRS})
+    SELECT p.type_a, p.type_b,
+           CAST(p.c_ab AS BIGINT) AS n_together,
+           CAST(ta.c AS BIGINT) AS n_a, CAST(tb.c AS BIGINT) AS n_b,
+           CAST(CAST(CAST(p.c_ab AS DOUBLE) * CAST(n.n AS DOUBLE)
+                / (CAST(ta.c AS DOUBLE) * CAST(tb.c AS DOUBLE))
+                AS VARCHAR) AS DECIMAL(12,6)) AS lift
+    FROM pairs p
+    JOIN tcount ta ON ta.p_type = p.type_a
+    JOIN tcount tb ON tb.p_type = p.type_b
+    CROSS JOIN n_orders n
+    """,
+)
+def basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between part types sharing an order:
+    lift(a,b) = P(ab) / (P(a)P(b)) — the association-rule statistic
+    (>1 means the pair co-occurs beyond chance). Pair generation
+    self-joins the DISTINCT (order, type) item table ON THE ORDER KEY,
+    so the cost is Σ(basket_size²) — the frequent-itemset bound —
+    never a global type cross product; a min-support HAVING prunes
+    noise pairs before the stats joins (the Apriori downward-closure
+    trick applied at the pair level). Exact integer counts; one
+    quantized division. The type-count and order-count sides are tiny
+    broadcast joins. Reference parity: none (beyond-reference
+    analytics operator)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    items = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    n_orders = l.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    tcount = items.groupBy("p_type").agg(F.count("*").alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(
+            F.col("a.p_type").alias("type_a"), F.col("b.p_type").alias("type_b")
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= _BASKET_MIN_PAIRS)
+    )
+    ta = tcount.select(F.col("p_type").alias("type_a"), F.col("c").alias("n_a"))
+    tb = tcount.select(F.col("p_type").alias("type_b"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(ta, "type_a")
+        .join(tb, "type_b")
+        .crossJoin(n_orders)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("c_ab").cast("bigint").alias("n_together"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                F.col("c_ab").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            )
+            .cast("string")
+            .cast("decimal(12,6)")
+            .alias("lift"),
+        )
+    )
