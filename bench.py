@@ -168,6 +168,9 @@ HEADLINE = [
     "chi_square_lang_source",
     "media_phash_clusters",
     "embedding_label_outliers",
+    "events_log2_histogram",
+    "orders_rfm_segments",
+    "basket_type_lift",
 ]
 
 

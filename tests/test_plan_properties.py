@@ -590,3 +590,42 @@ def test_link_prediction_has_no_cartesian(spark):
     plan = plan_of(QUERIES["graph_link_prediction"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mojibake_and_wordlist_are_map_only(spark):
+    """Both cleanup/gate passes must stay single map passes (the
+    c4-line-filter class)."""
+    for name in ("text_mojibake_repair", "content_wordlist_filter"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        for shuffle in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+            assert shuffle not in plan, name
+        assert "Python" not in plan and "Arrow" not in plan, name
+
+
+def test_forward_fill_is_user_partitioned(spark):
+    plan = plan_of(QUERIES["events_forward_fill"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_basket_lift_joins_on_order_key(spark):
+    """The pair join must be keyed on the order (equi-join) — a
+    cartesian/nested-loop means the type cross product leaked in."""
+    plan = plan_of(QUERIES["basket_type_lift"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the single CROSS JOIN in the query is the 1-row order-count table;
+    # a nested-loop join is only legal against that 1-row side
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_dup_coverage_semi_join_and_doc_window(spark):
+    plan = plan_of(QUERIES["dup_ngram_coverage"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_log2_histogram_is_one_aggregation(spark):
+    plan = plan_of(QUERIES["events_log2_histogram"](spark, SF))
+    assert "Window" not in plan
+    assert "Python" not in plan and "Arrow" not in plan

@@ -387,6 +387,56 @@ COMMENTARY = {
         "at web scale); existing edges removed by LEFT ANTI; degree "
         "tables join broadcast-small."
     ),
+    "dup_ngram_coverage": (
+        "One gram explode, ONE shuffle on the gram fingerprint "
+        "(map-side combinable count), semi-join back shrinks to the dup "
+        "subset, doc-partitioned lead window for the interval union. "
+        "The dedup_exact topology at gram grain."
+    ),
+    "text_mojibake_repair": (
+        "Corruption + repair + round-trip verdict in ONE codegen'd "
+        "projection — a 100 TB cleanup pass costs one scan. No shuffle, "
+        "no Python."
+    ),
+    "snapshot_diff_cdc": (
+        "The canonical one-shuffle diff: both versions hash on the key "
+        "into a single full-outer join; quantized-decimal compare makes "
+        "the UPDATE predicate engine-exact. AQE handles hot keys."
+    ),
+    "events_forward_fill": (
+        "IGNORE-NULLS last_value over a running frame PARTITIONED BY "
+        "user_id — one shuffle, per-partition sort, no global ordering."
+    ),
+    "zipf_law_fit": (
+        "Full-data pass = the term-frequency groupBy; rank window over "
+        "the vocabulary-sized aggregate truncated to top-K before any "
+        "ln(); decimal-absorbed logs, exact regression sums, one final "
+        "double division."
+    ),
+    "events_date_spine": (
+        "Daily rollup is the only full-data pass; the spine generates "
+        "from a 1-row min/max via sequence+explode and broadcasts into "
+        "the left join."
+    ),
+    "embedding_label_outliers": (
+        "Centroid-join topology: posexplode -> (label,dim) aggregate "
+        "(bounded), broadcast join back, vec-keyed rollup, labels-sized "
+        "stats join. Never vector-vs-vector."
+    ),
+    "basket_type_lift": (
+        "Pair self-join ON THE ORDER KEY (Σ basket² bound, never a type "
+        "cross product), min-support HAVING before the tiny broadcast "
+        "stats joins."
+    ),
+    "dedup_loss_weights": (
+        "The cost IS dedup_clusters (banded LSH candidates + "
+        "checkpointed min-label rounds); the 1/cluster_size weight is "
+        "one window + one division on the labeled output."
+    ),
+    "events_log2_histogram": (
+        "floor(log2) as binary-string length — integer-exact buckets "
+        "inside one codegen projection; bounded (type x 64) groupBy."
+    ),
 }
 
 
