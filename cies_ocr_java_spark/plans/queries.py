@@ -12245,3 +12245,236 @@ def basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift"),
         )
     )
+
+
+# =========================================================================
+# SITE-level boilerplate removal (jusText/CCNet idea at the domain
+# grain): lines repeated across most of a site's pages are chrome, not
+# content — mined from frequency, stripped, and PROVEN by round trip
+# against the synthesized content.
+# =========================================================================
+
+_SITE_BP_RATIO = "0.500000"
+_SITE_NAV = "'nav home about ' || source"
+_SITE_FOOT = "'copyright footer ' || source"
+_SITE_RARE = "'survey banner ' || source"
+
+
+@_register(
+    "site_boilerplate_trim",
+    f"""
+    WITH lines AS (
+      SELECT doc_id, source, pos, line FROM (
+        SELECT doc_id, source, 0 AS pos, {_SITE_NAV} AS line FROM documents
+        UNION ALL
+        SELECT doc_id, source, 1,
+               array_to_string((string_split({_norm_sql('text')}, ' '))[1:8], ' ')
+        FROM documents
+        UNION ALL
+        SELECT doc_id, source, 2,
+               array_to_string((string_split({_norm_sql('text')}, ' '))[9:16], ' ')
+        FROM documents
+        UNION ALL
+        SELECT doc_id, source, 3, {_SITE_RARE} FROM documents
+        WHERE doc_id % 17 = 0
+        UNION ALL
+        SELECT doc_id, source, 4, {_SITE_FOOT} FROM documents
+        WHERE doc_id % 3 != 0) t
+      WHERE line <> ''),
+    ndocs AS (SELECT source, count(*) AS nd FROM documents GROUP BY source),
+    freq AS (
+      SELECT l.source, l.line, count(DISTINCT l.doc_id) AS c
+      FROM lines l GROUP BY 1, 2),
+    bp AS (
+      SELECT f.source, f.line
+      FROM freq f JOIN ndocs n ON n.source = f.source
+      WHERE CAST(CAST(CAST(f.c AS DOUBLE) / CAST(n.nd AS DOUBLE) AS VARCHAR)
+                 AS DECIMAL(12,6)) >= {_SITE_BP_RATIO}),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l LEFT JOIN bp ON bp.source = l.source AND bp.line = l.line
+      WHERE bp.line IS NULL),
+    re AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               list_sort(list(struct_pack(pos := pos, line := line))),
+               r -> r.line), chr(31)) AS cleaned,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+    exp AS (
+      SELECT doc_id,
+             array_to_string((string_split({_norm_sql('text')}, ' '))[1:8], ' ')
+             || chr(31)
+             || array_to_string((string_split({_norm_sql('text')}, ' '))[9:16], ' ')
+             || CASE WHEN doc_id % 17 = 0
+                     THEN chr(31) || {_SITE_RARE} ELSE '' END AS expected
+      FROM documents)
+    SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(t.n_lines - r.n_kept AS BIGINT) AS n_stripped,
+           md5(r.cleaned) AS cleaned_md5,
+           r.cleaned = e.expected AS round_trip_ok
+    FROM tot t JOIN re r USING (doc_id) JOIN exp e USING (doc_id)
+    """,
+)
+def site_boilerplate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SITE-level boilerplate removal: a line appearing on >= 50% of a
+    domain's pages is chrome (nav/footer), not content — mined purely
+    from cross-page frequency (no markup needed; the jusText/CCNet
+    observation at the domain grain) and stripped from every page.
+    Pages are synthesized deterministically (universal nav, ~67%
+    footer, ~6% survey banner, unique content lines), so the query
+    PROVES the trim by round trip: cleaned == content + the rare
+    banner (below threshold, correctly kept); the 50% threshold
+    compares a QUANTIZED ratio so boundary sites resolve identically
+    in both engines. PLAN: one line explode, a (source, line)
+    frequency count (map-side combinable, grain bounded by distinct
+    site lines), a broadcast-sized boilerplate set anti-joined back,
+    and a doc-keyed ordered reassembly — the same topology as
+    dedup_exact plus one anti-join; nothing global, no Python.
+    Complements boilerplate_ngrams (which MINES candidate phrases;
+    this REMOVES site-frequent lines end to end). Reference parity:
+    html_extract boilerplate stripping (SURVEY §2.8) is per-page
+    structural; this is the cross-page statistical sibling."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n = normalize_ws(F.col("text"))
+    words = F.split(n, " ")
+    nav = F.concat(F.lit("nav home about "), F.col("source"))
+    foot = F.concat(F.lit("copyright footer "), F.col("source"))
+    rare = F.concat(F.lit("survey banner "), F.col("source"))
+    l1 = F.concat_ws(" ", F.slice(words, 1, 8))
+    l2 = F.concat_ws(" ", F.slice(words, 9, 8))
+
+    def ln(pos, col):
+        return F.struct(F.lit(pos).alias("pos"), col.alias("line"))
+
+    empty = F.array().cast("array<struct<pos:int,line:string>>")
+    arr = F.concat(
+        F.array(ln(0, nav), ln(1, l1), ln(2, l2)),
+        F.when(F.col("doc_id") % 17 == 0, F.array(ln(3, rare))).otherwise(empty),
+        F.when(F.col("doc_id") % 3 != 0, F.array(ln(4, foot))).otherwise(empty),
+    )
+    lines = (
+        d.select("doc_id", "source", F.explode(arr).alias("pl"))
+        .select("doc_id", "source", F.col("pl.pos").alias("pos"),
+                F.col("pl.line").alias("line"))
+        .where(F.col("line") != "")
+    )
+    ndocs = d.groupBy("source").agg(F.count("*").alias("nd"))
+    freq = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("c")
+    )
+    ratio = (F.col("c").cast("double") / F.col("nd").cast("double")).cast(
+        "string"
+    ).cast("decimal(12,6)")
+    bp = (
+        freq.join(ndocs, "source")
+        .where(ratio >= F.lit(_SITE_BP_RATIO).cast("decimal(12,6)"))
+        .select("source", "line")
+    )
+    kept = lines.join(bp, ["source", "line"], "left_anti")
+    re = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            chr(31),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda r: r["line"],
+            ),
+        ).alias("cleaned"),
+        F.count("*").alias("n_kept"),
+    )
+    tot = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    expected = F.concat(
+        l1,
+        F.lit(chr(31)),
+        l2,
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.lit(chr(31)), rare)
+        ).otherwise(F.lit("")),
+    )
+    exp = d.select("doc_id", expected.alias("expected"))
+    return (
+        tot.join(re, "doc_id")
+        .join(exp, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            (F.col("n_lines") - F.col("n_kept")).cast("bigint").alias("n_stripped"),
+            F.md5("cleaned").alias("cleaned_md5"),
+            (F.col("cleaned") == F.col("expected")).alias("round_trip_ok"),
+        )
+    )
+
+
+# =========================================================================
+# Join-key skew profiler: the diagnostic a 100 TB job runs BEFORE the
+# big join — hottest keys, their share, and the max/mean skew factor
+# that decides between plain shuffle, AQE skew split, and salting.
+# =========================================================================
+
+_SKEW_TOP_K = 10
+
+
+@_register(
+    "join_key_skew_profile",
+    f"""
+    WITH kc AS (
+      SELECT l_partkey AS key, count(*) AS c FROM lineitem GROUP BY 1),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_c
+      FROM kc),
+    top AS (
+      SELECT key, c, row_number() OVER (ORDER BY c DESC, key) AS rk
+      FROM kc)
+    SELECT t.key, CAST(t.c AS BIGINT) AS n_rows_key,
+           CAST(t.rk AS INT) AS rank,
+           CAST(CAST(CAST(t.c AS DOUBLE) / CAST(s.n_rows AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6)) AS share,
+           CAST(CAST(CAST(s.max_c AS DOUBLE)
+                / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE))
+                AS VARCHAR) AS DECIMAL(12,6)) AS skew_factor
+    FROM top t CROSS JOIN st s
+    WHERE t.rk <= {_SKEW_TOP_K}
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for the fact table's hot key: the top
+    {_SKEW_TOP_K} hottest l_partkey values with their row share, plus
+    the global skew factor max/mean — the one-pass diagnostic that
+    decides between a plain shuffle join, AQE's skew split, and
+    explicit salting (salted_hot_key_agg is the remediation this
+    profiler prescribes). PLAN: one map-side-combinable key count;
+    stats and top-k both run over the KEYS-sized aggregate (the
+    bounded-grain window precedent — at 10^9 keys swap the global
+    top-k window for the two-level heavy_hitters shape the repo
+    already has). Exact integers; two quantized divisions.
+    Reference parity: pipeline.py's salt shuffle is the write-side
+    answer; this is the read-side measurement."""
+    l = _t(spark, sf_dir, "lineitem")
+    kc = l.groupBy(F.col("l_partkey").alias("key")).agg(F.count("*").alias("c"))
+    st = kc.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    top = kc.select(
+        "key",
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("key"))).alias("rk"),
+    ).where(F.col("rk") <= _SKEW_TOP_K)
+    share = (F.col("c").cast("double") / F.col("n_rows").cast("double")).cast(
+        "string"
+    ).cast("decimal(12,6)")
+    skew = (
+        F.col("max_c").cast("double")
+        / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double"))
+    ).cast("string").cast("decimal(12,6)")
+    return top.crossJoin(st).select(
+        "key",
+        F.col("c").cast("bigint").alias("n_rows_key"),
+        F.col("rk").cast("int").alias("rank"),
+        share.alias("share"),
+        skew.alias("skew_factor"),
+    )
