@@ -12478,3 +12478,212 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("share"),
         skew.alias("skew_factor"),
     )
+
+
+# =========================================================================
+# Johnson-Lindenstrauss random projection (Achlioptas 2001 sign
+# variant): 64-dim embeddings compressed to 16 dims with a DETERMINISTIC
+# hash-derived ±1 matrix — distances preserved in expectation, and every
+# arithmetic step exact decimal (the scale factor 1/sqrt(16) = 1/4 is
+# rational, so even the normalization stays exact).
+# =========================================================================
+
+_JL_OUT_DIMS = 16
+
+
+@_register(
+    "embedding_random_projection",
+    f"""
+    WITH el AS (
+      SELECT vec_id,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings),
+    q AS (SELECT vec_id, dim,
+                 CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS xq
+          FROM el),
+    od AS (SELECT unnest(range({_JL_OUT_DIMS})) AS out_dim),
+    s AS (
+      SELECT q.vec_id, o.out_dim,
+             sum(CASE WHEN ('0x' || substr(md5(q.dim || '|' || o.out_dim), 1, 1))
+                           ::INT % 2 = 0
+                      THEN q.xq ELSE -q.xq END) AS acc
+      FROM q CROSS JOIN od o
+      GROUP BY q.vec_id, o.out_dim)
+    SELECT vec_id, CAST(out_dim AS INT) AS out_dim,
+           CAST(CAST(CAST(CAST(acc AS DOUBLE) / 4.0 AS VARCHAR)
+                AS DECIMAL(12,6)) AS DOUBLE) AS y
+    FROM s
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection to {_JL_OUT_DIMS} dims with the
+    Achlioptas ±1 sign matrix, derived DETERMINISTICALLY from
+    md5(in_dim | out_dim) — no stored projection matrix, any executor
+    regenerates the same signs (the property that makes JL usable as a
+    shuffle-free preprocessing map). y_j = Σ_i s_ij·x_i / √d', and
+    √16 = 4 makes even the normalization a rational exact-decimal
+    division. This is the cheap front-end that makes downstream ANN
+    (lsh/ivf/pq) pay 4x less per distance at a bounded recall cost.
+    PLAN: posexplode + a {_JL_OUT_DIMS}-row broadcast cross join + ONE
+    (vec, out_dim)-keyed aggregation — map-side combinable, linear in
+    n·d, no vector-vs-vector work. Coordinates quantized on entry
+    (header rules); sums exact decimals. Reference parity: none
+    (beyond-reference embedding operator; feeds the ANN family)."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.col("x").cast("double").cast("string").cast("decimal(18,9)").alias("xq"),
+    )
+    od = emb.sparkSession.range(_JL_OUT_DIMS).select(
+        F.col("id").cast("int").alias("out_dim")
+    )
+    sign_even = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("dim"), F.col("out_dim"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0
+    )
+    s = (
+        q.crossJoin(F.broadcast(od))
+        .groupBy("vec_id", "out_dim")
+        .agg(
+            F.sum(
+                F.when(sign_even, F.col("xq")).otherwise(-F.col("xq"))
+            ).alias("acc")
+        )
+    )
+    return s.select(
+        "vec_id",
+        F.col("out_dim").cast("int").alias("out_dim"),
+        (F.col("acc").cast("double") / F.lit(4.0))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .cast("double")
+        .alias("y"),
+    )
+
+
+# =========================================================================
+# Data-contract validation (dbt tests / Great Expectations analog): the
+# standing check suite a pipeline runs before promoting a snapshot —
+# FK integrity, uniqueness, ranges, and derived-column invariants, each
+# one aggregate row.
+# =========================================================================
+
+
+@_register(
+    "data_contract_checks",
+    """
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_checked,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'customer_key_unique',
+           (SELECT CAST(count(*) AS BIGINT) FROM customer),
+           (SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+            FROM customer)
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_quantity IS NULL OR l_quantity <= 0)
+    UNION ALL
+    SELECT 'events_value_non_negative',
+           (SELECT CAST(count(*) AS BIGINT) FROM events),
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE value IS NULL OR value < 0)
+    UNION ALL
+    SELECT 'documents_nchars_matches_text',
+           (SELECT CAST(count(*) AS BIGINT) FROM documents),
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE n_chars IS DISTINCT FROM length(text))
+    """,
+)
+def data_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract suite (the dbt-test / Great Expectations shape):
+    referential integrity (orders→customer via LEFT ANTI — never a
+    row-per-row subquery), key uniqueness (count vs count distinct),
+    range constraints, and the derived-column invariant n_chars =
+    length(text) — each check one (name, n_checked, n_violations)
+    row, unioned into the gate report a snapshot promotion reads.
+    PLAN: one aggregate pass per involved table (map-side
+    combinable), anti-join for the FK, constant-width union — the
+    suite costs one scan per table at any corpus size, never per
+    check. All integers. Reference parity: P7 request validation
+    (SURVEY §2.2) is the per-row reject channel; this is the
+    table-level contract gate above it."""
+    spark_dfs = []
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    l = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+    d = _t(spark, sf_dir, "documents")
+
+    def row(name, n_checked_df, viol_df):
+        n = n_checked_df.agg(F.count("*").cast("bigint").alias("n_checked"))
+        v = viol_df.agg(F.count("*").cast("bigint").alias("n_violations"))
+        return (
+            n.crossJoin(v)
+            .select(
+                F.lit(name).alias("check_name"), "n_checked", "n_violations"
+            )
+        )
+
+    spark_dfs.append(
+        row(
+            "orders_custkey_fk",
+            o,
+            o.join(
+                c.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ),
+        )
+    )
+    uniq = c.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        (F.count("*") - F.countDistinct("c_custkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select(
+        F.lit("customer_key_unique").alias("check_name"),
+        "n_checked",
+        "n_violations",
+    )
+    spark_dfs.append(uniq)
+    spark_dfs.append(
+        row(
+            "lineitem_quantity_positive",
+            l,
+            l.where(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)),
+        )
+    )
+    spark_dfs.append(
+        row(
+            "events_value_non_negative",
+            e,
+            e.where(F.col("value").isNull() | (F.col("value") < 0)),
+        )
+    )
+    spark_dfs.append(
+        row(
+            "documents_nchars_matches_text",
+            d,
+            d.where(~F.col("n_chars").eqNullSafe(F.length("text"))),
+        )
+    )
+    out = spark_dfs[0]
+    for df in spark_dfs[1:]:
+        out = out.unionAll(df)
+    return out
