@@ -63,14 +63,21 @@ def syndication_edges(pairs: DataFrame, docs: DataFrame,
 
 
 def pagerank(edges: DataFrame, nodes: DataFrame, iterations: int = 5,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85,
+             teleport_to: str | None = None) -> DataFrame:
     """Fixed-iteration PageRank (simplified form: rank = (1-d) + d * sum
     of in-contributions, dangling mass not redistributed — the classic
     Spark-example semantics, which keeps the oracle a pure unrolled CTE).
 
     ``edges``: (src, dst), already symmetrized/deduped as desired;
     ``nodes``: one column ``source`` covering every node (isolated
-    domains settle at 1-d). Returns (source, rank:double)."""
+    domains settle at 1-d). Returns (source, rank:double).
+
+    ``teleport_to`` switches to PERSONALIZED PageRank (random walk
+    with restart): the (1-d) teleport mass lands only on the seed
+    node — rank becomes proximity TO THE SEED instead of global
+    authority (the crawl-frontier prioritizer). Isolated non-seed
+    nodes settle at 0."""
     sc = edges.sparkSession.sparkContext
     # The edge table typically sits on an EXPENSIVE lineage (LSH near-dup
     # derivation); it feeds two consumers (deg + the join) and then every
@@ -89,7 +96,14 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iterations: int = 5,
     # connected_components documents; same protocol as its edges guard).
     nodes = nodes.persist()
     nodes.count()
-    ranks = nodes.select("source", F.lit(1.0).alias("rank"))
+    if teleport_to is None:
+        r0 = F.lit(1.0)
+        base = F.lit(1.0 - damping)
+    else:
+        seed = F.col("source") == teleport_to
+        r0 = F.when(seed, F.lit(1.0)).otherwise(F.lit(0.0))
+        base = F.when(seed, F.lit(1.0 - damping)).otherwise(F.lit(0.0))
+    ranks = nodes.select("source", r0.alias("rank"))
     held: list[int] = []
     # Lineage is truncated every few rounds rather than every round: each
     # eager checkpoint is a scheduled job, and at 3 joins/round the plan
@@ -109,7 +123,7 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iterations: int = 5,
         ).select(
             "source",
             (
-                F.lit(1.0 - damping)
+                base
                 + F.lit(damping)
                 * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
             )

@@ -12687,3 +12687,276 @@ def data_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in spark_dfs[1:]:
         out = out.unionAll(df)
     return out
+
+
+# =========================================================================
+# Personalized PageRank (random walk with restart) from a seed domain —
+# proximity-to-seed instead of global authority: the crawl-frontier
+# prioritizer ("expand outward from the domains we trust").
+# =========================================================================
+
+
+def _ppr_iters_sql(n: int) -> str:
+    base = 1.0 - _PR_D
+    parts = [
+        "seed AS (SELECT min(source) AS s FROM documents)",
+        """r0 AS (SELECT n.source,
+                 CASE WHEN n.source = seed.s THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS rank
+          FROM nodes n CROSS JOIN seed)""",
+    ]
+    for i in range(1, n + 1):
+        parts.append(f"""
+    c{i} AS (SELECT e.dst AS source,
+                    CAST(CAST(r.rank / d.deg AS VARCHAR) AS DECIMAL(12,6)) AS c
+             FROM edges e JOIN r{i - 1} r ON r.source = e.src
+                          JOIN deg d ON d.src = e.src),
+    s{i} AS (SELECT source, sum(c) AS sm FROM c{i} GROUP BY source),
+    r{i} AS (SELECT n.source,
+                    CAST(CAST(
+                      (CASE WHEN n.source = seed.s THEN {base!r} ELSE 0.0 END)
+                      + {_PR_D!r} * coalesce(CAST(sm AS DOUBLE), 0.0)
+                      AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS rank
+             FROM nodes n CROSS JOIN seed LEFT JOIN s{i} USING (source))""")
+    return ", ".join(parts)
+
+
+@_register(
+    "domain_ppr_seeded",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
+    bands AS ({_band_sql(8, 4)}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+    {_JACCARD_CORE},
+    pr AS (SELECT v.id_a, v.id_b FROM verified v JOIN cand USING (id_a, id_b)
+           WHERE v.jaccard >= {_JACCARD_THR}),
+    e0 AS (SELECT da.source AS src, db.source AS dst
+           FROM pr JOIN documents da ON da.doc_id = pr.id_a
+                   JOIN documents db ON db.doc_id = pr.id_b
+           WHERE da.source != db.source),
+    edges AS (SELECT DISTINCT src, dst
+              FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+    nodes AS (SELECT DISTINCT source FROM documents),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    {{iters}}
+    SELECT source, rank FROM r{_PR_ITERS}
+    """.replace("{iters}", _ppr_iters_sql(_PR_ITERS)),
+)
+def domain_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from a seed domain (random walk with
+    restart, teleport mass on the seed only): rank measures proximity
+    to the seed through the syndication graph — the crawl-frontier
+    prioritizer ("start from trusted domains, expand outward"),
+    versus domain_pagerank's global authority. Same LSH-derived edge
+    graph, same fixed decimal-exact rounds with checkpointed lineage
+    cuts (operators/pagerank.py teleport_to=); the seed is the
+    lexicographic-min domain (constant driver state, the LR-weights
+    precedent). Isolated non-seed domains settle at exactly 0; the
+    oracle unrolls the same personalized iterations as chained CTEs."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    pairs = dedup.minhash_dedup_pairs(d, "text", "doc_id", _JACCARD_THR,
+                                      k=8, bands=4)
+    edges = prk.syndication_edges(pairs, d)
+    nodes = d.select("source").distinct()
+    seed = d.agg(F.min("source")).collect()[0][0]
+    return prk.pagerank(edges, nodes, iterations=_PR_ITERS, damping=_PR_D,
+                        teleport_to=seed)
+
+
+# =========================================================================
+# Chunk-overlap stitching: reassemble original documents from the
+# overlapping RAG chunks and PROVE the round trip — the integrity check
+# that catches an off-by-one in either the chunker or the stitcher.
+# =========================================================================
+
+
+@_register(
+    "chunk_overlap_stitch",
+    f"""
+    WITH nn AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    tok AS (SELECT doc_id, string_split(t, ' ') AS w,
+                   len(string_split(t, ' ')) AS n
+            FROM nn WHERE length(t) > 0),
+    st AS (SELECT doc_id, w, n, unnest(range(0, n, {_CHUNK_STEP_W})) AS s
+           FROM tok),
+    ch AS (SELECT doc_id,
+                  CAST(s / {_CHUNK_STEP_W} AS INTEGER) AS chunk_idx,
+                  array_to_string(w[s + 1:s + {_CHUNK_W}], ' ') AS chunk
+           FROM st WHERE s = 0 OR s + {_CHUNK_O} < n),
+    contrib AS (
+      SELECT doc_id, chunk_idx,
+             CASE WHEN chunk_idx = 0 THEN chunk
+                  ELSE array_to_string(
+                    string_split(chunk, ' ')[{_CHUNK_O + 1}:{_CHUNK_W}], ' ')
+             END AS part
+      FROM ch),
+    stitched AS (
+      SELECT doc_id, count(*) AS n_chunks,
+             string_agg(part, ' ' ORDER BY chunk_idx) AS stitched
+      FROM contrib GROUP BY doc_id)
+    SELECT s.doc_id, CAST(s.n_chunks AS BIGINT) AS n_chunks,
+           md5(s.stitched) AS stitched_md5,
+           s.stitched = nn.t AS round_trip_ok
+    FROM stitched s JOIN nn USING (doc_id)
+    """,
+)
+def chunk_overlap_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-chunk integrity: reassemble each document from its
+    overlapping {_CHUNK_W}-token chunks (text_chunks) by dropping the
+    {_CHUNK_O}-token carried overlap from every non-first chunk, and
+    PROVE stitched == normalized original per doc — the round trip
+    that catches any off-by-one in chunker or stitcher before a
+    retrieval index is built on bad boundaries. PLAN: consumes the
+    chunk stream (one codegen'd chunk expression), one doc-keyed
+    ordered reassembly (array_sort over collected (idx, part) structs
+    — never order-dependent collection), one join back to the source
+    for the verdict. Doc-partitioned throughout. Pure string/md5
+    equality — nothing to quantize."""
+    ch = QUERIES["text_chunks"](spark, sf_dir)
+    part = F.when(F.col("chunk_idx") == 0, F.col("chunk")).otherwise(
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("chunk"), " "), _CHUNK_O + 1, _CHUNK_W)
+        )
+    )
+    stitched = (
+        ch.select("doc_id", "chunk_idx", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "part"))),
+                    lambda r: r["part"],
+                ),
+            ).alias("stitched"),
+        )
+    )
+    nn = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_ws(F.col("text")).alias("t")
+    )
+    return stitched.join(nn, "doc_id").select(
+        "doc_id",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.md5("stitched").alias("stitched_md5"),
+        (F.col("stitched") == F.col("t")).alias("round_trip_ok"),
+    )
+
+
+# =========================================================================
+# Split-conformal prediction threshold (Vovk; Angelopoulos & Bates
+# 2021): the finite-sample coverage guarantee for the quality
+# classifier — q̂ = the ⌈(n+1)(1-α)⌉-th smallest calibration
+# nonconformity, chosen over the bounded quantized-score histogram.
+# =========================================================================
+
+
+@_register(
+    "conformal_threshold",
+    _lr_scored_sql()
+    + """,
+    nc AS (
+      SELECT doc_id,
+             CASE WHEN y = 1 THEN 1 - p ELSE p END AS s
+      FROM S),
+    cal AS (SELECT s FROM nc WHERE doc_id % 2 = 0),
+    tst AS (SELECT s FROM nc WHERE doc_id % 2 = 1),
+    h AS (SELECT s, count(*) AS c FROM cal GROUP BY s),
+    cumh AS (SELECT s, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cum FROM h),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+    kv AS (SELECT n_cal, (9 * (n_cal + 1) + 9) // 10 AS k FROM n),
+    q AS (SELECT CAST(kv.n_cal AS BIGINT) AS n_cal, CAST(kv.k AS BIGINT) AS k,
+                 min(c.s) AS qhat
+          FROM cumh c CROSS JOIN kv WHERE c.cum >= kv.k GROUP BY 1, 2)
+    SELECT q.n_cal, q.k, CAST(q.qhat AS DOUBLE) AS q_hat,
+           (SELECT CAST(count(*) AS BIGINT) FROM tst) AS n_test,
+           (SELECT CAST(count(*) AS BIGINT) FROM tst WHERE tst.s <= q.qhat)
+             AS n_covered,
+           CAST(CAST(
+             (SELECT CAST(count(*) AS DOUBLE) FROM tst WHERE tst.s <= q.qhat)
+             / (SELECT CAST(count(*) AS DOUBLE) FROM tst)
+             AS VARCHAR) AS DECIMAL(12,6)) AS coverage
+    FROM q
+    """,
+)
+def conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the quality classifier
+    (Angelopoulos & Bates 2021): nonconformity = the score of the TRUE
+    label (1-p for positives, p for negatives); q̂ = the
+    ⌈(n+1)(1-α)⌉-th smallest calibration nonconformity (α=0.1, rank
+    picked with integer ceil math), giving the finite-sample ≥90%
+    coverage guarantee the held-out half then empirically checks. The
+    quantile is selected over the GROUPED quantized-score histogram —
+    bounded at 10^6+1 rows like classifier_eval_auc, so the cumulative
+    window never touches corpus grain. Even/odd doc split is the
+    deterministic hash-split stand-in. Everything integer or quantized
+    decimal; one final division. Reference parity: none
+    (beyond-reference eval operator; completes the train → infer →
+    AUC → calibration → conformal chain)."""
+    from cies_ocr_java_spark.operators import logreg
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    feats = logreg.lr_features(
+        d, EN_STOPWORDS, label_len=_LR_LABEL_LEN, flip_mod=_LR_FLIP_MOD
+    ).persist()
+    try:
+        rows = logreg.logreg_train(feats, rounds=_LR_ROUNDS)
+    finally:
+        feats.unpersist()
+    w = {j: wv for (r, j, wv) in rows if r == _LR_ROUNDS}
+    m = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("xq1").cast("double")
+        + F.lit(w[2]) * F.col("xq2").cast("double")
+        + F.lit(w[3]) * F.col("xq3").cast("double")
+    )
+    p = (F.lit(1.0) / (F.lit(1.0) + F.exp(-m))).cast("decimal(12,6)")
+    nc = feats.select(
+        "doc_id",
+        F.when(F.col("y") == 1, F.lit(1).cast("decimal(12,6)") - p)
+        .otherwise(p)
+        .alias("s"),
+    )
+    cal = nc.where(F.col("doc_id") % 2 == 0).select("s")
+    tst = nc.where(F.col("doc_id") % 2 == 1).select("s")
+    h = cal.groupBy("s").agg(F.count("*").alias("c"))
+    cumh = h.select(
+        "s",
+        F.sum("c")
+        .over(Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    kv = cal.agg(F.count("*").cast("bigint").alias("n_cal")).select(
+        "n_cal", F.expr("(9 * (n_cal + 1) + 9) div 10").cast("bigint").alias("k")
+    )
+    q = (
+        cumh.crossJoin(kv)
+        .where(F.col("cum") >= F.col("k"))
+        .groupBy("n_cal", "k")
+        .agg(F.min("s").alias("qhat"))
+    )
+    t_stats = tst.crossJoin(q).agg(
+        F.first("n_cal").alias("n_cal"),
+        F.first("k").alias("k"),
+        F.first(F.col("qhat").cast("double")).alias("q_hat"),
+        F.count("*").cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("s") <= F.col("qhat"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_covered"),
+        (
+            F.sum(F.when(F.col("s") <= F.col("qhat"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*").cast("double")
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("coverage"),
+    )
+    return t_stats.select(
+        "n_cal", "k", "q_hat", "n_test", "n_covered", "coverage"
+    )
