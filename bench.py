@@ -171,6 +171,13 @@ HEADLINE = [
     "events_log2_histogram",
     "orders_rfm_segments",
     "basket_type_lift",
+    "site_boilerplate_trim",
+    "join_key_skew_profile",
+    "embedding_random_projection",
+    "data_contract_checks",
+    "domain_ppr_seeded",
+    "chunk_overlap_stitch",
+    "conformal_threshold",
 ]
 
 
