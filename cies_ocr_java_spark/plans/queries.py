@@ -12960,3 +12960,214 @@ def conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_stats.select(
         "n_cal", "k", "q_hat", "n_test", "n_covered", "coverage"
     )
+
+
+# =========================================================================
+# ABC / Pareto classification of parts by revenue: cumulative-share
+# classes over the ranked aggregate (A = first 80% of revenue, B = next
+# 15%, C = tail) — the inventory-analytics classic.
+# =========================================================================
+
+
+@_register(
+    "parts_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS p_partkey,
+             sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR)
+                 AS DECIMAL(18,2))) AS revenue
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT p_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, p_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+             sum(revenue) OVER () AS total
+      FROM rev)
+    SELECT p_partkey, CAST(revenue AS DOUBLE) AS revenue,
+           CAST(CAST(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(12,6)) AS cum_share,
+           CASE WHEN CAST(CAST(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+                     AS VARCHAR) AS DECIMAL(12,6)) <= 0.800000 THEN 'A'
+                WHEN CAST(CAST(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+                     AS VARCHAR) AS DECIMAL(12,6)) <= 0.950000 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: parts ranked by exact decimal
+    revenue, classed by CUMULATIVE share — A carries the first 80% of
+    revenue, B to 95%, C the tail. The class boundaries compare the
+    QUANTIZED cumulative share against decimal literals, so a part
+    sitting exactly on 80.0000% classes identically in both engines.
+    PLAN: one map-side-combinable revenue rollup, then a cumulative
+    window over the PARTS-sized aggregate (post-aggregate grain;
+    deterministic (revenue, key) tiebreak). At 10^9 parts swap the
+    global window for the two-level distributed rank the repo's
+    percentile/quartile operators already use. Reference parity: none
+    (beyond-reference analytics operator)."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = l.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("string")
+            .cast("decimal(18,2)")
+        ).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("p_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = rev.select(
+        "p_partkey",
+        "revenue",
+        F.sum("revenue").over(w).alias("cum"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total"),
+    )
+    share = (F.col("cum").cast("double") / F.col("total").cast("double")).cast(
+        "string"
+    ).cast("decimal(12,6)")
+    return r.select(
+        "p_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= F.lit("0.800000").cast("decimal(12,6)"), "A")
+        .when(share <= F.lit("0.950000").cast("decimal(12,6)"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# =========================================================================
+# Poisson-bootstrap confidence interval (the distributed bootstrap:
+# Chamandy et al., Google 2012; Kleiner's BLB lineage) — per-replicate
+# Poisson(1) weights from a DETERMINISTIC hash, so the resampling needs
+# no RNG state, no sort, and replays identically on any cluster.
+# =========================================================================
+
+_BOOT_B = 40
+_BOOT_T = ("0.367879441171", "0.735758882343", "0.919698602929",
+           "0.981011843124")
+
+
+def _boot_w_sql(u: str) -> str:
+    t = _BOOT_T
+    return (f"CASE WHEN {u} < {t[0]} THEN 0 WHEN {u} < {t[1]} THEN 1 "
+            f"WHEN {u} < {t[2]} THEN 2 WHEN {u} < {t[3]} THEN 3 ELSE 4 END")
+
+
+@_register(
+    "bootstrap_mean_ci",
+    f"""
+    WITH reps AS (SELECT unnest(range({_BOOT_B})) AS b),
+    u AS (
+      SELECT d.doc_id, d.n_chars, r.b,
+             CAST((CAST(('0x' || substr(md5(d.doc_id || '|' || r.b), 1, 12))
+                        AS BIGINT) + 0.5) / {_SPLIT_SCALE!r}
+                  AS DECIMAL(18,12)) AS uq
+      FROM documents d CROSS JOIN reps r),
+    wts AS (SELECT b, n_chars, {_boot_w_sql('uq')} AS w FROM u),
+    means AS (
+      SELECT b,
+             CAST(sum(w * n_chars) AS BIGINT) AS wsum,
+             CAST(sum(w) AS BIGINT) AS wn,
+             CAST(CAST(CAST(sum(w * n_chars) AS DOUBLE)
+                  / CAST(sum(w) AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))
+               AS mean_b
+      FROM wts GROUP BY b),
+    rk AS (
+      SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS r
+      FROM means)
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           (SELECT CAST(CAST(CAST(sum(n_chars) AS DOUBLE) / count(*)
+                   AS VARCHAR) AS DECIMAL(18,6)) FROM documents) AS point_mean,
+           (SELECT CAST(mean_b AS DOUBLE) FROM rk
+            WHERE r = (5 * {_BOOT_B} + 99) // 100) AS ci_lo,
+           (SELECT CAST(mean_b AS DOUBLE) FROM rk
+            WHERE r = (95 * {_BOOT_B} + 99) // 100) AS ci_hi
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 90% CI for the mean document length (Chamandy
+    et al. 2012 — THE distributed bootstrap: instead of resampling n
+    rows with replacement, every (row, replicate) draws an independent
+    Poisson(1) weight, which needs no global coordination and
+    map-side-combines). The weight comes from the DETERMINISTIC
+    md5-uniform recipe mapped through quantized Poisson CDF literals —
+    identical resampling on any cluster size, any retry, either
+    engine. PLAN: a ×{_BOOT_B} replicate expansion (the honest
+    bootstrap cost) feeding ONE combinable aggregation whose shuffle
+    is {_BOOT_B} rows per partition; the CI is a rank pick over the
+    {_BOOT_B}-row replicate table. Integer weight sums; one quantized
+    division per replicate. Reference parity: none (beyond-reference
+    statistics operator; the uncertainty companion to moments_sketch)."""
+    d = _t(spark, sf_dir, "documents")
+    reps = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    u = d.crossJoin(F.broadcast(reps)).select(
+        "n_chars",
+        "b",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col("doc_id"), F.col("b"))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                + F.lit(0.5)
+            )
+            / F.lit(_SPLIT_SCALE)
+        )
+        .cast("decimal(18,12)")
+        .alias("uq"),
+    )
+    t = [F.lit(x).cast("decimal(18,12)") for x in _BOOT_T]
+    w = (
+        F.when(F.col("uq") < t[0], 0)
+        .when(F.col("uq") < t[1], 1)
+        .when(F.col("uq") < t[2], 2)
+        .when(F.col("uq") < t[3], 3)
+        .otherwise(4)
+    )
+    means = (
+        u.select("b", "n_chars", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("n_chars")).cast("double")
+                / F.sum("w").cast("double")
+            )
+            .cast("string")
+            .cast("decimal(18,6)")
+            .alias("mean_b"),
+        )
+    )
+    rk = means.select(
+        "mean_b",
+        F.row_number().over(Window.orderBy("mean_b", "b")).alias("r"),
+    )
+    lo_r = (5 * _BOOT_B + 99) // 100
+    hi_r = (95 * _BOOT_B + 99) // 100
+    point = d.agg(
+        (F.sum("n_chars").cast("double") / F.count("*"))
+        .cast("string")
+        .cast("decimal(18,6)")
+        .alias("point_mean")
+    )
+    lo = rk.where(F.col("r") == lo_r).select(
+        F.col("mean_b").cast("double").alias("ci_lo")
+    )
+    hi = rk.where(F.col("r") == hi_r).select(
+        F.col("mean_b").cast("double").alias("ci_hi")
+    )
+    return (
+        point.crossJoin(lo)
+        .crossJoin(hi)
+        .select(
+            F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
