@@ -178,6 +178,8 @@ HEADLINE = [
     "domain_ppr_seeded",
     "chunk_overlap_stitch",
     "conformal_threshold",
+    "parts_abc_classification",
+    "bootstrap_mean_ci",
 ]
 
 
