@@ -13171,3 +13171,336 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# =========================================================================
+# KL divergence of each domain's unigram distribution from the corpus —
+# the information-theoretic domain-shift score (which domains look
+# least like the aggregate informs mixing and OOD monitoring).
+# =========================================================================
+
+_KL_TOP_K = 500
+
+
+@_register(
+    "domain_kl_divergence",
+    f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS token
+      FROM documents),
+    tf AS (SELECT token, count(*) AS c FROM tok WHERE token <> '' GROUP BY 1),
+    vocab AS (SELECT token, c,
+                     row_number() OVER (ORDER BY c DESC, token) AS rk
+              FROM tf),
+    v AS (SELECT token, c FROM vocab WHERE rk <= {_KL_TOP_K}),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM v),
+    sc AS (SELECT t.source, t.token, count(*) AS cs
+           FROM tok t JOIN v ON v.token = t.token GROUP BY 1, 2),
+    stot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM sc GROUP BY source),
+    grid AS (
+      SELECT s.source, v.token, v.c, coalesce(sc.cs, 0) AS cs
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN v
+      LEFT JOIN sc ON sc.source = s.source AND sc.token = v.token),
+    pq AS (
+      SELECT g.source,
+             CAST(CAST(CAST(g.cs + 1 AS DOUBLE)
+                  / CAST(st.ns + {_KL_TOP_K} AS DOUBLE) AS VARCHAR)
+                  AS DECIMAL(18,12)) AS p,
+             CAST(CAST(CAST(g.c + 1 AS DOUBLE)
+                  / CAST(t.n + {_KL_TOP_K} AS DOUBLE) AS VARCHAR)
+                  AS DECIMAL(18,12)) AS q
+      FROM grid g JOIN stot st USING (source) CROSS JOIN tot t),
+    term AS (
+      SELECT source,
+             p * CAST(CAST(ln(CAST(p AS DOUBLE) / CAST(q AS DOUBLE))
+                 AS VARCHAR) AS DECIMAL(14,8)) AS kt
+      FROM pq)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(CAST(CAST(sum(kt) AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))
+             AS kl_divergence
+    FROM term GROUP BY source
+    """,
+)
+def domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence D(p_source || p_corpus) over the shared
+    top-{_KL_TOP_K} vocabulary with add-one smoothing — the
+    information-theoretic domain-shift score: a domain whose word
+    distribution diverges most from the aggregate is the one a
+    uniform mixing policy misrepresents (feeds the same decisions as
+    domain_temperature_mix and dsir_importance_weights, from the
+    distributional side). EXACTNESS: p and q are quantized decimals,
+    ln(p/q) is decimal-absorbed per term (the header recipe), the
+    p·ln ratio product is exact decimal multiplication, and the
+    per-source sum is an exact decimal add — order never matters.
+    PLAN: one token explode feeding both the global tf and the
+    per-source counts (vocab truncated to K before any join), a
+    sources × K smoothing grid built from a broadcast vocab cross
+    join, and one per-source rollup — every shuffle is bounded by
+    sources × K, not the corpus. Reference parity: none
+    (beyond-reference corpus-diagnostics operator)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.lower(normalize_ws(F.col("text"))), " ")).alias(
+            "token"
+        ),
+    )
+    tf = tok.where(F.col("token") != "").groupBy("token").agg(
+        F.count("*").alias("c")
+    )
+    v = tf.select(
+        "token",
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("token")))
+        .alias("rk"),
+    ).where(F.col("rk") <= _KL_TOP_K).drop("rk")
+    tot = v.agg(F.sum("c").cast("bigint").alias("n"))
+    sc = tok.join(v.select("token"), "token").groupBy("source", "token").agg(
+        F.count("*").alias("cs")
+    )
+    stot = sc.groupBy("source").agg(F.sum("cs").cast("bigint").alias("ns"))
+    grid = (
+        d.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(v))
+        .join(sc, ["source", "token"], "left")
+        .select(
+            "source", "token", "c", F.coalesce("cs", F.lit(0)).alias("cs")
+        )
+    )
+    pq = (
+        grid.join(stot, "source")
+        .crossJoin(tot)
+        .select(
+            "source",
+            (
+                (F.col("cs") + 1).cast("double")
+                / (F.col("ns") + _KL_TOP_K).cast("double")
+            )
+            .cast("string")
+            .cast("decimal(18,12)")
+            .alias("p"),
+            (
+                (F.col("c") + 1).cast("double")
+                / (F.col("n") + _KL_TOP_K).cast("double")
+            )
+            .cast("string")
+            .cast("decimal(18,12)")
+            .alias("q"),
+        )
+    )
+    term = pq.select(
+        "source",
+        (
+            F.col("p")
+            * F.log(F.col("p").cast("double") / F.col("q").cast("double"))
+            .cast("string")
+            .cast("decimal(14,8)")
+        ).alias("kt"),
+    )
+    # ln is quantized at scale 8, NOT 12: with ~sources x K terms a
+    # scale-12 grid gave a measured cross-engine boundary crossing (the
+    # libm-ulp risk scales with term count x 10^-scale); the exact sum
+    # then re-quantizes once through the standard double->varchar recipe,
+    # which also absorbs the engines' differing wide-decimal->double
+    # roundings.
+    return term.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("kt")
+        .cast("double")
+        .cast("string")
+        .cast("decimal(18,6)")
+        .alias("kl_divergence"),
+    )
+
+
+# =========================================================================
+# Truncated EWMA smoothing of the daily event series — α = 1/2 makes
+# every FIR weight an EXACT binary decimal (0.5, 0.25, ... 1/256), so
+# the smoother needs no quantization at all until the final renorm.
+# =========================================================================
+
+_EWMA_TAPS = 8
+
+
+@_register(
+    "events_ewma_smooth",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_num,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, day_num, n_events,
+             {", ".join(f"lag(n_events, {k}) OVER w AS x{k}" for k in range(_EWMA_TAPS))}
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_num)),
+    s AS (
+      SELECT event_type, day_num, n_events,
+             {" + ".join(f"coalesce(CAST(x{k} AS DECIMAL(18,9)) * {0.5 ** (k + 1)!r}, 0)" for k in range(_EWMA_TAPS))}
+               AS num,
+             {" + ".join(f"(CASE WHEN x{k} IS NOT NULL THEN CAST({0.5 ** (k + 1)!r} AS DECIMAL(18,9)) ELSE 0 END)" for k in range(_EWMA_TAPS))}
+               AS den
+      FROM l)
+    SELECT event_type, CAST(day_num AS BIGINT) AS day_num, n_events,
+           CAST(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(18,6)) AS ewma
+    FROM s WHERE den > 0
+    """,
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-EWMA smoothing of the per-type daily series: an
+    {_EWMA_TAPS}-tap FIR with weights α(1-α)^k at α = 1/2 — every
+    weight an EXACT binary decimal (1/2 ... 1/256), so the weighted
+    sum is pure exact-decimal arithmetic; the only division is the
+    per-row renormalization over the taps actually present (series
+    start), quantized once. Truncation is what makes EWMA windowable:
+    the recursive form needs per-row state, the {_EWMA_TAPS}-tap form
+    is {_EWMA_TAPS} lag() columns over a type-partitioned window (the
+    tail weight beyond 8 taps is < 0.4%). PLAN: full data touched once
+    by the daily rollup; the lag window runs over the bounded
+    (type, day) grain. Reference parity: none (beyond-reference
+    time-series operator; the smoother feeding anomaly baselines)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_DAY_US))
+        .cast("bigint")
+        .alias("day_num"),
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day_num")
+    lags = daily.select(
+        "event_type",
+        "day_num",
+        "n_events",
+        *[F.lag("n_events", k).over(w).alias(f"x{k}") for k in range(_EWMA_TAPS)],
+    )
+    num = None
+    den = None
+    for k in range(_EWMA_TAPS):
+        wk = 0.5 ** (k + 1)
+        nk = F.coalesce(
+            F.col(f"x{k}").cast("decimal(18,9)") * F.lit(wk).cast("decimal(18,9)"),
+            F.lit(0).cast("decimal(38,18)"),
+        )
+        dk = F.when(
+            F.col(f"x{k}").isNotNull(), F.lit(wk).cast("decimal(18,9)")
+        ).otherwise(F.lit(0).cast("decimal(18,9)"))
+        num = nk if num is None else num + nk
+        den = dk if den is None else den + dk
+    s = lags.select(
+        "event_type", "day_num", "n_events", num.alias("num"), den.alias("den")
+    )
+    return s.where(F.col("den") > 0).select(
+        "event_type",
+        F.col("day_num").cast("bigint").alias("day_num"),
+        "n_events",
+        (F.col("num").cast("double") / F.col("den").cast("double"))
+        .cast("string")
+        .cast("decimal(18,6)")
+        .alias("ewma"),
+    )
+
+
+# =========================================================================
+# int8 quantization ERROR audit: per-vector reconstruction MSE of the
+# symmetric int8 codes — the accuracy half of embedding_quantize_int8's
+# compression story.
+# =========================================================================
+
+
+@_register(
+    "int8_reconstruction_error",
+    f"""
+    WITH t AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+    u AS (SELECT vec_id, label, v,
+                 unnest(range(1, {_EMB_DIM} + 1)) AS i FROM t),
+    m AS (SELECT vec_id, max(abs({_d8('v[i]')})) AS am FROM u GROUP BY 1),
+    q AS (SELECT u.vec_id, u.label, u.i, {_d8('v[i]')} AS xq, m.am,
+                 CASE WHEN m.am = 0 THEN 0
+                      ELSE CAST(CAST(CAST(CAST({_d8('v[i]')} AS DOUBLE)
+                           / (CAST(m.am AS DOUBLE) / 127.0)
+                           AS VARCHAR) AS DECIMAL(10,0)) AS INTEGER) END AS qv
+          FROM u JOIN m USING (vec_id)),
+    r AS (SELECT vec_id, label, i, xq,
+                 -- scale 6, not 9: per-element double->decimal boundary
+                 -- crossings were measured at scale 9 over 32k elements
+                 CASE WHEN am = 0 THEN CAST(0 AS DECIMAL(18,6))
+                      ELSE CAST(CAST(CAST(qv AS DOUBLE)
+                           * (CAST(am AS DOUBLE) / 127.0) AS VARCHAR)
+                           AS DECIMAL(18,6)) END AS recon
+          FROM q),
+    e AS (SELECT vec_id, label,
+                 sum((xq - recon) * (xq - recon)) AS se
+          FROM r GROUP BY 1, 2)
+    SELECT vec_id, label,
+           CAST(CAST(CAST(CAST(se AS DOUBLE) / {_EMB_DIM} AS VARCHAR)
+                AS DECIMAL(15,9)) AS DOUBLE) AS mse
+    FROM e
+    """,
+)
+def int8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error audit of the symmetric int8 quantizer: each
+    vector's codes are decoded back (q * scale, scale = max|x|/127) and
+    the per-vector MSE against the quantized-decimal original reports
+    what the 4x compression costs — the accuracy half of
+    embedding_quantize_int8, and the number that justifies (or vetoes)
+    running the ANN sweep on codes instead of floats. EXACTNESS:
+    coordinates and reconstructions are quantized decimals, squared
+    error is exact decimal arithmetic, one final quantized division by
+    the dimension. PLAN: map-only per vector (explode + per-vec max +
+    rollup, all keyed on vec_id — one shuffle); zero-vector edge emits
+    exact 0. Reference parity: none (beyond-reference embedding
+    operator)."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    u = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("x").cast("double").cast("string").cast("decimal(18,9)").alias("xq"),
+    )
+    m = u.groupBy("vec_id").agg(F.max(F.abs(F.col("xq"))).alias("am"))
+    q = u.join(m, "vec_id").select(
+        "vec_id",
+        "label",
+        "xq",
+        "am",
+        F.when(F.col("am") == 0, F.lit(0))
+        .otherwise(
+            (
+                F.col("xq").cast("double")
+                / (F.col("am").cast("double") / F.lit(127.0))
+            )
+            .cast("string")
+            .cast("decimal(10,0)")
+            .cast("int")
+        )
+        .alias("qv"),
+    )
+    recon = F.when(F.col("am") == 0, F.lit(0).cast("decimal(18,6)")).otherwise(
+        (
+            F.col("qv").cast("double")
+            * (F.col("am").cast("double") / F.lit(127.0))
+        )
+        .cast("string")
+        .cast("decimal(18,6)")
+    )
+    r = q.select("vec_id", "label", "xq", recon.alias("recon"))
+    e = r.groupBy("vec_id", "label").agg(
+        F.sum(
+            (F.col("xq") - F.col("recon")) * (F.col("xq") - F.col("recon"))
+        ).alias("se")
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        (F.col("se").cast("double") / F.lit(64))
+        .cast("string")
+        .cast("decimal(15,9)")
+        .cast("double")
+        .alias("mse"),
+    )
