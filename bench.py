@@ -180,6 +180,9 @@ HEADLINE = [
     "conformal_threshold",
     "parts_abc_classification",
     "bootstrap_mean_ci",
+    "domain_kl_divergence",
+    "events_ewma_smooth",
+    "int8_reconstruction_error",
 ]
 
 
