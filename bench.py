@@ -183,6 +183,8 @@ HEADLINE = [
     "domain_kl_divergence",
     "events_ewma_smooth",
     "int8_reconstruction_error",
+    "span_provenance_offsets",
+    "interleaved_budget_trim",
 ]
 
 

@@ -13504,3 +13504,167 @@ def int8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mse"),
     )
+
+
+# =========================================================================
+# Span provenance offsets: each extracted span's [char_start, char_end)
+# in the assembled document text — the attribution map that lets a
+# training sample be traced back to the exact extracted region.
+# =========================================================================
+
+
+@_register(
+    "span_provenance_offsets",
+    f"""
+    WITH s0 AS ({{e2e}}),
+    c AS (
+      SELECT doc_id, span_order, kind,
+             CASE WHEN kind = 'text' THEN length(text) ELSE 0 END AS n_chars
+      FROM s0),
+    o AS (
+      SELECT doc_id, span_order, kind, n_chars,
+             CAST(coalesce(sum(n_chars) OVER (
+               PARTITION BY doc_id ORDER BY span_order
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS char_start
+      FROM c)
+    SELECT doc_id, CAST(span_order AS INT) AS span_order, kind,
+           char_start,
+           CAST(char_start + n_chars AS BIGINT) AS char_end,
+           CAST(sum(n_chars) OVER (PARTITION BY doc_id) AS BIGINT)
+             AS doc_total_chars
+    FROM o
+    """.replace("{e2e}", _E2E_SQL),
+)
+def span_provenance_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance/attribution map for the extracted stream: every
+    span's [char_start, char_end) interval in the concatenated
+    document text (media spans are zero-width markers), plus the doc
+    total — the index that traces any training-sample excerpt back to
+    the exact extracted span it came from (takedown requests, privacy
+    audits, eval-contamination forensics all need this mapping).
+    ONE cumulative window PARTITIONED BY doc_id over the pipeline
+    output — rides the assembly stage's existing doc-keyed
+    distribution; offsets are exact integers by construction
+    (char_end of span k == char_start of span k+1). Reference parity:
+    span assembly order per DocumentExtractManagerTest.java block
+    ordering (SURVEY §2.4); the offset map is beyond-reference."""
+    out = QUERIES["pipeline_end_to_end"](spark, sf_dir)
+    n_chars = F.when(
+        F.col("kind") == "text", F.length("text")
+    ).otherwise(F.lit(0))
+    c = out.select("doc_id", "span_order", "kind", n_chars.alias("n_chars"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_order")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = c.select(
+        "doc_id",
+        "span_order",
+        "kind",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("char_start"),
+    )
+    return o.select(
+        "doc_id",
+        F.col("span_order").cast("int").alias("span_order"),
+        "kind",
+        "char_start",
+        (F.col("char_start") + F.col("n_chars")).cast("bigint").alias("char_end"),
+        F.sum("n_chars")
+        .over(Window.partitionBy("doc_id"))
+        .cast("bigint")
+        .alias("doc_total_chars"),
+    )
+
+
+# =========================================================================
+# Interleaved token-budget trim: keep each document's PREFIX of spans
+# whose cumulative token cost fits the context budget — the lossy-but-
+# boundary-respecting alternative to mid-span truncation.
+# =========================================================================
+
+_TRIM_BUDGET = 96
+
+
+@_register(
+    "interleaved_budget_trim",
+    f"""
+    WITH s0 AS ({{e2e}}),
+    c AS (SELECT doc_id, span_order, kind,
+            CASE WHEN kind = 'media' THEN {_MM_MEDIA_TOK}
+                 ELSE {_TOKC_SQL.format(x='text')} END AS n_tok
+          FROM s0),
+    o AS (
+      SELECT doc_id, span_order, kind, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+               PARTITION BY doc_id ORDER BY span_order
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tok_before
+      FROM c),
+    k AS (SELECT *, tok_before + n_tok <= {_TRIM_BUDGET} AS kept FROM o)
+    SELECT doc_id, CAST(span_order AS INT) AS span_order, kind,
+           CAST(n_tok AS BIGINT) AS n_tok, kept,
+           CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END)
+                OVER (PARTITION BY doc_id) AS BIGINT) AS doc_kept_tokens,
+           CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END)
+                OVER (PARTITION BY doc_id) AS BIGINT) AS doc_dropped_spans
+    FROM k
+    """.replace("{e2e}", _E2E_SQL),
+)
+def interleaved_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget trimming at SPAN boundaries: each document keeps
+    the reading-order prefix of spans whose cumulative cost (text =
+    whitespace tokens, media = the fixed {_MM_MEDIA_TOK}-token
+    placeholder) fits the {_TRIM_BUDGET}-token context — the
+    alternative to mid-span truncation that never splits an image
+    from its placeholder or a sentence mid-span (the interleaved
+    loader's precondition). A span is kept iff its OWN end fits, so
+    one oversized span early never lets a later small span sneak in
+    (prefix semantics, not knapsack — deterministic and
+    order-faithful). ONE cumulative window + per-doc rollup windows,
+    all PARTITIONED BY doc_id on the pipeline output. Pairs with
+    batch_padding_plan (which prices the padding this trim bounds)
+    and corpus_pack_sequences (the zero-waste endpoint). Reference
+    parity: none (beyond-reference loader-prep operator)."""
+    out = QUERIES["pipeline_end_to_end"](spark, sf_dir)
+    n_tok = F.when(F.col("kind") == "media", F.lit(_MM_MEDIA_TOK)).otherwise(
+        token_count(F.col("text"))
+    )
+    c = out.select("doc_id", "span_order", "kind", n_tok.alias("n_tok"))
+    wb = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_order")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = c.select(
+        "doc_id",
+        "span_order",
+        "kind",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("tok_before"),
+    )
+    k = o.withColumn(
+        "kept", (F.col("tok_before") + F.col("n_tok")) <= _TRIM_BUDGET
+    )
+    wd = Window.partitionBy("doc_id")
+    return k.select(
+        "doc_id",
+        F.col("span_order").cast("int").alias("span_order"),
+        "kind",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "kept",
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+        .over(wd)
+        .cast("bigint")
+        .alias("doc_kept_tokens"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1))
+        .over(wd)
+        .cast("bigint")
+        .alias("doc_dropped_spans"),
+    )
