@@ -185,6 +185,9 @@ HEADLINE = [
     "int8_reconstruction_error",
     "span_provenance_offsets",
     "interleaved_budget_trim",
+    "retrieval_ndcg_eval",
+    "graph_clustering_coefficient",
+    "rolling_distinct_users",
 ]
 
 

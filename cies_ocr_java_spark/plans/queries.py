@@ -13668,3 +13668,270 @@ def interleaved_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("doc_dropped_spans"),
     )
+
+
+# =========================================================================
+# nDCG@10 ranking eval: the TF ranking scored against BM25-as-truth
+# with EXACT arithmetic — the 1/log2(i+1) discounts are precomputed
+# quantized decimal literals, so the whole metric is integer x decimal.
+# =========================================================================
+
+_NDCG_W = ("1.000000000000", "0.630929753571", "0.500000000000",
+           "0.430676558073", "0.386852807235", "0.356207187108",
+           "0.333333333333", "0.315464876786", "0.301029995664",
+           "0.289064826318")
+_NDCG_IDCG = "29.966109248936"  # sum of (11-i) * w_i, exact decimal
+
+
+def _ndcg_w_sql(rank: str) -> str:
+    cases = " ".join(
+        f"WHEN {i + 1} THEN CAST({w} AS DECIMAL(18,12))"
+        for i, w in enumerate(_NDCG_W)
+    )
+    return f"CASE {rank} {cases} END"
+
+
+@_register(
+    "retrieval_ndcg_eval",
+    f"""
+    WITH b AS ({_BM25_SQL}),
+    q2(query_id, tok) AS (VALUES {_BM25_QVALS}),
+    toks2 AS (SELECT doc_id, unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS tok
+              FROM documents),
+    tfq AS (SELECT q2.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS tf_sum
+            FROM toks2 t JOIN q2 USING (tok) GROUP BY 1, 2),
+    tr AS (SELECT query_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY tf_sum DESC, doc_id)
+                       AS INTEGER) AS rnk
+           FROM tfq),
+    t10 AS (SELECT * FROM tr WHERE rnk <= {_BM25_K}),
+    rel AS (
+      SELECT t.query_id, t.rnk,
+             coalesce({_BM25_K} + 1 - b.rnk, 0) AS rel
+      FROM t10 t LEFT JOIN b
+        ON b.query_id = t.query_id AND b.doc_id = t.doc_id),
+    dcg AS (
+      SELECT query_id,
+             sum(rel * {_ndcg_w_sql('rnk')}) AS dcg
+      FROM rel GROUP BY query_id)
+    SELECT query_id,
+           CAST(dcg AS DOUBLE) AS dcg,
+           CAST(CAST(CAST(dcg AS DOUBLE)
+                / CAST({_NDCG_IDCG} AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(12,6)) AS ndcg
+    FROM dcg
+    """,
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{_BM25_K} of the raw term-frequency ranking against
+    BM25-as-relevance-truth (graded rel = 11 - truth_rank): the
+    standard ranking-quality metric, EXACT because the 1/log2(i+1)
+    discounts are precomputed quantized-decimal literals (embedded
+    identically in both engines — no runtime log), relevance grades
+    are integers, DCG is an exact decimal dot product, and the ideal
+    DCG is itself a precomputed exact literal — one quantized division
+    total. PLAN: both rankings are per-query top-k lists; the eval is
+    a (query, doc) left join over k x |queries| rows — all
+    corpus-scale work lives in the upstream rankings. Completes the
+    retrieval-eval family (rrf fusion merges systems; this SCORES
+    one against another). Reference parity: none (beyond-reference
+    eval operator)."""
+    bm = bm25_retrieval(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rnk").alias("rb")
+    )
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    toks = d.select(
+        "doc_id", F.explode(dedup.tokens_col(F.col("text"))).alias("tok")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES.items() for t in ts],
+        "query_id string, tok string",
+    )
+    tfq = (
+        toks.join(F.broadcast(qterms), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf_sum"))
+    )
+    w_t = Window.partitionBy("query_id").orderBy(
+        F.desc("tf_sum"), F.asc("doc_id")
+    )
+    t10 = (
+        tfq.withColumn("rnk", F.row_number().over(w_t).cast("int"))
+        .where(F.col("rnk") <= _BM25_K)
+        .select("query_id", "doc_id", "rnk")
+    )
+    rel = t10.join(bm, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "rnk",
+        F.coalesce(F.lit(_BM25_K) + 1 - F.col("rb"), F.lit(0)).alias("rel"),
+    )
+    wexpr = F.element_at(
+        F.array(*[F.lit(w).cast("decimal(18,12)") for w in _NDCG_W]),
+        F.col("rnk"),
+    )
+    dcg = rel.groupBy("query_id").agg(
+        F.sum(F.col("rel") * wexpr).alias("dcg")
+    )
+    return dcg.select(
+        "query_id",
+        F.col("dcg").cast("double").alias("dcg"),
+        (
+            F.col("dcg").cast("double")
+            / F.lit(_NDCG_IDCG).cast("decimal(18,12)").cast("double")
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("ndcg"),
+    )
+
+
+# =========================================================================
+# Per-node clustering coefficient on the embedding near-dup graph:
+# triangles / (deg choose 2) — closes the triangle-count diagnostic
+# into the actual cliquishness score.
+# =========================================================================
+
+
+@_register(
+    "graph_clustering_coefficient",
+    f"""
+    WITH {_cosine_edges_sql(_TRI_THR)},
+    und AS (SELECT id_a AS u, id_b AS v FROM e
+            UNION ALL SELECT id_b, id_a FROM e),
+    deg AS (SELECT u AS vec_id, count(*) AS deg FROM und GROUP BY u),
+    tri AS (SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+            FROM e ab JOIN e bc ON ab.id_b = bc.id_a
+                      JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b),
+    tn AS (SELECT vec_id, count(*) AS n_tri FROM (
+             SELECT a AS vec_id FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY 1)
+    SELECT d.vec_id, CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(CAST(CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE)
+                / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(12,6)) AS clustering_coef
+    FROM deg d LEFT JOIN tn t USING (vec_id)
+    WHERE d.deg >= 2
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficient 2T/(deg(deg-1)) on the embedding
+    near-dup graph — the cliquishness score that tells a dedup policy
+    whether a node sits in a tight duplicate CLIQUE (coefficient ~1:
+    safe to keep one canonical) or on a CHAIN of borderline pairs
+    (coefficient ~0: transitive merging would over-delete; exactly the
+    failure mode dedup_clusters' min-label transitivity can hit).
+    Reuses the oriented-wedge triangle enumeration
+    (neardup_triangle_counts — two equi-joins, no non-edge work) plus
+    one degree count on the symmetrized edges; nodes of degree < 2
+    have no defined coefficient and are excluded. Integer counts, one
+    quantized division. Reference parity: none (beyond-reference graph
+    operator)."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    e = (
+        similarity.cosine_near_dup_pairs(emb, _TRI_THR, bits=4)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    und = e.select(F.col("id_a").alias("u")).unionAll(
+        e.select(F.col("id_b").alias("u"))
+    )
+    deg = und.groupBy(F.col("u").alias("vec_id")).agg(
+        F.count("*").alias("deg")
+    )
+    ab = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    bc = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    ac = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    tn = (
+        tri.select(F.col("a").alias("vec_id"))
+        .unionAll(tri.select(F.col("b").alias("vec_id")))
+        .unionAll(tri.select(F.col("c").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    out = (
+        deg.join(tn, "vec_id", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            "vec_id",
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            (
+                (F.lit(2) * F.coalesce("n_tri", F.lit(0))).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+            )
+            .cast("string")
+            .cast("decimal(12,6)")
+            .alias("clustering_coef"),
+        )
+    )
+    return out
+
+
+# =========================================================================
+# Sliding-window DISTINCT counts (7-day active users per day) via the
+# contribute-forward explode — the pattern that makes windowed
+# count-distinct tractable where window frames cannot (DISTINCT is not
+# frame-decomposable).
+# =========================================================================
+
+_ROLL_DAYS = 7
+
+
+@_register(
+    "rolling_distinct_users",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day
+      FROM events),
+    b AS (SELECT CAST(min(day) AS BIGINT) AS d0,
+                 CAST(max(day) AS BIGINT) AS d1 FROM ud),
+    contrib AS (
+      SELECT user_id, day + unnest(range({_ROLL_DAYS})) AS target_day
+      FROM ud)
+    SELECT CAST(c.target_day AS BIGINT) AS day_num,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users_7d
+    FROM contrib c CROSS JOIN b
+    WHERE c.target_day BETWEEN b.d0 AND b.d1
+    GROUP BY 1
+    """,
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU-class
+    metric that a window frame CANNOT express (DISTINCT is not
+    decomposable over sliding frames). The scalable pattern: each
+    (user, day) observation CONTRIBUTES FORWARD to the {_ROLL_DAYS}
+    target days it keeps the user active for (a x{_ROLL_DAYS} explode
+    — window width, not data size), then one count-distinct per
+    target day. Versus the naive day x range self-join, the explode
+    keys the single shuffle on the target day and never rescans the
+    source. Day grid clipped to the observed range. PLAN: the
+    full-data pass is the (user, day) distinct; everything after runs
+    on the users x days grain. All integer day arithmetic. Reference
+    parity: none (beyond-reference temporal operator; the DISTINCT
+    sibling of events_rolling_range_window's frame sums)."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_DAY_US))
+        .cast("bigint")
+        .alias("day"),
+    ).distinct()
+    b = ud.agg(
+        F.min("day").cast("bigint").alias("d0"),
+        F.max("day").cast("bigint").alias("d1"),
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_ROLL_DAYS - 1))).alias("k"),
+        F.col("day"),
+    ).select("user_id", (F.col("day") + F.col("k")).alias("target_day"))
+    return (
+        contrib.crossJoin(F.broadcast(b))
+        .where(F.col("target_day").between(F.col("d0"), F.col("d1")))
+        .groupBy(F.col("target_day").cast("bigint").alias("day_num"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
+    )
