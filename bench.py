@@ -188,6 +188,9 @@ HEADLINE = [
     "retrieval_ndcg_eval",
     "graph_clustering_coefficient",
     "rolling_distinct_users",
+    "customer_balance_distribution",
+    "revenue_seasonality_index",
+    "order_lead_time_stats",
 ]
 
 

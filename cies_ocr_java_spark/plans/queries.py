@@ -13935,3 +13935,207 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("target_day").cast("bigint").alias("day_num"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
     )
+
+
+# =========================================================================
+# Distribution-rank window surface: percent_rank + cume_dist per
+# nation over customer balances — the last two rank-family window
+# functions the registry had not yet exercised.
+# =========================================================================
+
+
+@_register(
+    "customer_balance_distribution",
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(12,2)) AS DOUBLE)
+             AS acctbal,
+           CAST(CAST(percent_rank() OVER w AS VARCHAR) AS DECIMAL(12,6))
+             AS pct_rank,
+           CAST(CAST(cume_dist() OVER w AS VARCHAR) AS DECIMAL(12,6))
+             AS cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(12,2)),
+                          c_custkey)
+    """,
+)
+def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist of each customer's balance within
+    their nation — the distribution-normalization that turns a raw
+    balance into a within-cohort percentile feature. Both functions
+    are rational statistics ((rank-1)/(n-1), rows≤current/n) computed
+    as one double division from identical integer inputs — identical
+    across engines, quantized per the header rules; the ORDER BY is on
+    the decimal-quantized balance with a key tiebreak so rank ties are
+    deterministic. Window PARTITIONED BY nation — one shuffle, no
+    global sort. Completes the rank-family window surface (row_number/
+    rank/dense_rank/ntile-free quartiles/lead/lag/first-last already
+    covered). Reference parity: none (beyond-reference window
+    operator)."""
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("string").cast("decimal(12,2)")
+    w = Window.partitionBy("c_nationkey").orderBy(bal, F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        bal.cast("double").alias("acctbal"),
+        F.percent_rank().over(w).cast("string").cast("decimal(12,6)").alias(
+            "pct_rank"
+        ),
+        F.cume_dist().over(w).cast("string").cast("decimal(12,6)").alias(
+            "cume_dist"
+        ),
+    )
+
+
+# =========================================================================
+# Seasonality index: each calendar month's revenue share vs the
+# all-months mean — the classic demand-planning normalization.
+# =========================================================================
+
+
+@_register(
+    "revenue_seasonality_index",
+    """
+    WITH m AS (
+      SELECT CAST(month(l_shipdate) AS INTEGER) AS month_num,
+             sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR)
+                 AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(sum(rev) AS DECIMAL(38,2)) AS total,
+                 CAST(count(*) AS BIGINT) AS n_months FROM m)
+    SELECT m.month_num, CAST(m.rev AS DOUBLE) AS revenue,
+           CAST(CAST(CAST(m.rev AS DOUBLE)
+                / (CAST(t.total AS DOUBLE) / CAST(t.n_months AS DOUBLE))
+                AS VARCHAR) AS DECIMAL(12,6)) AS seasonality_index
+    FROM m CROSS JOIN t
+    """,
+)
+def revenue_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality index: revenue of each calendar month
+    relative to the mean month (index 1.0 = average; >1 = peak
+    season) — the demand-planning normalization behind stocking and
+    forecast de-seasonalization. One map-side-combinable 12-row
+    rollup on exact decimal revenue + a 1-row total broadcast; the
+    index is fixed-order double arithmetic quantized once. month()
+    on DATE agrees across engines (no timezone — dates are civil).
+    Reference parity: none (beyond-reference analytics operator;
+    complements revenue_growth's month-over-month deltas)."""
+    l = _t(spark, sf_dir, "lineitem")
+    m = l.groupBy(
+        F.month(F.col("l_shipdate")).cast("int").alias("month_num")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("string")
+            .cast("decimal(18,2)")
+        ).alias("rev")
+    )
+    t = m.agg(
+        F.sum("rev").cast("decimal(38,2)").alias("total"),
+        F.count("*").cast("bigint").alias("n_months"),
+    )
+    return m.crossJoin(F.broadcast(t)).select(
+        "month_num",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / (F.col("total").cast("double") / F.col("n_months").cast("double"))
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("seasonality_index"),
+    )
+
+
+# =========================================================================
+# Order-to-ship lead time: integer day deltas per priority class with
+# rank-picked medians — the fulfillment-SLA rollup.
+# =========================================================================
+
+
+@_register(
+    "order_lead_time_stats",
+    """
+    WITH lt AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS lead_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    h AS (
+      SELECT o_orderpriority, lead_days, count(*) AS c
+      FROM lt GROUP BY 1, 2),
+    cum AS (
+      SELECT o_orderpriority, lead_days, c,
+             CAST(sum(c) OVER (PARTITION BY o_orderpriority
+                               ORDER BY lead_days) AS BIGINT) AS cumc,
+             CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n,
+             CAST(sum(c * lead_days) OVER (PARTITION BY o_orderpriority)
+                  AS BIGINT) AS total_days
+      FROM h)
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(min(lead_days) AS BIGINT) AS min_days,
+           CAST(max(lead_days) AS BIGINT) AS max_days,
+           CAST(min(CASE WHEN cumc >= (n + 1) // 2 THEN lead_days END)
+                + min(CASE WHEN cumc >= n // 2 + 1 THEN lead_days END)
+                AS BIGINT) AS median2,
+           CAST(CAST(CAST(max(total_days) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6)) AS mean_days
+    FROM cum GROUP BY o_orderpriority
+    """,
+)
+def order_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per priority class — the SLA readout
+    that shows whether URGENT orders actually ship faster. Medians
+    come from the BOUNDED DAY HISTOGRAM, not a row sort: lead times
+    are small integers, so the per-class (priority, lead_days) count
+    table is at most a few hundred rows regardless of corpus size,
+    and the doubled median (events_anomaly_mad recipe) reads the two
+    middle order statistics off the cumulative histogram — no
+    per-class global row sort (the single-task-per-class trap a
+    row_number formulation would hit at 10^9 lines/class). One join
+    keyed on the order, one map-side-combinable histogram, windows
+    over the bounded histogram only; the mean is the single quantized
+    division. date_diff is civil-date integer arithmetic, identical
+    across engines. Reference parity: none (beyond-reference
+    analytics operator)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    lt = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("lead_days"),
+    )
+    h = lt.groupBy("o_orderpriority", "lead_days").agg(F.count("*").alias("c"))
+    wp = Window.partitionBy("o_orderpriority")
+    cum = h.select(
+        "o_orderpriority",
+        "lead_days",
+        "c",
+        F.sum("c").over(wp.orderBy("lead_days")).cast("bigint").alias("cumc"),
+        F.sum("c").over(wp).cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("lead_days"))
+        .over(wp)
+        .cast("bigint")
+        .alias("total_days"),
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("n div 2 + 1")
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        F.min("lead_days").cast("bigint").alias("min_days"),
+        F.max("lead_days").cast("bigint").alias("max_days"),
+        (
+            F.min(F.when(F.col("cumc") >= lo, F.col("lead_days")))
+            + F.min(F.when(F.col("cumc") >= hi, F.col("lead_days")))
+        )
+        .cast("bigint")
+        .alias("median2"),
+        (F.max("total_days").cast("double") / F.max("n").cast("double"))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("mean_days"),
+    )
