@@ -629,3 +629,31 @@ def test_log2_histogram_is_one_aggregation(spark):
     plan = plan_of(QUERIES["events_log2_histogram"](spark, SF))
     assert "Window" not in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_lead_time_median_reads_bounded_histogram(spark):
+    """The median must come from the (priority, lead_days) histogram —
+    the plan aggregates BEFORE any window (no row_number over the raw
+    join output, which would sort 10^9 rows/class on one task)."""
+    plan = plan_of(QUERIES["order_lead_time_stats"](spark, SF))
+    assert "row_number" not in plan
+    win = plan.index("Window")
+    assert "HashAggregate" in plan[win:]  # aggregate below the window
+
+
+def test_rolling_distinct_has_no_range_join(spark):
+    """The 7-day distinct must use the contribute-forward explode —
+    a nested-loop/cartesian between days and observations means the
+    range self-join leaked in (the 1-row bounds broadcast is the only
+    legal nested-loop)."""
+    plan = plan_of(QUERIES["rolling_distinct_users"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "Generate" in plan  # the explode is the mechanism
+
+
+def test_provenance_and_trim_ride_doc_partitioning(spark):
+    for name in ("span_provenance_offsets", "interleaved_budget_trim"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "hashpartitioning(doc_id" in plan, name
+        assert "SinglePartition" not in plan, name

@@ -437,6 +437,48 @@ COMMENTARY = {
         "floor(log2) as binary-string length — integer-exact buckets "
         "inside one codegen projection; bounded (type x 64) groupBy."
     ),
+    "site_boilerplate_trim": (
+        "One line explode, (source, line) frequency count (map-side "
+        "combinable), broadcast-sized boilerplate set ANTI-joined back, "
+        "doc-keyed ordered reassembly. The dedup_exact topology plus "
+        "one anti-join."
+    ),
+    "bootstrap_mean_ci": (
+        "x40 replicate expansion (the honest bootstrap cost) into ONE "
+        "combinable aggregation — the shuffle is 40 rows per partition; "
+        "CI is a rank pick over the 40-row replicate table. Hash-"
+        "deterministic Poisson weights, no RNG state."
+    ),
+    "domain_kl_divergence": (
+        "One token explode feeds both global tf and per-source counts; "
+        "vocab truncated to K=500 BEFORE any join; the smoothing grid "
+        "is sources x K via broadcast cross join. Every shuffle bounded "
+        "by sources x K."
+    ),
+    "retrieval_ndcg_eval": (
+        "Corpus-scale work lives in the two upstream top-k rankings; "
+        "the eval is a (query, doc) left join over k x |queries| rows "
+        "with literal decimal log-discounts."
+    ),
+    "span_provenance_offsets": (
+        "One cumulative window PARTITIONED BY doc_id riding the "
+        "assembly stage's doc-keyed distribution; offsets exact "
+        "integers by construction."
+    ),
+    "interleaved_budget_trim": (
+        "Prefix semantics via one doc-partitioned cumsum + per-doc "
+        "rollup windows on the pipeline output. Never splits a span."
+    ),
+    "rolling_distinct_users": (
+        "Windowed DISTINCT via the contribute-forward explode (x7 = "
+        "window width, not data size); the single shuffle keys on the "
+        "target day. The full-data pass is the (user, day) distinct."
+    ),
+    "order_lead_time_stats": (
+        "Medians read off the BOUNDED day histogram — no per-class row "
+        "sort; windows run over at most a few hundred histogram rows "
+        "per class at any corpus size."
+    ),
 }
 
 
