@@ -191,6 +191,8 @@ HEADLINE = [
     "customer_balance_distribution",
     "revenue_seasonality_index",
     "order_lead_time_stats",
+    "ngram_novelty_curve",
+    "kmv_set_operations",
 ]
 
 

@@ -14139,3 +14139,200 @@ def order_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(12,6)")
         .alias("mean_days"),
     )
+
+
+# =========================================================================
+# N-gram novelty curve (the RefinedWeb/dedup diagnostic): what fraction
+# of each document's 3-grams appear for the FIRST time in the corpus at
+# that document — saturating novelty tells you more crawl adds nothing.
+# =========================================================================
+
+
+@_register(
+    "ngram_novelty_curve",
+    f"""
+    WITH toks AS (SELECT doc_id,
+                         string_split({_norm_sql('lower(text)')}, ' ') AS t
+                  FROM documents),
+    g0 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+           FROM toks WHERE len(t) >= 3),
+    g AS (SELECT DISTINCT doc_id,
+                 md5(array_to_string(t[i:i + 2], ' ')) AS gram
+          FROM g0),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+    per AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM g JOIN firsts f USING (gram) GROUP BY g.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(CAST(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6)) AS novelty_rate
+    FROM per
+    """,
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty per document (the RefinedWeb-style saturation
+    diagnostic): the fraction of a doc's distinct 3-grams whose FIRST
+    corpus occurrence (min doc_id = arrival order) is this document.
+    Plotted over arrival order this is the novelty curve — when it
+    flattens, additional crawl volume is re-crawling what the corpus
+    already holds, the signal that caps collection budgets. PLAN: one
+    gram explode, ONE shuffle on the gram fingerprint for the
+    first-occurrence min (map-side combinable), a semi-join-shaped
+    merge back, and a doc-keyed rollup — the dedup_exact topology at
+    gram grain (shared with dup_ngram_coverage, which asks about
+    repetition; this asks about arrival-order novelty). Integer
+    counts; one quantized division. Reference parity: none
+    (beyond-reference corpus-diagnostics operator)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    t = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    base = d.select("doc_id", t.alias("t")).where(F.size("t") >= 3)
+    g = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, 3))),
+            )
+        ).alias("gram"),
+    ).distinct()
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        g.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double"))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("novelty_rate"),
+    )
+
+
+# =========================================================================
+# KMV sketch SET OPERATIONS: union / Jaccard / intersection estimates
+# between two user sets from one merged k-minimum-values sketch, graded
+# against exact truth — the mergeability property that makes KMV the
+# distributed set-overlap primitive.
+# =========================================================================
+
+_KMVOP_K = 32
+
+
+@_register(
+    "kmv_set_operations",
+    f"""
+    WITH a AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+               FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events WHERE event_type = 'purchase'),
+    u AS (SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+            SELECT h, 1 AS in_a, 0 AS in_b FROM a
+            UNION ALL SELECT h, 0, 1 FROM b) GROUP BY h),
+    rk AS (SELECT h, in_a, in_b,
+                  row_number() OVER (ORDER BY h) AS r
+           FROM u),
+    topk AS (SELECT * FROM rk WHERE r <= {_KMVOP_K}),
+    kth AS (SELECT CAST(('0x' || substr(h, 1, 12)) AS BIGINT) AS hk
+            FROM rk WHERE r = {_KMVOP_K}),
+    est AS (
+      SELECT CAST(CAST(({_KMVOP_K} - 1) * {_KMV_SCALE}.0
+                  / (SELECT hk FROM kth) AS VARCHAR) AS DECIMAL(18,6))
+               AS union_est,
+             CAST(CAST(CAST((SELECT count(*) FROM topk
+                             WHERE in_a = 1 AND in_b = 1) AS DOUBLE)
+                  / {_KMVOP_K}.0 AS VARCHAR) AS DECIMAL(12,6)) AS jaccard_est)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS exact_union,
+           (SELECT CAST(count(*) AS BIGINT) FROM u
+            WHERE in_a = 1 AND in_b = 1) AS exact_intersection,
+           CAST(union_est AS DOUBLE) AS union_est,
+           CAST(jaccard_est AS DOUBLE) AS jaccard_est,
+           CAST(CAST(CAST(jaccard_est AS DOUBLE) * CAST(union_est AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(18,6)) AS intersection_est
+    FROM est
+    """,
+)
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set operations between the click-user and
+    purchase-user sets: the k={_KMVOP_K} minimum hashes of the UNION
+    carry membership flags for both sides, giving union_est =
+    (k-1)·2^48/h_k, jaccard_est = |top-k ∩ both|/k, and
+    intersection_est = jaccard_est · union_est — the Beyer et al.
+    2007 construction that makes set overlap MERGEABLE (each side
+    ships only its k smallest hashes; the merge is a k-way min).
+    Deterministic md5-hex ordering makes the estimates themselves
+    oracle-verifiable (the kmv_distinct_sketch rule), and the exact
+    union/intersection sit alongside — the same estimate-vs-truth
+    grading as countmin_sketch and lsh_recall_eval. At corpus scale
+    each side's distinct+top-k is one combinable aggregation;
+    everything after is k rows. Reference parity: none
+    (beyond-reference sketch operator)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def side(t, flag_a):
+        return (
+            ev.where(F.col("event_type") == t)
+            .select(F.md5(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+            .select(
+                "h",
+                F.lit(1 if flag_a else 0).alias("in_a"),
+                F.lit(0 if flag_a else 1).alias("in_b"),
+            )
+        )
+
+    u = (
+        side("click", True)
+        .unionAll(side("purchase", False))
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    rk = u.withColumn("r", F.row_number().over(Window.orderBy("h")))
+    topk = rk.where(F.col("r") <= _KMVOP_K)
+    kth = rk.where(F.col("r") == _KMVOP_K).select(
+        F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint").alias("hk")
+    )
+    union_est = (
+        (F.lit(float(_KMVOP_K - 1)) * F.lit(float(_KMV_SCALE)) / F.col("hk"))
+        .cast("string")
+        .cast("decimal(18,6)")
+    )
+    exacts = u.agg(
+        F.count("*").cast("bigint").alias("exact_union"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_intersection"),
+    )
+    jacc = topk.agg(
+        (
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            ).cast("double")
+            / F.lit(float(_KMVOP_K))
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("jaccard_est")
+    )
+    est = kth.select(union_est.alias("union_est")).crossJoin(jacc)
+    return exacts.crossJoin(est).select(
+        "exact_union",
+        "exact_intersection",
+        F.col("union_est").cast("double").alias("union_est"),
+        F.col("jaccard_est").cast("double").alias("jaccard_est"),
+        (F.col("jaccard_est").cast("double") * F.col("union_est").cast("double"))
+        .cast("string")
+        .cast("decimal(18,6)")
+        .alias("intersection_est"),
+    )
