@@ -193,6 +193,7 @@ HEADLINE = [
     "order_lead_time_stats",
     "ngram_novelty_curve",
     "kmv_set_operations",
+    "cube_materialization_plan",
 ]
 
 

@@ -14336,3 +14336,118 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("intersection_est"),
     )
+
+
+# =========================================================================
+# Materialized-view selection over the cube lattice (Harinarayan,
+# Rajaraman & Ullman, SIGMOD'96 greedy): which cuboids of
+# (lang, source, length-bucket) to materialize under a 3-view budget —
+# the aggregation-lattice planning step behind every OLAP rollup cache.
+# =========================================================================
+
+_HRU_BUCKET = 200
+_HRU_PICKS = 3
+
+
+def _hru_round_sql(r: int) -> str:
+    prev_c = f"c{r - 1}"
+    exclude = " AND ".join(
+        f"v.mask != (SELECT v FROM s{i})" for i in range(1, r)
+    ) or "TRUE"
+    return f"""
+    b{r} AS (
+      SELECT v.mask AS v, v.sz,
+             sum(CASE WHEN (c.w & v.mask) = c.w AND c.cost > v.sz
+                      THEN c.cost - v.sz ELSE 0 END) AS benefit
+      FROM sizes v JOIN {prev_c} c ON TRUE
+      WHERE v.mask != 7 AND {exclude}
+      GROUP BY v.mask, v.sz),
+    s{r} AS (SELECT v, sz, CAST(benefit AS BIGINT) AS benefit
+             FROM b{r} ORDER BY benefit DESC, v LIMIT 1),
+    c{r} AS (SELECT c.w,
+                    CASE WHEN (c.w & s.v) = c.w AND s.sz < c.cost
+                         THEN s.sz ELSE c.cost END AS cost
+             FROM {prev_c} c CROSS JOIN s{r} s)"""
+
+
+@_register(
+    "cube_materialization_plan",
+    f"""
+    WITH base AS (
+      SELECT lang, source, (n_chars // {_HRU_BUCKET}) * {_HRU_BUCKET} AS bkt
+      FROM documents),
+    g AS (
+      SELECT CASE WHEN GROUPING(lang) = 0 THEN 1 ELSE 0 END
+             + CASE WHEN GROUPING(source) = 0 THEN 2 ELSE 0 END
+             + CASE WHEN GROUPING(bkt) = 0 THEN 4 ELSE 0 END AS mask
+      FROM base
+      GROUP BY GROUPING SETS ((), (lang), (source), (bkt), (lang, source),
+                              (lang, bkt), (source, bkt), (lang, source, bkt))),
+    sizes AS (SELECT mask, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY mask),
+    c0 AS (SELECT mask AS w, (SELECT sz FROM sizes WHERE mask = 7) AS cost
+           FROM sizes),
+    {", ".join(_hru_round_sql(r) for r in range(1, _HRU_PICKS + 1))}
+    {" UNION ALL ".join(
+        f"SELECT {r} AS pick, CAST(v AS INT) AS sel_mask, sz AS n_rows, benefit FROM s{r}"
+        for r in range(1, _HRU_PICKS + 1))}
+    """,
+)
+def cube_materialization_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy materialized-view selection over the 8-cuboid lattice of
+    (lang, source, length-bucket) — Harinarayan-Rajaraman-Ullman
+    (SIGMOD'96): with the full cube always materialized, pick
+    {_HRU_PICKS} more cuboids maximizing total benefit, where a cuboid
+    v answers every query w whose dims ⊆ v's dims at cost size(v),
+    and benefit is the summed cost reduction. Cuboid sizes come from
+    ONE GROUPING SETS pass over the corpus (count of result rows per
+    grouping_id — the only full-data work); the greedy itself runs
+    over an 8-node lattice — CONSTANT driver state, the LR-weights
+    precedent — while the oracle unrolls the same {_HRU_PICKS} rounds
+    as chained CTEs with identical integer benefits and smallest-mask
+    tiebreaks. The output is the rollup-cache build plan an OLAP
+    serving layer executes. Reference parity: none (beyond-reference
+    OLAP-planning operator; the theory piece behind revenue_rollup /
+    order_priority_cube's materializations)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        (F.expr(f"n_chars div {_HRU_BUCKET}") * _HRU_BUCKET).alias("bkt"),
+    )
+    g = base.cube("lang", "source", "bkt").agg(
+        (
+            (F.lit(1) - F.grouping("lang")) * 1
+            + (F.lit(1) - F.grouping("source")) * 2
+            + (F.lit(1) - F.grouping("bkt")) * 4
+        ).alias("mask")
+    )
+    sizes_rows = (
+        g.groupBy("mask").agg(F.count("*").alias("sz")).collect()
+    )
+    sz = {int(r["mask"]): int(r["sz"]) for r in sizes_rows}
+    cost = {w: sz[7] for w in sz}
+    picks = []
+    selected = set()
+    for r in range(1, _HRU_PICKS + 1):
+        best = None
+        for v in sorted(sz):
+            if v == 7 or v in selected:
+                continue
+            benefit = sum(
+                cost[w] - sz[v]
+                for w in cost
+                if (w & v) == w and cost[w] > sz[v]
+            )
+            if best is None or benefit > best[0] or (
+                benefit == best[0] and v < best[1]
+            ):
+                best = (benefit, v)
+        benefit, v = best
+        selected.add(v)
+        picks.append((r, v, sz[v], benefit))
+        for w in cost:
+            if (w & v) == w and sz[v] < cost[w]:
+                cost[w] = sz[v]
+    return spark.createDataFrame(
+        picks, "pick int, sel_mask int, n_rows long, benefit long"
+    )
