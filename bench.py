@@ -194,6 +194,9 @@ HEADLINE = [
     "ngram_novelty_curve",
     "kmv_set_operations",
     "cube_materialization_plan",
+    "semijoin_reduction_plan",
+    "functional_dependency_check",
+    "aggregate_why_provenance",
 ]
 
 

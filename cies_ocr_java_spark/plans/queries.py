@@ -14451,3 +14451,240 @@ def cube_materialization_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "pick int, sel_mask int, n_rows long, benefit long"
     )
+
+
+# =========================================================================
+# Yannakakis semi-join reduction (1981) on the customer-orders-lineitem
+# acyclic join: relation sizes before/after the two reducer sweeps plus
+# the final join cardinality — the size accounting that shows why
+# reducers shrink shuffle volume before the expensive join.
+# =========================================================================
+
+
+@_register(
+    "semijoin_reduction_plan",
+    """
+    WITH c0 AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    o0 AS (SELECT o_orderkey, o_custkey FROM orders),
+    l0 AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+    -- bottom-up sweep: reduce orders by both leaves
+    o1 AS (SELECT o.* FROM o0 o
+           WHERE EXISTS (SELECT 1 FROM c0 c WHERE c.c_custkey = o.o_custkey)
+             AND EXISTS (SELECT 1 FROM l0 l WHERE l.l_orderkey = o.o_orderkey)),
+    -- top-down sweep: reduce the leaves by the reduced root
+    c1 AS (SELECT c.* FROM c0 c
+           WHERE EXISTS (SELECT 1 FROM o1 o WHERE o.o_custkey = c.c_custkey)),
+    l1 AS (SELECT l.* FROM l0 l
+           WHERE EXISTS (SELECT 1 FROM o1 o WHERE o.o_orderkey = l.l_orderkey)),
+    final AS (
+      SELECT count(*) AS n FROM c1 c
+      JOIN o1 o ON o.o_custkey = c.c_custkey
+      JOIN l1 l ON l.l_orderkey = o.o_orderkey)
+    SELECT 'customer' AS relation,
+           (SELECT CAST(count(*) AS BIGINT) FROM c0) AS before_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM c1) AS after_rows,
+           (SELECT CAST(n AS BIGINT) FROM final) AS final_join_rows
+    UNION ALL
+    SELECT 'orders',
+           (SELECT CAST(count(*) AS BIGINT) FROM o0),
+           (SELECT CAST(count(*) AS BIGINT) FROM o1),
+           (SELECT CAST(n AS BIGINT) FROM final)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT CAST(count(*) AS BIGINT) FROM l0),
+           (SELECT CAST(count(*) AS BIGINT) FROM l1),
+           (SELECT CAST(n AS BIGINT) FROM final)
+    """,
+)
+def semijoin_reduction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yannakakis semi-join reduction (1981) over the acyclic
+    customer—orders—lineitem join: a bottom-up LEFT SEMI sweep reduces
+    the root by both leaves, a top-down sweep reduces the leaves by
+    the reduced root, and only then does the full join run — after
+    reduction every joined row is guaranteed to contribute to the
+    output (no dangling tuples), which is the theorem that makes the
+    final join's shuffle volume equal to its useful volume. The query
+    reports before/after sizes per relation plus the final
+    cardinality — the accounting a distributed optimizer uses to
+    decide the reducer sweeps are worth their extra passes (they ship
+    key sets, typically bloom-compressed: bloom_filter_semijoin is
+    this plan's one-pass approximation). Spark side uses LEFT SEMI
+    joins throughout — never EXISTS-per-row; all counts exact
+    integers. Reference parity: none (beyond-reference
+    join-optimization operator)."""
+    c0 = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o0 = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l0 = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    o1 = (
+        o0.join(c0, o0["o_custkey"] == c0["c_custkey"], "left_semi")
+        .join(l0, o0["o_orderkey"] == l0["l_orderkey"], "left_semi")
+        .persist()
+    )
+    c1 = c0.join(o1, c0["c_custkey"] == o1["o_custkey"], "left_semi")
+    l1 = l0.join(o1, l0["l_orderkey"] == o1["o_orderkey"], "left_semi")
+    final = (
+        c1.alias("c")
+        .join(o1.alias("o"), F.col("c.c_custkey") == F.col("o.o_custkey"))
+        .join(l1.alias("l"), F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+    def counted(name, before_df, after_df):
+        b = before_df.agg(F.count("*").cast("bigint").alias("before_rows"))
+        a = after_df.agg(F.count("*").cast("bigint").alias("after_rows"))
+        return (
+            b.crossJoin(a)
+            .crossJoin(final)
+            .select(
+                F.lit(name).alias("relation"),
+                "before_rows",
+                "after_rows",
+                F.col("n").alias("final_join_rows"),
+            )
+        )
+
+    return (
+        counted("customer", c0, c1)
+        .unionAll(counted("orders", o0, o1))
+        .unionAll(counted("lineitem", l0, l1))
+    )
+
+
+# =========================================================================
+# Functional-dependency discovery (TANE-style single-attribute check):
+# X -> Y holds iff |distinct X| == |distinct (X,Y)| — the data-profiling
+# primitive behind key detection and normalization advice.
+# =========================================================================
+
+_FD_CANDIDATES = (
+    ("part", "p_partkey", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_name", "p_size"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("nation", "n_nationkey", "n_regionkey"),
+)
+
+
+def _fd_sql() -> str:
+    parts = []
+    for t, x, y in _FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{t}' AS table_name, '{x}' AS lhs, '{y}' AS rhs,
+           (SELECT CAST(count(DISTINCT {x}) AS BIGINT) FROM {t}) AS n_lhs,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT {x}, {y} FROM {t})) AS n_pairs,
+           (SELECT count(DISTINCT {x}) FROM {t})
+             = (SELECT count(*) FROM (SELECT DISTINCT {x}, {y} FROM {t}))
+             AS fd_holds""")
+    return " UNION ALL ".join(parts)
+
+
+@_register("functional_dependency_check", _fd_sql())
+def functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (the TANE/Metanome profiling
+    primitive, single-attribute level): X -> Y holds exactly when the
+    distinct count of X equals the distinct count of (X, Y) — no
+    counterexample pair can hide from that equality. Checks a
+    candidate list spanning true keys (p_partkey -> p_brand must
+    hold), plausible-but-false dependencies (p_brand -> p_type), and
+    hierarchy edges (n_nationkey -> n_regionkey) — the profiling
+    output that drives key detection, normalization advice, and
+    dimension-hierarchy inference. PLAN: two map-side-combinable
+    distinct aggregates per candidate on a pruned two-column scan;
+    constant-width union. All integers. Reference parity: none
+    (beyond-reference profiling operator; complements
+    dataset_profile's per-column stats and data_contract_checks'
+    declared constraints — this DISCOVERS the constraints)."""
+    out = None
+    for t, x, y in _FD_CANDIDATES:
+        df = _t(spark, sf_dir, t)
+        n_lhs = df.agg(F.countDistinct(x).cast("bigint").alias("n_lhs"))
+        n_pairs = df.select(x, y).distinct().agg(
+            F.count("*").cast("bigint").alias("n_pairs")
+        )
+        row = n_lhs.crossJoin(n_pairs).select(
+            F.lit(t).alias("table_name"),
+            F.lit(x).alias("lhs"),
+            F.lit(y).alias("rhs"),
+            "n_lhs",
+            "n_pairs",
+            (F.col("n_lhs") == F.col("n_pairs")).alias("fd_holds"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# =========================================================================
+# Why-provenance of an aggregate (provenance semirings, Green-Karvounarakis-
+# Tannen PODS'07): each output group carries a FINGERPRINT of exactly the
+# input rows that produced it — auditable aggregation.
+# =========================================================================
+
+
+@_register(
+    "aggregate_why_provenance",
+    """
+    WITH j AS (
+      SELECT o.o_orderpriority, l.l_orderkey, l.l_linenumber,
+             CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR)
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    w AS (
+      SELECT o_orderpriority,
+             CAST(l_orderkey AS VARCHAR) || ':'
+               || CAST(l_linenumber AS VARCHAR) AS witness,
+             rev
+      FROM j)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_witnesses,
+           CAST(sum(rev) AS DOUBLE) AS revenue,
+           md5(array_to_string(list_sort(list(witness)), chr(31)))
+             AS provenance_md5
+    FROM w GROUP BY o_orderpriority
+    """,
+)
+def aggregate_why_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why-provenance for an aggregate (provenance semirings, Green et
+    al. PODS'07): each output group ships a deterministic fingerprint
+    of EXACTLY the input rows that produced it — the sorted witness
+    set (orderkey:linenumber), sentinel-joined and md5'd — so an
+    auditor can re-derive and verify which rows a reported number came
+    from (the aggregate-level sibling of span_provenance_offsets'
+    span-level attribution). Sorting happens INSIDE the group
+    (array_sort of the collected witness list) so the fingerprint is
+    independent of partitioning and arrival order — the same
+    determinism rule as ordered_concat_per_source. One join + one
+    groupBy; witness lists stay group-sized (at extreme group sizes,
+    switch the fingerprint to an order-insensitive xor/sum-of-hashes
+    sketch — noted, not needed at the 5-group grain here). Revenue is
+    the exact decimal sum alongside. Reference parity: none
+    (beyond-reference auditability operator)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    j = o.join(l, l["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("witness"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("string")
+        .cast("decimal(18,2)")
+        .alias("rev"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_witnesses"),
+        F.sum("rev").cast("double").alias("revenue"),
+        F.md5(
+            F.concat_ws(chr(31), F.array_sort(F.collect_list("witness")))
+        ).alias("provenance_md5"),
+    )
