@@ -794,3 +794,68 @@ def test_tags_pin_snapshots_through_retention(spark, tmp_path):
     assert [s.snapshot_id for s in t.history()] == [4]
     with _pytest.raises(KeyError):
         t.read_tag(spark, "train-v1")
+
+
+def test_token_bin_roundtrip_and_truncation_guard(spark, tmp_path):
+    """Megatron-style .bin token shards: write one shard per partition,
+    read back through the token_bin DataSource with exact value
+    round-trip and shard-level parallelism; a truncated .bin must FAIL
+    loudly (never round down to fewer records)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cies_ocr_java_spark.sources.token_bin import (
+        TokenBinDataSource,
+        write_token_shards,
+    )
+
+    R = 16
+    df = (
+        spark.range(50)
+        .select(
+            F.col("id").alias("seq_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(R - 1)),
+                lambda i: (F.col("id") * 1000 + i).cast("int"),
+            ).alias("tokens"),
+        )
+        .repartition(3, "seq_id")
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_token_shards(df, out, record_len=R)
+    assert sum(m["n_records"] for m in manifest) == 50
+    assert len(manifest) == 3  # one shard per partition
+
+    spark.dataSource.register(TokenBinDataSource)
+    back = spark.read.format("token_bin").load(out)
+    assert back.rdd.getNumPartitions() == 3  # shard = parallelism unit
+    got = {
+        tuple(r["tokens"]) for r in back.select("tokens").collect()
+    }
+    want = {
+        tuple(r["tokens"]) for r in df.select("tokens").collect()
+    }
+    assert got == want and len(got) == 50
+
+    # wrong record length fails loudly
+    bad = spark.range(1).select(
+        F.col("id").alias("seq_id"),
+        F.array(F.lit(1), F.lit(2)).cast("array<int>").alias("tokens"),
+    )
+    with _pytest.raises(Exception, match="expected exactly"):
+        write_token_shards(bad, str(tmp_path / "bad"), record_len=R)
+
+    # truncation guard: chop the last 4 bytes of one shard
+    victim = manifest[0]["path"]
+    with open(victim, "rb") as f:
+        data = f.read()
+    with open(victim, "wb") as f:
+        f.write(data[:-4])
+    with _pytest.raises(Exception, match="truncated|EOFError"):
+        spark.read.format("token_bin").load(victim).collect()
+    # the sidecar-less case also refuses
+    os.remove(victim + ".idx.json")
+    with _pytest.raises(Exception, match="sidecar|missing"):
+        spark.read.format("token_bin").load(victim).collect()
