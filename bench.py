@@ -197,6 +197,7 @@ HEADLINE = [
     "semijoin_reduction_plan",
     "functional_dependency_check",
     "aggregate_why_provenance",
+    "corpus_token_ids",
 ]
 
 

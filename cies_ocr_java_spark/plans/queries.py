@@ -14688,3 +14688,101 @@ def aggregate_why_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(chr(31), F.array_sort(F.collect_list("witness")))
         ).alias("provenance_md5"),
     )
+
+
+# =========================================================================
+# Tokenizer APPLY: corpus-frequency vocab -> integer id sequences per
+# doc (OOV = 0) — the deterministic encode step between text and the
+# packer/.bin shards (corpus_pack_sequences / sources/token_bin.py).
+# =========================================================================
+
+_VOCAB_K = 1000
+
+
+@_register(
+    "corpus_token_ids",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t.token, t.pos FROM (
+        SELECT doc_id,
+               unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS token,
+               generate_subscripts(string_split({_norm_sql('lower(text)')}, ' '), 1)
+                 AS pos
+        FROM documents) t
+      WHERE t.token <> ''),
+    tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    vocab AS (SELECT token,
+                     row_number() OVER (ORDER BY c DESC, token) AS id
+              FROM tf),
+    v AS (SELECT token, id FROM vocab WHERE id <= {_VOCAB_K}),
+    ids AS (
+      SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+      FROM tok t LEFT JOIN v ON v.token = t.token),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_oov,
+             list_sort(list(struct_pack(pos := pos, id := id))) AS seq
+      FROM ids GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           md5(array_to_string(list_transform(seq,
+                 r -> CAST(r.id AS VARCHAR)), chr(31))) AS ids_md5
+    FROM agg
+    """,
+)
+def corpus_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: rank the corpus vocabulary by frequency
+    (deterministic (freq desc, token) tiebreak), assign ids 1..
+    {_VOCAB_K}, map every token position to its id (OOV -> 0), and
+    fingerprint each document's id SEQUENCE (position-sorted inside
+    the group — partitioning-independent, the ordered_concat rule).
+    This is the encode step whose output corpus_pack_sequences packs
+    and sources/token_bin.py ships as .bin shards — with this query
+    the text -> ids -> packed sequences -> binary shards chain is
+    closed end to end. PLAN: one token explode feeding the vocab count
+    (map-side combinable) and the position stream; the vocab truncates
+    to K before the broadcast-sized LEFT join back; one doc-keyed
+    rollup. OOV rate lands alongside (the vocab-coverage metric that
+    sizes K). Reference parity: none (beyond-reference training-prep
+    operator)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    tok = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(normalize_ws(F.col("text"))), " ")
+            ).alias("pos0", "token"),
+        )
+        .where(F.col("token") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    )
+    tf = tok.groupBy("token").agg(F.count("*").alias("c"))
+    v = (
+        tf.select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("token")))
+            .alias("id"),
+        )
+        .where(F.col("id") <= _VOCAB_K)
+    )
+    ids = tok.join(F.broadcast(v), "token", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    agg = ids.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).alias("n_oov"),
+        F.array_sort(F.collect_list(F.struct("pos", "id"))).alias("seq"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.md5(
+            F.concat_ws(
+                chr(31),
+                F.transform(F.col("seq"), lambda r: r["id"].cast("string")),
+            )
+        ).alias("ids_md5"),
+    )
