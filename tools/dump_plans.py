@@ -479,6 +479,32 @@ COMMENTARY = {
         "sort; windows run over at most a few hundred histogram rows "
         "per class at any corpus size."
     ),
+    "semijoin_reduction_plan": (
+        "Yannakakis reducers as LEFT SEMI joins (never EXISTS-per-row); "
+        "the reduced root is persisted once across its three consumers; "
+        "the final join ships only contributing tuples."
+    ),
+    "cube_materialization_plan": (
+        "Cuboid sizes from ONE grouping-sets pass (Expand) + a tiny "
+        "mask count; the HRU greedy is constant driver state over the "
+        "8-node lattice — zero further cluster work."
+    ),
+    "ngram_novelty_curve": (
+        "Gram explode -> ONE shuffle on the gram fingerprint for the "
+        "first-occurrence min (map-side combinable) -> doc rollup. The "
+        "dedup_exact topology at gram grain."
+    ),
+    "corpus_token_ids": (
+        "Token explode feeds the vocab count and the position stream; "
+        "vocab truncated to K=1000 before a broadcast LEFT join back; "
+        "sequence fingerprints sort INSIDE the group (array_sort of "
+        "collected structs — partitioning-independent)."
+    ),
+    "aggregate_why_provenance": (
+        "One join + one groupBy; the witness fingerprint sorts inside "
+        "the group, so it is independent of partitioning and arrival "
+        "order."
+    ),
 }
 
 
