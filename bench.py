@@ -198,6 +198,8 @@ HEADLINE = [
     "functional_dependency_check",
     "aggregate_why_provenance",
     "corpus_token_ids",
+    "cdc_chunk_dedup",
+    "curation_funnel_report",
 ]
 
 

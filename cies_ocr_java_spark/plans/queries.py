@@ -14786,3 +14786,287 @@ def corpus_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ids_md5"),
     )
+
+
+# =========================================================================
+# Content-defined chunking dedup (the borg/restic/data-versioning
+# technique at token grain): chunk boundaries from a ROLLING CONTENT
+# RULE — so an edit re-aligns within one chunk instead of shifting every
+# downstream boundary — then corpus-wide chunk-store savings.
+# =========================================================================
+
+_CDC_GRAM = 4
+_CDC_MOD = 16
+
+
+@_register(
+    "cdc_chunk_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t
+      FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks
+             WHERE len(t) >= {_CDC_GRAM}),
+    p0 AS (SELECT doc_id, t, n, unnest(range(1, n + 1)) AS pos FROM base),
+    b AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > 1 AND pos <= n - {_CDC_GRAM - 1}
+                   AND CAST(('0x' || substr(md5(
+                         array_to_string(t[pos:pos + {_CDC_GRAM - 1}], ' ')),
+                         1, 12)) AS BIGINT) % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS boundary,
+             t[pos] AS token
+      FROM p0),
+    c AS (
+      SELECT doc_id, pos, token,
+             1 + CAST(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS BIGINT) AS chunk_no
+      FROM b),
+    chunks AS (
+      SELECT doc_id, chunk_no, count(*) AS n_tok,
+             md5(array_to_string(
+               list_transform(list_sort(list(struct_pack(pos := pos,
+                                                         token := token))),
+                              r -> r.token), chr(31))) AS fp
+      FROM c GROUP BY doc_id, chunk_no),
+    store AS (SELECT fp, max(n_tok) AS n_tok, count(*) AS refs
+              FROM chunks GROUP BY fp)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM chunks) AS total_chunks,
+           (SELECT CAST(count(*) AS BIGINT) FROM store) AS distinct_chunks,
+           (SELECT CAST(sum(n_tok) AS BIGINT) FROM chunks) AS total_tokens,
+           (SELECT CAST(sum(n_tok) AS BIGINT) FROM store) AS stored_tokens,
+           CAST(CAST(1.0
+                - (SELECT CAST(sum(n_tok) AS DOUBLE) FROM store)
+                  / (SELECT CAST(sum(n_tok) AS DOUBLE) FROM chunks)
+                AS VARCHAR) AS DECIMAL(12,6)) AS savings_ratio
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup at token grain (the borg/restic/
+    low-bandwidth-filesystem technique, LBFS SOSP'01): a chunk boundary
+    opens wherever the rolling {_CDC_GRAM}-gram hash ≡ 0 mod
+    {_CDC_MOD} — boundaries depend on CONTENT, not offsets, so an
+    insertion re-synchronizes within one chunk instead of shifting
+    every later boundary the way fixed-width blocks would (the reason
+    version-N+1 of a crawl snapshot dedups against version N at all).
+    Chunk fingerprints are position-sorted sentinel-join md5s
+    (partitioning-independent); the chunk-store readout reports
+    corpus tokens vs stored tokens and the savings ratio. PLAN: token
+    explode, ONE doc-partitioned cumsum for chunk numbering, a
+    doc-keyed chunk assembly, and a fingerprint-keyed store rollup —
+    the dedup_exact topology at chunk grain; everything before the
+    store shuffle is map-side combinable or doc-local. Exact integers;
+    one quantized division. Reference parity: none (beyond-reference
+    storage-dedup operator; complements dedup_exact at doc grain and
+    dedup_passage_rewrite at passage grain)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    t = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    base = d.select("doc_id", t.alias("t"), F.size(t).alias("n")).where(
+        F.size(t) >= _CDC_GRAM
+    )
+    p0 = base.select(
+        "doc_id",
+        "n",
+        "t",
+        F.posexplode("t").alias("pos0", "token"),
+    ).select(
+        "doc_id", "n", "t", (F.col("pos0") + 1).alias("pos"), "token"
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("t"), F.col("pos"), _CDC_GRAM))
+    boundary = F.when(
+        (F.col("pos") > 1)
+        & (F.col("pos") <= F.col("n") - (_CDC_GRAM - 1))
+        & (
+            F.conv(F.substring(F.md5(gram), 1, 12), 16, 10).cast("bigint")
+            % _CDC_MOD
+            == 0
+        ),
+        1,
+    ).otherwise(0)
+    b = p0.select("doc_id", "pos", "token", boundary.alias("boundary"))
+    wc = Window.partitionBy("doc_id").orderBy("pos")
+    c = b.select(
+        "doc_id",
+        "pos",
+        "token",
+        (F.lit(1) + F.sum("boundary").over(wc).cast("bigint")).alias("chunk_no"),
+    )
+    chunks = c.groupBy("doc_id", "chunk_no").agg(
+        F.count("*").alias("n_tok"),
+        F.md5(
+            F.concat_ws(
+                chr(31),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda r: r["token"],
+                ),
+            )
+        ).alias("fp"),
+    )
+    store = chunks.groupBy("fp").agg(
+        F.max("n_tok").alias("n_tok"), F.count("*").alias("refs")
+    )
+    nd = base.agg(F.count("*").cast("bigint").alias("n_docs"))
+    ch = chunks.agg(
+        F.count("*").cast("bigint").alias("total_chunks"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+    st = store.agg(
+        F.count("*").cast("bigint").alias("distinct_chunks"),
+        F.sum("n_tok").cast("bigint").alias("stored_tokens"),
+    )
+    return (
+        nd.crossJoin(ch)
+        .crossJoin(st)
+        .select(
+            "n_docs",
+            "total_chunks",
+            "distinct_chunks",
+            "total_tokens",
+            "stored_tokens",
+            (
+                F.lit(1.0)
+                - F.col("stored_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            )
+            .cast("string")
+            .cast("decimal(12,6)")
+            .alias("savings_ratio"),
+        )
+    )
+
+
+# =========================================================================
+# Curation funnel report: per-gate kill counts, exclusive kills, and
+# cumulative survivors in a FIXED gate order — the filter-attribution
+# table every curation pipeline publishes with its dataset card.
+# =========================================================================
+
+_FUNNEL_MIN_TOK = 20
+_FUNNEL_STOP_LO = "0.050000"
+_FUNNEL_STOP_HI = "0.600000"
+_FUNNEL_UNIQ_LO = "0.300000"
+_FUNNEL_WORDS_HI = "0.150000"
+
+
+@_register(
+    "curation_funnel_report",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             {_TOKC_SQL.format(x='text')} AS nt,
+             len(list_filter(string_split({_norm_sql('lower(text)')}, ' '),
+                             w -> w IN ({", ".join(f"'{w}'" for w in EN_STOPWORDS)})))
+               AS nstop,
+             len(list_distinct(string_split({_norm_sql('lower(text)')}, ' ')))
+               AS nuniq,
+             len(regexp_extract_all(lower(text),
+                 '\\b({'|'.join(_WORDLIST)})\\b')) AS nhits
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             nt >= {_FUNNEL_MIN_TOK} AS g1,
+             CAST(CAST(CAST(nstop AS DOUBLE) / CAST(greatest(nt, 1) AS DOUBLE)
+                  AS VARCHAR) AS DECIMAL(12,6))
+               BETWEEN {_FUNNEL_STOP_LO} AND {_FUNNEL_STOP_HI} AS g2,
+             CAST(CAST(CAST(nuniq AS DOUBLE) / CAST(greatest(nt, 1) AS DOUBLE)
+                  AS VARCHAR) AS DECIMAL(12,6)) >= {_FUNNEL_UNIQ_LO} AS g3,
+             CAST(CAST(CAST(nhits AS DOUBLE) / CAST(greatest(nt, 1) AS DOUBLE)
+                  AS VARCHAR) AS DECIMAL(12,6)) <= {_FUNNEL_WORDS_HI} AS g4
+      FROM f),
+    s AS (
+      SELECT count(*) AS n_docs,
+             sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS f1,
+             sum(CASE WHEN NOT g2 THEN 1 ELSE 0 END) AS f2,
+             sum(CASE WHEN NOT g3 THEN 1 ELSE 0 END) AS f3,
+             sum(CASE WHEN NOT g4 THEN 1 ELSE 0 END) AS f4,
+             sum(CASE WHEN NOT g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS x1,
+             sum(CASE WHEN g1 AND NOT g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS x2,
+             sum(CASE WHEN g1 AND g2 AND NOT g3 AND g4 THEN 1 ELSE 0 END) AS x3,
+             sum(CASE WHEN g1 AND g2 AND g3 AND NOT g4 THEN 1 ELSE 0 END) AS x4,
+             sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS s1,
+             sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS s2,
+             sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS s3,
+             sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS s4
+      FROM g)
+    SELECT 'min_length' AS gate, 1 AS gate_order,
+           CAST(f1 AS BIGINT) AS n_fail, CAST(x1 AS BIGINT) AS n_fail_only,
+           CAST(s1 AS BIGINT) AS survivors_after FROM s
+    UNION ALL SELECT 'stopword_band', 2, CAST(f2 AS BIGINT),
+           CAST(x2 AS BIGINT), CAST(s2 AS BIGINT) FROM s
+    UNION ALL SELECT 'unique_ratio', 3, CAST(f3 AS BIGINT),
+           CAST(x3 AS BIGINT), CAST(s3 AS BIGINT) FROM s
+    UNION ALL SELECT 'wordlist', 4, CAST(f4 AS BIGINT),
+           CAST(x4 AS BIGINT), CAST(s4 AS BIGINT) FROM s
+    """,
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel attribution: four quality gates applied in a
+    FIXED order (min length, stopword-ratio band, unique-token ratio,
+    wordlist), each reporting its total kill count, its EXCLUSIVE
+    kills (docs only that gate rejects — the gate's marginal value;
+    a gate with zero exclusive kills is redundant), and the cumulative
+    survivor count — the dataset-card table that justifies every
+    filter in the pipeline. All four ratio gates compare QUANTIZED
+    decimals (boundary docs gate identically in both engines). PLAN:
+    ONE map-only projection computes every gate signal, ONE
+    constant-width aggregate computes all 13 counters, and the report
+    is a 4-row union — a 100 TB corpus pays one scan for the full
+    funnel, never a pass per gate. Reference parity: none
+    (beyond-reference curation-reporting operator; the accounting
+    layer over quality_c4_line_filter / content_wordlist_filter /
+    char_entropy_filter-class gates)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    nt = token_count(F.col("text"))
+    nstop = F.size(F.filter(toks, lambda w: w.isin(*EN_STOPWORDS)))
+    nuniq = F.size(F.array_distinct(toks))
+    pat = r"\b(" + "|".join(_WORDLIST) + r")\b"
+    nhits = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0))
+
+    def q(x):
+        return (
+            (x.cast("double") / F.greatest(nt, F.lit(1)).cast("double"))
+            .cast("string")
+            .cast("decimal(12,6)")
+        )
+
+    g = d.select(
+        (nt >= _FUNNEL_MIN_TOK).alias("g1"),
+        q(nstop).between(
+            F.lit(_FUNNEL_STOP_LO).cast("decimal(12,6)"),
+            F.lit(_FUNNEL_STOP_HI).cast("decimal(12,6)"),
+        ).alias("g2"),
+        (q(nuniq) >= F.lit(_FUNNEL_UNIQ_LO).cast("decimal(12,6)")).alias("g3"),
+        (q(nhits) <= F.lit(_FUNNEL_WORDS_HI).cast("decimal(12,6)")).alias("g4"),
+    )
+    c = lambda e: F.sum(F.when(e, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    g1, g2, g3, g4 = (F.col(x) for x in ("g1", "g2", "g3", "g4"))
+    s = g.agg(
+        c(~g1).alias("f1"), c(~g2).alias("f2"),
+        c(~g3).alias("f3"), c(~g4).alias("f4"),
+        c(~g1 & g2 & g3 & g4).alias("x1"),
+        c(g1 & ~g2 & g3 & g4).alias("x2"),
+        c(g1 & g2 & ~g3 & g4).alias("x3"),
+        c(g1 & g2 & g3 & ~g4).alias("x4"),
+        c(g1).alias("s1"), c(g1 & g2).alias("s2"),
+        c(g1 & g2 & g3).alias("s3"), c(g1 & g2 & g3 & g4).alias("s4"),
+    )
+    rows = [
+        ("min_length", 1, "f1", "x1", "s1"),
+        ("stopword_band", 2, "f2", "x2", "s2"),
+        ("unique_ratio", 3, "f3", "x3", "s3"),
+        ("wordlist", 4, "f4", "x4", "s4"),
+    ]
+    out = None
+    for name, order, fc, xc, sc in rows:
+        r = s.select(
+            F.lit(name).alias("gate"),
+            F.lit(order).alias("gate_order"),
+            F.col(fc).alias("n_fail"),
+            F.col(xc).alias("n_fail_only"),
+            F.col(sc).alias("survivors_after"),
+        )
+        out = r if out is None else out.unionAll(r)
+    return out
