@@ -200,6 +200,8 @@ HEADLINE = [
     "corpus_token_ids",
     "cdc_chunk_dedup",
     "curation_funnel_report",
+    "spell_correction_candidates",
+    "events_dispersion_index",
 ]
 
 

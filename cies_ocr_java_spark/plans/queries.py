@@ -15070,3 +15070,222 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionAll(r)
     return out
+
+
+# =========================================================================
+# Noisy-channel spell-correction candidates: rare corpus terms paired
+# with edit-distance-1 frequent terms via the SymSpell deletion
+# neighborhood, ranked by channel prior (candidate frequency).
+# =========================================================================
+
+_SPELL_RARE_MAX = 2
+_SPELL_COMMON_MIN = 10
+_SPELL_TOP = 3
+
+
+@_register(
+    "spell_correction_candidates",
+    f"""
+    WITH t0 AS (
+      SELECT doc_id, t.token, t.pos FROM (
+        SELECT doc_id,
+               unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS token,
+               generate_subscripts(string_split({_norm_sql('lower(text)')}, ' '), 1)
+                 AS pos
+        FROM documents) t
+      WHERE t.token <> ''),
+    t1 AS (
+      -- deterministic typo injection (docs % 31, every 7th long token
+      -- drops its 2nd char) so the detector has a measurable workload
+      SELECT CASE WHEN doc_id % 31 = 0 AND pos % 7 = 0 AND len(token) >= 5
+                  THEN token[1:1] || token[3:] ELSE token END AS s
+      FROM t0),
+    tf AS (SELECT s, CAST(count(*) AS BIGINT) AS freq FROM t1 GROUP BY 1),
+    rare AS (SELECT s, freq FROM tf
+             WHERE freq <= {_SPELL_RARE_MAX} AND len(s) >= 4),
+    com AS (SELECT s, freq FROM tf WHERE freq >= {_SPELL_COMMON_MIN}),
+    rv AS (SELECT s, unnest(list_append(
+               [s[1:i-1] || s[i+1:] for i in range(1, len(s) + 1)], s)) AS var
+           FROM rare),
+    cv AS (SELECT s, unnest(list_append(
+               [s[1:i-1] || s[i+1:] for i in range(1, len(s) + 1)], s)) AS var
+           FROM com),
+    cand AS (SELECT DISTINCT r.s AS typo, c.s AS fix
+             FROM rv r JOIN cv c ON c.var = r.var AND r.s != c.s),
+    hit AS (SELECT typo, fix FROM cand WHERE levenshtein(typo, fix) <= 1),
+    ranked AS (
+      SELECT h.typo, rr.freq AS typo_freq, h.fix, cc.freq AS fix_freq,
+             row_number() OVER (PARTITION BY h.typo
+                                ORDER BY cc.freq DESC, h.fix) AS rk
+      FROM hit h JOIN rare rr ON rr.s = h.typo JOIN com cc ON cc.s = h.fix)
+    SELECT typo, typo_freq, fix, fix_freq, CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= {_SPELL_TOP}
+    """,
+)
+def spell_correction_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-channel spell correction (Norvig's model, SymSpell
+    candidate generation): corpus terms seen <= {_SPELL_RARE_MAX} times
+    (likely typos, length >= 4 to skip legitimately-rare short tokens)
+    are paired with terms seen >= {_SPELL_COMMON_MIN} times within ONE
+    edit — candidates come from the deletion-neighborhood EQUI-join
+    (dedup.edit1_pairs' scheme: linear len(s)+1 variant fanout, never
+    an all-pairs edit-distance scan), exact-verified by levenshtein on
+    candidates only, then ranked per typo by the channel prior
+    (candidate frequency, deterministic tiebreak). The per-typo window
+    partitions on the typo term — bounded fanout. This is the
+    vocabulary-repair pass that shrinks the long tail before BPE
+    training (a typo that maps onto a frequent form stops wasting a
+    merge slot). Reference parity: none (beyond-reference text-repair
+    operator; the word-grain sibling of domain_typo_pairs)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    t0 = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(normalize_ws(F.col("text"))), " ")
+            ).alias("pos0", "token"),
+        )
+        .where(F.col("token") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    )
+    # deterministic typo injection (see oracle comment)
+    corrupt = (
+        (F.col("doc_id") % 31 == 0)
+        & (F.col("pos") % 7 == 0)
+        & (F.length("token") >= 5)
+    )
+    t1 = t0.select(
+        F.when(
+            corrupt,
+            F.concat(
+                F.substring("token", 1, 1), F.expr("substr(token, 3)")
+            ),
+        )
+        .otherwise(F.col("token"))
+        .alias("s")
+    )
+    tf = t1.groupBy("s").agg(F.count("*").cast("bigint").alias("freq"))
+    rare = tf.where(
+        (F.col("freq") <= _SPELL_RARE_MAX) & (F.length("s") >= 4)
+    )
+    com = tf.where(F.col("freq") >= _SPELL_COMMON_MIN)
+
+    def variants(df):
+        return df.select(
+            "s",
+            F.explode(
+                F.expr(
+                    "array_append(transform(sequence(1, length(s)),"
+                    " i -> concat(substr(s, 1, i - 1), substr(s, i + 1))), s)"
+                )
+            ).alias("var"),
+        )
+
+    rv = variants(rare.select("s"))
+    cv = variants(com.select("s"))
+    cand = (
+        rv.alias("r")
+        .join(
+            cv.alias("c"),
+            (F.col("c.var") == F.col("r.var")) & (F.col("r.s") != F.col("c.s")),
+        )
+        .select(F.col("r.s").alias("typo"), F.col("c.s").alias("fix"))
+        .distinct()
+        .where(F.levenshtein("typo", "fix") <= 1)
+    )
+    ranked = (
+        cand.join(rare.select(F.col("s").alias("typo"),
+                              F.col("freq").alias("typo_freq")), "typo")
+        .join(com.select(F.col("s").alias("fix"),
+                         F.col("freq").alias("fix_freq")), "fix")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("typo").orderBy(
+                    F.desc("fix_freq"), F.asc("fix")
+                )
+            ),
+        )
+        .where(F.col("rank") <= _SPELL_TOP)
+    )
+    return ranked.select(
+        "typo", "typo_freq", "fix", "fix_freq",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# =========================================================================
+# Index of dispersion (variance/mean of daily counts) per event type —
+# the overdispersion diagnostic that says whether a Poisson baseline is
+# even admissible before anomaly thresholds are trusted.
+# =========================================================================
+
+
+@_register(
+    "events_dispersion_index",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM daily GROUP BY event_type)
+    SELECT event_type, n_days, s1 AS total_events,
+           CAST(CAST(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(18,6)) AS mean_daily,
+           CAST(CAST(
+             (CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+             / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+             AS VARCHAR) AS DECIMAL(18,6)) AS dispersion_index,
+           CAST(CAST(
+             (CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+             / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+             AS VARCHAR) AS DECIMAL(18,6)) > 1.500000 AS overdispersed
+    FROM s
+    """,
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio of daily counts) per
+    event type: ~1 means Poisson-like arrivals (rate-based alerting
+    thresholds are sound); >> 1 means bursty/overdispersed traffic
+    where a Poisson baseline under-alarms — the admissibility check
+    that should run BEFORE trusting events_anomaly_mad thresholds or
+    capacity models. EXACTNESS: integer count sums (n, Σc, Σc²), a
+    fixed-order double expression for D = (E[c²]-E[c]²)/E[c],
+    quantized once; the flag compares the quantized decimal to the
+    1.5 literal. PLAN: one map-side-combinable daily rollup, one
+    types-sized aggregate — one full-data pass. Reference parity:
+    none (beyond-reference monitoring operator)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_DAY_US))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_days").cast("double")
+    disp = (
+        (F.col("s2").cast("double") / F.col("n_days").cast("double") - mu * mu)
+        / mu
+    ).cast("string").cast("decimal(18,6)")
+    return s.select(
+        "event_type",
+        "n_days",
+        F.col("s1").alias("total_events"),
+        mu.cast("string").cast("decimal(18,6)").alias("mean_daily"),
+        disp.alias("dispersion_index"),
+        (disp > F.lit("1.500000").cast("decimal(18,6)")).alias("overdispersed"),
+    )
