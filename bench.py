@@ -202,6 +202,8 @@ HEADLINE = [
     "curation_funnel_report",
     "spell_correction_candidates",
     "events_dispersion_index",
+    "feature_hash_collision_audit",
+    "revenue_yoy_alignment",
 ]
 
 

@@ -15289,3 +15289,179 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         disp.alias("dispersion_index"),
         (disp > F.lit("1.500000").cast("decimal(18,6)")).alias("overdispersed"),
     )
+
+
+# =========================================================================
+# Feature-hashing collision audit (Weinberger et al. 2009 hashing
+# trick): how much vocabulary collides at each bucket width — the table
+# that sizes the hashed feature space before training a linear model.
+# =========================================================================
+
+_FHASH_BITS = (8, 10, 12)
+
+
+@_register(
+    "feature_hash_collision_audit",
+    f"""
+    WITH tf AS (
+      SELECT t.token, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS token
+            FROM documents) t
+      WHERE t.token <> '' GROUP BY 1),
+    h AS (SELECT token, freq,
+                 CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS hv
+          FROM tf)
+    {" UNION ALL ".join(f'''
+    SELECT {b} AS n_bits,
+           (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_terms,
+           CAST(count(DISTINCT hv % {1 << b}) AS BIGINT) AS buckets_used,
+           CAST((SELECT count(*) FROM tf)
+                - count(DISTINCT hv % {1 << b}) AS BIGINT) AS n_collided,
+           CAST(CAST(CAST((SELECT count(*) FROM tf)
+                     - count(DISTINCT hv % {1 << b}) AS DOUBLE)
+                / CAST((SELECT count(*) FROM tf) AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6)) AS collision_rate,
+           (SELECT CAST(max(c) AS BIGINT) FROM (
+              SELECT count(*) AS c FROM h GROUP BY hv % {1 << b}))
+             AS max_bucket_terms
+    FROM h''' for b in _FHASH_BITS)}
+    """,
+)
+def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit (Weinberger et al., ICML 2009):
+    for each candidate bucket width 2^{{{', '.join(map(str, _FHASH_BITS))}}},
+    how many vocabulary terms collide, the overall collision rate, and
+    the worst bucket's term count — the sizing table consulted before
+    replacing an unbounded vocab with hashed features (the move that
+    makes quality_lr_train's feature space corpus-size-independent at
+    web scale). Hash = the md5 48-bit recipe mod 2^bits, identical in
+    both engines. PLAN: ONE term-frequency pass (the only full-data
+    work), then per-width distinct-bucket aggregates over the
+    VOCABULARY-sized table; constant-width union. Exact integers; one
+    quantized division per row. Reference parity: none
+    (beyond-reference featurization-diagnostics operator)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    tf = (
+        d.select(
+            F.explode(
+                F.split(F.lower(normalize_ws(F.col("text"))), " ")
+            ).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    h = tf.select(
+        "token",
+        F.conv(F.substring(F.md5("token"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    ).persist()
+    out = None
+    try:
+        n_terms_df = h.agg(F.count("*").cast("bigint").alias("n_terms"))
+        for b in _FHASH_BITS:
+            buckets = h.groupBy((F.col("hv") % (1 << b)).alias("bkt")).agg(
+                F.count("*").alias("c")
+            )
+            agg = buckets.agg(
+                F.count("*").cast("bigint").alias("buckets_used"),
+                F.max("c").cast("bigint").alias("max_bucket_terms"),
+            )
+            row = (
+                n_terms_df.crossJoin(agg)
+                .select(
+                    F.lit(b).alias("n_bits"),
+                    "n_terms",
+                    "buckets_used",
+                    (F.col("n_terms") - F.col("buckets_used"))
+                    .cast("bigint")
+                    .alias("n_collided"),
+                    (
+                        (F.col("n_terms") - F.col("buckets_used")).cast("double")
+                        / F.col("n_terms").cast("double")
+                    )
+                    .cast("string")
+                    .cast("decimal(12,6)")
+                    .alias("collision_rate"),
+                    "max_bucket_terms",
+                )
+            )
+            out = row if out is None else out.unionAll(row)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        h.unpersist()
+    return out
+
+
+# =========================================================================
+# Year-over-year calendar alignment: monthly revenue joined to the same
+# month one year earlier — the growth readout MoM deltas cannot give
+# (seasonality cancels only under YoY alignment).
+# =========================================================================
+
+
+@_register(
+    "revenue_yoy_alignment",
+    """
+    WITH m AS (
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+             CAST(month(l_shipdate) AS INTEGER) AS mo,
+             sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR)
+                 AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1, 2)
+    SELECT c.yr, c.mo,
+           CAST(c.rev AS DOUBLE) AS revenue,
+           CAST(p.rev AS DOUBLE) AS revenue_prior_year,
+           CAST(CASE WHEN p.rev IS NULL THEN NULL
+                ELSE CAST(CAST(CAST(c.rev AS DOUBLE) / CAST(p.rev AS DOUBLE)
+                     - 1.0 AS VARCHAR) AS DECIMAL(12,6)) END AS DOUBLE)
+             AS yoy_growth
+    FROM m c LEFT JOIN m p ON p.yr = c.yr - 1 AND p.mo = c.mo
+    """,
+)
+def revenue_yoy_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth with calendar alignment: each (year,
+    month) cell joined to the SAME month one year earlier — the
+    comparison under which seasonality cancels (revenue_growth's MoM
+    deltas conflate trend with season; the seasonality_index measures
+    the season; this removes it). One map-side-combinable monthly
+    rollup (bounded years x 12 grain), one self-join on the shifted
+    calendar key — both sides tiny after aggregation. Exact decimal
+    revenue; growth is one quantized division; first-year months emit
+    NULL growth (no prior year), rendered as a nullable decimal cast
+    to keep both engines' NULL shape aligned via the DOUBLE columns
+    beside it. Reference parity: none (beyond-reference analytics
+    operator)."""
+    l = _t(spark, sf_dir, "lineitem")
+    m = l.groupBy(
+        F.year("l_shipdate").cast("int").alias("yr"),
+        F.month("l_shipdate").cast("int").alias("mo"),
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("string")
+            .cast("decimal(18,2)")
+        ).alias("rev")
+    )
+    c = m.alias("c")
+    p = m.alias("p")
+    growth = (
+        (F.col("c.rev").cast("double") / F.col("p.rev").cast("double") - 1.0)
+        .cast("string")
+        .cast("decimal(12,6)")
+    )
+    return c.join(
+        p,
+        (F.col("p.yr") == F.col("c.yr") - 1) & (F.col("p.mo") == F.col("c.mo")),
+        "left",
+    ).select(
+        F.col("c.yr").alias("yr"),
+        F.col("c.mo").alias("mo"),
+        F.col("c.rev").cast("double").alias("revenue"),
+        F.col("p.rev").cast("double").alias("revenue_prior_year"),
+        F.when(F.col("p.rev").isNull(), F.lit(None).cast("decimal(12,6)"))
+        .otherwise(growth)
+        .cast("double")
+        .alias("yoy_growth"),
+    )
