@@ -204,6 +204,8 @@ HEADLINE = [
     "events_dispersion_index",
     "feature_hash_collision_audit",
     "revenue_yoy_alignment",
+    "watermark_detection",
+    "lsh_s_curve_planner",
 ]
 
 

@@ -15465,3 +15465,225 @@ def revenue_yoy_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("yoy_growth"),
     )
+
+
+# =========================================================================
+# Statistical watermark detection (Kirchenbauer et al., ICML 2023): the
+# green-list token-fraction z-test that flags LLM-generated text whose
+# sampler was biased toward a hash-keyed half of the vocabulary.
+# =========================================================================
+
+_WM_Z_THR = "4.000000"
+
+
+@_register(
+    "watermark_detection",
+    f"""
+    WITH t0 AS (
+      SELECT doc_id, t.token, t.pos FROM (
+        SELECT doc_id,
+               unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS token,
+               generate_subscripts(string_split({_norm_sql('lower(text)')}, ' '), 1)
+                 AS pos
+        FROM documents) t
+      WHERE t.token <> ''),
+    g AS (
+      SELECT doc_id, pos, token,
+             CAST(('0x' || substr(md5('wm|' || token), 1, 12)) AS BIGINT) % 2
+               AS green
+      FROM t0),
+    -- watermark simulation: docs % 41 = 0 emit ONLY green tokens (the
+    -- biased-sampler effect); all other docs keep their natural stream
+    w AS (
+      SELECT doc_id, green FROM g
+      WHERE doc_id % 41 != 0 OR green = 1),
+    s AS (
+      SELECT doc_id, count(*) AS n, CAST(sum(green) AS BIGINT) AS n_green
+      FROM w GROUP BY doc_id),
+    z AS (
+      SELECT doc_id, n, n_green,
+             CAST(CAST(
+               (CAST(n_green AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+               / sqrt(CAST(n AS DOUBLE) / 4.0)
+               AS VARCHAR) AS DECIMAL(12,6)) AS zq
+      FROM s WHERE n > 0)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_green,
+           CAST(zq AS DOUBLE) AS z_score,
+           zq > {_WM_Z_THR} AS watermark_flag,
+           doc_id % 41 = 0 AS truly_watermarked
+    FROM z
+    """,
+)
+def watermark_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM watermark detection (Kirchenbauer et al. 2023): the vocab is
+    split into green/red halves by a keyed hash; a watermarked sampler
+    over-emits green tokens, so the one-proportion z-score
+    (g - n/2)/sqrt(n/4) separates watermarked from natural text — the
+    provenance filter a pretraining pipeline runs to keep synthetic
+    text out of (or quarantined within) the corpus. Simulation: docs
+    ≡ 0 mod 41 keep only their green tokens (the biased-sampler
+    limit); the output carries both the detector's flag AND the ground
+    truth so precision/recall are readable directly. ENGINE-EXACT:
+    green membership is the md5 recipe mod 2, counts are integers,
+    and the z-score's only irrational op is IEEE-correctly-rounded
+    sqrt (the ab_test rule), quantized once; the flag compares the
+    quantized decimal to the {_WM_Z_THR} literal. PLAN: map-only
+    green-tagging fused into the token explode, one doc-keyed
+    combinable rollup. Reference parity: none (beyond-reference
+    provenance operator)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    t0 = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(normalize_ws(F.col("text"))), " ")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    green = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wm|"), F.col("token"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    g = t0.select("doc_id", green.alias("green"))
+    w = g.where((F.col("doc_id") % 41 != 0) | (F.col("green") == 1))
+    s = w.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.sum("green").cast("bigint").alias("n_green")
+    )
+    zq = (
+        (
+            (F.col("n_green").cast("double") - F.col("n").cast("double") / 2.0)
+            / F.sqrt(F.col("n").cast("double") / 4.0)
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+    )
+    return s.where(F.col("n") > 0).select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "n_green",
+        zq.cast("double").alias("z_score"),
+        (zq > F.lit(_WM_Z_THR).cast("decimal(12,6)")).alias("watermark_flag"),
+        (F.col("doc_id") % 41 == 0).alias("truly_watermarked"),
+    )
+
+
+# =========================================================================
+# LSH S-curve planner: the analytic collision probability 1-(1-j^r)^b
+# per banding, applied to the corpus's OBSERVED jaccard distribution —
+# expected-recall-by-similarity-bin for each candidate (bands, rows)
+# configuration (the analytic companion to lsh_recall_eval's measured
+# recall).
+# =========================================================================
+
+_SCURVE_THR = 0.3
+_SCURVE_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
+
+
+def _scurve_p(mid: str, r: int, b: int) -> str:
+    """Exact decimal S-curve value at jaccard=mid for (bands=b, rows=r),
+    quantized to 6 places after every multiply — computed in Python so
+    both engines receive the identical literal."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("1.000000")
+
+    def q(x):
+        return Decimal(x).quantize(q6, ROUND_HALF_UP)
+
+    jr = Decimal(mid)
+    for _ in range(r - 1):
+        jr = q(jr * Decimal(mid))
+    u = Decimal(1) - jr
+    ub = u
+    for _ in range(b - 1):
+        ub = q(ub * u)
+    return str(q(Decimal(1) - ub))
+
+
+_SCURVE_BINS = ["0.35", "0.45", "0.55", "0.65", "0.75", "0.85", "0.95"]
+_SCURVE_VALUES = ", ".join(
+    f"({b}, {r}, {lo}, '{_scurve_p(mid, r, b)}')"
+    for (b, r) in _SCURVE_CONFIGS
+    for lo, mid in zip(
+        ["0.3", "0.4", "0.5", "0.6", "0.7", "0.8", "0.9"], _SCURVE_BINS
+    )
+)
+
+
+@_register(
+    "lsh_s_curve_planner",
+    f"""
+    WITH {_SHINGLE_SQL}, {_JACCARD_CORE},
+    pairs AS (SELECT jaccard FROM verified WHERE jaccard >= {_SCURVE_THR}),
+    bins AS (
+      SELECT CAST(floor(jaccard * 10) AS BIGINT) AS b10, count(*) AS n_pairs
+      FROM pairs GROUP BY 1),
+    grid(bands, rows_per_band, bin_lo, p_analytic) AS (VALUES {_SCURVE_VALUES})
+    SELECT g.bands, g.rows_per_band,
+           CAST(g.bin_lo AS DOUBLE) AS bin_lo,
+           CAST(coalesce(b.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(CAST(g.p_analytic AS DECIMAL(12,6)) AS DOUBLE) AS p_collision,
+           CAST(CAST(CAST(coalesce(b.n_pairs, 0) AS DOUBLE)
+                * CAST(CAST(g.p_analytic AS DECIMAL(12,6)) AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(18,6)) AS expected_found
+    FROM grid g LEFT JOIN bins b
+      ON b.b10 = CAST(round(CAST(g.bin_lo AS DOUBLE) * 10) AS BIGINT)
+    """,
+)
+def lsh_s_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve planner: for each candidate (bands,
+    rows-per-band) factorization of the k=8 signature, the analytic
+    collision probability 1-(1-j^r)^b at each similarity bin, applied
+    to the corpus's OBSERVED exact-jaccard pair distribution (the
+    lossless prefix-filter path, never all-pairs) — expected found
+    pairs per bin is the table that picks the banding BEFORE paying
+    for a full dedup run, and the analytic complement to
+    lsh_recall_eval's measured recall. EXACTNESS: the S-curve values
+    are computed ONCE in Python as quantized-decimal chains and
+    embedded as identical literals in both engines (no runtime pow);
+    observed counts are integers; expected = one quantized product.
+    PLAN: the only corpus-scale work is the exact pair derivation;
+    the 28-row planning grid is a literal broadcast. Reference
+    parity: none (beyond-reference dedup-planning operator)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    pairs = dedup.jaccard_pairs(d, "text", "doc_id", threshold=_SCURVE_THR)
+    bins = pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("bigint").alias("b10")
+    ).agg(F.count("*").alias("n_pairs"))
+    grid_rows = [
+        (b, r, float(lo), _scurve_p(mid, r, b))
+        for (b, r) in _SCURVE_CONFIGS
+        for lo, mid in zip(
+            ["0.3", "0.4", "0.5", "0.6", "0.7", "0.8", "0.9"], _SCURVE_BINS
+        )
+    ]
+    grid = spark.createDataFrame(
+        grid_rows,
+        "bands int, rows_per_band int, bin_lo double, p_analytic string",
+    )
+    out = grid.join(
+        bins,
+        bins["b10"] == F.round(grid["bin_lo"] * 10).cast("bigint"),
+        "left",
+    ).select(
+        "bands",
+        "rows_per_band",
+        "bin_lo",
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.col("p_analytic").cast("decimal(12,6)").cast("double").alias(
+            "p_collision"
+        ),
+        (
+            F.coalesce("n_pairs", F.lit(0)).cast("double")
+            * F.col("p_analytic").cast("decimal(12,6)").cast("double")
+        )
+        .cast("string")
+        .cast("decimal(18,6)")
+        .alias("expected_found"),
+    )
+    return out
