@@ -206,6 +206,7 @@ HEADLINE = [
     "revenue_yoy_alignment",
     "watermark_detection",
     "lsh_s_curve_planner",
+    "theil_sen_trend",
 ]
 
 

@@ -15687,3 +15687,98 @@ def lsh_s_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("expected_found"),
     )
     return out
+
+
+# =========================================================================
+# Theil-Sen robust trend (median of pairwise slopes) of daily event
+# volume per type — outlier-days cannot drag the slope the way OLS
+# lets them; the pair space is days², bounded at any event volume.
+# =========================================================================
+
+
+@_register(
+    "theil_sen_trend",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(CAST(CAST(b.c - a.c AS DOUBLE)
+                  / CAST(b.day - a.day AS DOUBLE) AS VARCHAR)
+                  AS DECIMAL(18,9)) AS slope
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day),
+    r AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, slope) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_slope_pairs,
+           CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN slope ELSE 0 END)
+                + sum(CASE WHEN rk = n // 2 + 1 THEN slope ELSE 0 END)
+                AS DOUBLE) AS theil_sen_slope_x2,
+           sum(CASE WHEN rk = (n + 1) // 2 THEN slope ELSE 0 END)
+             + sum(CASE WHEN rk = n // 2 + 1 THEN slope ELSE 0 END) > 0
+             AS trending_up
+    FROM r GROUP BY event_type
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily volume per event type: the
+    MEDIAN of all pairwise slopes (c_j-c_i)/(day_j-day_i) — up to 29%
+    of days can be corrupted (outages, backfills, spikes) without
+    moving the estimate, where one bad day drags an OLS slope
+    (zipf_law_fit shows the OLS machinery; this is its robust
+    sibling, and the trend check behind events_anomaly_mad's
+    stationarity assumption). The pairwise join is DAYS², bounded by
+    the calendar regardless of event volume — the full-data pass is
+    only the daily rollup. Slopes are quantized decimals; the median
+    is the doubled-rank-pick (events_anomaly_mad recipe — emitted as
+    2×median to stay a pure decimal sum; the slope's ties need no
+    tiebreak because equal slopes are interchangeable under rank
+    picks). Reference parity: none (beyond-reference robust-statistics
+    operator)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_DAY_US))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.day") - F.col("a.day")).cast("double")
+        )
+        .cast("string")
+        .cast("decimal(18,9)")
+        .alias("slope"),
+    )
+    wp = Window.partitionBy("event_type")
+    r = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wp.orderBy("slope")).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("n div 2 + 1")
+    med2 = F.sum(
+        F.when(F.col("rk") == lo, F.col("slope")).otherwise(0)
+    ) + F.sum(F.when(F.col("rk") == hi, F.col("slope")).otherwise(0))
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_slope_pairs"),
+        med2.cast("double").alias("theil_sen_slope_x2"),
+        (med2 > 0).alias("trending_up"),
+    )
