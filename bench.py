@@ -207,6 +207,8 @@ HEADLINE = [
     "watermark_detection",
     "lsh_s_curve_planner",
     "theil_sen_trend",
+    "events_weekday_profile",
+    "customer_spend_migration",
 ]
 
 

@@ -15782,3 +15782,174 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         med2.cast("double").alias("theil_sen_slope_x2"),
         (med2 > 0).alias("trending_up"),
     )
+
+
+# =========================================================================
+# Weekday traffic profile — weekday from PURE INTEGER epoch-day math
+# ((day+4) % 7; 1970-01-01 was a Thursday), so no timezone/locale
+# calendar function can disagree between engines.
+# =========================================================================
+
+
+@_register(
+    "events_weekday_profile",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    wd AS (
+      SELECT event_type, CAST((day + 4) % 7 AS INT) AS weekday, c
+      FROM daily),
+    agg AS (
+      SELECT event_type, weekday,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM wd GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total,
+             CAST(sum(n_days) AS BIGINT) AS total_days
+      FROM agg GROUP BY event_type)
+    SELECT a.event_type, a.weekday, a.n_events, a.n_days,
+           CAST(CAST(
+             (CAST(a.n_events AS DOUBLE) / CAST(a.n_days AS DOUBLE))
+             / (CAST(t.total AS DOUBLE) / CAST(t.total_days AS DOUBLE))
+             AS VARCHAR) AS DECIMAL(12,6)) AS weekday_index
+    FROM agg a JOIN tot t ON t.event_type = a.event_type
+    """,
+)
+def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-weekday traffic profile: average events per day-of-week
+    relative to the overall daily mean (index 1.0 = typical day) —
+    the weekly-seasonality readout that separates 'weekend dip' from
+    a real incident before events_anomaly_mad raises it. The weekday
+    comes from PURE INTEGER epoch-day arithmetic ((day+4) mod 7;
+    0 = Monday) — no dayofweek()/locale/timezone function whose
+    conventions could differ between engines. One daily rollup (the
+    only full-data pass), one bounded (type × 7) aggregate, one
+    quantized division. Reference parity: none (beyond-reference
+    temporal operator)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_DAY_US))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wd = daily.select(
+        "event_type",
+        ((F.col("day") + 4) % 7).cast("int").alias("weekday"),
+        "c",
+    )
+    agg = wd.groupBy("event_type", "weekday").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    tot = agg.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("total"),
+        F.sum("n_days").cast("bigint").alias("total_days"),
+    )
+    idx = (
+        (F.col("n_events").cast("double") / F.col("n_days").cast("double"))
+        / (F.col("total").cast("double") / F.col("total_days").cast("double"))
+    ).cast("string").cast("decimal(12,6)")
+    return agg.join(tot, "event_type").select(
+        "event_type", "weekday", "n_events", "n_days",
+        idx.alias("weekday_index"),
+    )
+
+
+# =========================================================================
+# Customer spend migration between the two halves of the order history:
+# up / down / flat / new / churned — the cohort-movement readout behind
+# retention dashboards, with quantized-ratio class boundaries.
+# =========================================================================
+
+_MIG_SPLIT_DATE = "1998-05-01"
+_MIG_UP = "1.200000"
+_MIG_DOWN = "0.800000"
+
+
+@_register(
+    "customer_spend_migration",
+    f"""
+    WITH s AS (
+      SELECT o_custkey,
+             sum(CASE WHEN o_orderdate < DATE '{_MIG_SPLIT_DATE}'
+                      THEN CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS spend_1,
+             sum(CASE WHEN o_orderdate >= DATE '{_MIG_SPLIT_DATE}'
+                      THEN CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS spend_2
+      FROM orders GROUP BY o_custkey),
+    c AS (
+      SELECT o_custkey,
+             CAST(spend_1 AS DOUBLE) AS spend_1,
+             CAST(spend_2 AS DOUBLE) AS spend_2,
+             CASE
+               WHEN spend_1 = 0 AND spend_2 > 0 THEN 'new'
+               WHEN spend_1 > 0 AND spend_2 = 0 THEN 'churned'
+               WHEN CAST(CAST(CAST(spend_2 AS DOUBLE)
+                    / CAST(spend_1 AS DOUBLE) AS VARCHAR) AS DECIMAL(12,6))
+                    >= {_MIG_UP} THEN 'up'
+               WHEN CAST(CAST(CAST(spend_2 AS DOUBLE)
+                    / CAST(spend_1 AS DOUBLE) AS VARCHAR) AS DECIMAL(12,6))
+                    <= {_MIG_DOWN} THEN 'down'
+               ELSE 'flat' END AS migration
+      FROM s)
+    SELECT migration, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(CAST(sum(spend_2 - spend_1) AS VARCHAR)
+                AS DECIMAL(18,2)) AS DOUBLE) AS net_spend_delta
+    FROM c GROUP BY migration
+    """,
+)
+def customer_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend migration across the {_MIG_SPLIT_DATE} split:
+    each customer classed up (≥{_MIG_UP}x), down (≤{_MIG_DOWN}x),
+    flat, new (no early spend), or churned (no late spend) by exact
+    decimal half-period spends, with the ratio QUANTIZED before the
+    class-boundary compare (a customer at exactly 1.2x classes
+    identically in both engines) — then the per-class customer count
+    and net spend delta: the cohort-movement table behind every
+    retention dashboard. ONE conditional-sum rollup per customer (one
+    shuffle, map-side combinable) + a 5-row class aggregate.
+    Reference parity: none (beyond-reference analytics operator;
+    complements events_retention_cohorts' weekly activity matrix with
+    a value-weighted view)."""
+    o = _t(spark, sf_dir, "orders")
+    pq = F.col("o_totalprice").cast("string").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    split = F.lit(_MIG_SPLIT_DATE).cast("date")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < split, pq).otherwise(zero)).alias(
+            "spend_1"
+        ),
+        F.sum(F.when(F.col("o_orderdate") >= split, pq).otherwise(zero)).alias(
+            "spend_2"
+        ),
+    )
+    ratio = (
+        (F.col("spend_2").cast("double") / F.col("spend_1").cast("double"))
+        .cast("string")
+        .cast("decimal(12,6)")
+    )
+    mig = (
+        F.when((F.col("spend_1") == 0) & (F.col("spend_2") > 0), "new")
+        .when((F.col("spend_1") > 0) & (F.col("spend_2") == 0), "churned")
+        .when(ratio >= F.lit(_MIG_UP).cast("decimal(12,6)"), "up")
+        .when(ratio <= F.lit(_MIG_DOWN).cast("decimal(12,6)"), "down")
+        .otherwise("flat")
+    )
+    c = s.select(
+        F.col("spend_1").cast("double").alias("spend_1"),
+        F.col("spend_2").cast("double").alias("spend_2"),
+        mig.alias("migration"),
+    )
+    return c.groupBy("migration").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum(F.col("spend_2") - F.col("spend_1"))
+        .cast("string")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("net_spend_delta"),
+    )
