@@ -505,6 +505,31 @@ COMMENTARY = {
         "the group, so it is independent of partitioning and arrival "
         "order."
     ),
+    "cdc_chunk_dedup": (
+        "Token explode, ONE doc-partitioned cumsum for chunk numbering, "
+        "doc-keyed chunk assembly, fingerprint-keyed store rollup — the "
+        "dedup_exact topology at chunk grain. Rolling-hash boundaries "
+        "re-synchronize after edits."
+    ),
+    "curation_funnel_report": (
+        "One map-only projection computes all four gate signals; ONE "
+        "constant-width aggregate computes all 13 counters; 4-row "
+        "union. A 100 TB corpus pays one scan for the full funnel."
+    ),
+    "watermark_detection": (
+        "Green-tagging fused into the token explode (md5 mod 2), one "
+        "doc-keyed combinable rollup; sqrt is the only irrational op "
+        "(IEEE correctly rounded)."
+    ),
+    "theil_sen_trend": (
+        "Pair join bounded by days² per type (calendar-bounded at any "
+        "event volume); the full-data pass is only the daily rollup."
+    ),
+    "spell_correction_candidates": (
+        "Deletion-neighborhood equi-join (linear variant fanout, never "
+        "all-pairs edit distance); levenshtein on candidates only; "
+        "per-typo rank window with bounded fanout."
+    ),
 }
 
 
