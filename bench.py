@@ -209,6 +209,8 @@ HEADLINE = [
     "theil_sen_trend",
     "events_weekday_profile",
     "customer_spend_migration",
+    "selectivity_estimation_audit",
+    "session_path_ngrams",
 ]
 
 

@@ -15953,3 +15953,236 @@ def customer_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("net_spend_delta"),
     )
+
+
+# =========================================================================
+# CBO selectivity-estimation audit: the equi-width-histogram estimate a
+# cost-based optimizer would make for a range predicate vs the exact
+# answer — the statistics-quality readout behind join-order decisions.
+# =========================================================================
+
+_SEL_BINS = 20
+_SEL_LO = 450
+_SEL_HI = 700
+
+
+@_register(
+    "selectivity_estimation_audit",
+    f"""
+    WITH b AS (
+      SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+             CAST(max(n_chars) AS BIGINT) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents),
+    w AS (SELECT lo, hi, n, (hi - lo) // {_SEL_BINS} + 1 AS bw FROM b),
+    h AS (
+      SELECT (d.n_chars - w.lo) // w.bw AS bin,
+             count(*) AS c,
+             min(w.lo + ((d.n_chars - w.lo) // w.bw) * w.bw) AS b_lo,
+             min(w.lo + ((d.n_chars - w.lo) // w.bw) * w.bw + w.bw - 1) AS b_hi
+      FROM documents d CROSS JOIN w
+      GROUP BY (d.n_chars - w.lo) // w.bw),
+    est AS (
+      SELECT bin, c, b_lo, b_hi,
+             greatest(0, least({_SEL_HI}, b_hi) - greatest({_SEL_LO}, b_lo) + 1)
+               AS overlap,
+             CAST(CAST(CAST(c AS DOUBLE)
+                  * CAST(greatest(0, least({_SEL_HI}, b_hi)
+                         - greatest({_SEL_LO}, b_lo) + 1) AS DOUBLE)
+                  / CAST(b_hi - b_lo + 1 AS DOUBLE)
+                  AS VARCHAR) AS DECIMAL(18,6)) AS est_rows
+      FROM h),
+    tot AS (
+      SELECT CAST(sum(est_rows) AS DECIMAL(28,6)) AS est_total FROM est),
+    act AS (
+      SELECT CAST(count(*) AS BIGINT) AS actual FROM documents
+      WHERE n_chars BETWEEN {_SEL_LO} AND {_SEL_HI})
+    SELECT {_SEL_BINS} AS n_bins,
+           CAST(t.est_total AS DOUBLE) AS estimated_rows,
+           a.actual AS actual_rows,
+           CAST(CAST(abs(CAST(t.est_total AS DOUBLE)
+                - CAST(a.actual AS DOUBLE))
+                / CAST(greatest(a.actual, 1) AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6)) AS rel_error
+    FROM tot t CROSS JOIN act a
+    """,
+)
+def selectivity_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-estimation audit: the equi-width-histogram estimate
+    a cost-based optimizer makes for `n_chars BETWEEN {_SEL_LO} AND
+    {_SEL_HI}` (per-bin uniform interpolation over {_SEL_BINS} bins —
+    exactly the ANALYZE-statistics model Spark's CBO and every classic
+    optimizer uses) against the exact count, with the relative error —
+    the number that tells you whether the statistics are fresh enough
+    to trust a join-order decision. Bin geometry is pure integer math
+    from the min/max aggregate; each bin's fractional contribution is
+    quantized per the header rules then summed exactly; one final
+    quantized division. PLAN: two combinable aggregate passes (one
+    builds the histogram, one evaluates the truth) — what an ANALYZE +
+    EXPLAIN round costs. Reference parity: none (beyond-reference
+    optimizer-diagnostics operator; pairs with join_key_skew_profile
+    on the statistics side of planning)."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.agg(
+        F.min("n_chars").cast("bigint").alias("lo"),
+        F.max("n_chars").cast("bigint").alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    ).withColumn("bw", F.expr(f"(hi - lo) div {_SEL_BINS} + 1"))
+    hh = (
+        d.crossJoin(F.broadcast(b))
+        .withColumn("bin", F.expr("(n_chars - lo) div bw"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(F.expr("lo + ((n_chars - lo) div bw) * bw")).alias("b_lo"),
+            F.min(F.expr("lo + ((n_chars - lo) div bw) * bw + bw - 1")).alias(
+                "b_hi"
+            ),
+        )
+    )
+    overlap = F.greatest(
+        F.lit(0),
+        F.least(F.lit(_SEL_HI), F.col("b_hi"))
+        - F.greatest(F.lit(_SEL_LO), F.col("b_lo"))
+        + 1,
+    )
+    est = hh.select(
+        (
+            F.col("c").cast("double")
+            * overlap.cast("double")
+            / (F.col("b_hi") - F.col("b_lo") + 1).cast("double")
+        )
+        .cast("string")
+        .cast("decimal(18,6)")
+        .alias("est_rows")
+    )
+    tot = est.agg(F.sum("est_rows").cast("decimal(28,6)").alias("est_total"))
+    act = d.where(
+        F.col("n_chars").between(_SEL_LO, _SEL_HI)
+    ).agg(F.count("*").cast("bigint").alias("actual"))
+    return tot.crossJoin(act).select(
+        F.lit(_SEL_BINS).alias("n_bins"),
+        F.col("est_total").cast("double").alias("estimated_rows"),
+        F.col("actual").alias("actual_rows"),
+        (
+            F.abs(
+                F.col("est_total").cast("double") - F.col("actual").cast("double")
+            )
+            / F.greatest(F.col("actual"), F.lit(1)).cast("double")
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("rel_error"),
+    )
+
+
+# =========================================================================
+# Session path mining: the most common 3-step event-type sequences
+# inside sessions — the navigation-pattern table product analytics
+# reads before redesigning a flow.
+# =========================================================================
+
+_PATH_TOP = 10
+
+
+@_register(
+    "session_path_ngrams",
+    f"""
+    WITH g AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *,
+             CAST(sum(new_session)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_no
+      FROM g),
+    tri AS (
+      SELECT event_type || '>' || lead(event_type, 1) OVER w2
+                        || '>' || lead(event_type, 2) OVER w2 AS path,
+             session_no,
+             lead(session_no, 2) OVER w2 AS sess2
+      FROM s
+      WINDOW w2 AS (PARTITION BY user_id, session_no
+                    ORDER BY ts_us, event_id)),
+    cnt AS (
+      SELECT path, count(*) AS n_occurrences
+      FROM tri WHERE path IS NOT NULL AND sess2 = session_no
+      GROUP BY path),
+    rk AS (
+      SELECT path, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, path) AS rank
+      FROM cnt)
+    SELECT path, n_occurrences, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= {_PATH_TOP}
+    """,
+)
+def session_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: the {_PATH_TOP} most frequent 3-step
+    event-type sequences occurring WITHIN a session (the lead(...,2)
+    session guard drops windows straddling a session break) — the
+    pattern table product analytics reads before redesigning a flow,
+    and the sequence-mining sibling of span_kind_transitions' Markov
+    matrix. PLAN: the lag/gap sessionization and the path windows are
+    all user-partitioned; path counting is map-side combinable over a
+    vocabulary bounded by |event_types|³ (125 here), and the top-k
+    ranks over that bounded table. Deterministic (count desc, path)
+    tiebreak. Reference parity: none (beyond-reference behavioral
+    operator)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    g = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("ts_us"),
+        F.when(prev.isNull() | ((us - prev) > _SESSION_GAP_US), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = g.withColumn(
+        "session_no", F.sum("new_session").over(w2).cast("bigint")
+    )
+    w3 = Window.partitionBy("user_id", "session_no").orderBy(
+        "ts_us", "event_id"
+    )
+    tri = s.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w3),
+            F.lead("event_type", 2).over(w3),
+        ).alias("path"),
+        F.col("session_no"),
+        F.lead("session_no", 2).over(w3).alias("sess2"),
+        (F.lead("event_type", 2).over(w3)).alias("e2"),
+    )
+    cnt = (
+        tri.where(
+            F.col("e2").isNotNull() & (F.col("sess2") == F.col("session_no"))
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )
+    rk = cnt.select(
+        "path",
+        "n_occurrences",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_occurrences"), F.asc("path")))
+        .alias("rank"),
+    )
+    return rk.where(F.col("rank") <= _PATH_TOP).select(
+        "path", "n_occurrences", F.col("rank").cast("int").alias("rank")
+    )
