@@ -211,6 +211,8 @@ HEADLINE = [
     "customer_spend_migration",
     "selectivity_estimation_audit",
     "session_path_ngrams",
+    "anova_length_by_source",
+    "benford_first_digit_audit",
 ]
 
 

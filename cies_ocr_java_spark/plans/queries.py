@@ -16186,3 +16186,207 @@ def session_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.where(F.col("rank") <= _PATH_TOP).select(
         "path", "n_occurrences", F.col("rank").cast("int").alias("rank")
     )
+
+
+# =========================================================================
+# One-way ANOVA: does mean document length differ across sources more
+# than within-source variance explains? Exact integer power sums per
+# group; F is one fixed-order double expression.
+# =========================================================================
+
+
+@_register(
+    "anova_length_by_source",
+    """
+    WITH g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DECIMAL(38,0))
+               AS s2
+      FROM documents GROUP BY source),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_tot,
+             CAST(sum(s1) AS BIGINT) AS s1_tot,
+             CAST(sum(s2) AS DECIMAL(38,0)) AS s2_tot,
+             sum(CAST(CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS VARCHAR) AS DECIMAL(28,6)))
+               AS group_sq
+      FROM g)
+    SELECT k AS n_groups, n_tot,
+           CAST(CAST(
+             CAST(group_sq AS DOUBLE)
+             - CAST(s1_tot AS DOUBLE) * CAST(s1_tot AS DOUBLE)
+               / CAST(n_tot AS DOUBLE)
+             AS VARCHAR) AS DECIMAL(28,6)) AS ss_between,
+           CAST(CAST(
+             CAST(s2_tot AS DOUBLE) - CAST(group_sq AS DOUBLE)
+             AS VARCHAR) AS DECIMAL(28,6)) AS ss_within,
+           CAST(CAST(
+             (CAST(CAST(CAST(
+                CAST(group_sq AS DOUBLE)
+                - CAST(s1_tot AS DOUBLE) * CAST(s1_tot AS DOUBLE)
+                  / CAST(n_tot AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE)
+              / CAST(k - 1 AS DOUBLE))
+             / (CAST(CAST(CAST(
+                CAST(s2_tot AS DOUBLE) - CAST(group_sq AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE)
+                / CAST(n_tot - k AS DOUBLE))
+             AS VARCHAR) AS DECIMAL(18,6)) AS f_statistic
+    FROM t
+    """,
+)
+def anova_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of document length across sources: F =
+    (SSB/(k-1)) / (SSW/(n-k)) from the sum-of-squares decomposition
+    SSB = Σ s1_g²/n_g - S²/N, SSW = Σx² - Σ s1_g²/n_g — every input
+    an exact integer power sum (the moments_sketch state per group),
+    the per-group s1²/n terms quantized then summed exactly, and the
+    final F one fixed-order double expression quantized once. A large
+    F says the source label genuinely stratifies document length —
+    the justification check before per-source mixture decisions
+    (domain_temperature_mix) treat sources as distinct populations.
+    PLAN: one map-side-combinable per-source aggregate, one
+    sources-sized rollup. Completes the classical-test family
+    (chi-square for independence, z for proportions, dispersion for
+    Poisson-ness, ANOVA for means). Reference parity: none
+    (beyond-reference statistics operator)."""
+    d = _t(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(19,0)")
+    g = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(x * F.col("n_chars")).cast("decimal(38,0)").alias("s2"),
+    )
+    gsq = (
+        (F.col("s1").cast("double") * F.col("s1").cast("double"))
+        / F.col("n").cast("double")
+    ).cast("string").cast("decimal(28,6)")
+    t = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s1").cast("bigint").alias("s1_tot"),
+        F.sum("s2").cast("decimal(38,0)").alias("s2_tot"),
+        F.sum(gsq).alias("group_sq"),
+    )
+    ssb = (
+        F.col("group_sq").cast("double")
+        - F.col("s1_tot").cast("double")
+        * F.col("s1_tot").cast("double")
+        / F.col("n_tot").cast("double")
+    ).cast("string").cast("decimal(28,6)")
+    ssw = (
+        F.col("s2_tot").cast("double") - F.col("group_sq").cast("double")
+    ).cast("string").cast("decimal(28,6)")
+    fstat = (
+        (ssb.cast("double") / (F.col("k") - 1).cast("double"))
+        / (ssw.cast("double") / (F.col("n_tot") - F.col("k")).cast("double"))
+    ).cast("string").cast("decimal(18,6)")
+    return t.select(
+        F.col("k").alias("n_groups"),
+        "n_tot",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        fstat.alias("f_statistic"),
+    )
+
+
+# =========================================================================
+# Benford first-digit audit: first significant digits of order totals
+# vs the log10(1+1/d) law — the fraud/synthetic-data screen, with
+# chi-square distance. First digits come from INTEGER-CENT STRINGS, so
+# no float formatting or log10 can disagree between engines.
+# =========================================================================
+
+_BENFORD_P = ("0.301029996", "0.176091259", "0.124938737", "0.096910013",
+              "0.079181246", "0.066946790", "0.057991947", "0.051152522",
+              "0.045757491")
+
+
+@_register(
+    "benford_first_digit_audit",
+    f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                  AS VARCHAR), 1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice > 0),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    obs AS (SELECT d, CAST(count(*) AS BIGINT) AS o FROM c GROUP BY d),
+    bp(d, p) AS (VALUES {", ".join(f"({i + 1}, '{p}')" for i, p in enumerate(_BENFORD_P))}),
+    j AS (
+      SELECT bp.d, coalesce(obs.o, 0) AS o,
+             CAST(bp.p AS DECIMAL(12,9)) AS p,
+             n.n
+      FROM bp LEFT JOIN obs ON obs.d = bp.d CROSS JOIN n),
+    contrib AS (
+      SELECT d, o, p,
+             CAST(CAST(
+               (CAST(o AS DOUBLE) - CAST(p AS DOUBLE) * CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(p AS DOUBLE) * CAST(n AS DOUBLE))
+               / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE))
+               AS VARCHAR) AS DECIMAL(18,9)) AS x2
+      FROM j)
+    SELECT d AS first_digit, o AS n_observed,
+           CAST(p AS DOUBLE) AS p_benford, CAST(x2 AS DOUBLE) AS chi2_term,
+           CAST((SELECT CAST(sum(x2) AS DOUBLE) FROM contrib) AS DOUBLE)
+             AS chi2_total
+    FROM contrib
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals (the classic
+    fraud / fabricated-data screen — organically-generated amounts
+    follow P(d) = log10(1+1/d); invented ones rarely do): observed
+    digit counts vs the Benford expectation with per-digit chi-square
+    terms and the total. ENGINE-EXACT: the first significant digit is
+    the FIRST CHARACTER OF THE INTEGER-CENT STRING (prices are
+    2-decimal synthetics, so cents are exact integers — no float
+    formatting, no log10 at runtime; leading digit is scale-invariant
+    under the ×100), the Benford probabilities are Python-precomputed
+    quantized literals, and each chi-square term is quantized before
+    the exact total. PLAN: one map-side-combinable 9-bin digit count +
+    a broadcast literal table. Reference parity: none
+    (beyond-reference audit operator; complements data_contract_checks
+    — contracts test declared rules, Benford tests PLAUSIBILITY)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    c = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    n = c.agg(F.count("*").cast("bigint").alias("n"))
+    obs = c.groupBy("d").agg(F.count("*").cast("bigint").alias("o"))
+    bp = spark.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(_BENFORD_P)], "d int, p string"
+    )
+    j = (
+        bp.join(obs, "d", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "d",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            F.col("p").cast("decimal(12,9)").alias("p"),
+            "n",
+        )
+    )
+    dev = F.col("o").cast("double") - F.col("p").cast("double") * F.col(
+        "n"
+    ).cast("double")
+    x2 = (
+        dev * dev / (F.col("p").cast("double") * F.col("n").cast("double"))
+    ).cast("string").cast("decimal(18,9)")
+    contrib = j.select("d", "o", "p", x2.alias("x2"))
+    total = contrib.agg(F.sum("x2").cast("double").alias("chi2_total"))
+    return contrib.crossJoin(F.broadcast(total)).select(
+        F.col("d").alias("first_digit"),
+        F.col("o").alias("n_observed"),
+        F.col("p").cast("double").alias("p_benford"),
+        F.col("x2").cast("double").alias("chi2_term"),
+        "chi2_total",
+    )
