@@ -213,6 +213,8 @@ HEADLINE = [
     "session_path_ngrams",
     "anova_length_by_source",
     "benford_first_digit_audit",
+    "psi_drift_audit",
+    "ks_two_sample_test",
 ]
 
 

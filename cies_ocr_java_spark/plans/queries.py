@@ -16390,3 +16390,196 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x2").cast("double").alias("chi2_term"),
         "chi2_total",
     )
+
+
+# =========================================================================
+# Population Stability Index between the two corpus halves — THE
+# production ML-monitoring drift metric (PSI > 0.25 = retrain), over
+# equal-width length bins with decimal-absorbed ln terms.
+# =========================================================================
+
+_PSI_BINS = 10
+
+
+@_register(
+    "psi_drift_audit",
+    f"""
+    WITH b AS (
+      SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+             CAST(max(n_chars) AS BIGINT) AS hi
+      FROM documents),
+    w AS (SELECT lo, (hi - lo) // {_PSI_BINS} + 1 AS bw FROM b),
+    a AS (
+      SELECT (d.n_chars - w.lo) // w.bw AS bin,
+             sum(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c2
+      FROM documents d CROSS JOIN w
+      GROUP BY (d.n_chars - w.lo) // w.bw),
+    t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2 FROM a),
+    pq AS (
+      SELECT a.bin,
+             CAST(CAST(CAST(a.c1 + 1 AS DOUBLE)
+                  / CAST(t.n1 + {_PSI_BINS} AS DOUBLE) AS VARCHAR)
+                  AS DECIMAL(18,12)) AS p,
+             CAST(CAST(CAST(a.c2 + 1 AS DOUBLE)
+                  / CAST(t.n2 + {_PSI_BINS} AS DOUBLE) AS VARCHAR)
+                  AS DECIMAL(18,12)) AS q
+      FROM a CROSS JOIN t),
+    term AS (
+      SELECT bin,
+             (p - q) * CAST(CAST(ln(CAST(p AS DOUBLE) / CAST(q AS DOUBLE))
+                 AS VARCHAR) AS DECIMAL(14,8)) AS psi_term
+      FROM pq)
+    SELECT CAST({_PSI_BINS} AS INT) AS n_bins,
+           CAST(CAST(CAST(sum(psi_term) AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(18,6)) AS psi,
+           CAST(CAST(CAST(sum(psi_term) AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(18,6)) > 0.250000 AS drift_alarm
+    FROM term
+    """,
+)
+def psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the even/odd corpus halves
+    (the deterministic stand-in for train-time vs serve-time): PSI =
+    Σ (p_i - q_i)·ln(p_i/q_i) over {_PSI_BINS} equal-width length
+    bins with add-one smoothing — the drift metric every production
+    scoring pipeline monitors (PSI > 0.25 = distribution moved,
+    retrain). Bin fractions are quantized decimals, ln terms are
+    decimal-absorbed at scale 8 (sized to the bin count per the
+    KL-divergence lesson), products and the sum are exact decimal
+    arithmetic, and the alarm compares the final quantized value to
+    the 0.25 literal. PLAN: ONE combinable binning pass computing both
+    halves' counts simultaneously + a {_PSI_BINS}-row rollup.
+    Reference parity: none (beyond-reference monitoring operator;
+    the binned sibling of domain_kl_divergence)."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.agg(
+        F.min("n_chars").cast("bigint").alias("lo"),
+        F.max("n_chars").cast("bigint").alias("hi"),
+    ).withColumn("bw", F.expr(f"(hi - lo) div {_PSI_BINS} + 1"))
+    a = (
+        d.crossJoin(F.broadcast(b))
+        .groupBy(F.expr("(n_chars - lo) div bw").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c2"),
+        )
+    )
+    t = a.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    pq = a.crossJoin(F.broadcast(t)).select(
+        "bin",
+        ((F.col("c1") + 1).cast("double") / (F.col("n1") + _PSI_BINS).cast("double"))
+        .cast("string")
+        .cast("decimal(18,12)")
+        .alias("p"),
+        ((F.col("c2") + 1).cast("double") / (F.col("n2") + _PSI_BINS).cast("double"))
+        .cast("string")
+        .cast("decimal(18,12)")
+        .alias("q"),
+    )
+    term = pq.select(
+        (
+            (F.col("p") - F.col("q"))
+            * F.log(F.col("p").cast("double") / F.col("q").cast("double"))
+            .cast("string")
+            .cast("decimal(14,8)")
+        ).alias("psi_term")
+    )
+    psi = F.sum("psi_term").cast("double").cast("string").cast("decimal(18,6)")
+    return term.agg(
+        F.lit(_PSI_BINS).alias("n_bins"),
+        psi.alias("psi"),
+        (psi > F.lit("0.250000").cast("decimal(18,6)")).alias("drift_alarm"),
+    )
+
+
+# =========================================================================
+# Two-sample Kolmogorov-Smirnov test between the corpus halves: the
+# max CDF gap, exact — cumulative integer counts over the (bounded)
+# distinct-value table, quantized fractions, deterministic argmax.
+# =========================================================================
+
+
+@_register(
+    "ks_two_sample_test",
+    """
+    WITH s AS (
+      SELECT n_chars AS v,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c2
+      FROM documents GROUP BY n_chars),
+    t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2 FROM s),
+    cum AS (
+      SELECT v,
+             CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS k1,
+             CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS k2
+      FROM s),
+    gap AS (
+      SELECT c.v,
+             abs(CAST(CAST(CAST(c.k1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+                 AS VARCHAR) AS DECIMAL(18,12))
+               - CAST(CAST(CAST(c.k2 AS DOUBLE) / CAST(t.n2 AS DOUBLE)
+                 AS VARCHAR) AS DECIMAL(18,12))) AS d
+      FROM cum c CROSS JOIN t)
+    SELECT (SELECT n1 FROM t) AS n1, (SELECT n2 FROM t) AS n2,
+           CAST(max(d) AS DOUBLE) AS ks_statistic,
+           CAST(min(CASE WHEN d = (SELECT max(d) FROM gap) THEN v END)
+                AS BIGINT) AS at_value
+    FROM gap
+    """,
+)
+def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the even/odd
+    corpus halves' length distributions: D = max over values of
+    |F1(v) - F2(v)| with the value where the max occurs (min such
+    value — deterministic argmax) — the nonparametric drift test that
+    needs no binning choice (the binned PSI's sibling; KS sees shape
+    shifts PSI's 10 bins can smear). EXACTNESS: cumulative counts are
+    integers from one window over the DISTINCT-VALUE table (bounded
+    by value cardinality, not rows — the bounded-grain global-window
+    precedent), CDF fractions quantize per the header rules, and the
+    max/argmax are exact decimal comparisons. PLAN: one combinable
+    per-value count pass, windows over the bounded value table, one
+    final aggregate. Reference parity: none (beyond-reference
+    statistics operator)."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c2"),
+    )
+    t = s.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = s.select(
+        "v",
+        F.sum("c1").over(wv).cast("bigint").alias("k1"),
+        F.sum("c2").over(wv).cast("bigint").alias("k2"),
+    )
+    f1 = (F.col("k1").cast("double") / F.col("n1").cast("double")).cast(
+        "string"
+    ).cast("decimal(18,12)")
+    f2 = (F.col("k2").cast("double") / F.col("n2").cast("double")).cast(
+        "string"
+    ).cast("decimal(18,12)")
+    gap = cum.crossJoin(F.broadcast(t)).select(
+        "v", F.abs(f1 - f2).alias("d"), "n1", "n2"
+    )
+    mx = gap.agg(F.max("d").alias("dmax"))
+    return (
+        gap.crossJoin(F.broadcast(mx))
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.max("d").cast("double").alias("ks_statistic"),
+            F.min(F.when(F.col("d") == F.col("dmax"), F.col("v")))
+            .cast("bigint")
+            .alias("at_value"),
+        )
+    )
