@@ -215,6 +215,7 @@ HEADLINE = [
     "benford_first_digit_audit",
     "psi_drift_audit",
     "ks_two_sample_test",
+    "mann_whitney_length_test",
 ]
 
 

@@ -16583,3 +16583,135 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("at_value"),
         )
     )
+
+
+# =========================================================================
+# Mann-Whitney U between the corpus halves, with the tie-corrected
+# normal approximation — every ingredient an exact integer (rank sums
+# via the cumulative histogram, tie correction via Σ(t³-t)), sqrt the
+# only irrational op.
+# =========================================================================
+
+
+@_register(
+    "mann_whitney_length_test",
+    """
+    WITH s AS (
+      SELECT n_chars AS v,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2
+      FROM documents GROUP BY n_chars),
+    c AS (
+      SELECT v, c1, c2, c1 + c2 AS tv,
+             CAST(sum(c1 + c2) OVER (ORDER BY v) AS BIGINT) - (c1 + c2)
+               AS below
+      FROM s),
+    u AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 * (2 * below + c2)) AS BIGINT) AS u2_num,
+             CAST(sum(tv * tv * tv - tv) AS BIGINT) AS tie_cube
+      FROM c),
+    z AS (
+      SELECT n1, n2, u2_num, tie_cube,
+             n1 + n2 AS n,
+             CAST(CAST(
+               (CAST(u2_num AS DOUBLE) / 2.0
+                - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+               / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                      * (CAST(n1 + n2 + 1 AS DOUBLE)
+                         - CAST(tie_cube AS DOUBLE)
+                           / (CAST(n1 + n2 AS DOUBLE)
+                              * CAST(n1 + n2 - 1 AS DOUBLE))))
+               AS VARCHAR) AS DECIMAL(12,6)) AS zq
+      FROM u)
+    SELECT n1, n2, u2_num AS u_statistic_x2,
+           CAST(CAST(CAST(u2_num AS DOUBLE)
+                / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                AS VARCHAR) AS DECIMAL(12,6)) AS common_language_effect,
+           CAST(zq AS DOUBLE) AS z_score,
+           abs(zq) > 1.96 AS significant_95
+    FROM z
+    """,
+)
+def mann_whitney_length_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the even/odd halves' length
+    distributions, with the tie-corrected normal approximation: 2U =
+    Σ_v c1_v·(2·below_v + c2_v) over the cumulative value histogram
+    (the classifier_eval_auc identity — U/(n1·n2) IS the AUC /
+    common-language effect size), ties corrected by Σ(t³-t) in the
+    variance — every ingredient an exact integer off ONE bounded
+    distinct-value histogram; sqrt is the only irrational op (IEEE
+    correctly rounded), z quantized once, significance against the
+    1.96 literal. Detects location shifts KS's max-gap may rank
+    differently and PSI's bins can smear — completing the
+    two-sample family (KS for shape, PSI for monitoring, U for
+    location, ANOVA for k-group means). PLAN: one combinable
+    per-value count, one window over the bounded histogram, one
+    1-row aggregate. Reference parity: none (beyond-reference
+    statistics operator)."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tv = F.col("c1") + F.col("c2")
+    c = s.select(
+        "v",
+        "c1",
+        "c2",
+        tv.alias("tv"),
+        (F.sum(tv).over(wv).cast("bigint") - tv).alias("below"),
+    )
+    u = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (F.lit(2) * F.col("below") + F.col("c2")))
+        .cast("bigint")
+        .alias("u2_num"),
+        F.sum(
+            F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv")
+        )
+        .cast("bigint")
+        .alias("tie_cube"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    zq = (
+        (
+            (F.col("u2_num").cast("double") / 2.0 - n1d * n2d / 2.0)
+            / F.sqrt(
+                n1d
+                * n2d
+                / 12.0
+                * (
+                    (F.col("n1") + F.col("n2") + 1).cast("double")
+                    - F.col("tie_cube").cast("double")
+                    / (
+                        nd
+                        * (F.col("n1") + F.col("n2") - 1).cast("double")
+                    )
+                )
+            )
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+    )
+    return u.select(
+        "n1",
+        "n2",
+        F.col("u2_num").alias("u_statistic_x2"),
+        (F.col("u2_num").cast("double") / (F.lit(2.0) * n1d * n2d))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("common_language_effect"),
+        zq.cast("double").alias("z_score"),
+        (F.abs(zq) > 1.96).alias("significant_95"),
+    )
