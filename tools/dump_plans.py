@@ -530,6 +530,39 @@ COMMENTARY = {
         "all-pairs edit distance); levenshtein on candidates only; "
         "per-typo rank window with bounded fanout."
     ),
+    "selectivity_estimation_audit": (
+        "Two combinable aggregate passes (histogram build + truth "
+        "evaluation) — what an ANALYZE + EXPLAIN round costs; per-bin "
+        "interpolation contributions quantized then summed exactly."
+    ),
+    "session_path_ngrams": (
+        "All windows user-partitioned; path counting map-side "
+        "combinable over a vocabulary bounded by |event_types|^3; "
+        "top-k ranks over that bounded table."
+    ),
+    "psi_drift_audit": (
+        "ONE combinable binning pass computes both halves' counts "
+        "simultaneously; 10-row rollup; ln terms decimal-absorbed at a "
+        "scale sized to the bin count."
+    ),
+    "ks_two_sample_test": (
+        "Cumulative counts via one window over the DISTINCT-VALUE "
+        "table (bounded by cardinality, not rows); exact decimal "
+        "max/argmax."
+    ),
+    "mann_whitney_length_test": (
+        "2U and the tie correction both read off ONE bounded value "
+        "histogram; sqrt is the only irrational op."
+    ),
+    "benford_first_digit_audit": (
+        "First digits from integer-cent STRINGS (no float formatting, "
+        "no runtime log10); 9-bin combinable count + broadcast literal "
+        "law table."
+    ),
+    "anova_length_by_source": (
+        "Per-source exact power sums (the moments_sketch state) in one "
+        "combinable pass; F is a single fixed-order double expression."
+    ),
 }
 
 
