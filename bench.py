@@ -216,6 +216,8 @@ HEADLINE = [
     "psi_drift_audit",
     "ks_two_sample_test",
     "mann_whitney_length_test",
+    "spearman_corr_length_tokens",
+    "events_autocorrelation",
 ]
 
 

@@ -16715,3 +16715,227 @@ def mann_whitney_length_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         zq.cast("double").alias("z_score"),
         (F.abs(zq) > 1.96).alias("significant_95"),
     )
+
+
+# =========================================================================
+# Spearman rank correlation between document length and BPE token
+# count — Pearson over DOUBLED average ranks (2·rank = 2·below + t + 1
+# per tie group), so every regression sum is an exact integer and the
+# only irrational op is the final correctly-rounded sqrt.
+# =========================================================================
+
+
+@_register(
+    "spearman_corr_length_tokens",
+    f"""
+    WITH m AS (
+      SELECT doc_id, n_chars AS x,
+             len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS y
+      FROM documents),
+    rx AS (
+      SELECT x, count(*) AS t,
+             CAST(sum(count(*)) OVER (ORDER BY x) - count(*) AS BIGINT)
+               AS below
+      FROM m GROUP BY x),
+    ry AS (
+      SELECT y, count(*) AS t,
+             CAST(sum(count(*)) OVER (ORDER BY y) - count(*) AS BIGINT)
+               AS below
+      FROM m GROUP BY y),
+    r AS (
+      SELECT CAST(2 * rx.below + rx.t + 1 AS BIGINT) AS dx,
+             CAST(2 * ry.below + ry.t + 1 AS BIGINT) AS dy
+      FROM m JOIN rx ON rx.x = m.x JOIN ry ON ry.y = m.y),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(dy) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(dx AS HUGEINT) * dy) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(dx AS HUGEINT) * dx) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(dy AS HUGEINT) * dy) AS DECIMAL(38,0)) AS syy
+      FROM r)
+    SELECT n,
+           CAST(CAST(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS VARCHAR) AS DECIMAL(12,6)) AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_corr_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between raw length (n_chars) and
+    BPE-ish token count — the tie-robust monotonic-association check
+    behind using cheap length as a proxy for token budget. EXACTNESS:
+    average ranks are kept integer by DOUBLING (2·rank = 2·below +
+    t + 1 within each tie group, read off the cumulative value
+    histogram — no per-row rank window over the corpus), all five
+    Pearson sums over doubled ranks are exact integers (HUGEINT/
+    decimal(38,0) — doubled rank sums reach ~n² and must not wrap),
+    and rho is one fixed-order double expression whose only
+    irrational op is IEEE-correctly-rounded sqrt, quantized once —
+    the doubling cancels algebraically in the correlation. PLAN: two
+    bounded value-histogram windows + broadcast-shaped rank joins +
+    one combinable sum pass. Reference parity: none
+    (beyond-reference statistics operator; the rank sibling of
+    zipf_law_fit's OLS)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    m = d.select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        bpe_token_count(F.col("text")).alias("y"),
+    )
+
+    def ranks(col):
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            m.groupBy(col)
+            .agg(F.count("*").alias("t"))
+            .select(
+                col,
+                "t",
+                (F.sum("t").over(w).cast("bigint") - F.col("t")).alias("below"),
+            )
+        )
+
+    rx = ranks("x").select(
+        "x", (F.lit(2) * F.col("below") + F.col("t") + 1).cast("bigint").alias("dx")
+    )
+    ry = ranks("y").select(
+        "y", (F.lit(2) * F.col("below") + F.col("t") + 1).cast("bigint").alias("dy")
+    )
+    r = m.join(rx, "x").join(ry, "y")
+    dxd = F.col("dx").cast("decimal(19,0)")
+    dyd = F.col("dy").cast("decimal(19,0)")
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dx").cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum(dxd * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dxd * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dyd * F.col("dy")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    rho = (
+        (nd * sxy - sx * sy)
+        / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    ).cast("string").cast("decimal(12,6)")
+    return s.select("n", rho.alias("spearman_rho"))
+
+
+# =========================================================================
+# Lag-1 autocorrelation of the daily series per event type — "is
+# yesterday predictive?" — Pearson over consecutive-day pairs with
+# exact integer sums (the forecastability gate before any AR model).
+# =========================================================================
+
+
+@_register(
+    "events_autocorrelation",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT event_type, c AS x,
+             lead(c) OVER (PARTITION BY event_type ORDER BY day) AS y,
+             lead(day) OVER (PARTITION BY event_type ORDER BY day) AS nd,
+             day
+      FROM daily),
+    pairs AS (
+      SELECT event_type, x, y FROM p
+      WHERE y IS NOT NULL AND nd = day + 1),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY event_type)
+    SELECT event_type, m AS n_pairs,
+           CAST(CASE WHEN (m * sxx - sx * sx) = 0 OR (m * syy - sy * sy) = 0
+                THEN NULL
+                ELSE CAST(CAST(
+                  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  AS VARCHAR) AS DECIMAL(12,6))
+           END AS DOUBLE) AS lag1_autocorr
+    FROM s
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily volume per event type — the
+    forecastability gate: near 0 means yesterday carries no signal
+    (an AR/EWMA forecast is pointless), near ±1 means strong
+    persistence/alternation. Pairs are CONSECUTIVE calendar days only
+    (the lead-day guard drops gaps a naive lead() would silently
+    bridge); Pearson over the pairs uses exact integer sums with one
+    fixed-order double expression (sqrt correctly rounded), NULL for
+    degenerate constant series, emitted as the quantized decimal cast
+    through DOUBLE via the nullable rule. PLAN: one combinable daily
+    rollup, one type-partitioned lead window over the bounded
+    calendar grain, one rollup. Reference parity: none
+    (beyond-reference time-series operator; pairs with
+    events_ewma_smooth and theil_sen_trend)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_DAY_US))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = daily.select(
+        "event_type",
+        F.col("c").alias("x"),
+        F.lead("c").over(w).alias("y"),
+        F.lead("day").over(w).alias("nd"),
+        "day",
+    )
+    pairs = p.where(F.col("y").isNotNull() & (F.col("nd") == F.col("day") + 1))
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    degenerate = (
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx") == 0)
+        | (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy") == 0)
+    )
+    r1 = (
+        (md * sxy - sx * sy)
+        / F.sqrt((md * sxx - sx * sx) * (md * syy - sy * sy))
+    ).cast("string").cast("decimal(12,6)")
+    return s.select(
+        "event_type",
+        F.col("m").alias("n_pairs"),
+        F.when(degenerate, F.lit(None).cast("decimal(12,6)"))
+        .otherwise(r1)
+        .cast("double")
+        .alias("lag1_autocorr"),
+    )
