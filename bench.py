@@ -218,6 +218,9 @@ HEADLINE = [
     "mann_whitney_length_test",
     "spearman_corr_length_tokens",
     "events_autocorrelation",
+    "user_behavior_entropy",
+    "events_hourly_load_factor",
+    "embedding_fisher_ratio",
 ]
 
 

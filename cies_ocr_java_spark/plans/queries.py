@@ -16939,3 +16939,270 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("lag1_autocorr"),
     )
+
+
+# =========================================================================
+# Behavioral diversity: Shannon entropy of each user's event-type mix —
+# single-action bots sit at 0 bits, engaged humans near log2(5).
+# =========================================================================
+
+
+@_register(
+    "user_behavior_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY user_id),
+    p AS (
+      SELECT c.user_id,
+             CAST(CAST(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS VARCHAR)
+                  AS DECIMAL(18,12)) AS p
+      FROM c JOIN t USING (user_id)),
+    e AS (
+      SELECT user_id,
+             -sum(p * CAST(CAST(ln(CAST(p AS DOUBLE)) / ln(2.0) AS VARCHAR)
+                  AS DECIMAL(14,8))) AS h
+      FROM p GROUP BY user_id)
+    SELECT e.user_id, t.n AS n_events,
+           CAST(CAST(CAST(e.h AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))
+             AS entropy_bits,
+           CAST(CAST(CAST(e.h AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))
+             < 0.500000 AS low_diversity
+    FROM e JOIN t USING (user_id)
+    """,
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each user's event-type distribution —
+    the behavioral-diversity score: a single-action account sits at 0
+    bits (scripted/bot-like; the entropy sibling of
+    session_bot_flags' timing regularity), an engaged human spreads
+    toward log2(|types|). Probabilities are quantized decimals,
+    log2 terms decimal-absorbed at scale 8 (users × |types| evals —
+    the KL-lesson sizing), the per-user sum exact, re-quantized once;
+    the low-diversity flag compares quantized decimals. PLAN: one
+    (user, type) combinable count — grain bounded by users × types —
+    then user-keyed rollups; the full event stream is read once.
+    Reference parity: none (beyond-reference behavioral operator)."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    t = c.groupBy("user_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = c.join(t, "user_id").select(
+        "user_id",
+        (F.col("c").cast("double") / F.col("n").cast("double"))
+        .cast("string")
+        .cast("decimal(18,12)")
+        .alias("p"),
+    )
+    term = F.col("p") * (
+        F.log(F.col("p").cast("double")) / F.log(F.lit(2.0))
+    ).cast("string").cast("decimal(14,8)")
+    h = p.groupBy("user_id").agg((-F.sum(term)).alias("h"))
+    hq = F.col("h").cast("double").cast("string").cast("decimal(18,6)")
+    return h.join(t, "user_id").select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        hq.alias("entropy_bits"),
+        (hq < F.lit("0.500000").cast("decimal(18,6)")).alias("low_diversity"),
+    )
+
+
+# =========================================================================
+# Hourly load profile: per-type peak-hour and load factor (peak/mean) —
+# hour from PURE INTEGER epoch math, the capacity-planning readout.
+# =========================================================================
+
+_HOUR_US = 3_600_000_000
+
+
+@_register(
+    "events_hourly_load_factor",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // {_HOUR_US}) % 24 AS INT) AS hour,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(max(c) AS BIGINT) AS peak,
+             CAST(count(*) AS BIGINT) AS hours_seen,
+             CAST(min(CASE WHEN c = max_c THEN hour END) AS INT) AS peak_hour
+      FROM (SELECT *, max(c) OVER (PARTITION BY event_type) AS max_c FROM h) t
+      GROUP BY event_type)
+    SELECT event_type, total AS n_events, peak_hour,
+           peak AS peak_hour_events,
+           CAST(CAST(CAST(peak AS DOUBLE)
+                / (CAST(total AS DOUBLE) / CAST(hours_seen AS DOUBLE))
+                AS VARCHAR) AS DECIMAL(12,6)) AS load_factor
+    FROM s
+    """,
+)
+def events_hourly_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly load profile per event type: the peak hour (UTC,
+    deterministic min-hour tiebreak), its volume, and the load factor
+    peak/mean-hour — the capacity-planning number that says how much
+    headroom a provisioned-for-average system needs. Hour-of-day is
+    PURE INTEGER epoch arithmetic ((epoch_us div 3600s) mod 24 — no
+    timezone/calendar function), counts are integers, one quantized
+    division. PLAN: one combinable (type, hour) count — bounded at
+    types × 24 — then a types-sized rollup. Reference parity: none
+    (beyond-reference temporal operator; the hourly sibling of
+    events_weekday_profile)."""
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_HOUR_US))
+            .cast("bigint")
+            % 24
+        )
+        .cast("int")
+        .alias("hour"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wm = Window.partitionBy("event_type")
+    t = h.withColumn("max_c", F.max("c").over(wm))
+    s = t.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.max("c").cast("bigint").alias("peak"),
+        F.count("*").cast("bigint").alias("hours_seen"),
+        F.min(F.when(F.col("c") == F.col("max_c"), F.col("hour")))
+        .cast("int")
+        .alias("peak_hour"),
+    )
+    return s.select(
+        "event_type",
+        F.col("total").alias("n_events"),
+        "peak_hour",
+        F.col("peak").alias("peak_hour_events"),
+        (
+            F.col("peak").cast("double")
+            / (F.col("total").cast("double") / F.col("hours_seen").cast("double"))
+        )
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("load_factor"),
+    )
+
+
+# =========================================================================
+# Fisher separability of the labeled embedding space: between-centroid
+# scatter over mean within-label scatter — the one-number answer to
+# "are these labels even separable before training a classifier?"
+# =========================================================================
+
+
+@_register(
+    "embedding_fisher_ratio",
+    """
+    WITH el AS (
+      SELECT vec_id, label,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings),
+    q AS (SELECT vec_id, label, dim,
+                 CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS xq
+          FROM el),
+    cent AS (
+      SELECT label, dim,
+             CAST(CAST(CAST(sum(xq) AS DOUBLE) / count(*) AS VARCHAR)
+                  AS DECIMAL(12,6)) AS c,
+             count(*) AS nl
+      FROM q GROUP BY label, dim),
+    gmean AS (
+      SELECT dim,
+             CAST(CAST(CAST(sum(xq) AS DOUBLE) / count(*) AS VARCHAR)
+                  AS DECIMAL(12,6)) AS g
+      FROM q GROUP BY dim),
+    within AS (
+      SELECT CAST(sum((q.xq - t.c) * (q.xq - t.c)) AS DECIMAL(38,12)) AS ssw,
+             CAST(count(DISTINCT q.vec_id) AS BIGINT) AS n_vecs
+      FROM q JOIN cent t ON t.label = q.label AND t.dim = q.dim),
+    between_s AS (
+      SELECT CAST(sum(CAST(t.nl AS DECIMAL(18,0))
+                 * ((t.c - g.g) * (t.c - g.g))) AS DECIMAL(38,12)) AS ssb
+      FROM cent t JOIN gmean g ON g.dim = t.dim)
+    SELECT w.n_vecs,
+           CAST(CAST(CAST(b.ssb AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))
+             AS ss_between,
+           CAST(CAST(CAST(w.ssw AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))
+             AS ss_within,
+           CAST(CAST(CAST(b.ssb AS DOUBLE) / CAST(w.ssw AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(18,9)) AS fisher_ratio
+    FROM within w CROSS JOIN between_s b
+    """,
+)
+def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher separability of the labeled embedding space: summed
+    between-centroid scatter (vector-count-weighted distance of each
+    label centroid to the grand mean) over summed within-label
+    scatter — the ANOVA decomposition lifted to vectors, and the
+    one-number check that labels are separable AT ALL before a probe
+    classifier trains on them (complements embedding_label_outliers'
+    per-vector mislabel mining with a global score). All coordinates,
+    centroids, and the grand mean are quantized decimals; both
+    scatter sums are exact decimal sums of exact products (the
+    per-(label,dim) count IS the label's vector count, so the
+    n_l-weighted between-scatter needs NO division — a /64 variant
+    was measured to round differently across engines' decimal
+    division and removed); the ratio is one quantized division. PLAN: one posexplode feeding
+    three bounded aggregates (label×dim, dim, and two scalars); the
+    centroid join back is broadcast-sized. Reference parity: none
+    (beyond-reference embedding-QC operator)."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    q = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.col("x").cast("double").cast("string").cast("decimal(18,9)").alias("xq"),
+    ).persist()
+    try:
+        cent = q.groupBy("label", "dim").agg(
+            (F.sum("xq").cast("double") / F.count("*"))
+            .cast("string")
+            .cast("decimal(12,6)")
+            .alias("c"),
+            F.count("*").alias("nl"),
+        )
+        gmean = q.groupBy("dim").agg(
+            (F.sum("xq").cast("double") / F.count("*"))
+            .cast("string")
+            .cast("decimal(12,6)")
+            .alias("g")
+        )
+        within = q.join(cent, ["label", "dim"]).agg(
+            F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c")))
+            .cast("decimal(38,12)")
+            .alias("ssw"),
+            F.countDistinct("vec_id").cast("bigint").alias("n_vecs"),
+        )
+        between_s = cent.join(gmean, "dim").agg(
+            F.sum(
+                F.col("nl").cast("decimal(18,0)")
+                * ((F.col("c") - F.col("g")) * (F.col("c") - F.col("g")))
+            )
+            .cast("decimal(38,12)")
+            .alias("ssb")
+        )
+        out = within.crossJoin(between_s).select(
+            "n_vecs",
+            F.col("ssb").cast("double").cast("string").cast("decimal(18,6)").alias(
+                "ss_between"
+            ),
+            F.col("ssw").cast("double").cast("string").cast("decimal(18,6)").alias(
+                "ss_within"
+            ),
+            (F.col("ssb").cast("double") / F.col("ssw").cast("double"))
+            .cast("string")
+            .cast("decimal(18,9)")
+            .alias("fisher_ratio"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        q.unpersist()
+    return out
