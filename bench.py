@@ -221,6 +221,8 @@ HEADLINE = [
     "user_behavior_entropy",
     "events_hourly_load_factor",
     "embedding_fisher_ratio",
+    "purchase_attribution_touchpoints",
+    "customer_hhi_concentration",
 ]
 
 

@@ -17206,3 +17206,160 @@ def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.unpersist()
     return out
+
+
+# =========================================================================
+# First/last-touch attribution: for every purchase, the nearest and
+# earliest click in the trailing 7-day window — conditional IGNORE-NULLS
+# first/last over a user-partitioned RANGE frame (the marketing-
+# attribution primitive).
+# =========================================================================
+
+
+@_register(
+    "purchase_attribution_touchpoints",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             last_value(click_id IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN {_ROLL_7D_US - 1} PRECEDING
+                       AND 1 PRECEDING) AS last_touch,
+             first_value(click_id IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN {_ROLL_7D_US - 1} PRECEDING
+                       AND 1 PRECEDING) AS first_touch,
+             count(click_id)
+               OVER (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN {_ROLL_7D_US - 1} PRECEDING
+                       AND 1 PRECEDING) AS n_touches
+      FROM e)
+    SELECT event_id AS purchase_id, user_id, ts_us,
+           CAST(first_touch AS BIGINT) AS first_touch_click,
+           CAST(last_touch AS BIGINT) AS last_touch_click,
+           CAST(n_touches AS BIGINT) AS n_touches_7d,
+           n_touches = 0 AS unattributed
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def purchase_attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution: each purchase credited to the
+    EARLIEST and the MOST RECENT click in its trailing 7-day window
+    (strictly before the purchase instant — the 1-microsecond-
+    preceding frame bound excludes same-instant self-attribution) —
+    the two canonical marketing-attribution models read off one scan.
+    Conditional IGNORE-NULLS first/last over a user-partitioned RANGE
+    frame combines the events_rolling_range_window frame with the
+    events_forward_fill LOCF machinery; purchases with no clicks in
+    window flag unattributed. Frames are anchored on event-time
+    micros, so equal-timestamp rows see identical frames
+    (deterministic under ties). One shuffle on the user key at any
+    scale. Reference parity: none (beyond-reference behavioral
+    operator; the per-event sibling of events_funnel's corpus-level
+    conversion rates)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "click_id"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-(_ROLL_7D_US - 1), -1)
+    )
+    out = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_touch"),
+        F.first("click_id", ignorenulls=True).over(w).alias("first_touch"),
+        F.count("click_id").over(w).alias("n_touches"),
+    )
+    return out.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts_us",
+        F.col("first_touch").cast("bigint").alias("first_touch_click"),
+        F.col("last_touch").cast("bigint").alias("last_touch_click"),
+        F.col("n_touches").cast("bigint").alias("n_touches_7d"),
+        (F.col("n_touches") == 0).alias("unattributed"),
+    )
+
+
+# =========================================================================
+# Herfindahl-Hirschman concentration of revenue across customers —
+# Σ share² exact: the antitrust-style "is the business one whale?"
+# number, the quadratic sibling of gini_domain_concentration.
+# =========================================================================
+
+
+@_register(
+    "customer_hhi_concentration",
+    """
+    WITH s AS (
+      SELECT o_custkey,
+             sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(sum(rev) AS DECIMAL(38,2)) AS total,
+                 CAST(count(*) AS BIGINT) AS n FROM s),
+    sh AS (
+      SELECT CAST(CAST(CAST(s.rev AS DOUBLE) / CAST(t.total AS DOUBLE)
+                  AS VARCHAR) AS DECIMAL(18,12)) AS share
+      FROM s CROSS JOIN t)
+    SELECT (SELECT n FROM t) AS n_customers,
+           CAST(CAST(CAST(sum(share * share) AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(18,9)) AS hhi,
+           CAST(CAST(1.0 / CAST((SELECT n FROM t) AS DOUBLE) AS VARCHAR)
+                AS DECIMAL(18,9)) AS hhi_uniform_floor
+    FROM sh
+    """,
+)
+def customer_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of revenue concentration across
+    customers: HHI = Σ share² (1/n at perfect uniformity, 1.0 when a
+    single whale is the business) — the quadratic concentration
+    measure beside gini_domain_concentration's rank-based one, and
+    the number revenue-risk reviews quote. Shares are quantized
+    decimals; Σ share² is an exact decimal sum of exact products,
+    re-quantized once; the uniform floor 1/n ships alongside for
+    scale. PLAN: one combinable per-customer rollup, a 1-row total
+    broadcast, one sum — no window, no sort. Reference parity: none
+    (beyond-reference analytics operator)."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("string").cast("decimal(18,2)")).alias(
+            "rev"
+        )
+    )
+    t = s.agg(
+        F.sum("rev").cast("decimal(38,2)").alias("total"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    sh = s.crossJoin(F.broadcast(t)).select(
+        (F.col("rev").cast("double") / F.col("total").cast("double"))
+        .cast("string")
+        .cast("decimal(18,12)")
+        .alias("share"),
+        "n",
+    )
+    return sh.agg(
+        F.first("n").alias("n_customers"),
+        F.sum(F.col("share") * F.col("share"))
+        .cast("double")
+        .cast("string")
+        .cast("decimal(18,9)")
+        .alias("hhi"),
+        (F.lit(1.0) / F.first("n").cast("double"))
+        .cast("string")
+        .cast("decimal(18,9)")
+        .alias("hhi_uniform_floor"),
+    )
