@@ -223,6 +223,7 @@ HEADLINE = [
     "embedding_fisher_ratio",
     "purchase_attribution_touchpoints",
     "customer_hhi_concentration",
+    "interleaved_media_position_stats",
 ]
 
 

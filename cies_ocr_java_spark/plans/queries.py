@@ -17363,3 +17363,79 @@ def customer_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,9)")
         .alias("hhi_uniform_floor"),
     )
+
+
+# =========================================================================
+# Media placement statistics over the interleaved stream: where do
+# images sit inside documents? Front-loaded media changes packing,
+# caption mining, and trimming decisions — measured in exact quartile
+# buckets of relative reading-order position.
+# =========================================================================
+
+
+@_register(
+    "interleaved_media_position_stats",
+    f"""
+    WITH s0 AS ({{e2e}}),
+    n AS (
+      SELECT doc_id, count(*) AS n_spans,
+             sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS n_media
+      FROM s0 GROUP BY doc_id),
+    m AS (
+      SELECT s.doc_id, s.span_order, n.n_spans,
+             CASE WHEN n.n_spans = 1 THEN 0
+                  ELSE (4 * s.span_order) // (n.n_spans - 1) END AS quartile
+      FROM s0 s JOIN n USING (doc_id)
+      WHERE s.kind = 'media'),
+    q AS (
+      SELECT CAST(least(quartile, 3) AS INT) AS position_quartile,
+             count(*) AS n_media_spans
+      FROM m GROUP BY 1),
+    t AS (SELECT CAST(sum(n_media_spans) AS BIGINT) AS total FROM q)
+    SELECT q.position_quartile, CAST(q.n_media_spans AS BIGINT) AS n_media_spans,
+           CAST(CAST(CAST(q.n_media_spans AS DOUBLE) / CAST(t.total AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6)) AS fraction
+    FROM q CROSS JOIN t
+    """.replace("{e2e}", _E2E_SQL),
+)
+def interleaved_media_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media placement inside interleaved documents: each media span's
+    relative reading-order position bucketed into quartiles with PURE
+    INTEGER math (4·order div (n_spans-1), clamped — no float
+    position ratio to quantize), then the corpus distribution —
+    front-loaded media (quartile 0 heavy) argues for head-biased
+    trimming windows (interleaved_budget_trim) and changes how many
+    context spans caption mining should look back
+    (media_context_windows). One doc-grain count join + a 4-row
+    rollup on the pipeline output. Reference parity: span stream
+    per SURVEY §2.4; the placement statistics are beyond-reference."""
+    out = QUERIES["pipeline_end_to_end"](spark, sf_dir)
+    n = out.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias("n_media"),
+    )
+    m = (
+        out.where(F.col("kind") == "media")
+        .join(n, "doc_id")
+        .select(
+            F.when(F.col("n_spans") == 1, F.lit(0))
+            .otherwise(
+                F.expr("(4 * span_order) div (n_spans - 1)")
+            )
+            .alias("quartile")
+        )
+    )
+    q = m.groupBy(
+        F.least(F.col("quartile"), F.lit(3)).cast("int").alias(
+            "position_quartile"
+        )
+    ).agg(F.count("*").alias("n_media_spans"))
+    t = q.agg(F.sum("n_media_spans").cast("bigint").alias("total"))
+    return q.crossJoin(F.broadcast(t)).select(
+        "position_quartile",
+        F.col("n_media_spans").cast("bigint").alias("n_media_spans"),
+        (F.col("n_media_spans").cast("double") / F.col("total").cast("double"))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("fraction"),
+    )
