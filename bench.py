@@ -224,6 +224,8 @@ HEADLINE = [
     "purchase_attribution_touchpoints",
     "customer_hhi_concentration",
     "interleaved_media_position_stats",
+    "scd2_temporal_join",
+    "revenue_percent_of_parent",
 ]
 
 

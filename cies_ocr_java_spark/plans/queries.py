@@ -17439,3 +17439,177 @@ def interleaved_media_position_stats(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("decimal(12,6)")
         .alias("fraction"),
     )
+
+
+# =========================================================================
+# Temporal dimension lookup: facts joined to the SCD2 version VALID AT
+# the fact's timestamp — equi-join on the entity with an interval
+# residual (the scale-safe consumption side of scd2_dimension_history).
+# =========================================================================
+
+
+@_register(
+    "scd2_temporal_join",
+    """
+    WITH ch AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    dim AS (
+      SELECT user_id, event_type AS dim_value,
+             epoch_us(ts) AS from_us,
+             epoch_us(lead(ts) OVER w2) AS to_us
+      FROM ch
+      WHERE prev_type IS NULL OR event_type != prev_type
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)),
+    f AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase')
+    SELECT f.purchase_id, f.user_id, f.ts_us,
+           d.dim_value, CAST(d.from_us AS BIGINT) AS version_from_us,
+           d.to_us IS NULL AS is_current_version
+    FROM f JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts_us >= d.from_us
+     AND (d.to_us IS NULL OR f.ts_us < d.to_us)
+    """,
+)
+def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup — the CONSUMPTION side of
+    scd2_dimension_history: every purchase fact joined to the
+    dimension version valid at its instant (from_us <= t < to_us,
+    open current row unbounded). The join is EQUI ON THE ENTITY with
+    the interval test as a residual filter — the scale-safe shape:
+    the shuffle keys on user_id and each fact probes only its own
+    entity's few versions, never a global interval index (for
+    entity-free interval joins the events_range_join bucket trick is
+    the fallback). The SCD2 interval-partition property guarantees
+    exactly one match per fact — row count in = row count out, which
+    the oracle equality implicitly verifies. Timestamps as unix
+    micros (header rules). Reference parity: none (beyond-reference
+    temporal operator; completes build→consume for SCD2)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    dim = ch.select(
+        "user_id",
+        F.col("event_type").alias("dim_value"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("from_us"),
+        F.unix_micros(F.lead("ts").over(w2).cast("timestamp")).alias("to_us"),
+    )
+    f = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    return f.join(
+        dim,
+        (dim["user_id"] == f["user_id"])
+        & (f["ts_us"] >= dim["from_us"])
+        & (dim["to_us"].isNull() | (f["ts_us"] < dim["to_us"])),
+    ).select(
+        "purchase_id",
+        f["user_id"].alias("user_id"),
+        "ts_us",
+        "dim_value",
+        F.col("from_us").cast("bigint").alias("version_from_us"),
+        F.col("to_us").isNull().alias("is_current_version"),
+    )
+
+
+# =========================================================================
+# Percent-of-parent hierarchy rollup (region -> nation): the BI staple
+# where every row carries its share of the level above.
+# =========================================================================
+
+
+@_register(
+    "revenue_percent_of_parent",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR)
+                 AS DECIMAL(18,2))) AS rev
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2),
+    w AS (
+      SELECT region, nation, rev,
+             sum(rev) OVER (PARTITION BY region) AS region_rev,
+             sum(rev) OVER () AS total_rev
+      FROM rev)
+    SELECT region, nation, CAST(rev AS DOUBLE) AS revenue,
+           CAST(CAST(CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6)) AS pct_of_region,
+           CAST(CAST(CAST(region_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6)) AS region_pct_of_total
+    FROM w
+    """,
+)
+def revenue_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent along the region→nation hierarchy: each
+    nation's share of its region and each region's share of the total
+    — the BI staple (the ratio companion of revenue_rollup's
+    subtotal rows, which give the LEVELS but not the SHARES). One
+    exact-decimal star-join rollup to the (region, nation) grain —
+    bounded at 25 rows — then marginal windows over that bounded
+    table; two quantized divisions per row. Nation/region sides
+    broadcast. Reference parity: none (beyond-reference analytics
+    operator)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        l.join(o, o["o_orderkey"] == l["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("string")
+                .cast("decimal(18,2)")
+            ).alias("rev")
+        )
+    )
+    wreg = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    w = rev.select(
+        "region",
+        "nation",
+        "rev",
+        F.sum("rev").over(wreg).alias("region_rev"),
+        F.sum("rev").over(wall).alias("total_rev"),
+    )
+    return w.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.col("region_rev").cast("double"))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("pct_of_region"),
+        (F.col("region_rev").cast("double") / F.col("total_rev").cast("double"))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("region_pct_of_total"),
+    )
