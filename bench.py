@@ -226,6 +226,8 @@ HEADLINE = [
     "interleaved_media_position_stats",
     "scd2_temporal_join",
     "revenue_percent_of_parent",
+    "vocab_hapax_stats",
+    "histogram_strategy_comparison",
 ]
 
 

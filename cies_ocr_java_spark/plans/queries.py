@@ -17613,3 +17613,226 @@ def revenue_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(12,6)")
         .alias("region_pct_of_total"),
     )
+
+
+# =========================================================================
+# Hapax legomena and type-token statistics per source — the vocabulary-
+# growth indicators (a high hapax rate means the vocabulary is still
+# growing; more crawl will keep finding new words).
+# =========================================================================
+
+
+@_register(
+    "vocab_hapax_stats",
+    f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE token <> '' GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS VARCHAR) AS DECIMAL(12,6))
+             AS hapax_rate,
+           CAST(CAST(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6)) AS type_token_ratio
+    FROM tf GROUP BY source
+    """,
+)
+def vocab_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena and type-token statistics per source: the
+    fraction of each source's vocabulary seen exactly once (hapax
+    rate — still high means the vocabulary hasn't saturated and more
+    crawl keeps paying; the per-source view of what
+    ngram_novelty_curve measures per doc) plus the type/token ratio
+    (lexical diversity at the source grain). One token explode, ONE
+    combinable (source, token) count, one source-keyed rollup — the
+    term-frequency topology every vocab query here shares. Exact
+    integers; two quantized divisions. Reference parity: none
+    (beyond-reference corpus-diagnostics operator)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    tf = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.lower(normalize_ws(F.col("text"))), " ")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        hapax.cast("bigint").alias("n_hapax"),
+        (hapax.cast("double") / F.count("*").cast("double"))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("hapax_rate"),
+        (F.count("*").cast("double") / F.sum("c").cast("double"))
+        .cast("string")
+        .cast("decimal(12,6)")
+        .alias("type_token_ratio"),
+    )
+
+
+# =========================================================================
+# Histogram strategy comparison: equi-WIDTH vs equi-DEPTH selectivity
+# estimates for the same range predicate — the measurement behind
+# "ANALYZE should collect quantile histograms, not just min/max".
+# =========================================================================
+
+
+@_register(
+    "histogram_strategy_comparison",
+    f"""
+    WITH b AS (
+      SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+             CAST(max(n_chars) AS BIGINT) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents),
+    w AS (SELECT lo, hi, n, (hi - lo) // {_SEL_BINS} + 1 AS bw FROM b),
+    ew AS (
+      SELECT sum(CAST(CAST(CAST(c AS DOUBLE)
+                 * CAST(greatest(0, least({_SEL_HI}, b_hi)
+                        - greatest({_SEL_LO}, b_lo) + 1) AS DOUBLE)
+                 / CAST(b_hi - b_lo + 1 AS DOUBLE)
+                 AS VARCHAR) AS DECIMAL(18,6))) AS est
+      FROM (
+        SELECT count(*) AS c,
+               min(w.lo + ((d.n_chars - w.lo) // w.bw) * w.bw) AS b_lo,
+               min(w.lo + ((d.n_chars - w.lo) // w.bw) * w.bw + w.bw - 1)
+                 AS b_hi
+        FROM documents d CROSS JOIN w
+        GROUP BY (d.n_chars - w.lo) // w.bw)),
+    rk AS (
+      SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS r
+      FROM documents),
+    ed AS (
+      SELECT ((r - 1) * {_SEL_BINS}) // (SELECT n FROM b) AS bin,
+             count(*) AS c,
+             CAST(min(n_chars) AS BIGINT) AS b_lo,
+             CAST(max(n_chars) AS BIGINT) AS b_hi
+      FROM rk GROUP BY 1),
+    ede AS (
+      SELECT sum(CAST(CAST(CAST(c AS DOUBLE)
+                 * CAST(greatest(0, least({_SEL_HI}, b_hi)
+                        - greatest({_SEL_LO}, b_lo) + 1) AS DOUBLE)
+                 / CAST(greatest(b_hi - b_lo + 1, 1) AS DOUBLE)
+                 AS VARCHAR) AS DECIMAL(18,6))) AS est
+      FROM ed),
+    act AS (SELECT CAST(count(*) AS BIGINT) AS actual FROM documents
+            WHERE n_chars BETWEEN {_SEL_LO} AND {_SEL_HI})
+    SELECT 'equi_width' AS strategy,
+           CAST(ew.est AS DOUBLE) AS estimated_rows,
+           act.actual AS actual_rows,
+           CAST(CAST(abs(CAST(ew.est AS DOUBLE) - CAST(act.actual AS DOUBLE))
+                / CAST(greatest(act.actual, 1) AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6)) AS rel_error
+    FROM ew CROSS JOIN act
+    UNION ALL
+    SELECT 'equi_depth',
+           CAST(ede.est AS DOUBLE), act.actual,
+           CAST(CAST(abs(CAST(ede.est AS DOUBLE) - CAST(act.actual AS DOUBLE))
+                / CAST(greatest(act.actual, 1) AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6))
+    FROM ede CROSS JOIN act
+    """,
+)
+def histogram_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width vs equi-depth histogram selectivity for the same
+    range predicate (the selectivity_estimation_audit predicate) —
+    the side-by-side that justifies quantile histograms in ANALYZE:
+    equi-depth bounds per-bin error by construction where equi-width
+    lets a dense bin dominate. Equi-depth bins come from a global
+    row_number rank (doc_id tiebreak; at 10^9 rows swap for the
+    repo's distributed two-level rank — the quartiles precedent),
+    bucketed by integer rank arithmetic; both strategies share the
+    identical quantized interpolation formula, so the error
+    difference is PURELY the binning. Reference parity: none
+    (beyond-reference optimizer-diagnostics operator)."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.agg(
+        F.min("n_chars").cast("bigint").alias("lo"),
+        F.max("n_chars").cast("bigint").alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    ).withColumn("bw", F.expr(f"(hi - lo) div {_SEL_BINS} + 1"))
+
+    def interp(df):
+        overlap = F.greatest(
+            F.lit(0),
+            F.least(F.lit(_SEL_HI), F.col("b_hi"))
+            - F.greatest(F.lit(_SEL_LO), F.col("b_lo"))
+            + 1,
+        )
+        return df.select(
+            (
+                F.col("c").cast("double")
+                * overlap.cast("double")
+                / F.greatest(
+                    F.col("b_hi") - F.col("b_lo") + 1, F.lit(1)
+                ).cast("double")
+            )
+            .cast("string")
+            .cast("decimal(18,6)")
+            .alias("e")
+        ).agg(F.sum("e").alias("est"))
+
+    ew_bins = (
+        d.crossJoin(F.broadcast(b))
+        .groupBy(F.expr("(n_chars - lo) div bw").alias("bin"))
+        .agg(
+            F.count("*").alias("c"),
+            F.min(F.expr("lo + ((n_chars - lo) div bw) * bw")).alias("b_lo"),
+            F.min(F.expr("lo + ((n_chars - lo) div bw) * bw + bw - 1")).alias(
+                "b_hi"
+            ),
+        )
+    )
+    rk = d.select(
+        "n_chars",
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("r"),
+    )
+    ed_bins = (
+        rk.crossJoin(F.broadcast(b.select("n")))
+        .groupBy(F.expr(f"((r - 1) * {_SEL_BINS}) div n").alias("bin"))
+        .agg(
+            F.count("*").alias("c"),
+            F.min("n_chars").cast("bigint").alias("b_lo"),
+            F.max("n_chars").cast("bigint").alias("b_hi"),
+        )
+    )
+    act = d.where(F.col("n_chars").between(_SEL_LO, _SEL_HI)).agg(
+        F.count("*").cast("bigint").alias("actual")
+    )
+
+    def row(name, est_df):
+        return (
+            est_df.crossJoin(act)
+            .select(
+                F.lit(name).alias("strategy"),
+                F.col("est").cast("double").alias("estimated_rows"),
+                F.col("actual").alias("actual_rows"),
+                (
+                    F.abs(
+                        F.col("est").cast("double")
+                        - F.col("actual").cast("double")
+                    )
+                    / F.greatest(F.col("actual"), F.lit(1)).cast("double")
+                )
+                .cast("string")
+                .cast("decimal(12,6)")
+                .alias("rel_error"),
+            )
+        )
+
+    return row("equi_width", interp(ew_bins)).unionAll(
+        row("equi_depth", interp(ed_bins))
+    )
