@@ -228,6 +228,8 @@ HEADLINE = [
     "revenue_percent_of_parent",
     "vocab_hapax_stats",
     "histogram_strategy_comparison",
+    "click_to_purchase_latency",
+    "embedding_triplet_violations",
 ]
 
 

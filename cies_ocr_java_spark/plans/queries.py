@@ -17836,3 +17836,297 @@ def histogram_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame
     return row("equi_width", interp(ew_bins)).unionAll(
         row("equi_depth", interp(ed_bins))
     )
+
+
+# =========================================================================
+# Click-to-purchase latency: per-conversion delay to the LAST preceding
+# click, with minute-bucketed distribution and histogram-read median —
+# the conversion-lag profile that sets attribution windows.
+# =========================================================================
+
+_LAT_BUCKET_US = 60_000_000
+
+
+@_register(
+    "click_to_purchase_latency",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+      FROM events),
+    w AS (
+      SELECT event_id, event_type, ts_us,
+             last_value(click_us IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_us
+      FROM e),
+    lat AS (
+      SELECT (ts_us - last_click_us) // {_LAT_BUCKET_US} AS bucket_min
+      FROM w
+      WHERE event_type = 'purchase' AND last_click_us IS NOT NULL),
+    h AS (SELECT bucket_min, CAST(count(*) AS BIGINT) AS c
+          FROM lat GROUP BY bucket_min),
+    cum AS (
+      SELECT bucket_min, c,
+             CAST(sum(c) OVER (ORDER BY bucket_min) AS BIGINT) AS cumc,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM h)
+    SELECT CAST(bucket_min AS BIGINT) AS latency_minutes, c AS n_conversions,
+           CAST((SELECT min(bucket_min) FROM cum
+                 WHERE cumc >= (n + 1) // 2) AS BIGINT) AS median_bucket,
+           CAST((SELECT n FROM cum LIMIT 1) AS BIGINT) AS total_conversions
+    FROM cum
+    """,
+)
+def click_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag profile: minutes from each purchase back to the
+    user's LAST preceding click (unbounded lookback LOCF — the
+    attribution-window-free measurement that then JUSTIFIES a window:
+    if the median sits at minutes, a 7-day window is generous), as a
+    minute-bucketed histogram with the median bucket read off the
+    cumulative counts (bounded grain — latencies bucket to a few
+    thousand minutes regardless of event volume). The LOCF frame is
+    user-partitioned; everything downstream runs on the bounded
+    histogram. Pure integer arithmetic throughout — no division at
+    all. Reference parity: none (beyond-reference behavioral
+    operator; the latency companion to
+    purchase_attribution_touchpoints)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.when(
+            F.col("event_type") == "click",
+            F.unix_micros(F.col("ts").cast("timestamp")),
+        ).alias("click_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = (
+        e.select(
+            "event_type",
+            "ts_us",
+            F.last("click_us", ignorenulls=True).over(w).alias("last_click_us"),
+        )
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_us").isNotNull()
+        )
+        .select(
+            F.expr(f"(ts_us - last_click_us) div {_LAT_BUCKET_US}").alias(
+                "bucket_min"
+            )
+        )
+    )
+    h = lat.groupBy("bucket_min").agg(F.count("*").cast("bigint").alias("c"))
+    cum = h.select(
+        "bucket_min",
+        "c",
+        F.sum("c")
+        .over(Window.orderBy("bucket_min").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cumc"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    med = cum.where(F.col("cumc") >= F.expr("(n + 1) div 2")).agg(
+        F.min("bucket_min").cast("bigint").alias("median_bucket")
+    )
+    tot = cum.agg(F.max("n").cast("bigint").alias("total_conversions"))
+    return (
+        cum.select(
+            F.col("bucket_min").cast("bigint").alias("latency_minutes"),
+            F.col("c").alias("n_conversions"),
+        )
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+# =========================================================================
+# Triplet-violation rate in the labeled embedding space: deterministic
+# (anchor, next same-label positive, next-label representative negative)
+# triplets; violation = d²(a,p) >= d²(a,n) in exact decimals — the
+# instance-grain separability check beside the global Fisher ratio.
+# =========================================================================
+
+
+@_register(
+    "embedding_triplet_violations",
+    """
+    WITH r AS (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+      FROM embeddings),
+    labs AS (
+      SELECT label,
+             coalesce(lead(label) OVER (ORDER BY label),
+                      first_value(label) OVER (ORDER BY label)) AS next_label
+      FROM (SELECT DISTINCT label FROM embeddings)),
+    rep AS (
+      SELECT label, min(vec_id) AS rep_id FROM embeddings GROUP BY label),
+    tri AS (
+      SELECT a.vec_id AS anchor, p.vec_id AS positive, rep.rep_id AS negative
+      FROM r a
+      JOIN r p ON p.label = a.label AND p.rk = a.rk + 1
+      JOIN labs ON labs.label = a.label
+      JOIN rep ON rep.label = labs.next_label),
+    q AS (
+      SELECT vec_id,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings),
+    qq AS (SELECT vec_id, dim,
+                  CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+                    AS xq
+           FROM q),
+    dp AS (
+      SELECT t.anchor, t.positive, t.negative,
+             sum((qa.xq - qp.xq) * (qa.xq - qp.xq)) AS d2_pos
+      FROM tri t
+      JOIN qq qa ON qa.vec_id = t.anchor
+      JOIN qq qp ON qp.vec_id = t.positive AND qp.dim = qa.dim
+      GROUP BY 1, 2, 3),
+    dn AS (
+      SELECT t.anchor,
+             sum((qa.xq - qn.xq) * (qa.xq - qn.xq)) AS d2_neg
+      FROM tri t
+      JOIN qq qa ON qa.vec_id = t.anchor
+      JOIN qq qn ON qn.vec_id = t.negative AND qn.dim = qa.dim
+      GROUP BY 1),
+    v AS (
+      SELECT dp.anchor,
+             CASE WHEN dp.d2_pos >= dn.d2_neg THEN 1 ELSE 0 END AS viol
+      FROM dp JOIN dn ON dn.anchor = dp.anchor)
+    SELECT CAST(count(*) AS BIGINT) AS n_triplets,
+           CAST(sum(viol) AS BIGINT) AS n_violations,
+           CAST(CAST(CAST(sum(viol) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(12,6)) AS violation_rate
+    FROM v
+    """,
+)
+def embedding_triplet_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-violation rate: deterministic triplets (anchor; positive
+    = the NEXT same-label vector by id; negative = the representative
+    min-id vector of the cyclically-next label) scored by exact
+    decimal squared-L2 — a violation is d²(anchor, positive) >=
+    d²(anchor, negative), i.e. a same-class neighbor sitting further
+    than a cross-class one: the margin-free triplet error that says
+    whether a metric-learning objective has anything left to fix
+    (instance-grain companion to embedding_fisher_ratio's global
+    scatter decomposition, deterministic where random triplet
+    sampling would be unverifiable). PLAN: triplet construction is
+    rank windows + a labels-sized representative join; distances
+    explode by dimension with equi-joins on (vec, dim) — linear in
+    triplets × dims, nothing all-pairs; one scalar rollup. Exact
+    decimals end to end; one quantized division. Reference parity:
+    none (beyond-reference embedding-QC operator)."""
+    emb = _t(spark, sf_dir, "embeddings", fanout=True)
+    r = emb.select(
+        "vec_id",
+        "label",
+        F.row_number()
+        .over(Window.partitionBy("label").orderBy("vec_id"))
+        .alias("rk"),
+    )
+    dl = emb.select("label").distinct()
+    wl = Window.orderBy("label")
+    labs = dl.select(
+        "label",
+        F.coalesce(
+            F.lead("label").over(wl), F.first("label").over(wl.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing))
+        ).alias("next_label"),
+    )
+    rep = emb.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+    a = r.alias("a")
+    p = r.alias("p")
+    tri = (
+        a.join(
+            p,
+            (F.col("p.label") == F.col("a.label"))
+            & (F.col("p.rk") == F.col("a.rk") + 1),
+        )
+        .join(
+            labs.select(
+                F.col("label").alias("albl"),
+                F.col("next_label").alias("nlbl"),
+            ),
+            F.col("a.label") == F.col("albl"),
+        )
+        .join(
+            rep.select(
+                F.col("label").alias("rlbl"), F.col("rep_id")
+            ),
+            F.col("nlbl") == F.col("rlbl"),
+        )
+        .select(
+            F.col("a.vec_id").alias("anchor"),
+            F.col("p.vec_id").alias("positive"),
+            F.col("rep_id").alias("negative"),
+        )
+    )
+    qq = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.col("x").cast("double").cast("string").cast("decimal(18,9)").alias("xq"),
+    ).persist()
+    try:
+        qa = qq.select(
+            F.col("vec_id").alias("anchor"),
+            "dim",
+            F.col("xq").alias("xa"),
+        )
+        qp = qq.select(
+            F.col("vec_id").alias("positive"),
+            "dim",
+            F.col("xq").alias("xp"),
+        )
+        qn = qq.select(
+            F.col("vec_id").alias("negative"),
+            "dim",
+            F.col("xq").alias("xn"),
+        )
+        dp = (
+            tri.join(qa, "anchor")
+            .join(qp, ["positive", "dim"])
+            .groupBy("anchor", "positive", "negative")
+            .agg(
+                F.sum(
+                    (F.col("xa") - F.col("xp")) * (F.col("xa") - F.col("xp"))
+                ).alias("d2_pos")
+            )
+        )
+        dn = (
+            tri.join(qa, "anchor")
+            .join(qn, ["negative", "dim"])
+            .groupBy("anchor")
+            .agg(
+                F.sum(
+                    (F.col("xa") - F.col("xn")) * (F.col("xa") - F.col("xn"))
+                ).alias("d2_neg")
+            )
+        )
+        v = dp.join(dn, "anchor").select(
+            F.when(F.col("d2_pos") >= F.col("d2_neg"), 1).otherwise(0).alias(
+                "viol"
+            )
+        )
+        out = v.agg(
+            F.count("*").cast("bigint").alias("n_triplets"),
+            F.sum("viol").cast("bigint").alias("n_violations"),
+            (F.sum("viol").cast("double") / F.count("*").cast("double"))
+            .cast("string")
+            .cast("decimal(12,6)")
+            .alias("violation_rate"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        qq.unpersist()
+    return out
