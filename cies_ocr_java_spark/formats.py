@@ -115,7 +115,14 @@ WS_RUN = r"[ \t\n\x0B\f\r]+"
 # excludes line terminators EXPLICITLY because Java '.' excludes \r and
 # U+0085/U+2028/U+2029 while Python '.' excludes only \n — a bare '\\.'
 # would make the two engines disagree on a backslash-before-\r.
-TJ_PATTERN = r"\(((?:[^()\\]|\\[^\n\r\u0085\u2028\u2029])*)\) Tj"
+# Friedl-unrolled (normal* (special normal*)*): Java compiles a quantified
+# group whose body contains alternation to a RECURSIVE Pattern$Loop — one
+# stack frame-set per matched character — which StackOverflowed executor
+# threads on long literals (BENCH_r02 rc=1). The unrolled form recurses
+# once per ESCAPE SEQUENCE instead; the plain-run [^()\\]* is an iterative
+# Curly. Same language (tokenization is unique: '\\' starts an escape,
+# nothing else can), so leftmost/greedy matches are byte-identical.
+TJ_PATTERN = r"\(([^()\\]*(?:\\[^\n\r\u0085\u2028\u2029][^()\\]*)*)\) Tj"
 
 # OCR block payload: maximal base64-alphabet run after the PAGE marker.
 B64_TOKEN = r"([A-Za-z0-9+/=]+)"
@@ -128,7 +135,16 @@ B64_CANONICAL = (
 
 # Quote-aware tag body: a '>' inside "..." or '...' does not close the tag
 # (HTML5 tokenizer attribute-value states).
-TAG_BODY = r"(?:\"[^\"]*\"|'[^']*'|[^>\"'])*"
+#
+# Friedl-unrolled for the same reason as TJ_PATTERN: the naive
+# (?:"..."|'...'|[^>"'])* burns one Java stack frame-set per UNQUOTED
+# character (Pattern$Loop recursion); a 64 KB attribute blob guarantees an
+# executor StackOverflowError. Unrolled, recursion is per QUOTED SEGMENT
+# only. Non-capturing throughout — ANCHOR_PATTERN's group 1 must stay the
+# anchor body. Same language: '"'/'\'' can only start a quoted token and
+# [^>"'] can never contain one, so the tokenization is unique and greedy
+# matching is byte-identical to the naive form.
+TAG_BODY = r"[^>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*"
 WS_OPT = r"[ \t\n\x0B\f\r]*"
 
 # HTML extraction thresholds (jusText/Arc90-style density heuristics — the

@@ -100,6 +100,16 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iterations: int = 5,
         r0 = F.lit(1.0)
         base = F.lit(1.0 - damping)
     else:
+        # Fail loudly on a seed absent from the node set: with no node
+        # receiving teleport mass every rank settles at 0.0 and the
+        # caller silently gets an all-zero "proximity" table. nodes is
+        # already persisted, so this guard is one cheap filter-count.
+        if nodes.where(F.col("source") == teleport_to).count() == 0:
+            nodes.unpersist()
+            raise ValueError(
+                f"pagerank: teleport_to seed {teleport_to!r} is not in "
+                "the node set — personalized PageRank needs a real seed"
+            )
         seed = F.col("source") == teleport_to
         r0 = F.when(seed, F.lit(1.0)).otherwise(F.lit(0.0))
         base = F.when(seed, F.lit(1.0 - damping)).otherwise(F.lit(0.0))

@@ -12762,6 +12762,13 @@ def domain_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = prk.syndication_edges(pairs, d)
     nodes = d.select("source").distinct()
     seed = d.agg(F.min("source")).collect()[0][0]
+    if seed is None:
+        # all-null/empty source column: silently falling back to GLOBAL
+        # PageRank semantics would be a wrong answer, not a degraded one
+        raise ValueError(
+            "domain_ppr_seeded: corpus has no non-null source — cannot "
+            "pick a personalized-PageRank seed"
+        )
     return prk.pagerank(edges, nodes, iterations=_PR_ITERS, damping=_PR_D,
                         teleport_to=seed)
 

@@ -66,6 +66,18 @@ def get_spark(
         # thousands of splits; this only matters when input_size/cores is
         # small, which is exactly local mode.
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # Defense-in-depth behind the Friedl-unrolled grammar regexes
+        # (formats.py TAG_BODY/TJ_PATTERN): Java regex still recurses once
+        # per quoted-attribute/escape SEGMENT, so a pathological document
+        # with ~10^5 quoted attributes in one tag could approach the 1 MB
+        # default thread stack. 8 MB gives ~8x headroom; in local mode the
+        # driver JVM hosts the executor threads, so set it on the driver
+        # too (driver JVM options only apply if set before launch — under
+        # spark-submit pass --driver-java-options; here the executor side
+        # is what matters and local threads inherit -Xss via defaultOptions
+        # when the gateway launches).
+        .config("spark.executor.extraJavaOptions", "-Xss8m")
+        .config("spark.driver.extraJavaOptions", "-Xss8m")
     )
     if master:
         builder = builder.master(master)

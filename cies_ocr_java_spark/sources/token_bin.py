@@ -12,7 +12,11 @@ multiple of 4*R is a truncated write and must FAIL, not round down).
 
     spark.dataSource.register(TokenBinDataSource)
     df = spark.read.format("token_bin").load("/data/shards")
-    # schema: shard string, rec_idx bigint, tokens array<int>
+    # schema: shard string, rec_idx bigint, tokens array<bigint>
+    # (bigint, not int: the on-disk dtype is uint32 and tokens in
+    # [2^31, 2^32) are legal — an int32 read schema would round-trip
+    # them as silently negative values, the exact silent corruption
+    # this format's fail-loud contract forbids)
 
 Scale design (same rules as warc_gz.py, the sibling DataSource):
 
@@ -44,7 +48,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-TOKEN_BIN_SCHEMA = "shard string, rec_idx bigint, tokens array<int>"
+TOKEN_BIN_SCHEMA = "shard string, rec_idx bigint, tokens array<bigint>"
 
 _BATCH_RECORDS = 4096
 _DTYPE = "uint32"
@@ -143,10 +147,12 @@ def _read_shard(path: str):
         while rec0 < n:
             take = min(_BATCH_RECORDS, n - rec0)
             buf = f.read(4 * r * take)
+            # uint32 -> int64: lossless for the whole on-disk range
+            # (tokens in [2^31, 2^32) must NOT wrap negative)
             mat = np.frombuffer(buf, dtype="<u4").reshape(take, r).astype(
-                "int32"
+                "int64"
             )
-            flat = pa.array(mat.ravel(), type=pa.int32())
+            flat = pa.array(mat.ravel(), type=pa.int64())
             toks = pa.ListArray.from_arrays(
                 pa.array(range(0, (take + 1) * r, r), type=pa.int32()), flat
             )

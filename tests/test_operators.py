@@ -207,6 +207,74 @@ def test_adversarial_three_way_parity_on_spark(spark):
         assert hb.iloc[i] == oracle.extract_html(h)
 
 
+def test_stack_bomb_payloads_no_crash_and_parity(spark):
+    """Round-2 verdict #1 regression pin: the OLD branch-in-loop TAG_BODY /
+    TJ_PATTERN compiled to a recursive java.util.regex Pattern$Loop — one
+    stack frame-set per character — and StackOverflowed executor threads on
+    long unquoted runs (BENCH_r02 rc=1). The Friedl-unrolled patterns recurse
+    per quoted/escaped SEGMENT only. This pins, on the actual JVM:
+      * >=80 KB quote-free tag body extracts (old: guaranteed crash),
+      * >=80 KB unclosed-quote tag degrades to character data,
+      * >=80 KB Tj literal extracts; unterminated '(' + 80 KB tail degrades,
+      * ~2000 quoted attributes / escape sequences in ONE tag/literal stay
+        within the -Xss8m headroom (segment-depth contract),
+    and that JVM, Arrow-batch, and oracle outputs stay byte-identical."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cies_ocr_java_spark.operators.html_extract import (
+        extract_main_text_batch,
+        html_main_text_col,
+    )
+    from cies_ocr_java_spark.operators.pdf_extract import pdf_layer_cols
+    from tools import oracle
+    from tools.make_fixtures import build_stack_bomb, make_pdf
+
+    rng = random.Random(3)
+    filler = "".join(rng.choice("abcdefgh -=") for _ in range(80000))
+    quoted_bomb = " ".join(f'a{i}="v{i}"' for i in range(2000))
+    escapes = "".join("\\(" if i % 2 else "\\\\" for i in range(2000))
+
+    htmls = [
+        f"<html><body><p data-x={filler}>visible main sentence body one</p></body></html>",
+        f'<p a="{filler}>tail after unclosed quote stays as text data',
+        f"<p {quoted_bomb}>quoted attribute bomb survives as a block</p>",
+        f"<div {quoted_bomb} data-y={filler}>mixed quoted and unquoted</div>",
+    ]
+    pdfs = [
+        make_pdf([filler + " end of giant literal"]),
+        f"%PDF-1.4\n%%Page: 1\nBT\n(good one) Tj\n({filler}\nET\n%%EOF\n",
+        make_pdf(["escape bomb " + escapes + " tail"]),
+    ]
+    # the fixture generator's own stack_bomb tier, all four modes
+    gen_rng = random.Random(11)
+    for _ in range(8):
+        s = build_stack_bomb(gen_rng, "x")[0]
+        (htmls if s["kind"] == "html" else pdfs).append(s["text"])
+
+    html_df = spark.createDataFrame(list(enumerate(htmls)), "i int, p string")
+    for r in html_df.select(
+        "i", html_main_text_col(F.col("p")).alias("t")
+    ).collect():
+        assert r["t"] == oracle.extract_html(htmls[r["i"]])
+    hb = extract_main_text_batch(pd.Series(htmls))
+    for i, h in enumerate(htmls):
+        assert hb.iloc[i] == oracle.extract_html(h)
+
+    pdf_df = spark.createDataFrame(list(enumerate(pdfs)), "i int, p string")
+    cols = pdf_layer_cols(F.col("p"))
+    for r in pdf_df.select(
+        "i", cols["pdf_text"].alias("t"), cols["pdf_malformed"].alias("m")
+    ).collect():
+        want = oracle.parse_pdf(pdfs[r["i"]])
+        assert r["t"] == want["text"]
+        assert bool(r["m"]) == want["malformed"]
+    pb = _extract_pdf_batch(pd.Series(pdfs))
+    for i, p in enumerate(pdfs):
+        assert pb.iloc[i]["pdf_text"] == oracle.parse_pdf(p)["text"]
+
+
 def test_interleaved_pack_windows_are_exact_and_reassemblable(spark):
     """pack_interleaved_spans invariants: every context window except the
     last holds exactly seq_len tokens with no overlap (fragment starts

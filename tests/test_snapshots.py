@@ -818,7 +818,12 @@ def test_token_bin_roundtrip_and_truncation_guard(spark, tmp_path):
             F.col("id").alias("seq_id"),
             F.transform(
                 F.sequence(F.lit(0), F.lit(R - 1)),
-                lambda i: (F.col("id") * 1000 + i).cast("int"),
+                # row 0 carries tokens >= 2^31: the uint32 high half must
+                # round-trip exactly (NOT wrap negative through an int32
+                # read schema — the ADVICE r2 silent-truncation finding)
+                lambda i: F.when(
+                    F.col("id") == 0, F.lit(2**32 - 1) - i.cast("bigint")
+                ).otherwise((F.col("id") * 1000 + i).cast("bigint")),
             ).alias("tokens"),
         )
         .repartition(3, "seq_id")

@@ -237,6 +237,37 @@ def build_html_adversarial(rng, doc_id):
     return [_span("html", soup, None, 0)]
 
 
+def build_stack_bomb(rng, doc_id):
+    """Regex-recursion killers (round-2 verdict #1): payloads where the old
+    branch-in-loop grammar regexes burned one JVM stack frame-set per
+    CHARACTER (Pattern$Loop recursion -> executor StackOverflowError at
+    sf0.1). With the Friedl-unrolled TAG_BODY/TJ_PATTERN these must extract
+    (or degrade per the contract) without crashing: >=64 KB quote-free tag
+    bodies, >=64 KB Tj literals, and unterminated literals with long tails."""
+    filler = "".join(rng.choice("abcdefgh -=") for _ in range(66000))
+    mode = rng.randrange(4)
+    if mode == 0:  # one tag, giant unquoted attribute blob
+        body = f"{words(rng, 20)} visible main sentence {words(rng, 10)}"
+        return [_span(
+            "html",
+            f"<html><body><p data-x={filler}>{body}</p></body></html>",
+            None, 0,
+        )]
+    if mode == 1:  # unclosed quote: the tag never closes, '<' is text data
+        return [_span(
+            "html", f'<p a="{filler}>tail after unclosed quote {words(rng, 15)}',
+            None, 0,
+        )]
+    if mode == 2:  # >=64 KB show-text literal (plain run, no escapes)
+        return [_span("pdf", make_pdf([filler + " " + words(rng, 10)]), None, 0)]
+    # unterminated '(' followed by the 64 KB tail; the good literal before
+    # it must still extract (failed attempts restart one char later)
+    payload = (
+        f"%PDF-1.4\n%%Page: 1\nBT\n({words(rng, 8)}) Tj\n({filler}\nET\n%%EOF\n"
+    )
+    return [_span("pdf", payload, None, 0)]
+
+
 def build_truncated(rng, doc_id):
     """A well-formed PDF cut at a random character — usually malformed
     (no %%EOF), occasionally still well-formed (cut inside the trailing
@@ -287,7 +318,8 @@ CLASS_MIX = [
     ("pdf_rich", 0.16, build_pdf_rich),
     ("pdf_scanned", 0.16, build_pdf_scanned),
     ("pdf_boundary", 0.02, build_pdf_boundary),
-    ("html", 0.16, build_html),
+    ("html", 0.15, build_html),
+    ("stack_bomb", 0.01, build_stack_bomb),
     ("html_structured", 0.05, build_html_structured),
     ("text", 0.07, build_text),
     ("interleaved", 0.13, build_interleaved),
