@@ -12106,32 +12106,68 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order date), Frequency (order count), and Monetary (exact decimal
     spend) by QUINTILE RANK — computed as 1 + 5*(rank-1) div n with
     deterministic custkey tiebreaks, so both engines assign identical
-    quintiles with no ntile/percentile semantics in play. PLAN: one
-    map-side-combinable customer rollup, then three rank windows over
-    the CUSTOMERS-sized aggregate (post-aggregate grain — the
-    revenue_growth precedent; at larger grains use the distributed
-    rank of customer_revenue_quartiles). Reference parity: none
-    (beyond-reference analytics operator)."""
+    quintiles with no ntile/percentile semantics in play. PLAN
+    (round-2 verdict #2 fix): one map-side-combinable customer rollup
+    (PERSISTED — five consumers: three rank passes, the n scalar, the
+    final join; without the persist each consumer re-scans orders,
+    since Spark's ReuseExchange does not dedupe these subtrees), then
+    THREE DISTRIBUTED RANKS — each is customer_revenue_quartiles'
+    range-repartition + partition-local row_number + broadcast
+    per-partition offsets, so no customer-grain row ever crosses a
+    SinglePartition exchange (the old version sorted the whole
+    customer aggregate through one task, three times; at 10^8
+    customers that is the exact shape test_plan_properties forbids).
+    Each rank's row-numbered intermediate is persisted too (the
+    dedup.py shared-table precedent; bench clears cache per query) so
+    the offsets side reads the SAME materialized partitioning as the
+    join side instead of re-evaluating it. The only single-partition
+    windows left run over the partitions-sized offset tables (~32 rows
+    each — the revenue_growth post-aggregate-tiny exception); n
+    arrives as a broadcast scalar. Ranks come back as slim
+    (o_custkey, rk) tables and equi-join to base on the customer key.
+    Reference parity: none (beyond-reference analytics operator)."""
     o = _t(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
         .cast("bigint")
         .alias("last_us"),
         F.count("*").alias("freq"),
-        F.sum(F.col("o_totalprice").cast("string").cast("decimal(18,2)")).alias(
-            "mon"
-        ),
+        F.sum(F.col("o_totalprice").cast("string").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("mon"),
+    ).persist()
+
+    def dist_rank(key, out):
+        # distributed global row_number over (key, o_custkey): a strict
+        # total order, so ranks are independent of where the range
+        # bounds fall (ties impossible — custkey is unique per row)
+        parts = base.repartitionByRange(
+            F.asc(key), F.asc("o_custkey")
+        ).withColumn("_pid", F.spark_partition_id())
+        w_local = Window.partitionBy("_pid").orderBy(
+            F.asc(key), F.asc("o_custkey")
+        )
+        local = parts.select(
+            "o_custkey", "_pid", F.row_number().over(w_local).alias("_lrn")
+        ).persist()
+        counts = local.groupBy("_pid").agg(F.count("*").alias("_c"))
+        w_off = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.select(
+            "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+        )
+        return local.join(F.broadcast(offsets), "_pid").select(
+            "o_custkey", (F.col("_lrn") + F.col("_off")).cast("long").alias(out)
+        )
+
+    ranked = (
+        base.join(dist_rank("last_us", "rk_r"), "o_custkey")
+        .join(dist_rank("freq", "rk_f"), "o_custkey")
+        .join(dist_rank("mon", "rk_m"), "o_custkey")
     )
-    r = base.select(
-        "o_custkey",
-        "last_us",
-        "freq",
-        F.col("mon").cast("decimal(18,2)").alias("mon"),
-        F.row_number().over(Window.orderBy("last_us", "o_custkey")).alias("rk_r"),
-        F.row_number().over(Window.orderBy("freq", "o_custkey")).alias("rk_f"),
-        F.row_number().over(Window.orderBy("mon", "o_custkey")).alias("rk_m"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    n_tbl = base.agg(F.count("*").alias("n"))
+    r = ranked.crossJoin(F.broadcast(n_tbl))
     def score(rk):
         return (F.lit(1) + F.expr(f"(5 * ({rk} - 1)) div n")).cast("int")
     return r.select(
@@ -14282,9 +14318,11 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-verifiable (the kmv_distinct_sketch rule), and the exact
     union/intersection sit alongside — the same estimate-vs-truth
     grading as countmin_sketch and lsh_recall_eval. At corpus scale
-    each side's distinct+top-k is one combinable aggregation;
-    everything after is k rows. Reference parity: none
-    (beyond-reference sketch operator)."""
+    the union is one combinable distinct-aggregation and the k-min set
+    is a distributed TakeOrderedAndProject (per-task partial top-k,
+    driver merge — never a global window sort); everything after is
+    k rows. Reference parity: none (beyond-reference sketch
+    operator)."""
     ev = _t(spark, sf_dir, "events")
 
     def side(t, flag_a):
@@ -14305,10 +14343,14 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
-    rk = u.withColumn("r", F.row_number().over(Window.orderBy("h")))
-    topk = rk.where(F.col("r") <= _KMVOP_K)
-    kth = rk.where(F.col("r") == _KMVOP_K).select(
-        F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint").alias("hk")
+    # k-minimum hashes WITHOUT a global row_number window (ADVICE r2):
+    # orderBy(h).limit(k) plans as TakeOrderedAndProject — each task
+    # keeps its local k smallest, the driver merges partials — so the
+    # full distinct-user union never crosses a SinglePartition exchange.
+    # h is md5-hex (unique per user), so the k-set is deterministic.
+    topk = u.orderBy("h").limit(_KMVOP_K)
+    kth = topk.agg(F.max("h").alias("h_max")).select(
+        F.conv(F.substring("h_max", 1, 12), 16, 10).cast("bigint").alias("hk")
     )
     union_est = (
         (F.lit(float(_KMVOP_K - 1)) * F.lit(float(_KMV_SCALE)) / F.col("hk"))
