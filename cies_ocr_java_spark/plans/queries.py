@@ -929,14 +929,46 @@ def lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _JACCARD_THR = 0.7
-_SHINGLE_SQL = f"""
-    toks AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t FROM documents),
+
+
+def _shingle_sql(src: str) -> str:
+    return f"""
+    toks AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS t FROM {src}),
     grams AS (SELECT doc_id,
                      [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 1, 1))] AS g
               FROM toks),
     sh AS (SELECT DISTINCT doc_id, unnest(g) AS shingle FROM grams),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
+
+
+_SHINGLE_SQL = _shingle_sql("documents")
+
+# Deterministic doc-hash sample for the two LSH *evaluators* (round-2
+# verdict #5): a planner/recall probe must never pay a full-corpus exact
+# pair sweep — the S-curve per similarity bin and the banding recall are
+# invariant under uniform sampling, so both run on a fixed hash-sample.
+# Rate 0.5 so the pair-count scale-up factor 1/rate^2 = 4 is an exact
+# integer. The same corpus_split hash keeps a doc's membership stable
+# under corpus growth and identical across engines.
+_LSH_EVAL_RATE = 0.5
+_HASH_SCALE = float(1 << 48)
+_SAMPLED_DOCS_SQL = f"""
+    sdocs AS (SELECT * FROM documents
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                    / {_HASH_SCALE} < {_LSH_EVAL_RATE})
+"""
+_SHINGLE_SAMPLED_SQL = _SAMPLED_DOCS_SQL + "," + _shingle_sql("sdocs")
+
+
+def _hash_sample(d: DataFrame, rate: float) -> DataFrame:
+    """corpus_split's hash rule as a sampling predicate — evaluated at
+    the scan stage (below any shingle explode), so the sampled-away docs
+    never enter the pair pipeline."""
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint") / F.lit(_HASH_SCALE)
+    return d.where(u < rate)
 _JACCARD_CORE = """
     common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1029,7 +1061,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "lsh_recall_eval",
     f"""
-    WITH {_SHINGLE_SQL}, {_JACCARD_CORE},
+    WITH {_SHINGLE_SAMPLED_SQL}, {_JACCARD_CORE},
     truth AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {_JACCARD_THR}),
     sig AS (SELECT doc_id, {_minhash_sql_cols(8)} FROM sh GROUP BY doc_id),
     b2 AS ({_band_sql(8, 2)}),
@@ -1047,12 +1079,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM truth JOIN c4 USING (id_a, id_b))
     SELECT 2 AS bands, nt.n_true, n2.n_found,
            CAST(CAST(CAST(n2.n_found AS DOUBLE) / greatest(nt.n_true, 1)
-                AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS recall
+                AS VARCHAR) AS DECIMAL(12,6))::DOUBLE AS recall,
+           CAST({_LSH_EVAL_RATE} AS DOUBLE) AS sample_rate
     FROM nt, n2
     UNION ALL
     SELECT 4, nt.n_true, n4.n_found,
            CAST(CAST(CAST(n4.n_found AS DOUBLE) / greatest(nt.n_true, 1)
-                AS VARCHAR) AS DECIMAL(12,6))::DOUBLE
+                AS VARCHAR) AS DECIMAL(12,6))::DOUBLE,
+           CAST({_LSH_EVAL_RATE} AS DOUBLE)
     FROM nt, n4
     """,
 )
@@ -1065,11 +1099,19 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     are by construction a subset of truth, so recall is a count ratio.
     More bands = higher candidate recall at more bucket-join volume; the
     measured table is what picks the operating point before a 100 TB
-    run. Corpus-scale work: ONE persisted shingle table feeds truth,
-    sizes, and the signatures; each banding contributes only its bucket
-    join, and found-counts are truth-intersection counts (the verified
-    set is a subset of truth by construction), never a re-verification."""
-    d = _t(spark, sf_dir, "documents", fanout=True)
+    run. SAMPLED (round-2 verdict #5): an evaluator must not pay the
+    full-corpus exact-truth sweep — recall per banding is invariant in
+    expectation under a uniform doc sample, so truth and candidates are
+    derived on the deterministic 50% hash-sample (corpus_split's hash;
+    sample_rate in the output schema, predicate at the scan stage —
+    plan-pinned). Corpus-scale work: ONE persisted shingle table (of
+    the sample) feeds truth, sizes, and the signatures; each banding
+    contributes only its bucket join, and found-counts are
+    truth-intersection counts (the verified set is a subset of truth by
+    construction), never a re-verification."""
+    d = _hash_sample(
+        _t(spark, sf_dir, "documents", fanout=True), _LSH_EVAL_RATE
+    )
     ex = dedup.exploded_shingles(d, "text", "doc_id").persist()
     truth = (
         dedup.jaccard_pairs(d, "text", "doc_id", _JACCARD_THR, exploded=ex)
@@ -1094,6 +1136,7 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_found").cast("double")
                 / F.greatest(F.col("n_true"), F.lit(1))
             ).cast("decimal(12,6)").cast("double").alias("recall"),
+            F.lit(_LSH_EVAL_RATE).cast("double").alias("sample_rate"),
         )
         out = row if out is None else out.unionAll(row)
     return out
@@ -15667,7 +15710,7 @@ _SCURVE_VALUES = ", ".join(
 @_register(
     "lsh_s_curve_planner",
     f"""
-    WITH {_SHINGLE_SQL}, {_JACCARD_CORE},
+    WITH {_SHINGLE_SAMPLED_SQL}, {_JACCARD_CORE},
     pairs AS (SELECT jaccard FROM verified WHERE jaccard >= {_SCURVE_THR}),
     bins AS (
       SELECT CAST(floor(jaccard * 10) AS BIGINT) AS b10, count(*) AS n_pairs
@@ -15676,6 +15719,8 @@ _SCURVE_VALUES = ", ".join(
     SELECT g.bands, g.rows_per_band,
            CAST(g.bin_lo AS DOUBLE) AS bin_lo,
            CAST(coalesce(b.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST({_LSH_EVAL_RATE} AS DOUBLE) AS sample_rate,
+           CAST(coalesce(b.n_pairs, 0) * 4 AS BIGINT) AS n_pairs_est,
            CAST(CAST(g.p_analytic AS DECIMAL(12,6)) AS DOUBLE) AS p_collision,
            CAST(CAST(CAST(coalesce(b.n_pairs, 0) AS DOUBLE)
                 * CAST(CAST(g.p_analytic AS DECIMAL(12,6)) AS DOUBLE)
@@ -15692,14 +15737,23 @@ def lsh_s_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless prefix-filter path, never all-pairs) — expected found
     pairs per bin is the table that picks the banding BEFORE paying
     for a full dedup run, and the analytic complement to
-    lsh_recall_eval's measured recall. EXACTNESS: the S-curve values
-    are computed ONCE in Python as quantized-decimal chains and
-    embedded as identical literals in both engines (no runtime pow);
-    observed counts are integers; expected = one quantized product.
-    PLAN: the only corpus-scale work is the exact pair derivation;
-    the 28-row planning grid is a literal broadcast. Reference
-    parity: none (beyond-reference dedup-planning operator)."""
-    d = _t(spark, sf_dir, "documents", fanout=True)
+    lsh_recall_eval's measured recall. SAMPLED (round-2 verdict #5): at
+    threshold 0.3 the lossless prefix filter keeps ~70% of each doc's
+    shingles, so a full-corpus exact sweep approaches quadratic — but
+    the S-curve per bin is invariant under uniform sampling, so the
+    jaccard distribution is derived on the deterministic 50%
+    hash-sample (corpus_split's hash; predicate at the scan stage,
+    plan-pinned) and scaled back by the exact integer 1/rate^2 = 4 in
+    n_pairs_est. EXACTNESS: the S-curve values are computed ONCE in
+    Python as quantized-decimal chains and embedded as identical
+    literals in both engines (no runtime pow); observed counts are
+    integers; expected = one quantized product. PLAN: the only
+    corpus-scale work is the sampled pair derivation; the 28-row
+    planning grid is a literal broadcast. Reference parity: none
+    (beyond-reference dedup-planning operator)."""
+    d = _hash_sample(
+        _t(spark, sf_dir, "documents", fanout=True), _LSH_EVAL_RATE
+    )
     pairs = dedup.jaccard_pairs(d, "text", "doc_id", threshold=_SCURVE_THR)
     bins = pairs.groupBy(
         F.floor(F.col("jaccard") * 10).cast("bigint").alias("b10")
@@ -15724,6 +15778,10 @@ def lsh_s_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_per_band",
         "bin_lo",
         F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.lit(_LSH_EVAL_RATE).cast("double").alias("sample_rate"),
+        (F.coalesce("n_pairs", F.lit(0)) * 4).cast("bigint").alias(
+            "n_pairs_est"
+        ),
         F.col("p_analytic").cast("decimal(12,6)").cast("double").alias(
             "p_collision"
         ),

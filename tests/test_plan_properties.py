@@ -675,6 +675,33 @@ def test_rfm_ranks_are_distributed(spark):
     assert plan.count("Exchange SinglePartition") <= 4
 
 
+def test_lsh_evaluators_sample_below_the_shingle_explode(spark):
+    """lsh_s_curve_planner / lsh_recall_eval (round-2 verdict #5): both
+    evaluators must derive their pair distributions from the
+    deterministic hash-sample, and the sample predicate must be applied
+    at the scan stage — i.e. in a Filter whose subtree contains no
+    Generate (explode): sampled-away docs never get shingled. Pinned on
+    the optimized logical plan, where predicate pushdown leaves the
+    sample Filter directly above the parquet relation (its next printed
+    line)."""
+    marker = "md5(cast(cast(doc_id"
+    for name in ("lsh_s_curve_planner", "lsh_recall_eval"):
+        opt = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        lines = opt.splitlines()
+        hits = [
+            i for i, ln in enumerate(lines)
+            if "Filter (" in ln and marker in ln and "parquet" not in ln
+        ]
+        assert hits, name  # the hash-sample predicate exists
+        for i in hits:
+            assert "parquet" in lines[i + 1], (name, lines[i + 1][-120:])
+
+
 def test_kmv_topk_is_take_ordered_not_window(spark):
     """kmv_set_operations (ADVICE r2): the k minimum hashes must come
     from a distributed TakeOrderedAndProject, not a row_number over a
