@@ -13,7 +13,9 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -48,6 +50,11 @@ HEADLINE = [
     "tfidf_top_terms",
     "pii_scrub",
     "media_phash_near_dup",
+    # build→consume: the pair-table build runs FIRST so its cost is
+    # attributed to it, and every graph-family consumer below scans the
+    # committed table instead of re-deriving the pairs
+    "neardup_pairs_build",
+    "dedup_clusters_from_table",
     "dedup_clusters",
     "customer_order_full_outer",
     "training_corpus_curation",
@@ -346,6 +353,14 @@ def run_queries(spark, names, sf_dir) -> tuple[dict[str, float], dict[str, str]]
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # reproducible runs: the materialized neardup pair table persists on
+    # disk across processes by design (build→consume); a bench must not
+    # inherit a previous run's build, or neardup_pairs_build measures a
+    # no-op and run-over-run numbers stop being comparable
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "cies_neardup_pairs"),
+        ignore_errors=True,
+    )
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     # UI store on: the skew section reads per-task executorRunTime from the

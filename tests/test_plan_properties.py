@@ -702,6 +702,18 @@ def test_lsh_evaluators_sample_below_the_shingle_explode(spark):
             assert "parquet" in lines[i + 1], (name, lines[i + 1][-120:])
 
 
+def test_neardup_pairs_build_returns_a_table_scan(spark):
+    """neardup_pairs_build (round-2 verdict #6): the returned DataFrame
+    must be a parquet scan of the COMMITTED snapshot table — no shingle
+    explode, no band join, no Python anywhere in the consumed plan. The
+    expensive derivation happened once inside the commit; everything
+    downstream (seven graph-family consumers) re-reads this scan."""
+    plan = plan_of(QUERIES["neardup_pairs_build"](spark, SF))
+    assert "cies_neardup_pairs" in plan  # the committed table's path
+    assert "Generate" not in plan  # no re-shingling
+    assert "Python" not in plan and "Arrow" not in plan
+
+
 def test_kmv_topk_is_take_ordered_not_window(spark):
     """kmv_set_operations (ADVICE r2): the k minimum hashes must come
     from a distributed TakeOrderedAndProject, not a row_number over a
