@@ -28,6 +28,7 @@ HEADLINE = [
     "extract_html_maincontent",
     "extract_html_maincontent_jvm",
     "extract_pdf_ocr_route",
+    "extract_pdf_flate",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

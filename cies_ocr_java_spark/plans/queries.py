@@ -1847,6 +1847,58 @@ def extract_pdf_textlayer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_pdf_flate",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(length(text) / 200.0) AS INT), 1) AS pc,
+             doc_id % 37 = 0 AS corrupt
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE pc END AS page_count,
+           CASE WHEN corrupt THEN NULL ELSE 2 + 2 * pc END AS n_objects,
+           CASE WHEN corrupt THEN NULL ELSE text END AS text,
+           CASE WHEN corrupt THEN 'flate decode failed' ELSE NULL END
+             AS error_kind
+    FROM base
+    """,
+)
+def extract_pdf_flate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-PDF-subset extraction (round-2 verdict #2, the PDFBox
+    Loader.loadPDF analog — DocumentExtractManager.java:438-461): each
+    document is written as a GENUINE minimal PDF-1.4 — catalog/pages/
+    page objects, zlib-FlateDecode-compressed content streams, a
+    byte-exact cross-reference table, trailer + startxref — and the
+    text recovered by a real structural walk (operators/pdf_real.py):
+    startxref -> xref table -> trailer /Root -> catalog -> /Kids ->
+    per-page /Contents -> /Length-bounded stream -> zlib inflate ->
+    BT/ET tokenizer over Tj and [..] TJ show ops with full PDF string
+    escapes. Writer variants exercise the surface: id%3 uses TJ kerning
+    arrays, id%37 carries a truncated (structurally valid) last stream
+    — those docs must FAIL with the flate error, nothing extracted.
+    The oracle states what extraction must recover (the source text and
+    the page/object arithmetic) — the variant_extract precedent. PLAN:
+    one Arrow-batched mapInPandas pass (zlib has no JVM-codegen form —
+    the documented irreducible-Python case); no shuffle, no collect;
+    page_count caps at ceil(577/200)=3 on the fixtures so worker memory
+    is flat at any corpus size."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        extract_real_pdf,
+        real_pdf_bytes,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    parsed = extract_real_pdf(real_pdf_bytes(d.select("doc_id", "text")))
+    return parsed.select(
+        "doc_id",
+        "page_count",
+        "n_objects",
+        "text",
+        F.split(F.col("error"), ":").getItem(0).alias("error_kind"),
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

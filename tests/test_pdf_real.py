@@ -1,0 +1,165 @@
+"""REAL-PDF-subset writer/reader (operators/pdf_real.py): round-trip
+identity, spec-structure pins, the failure contract, and the Spark
+operators. The reader must do a real xref walk — corrupting one offset
+digit must fail the document, never fall back to scanning."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from cies_ocr_java_spark.operators.pdf_real import (
+    PAGE_CHUNK_CHARS,
+    build_real_pdf,
+    extract_real_pdf,
+    parse_real_pdf,
+    real_pdf_bytes,
+)
+
+
+def _pages(text: str) -> int:
+    return max(1, -(-len(text) // PAGE_CHUNK_CHARS))
+
+
+# ---------------------------------------------------------------------------
+# pure round trip
+# ---------------------------------------------------------------------------
+
+HOSTILE_TEXTS = [
+    "",
+    "hello world",
+    "a" * 1000,
+    "line1\nline2\r\nline3",
+    "parens (nested (deep)) and \\backslash\\",
+    "unicode: naïve café 中文 🙂",
+    "trailing backslash \\",
+    "]" + "[" * 5 + "mixed) (x",
+    "Tj ET BT (fake) Tj inside content",  # operators inside literal content
+    "] TJ [ trick",
+    "stream endstream endobj xref startxref trailer",  # keywords as text
+    "\x00null\x01bytes?",
+]
+
+
+@pytest.mark.parametrize("text", HOSTILE_TEXTS)
+@pytest.mark.parametrize("tj", [False, True])
+def test_round_trip_identity(text, tj):
+    r = parse_real_pdf(build_real_pdf(text, use_tj_array=tj))
+    assert r["error"] is None
+    assert r["text"] == text
+    assert r["page_count"] == _pages(text)
+    assert r["n_objects"] == 2 + 2 * _pages(text)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=600), st.booleans())
+def test_round_trip_property(text, tj):
+    """ANY unicode string survives write->parse unchanged (hypothesis)."""
+    r = parse_real_pdf(build_real_pdf(text, use_tj_array=tj))
+    assert r["error"] is None and r["text"] == text
+
+
+def test_emitted_file_is_structurally_real_pdf():
+    """The writer's output is spec-shaped: header, xref keyword at the
+    startxref offset, one 20-byte xref entry per object + free head,
+    trailer /Root, and FlateDecode streams that zlib can inflate."""
+    pdf = build_real_pdf("x" * 450)  # 3 pages
+    assert pdf.startswith(b"%PDF-1.4\n")
+    assert pdf.rstrip().endswith(b"%%EOF")
+    import re
+
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF\s*$", pdf)
+    off = int(m.group(1))
+    assert pdf[off:off + 4] == b"xref"
+    assert b"/Root 1 0 R" in pdf
+    # every declared offset points at its object header
+    entries = re.findall(rb"(\d{10}) 00000 n", pdf)
+    for i, e in enumerate(entries, start=1):
+        assert pdf[int(e):int(e) + 16].startswith(b"%d 0 obj" % i)
+    # streams are genuinely zlib-compressed
+    sm = re.search(rb"/Length (\d+) /Filter /FlateDecode >>\nstream\n", pdf)
+    raw = pdf[sm.end():sm.end() + int(sm.group(1))]
+    assert b"BT" in zlib.decompress(raw)
+
+
+# ---------------------------------------------------------------------------
+# failure contract
+# ---------------------------------------------------------------------------
+
+def test_corrupt_stream_fails_loudly():
+    r = parse_real_pdf(build_real_pdf("x" * 500, corrupt_stream=True))
+    assert r["error"] is not None and r["error"].startswith("flate decode failed")
+    assert r["text"] is None and r["page_count"] is None
+
+
+def test_corrupted_xref_offset_fails_never_scans():
+    """One wrong digit in an xref offset must fail the doc — the walk
+    verifies 'N 0 obj' at the declared offset and never degrades to a
+    whole-file object scan."""
+    pdf = bytearray(build_real_pdf("hello"))
+    i = pdf.index(b"0000000009")
+    pdf[i:i + 10] = b"0000000042"
+    r = parse_real_pdf(bytes(pdf))
+    assert r["error"] is not None and "wrong" in r["error"]
+
+
+@pytest.mark.parametrize(
+    "data,reason",
+    [
+        (b"", "missing %PDF header"),
+        (b"garbage", "missing %PDF header"),
+        (b"%PDF-1.4\nno xref here", "missing startxref"),
+        (b"%PDF-1.4\nstartxref\n999999\n%%EOF", "startxref beyond EOF"),
+        (b"%PDF-1.4\nstartxref\n0\n%%EOF", "does not point at an xref"),
+    ],
+)
+def test_malformed_inputs_fail_with_reason(data, reason):
+    r = parse_real_pdf(data)
+    assert r["error"] is not None and reason in r["error"]
+
+
+def test_fuzz_never_raises():
+    rng = random.Random(42)
+    for _ in range(300):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+        for data in (blob, b"%PDF-1.4\n" + blob):
+            r = parse_real_pdf(data)
+            assert (r["text"] is None) == (r["error"] is not None)
+
+
+def test_length_lies_fail():
+    """/Length pointing past endstream (or EOF) must fail, not read
+    neighboring objects' bytes as stream data."""
+    pdf = build_real_pdf("hello")
+    import re
+
+    m = re.search(rb"/Length (\d+)", pdf)
+    bloated = pdf[: m.start(1)] + b"999999" + pdf[m.end(1):]
+    r = parse_real_pdf(bloated)
+    assert r["error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def test_spark_real_pdf_round_trip(spark):
+    rows = [
+        (1, "short doc"),
+        (3, "tj-array doc with (parens) and \\slashes\\"),  # id%3==0 -> TJ
+        (37, "x" * 300),  # id%37==0 -> corrupted last stream
+        (4, "y" * 450),  # 3 pages
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in extract_real_pdf(real_pdf_bytes(df)).collect()
+    }
+    assert out[1]["text"] == "short doc" and out[1]["error"] is None
+    assert out[3]["text"] == rows[1][1]
+    assert out[4]["page_count"] == 3 and out[4]["n_objects"] == 8
+    assert out[37]["text"] is None
+    assert out[37]["error"].startswith("flate decode failed")
