@@ -39,6 +39,7 @@ HEADLINE = [
     "text_quality_scores",
     "bpe_token_stats",
     "media_frame_sample",
+    "media_real_decode",
     "events_asof_join",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -17,6 +17,7 @@ cannot blow the heap.
 
 from __future__ import annotations
 
+import struct
 from abc import ABC, abstractmethod
 from collections.abc import Iterator
 
@@ -89,6 +90,128 @@ class NativeCodec(MediaCodec):
         )
 
 
+# ---------------------------------------------------------------------------
+# REAL codec: uncompressed 24-bit BMP via stdlib struct (round-2 verdict #3)
+# ---------------------------------------------------------------------------
+
+_BMP_FILE_HDR = struct.Struct("<2sIHHI")   # magic, file size, res, res, data offset
+_BMP_INFO_HDR = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER
+
+
+def build_bmp(width: int, height: int, value: int) -> bytes:
+    """Emit a REAL uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER),
+    every pixel the solid gray (value, value, value). Rows bottom-up,
+    4-byte padded — any image viewer opens these files."""
+    if width <= 0 or height <= 0 or not (0 <= value <= 255):
+        raise ValueError("bad bmp dimensions/value")
+    stride = (width * 3 + 3) // 4 * 4
+    row = bytes([value]) * (width * 3) + b"\x00" * (stride - width * 3)
+    pixels = row * height
+    off = _BMP_FILE_HDR.size + _BMP_INFO_HDR.size
+    return (
+        _BMP_FILE_HDR.pack(b"BM", off + len(pixels), 0, 0, off)
+        + _BMP_INFO_HDR.pack(40, width, height, 1, 24, 0, len(pixels),
+                             2835, 2835, 0, 0)
+        + pixels
+    )
+
+
+def decode_bmp(data: bytes | None) -> dict:
+    """Structural decode of the 24-bit uncompressed BMP subset.
+
+    Returns {width, height, ink_sum, error}: ink_sum is the exact integer
+    sum of all PIXEL bytes (padding excluded) — the 'ink stats' the
+    feature extractor exposes. Every malformed payload yields an error
+    row, never an exception (the MediaCodec failure contract)."""
+    none = {"width": None, "height": None, "ink_sum": None}
+    if data is None or len(data) < _BMP_FILE_HDR.size + _BMP_INFO_HDR.size:
+        return {**none, "error": "short or missing payload"}
+    data = bytes(data)
+    magic, _fsize, _r1, _r2, off = _BMP_FILE_HDR.unpack_from(data, 0)
+    if magic != b"BM":
+        return {**none, "error": "bad magic"}
+    (hsize, w, h, planes, bpp, comp, _isize, _xppm, _yppm, _clr, _imp) = (
+        _BMP_INFO_HDR.unpack_from(data, _BMP_FILE_HDR.size)
+    )
+    if hsize < 40:
+        return {**none, "error": "bad info header size"}
+    if planes != 1 or comp != 0:
+        return {**none, "error": "unsupported planes/compression"}
+    if bpp != 24:
+        return {**none, "error": f"unsupported bpp {bpp}"}
+    if w <= 0 or h == 0 or off < _BMP_FILE_HDR.size + hsize or off > len(data):
+        return {**none, "error": "bad dimensions or data offset"}
+    rows = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if off + stride * rows > len(data):
+        return {**none, "error": "truncated pixel data"}
+    ink = 0
+    for r in range(rows):
+        start = off + r * stride
+        ink += sum(data[start:start + w * 3])
+    return {"width": w, "height": rows, "ink_sum": ink, "error": None}
+
+
+class BmpCodec(MediaCodec):
+    """Real image decode for the uncompressed 24-bit BMP subset — proves
+    the MediaCodec interface with genuine bytes (stdlib struct, no
+    external libraries). Registered as 'bmp'."""
+
+    name = "bmp"
+
+    def decode_batch(self, content: pd.Series) -> pd.DataFrame:
+        rows = [decode_bmp(b) for b in content]
+        ok = [r["error"] is None for r in rows]
+        return pd.DataFrame(
+            {
+                "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                "height": pd.array([r["height"] for r in rows], dtype="Int32"),
+                "n_frames": pd.array(
+                    [1 if o else None for o in ok], dtype="Int32"
+                ),
+                "mime": ["image/bmp" if o else None for o in ok],
+                "error": [r["error"] for r in rows],
+            },
+            index=content.index,
+        )
+
+
+BMP_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, mime string, ink_sum long, "
+    "error string"
+)
+
+
+def extract_bmp_features(df: DataFrame, content_col: str = "content",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, content:binary) -> real decoded width/height/ink rows via one
+    Arrow-batched mapInPandas pass (the ink statistic needs the pixel
+    bytes, which the generic 5-column codec schema does not carry)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_bmp(b) for b in pdf[content_col]]
+            ok = [r["error"] is None for r in rows]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(
+                        [r["width"] for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r["height"] for r in rows], dtype="Int32"
+                    ),
+                    "mime": ["image/bmp" if o else None for o in ok],
+                    "ink_sum": pd.array(
+                        [r["ink_sum"] for r in rows], dtype="Int64"
+                    ),
+                    "error": [r["error"] for r in rows],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(op, BMP_FEATURES_SCHEMA)
+
+
 _CODEC_REGISTRY: dict[str, MediaCodec] = {}
 
 
@@ -112,6 +235,7 @@ def get_codec(codec: str | MediaCodec) -> MediaCodec:
 
 register_codec(StubCodec())
 register_codec(NativeCodec())
+register_codec(BmpCodec())
 
 
 def decode_media_payload(content: bytes) -> dict:

@@ -2243,6 +2243,68 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media)
 
 
+@_register(
+    "media_real_decode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS w,
+             CAST(3 + doc_id % 7 AS INT) AS h,
+             doc_id % 251 AS v,
+             doc_id % 23 = 0 AS corrupt
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE w END AS width,
+           CASE WHEN corrupt THEN NULL ELSE h END AS height,
+           CASE WHEN corrupt THEN NULL ELSE 'image/bmp' END AS mime,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(w * h * 3 * v AS BIGINT) END AS ink_sum,
+           CASE WHEN corrupt THEN 'truncated pixel data' ELSE NULL END
+             AS error
+    FROM base
+    """,
+)
+def media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (round-2 verdict #3 — the sibling of
+    multimodal_stub_features with genuine bytes): each doc gets a real
+    uncompressed 24-bit BMP (stdlib-struct writer, BITMAPINFOHEADER,
+    bottom-up 4-byte-padded rows — any viewer opens it) whose dimensions
+    and solid-gray value derive from doc_id, and the registered 'bmp'
+    MediaCodec decodes it back structurally: magic, header fields,
+    planes/compression/bpp gates, stride arithmetic, pixel-byte ink sum
+    (padding excluded). Docs with id%23==0 carry truncated pixel data
+    and must FAIL with an error row — null metadata, never a task crash
+    (the MediaCodec failure contract). The oracle states the closed-form
+    expectations (w, h, ink = w*h*3*value), all integer-exact. PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle; width<=16, height<=9 so
+    payloads are bounded regardless of corpus size."""
+    from cies_ocr_java_spark.operators.multimodal import (
+        build_bmp,
+        extract_bmp_features,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = build_bmp(4 + i % 13, 3 + i % 7, i % 251)
+                payloads.append(b[:-5] if i % 23 == 0 else b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_bmp_features(media)
+
+
 # =========================================================================
 # Set operations / pivot / distinct aggregates (relational completeness)
 # =========================================================================
