@@ -215,6 +215,7 @@ HEADLINE = [
     "revenue_yoy_alignment",
     "watermark_detection",
     "lsh_s_curve_planner",
+    "giant_payload_routing",
     "theil_sen_trend",
     "events_weekday_profile",
     "customer_spend_migration",

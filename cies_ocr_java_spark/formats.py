@@ -100,6 +100,11 @@ import base64
 ASSUMED_MAX_CHAR_PER_PAGE = 528       # DocumentExtractManager.java:36
 MIN_TEXT_PCT = 50                     # application.properties:4
 OCR_BLOCK_BATCH = 1000                # maxResults(1000), DocumentExtractManager.java:544
+# The reference's large-file gate (application.properties:5): payloads over
+# this many bytes leave the inline request path for presigned direct upload.
+# The Spark analog routes them to a chunked (multipart) plan computed
+# map-side, so an oversized payload never rides a shuffle whole.
+LARGE_FILE_THRESHOLD = 1_046_528
 
 PDF_HEADER = "%PDF-1.4"
 PDF_EOF = "%%EOF"

@@ -2305,6 +2305,91 @@ def media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_bmp_features(media)
 
 
+_LFT = 1_046_528  # formats.LARGE_FILE_THRESHOLD (application.properties:5)
+
+
+@_register(
+    "giant_payload_routing",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0
+                  THEN repeat(text, CAST({_LFT} // length(text) AS INT) + 1)
+                  ELSE text END AS payload
+      FROM documents),
+    r AS (
+      SELECT doc_id, payload,
+             octet_length(encode(payload)) > {_LFT} AS oversized,
+             CAST(ceil(length(payload) / {_LFT}.0) AS INT) AS nc
+      FROM p)
+    SELECT doc_id,
+           CASE WHEN oversized THEN 'direct' ELSE 'inline' END AS route,
+           CAST(octet_length(encode(payload)) AS BIGINT) AS payload_bytes,
+           CASE WHEN oversized THEN nc ELSE 1 END AS n_chunks,
+           CASE WHEN oversized
+                THEN md5(array_to_string(
+                       [md5(substr(payload, i * {_LFT} + 1, {_LFT}))
+                        for i in range(0, nc)], ''))
+                     || '-' || CAST(nc AS VARCHAR)
+                ELSE md5(payload) END AS etag
+    FROM r
+    """,
+)
+def giant_payload_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-payload routing policy (round-2 verdict #7 — the S9 /
+    LargeFileThreshold analog, application.properties:5): payloads whose
+    byte size exceeds the reference's exact gate (1,046,528 B) leave the
+    inline path for a CHUNKED plan — multipart part boundaries, a
+    per-chunk md5, and the multipart-style etag (md5 of the concatenated
+    part digests + '-' + part count); inline payloads keep the single
+    md5. Synthetic oversized docs (id % 97) are built by repeating the
+    text past the gate, so both routes and a multi-chunk case exercise
+    at any SF. PLAN: entirely map-side — sequence/transform/substring/
+    md5 in one codegen'd projection, NO shuffle, NO Python: the
+    oversized payload is digested into slim (chunk-digest) rows at the
+    scan, which is exactly what lets a 100 TB ingest never move a giant
+    payload through an exchange (plan-pinned shuffle-free). Reference
+    parity: application.properties:5, CanonicalRequest presigned-URL
+    path (S9) — re-expressed as the chunk/etag planning the direct
+    uploader consumes."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 97 == 0,
+        F.repeat(
+            F.col("text"),
+            # integer division on BOTH engines (a double-cast would round
+            # in DuckDB and truncate in Spark)
+            F.expr(f"{_LFT} div length(text)").cast("int") + 1,
+        ),
+    ).otherwise(F.col("text"))
+    p = d.select("doc_id", payload.alias("payload"))
+    oversized = F.octet_length(F.encode(F.col("payload"), "utf-8")) > _LFT
+    nc = F.ceil(F.length("payload") / F.lit(float(_LFT))).cast("int")
+    # expr form: substring's start is a lambda-bound expression, which the
+    # Column API's substring(str, pos:int, len:int) signature cannot take
+    chunk_md5s = F.expr(
+        f"transform(sequence(0, CAST(ceil(length(payload) / {_LFT}.0) AS INT) - 1), "
+        f"i -> md5(encode(substring(payload, i * {_LFT} + 1, {_LFT}), 'utf-8')))"
+    )
+    etag = F.when(
+        oversized,
+        F.concat(
+            F.md5(F.encode(F.concat_ws("", chunk_md5s), "utf-8")),
+            F.lit("-"),
+            nc.cast("string"),
+        ),
+    ).otherwise(F.md5(F.encode(F.col("payload"), "utf-8")))
+    return p.select(
+        "doc_id",
+        F.when(oversized, "direct").otherwise("inline").alias("route"),
+        F.octet_length(F.encode(F.col("payload"), "utf-8"))
+        .cast("bigint")
+        .alias("payload_bytes"),
+        F.when(oversized, nc).otherwise(F.lit(1)).cast("int").alias("n_chunks"),
+        etag.alias("etag"),
+    )
+
+
 # =========================================================================
 # Set operations / pivot / distinct aggregates (relational completeness)
 # =========================================================================

@@ -714,6 +714,28 @@ def test_neardup_pairs_build_returns_a_table_scan(spark):
     assert "Python" not in plan and "Arrow" not in plan
 
 
+def test_giant_payload_routing_is_shuffle_free(spark):
+    """giant_payload_routing (round-2 verdict #7, the LargeFileThreshold
+    analog): the chunk/etag plan must be ONE map-side codegen projection
+    — an oversized payload must never cross an exchange whole, and no
+    Python hop may touch the bytes."""
+    plan = plan_of(QUERIES["giant_payload_routing"](spark, SF))
+    for shuffle in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+        assert shuffle not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+    # both routes exist on the fixture corpus and the gate matches id%97
+    from pyspark.sql import functions as _F
+
+    df = QUERIES["giant_payload_routing"](spark, SF)
+    agg = df.agg(
+        _F.sum((_F.col("route") == "direct").cast("int")).alias("direct"),
+        _F.sum((_F.col("doc_id") % 97 == 0).cast("int")).alias("gated"),
+        _F.max(_F.when(_F.col("route") == "direct", _F.col("n_chunks"))).alias("mx"),
+    ).first()
+    assert agg["direct"] == agg["gated"] > 0
+    assert agg["mx"] >= 2  # the multipart case is actually exercised
+
+
 def test_kmv_topk_is_take_ordered_not_window(spark):
     """kmv_set_operations (ADVICE r2): the k minimum hashes must come
     from a distributed TakeOrderedAndProject, not a row_number over a
