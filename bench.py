@@ -40,6 +40,7 @@ HEADLINE = [
     "bpe_token_stats",
     "media_frame_sample",
     "media_real_decode",
+    "media_wav_decode",
     "events_asof_join",
     "q1_pricing_summary",
     "q3_shipping_priority",

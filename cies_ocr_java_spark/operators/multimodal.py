@@ -152,6 +152,138 @@ def decode_bmp(data: bytes | None) -> dict:
     return {"width": w, "height": rows, "ink_sum": ink, "error": None}
 
 
+_WAV_RIFF = struct.Struct("<4sI4s")      # 'RIFF', chunk size, 'WAVE'
+_WAV_FMT = struct.Struct("<HHIIHH")      # audio fmt, ch, rate, byterate, align, bits
+
+
+def build_wav(n_samples: int, sample_rate: int, amplitude: int,
+              channels: int = 1) -> bytes:
+    """Emit a REAL PCM WAV (RIFF/fmt/data chunks, 16-bit little-endian),
+    every sample the constant ``amplitude`` — any audio player opens it."""
+    if n_samples <= 0 or channels <= 0 or not (-32768 <= amplitude <= 32767):
+        raise ValueError("bad wav parameters")
+    frame = struct.pack("<h", amplitude) * channels
+    data = frame * n_samples
+    fmt = _WAV_FMT.pack(1, channels, sample_rate,
+                        sample_rate * channels * 2, channels * 2, 16)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return _WAV_RIFF.pack(b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def decode_wav(data: bytes | None) -> dict:
+    """Structural decode of the 16-bit PCM WAV subset: RIFF header, chunk
+    walk to fmt/data (unknown chunks skipped by size, word-aligned),
+    format gates, sample arithmetic, and the exact integer sum of
+    absolute sample values (the audio 'ink'). Malformed -> error row."""
+    none = {"channels": None, "sample_rate": None, "n_samples": None,
+            "abs_sum": None}
+    if data is None or len(data) < _WAV_RIFF.size:
+        return {**none, "error": "short or missing payload"}
+    data = bytes(data)
+    riff, _size, wave = _WAV_RIFF.unpack_from(data, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        return {**none, "error": "bad riff header"}
+    pos, fmt, pcm = _WAV_RIFF.size, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            return {**none, "error": "truncated chunk"}
+        if cid == b"fmt ":
+            if clen < _WAV_FMT.size:
+                return {**none, "error": "short fmt chunk"}
+            fmt = _WAV_FMT.unpack_from(body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        return {**none, "error": "missing fmt or data chunk"}
+    audio_fmt, channels, rate, _br, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        return {**none, "error": f"unsupported format {audio_fmt}/{bits}bit"}
+    if channels <= 0 or rate <= 0:
+        return {**none, "error": "bad channel/rate"}
+    frame = channels * 2
+    if len(pcm) % frame:
+        return {**none, "error": "partial frame in data chunk"}
+    n = len(pcm) // frame
+    samples = struct.unpack(f"<{len(pcm) // 2}h", pcm)
+    return {
+        "channels": channels, "sample_rate": rate, "n_samples": n,
+        "abs_sum": sum(abs(s) for s in samples), "error": None,
+    }
+
+
+class WavCodec(MediaCodec):
+    """Real audio decode for the 16-bit PCM WAV subset (stdlib struct).
+    Maps into the generic codec schema: width=sample_rate,
+    height=channels, n_frames=n_samples (the schema's closest typed
+    slots — documented, deterministic). Registered as 'wav'."""
+
+    name = "wav"
+
+    def decode_batch(self, content: pd.Series) -> pd.DataFrame:
+        rows = [decode_wav(b) for b in content]
+        ok = [r["error"] is None for r in rows]
+        return pd.DataFrame(
+            {
+                "width": pd.array(
+                    [r["sample_rate"] for r in rows], dtype="Int32"
+                ),
+                "height": pd.array(
+                    [r["channels"] for r in rows], dtype="Int32"
+                ),
+                "n_frames": pd.array(
+                    [r["n_samples"] for r in rows], dtype="Int32"
+                ),
+                "mime": ["audio/wav" if o else None for o in ok],
+                "error": [r["error"] for r in rows],
+            },
+            index=content.index,
+        )
+
+
+WAV_FEATURES_SCHEMA = (
+    "doc_id long, channels int, sample_rate int, n_samples int, "
+    "abs_sum long, error string"
+)
+
+
+def extract_wav_features(df: DataFrame, content_col: str = "content",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, content:binary) -> decoded PCM stats via one Arrow-batched
+    mapInPandas pass (abs_sum needs the sample bytes, which the generic
+    codec schema does not carry)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "channels": pd.array(
+                        [r["channels"] for r in rows], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [r["sample_rate"] for r in rows], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [r["n_samples"] for r in rows], dtype="Int32"
+                    ),
+                    "abs_sum": pd.array(
+                        [r["abs_sum"] for r in rows], dtype="Int64"
+                    ),
+                    "error": [r["error"] for r in rows],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(op, WAV_FEATURES_SCHEMA)
+
+
 class BmpCodec(MediaCodec):
     """Real image decode for the uncompressed 24-bit BMP subset — proves
     the MediaCodec interface with genuine bytes (stdlib struct, no
@@ -236,6 +368,7 @@ def get_codec(codec: str | MediaCodec) -> MediaCodec:
 register_codec(StubCodec())
 register_codec(NativeCodec())
 register_codec(BmpCodec())
+register_codec(WavCodec())
 
 
 def decode_media_payload(content: bytes) -> dict:

@@ -2305,6 +2305,71 @@ def media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_bmp_features(media)
 
 
+@_register(
+    "media_wav_decode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(10 + doc_id % 50 AS INT) AS n,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 44100 END AS INT) AS sr,
+             CAST(doc_id % 100 AS INT) * 300 - 15000 AS amp,
+             CAST(1 + doc_id % 2 AS INT) AS ch,
+             doc_id % 31 = 0 AS corrupt
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE ch END AS channels,
+           CASE WHEN corrupt THEN NULL ELSE sr END AS sample_rate,
+           CASE WHEN corrupt THEN NULL ELSE n END AS n_samples,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(abs(amp) * n * ch AS BIGINT) END AS abs_sum,
+           CASE WHEN corrupt THEN 'truncated chunk' ELSE NULL END AS error
+    FROM base
+    """,
+)
+def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode — the PCM sibling of media_real_decode: each doc
+    gets a genuine 16-bit PCM WAV (RIFF/fmt/data chunk writer, stdlib
+    struct) with doc_id-derived sample count / rate / amplitude /
+    channels, and the registered 'wav' MediaCodec walks the chunk list
+    back (unknown chunks skipped by size word-aligned, format gates,
+    frame-alignment check, exact integer sum of absolute samples). Docs
+    with id%31==0 carry a truncated data chunk and must FAIL with an
+    error row. Oracle = closed-form integer expectations. PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle; n<=59 samples so payloads
+    are bounded at any corpus size."""
+    from cies_ocr_java_spark.operators.multimodal import (
+        build_wav,
+        extract_wav_features,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = build_wav(
+                    10 + i % 50,
+                    (8000, 16000, 44100)[i % 3],
+                    (i % 100) * 300 - 15000,
+                    channels=1 + i % 2,
+                )
+                payloads.append(b[:-3] if i % 31 == 0 else b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_wav_features(media)
+
+
 _LFT = 1_046_528  # formats.LARGE_FILE_THRESHOLD (application.properties:5)
 
 
