@@ -29,6 +29,7 @@ HEADLINE = [
     "extract_html_maincontent_jvm",
     "extract_pdf_ocr_route",
     "extract_pdf_flate",
+    "extract_pdf_xref_stream",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

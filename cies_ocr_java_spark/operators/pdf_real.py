@@ -82,14 +82,21 @@ def _content_stream(page_text: str, use_tj_array: bool) -> bytes:
 
 
 def build_real_pdf(text: str, use_tj_array: bool = False,
-                   corrupt_stream: bool = False) -> bytes:
-    """Emit a real, minimal, spec-conformant PDF-1.4 carrying ``text``.
+                   corrupt_stream: bool = False,
+                   xref_stream: bool = False) -> bytes:
+    """Emit a real, minimal, spec-conformant PDF carrying ``text``.
 
     Pages are ``PAGE_CHUNK_CHARS``-codepoint chunks (>=1 page even for
     empty text). Every content stream is FlateDecode-compressed.
     ``corrupt_stream=True`` truncates the LAST stream's compressed bytes
     (and fixes /Length to match) — a structurally valid file whose data
-    is broken, the reader's zlib failure path."""
+    is broken, the reader's zlib failure path. ``xref_stream=True``
+    emits the PDF-1.5 form instead: the catalog/pages/page dictionaries
+    live in a compressed OBJECT STREAM (/Type /ObjStm) and the
+    cross-reference is a compressed XREF STREAM (/Type /XRef, W [1 4 2])
+    — the modern layout PDFBox handles and naive readers choke on."""
+    if xref_stream:
+        return _build_pdf15(text, use_tj_array, corrupt_stream)
     chunks = [
         text[i:i + PAGE_CHUNK_CHARS]
         for i in range(0, len(text), PAGE_CHUNK_CHARS)
@@ -137,6 +144,86 @@ def build_real_pdf(text: str, use_tj_array: bool = False,
     return bytes(buf)
 
 
+def _build_pdf15(text: str, use_tj_array: bool, corrupt_stream: bool) -> bytes:
+    """PDF-1.5 layout: dict-only objects packed into one /ObjStm, offsets
+    delivered by a /XRef stream. Object numbering: 1 catalog, 2 pages
+    tree, 3..2+p page dicts (all type-2, inside the ObjStm), 3+p..2+2p
+    content streams (type-1), 3+2p the ObjStm, 4+2p the XRef stream."""
+    chunks = [
+        text[i:i + PAGE_CHUNK_CHARS]
+        for i in range(0, len(text), PAGE_CHUNK_CHARS)
+    ] or [""]
+    p = len(chunks)
+    objstm_num = 3 + 2 * p
+    xref_num = 4 + 2 * p
+    kids = b" ".join(b"%d 0 R" % (3 + i) for i in range(p))
+    packed: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % p),
+    ]
+    for i in range(p):
+        packed.append((
+            3 + i,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R >>" % (3 + p + i),
+        ))
+    bodies = b" ".join(body for _, body in packed)
+    header_pairs = []
+    off = 0
+    for num, body in packed:
+        header_pairs.append(b"%d %d" % (num, off))
+        off += len(body) + 1  # the joining space
+    stm_header = b" ".join(header_pairs) + b" "
+    objstm_raw = stm_header + bodies
+    objstm_comp = zlib.compress(objstm_raw, 6)
+    if corrupt_stream:
+        objstm_comp = objstm_comp[: max(1, len(objstm_comp) // 2)]
+
+    buf = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for i, chunk in enumerate(chunks):
+        num = 3 + p + i
+        raw = _content_stream(chunk, use_tj_array)
+        comp = zlib.compress(raw, 6)
+        offsets[num] = len(buf)
+        buf += (
+            b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % (num, len(comp))
+            + comp
+            + b"\nendstream\nendobj\n"
+        )
+    offsets[objstm_num] = len(buf)
+    buf += (
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (objstm_num, len(packed), len(stm_header), len(objstm_comp))
+        + objstm_comp
+        + b"\nendstream\nendobj\n"
+    )
+    xref_off = len(buf)
+    offsets[xref_num] = xref_off
+    size = xref_num + 1
+    # entries, W = [1 4 2]: type, offset-or-objstm, gen-or-index
+    rows = bytearray()
+    rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+    for num, (_, _body) in zip(range(1, 3 + p), packed):
+        idx = num - 1  # position inside the ObjStm header
+        rows += bytes([2]) + objstm_num.to_bytes(4, "big") + idx.to_bytes(2, "big")
+    for num in range(3 + p, 3 + 2 * p):
+        rows += bytes([1]) + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    rows += bytes([1]) + offsets[objstm_num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    rows += bytes([1]) + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xref_comp = zlib.compress(bytes(rows), 6)
+    buf += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Length %d /Filter /FlateDecode >>\nstream\n"
+        % (xref_num, size, len(xref_comp))
+        + xref_comp
+        + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_off
+    )
+    return bytes(buf)
+
+
 # ---------------------------------------------------------------------------
 # reader
 # ---------------------------------------------------------------------------
@@ -160,9 +247,86 @@ def _ref(dict_bytes: bytes, key: bytes) -> int:
     return int(m.group(1))
 
 
-def _parse_xref(data: bytes) -> tuple[dict[int, int], bytes]:
-    """Locate the last startxref, parse the xref TABLE into {obj: offset}
-    and return (offsets, trailer dict bytes)."""
+def _scan_dict(data: bytes, from_pos: int, num: int) -> tuple[bytes, int]:
+    """Parse the balanced ``<<..>>`` dictionary starting within 64 bytes
+    of ``from_pos``; returns (dict bytes, position just past it). Bounded
+    by nesting-aware scanning, NEVER by searching for ``endobj``:
+    compressed stream bytes can contain any byte sequence."""
+    ds = data.find(b"<<", from_pos, from_pos + 64)
+    if ds < 0:
+        raise _PdfError(f"object {num} missing dictionary")
+    depth, i = 0, ds
+    while i < len(data) - 1:
+        two = data[i:i + 2]
+        if two == b"<<":
+            depth += 2
+            i += 2
+        elif two == b">>":
+            depth -= 2
+            i += 2
+            if depth == 0:
+                return data[ds:i], i
+        else:
+            i += 1
+    raise _PdfError(f"object {num} has an unterminated dictionary")
+
+
+# an xref entry is either a byte offset (type 1) or a location inside a
+# compressed object stream (type 2): ("objstm", stream obj num, index)
+_XrefLoc = "int | tuple"
+
+
+def _parse_xref_stream(data: bytes, xref_off: int) -> tuple[dict, bytes]:
+    """PDF-1.5 cross-reference STREAM (/Type /XRef): W-described
+    big-endian rows, FlateDecode, /Index subsections; type-2 entries
+    point into object streams. The stream's own dict is the trailer."""
+    m = _OBJ_HEAD.match(data[xref_off:xref_off + 32])
+    if not m:
+        raise _PdfError("startxref does not point at an xref table or stream")
+    num = int(m.group(1))
+    d, end = _scan_dict(data, xref_off, num)
+    if not re.search(rb"/Type\s*/XRef\b", d):
+        raise _PdfError("startxref object is not an XRef stream")
+    raw = _stream_bytes(data, d, end)
+    wm = re.search(rb"/W\s*\[([^\]]*)\]", d)
+    sm = re.search(rb"/Size\s+(\d+)", d)
+    if not wm or not sm:
+        raise _PdfError("XRef stream missing /W or /Size")
+    w = [int(x) for x in wm.group(1).split()]
+    if len(w) != 3 or any(x < 0 for x in w) or sum(w) == 0:
+        raise _PdfError("bad /W widths")
+    size = int(sm.group(1))
+    im = re.search(rb"/Index\s*\[([^\]]*)\]", d)
+    pairs = [int(x) for x in im.group(1).split()] if im else [0, size]
+    if len(pairs) % 2:
+        raise _PdfError("odd /Index")
+    rowlen = sum(w)
+    offsets: dict = {}
+    pos = 0
+    for start, count in zip(pairs[0::2], pairs[1::2]):
+        for k in range(count):
+            row = raw[pos:pos + rowlen]
+            if len(row) != rowlen:
+                raise _PdfError("truncated XRef stream")
+            fields, q = [], 0
+            for width in w:
+                fields.append(
+                    int.from_bytes(row[q:q + width], "big") if width else None
+                )
+                q += width
+            t = fields[0] if w[0] else 1  # omitted type column defaults to 1
+            if t == 1:
+                offsets[start + k] = fields[1]
+            elif t == 2:
+                offsets[start + k] = ("objstm", fields[1], fields[2])
+            pos += rowlen
+    return offsets, d
+
+
+def _parse_xref(data: bytes) -> tuple[dict, bytes]:
+    """Locate the last startxref and parse the cross-reference — classic
+    table (PDF-1.4) or xref stream (PDF-1.5) — into {obj: location} plus
+    the trailer dict bytes."""
     tail = data[-2048:]
     m = None
     for m in re.finditer(rb"startxref\s+(\d+)", tail):
@@ -173,7 +337,7 @@ def _parse_xref(data: bytes) -> tuple[dict[int, int], bytes]:
     if xref_off >= len(data):
         raise _PdfError("startxref beyond EOF")
     if not data[xref_off:xref_off + 4] == b"xref":
-        raise _PdfError("startxref does not point at an xref table")
+        return _parse_xref_stream(data, xref_off)
     pos = xref_off + 4
     offsets: dict[int, int] = {}
     while True:
@@ -196,41 +360,60 @@ def _parse_xref(data: bytes) -> tuple[dict[int, int], bytes]:
     return offsets, tm.group(1)
 
 
-def _load_object(data: bytes, offsets: dict[int, int], num: int) -> tuple[bytes, int]:
-    """Fetch object ``num`` VIA ITS XREF OFFSET, verify the header — a
+def _load_object(data: bytes, offsets: dict, num: int,
+                 _depth: int = 0) -> tuple[bytes, int | None]:
+    """Fetch object ``num`` VIA ITS XREF LOCATION, verify the header — a
     wrong offset fails loudly instead of degrading to a scan — and parse
-    its balanced ``<<..>>`` dictionary. Returns (dict bytes, position
-    just past the dict). The dict is bounded by nesting-aware scanning,
-    NEVER by searching for ``endobj``: compressed stream bytes can
-    contain any byte sequence, including ``endobj`` itself."""
+    its balanced ``<<..>>`` dictionary (see _scan_dict: bounded by
+    nesting-aware scanning, NEVER by searching for ``endobj``). Returns
+    (dict bytes, position just past the dict — or None when the object
+    lives inside an object stream and so cannot carry a stream itself).
+
+    Type-2 locations resolve through the /ObjStm machinery: load the
+    carrier stream (itself a verified type-1 object), inflate, parse the
+    N-pair header, and extract the body slice — with the same
+    trust-then-verify rule (the header pair must name this object)."""
     if num not in offsets:
         raise _PdfError(f"object {num} not in xref")
-    off = offsets[num]
+    loc = offsets[num]
+    if isinstance(loc, tuple):  # type-2: inside a compressed object stream
+        if _depth >= 2:
+            raise _PdfError("object streams may not nest")
+        _, stm_num, idx = loc
+        sdict, send = _load_object(data, offsets, stm_num, _depth + 1)
+        if not re.search(rb"/Type\s*/ObjStm\b", sdict):
+            raise _PdfError(f"object {stm_num} is not an ObjStm")
+        raw = _stream_bytes(data, sdict, send)
+        nm = re.search(rb"/N\s+(\d+)", sdict)
+        fm = re.search(rb"/First\s+(\d+)", sdict)
+        if not nm or not fm:
+            raise _PdfError("ObjStm missing /N or /First")
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = raw[:first].split()
+        if len(header) < 2 * n:
+            raise _PdfError("short ObjStm header")
+        nums = [int(x) for x in header[0::2][:n]]
+        offs = [int(x) for x in header[1::2][:n]]
+        if idx >= n:
+            raise _PdfError(f"ObjStm index {idx} out of range")
+        if nums[idx] != num:
+            raise _PdfError(f"ObjStm header mismatch for object {num}")
+        start = first + offs[idx]
+        end = first + offs[idx + 1] if idx + 1 < n else len(raw)
+        d, _ = _scan_dict(raw[start:end], 0, num)
+        return d, None
+    off = loc
     if off >= len(data):
         raise _PdfError(f"xref offset for object {num} beyond EOF")
     m = _OBJ_HEAD.match(data[off:off + 32])
     if not m or int(m.group(1)) != num:
         raise _PdfError(f"xref offset for object {num} is wrong")
-    ds = data.find(b"<<", off, off + 64)
-    if ds < 0:
-        raise _PdfError(f"object {num} missing dictionary")
-    depth, i = 0, ds
-    while i < len(data) - 1:
-        two = data[i:i + 2]
-        if two == b"<<":
-            depth += 2  # consume both; track << nesting
-            i += 2
-        elif two == b">>":
-            depth -= 2
-            i += 2
-            if depth == 0:
-                return data[ds:i], i
-        else:
-            i += 1
-    raise _PdfError(f"object {num} has an unterminated dictionary")
+    return _scan_dict(data, off, num)
 
 
-def _stream_bytes(data: bytes, obj_dict: bytes, after_dict: int) -> bytes:
+def _stream_bytes(data: bytes, obj_dict: bytes, after_dict: int | None) -> bytes:
+    if after_dict is None:
+        raise _PdfError("a stream object cannot live inside an ObjStm")
     lm = re.search(rb"/Length\s+(\d+)", obj_dict)
     if not lm:
         raise _PdfError("content object missing /Length")

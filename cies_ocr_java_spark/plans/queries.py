@@ -1899,6 +1899,82 @@ def extract_pdf_flate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_pdf_xref_stream",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(length(text) / 200.0) AS INT), 1) AS pc,
+             doc_id % 41 = 0 AS corrupt
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE pc END AS page_count,
+           CASE WHEN corrupt THEN NULL ELSE 4 + 2 * pc END AS n_objects,
+           CASE WHEN corrupt THEN NULL ELSE text END AS text,
+           CASE WHEN corrupt THEN 'flate decode failed' ELSE NULL END
+             AS error_kind
+    FROM base
+    """,
+)
+def extract_pdf_xref_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODERN-PDF (1.5+) extraction — the sibling of extract_pdf_flate
+    for the layout that round-2's verdict called out as the remaining
+    wild-PDF gap: the catalog/pages/page dictionaries live inside a
+    compressed OBJECT STREAM (/Type /ObjStm) and the cross-reference is
+    a compressed XREF STREAM (/Type /XRef, /W [1 4 2] big-endian rows,
+    /Index subsections, type-2 entries resolving through the ObjStm
+    header with the same trust-then-verify rule as table offsets).
+    Writer variants: id%3 TJ kerning arrays; id%41 carries a truncated
+    ObjStm — the WHOLE doc fails with the flate error (the page tree
+    itself is unreachable), nothing extracted. Oracle = what extraction
+    must recover; n_objects counts both packed and carrier objects
+    (2+p in the ObjStm, p content streams, ObjStm, XRef). PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        REAL_PDF_SCHEMA,
+        build_real_pdf,
+        parse_real_pdf,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                parse_real_pdf(
+                    build_real_pdf(
+                        t if isinstance(t, str) else "",
+                        use_tj_array=(int(i) % 3 == 0),
+                        corrupt_stream=(int(i) % 41 == 0),
+                        xref_stream=True,
+                    )
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "page_count": pd.array(
+                    [r["page_count"] for r in rows], dtype="Int32"
+                ),
+                "n_objects": pd.array(
+                    [r["n_objects"] for r in rows], dtype="Int32"
+                ),
+                "text": [r["text"] for r in rows],
+                "error": [r["error"] for r in rows],
+            })
+
+    parsed = d.select("doc_id", "text").mapInPandas(gen, REAL_PDF_SCHEMA)
+    return parsed.select(
+        "doc_id",
+        "page_count",
+        "n_objects",
+        "text",
+        F.split(F.col("error"), ":").getItem(0).alias("error_kind"),
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)
@@ -3707,7 +3783,7 @@ _CLUSTERS_ORACLE = f"""
     pairs AS (SELECT v.id_a, v.id_b
               FROM verified v JOIN cand USING (id_a, id_b)
               WHERE v.jaccard >= {_JACCARD_THR}),
-    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),
     reach(node, r) AS (
       SELECT doc_id, doc_id FROM documents
@@ -3833,7 +3909,7 @@ _LEAKAGE_SPLIT_ORACLE = f"""
     pairs AS (SELECT v.id_a, v.id_b
               FROM verified v JOIN cand USING (id_a, id_b)
               WHERE v.jaccard >= {_JACCARD_THR}),
-    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),
     reach(node, r) AS (
       SELECT doc_id, doc_id FROM documents
@@ -4258,7 +4334,7 @@ _CURATION_MIN_TOKENS = 30
     pairs AS (SELECT v.id_a, v.id_b
               FROM verified v JOIN cand USING (id_a, id_b)
               WHERE v.jaccard >= {_JACCARD_THR}),
-    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),
     reach(node, r) AS (
       SELECT doc_id, doc_id FROM docs_q
@@ -5574,7 +5650,7 @@ def _pagerank_iters_sql(n: int) -> str:
            FROM pr JOIN documents da ON da.doc_id = pr.id_a
                    JOIN documents db ON db.doc_id = pr.id_b
            WHERE da.source != db.source),
-    edges AS (SELECT DISTINCT src, dst
+    edges AS MATERIALIZED (SELECT DISTINCT src, dst
               FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
     nodes AS (SELECT DISTINCT source FROM documents),
     deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
@@ -8456,13 +8532,19 @@ _KCORE_ROUNDS = 4
 
 
 def _kcore_rounds_sql(rounds: int, k: int) -> str:
+    # Each round references the previous edge set THREE times (the degree
+    # agg and both semi-join sides). AS MATERIALIZED forces DuckDB to
+    # evaluate each round once: inlined, the shared pair-derivation
+    # subtree re-expands ~3^rounds times — unnoticeable at sf0.01,
+    # an hour-scale stall at sf0.1 (observed). This is the oracle-side
+    # twin of the Spark plan's localCheckpoint lineage cut.
     parts = []
     prev = "e0"
     for i in range(1, rounds + 1):
         parts.append(f"""
     d{i} AS (SELECT src, count(*) AS deg FROM {prev} GROUP BY src),
     s{i} AS (SELECT src FROM d{i} WHERE deg >= {k}),
-    e{i} AS (SELECT e.src, e.dst FROM {prev} e
+    e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e
              JOIN s{i} a ON e.src = a.src
              JOIN s{i} b ON e.dst = b.src)""")
         prev = f"e{i}"
@@ -8481,7 +8563,7 @@ def _kcore_rounds_sql(rounds: int, k: int) -> str:
     {_JACCARD_CORE},
     pairs AS (SELECT v.id_a, v.id_b FROM verified v JOIN cand USING (id_a, id_b)
               WHERE v.jaccard >= {_JACCARD_THR}),
-    e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
            UNION ALL SELECT id_b, id_a FROM pairs),
     {_kcore_rounds_sql(_KCORE_ROUNDS, _KCORE_K)}
     SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
@@ -10871,7 +10953,7 @@ def moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM pr JOIN documents da ON da.doc_id = pr.id_a
                    JOIN documents db ON db.doc_id = pr.id_b
            WHERE da.source != db.source),
-    edges AS (SELECT DISTINCT src, dst
+    edges AS MATERIALIZED (SELECT DISTINCT src, dst
               FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
     deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
     cn AS (SELECT e1.src AS a, e2.dst AS b, count(*) AS common
@@ -13162,7 +13244,7 @@ def _ppr_iters_sql(n: int) -> str:
            FROM pr JOIN documents da ON da.doc_id = pr.id_a
                    JOIN documents db ON db.doc_id = pr.id_b
            WHERE da.source != db.source),
-    edges AS (SELECT DISTINCT src, dst
+    edges AS MATERIALIZED (SELECT DISTINCT src, dst
               FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
     nodes AS (SELECT DISTINCT source FROM documents),
     deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),

@@ -143,6 +143,79 @@ def test_length_lies_fail():
 
 
 # ---------------------------------------------------------------------------
+# PDF-1.5: xref streams + object streams
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("text", HOSTILE_TEXTS)
+@pytest.mark.parametrize("tj", [False, True])
+def test_pdf15_round_trip_identity(text, tj):
+    r = parse_real_pdf(build_real_pdf(text, use_tj_array=tj, xref_stream=True))
+    assert r["error"] is None and r["text"] == text
+    assert r["page_count"] == _pages(text)
+    # 2+p dicts in the ObjStm + p content streams + ObjStm + XRef stream
+    assert r["n_objects"] == 4 + 2 * _pages(text)
+
+
+@settings(max_examples=75, deadline=None)
+@given(st.text(max_size=600), st.booleans())
+def test_pdf15_round_trip_property(text, tj):
+    r = parse_real_pdf(build_real_pdf(text, use_tj_array=tj, xref_stream=True))
+    assert r["error"] is None and r["text"] == text
+
+
+def test_pdf15_uses_xref_stream_not_table():
+    """The 1.5 file genuinely has NO classic xref table — the reader must
+    be resolving through the XRef stream and the ObjStm."""
+    pdf = build_real_pdf("modern layout", xref_stream=True)
+    assert b"\nxref\n" not in pdf and b"trailer" not in pdf
+    assert b"/Type /XRef" in pdf and b"/Type /ObjStm" in pdf
+    assert parse_real_pdf(pdf)["text"] == "modern layout"
+
+
+def test_pdf15_corrupt_objstm_fails_whole_doc():
+    r = parse_real_pdf(
+        build_real_pdf("x" * 500, xref_stream=True, corrupt_stream=True)
+    )
+    assert r["error"] is not None and "flate" in r["error"]
+    assert r["text"] is None
+
+
+def test_pdf15_objstm_header_mismatch_fails():
+    """Corrupting an object number in the ObjStm header must fail the
+    trust-then-verify check, never silently return the wrong object."""
+    pdf = build_real_pdf("verify me", xref_stream=True)
+    # rebuild with a poisoned ObjStm: inflate, break the first header
+    # pair's object number, re-deflate at the same spot
+    import re
+
+    m = re.search(
+        rb"/Type /ObjStm /N (\d+) /First (\d+) /Length (\d+) "
+        rb"/Filter /FlateDecode >>\nstream\n", pdf)
+    start = m.end()
+    comp = pdf[start:start + int(m.group(3))]
+    raw = bytearray(zlib.decompress(comp))
+    assert raw.startswith(b"1 ")
+    raw[0:1] = b"9"  # first packed object now claims to be 9
+    comp2 = zlib.compress(bytes(raw), 6)
+    hacked = (
+        pdf[:m.start()]
+        + re.sub(rb"/Length \d+", b"/Length %d" % len(comp2),
+                 pdf[m.start():m.end()])
+        + comp2 + pdf[start + int(m.group(3)):]
+    )
+    r = parse_real_pdf(hacked)
+    assert r["error"] is not None and "mismatch" in r["error"]
+
+
+def test_pdf15_fuzz_never_raises():
+    rng = random.Random(11)
+    for _ in range(200):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+        r = parse_real_pdf(b"%PDF-1.5\n" + blob)
+        assert (r["text"] is None) == (r["error"] is not None)
+
+
+# ---------------------------------------------------------------------------
 # Spark operators
 # ---------------------------------------------------------------------------
 
