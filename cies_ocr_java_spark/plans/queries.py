@@ -11093,7 +11093,12 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("t") - (W - 2)),
+                # n-W+1 full-width grams: an inclusive upper bound one
+                # higher emitted a SHORT trailing (W-1)-gram, invisible
+                # at sf0.01 (its hash never collided) but counted as a
+                # duplicate once two docs shared a 7-token tail at sf0.1
+                # — coverage exceeded 1.0
+                F.sequence(F.lit(1), F.size("t") - (W - 1)),
                 lambda i: F.struct(
                     i.cast("bigint").alias("pos"),
                     F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, W))).alias(
@@ -13543,7 +13548,12 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "p_partkey",
         F.col("revenue").cast("double").alias("revenue"),
-        share.alias("cum_share"),
+        # DOUBLE, not decimal, on the wire (the header's NULL-vs-NaN/
+        # representation rule): a Decimal-typed spark column against the
+        # oracle's float64 sorts differently once values drop below 1e-4
+        # (plain vs e-notation string keys) and misaligns the compare —
+        # first seen at sf0.1, invisible at sf0.01
+        share.cast("double").alias("cum_share"),
         F.when(share <= F.lit("0.800000").cast("decimal(12,6)"), "A")
         .when(share <= F.lit("0.950000").cast("decimal(12,6)"), "B")
         .otherwise("C")
@@ -13974,7 +13984,10 @@ def int8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "label",
-        F.col("x").cast("double").cast("string").cast("decimal(18,9)").alias("xq"),
+        # scale 8 — must match the oracle's _DEC8 exactly: a scale-9
+        # spark side vs scale-8 oracle diverged on 1 of 64k elements at
+        # sf0.1 (invisible at sf0.01's 6.4k)
+        F.col("x").cast("double").cast("string").cast("decimal(12,8)").alias("xq"),
     )
     m = u.groupBy("vec_id").agg(F.max(F.abs(F.col("xq"))).alias("am"))
     q = u.join(m, "vec_id").select(
@@ -17656,8 +17669,9 @@ def events_hourly_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(DISTINCT q.vec_id) AS BIGINT) AS n_vecs
       FROM q JOIN cent t ON t.label = q.label AND t.dim = q.dim),
     between_s AS (
-      SELECT CAST(sum(CAST(t.nl AS DECIMAL(18,0))
-                 * ((t.c - g.g) * (t.c - g.g))) AS DECIMAL(38,12)) AS ssb
+      SELECT CAST(sum(CAST(t.nl AS DECIMAL(10,0))
+                 * CAST((t.c - g.g) * (t.c - g.g) AS DECIMAL(20,12)))
+             AS DECIMAL(38,12)) AS ssb
       FROM cent t JOIN gmean g ON g.dim = t.dim)
     SELECT w.n_vecs,
            CAST(CAST(CAST(b.ssb AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))
@@ -17717,8 +17731,15 @@ def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         between_s = cent.join(gmean, "dim").agg(
             F.sum(
-                F.col("nl").cast("decimal(18,0)")
+                # (10,0) x (20,12) -> (31,12): stays inside precision 38
+                # so every term is EXACT. With nl at (18,0) the product
+                # type hit precision 44 and Spark's precision-loss rule
+                # silently rounded each term to scale 6 while DuckDB
+                # stayed exact — a 1.9e-5 ssb drift across 320 terms at
+                # sf0.1 (invisible at sf0.01's output quantum)
+                F.col("nl").cast("decimal(10,0)")
                 * ((F.col("c") - F.col("g")) * (F.col("c") - F.col("g")))
+                .cast("decimal(20,12)")
             )
             .cast("decimal(38,12)")
             .alias("ssb")
