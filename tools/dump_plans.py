@@ -312,10 +312,80 @@ COMMENTARY = {
         "suppliers arrive via LEFT SEMI."
     ),
     "lsh_recall_eval": (
-        "ONE persisted shingle table feeds truth + signatures; each "
-        "banding adds only its bucket join, and found-counts intersect "
-        "the persisted truth set instead of re-verifying. The union of "
-        "four 1-row aggregates is constant-width."
+        "SAMPLED (round 3): the deterministic 50% doc-hash predicate sits "
+        "directly on the parquet scan — sampled-away docs never shingle. "
+        "ONE persisted shingle table (of the sample) feeds truth + "
+        "signatures; each banding adds only its bucket join, and "
+        "found-counts intersect the persisted truth set instead of "
+        "re-verifying. The union of four 1-row aggregates is "
+        "constant-width."
+    ),
+    "lsh_s_curve_planner": (
+        "The planner reads the SAME 50% hash-sample (scan-stage filter, "
+        "plan-pinned) and derives the exact-jaccard bin distribution via "
+        "the lossless prefix filter; the 28-row analytic S-curve grid is "
+        "a literal broadcast, and n_pairs_est scales counts back by the "
+        "exact integer 1/rate^2 = 4. A planner must never pay the "
+        "full-corpus sweep it is planning."
+    ),
+    "neardup_pairs_build": (
+        "BUILD side of build->consume: the banded MinHash+LSH verified "
+        "pair derivation runs ONCE and commits as a snapshot table; the "
+        "returned plan is a pure parquet scan of the committed table "
+        "(plan-pinned: no Generate, no Python). Seven graph-family "
+        "consumers read this scan instead of re-deriving pairs."
+    ),
+    "dedup_clusters_from_table": (
+        "CONSUME side: identical components to dedup_clusters, but the "
+        "pair set arrives as a slim 3-column parquet scan — no shingling, "
+        "no band join, no verification anywhere in this plan. Label "
+        "propagation still localCheckpoints per round (lineage cut)."
+    ),
+    "extract_pdf_flate": (
+        "Real-PDF round trip in ONE Arrow-batched mapInPandas pass (zlib "
+        "has no JVM-codegen form — the documented irreducible-Python "
+        "case): writer emits genuine PDF-1.4 with byte-exact xref "
+        "offsets, reader walks startxref -> xref -> /Root -> /Kids -> "
+        "/Length-bounded FlateDecode streams. No shuffle; payload size "
+        "bounded per doc, so worker memory is flat at any corpus size."
+    ),
+    "extract_pdf_xref_stream": (
+        "Same single Arrow pass for the PDF-1.5 layout: compressed XRef "
+        "STREAM (W-described rows) + object STREAM (/ObjStm) resolution "
+        "with trust-then-verify header checks. A corrupted ObjStm fails "
+        "the whole doc as an error row — never a task failure."
+    ),
+    "media_real_decode": (
+        "REAL BMP decode (stdlib struct) in one Arrow-batched mapInPandas "
+        "pass: header gates, stride arithmetic, exact integer ink sums; "
+        "truncated payloads become failure rows. No shuffle; dimensions "
+        "are bounded so batch memory is flat."
+    ),
+    "media_wav_decode": (
+        "REAL PCM-WAV decode in one Arrow-batched pass: RIFF chunk walk "
+        "(unknown chunks skipped by size, word-aligned), format gates, "
+        "exact integer absolute-sample sums; truncated chunks become "
+        "failure rows. No shuffle."
+    ),
+    "giant_payload_routing": (
+        "The LargeFileThreshold analog: route + multipart chunk plan + "
+        "etag as ONE map-side codegen projection (plan-pinned shuffle- "
+        "free, zero Python). An oversized payload is digested into slim "
+        "per-chunk rows at the scan and never crosses an exchange whole."
+    ),
+    "orders_rfm_segments": (
+        "Three DISTRIBUTED global ranks (range-repartition + partition- "
+        "local row_number + broadcast per-partition offsets) — customer- "
+        "grain rows never cross a SinglePartition exchange; the only "
+        "single-partition windows run over the partitions-sized offset "
+        "tables. Quintile arithmetic is integer div against a broadcast "
+        "1-row n."
+    ),
+    "kmv_set_operations": (
+        "The k-minimum hash set comes from orderBy(h).limit(k), planned "
+        "as a distributed TakeOrderedAndProject (per-task partial top-k, "
+        "driver merge) — the full distinct-user union never sees a "
+        "global window sort. Everything after is k rows."
     ),
     "record_linkage_blocked": (
         "Blocking keys are codegen substrings; candidates come from two "
