@@ -30,6 +30,7 @@ HEADLINE = [
     "extract_pdf_ocr_route",
     "extract_pdf_flate",
     "extract_pdf_xref_stream",
+    "extract_pdf_incremental",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -83,7 +83,8 @@ def _content_stream(page_text: str, use_tj_array: bool) -> bytes:
 
 def build_real_pdf(text: str, use_tj_array: bool = False,
                    corrupt_stream: bool = False,
-                   xref_stream: bool = False) -> bytes:
+                   xref_stream: bool = False,
+                   split_contents: bool = False) -> bytes:
     """Emit a real, minimal, spec-conformant PDF carrying ``text``.
 
     Pages are ``PAGE_CHUNK_CHARS``-codepoint chunks (>=1 page even for
@@ -102,30 +103,50 @@ def build_real_pdf(text: str, use_tj_array: bool = False,
         for i in range(0, len(text), PAGE_CHUNK_CHARS)
     ] or [""]
     n_pages = len(chunks)
-    # object numbering: 1 catalog, 2 pages, then per page i: (3+2i) page,
-    # (4+2i) content
+    # object numbering: 1 catalog, 2 pages, then per page i: page object
+    # followed by its content stream(s) — one, or two when
+    # split_contents (the /Contents-array form: the page's text divides
+    # across streams that a reader must concatenate in order)
+    step = 3 if split_contents else 2
     objects: list[bytes] = []
     kids = b" ".join(
-        b"%d 0 R" % (3 + 2 * i) for i in range(n_pages)
+        b"%d 0 R" % (3 + step * i) for i in range(n_pages)
     )
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(
         b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
     )
-    for i, chunk in enumerate(chunks):
-        objects.append(
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Contents %d 0 R >>" % (4 + 2 * i)
-        )
-        raw = _content_stream(chunk, use_tj_array)
+
+    def _comp_stream(chunk_text: str, corrupt: bool) -> bytes:
+        raw = _content_stream(chunk_text, use_tj_array)
         comp = zlib.compress(raw, 6)
-        if corrupt_stream and i == n_pages - 1:
+        if corrupt:
             comp = comp[: max(1, len(comp) // 2)]
-        objects.append(
+        return (
             b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
             + comp
             + b"\nendstream"
         )
+
+    for i, chunk in enumerate(chunks):
+        last = i == n_pages - 1
+        if split_contents:
+            objects.append(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Contents [%d 0 R %d 0 R] >>"
+                % (4 + step * i, 5 + step * i)
+            )
+            half = len(chunk) // 2
+            objects.append(_comp_stream(chunk[:half], False))
+            objects.append(
+                _comp_stream(chunk[half:], corrupt_stream and last)
+            )
+        else:
+            objects.append(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Contents %d 0 R >>" % (4 + step * i)
+            )
+            objects.append(_comp_stream(chunk, corrupt_stream and last))
     buf = bytearray(b"%PDF-1.4\n")
     offsets = [0]  # object 0 is the free head
     for num, body in enumerate(objects, start=1):
@@ -220,6 +241,72 @@ def _build_pdf15(text: str, use_tj_array: bool, corrupt_stream: bool) -> bytes:
         % (xref_num, size, len(xref_comp))
         + xref_comp
         + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_off
+    )
+    return bytes(buf)
+
+
+def append_incremental_update(pdf: bytes, page_index: int, new_text: str,
+                              use_tj_array: bool = False,
+                              corrupt_prev: bool = False) -> bytes:
+    """Append a REAL incremental update (PDF spec 7.5.6): a replacement
+    content stream for page ``page_index`` plus a new xref section whose
+    trailer carries /Prev pointing at the previous section — the
+    original bytes are untouched, exactly how interactive editors save.
+    A compliant reader must resolve the NEWEST entry for the replaced
+    object number and ignore the stale body earlier in the file.
+    ``corrupt_prev=True`` writes a /Prev that points into the header —
+    the broken-chain failure path."""
+    offsets, trailer = _parse_xref(pdf)
+    root = _ref(trailer, b"Root")
+    catalog, _ = _load_object(pdf, offsets, root)
+    pages_obj, _ = _load_object(pdf, offsets, _ref(catalog, b"Pages"))
+    kids = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_obj)
+    kid_nums = [int(n) for n in re.findall(rb"(\d+)\s+0\s+R", kids.group(1))]
+    page, _ = _load_object(pdf, offsets, kid_nums[page_index])
+    am = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
+    if am:  # replace the FIRST stream of an array page; blank the rest
+        cnum = int(re.findall(rb"(\d+)\s+0\s+R", am.group(1))[0])
+        extra = [
+            int(x) for x in re.findall(rb"(\d+)\s+0\s+R", am.group(1))[1:]
+        ]
+    else:
+        cnum = _ref(page, b"Contents")
+        extra = []
+    sm = re.search(rb"/Size\s+(\d+)", trailer)
+    size = int(sm.group(1)) if sm else max(offsets) + 1
+    tm = None
+    for tm in re.finditer(rb"startxref\s+(\d+)", pdf[-2048:]):
+        pass
+    prev_off = int(tm.group(1))
+
+    buf = bytearray(pdf)
+    entries: list[tuple[int, int]] = []
+    raw = _content_stream(new_text, use_tj_array)
+    comp = zlib.compress(raw, 6)
+    entries.append((cnum, len(buf)))
+    buf += (
+        b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % (cnum, len(comp))
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    for en in extra:  # empty replacement streams for the array tail
+        ec = zlib.compress(_content_stream("", False), 6)
+        entries.append((en, len(buf)))
+        buf += (
+            b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % (en, len(ec))
+            + ec
+            + b"\nendstream\nendobj\n"
+        )
+    xref_off = len(buf)
+    buf += b"xref\n"
+    for num, off in sorted(entries):
+        buf += b"%d 1\n%010d 00000 n \n" % (num, off)
+    prev_val = 2 if corrupt_prev else prev_off
+    buf += (
+        b"trailer\n<< /Size %d /Root %d 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size, root, prev_val, xref_off)
     )
     return bytes(buf)
 
@@ -323,17 +410,10 @@ def _parse_xref_stream(data: bytes, xref_off: int) -> tuple[dict, bytes]:
     return offsets, d
 
 
-def _parse_xref(data: bytes) -> tuple[dict, bytes]:
-    """Locate the last startxref and parse the cross-reference — classic
-    table (PDF-1.4) or xref stream (PDF-1.5) — into {obj: location} plus
-    the trailer dict bytes."""
-    tail = data[-2048:]
-    m = None
-    for m in re.finditer(rb"startxref\s+(\d+)", tail):
-        pass
-    if m is None:
-        raise _PdfError("missing startxref")
-    xref_off = int(m.group(1))
+def _parse_xref_section(data: bytes, xref_off: int) -> tuple[dict, bytes]:
+    """Parse ONE cross-reference section (classic table or xref stream)
+    at ``xref_off`` into ({obj: location}, trailer dict bytes). /Prev
+    chaining is the caller's job."""
     if xref_off >= len(data):
         raise _PdfError("startxref beyond EOF")
     if not data[xref_off:xref_off + 4] == b"xref":
@@ -358,6 +438,43 @@ def _parse_xref(data: bytes) -> tuple[dict, bytes]:
     if not tm:
         raise _PdfError("missing trailer")
     return offsets, tm.group(1)
+
+
+def _parse_xref(data: bytes) -> tuple[dict, bytes]:
+    """Locate the last startxref and parse the FULL cross-reference —
+    following /Prev links across incremental-update sections, NEWEST
+    entry winning per object (the incremental-save semantics PDFBox
+    honors). The newest section's trailer provides /Root. Chain guards:
+    a cycle or an over-long chain fails the document."""
+    tail = data[-2048:]
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", tail):
+        pass
+    if m is None:
+        raise _PdfError("missing startxref")
+    off = int(m.group(1))
+    offsets: dict = {}
+    trailer: bytes | None = None
+    seen: set[int] = set()
+    for link in range(8):
+        if off in seen:
+            raise _PdfError("cyclic /Prev chain")
+        seen.add(off)
+        try:
+            sec, sec_trailer = _parse_xref_section(data, off)
+        except _PdfError as e:
+            if link == 0:
+                raise
+            raise _PdfError(f"broken /Prev chain: {e}") from None
+        if trailer is None:
+            trailer = sec_trailer
+        for k, v in sec.items():
+            offsets.setdefault(k, v)  # newer sections already inserted win
+        pm = re.search(rb"/Prev\s+(\d+)", sec_trailer)
+        if not pm:
+            return offsets, trailer
+        off = int(pm.group(1))
+    raise _PdfError("/Prev chain too long")
 
 
 def _load_object(data: bytes, offsets: dict, num: int,
@@ -563,8 +680,21 @@ def parse_real_pdf(data: bytes) -> dict:
         texts: list[str] = []
         for kn in kid_nums:
             page, _ = _load_object(data, offsets, kn)
-            cdict, cend = _load_object(data, offsets, _ref(page, b"Contents"))
-            raw = _stream_bytes(data, cdict, cend)
+            # /Contents is a single ref OR an array of refs whose decoded
+            # streams concatenate in order (spec 7.7.3.3)
+            am = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
+            if am:
+                cnums = [
+                    int(x) for x in re.findall(rb"(\d+)\s+0\s+R", am.group(1))
+                ]
+                if not cnums:
+                    raise _PdfError("empty /Contents array")
+            else:
+                cnums = [_ref(page, b"Contents")]
+            raw = b""
+            for cn in cnums:
+                cdict, cend = _load_object(data, offsets, cn)
+                raw += _stream_bytes(data, cdict, cend)
             parts = []
             for lit in _literals(raw):
                 try:

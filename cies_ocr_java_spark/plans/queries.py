@@ -1975,6 +1975,96 @@ def extract_pdf_xref_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_pdf_incremental",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(length(text) / 200.0) AS INT), 1) AS pc,
+             doc_id % 2 = 0 AS updated,
+             doc_id % 86 = 0 AS corrupt,
+             doc_id % 5 = 0 AS split
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE pc END AS page_count,
+           CASE WHEN corrupt THEN NULL
+                ELSE 2 + (CASE WHEN split THEN 3 ELSE 2 END) * pc END
+             AS n_objects,
+           CASE WHEN corrupt THEN NULL
+                WHEN updated THEN upper(substr(text, 1, 200))
+                                  || substr(text, 201)
+                ELSE text END AS text,
+           CASE WHEN corrupt THEN 'broken /Prev chain' ELSE NULL END
+             AS error_kind
+    FROM base
+    """,
+)
+def extract_pdf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL-UPDATE extraction — the third real-PDF layout after
+    the classic table and the 1.5 xref stream: even-id docs get a
+    genuine appended update (spec 7.5.6 — a replacement content stream
+    for page one plus a new xref section whose trailer /Prev points at
+    the previous section; the original bytes are untouched, exactly how
+    interactive editors save), so the reader must follow the /Prev
+    chain and let the NEWEST entry win per object — reading the stale
+    body yields the un-upper'd page and fails the oracle. id%5 pages
+    carry /Contents ARRAYS (two streams concatenated in order), id%3
+    uses TJ kerning arrays, and id%86 writes a /Prev pointing into the
+    header — the whole doc must fail as 'broken /Prev chain'.
+    n_objects counts the MERGED xref map (updates replace, never grow).
+    Oracle = closed-form expectations over the source text. PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        REAL_PDF_SCHEMA,
+        append_incremental_update,
+        build_real_pdf,
+        parse_real_pdf,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = t if isinstance(t, str) else ""
+                b = build_real_pdf(
+                    t,
+                    use_tj_array=(i % 3 == 0),
+                    split_contents=(i % 5 == 0),
+                )
+                if i % 2 == 0:
+                    b = append_incremental_update(
+                        b, 0, t[:200].upper(),
+                        use_tj_array=(i % 3 == 0),
+                        corrupt_prev=(i % 86 == 0),
+                    )
+                rows.append(parse_real_pdf(b))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "page_count": pd.array(
+                    [r["page_count"] for r in rows], dtype="Int32"
+                ),
+                "n_objects": pd.array(
+                    [r["n_objects"] for r in rows], dtype="Int32"
+                ),
+                "text": [r["text"] for r in rows],
+                "error": [r["error"] for r in rows],
+            })
+
+    parsed = d.select("doc_id", "text").mapInPandas(gen, REAL_PDF_SCHEMA)
+    return parsed.select(
+        "doc_id",
+        "page_count",
+        "n_objects",
+        "text",
+        F.split(F.col("error"), ":").getItem(0).alias("error_kind"),
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

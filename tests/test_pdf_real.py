@@ -216,6 +216,68 @@ def test_pdf15_fuzz_never_raises():
 
 
 # ---------------------------------------------------------------------------
+# /Contents arrays + incremental updates (/Prev chains)
+# ---------------------------------------------------------------------------
+
+from cies_ocr_java_spark.operators.pdf_real import append_incremental_update
+
+
+@pytest.mark.parametrize("text", HOSTILE_TEXTS)
+def test_split_contents_round_trip(text):
+    """/Contents [a 0 R b 0 R]: the page's decoded streams concatenate
+    in array order — round trip stays the identity."""
+    r = parse_real_pdf(build_real_pdf(text, split_contents=True))
+    assert r["error"] is None and r["text"] == text
+    assert r["n_objects"] == 2 + 3 * _pages(text)
+
+
+def test_incremental_update_newest_wins():
+    """An appended update must shadow the original content stream via
+    the /Prev chain — original bytes untouched, newest xref entry wins."""
+    base = build_real_pdf("x" * 450)  # 3 pages
+    upd = append_incremental_update(base, 0, "NEW PAGE ONE")
+    assert upd[: len(base)] == base  # true incremental save
+    r = parse_real_pdf(upd)
+    assert r["error"] is None
+    assert r["text"] == "NEW PAGE ONE" + "x" * 250
+    assert r["page_count"] == 3 and r["n_objects"] == 8  # replaced, not grown
+
+
+def test_incremental_update_chain_of_two():
+    base = build_real_pdf("x" * 450)
+    upd = append_incremental_update(base, 0, "ONE")
+    upd = append_incremental_update(upd, 1, "TWO")
+    r = parse_real_pdf(upd)
+    assert r["error"] is None
+    assert r["text"] == "ONE" + "TWO" + "x" * 50
+
+
+def test_incremental_update_on_split_contents_page():
+    base = build_real_pdf("A" * 100 + "B" * 100, split_contents=True)
+    r = parse_real_pdf(append_incremental_update(base, 0, "replaced"))
+    assert r["error"] is None and r["text"] == "replaced"
+
+
+def test_broken_prev_chain_fails():
+    base = build_real_pdf("hello")
+    bad = append_incremental_update(base, 0, "zzz", corrupt_prev=True)
+    r = parse_real_pdf(bad)
+    assert r["error"] is not None and r["error"].startswith("broken /Prev chain")
+
+
+def test_cyclic_prev_chain_fails():
+    import re as _re
+
+    base = build_real_pdf("hello")
+    upd = append_incremental_update(base, 0, "new")
+    own = int(list(_re.finditer(rb"startxref\s+(\d+)", upd[-2048:]))[-1].group(1))
+    old_prev = int(list(_re.finditer(rb"/Prev (\d+)", upd))[-1].group(1))
+    cyc = upd.replace(b"/Prev %d" % old_prev, b"/Prev %d" % own)
+    r = parse_real_pdf(cyc)
+    assert r["error"] is not None and "cycl" in r["error"]
+
+
+# ---------------------------------------------------------------------------
 # Spark operators
 # ---------------------------------------------------------------------------
 
