@@ -43,6 +43,7 @@ HEADLINE = [
     "media_frame_sample",
     "media_real_decode",
     "media_wav_decode",
+    "media_png_decode",
     "events_asof_join",
     "q1_pricing_summary",
     "q3_shipping_priority",

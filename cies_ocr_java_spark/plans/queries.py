@@ -2536,6 +2536,70 @@ def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_wav_features(media)
 
 
+@_register(
+    "media_png_decode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(5 + doc_id % 11 AS INT) AS w,
+             CAST(2 + doc_id % 9 AS INT) AS h,
+             doc_id % 251 AS v,
+             doc_id % 29 = 0 AS corrupt
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE w END AS width,
+           CASE WHEN corrupt THEN NULL ELSE h END AS height,
+           CASE WHEN corrupt THEN NULL ELSE 'image/png' END AS mime,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(w * h * v AS BIGINT) END AS ink_sum,
+           CASE WHEN corrupt THEN 'crc mismatch in IDAT' ELSE NULL END
+             AS error
+    FROM base
+    """,
+)
+def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED image decode — one step beyond media_real_decode's
+    raw-pixel BMP: each doc gets a genuine 8-bit grayscale PNG
+    (signature, IHDR, zlib-compressed IDAT, IEND, correct per-chunk
+    CRC32s; scanline filters cycle through ALL FIVE spec types by row,
+    so decoding requires the full None/Sub/Up/Average/Paeth
+    reconstruction suite). The registered 'png' MediaCodec walks the
+    chunks back, VERIFIES each CRC, inflates, unfilters, and sums pixel
+    ink. Docs with id%29==0 carry one flipped IDAT byte — the CRC gate
+    must catch it as a failure row, never a task crash. Oracle =
+    closed-form integer expectations (ink = w*h*value). PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle; dims bounded (w<=15,
+    h<=10)."""
+    from cies_ocr_java_spark.operators.multimodal import (
+        build_png,
+        extract_png_features,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = build_png(5 + i % 11, 2 + i % 9, i % 251)
+                if i % 29 == 0:
+                    j = b.index(b"IDAT") + 6
+                    b = b[:j] + bytes([b[j] ^ 0xFF]) + b[j + 1:]
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_png_features(media)
+
+
 _LFT = 1_046_528  # formats.LARGE_FILE_THRESHOLD (application.properties:5)
 
 
