@@ -44,6 +44,7 @@ HEADLINE = [
     "media_real_decode",
     "media_wav_decode",
     "media_png_decode",
+    "media_dispatch_decode",
     "events_asof_join",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -554,6 +554,79 @@ def extract_bmp_features(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(op, BMP_FEATURES_SCHEMA)
 
 
+def sniff_media_format(data: bytes | None) -> str | None:
+    """Magic-byte sniff over the real-codec suite: 'bmp' / 'png' / 'wav',
+    or None when no registered container signature matches. Content
+    sniffing, never trusting an extension/metadata column — the crawl
+    reality where both lie."""
+    if data is None or len(data) < 12:
+        return None
+    data = bytes(data[:16])
+    if data.startswith(_PNG_SIG):
+        return "png"
+    if data.startswith(b"BM"):
+        return "bmp"
+    if data.startswith(b"RIFF") and data[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+DISPATCH_SCHEMA = (
+    "doc_id long, format string, width int, height int, n_samples int, "
+    "ink_sum long, error string"
+)
+
+
+def extract_media_dispatch(df: DataFrame, content_col: str = "content",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Mixed-format payload column -> per-row sniff + decode through the
+    matching REAL codec, one Arrow-batched pass. Images report
+    width/height/ink_sum; audio reports n_samples and the absolute-sample
+    sum in ink_sum (the shared 'energy' slot); unrecognized payloads
+    become ('unknown format') failure rows — the multi-format ingest
+    front door where media arrives as opaque bytes of unknown kind."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, ns, inks, errs = [], [], [], [], [], []
+            for b in pdf[content_col]:
+                fmt = sniff_media_format(b)
+                if fmt == "bmp":
+                    r = decode_bmp(b)
+                    ws.append(r["width"]); hs.append(r["height"])
+                    ns.append(None); inks.append(r["ink_sum"])
+                    errs.append(r["error"])
+                elif fmt == "png":
+                    r = decode_png(b)
+                    ws.append(r["width"]); hs.append(r["height"])
+                    ns.append(None); inks.append(r["ink_sum"])
+                    errs.append(r["error"])
+                elif fmt == "wav":
+                    r = decode_wav(b)
+                    ws.append(None); hs.append(None)
+                    ns.append(r["n_samples"]); inks.append(r["abs_sum"])
+                    errs.append(r["error"])
+                else:
+                    r = None
+                    ws.append(None); hs.append(None)
+                    ns.append(None); inks.append(None)
+                    errs.append("unknown format")
+                fmts.append(fmt if (r is None or r["error"] is None) else fmt)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int32"),
+                    "ink_sum": pd.array(inks, dtype="Int64"),
+                    "error": errs,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(op, DISPATCH_SCHEMA)
+
+
 _CODEC_REGISTRY: dict[str, MediaCodec] = {}
 
 

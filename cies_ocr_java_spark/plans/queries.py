@@ -2600,6 +2600,98 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_png_features(media)
 
 
+@_register(
+    "media_dispatch_decode",
+    """
+    WITH base AS (
+      SELECT doc_id, doc_id % 4 AS kind,
+             doc_id % 23 = 0 AS trunc
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN kind = 3 THEN NULL
+                WHEN kind = 0 THEN 'bmp'
+                WHEN kind = 1 THEN 'png'
+                ELSE 'wav' END AS format,
+           CASE WHEN kind = 0 AND NOT trunc THEN CAST(4 + doc_id % 13 AS INT)
+                WHEN kind = 1 THEN CAST(5 + doc_id % 11 AS INT)
+                ELSE NULL END AS width,
+           CASE WHEN kind = 0 AND NOT trunc THEN CAST(3 + doc_id % 7 AS INT)
+                WHEN kind = 1 THEN CAST(2 + doc_id % 9 AS INT)
+                ELSE NULL END AS height,
+           CASE WHEN kind = 2 THEN CAST(10 + doc_id % 50 AS INT)
+                ELSE NULL END AS n_samples,
+           CASE WHEN kind = 0 AND NOT trunc
+                  THEN CAST((4 + doc_id % 13) * (3 + doc_id % 7) * 3
+                            * (doc_id % 251) AS BIGINT)
+                WHEN kind = 1
+                  THEN CAST((5 + doc_id % 11) * (2 + doc_id % 9)
+                            * (doc_id % 251) AS BIGINT)
+                WHEN kind = 2
+                  THEN CAST(abs(CAST(doc_id % 100 AS INT) * 300 - 15000)
+                            * (10 + doc_id % 50) * (1 + doc_id % 2)
+                            AS BIGINT)
+                ELSE NULL END AS ink_sum,
+           CASE WHEN kind = 3 THEN 'unknown format'
+                WHEN kind = 0 AND trunc THEN 'truncated pixel data'
+                ELSE NULL END AS error
+    FROM base
+    """,
+)
+def media_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-FORMAT codec dispatch — the ingest front door where media
+    arrives as opaque bytes of unknown kind: a mixed payload column
+    (real BMP / PNG / WAV / garbage by id%4) is magic-byte SNIFFED
+    (never trusting metadata) and routed to the matching real codec in
+    one Arrow-batched pass. Images report width/height/pixel ink, audio
+    reports n_samples + absolute-sample energy in the shared ink slot,
+    unrecognized payloads and a truncated-BMP tier (id%23 of the bmp
+    class) become failure rows. Oracle = closed-form integer
+    expectations per class. PLAN: one mapInPandas pass, no shuffle,
+    bounded payloads."""
+    from cies_ocr_java_spark.operators.multimodal import (
+        build_bmp,
+        build_png,
+        build_wav,
+        extract_media_dispatch,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                k = i % 4
+                if k == 0:
+                    b = build_bmp(4 + i % 13, 3 + i % 7, i % 251)
+                    if i % 23 == 0:
+                        b = b[:-5]
+                elif k == 1:
+                    b = build_png(5 + i % 11, 2 + i % 9, i % 251)
+                elif k == 2:
+                    b = build_wav(
+                        10 + i % 50,
+                        (8000, 16000, 44100)[i % 3],
+                        (i % 100) * 300 - 15000,
+                        channels=1 + i % 2,
+                    )
+                else:
+                    b = b"\x00GARBAGE-" + str(i).encode() * 3
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_media_dispatch(media)
+
+
 _LFT = 1_046_528  # formats.LARGE_FILE_THRESHOLD (application.properties:5)
 
 

@@ -87,6 +87,37 @@ def test_registry_codec_batch():
     assert out["error"][1] is not None and out["error"][2] is not None
 
 
+def test_media_dispatch_sniffs_and_routes(spark):
+    """Mixed-format column: magic-byte sniff routes each payload to the
+    right real codec; garbage and truncated payloads fail as rows."""
+    from cies_ocr_java_spark.operators.multimodal import (
+        build_bmp,
+        build_wav,
+        extract_media_dispatch,
+        sniff_media_format,
+    )
+
+    assert sniff_media_format(build_png(3, 3, 1)) == "png"
+    assert sniff_media_format(build_bmp(3, 3, 1)) == "bmp"
+    assert sniff_media_format(build_wav(5, 8000, 1)) == "wav"
+    assert sniff_media_format(b"\x00garbage-payload") is None
+    rows = [
+        (1, build_bmp(4, 2, 10)),
+        (2, build_png(5, 3, 20)),
+        (3, build_wav(7, 8000, -100, channels=2)),
+        (4, b"\x00not-a-format"),
+        (5, build_bmp(4, 2, 10)[:-3]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in extract_media_dispatch(df).collect()}
+    assert out[1]["format"] == "bmp" and out[1]["ink_sum"] == 4 * 2 * 3 * 10
+    assert out[2]["format"] == "png" and out[2]["ink_sum"] == 5 * 3 * 20
+    assert out[3]["format"] == "wav" and out[3]["n_samples"] == 7
+    assert out[3]["ink_sum"] == 100 * 7 * 2
+    assert out[4]["format"] is None and out[4]["error"] == "unknown format"
+    assert out[5]["format"] == "bmp" and out[5]["error"] is not None
+
+
 def test_spark_png_feature_extraction(spark):
     rows = [(1, build_png(6, 5, 50)), (2, build_png(3, 3, 0)[:-9]), (3, None)]
     df = spark.createDataFrame(rows, "doc_id long, content binary")
