@@ -65,12 +65,23 @@ def _pdf_escape_bytes(s: str) -> bytes:
     return out
 
 
-def _content_stream(page_text: str, use_tj_array: bool) -> bytes:
+def _content_stream(page_text: str, use_tj_array: bool,
+                    use_hex_strings: bool = False) -> bytes:
     """Uncompressed page content: one text object, one show op per page
     chunk (raw \\n inside a literal is legal PDF content; \\r is escaped
-    because a spec reader EOL-normalizes it)."""
+    because a spec reader EOL-normalizes it). ``use_hex_strings`` emits
+    the ``<hex> Tj`` show-op form instead of a literal — the other PDF
+    string syntax (spec 7.3.4.3), no escaping needed."""
+    import binascii
+
     ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
-    if use_tj_array and len(page_text) >= 2:
+    if use_hex_strings:
+        hx = binascii.hexlify(page_text.encode("utf-8")).upper()
+        # split into two show ops with interior whitespace — readers must
+        # ignore whitespace inside hex strings
+        mid = (len(hx) // 2) & ~1
+        ops.append(b"<" + hx[:mid] + b"\n" + hx[mid:] + b"> Tj")
+    elif use_tj_array and len(page_text) >= 2:
         half = len(page_text) // 2
         a = _pdf_escape_bytes(page_text[:half])
         b = _pdf_escape_bytes(page_text[half:])
@@ -84,7 +95,9 @@ def _content_stream(page_text: str, use_tj_array: bool) -> bytes:
 def build_real_pdf(text: str, use_tj_array: bool = False,
                    corrupt_stream: bool = False,
                    xref_stream: bool = False,
-                   split_contents: bool = False) -> bytes:
+                   split_contents: bool = False,
+                   use_hex_strings: bool = False,
+                   filter_chain: bool = False) -> bytes:
     """Emit a real, minimal, spec-conformant PDF carrying ``text``.
 
     Pages are ``PAGE_CHUNK_CHARS``-codepoint chunks (>=1 page even for
@@ -118,10 +131,22 @@ def build_real_pdf(text: str, use_tj_array: bool = False,
     )
 
     def _comp_stream(chunk_text: str, corrupt: bool) -> bytes:
-        raw = _content_stream(chunk_text, use_tj_array)
+        raw = _content_stream(chunk_text, use_tj_array, use_hex_strings)
         comp = zlib.compress(raw, 6)
         if corrupt:
             comp = comp[: max(1, len(comp) // 2)]
+        if filter_chain:
+            # raw -> Flate -> ASCIIHex; decoders apply the /Filter array
+            # in order: ASCIIHexDecode first, then FlateDecode
+            import binascii
+
+            hexed = binascii.hexlify(comp).upper() + b">"
+            return (
+                b"<< /Length %d /Filter [/ASCIIHexDecode /FlateDecode] >>"
+                b"\nstream\n" % len(hexed)
+                + hexed
+                + b"\nendstream"
+            )
         return (
             b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
             + comp
@@ -546,12 +571,38 @@ def _stream_bytes(data: bytes, obj_dict: bytes, after_dict: int | None) -> bytes
         b"endstream"
     ):
         raise _PdfError("/Length does not reach endstream")
-    if re.search(rb"/Filter\s*/FlateDecode", obj_dict):
-        try:
-            raw = zlib.decompress(raw)
-        except zlib.error as e:
-            raise _PdfError(f"flate decode failed: {e}") from None
+    # /Filter is a single name or an ARRAY applied in order during
+    # decoding (spec 7.4.1) — the supported chain members are
+    # ASCIIHexDecode and FlateDecode
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", obj_dict)
+    if fm:
+        names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+        for name in names:
+            if name == b"ASCIIHexDecode":
+                raw = _ascii_hex_decode(raw)
+            elif name == b"FlateDecode":
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as e:
+                    raise _PdfError(f"flate decode failed: {e}") from None
+            else:
+                raise _PdfError(f"unsupported filter {name.decode('latin1')}")
     return raw
+
+
+def _ascii_hex_decode(raw: bytes) -> bytes:
+    """ASCIIHexDecode (spec 7.4.2): whitespace ignored, '>' is EOD, an
+    odd trailing digit is padded with 0; any other byte fails."""
+    import binascii
+
+    eod = raw.find(b">")
+    body = raw[:eod] if eod >= 0 else raw
+    body = re.sub(rb"[ \t\r\n\f\x00]", b"", body)
+    if re.search(rb"[^0-9A-Fa-f]", body):
+        raise _PdfError("non-hex byte in ASCIIHexDecode stream")
+    if len(body) % 2:
+        body += b"0"
+    return binascii.unhexlify(body)
 
 
 def _unescape_literal(raw: bytes) -> bytes:
@@ -584,6 +635,11 @@ def _unescape_literal(raw: bytes) -> bytes:
             out.append(c2)
             i += 1
     return bytes(out)
+
+
+class _HexLit(bytes):
+    """Marker: a show-op payload that came from a <hex> string — already
+    raw bytes, must NOT pass through literal-escape processing."""
 
 
 def _literals(content: bytes) -> Iterator[bytes]:
@@ -635,6 +691,26 @@ def _literals(content: bytes) -> Iterator[bytes]:
                     if after.startswith((b"Tj", b"'", b'"')):
                         yield lit
             i = j
+        elif in_text and c == 0x3C and body[i + 1:i + 2] != b"<":  # < hex
+            j = body.find(b">", i + 1)
+            if j < 0:
+                break  # unterminated hex string: contributes nothing
+            hx = re.sub(rb"[ \t\r\n\f\x00]", b"", body[i + 1:j])
+            if re.search(rb"[^0-9A-Fa-f]", hx):
+                i = j + 1
+                continue  # malformed hex string: skipped, not shown
+            if len(hx) % 2:
+                hx += b"0"
+            import binascii
+
+            lit = binascii.unhexlify(hx)
+            if in_array:
+                pending.append(_HexLit(lit))
+            else:
+                after = body[j + 1:j + 9].lstrip()
+                if after.startswith((b"Tj", b"'", b'"')):
+                    yield _HexLit(lit)
+            i = j + 1
         elif not in_text and c == 0x42 and _kw(i, b"BT"):  # B
             in_text = True
             in_array = False
@@ -697,8 +773,9 @@ def parse_real_pdf(data: bytes) -> dict:
                 raw += _stream_bytes(data, cdict, cend)
             parts = []
             for lit in _literals(raw):
+                payload = lit if isinstance(lit, _HexLit) else _unescape_literal(lit)
                 try:
-                    parts.append(_unescape_literal(lit).decode("utf-8"))
+                    parts.append(payload.decode("utf-8"))
                 except UnicodeDecodeError:
                     raise _PdfError("non-utf8 text in content stream") from None
             texts.append("".join(parts))
@@ -734,7 +811,9 @@ def real_pdf_bytes(df: DataFrame, text_col: str = "text",
     """(id, text) -> (id, payload binary): build one real PDF per doc.
 
     Deterministic writer variants exercise the reader surface: docs with
-    id % 3 == 0 use [...] TJ arrays, id % 37 == 0 get a truncated (still
+    id % 3 == 0 use [...] TJ arrays, id % 7 == 0 use <hex> show strings,
+    id % 11 == 0 encode streams through the [/ASCIIHexDecode
+    /FlateDecode] filter CHAIN, and id % 37 == 0 get a truncated (still
     structurally valid) last stream — the flate failure path."""
     out_schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -748,6 +827,8 @@ def real_pdf_bytes(df: DataFrame, text_col: str = "text",
                     t if isinstance(t, str) else "",
                     use_tj_array=(int(i) % 3 == 0),
                     corrupt_stream=(int(i) % 37 == 0),
+                    use_hex_strings=(int(i) % 7 == 0),
+                    filter_chain=(int(i) % 11 == 0),
                 )
                 for i, t in zip(pdf[id_col], pdf[text_col])
             ]
