@@ -45,6 +45,7 @@ HEADLINE = [
     "media_wav_decode",
     "media_png_decode",
     "media_dispatch_decode",
+    "archive_zip_extract",
     "events_asof_join",
     "q1_pricing_summary",
     "q3_shipping_priority",

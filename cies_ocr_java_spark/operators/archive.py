@@ -1,0 +1,176 @@
+"""REAL ZIP archive writer + reader on stdlib struct/zlib — the container
+format crawl dumps and document bundles arrive in.
+
+Writer (``build_zip``) emits genuine PKZIP: per-member local file headers,
+stored (method 0) or raw-deflate (method 8) payloads, a central directory,
+and the end-of-central-directory record — correct CRC32s and offsets
+throughout; any unzip opens these files.
+
+Reader (``parse_zip``) does the REAL structural walk, the same
+trust-then-verify discipline as the PDF xref reader (operators/pdf_real.py):
+locate EOCD from the end, read the central directory offset/count, walk the
+central entries, VERIFY each entry's local header (magic + name must match —
+a corrupted offset fails the member, never degrades to scanning), extract by
+method, and verify CRC32 + declared sizes against the inflated bytes.
+
+Failure contract: every malformed archive yields an error row — never an
+exception out of the parser (the MediaCodec/pdf_real discipline). Member
+payloads are UTF-8 text in this subset; the extractor concatenates member
+texts in central-directory order.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_LOCAL = struct.Struct("<4sHHHHHIIIHH")    # PK\x03\x04
+_CENTRAL = struct.Struct("<4sHHHHHHIIIHHHHHII")  # PK\x01\x02
+_EOCD = struct.Struct("<4sHHHHIIH")        # PK\x05\x06
+
+
+def build_zip(members: list[tuple[str, str, int]]) -> bytes:
+    """Emit a real ZIP from (name, text, method) members; method 0 stores,
+    8 raw-deflates. Fixed DOS date/time fields keep output deterministic."""
+    buf = bytearray()
+    central = bytearray()
+    for name, text, method in members:
+        if method not in (0, 8):
+            raise ValueError("method must be 0 (stored) or 8 (deflated)")
+        nb = name.encode("utf-8")
+        data = text.encode("utf-8")
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if method == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(data) + co.flush()
+        else:
+            payload = data
+        off = len(buf)
+        buf += _LOCAL.pack(b"PK\x03\x04", 20, 0, method, 0x6020, 0x5ab1,
+                           crc, len(payload), len(data), len(nb), 0)
+        buf += nb + payload
+        central += _CENTRAL.pack(b"PK\x01\x02", 20, 20, 0, method, 0x6020,
+                                 0x5ab1, crc, len(payload), len(data),
+                                 len(nb), 0, 0, 0, 0, 0, off)
+        central += nb
+    cd_off = len(buf)
+    buf += central
+    buf += _EOCD.pack(b"PK\x05\x06", 0, 0, len(members), len(members),
+                      len(central), cd_off, 0)
+    return bytes(buf)
+
+
+def parse_zip(data: bytes | None) -> dict:
+    """Structural parse of the ZIP subset.
+
+    Returns {n_members, methods, total_bytes, text, error}: methods is
+    the comma-joined per-member method list in central-directory order,
+    total_bytes the summed uncompressed sizes, text the concatenated
+    member texts. Malformed -> error row."""
+    none = {"n_members": None, "methods": None, "total_bytes": None,
+            "text": None}
+    if data is None or len(data) < _EOCD.size:
+        return {**none, "error": "short or missing payload"}
+    data = bytes(data)
+    eocd_at = data.rfind(b"PK\x05\x06", max(0, len(data) - 65557))
+    if eocd_at < 0:
+        return {**none, "error": "missing end-of-central-directory"}
+    try:
+        (_, _dn, _cn, n_here, n_total, cd_size, cd_off, _cl) = _EOCD.unpack_from(
+            data, eocd_at
+        )
+    except struct.error:
+        return {**none, "error": "truncated end-of-central-directory"}
+    if cd_off + cd_size > eocd_at or n_total != n_here:
+        return {**none, "error": "central directory out of bounds"}
+    pos = cd_off
+    texts: list[str] = []
+    methods: list[str] = []
+    total = 0
+    for _ in range(n_total):
+        if pos + _CENTRAL.size > eocd_at:
+            return {**none, "error": "truncated central directory"}
+        fields = _CENTRAL.unpack_from(data, pos)
+        if fields[0] != b"PK\x01\x02":
+            return {**none, "error": "bad central-directory signature"}
+        (_sig, _vm, _vn, _fl, method, _t, _d, crc, csize, usize,
+         nlen, elen, clen, _dk, _ia, _ea, lho) = fields
+        name = data[pos + _CENTRAL.size:pos + _CENTRAL.size + nlen]
+        pos += _CENTRAL.size + nlen + elen + clen
+        # trust-then-verify: the local header at the declared offset must
+        # exist and agree on the member name
+        if lho + _LOCAL.size > len(data):
+            return {**none, "error": "local header offset beyond EOF"}
+        lf = _LOCAL.unpack_from(data, lho)
+        if lf[0] != b"PK\x03\x04":
+            return {**none, "error": "local header offset is wrong"}
+        lnlen, lelen = lf[9], lf[10]
+        lname = data[lho + _LOCAL.size:lho + _LOCAL.size + lnlen]
+        if lname != name:
+            return {**none, "error": "central/local name mismatch"}
+        dstart = lho + _LOCAL.size + lnlen + lelen
+        payload = data[dstart:dstart + csize]
+        if len(payload) != csize:
+            return {**none, "error": "truncated member data"}
+        if method == 0:
+            raw = payload
+        elif method == 8:
+            try:
+                raw = zlib.decompress(payload, -15)
+            except zlib.error as e:
+                return {**none, "error": f"deflate failed: {e}"}
+        else:
+            return {**none, "error": f"unsupported method {method}"}
+        if len(raw) != usize:
+            return {**none, "error": "uncompressed size mismatch"}
+        if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+            return {**none, "error": "crc mismatch"}
+        try:
+            texts.append(raw.decode("utf-8"))
+        except UnicodeDecodeError:
+            return {**none, "error": "non-utf8 member payload"}
+        methods.append(str(method))
+        total += usize
+    return {
+        "n_members": n_total,
+        "methods": ",".join(methods),
+        "total_bytes": total,
+        "text": "".join(texts),
+        "error": None,
+    }
+
+
+ZIP_FEATURES_SCHEMA = (
+    "doc_id long, n_members int, methods string, total_bytes long, "
+    "text string, error string"
+)
+
+
+def extract_zip_features(df: DataFrame, content_col: str = "content",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, content:binary) -> parsed archive rows via one Arrow-batched
+    mapInPandas pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_zip(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_members": pd.array(
+                        [r["n_members"] for r in rows], dtype="Int32"
+                    ),
+                    "methods": [r["methods"] for r in rows],
+                    "total_bytes": pd.array(
+                        [r["total_bytes"] for r in rows], dtype="Int64"
+                    ),
+                    "text": [r["text"] for r in rows],
+                    "error": [r["error"] for r in rows],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(op, ZIP_FEATURES_SCHEMA)

@@ -2692,6 +2692,86 @@ def media_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_dispatch(media)
 
 
+@_register(
+    "archive_zip_extract",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(1 + doc_id % 3 AS INT) AS k,
+             doc_id % 19 = 0 AS corrupt
+      FROM documents),
+    m AS (
+      SELECT doc_id, text, k, corrupt,
+             CASE WHEN doc_id % 2 = 0 THEN '8' ELSE '0' END AS m0,
+             CASE WHEN (doc_id + 1) % 2 = 0 THEN '8' ELSE '0' END AS m1,
+             CASE WHEN (doc_id + 2) % 2 = 0 THEN '8' ELSE '0' END AS m2
+      FROM base)
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE k END AS n_members,
+           CASE WHEN corrupt THEN NULL
+                WHEN k = 1 THEN m0
+                WHEN k = 2 THEN m0 || ',' || m1
+                ELSE m0 || ',' || m1 || ',' || m2 END AS methods,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(octet_length(encode(text)) AS BIGINT) END
+             AS total_bytes,
+           CASE WHEN corrupt THEN NULL ELSE text END AS text,
+           CASE WHEN corrupt THEN 'truncated end-of-central-directory'
+                ELSE NULL END AS error
+    FROM m
+    """,
+)
+def archive_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ZIP container extraction (operators/archive.py): each doc is
+    packed into a genuine PKZIP — 1-3 members (text split into equal
+    chunks), methods alternating stored/raw-deflate by (id+member)
+    parity, correct CRC32s/offsets/central directory; stdlib `zipfile`
+    opens every emitted archive (cross-validated in tests, both
+    directions). The reader walks EOCD -> central directory -> VERIFIED
+    local headers (the pdf_real trust-then-verify rule: a wrong offset
+    or name mismatch fails the member, never degrades to scanning),
+    inflates, and checks CRC + declared sizes. Docs with id%19==0 carry
+    a truncated EOCD and fail as error rows. Oracle = closed-form
+    expectations (concatenated text is the identity). PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle."""
+    from cies_ocr_java_spark.operators.archive import (
+        build_zip,
+        extract_zip_features,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = t if isinstance(t, str) else ""
+                k = 1 + i % 3
+                cs = -(-len(t) // k) if t else 0
+                members = [
+                    (
+                        f"part-{j}.txt",
+                        t[j * cs:(j + 1) * cs] if cs else "",
+                        8 if (i + j) % 2 == 0 else 0,
+                    )
+                    for j in range(k)
+                ]
+                b = build_zip(members)
+                payloads.append(b[:-4] if i % 19 == 0 else b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_zip_features(media)
+
+
 _LFT = 1_046_528  # formats.LARGE_FILE_THRESHOLD (application.properties:5)
 
 

@@ -1,0 +1,110 @@
+"""Real ZIP reader/writer (operators/archive.py): round trips
+cross-validated against stdlib zipfile in BOTH directions, the
+trust-then-verify local-header rule, and the failure contract."""
+
+from __future__ import annotations
+
+import io
+import random
+import struct
+import zipfile
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from cies_ocr_java_spark.operators.archive import (
+    build_zip,
+    extract_zip_features,
+    parse_zip,
+)
+
+
+def test_round_trip_and_zipfile_cross_validation():
+    members = [
+        ("a.txt", "hello", 0),
+        ("b/c.txt", "wörld 中文 🙂", 8),
+        ("empty", "", 0),
+        ("big", "y" * 5000, 8),
+    ]
+    b = build_zip(members)
+    r = parse_zip(b)
+    assert r["error"] is None
+    assert r["n_members"] == 4 and r["methods"] == "0,8,0,8"
+    assert r["text"] == "".join(t for _, t, _ in members)
+    # an INDEPENDENT implementation must accept the writer's output...
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    assert zf.namelist() == [n for n, _, _ in members]
+    assert zf.testzip() is None
+    for n, t, _ in members:
+        assert zf.read(n).decode() == t
+
+
+def test_parses_zipfile_written_archives():
+    """...and the reader must accept archives an independent writer made."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("m1.txt", "from zipfile")
+        z.writestr("m2.txt", "second member")
+    r = parse_zip(buf.getvalue())
+    assert r["error"] is None
+    assert r["text"] == "from zipfilesecond member"
+    assert r["methods"] == "8,8"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=200), min_size=1, max_size=4),
+       st.integers(0, 1))
+def test_round_trip_property(texts, parity):
+    members = [
+        (f"m{i}", t, 8 if (i + parity) % 2 == 0 else 0)
+        for i, t in enumerate(texts)
+    ]
+    r = parse_zip(build_zip(members))
+    assert r["error"] is None and r["text"] == "".join(texts)
+
+
+def test_crc_gate_catches_flipped_byte():
+    b = build_zip([("a", "payload-here", 0)])
+    i = b.index(b"payload-here")
+    assert parse_zip(b[:i] + b"X" + b[i + 1:])["error"] == "crc mismatch"
+
+
+def test_wrong_local_offset_fails_never_scans():
+    b = bytearray(build_zip([("a", "data", 8)]))
+    cd = b.rindex(b"PK\x01\x02")
+    struct.pack_into("<I", b, cd + 42, 7)  # poison the local-header offset
+    r = parse_zip(bytes(b))
+    assert r["error"] in (
+        "local header offset is wrong", "central/local name mismatch"
+    )
+
+
+def test_failure_contract():
+    b = build_zip([("a", "x", 0)])
+    assert parse_zip(b[:-4])["error"] == "truncated end-of-central-directory"
+    assert parse_zip(b"")["error"] == "short or missing payload"
+    assert parse_zip(b"garbage" * 10)["error"] == (
+        "missing end-of-central-directory"
+    )
+
+
+def test_fuzz_never_raises():
+    rng = random.Random(23)
+    for _ in range(300):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        for data in (blob, b"PK\x03\x04" + blob):
+            r = parse_zip(data)
+            assert (r["text"] is None) == (r["error"] is not None)
+
+
+def test_spark_zip_extraction(spark):
+    rows = [
+        (1, build_zip([("a", "one", 0), ("b", "two", 8)])),
+        (2, build_zip([("a", "x", 0)])[:-4]),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in extract_zip_features(df).collect()}
+    assert out[1]["text"] == "onetwo" and out[1]["methods"] == "0,8"
+    assert out[2]["error"] == "truncated end-of-central-directory"
+    assert out[3]["error"] == "short or missing payload"
