@@ -361,6 +361,36 @@ COMMENTARY = {
         "truncated payloads become failure rows. No shuffle; dimensions "
         "are bounded so batch memory is flat."
     ),
+    "media_png_decode": (
+        "REAL COMPRESSED image decode: zlib IDAT inflate, per-chunk CRC32 "
+        "verification, and the full five-filter scanline reconstruction "
+        "(None/Sub/Up/Average/Paeth) in one Arrow pass — a flipped IDAT "
+        "byte is caught by the CRC gate as a failure row, never a task "
+        "crash. No shuffle."
+    ),
+    "media_wav_decode": (
+        "REAL PCM audio decode: RIFF chunk walk (unknown chunks skipped "
+        "by size, word-aligned), format gates, exact integer "
+        "absolute-sample sums, one Arrow pass, no shuffle."
+    ),
+    "media_dispatch_decode": (
+        "Multi-format ingest front door: magic-byte sniff (never "
+        "metadata) routes each payload of a mixed binary column to the "
+        "matching real codec — BMP/PNG/WAV decoded, garbage and "
+        "truncated payloads as failure rows — in ONE Arrow pass."
+    ),
+    "extract_pdf_incremental": (
+        "Incremental-save PDFs: the reader follows the /Prev xref chain "
+        "merging sections newest-entry-wins (cycle and length guards), "
+        "so the appended replacement stream shadows the stale original. "
+        "One Arrow pass, no shuffle."
+    ),
+    "archive_zip_extract": (
+        "REAL ZIP container walk: EOCD -> central directory -> VERIFIED "
+        "local headers (trust-then-verify, as the PDF xref rule), "
+        "stored/deflate members, CRC + size checks; stdlib zipfile "
+        "cross-validates both directions. One Arrow pass, no shuffle."
+    ),
     "media_wav_decode": (
         "REAL PCM-WAV decode in one Arrow-batched pass: RIFF chunk walk "
         "(unknown chunks skipped by size, word-aligned), format gates, "
