@@ -736,6 +736,27 @@ def test_giant_payload_routing_is_shuffle_free(spark):
     assert agg["mx"] >= 2  # the multipart case is actually exercised
 
 
+def test_real_format_decodes_are_single_arrow_pass(spark):
+    """Every real-format round-trip query (PDF layouts, media codecs,
+    codec dispatch, ZIP) must be Arrow-batched map work only: the sole
+    exchange allowed is the fanout round-robin repartition — no
+    hash/range/single-partition shuffle anywhere, payload bytes never
+    cross a keyed exchange."""
+    names = (
+        "extract_pdf_flate", "extract_pdf_xref_stream",
+        "extract_pdf_incremental", "media_real_decode",
+        "media_wav_decode", "media_png_decode", "media_dispatch_decode",
+        "archive_zip_extract",
+    )
+    for name in names:
+        plan = plan_of(QUERIES[name](spark, SF))
+        for shuffle in (
+            "hashpartitioning", "rangepartitioning", "SinglePartition"
+        ):
+            assert shuffle not in plan, (name, shuffle)
+        assert "MapInPandas" in plan, name
+
+
 def test_kmv_topk_is_take_ordered_not_window(spark):
     """kmv_set_operations (ADVICE r2): the k minimum hashes must come
     from a distributed TakeOrderedAndProject, not a row_number over a
