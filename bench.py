@@ -367,7 +367,10 @@ def main() -> int:
     # inherit a previous run's build, or neardup_pairs_build measures a
     # no-op and run-over-run numbers stop being comparable
     shutil.rmtree(
-        os.path.join(tempfile.gettempdir(), "cies_neardup_pairs"),
+        os.environ.get(
+            "CIES_NEARDUP_CACHE_DIR",
+            os.path.join(tempfile.gettempdir(), "cies_neardup_pairs"),
+        ),
         ignore_errors=True,
     )
     m = re.search(r"sf([0-9.]+)", sf_dir)

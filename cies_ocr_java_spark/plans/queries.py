@@ -996,9 +996,15 @@ def _neardup_pairs_table(spark: SparkSession, sf_dir: str):
     key = hashlib.md5(
         f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}|v1".encode()
     ).hexdigest()[:16]
-    root = os.path.join(
-        tempfile.gettempdir(), "cies_neardup_pairs", f"tbl-{key}"
+    # CIES_NEARDUP_CACHE_DIR overrides the local default: on a real
+    # cluster the committed table must live on the SHARED filesystem
+    # (the pipeline output root's), not a node-local /tmp — local[] runs
+    # and bench don't care, spark-submit deployments do
+    cache_root = os.environ.get(
+        "CIES_NEARDUP_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "cies_neardup_pairs"),
     )
+    root = os.path.join(cache_root, f"tbl-{key}")
     tbl = SnapshotTable(root)
     if not tbl.exists():
         d = _t(spark, sf_dir, "documents", fanout=True)
