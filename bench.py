@@ -46,6 +46,7 @@ HEADLINE = [
     "media_png_decode",
     "media_dispatch_decode",
     "archive_zip_extract",
+    "archive_tar_extract",
     "events_asof_join",
     "q1_pricing_summary",
     "q3_shipping_priority",

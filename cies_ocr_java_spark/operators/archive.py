@@ -144,6 +144,120 @@ def parse_zip(data: bytes | None) -> dict:
     }
 
 
+_TAR_BLOCK = 512
+
+
+def build_tar(members: list[tuple[str, str]]) -> bytes:
+    """Emit a real POSIX ustar archive from (name, text) members: 512-byte
+    headers with correct octal sizes and CHECKSUMS, data blocks padded to
+    512, two zero end-blocks. Fixed mtime keeps output deterministic;
+    any tar implementation reads these files."""
+    buf = bytearray()
+    for name, text in members:
+        nb = name.encode("utf-8")
+        if len(nb) > 100:
+            raise ValueError("name too long for the ustar subset")
+        data = text.encode("utf-8")
+        hdr = bytearray(_TAR_BLOCK)
+        hdr[0:len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = b"%011o\x00" % len(data)
+        hdr[136:148] = b"%011o\x00" % 0o14000000000  # fixed mtime
+        hdr[148:156] = b" " * 8  # checksum field spaces while summing
+        hdr[156:157] = b"0"  # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = b"%06o\x00 " % chk
+        buf += hdr
+        buf += data
+        pad = -len(data) % _TAR_BLOCK
+        buf += b"\x00" * pad
+    buf += b"\x00" * (2 * _TAR_BLOCK)
+    return bytes(buf)
+
+
+def parse_tar(data: bytes | None) -> dict:
+    """Structural parse of the ustar subset: 512-byte header walk with
+    per-header CHECKSUM verification (sum of header bytes with the
+    checksum field read as spaces), octal size fields, data-block
+    padding, two-zero-block terminator. Non-regular entries are skipped
+    by size; malformed archives yield error rows."""
+    none = {"n_members": None, "total_bytes": None, "text": None}
+    if data is None or len(data) < 2 * _TAR_BLOCK:
+        return {**none, "error": "short or missing payload"}
+    data = bytes(data)
+    pos = 0
+    texts: list[str] = []
+    total = 0
+    n = 0
+    while pos + _TAR_BLOCK <= len(data):
+        hdr = data[pos:pos + _TAR_BLOCK]
+        if hdr == b"\x00" * _TAR_BLOCK:
+            nxt = data[pos + _TAR_BLOCK:pos + 2 * _TAR_BLOCK]
+            if nxt != b"\x00" * _TAR_BLOCK:
+                return {**none, "error": "lone zero block"}
+            return {
+                "n_members": n, "total_bytes": total,
+                "text": "".join(texts), "error": None,
+            }
+        try:
+            declared = int(hdr[148:156].rstrip(b"\x00 ").lstrip() or b"0", 8)
+            size = int(hdr[124:136].rstrip(b"\x00 ").lstrip() or b"0", 8)
+        except ValueError:
+            return {**none, "error": "non-octal header field"}
+        actual = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if actual != declared:
+            return {**none, "error": "header checksum mismatch"}
+        if hdr[257:262] != b"ustar":
+            return {**none, "error": "missing ustar magic"}
+        body = data[pos + _TAR_BLOCK:pos + _TAR_BLOCK + size]
+        if len(body) != size:
+            return {**none, "error": "truncated member data"}
+        typeflag = hdr[156:157]
+        if typeflag in (b"0", b"\x00"):
+            try:
+                texts.append(body.decode("utf-8"))
+            except UnicodeDecodeError:
+                return {**none, "error": "non-utf8 member payload"}
+            total += size
+            n += 1
+        pos += _TAR_BLOCK + size + (-size % _TAR_BLOCK)
+    return {**none, "error": "missing end-of-archive blocks"}
+
+
+TAR_FEATURES_SCHEMA = (
+    "doc_id long, n_members int, total_bytes long, text string, "
+    "error string"
+)
+
+
+def extract_tar_features(df: DataFrame, content_col: str = "content",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, content:binary) -> parsed tar rows, one Arrow-batched pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_tar(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_members": pd.array(
+                        [r["n_members"] for r in rows], dtype="Int32"
+                    ),
+                    "total_bytes": pd.array(
+                        [r["total_bytes"] for r in rows], dtype="Int64"
+                    ),
+                    "text": [r["text"] for r in rows],
+                    "error": [r["error"] for r in rows],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(op, TAR_FEATURES_SCHEMA)
+
+
 ZIP_FEATURES_SCHEMA = (
     "doc_id long, n_members int, methods string, total_bytes long, "
     "text string, error string"

@@ -746,7 +746,7 @@ def test_real_format_decodes_are_single_arrow_pass(spark):
         "extract_pdf_flate", "extract_pdf_xref_stream",
         "extract_pdf_incremental", "media_real_decode",
         "media_wav_decode", "media_png_decode", "media_dispatch_decode",
-        "archive_zip_extract",
+        "archive_zip_extract", "archive_tar_extract",
     )
     for name in names:
         plan = plan_of(QUERIES[name](spark, SF))
