@@ -247,6 +247,9 @@ HEADLINE = [
     "histogram_strategy_comparison",
     "click_to_purchase_latency",
     "embedding_triplet_violations",
+    # round-3 session-2 additions (same per-name comparison rule)
+    "dom_tree_extract",
+    "dom_node_stats",
 ]
 
 

@@ -1,0 +1,304 @@
+"""DOM-tree main-content extraction: tag/link-density scoring over a
+PARSED NODE TREE, computed distributively as prefix sums over the token
+stream.
+
+This is the north rule's "DOM-tree text-density heuristics (tag/link-density
+scoring over a parsed node tree)" implemented Spark-first. A sequential
+parser builds an explicit node tree with a stack; the distributed
+formulation represents the SAME tree as ancestor counters over the
+tokenized tag/text stream — the classic parallel-parsing reduction (each
+token's depth and its per-tag-name enclosure state are running sums of
++1/-1 deltas, so the whole "parse" is one doc-partitioned window pass).
+Every fact a density heuristic needs about a text node's position in the
+tree — its depth, whether any ancestor is <nav>/<footer>/<script>/…,
+whether it is inside a link — is exactly such a counter. The reference
+reaches the same decision per whole document via its text-sufficiency
+predicate (DocumentExtractManager.java:410-429); this operator makes the
+per-NODE generalization the flat block extractor (html_extract.py)
+approximates, with true ancestor semantics instead of first-closing
+container strips.
+
+Pipeline (all JVM-side; ZERO Python anywhere):
+
+  1. strip closed comments (``<!--...-->`` -> ' '; COMMENT_PATTERN);
+  2. tokenize: ``F.split`` on the quote-aware TAG_PATTERN yields the n+1
+     text runs, ``regexp_extract_all`` the n tags; ``zip_with`` + ``flatten``
+     interleaves them into one array (text_0, tag_0, text_1, …) and ONE
+     ``posexplode`` makes the token stream;
+  3. classify each tag: close (``</``), declaration (``<!``/``<?`` — inert),
+     self-closing (``/>``) or HTML void element (DOM_VOID_TAGS) — inert for
+     depth; element name = leading ``[a-zA-Z][a-zA-Z0-9]*`` lowercased;
+  4. ONE window spec (partitionBy doc, orderBy pos, rows unbounded-to--1)
+     carries ALL the running sums: depth, one enclosure counter per tracked
+     tag (head/nav/footer/header/aside/script/style/a), and the block id
+     (running count of block-level boundary tags, HTML_BLOCK_TAGS);
+  5. per (doc, block): visible text (entity decode in HTML_ENTITIES order,
+     then ASCII ws-normalize) of nodes with NO boilerplate ancestor, its
+     char count, the link-chars subtotal (nodes with an <a> ancestor), and
+     the inline tag count;
+  6. density gates, ALL-INTEGER so both engines compare identically:
+       chars >= HTML_MIN_BLOCK_CHARS
+       AND 100*link_chars <= 35*chars          (HTML_MAX_LINK_DENSITY)
+       AND chars >= DOM_MIN_TEXT_DENSITY * (n_inline_tags + 1)
+     — the third gate is the jusText/boilerpipe text-vs-tag-density rule
+     the flat extractor cannot express (it has no per-block tag counts);
+  7. survivors join in block order.
+
+Scale: the only exchange is the hash partition by doc_id for the window —
+at 10^12 documents that is the natural layout (and the giant-doc salt
+shuffle in plans/pipeline.py is the skew answer). Everything else is
+map-side codegen. A sequential DOM library in a UDF would serialize every
+page through Python; this keeps whole-stage codegen end to end.
+
+Counter semantics vs a forgiving HTML5 parser: mis-nested or stray close
+tags move counters down instead of being re-parented (defined, never a
+crash — the formats.py degradation contract); text inside <script> is
+excluded by the script counter, but a literal "</x>" inside script source
+still tokenizes as a tag (no CDATA mode). These are the documented
+approximations of the counter representation; the closed fixture grammar
+never emits them, and hostile inputs get defined output (pytest-pinned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from cies_ocr_java_spark.operators.html_extract import COMMENT_PATTERN
+from cies_ocr_java_spark.formats import (
+    HTML_BLOCK_TAGS,
+    HTML_BOILERPLATE_CONTAINERS,
+    HTML_ENTITIES,
+    HTML_MAX_LINK_DENSITY,
+    HTML_MIN_BLOCK_CHARS,
+    HTML_STRIP_CONTENT_TAGS,
+    TAG_BODY,
+    WS_RUN,
+)
+
+# A tag token: '<' + [a-zA-Z!?/] + quote-aware body + '>'. Identical to
+# html_extract.TAG_STRIP_PATTERN; any other '<' is character data.
+TAG_PATTERN = rf"<[a-zA-Z!?/]{TAG_BODY}>"
+
+# Element name of a tag token ('' for <!...>/<?...> declarations).
+TAG_NAME_PATTERN = r"^</?([a-zA-Z][a-zA-Z0-9]*)"
+
+# HTML5 void elements: no content, no close tag, depth-inert.
+DOM_VOID_TAGS = (
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+)
+
+# Ancestor counters tracked per text node: content-stripping tags,
+# boilerplate containers, and <a> (for link density).
+DOM_TRACKED_TAGS = (*HTML_STRIP_CONTENT_TAGS, *HTML_BOILERPLATE_CONTAINERS, "a")
+
+# jusText-style text-vs-tag density gate: a surviving block needs at least
+# this many visible chars per inline tag (+1 so tag-free blocks pass on
+# chars alone). Integer, compared multiplicatively — exact in any engine.
+DOM_MIN_TEXT_DENSITY = 8
+
+# 100*link_chars <= LINK_DENSITY_PCT*chars  <=>  ratio <= 0.35, all-integer.
+LINK_DENSITY_PCT = int(round(HTML_MAX_LINK_DENSITY * 100))
+
+
+def visible_text_col(raw) -> Column:
+    """Visible text of a text node: entity decode (HTML_ENTITIES order,
+    '&amp;' last) then ASCII whitespace normalize + trim."""
+    t = raw
+    for ent, ch in HTML_ENTITIES.items():
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, WS_RUN, " "))
+
+
+def dom_tokens(df: DataFrame, payload, doc_col: str = "doc_id") -> DataFrame:
+    """Tokenize ``payload`` into the interleaved (pos, is_tag, raw) stream,
+    one row per token, comments pre-stripped. Pure codegen: split +
+    regexp_extract_all + zip_with/flatten + one posexplode."""
+    c = F.regexp_replace(
+        F.coalesce(payload, F.lit("")), f"(?s){COMMENT_PATTERN}", " "
+    )
+    texts = F.split(c, TAG_PATTERN)          # n+1 runs (empties kept)
+    tags = F.regexp_extract_all(c, F.lit(TAG_PATTERN), F.lit(0))  # n tags
+    # interleave: zip_with pads the shorter (tags) with null -> filter.
+    toks = F.filter(
+        F.flatten(
+            F.zip_with(
+                texts,
+                tags,
+                lambda t, g: F.array(
+                    F.struct(t.alias("raw"), F.lit(False).alias("is_tag")),
+                    F.struct(g.alias("raw"), F.lit(True).alias("is_tag")),
+                ),
+            )
+        ),
+        lambda s: s["raw"].isNotNull(),
+    )
+    return df.select(
+        F.col(doc_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("tok.is_tag").alias("is_tag"),
+        F.col("tok.raw").alias("raw"),
+    )
+
+
+def dom_annotate(tokens: DataFrame) -> DataFrame:
+    """Attach the tree structure to every token: element name, depth
+    BEFORE the token, one enclosure counter per tracked tag, and the
+    block id — all running sums over ONE doc-partitioned window."""
+    name = F.when(
+        F.col("is_tag"),
+        F.lower(F.regexp_extract("raw", TAG_NAME_PATTERN, 1)),
+    ).otherwise(F.lit(""))
+    is_close = F.col("is_tag") & F.col("raw").startswith("</")
+    is_inert = F.col("is_tag") & (
+        (F.length(F.col("_name")) == 0)          # <!...> / <?...>
+        | F.col("raw").endswith("/>")             # self-closing
+        | F.col("_name").isin(*DOM_VOID_TAGS)     # HTML void element
+    )
+    t = tokens.withColumn("_name", name)
+    d_depth = (
+        F.when(~F.col("is_tag") | is_inert, F.lit(0))
+        .when(is_close, F.lit(-1))
+        .otherwise(F.lit(1))
+    )
+    t = t.withColumn("_d", d_depth)
+    # block boundary: any block-level tag token (open, close, or void like
+    # <br/>) advances the block id for the tokens AFTER it.
+    t = t.withColumn(
+        "_b",
+        F.when(
+            F.col("is_tag") & F.col("_name").isin(*HTML_BLOCK_TAGS), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    for tag in DOM_TRACKED_TAGS:
+        t = t.withColumn(
+            f"_d_{tag}",
+            F.when(F.col("_name") == tag, F.col("_d")).otherwise(F.lit(0)),
+        )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = t.select(
+        "doc_id",
+        "pos",
+        "is_tag",
+        "raw",
+        F.col("_name").alias("name"),
+        F.col("_d").alias("d_depth"),
+        F.coalesce(F.sum("_d").over(w), F.lit(0)).cast("int").alias("depth"),
+        F.coalesce(F.sum("_b").over(w), F.lit(0)).cast("int").alias("block_id"),
+        *[
+            F.coalesce(F.sum(f"_d_{tag}").over(w), F.lit(0))
+            .cast("int")
+            .alias(f"in_{tag}")
+            for tag in DOM_TRACKED_TAGS
+        ],
+    )
+    boiler = F.lit(False)
+    for tag in (*HTML_STRIP_CONTENT_TAGS, *HTML_BOILERPLATE_CONTAINERS):
+        boiler = boiler | (F.col(f"in_{tag}") > 0)
+    return out.withColumn("in_boiler", boiler).withColumn(
+        "visible",
+        F.when(~F.col("is_tag"), visible_text_col(F.col("raw"))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def dom_blocks(ann: DataFrame) -> DataFrame:
+    """Per (doc_id, block_id): ordered visible text of non-boilerplate
+    text nodes, char/link-char totals, inline tag count, and the three
+    integer density gates."""
+    contrib = (~F.col("is_tag")) & (~F.col("in_boiler")) & (
+        F.length("visible") > 0
+    )
+    g = ann.groupBy("doc_id", "block_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(contrib, F.struct("pos", "visible"))
+                    )
+                ),
+                lambda s: s["visible"],
+            ),
+            " ",
+        ).alias("text"),
+        F.sum(
+            F.when(contrib, F.length("visible")).otherwise(F.lit(0))
+        ).cast("int").alias("chars"),
+        F.sum(
+            F.when(contrib & (F.col("in_a") > 0), F.length("visible"))
+            .otherwise(F.lit(0))
+        ).cast("int").alias("link_chars"),
+        F.sum(F.when(F.col("is_tag"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_inline_tags"),
+    )
+    keep = (
+        (F.col("chars") >= HTML_MIN_BLOCK_CHARS)
+        & (100 * F.col("link_chars") <= LINK_DENSITY_PCT * F.col("chars"))
+        & (
+            F.col("chars")
+            >= DOM_MIN_TEXT_DENSITY * (F.col("n_inline_tags") + 1)
+        )
+    )
+    return g.withColumn("keep", keep)
+
+
+def dom_main_text(df: DataFrame, payload, doc_col: str = "doc_id") -> DataFrame:
+    """(doc_id, main_text, n_blocks, n_kept): the DOM-density extraction
+    end to end. n_blocks counts blocks with any non-boilerplate text."""
+    blocks = dom_blocks(dom_annotate(dom_tokens(df, payload, doc_col)))
+    return blocks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("block_id", "text"))
+                    )
+                ),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("main_text"),
+        F.sum(F.when(F.col("chars") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("n_blocks"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("int").alias("n_kept"),
+    )
+
+
+def dom_node_stats(df: DataFrame, payload, doc_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tags, n_text_nodes, max_depth, content_chars,
+    boiler_chars, link_chars): structural statistics of the parsed tree —
+    the per-document evidence that the counter representation really is a
+    tree (depth, ancestor classes) and the inputs to corpus-level
+    boilerplate dashboards."""
+    ann = dom_annotate(dom_tokens(df, payload, doc_col))
+    vis = F.length("visible")
+    return ann.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("is_tag"), 1).otherwise(0)).cast("int").alias("n_tags"),
+        F.sum(F.when(~F.col("is_tag") & (vis > 0), 1).otherwise(0))
+        .cast("int")
+        .alias("n_text_nodes"),
+        F.max(F.col("depth") + F.greatest(F.col("d_depth"), F.lit(0)))
+        .cast("int")
+        .alias("max_depth"),
+        F.sum(
+            F.when(~F.col("is_tag") & ~F.col("in_boiler"), vis).otherwise(0)
+        ).cast("int").alias("content_chars"),
+        F.sum(
+            F.when(~F.col("is_tag") & F.col("in_boiler"), vis).otherwise(0)
+        ).cast("int").alias("boiler_chars"),
+        F.sum(
+            F.when(
+                ~F.col("is_tag") & ~F.col("in_boiler") & (F.col("in_a") > 0),
+                vis,
+            ).otherwise(0)
+        ).cast("int").alias("link_chars"),
+    )

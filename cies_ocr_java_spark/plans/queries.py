@@ -19082,3 +19082,235 @@ def embedding_triplet_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         qq.unpersist()
     return out
+
+
+# =========================================================================
+# DOM-tree extraction (north rule: "tag/link-density scoring over a parsed
+# node tree"). The tree is the ancestor-counter representation — prefix
+# sums over the tag/text token stream, one doc-partitioned window — so the
+# "parse" itself is distributed and exactly replayable in SQL. See
+# operators/dom_tree.py for the full semantics.
+# =========================================================================
+
+_DOM_LINKFARM = (
+    '<p><a href="/l0">Link</a> <a href="/l1">Farm</a> '
+    '<a href="/l2">Here</a> <a href="/l3">Now</a></p>'
+)
+_DOM_PAGE_HEAD = (
+    "<!doctype html><html><head><title>T</title>"
+    "<script>var x = 1;</script></head><body>"
+    '<nav><ul><li><a href="/">Home</a></li>'
+    '<li><a href="/a">About</a></li></ul></nav>'
+    '<div id="main"><h2>'
+)
+_DOM_PAGE_MID = " &amp; notes</h2><p>"
+_DOM_PAGE_AFTER_P = ' see <a href="/ref">ref</a> tail &lt;ok&gt;</p>'
+_DOM_PAGE_TAIL = (
+    "<div><span>tiny</span><br/><b>x</b></div></div>"
+    "<!-- note: > inside --><footer>&copy; 2024 "
+    '<a href="/about">about</a> legal</footer></body></html>'
+)
+
+
+def _dom_page_col() -> F.Column:
+    """The deterministic nested test page wrapped around each doc: real
+    tree structure (nav/ul/li, nested divs, inline anchors in AND out of
+    boilerplate, a void <br/>, entities, a '>' inside a comment) so the
+    ancestor counters — not just flat block splitting — decide the output."""
+    n = normalize_ws(F.col("text"))
+    return F.concat(
+        F.lit(_DOM_PAGE_HEAD),
+        F.substring(n, 1, 12),
+        F.lit(_DOM_PAGE_MID),
+        n,
+        F.lit(_DOM_PAGE_AFTER_P),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_DOM_LINKFARM)).otherwise(
+            F.lit("")
+        ),
+        F.lit(_DOM_PAGE_TAIL),
+    )
+
+
+def _dom_sql_prefix() -> str:
+    """WITH-clauses replaying dom_tree's tokenize -> classify -> prefix-sum
+    -> visible-text pipeline in DuckDB, through the annotated view ``v``.
+    Shared verbatim between both DOM oracles so the ALGORITHM is what the
+    driver gate verifies (the html_links_extract shared-regex rule)."""
+    from cies_ocr_java_spark.operators.dom_tree import (
+        DOM_TRACKED_TAGS,
+        DOM_VOID_TAGS,
+        TAG_NAME_PATTERN,
+        TAG_PATTERN,
+    )
+    from cies_ocr_java_spark.formats import (
+        HTML_BLOCK_TAGS,
+        HTML_BOILERPLATE_CONTAINERS,
+        HTML_ENTITIES,
+        HTML_STRIP_CONTENT_TAGS,
+    )
+
+    def q(s: str) -> str:  # SQL single-quote escape
+        return s.replace("'", "''")
+
+    tag_sql = q(TAG_PATTERN)
+    name_sql = q(TAG_NAME_PATTERN)
+    voids = ", ".join(f"'{v}'" for v in DOM_VOID_TAGS)
+    blocks = ", ".join(f"'{b}'" for b in HTML_BLOCK_TAGS)
+    ent = "raw"
+    for e, ch in HTML_ENTITIES.items():
+        ent = f"replace({ent}, '{q(e)}', '{q(ch)}')"
+    in_cols = ",\n        ".join(
+        f"COALESCE(sum(CASE WHEN name = '{t}' THEN d ELSE 0 END) "
+        f"OVER win, 0) AS in_{t}"
+        for t in DOM_TRACKED_TAGS
+    )
+    boiler = " OR ".join(
+        f"in_{t} > 0"
+        for t in (*HTML_STRIP_CONTENT_TAGS, *HTML_BOILERPLATE_CONTAINERS)
+    )
+    page = (
+        f"'{q(_DOM_PAGE_HEAD)}' || substr(n, 1, 12) || '{q(_DOM_PAGE_MID)}' "
+        f"|| n || '{q(_DOM_PAGE_AFTER_P)}' "
+        f"|| CASE WHEN doc_id % 3 = 0 THEN '{q(_DOM_LINKFARM)}' ELSE '' END "
+        f"|| '{q(_DOM_PAGE_TAIL)}'"
+    )
+    return f"""
+    h AS (SELECT doc_id, {page} AS html
+          FROM (SELECT doc_id, {_norm_sql('text')} AS n
+                FROM documents WHERE n_chars >= 20)),
+    c AS (SELECT doc_id, regexp_replace(html, '<!--.*?-->', ' ', 'gs') AS html
+          FROM h),
+    z AS (SELECT doc_id,
+                 regexp_split_to_array(html, '{tag_sql}') AS texts,
+                 regexp_extract_all(html, '{tag_sql}', 0) AS tags
+          FROM c),
+    tx AS (SELECT doc_id, 2 * unnest(range(len(texts))) AS pos,
+                  unnest(texts) AS raw, FALSE AS is_tag FROM z),
+    tg AS (SELECT doc_id, 2 * unnest(range(len(tags))) + 1 AS pos,
+                  unnest(tags) AS raw, TRUE AS is_tag FROM z),
+    tok AS (SELECT * FROM tx UNION ALL SELECT * FROM tg),
+    ann0 AS (SELECT doc_id, pos, is_tag, raw,
+                    CASE WHEN is_tag
+                         THEN lower(regexp_extract(raw, '{name_sql}', 1))
+                         ELSE '' END AS name
+             FROM tok),
+    ann1 AS (SELECT *,
+                    CASE WHEN NOT is_tag THEN 0
+                         WHEN name = '' OR raw LIKE '%/>'
+                              OR name IN ({voids}) THEN 0
+                         WHEN raw LIKE '</%' THEN -1 ELSE 1 END AS d,
+                    CASE WHEN is_tag AND name IN ({blocks}) THEN 1
+                         ELSE 0 END AS b
+             FROM ann0),
+    w AS (SELECT doc_id, pos, is_tag, raw, name, d,
+        COALESCE(sum(d) OVER win, 0) AS depth,
+        COALESCE(sum(b) OVER win, 0) AS block_id,
+        {in_cols}
+      FROM ann1
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    v AS (SELECT *,
+                 CASE WHEN is_tag THEN ''
+                      ELSE {_norm_sql(ent)} END AS visible,
+                 ({boiler}) AS in_boiler
+          FROM w)
+"""
+
+
+def _dom_keep_sql() -> str:
+    from cies_ocr_java_spark.operators.dom_tree import (
+        DOM_MIN_TEXT_DENSITY,
+        LINK_DENSITY_PCT,
+    )
+    from cies_ocr_java_spark.formats import HTML_MIN_BLOCK_CHARS
+
+    return (
+        f"chars >= {HTML_MIN_BLOCK_CHARS} "
+        f"AND 100 * link_chars <= {LINK_DENSITY_PCT} * chars "
+        f"AND chars >= {DOM_MIN_TEXT_DENSITY} * (n_inline_tags + 1)"
+    )
+
+
+@_register(
+    "dom_tree_extract",
+    None,  # assembled below — the prefix is shared with dom_node_stats
+)
+def dom_tree_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-tree main-content extraction end to end (the north rule's
+    "tag/link-density scoring over a parsed node tree"): each doc rides a
+    nested page; the counter-tree density gates must keep exactly the
+    heading + content paragraph, kill the link farm by LINK density, kill
+    the tiny tag-dense div by TEXT density, and exclude everything under
+    nav/footer/head/script by ANCESTRY (not first-closing strips — a real
+    subtree predicate). The oracle replays tokenize -> prefix sums ->
+    density gates move for move in DuckDB window functions, so the parse
+    algorithm itself is what the gate checks. Reference parity: the
+    per-document sufficiency predicate (DocumentExtractManager.java:410-429)
+    generalized per-node; the flat sibling is extract_html_maincontent."""
+    from cies_ocr_java_spark.operators.dom_tree import dom_main_text
+
+    d = _t(spark, sf_dir, "documents", fanout=True).where(F.col("n_chars") >= 20)
+    return dom_main_text(d, _dom_page_col())
+
+
+@_register(
+    "dom_node_stats",
+    None,
+)
+def dom_node_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural statistics of the parsed node tree per document — tag
+    and text-node counts, MAX DEPTH (the quantity only a real tree has),
+    and the content/boilerplate/link char partition the density gates act
+    on. Same shared-prefix oracle: DuckDB rebuilds the identical tree via
+    prefix sums and must agree on every integer."""
+    from cies_ocr_java_spark.operators.dom_tree import dom_node_stats as _stats
+
+    d = _t(spark, sf_dir, "documents", fanout=True).where(F.col("n_chars") >= 20)
+    return _stats(d, _dom_page_col())
+
+
+ORACLES["dom_tree_extract"] = f"""
+    WITH {_dom_sql_prefix()},
+    blk AS (SELECT doc_id, block_id,
+        COALESCE(string_agg(CASE WHEN NOT is_tag AND NOT in_boiler
+                                      AND length(visible) > 0
+                                 THEN visible END, ' ' ORDER BY pos),
+                 '') AS text,
+        COALESCE(sum(CASE WHEN NOT is_tag AND NOT in_boiler
+                          THEN length(visible) END), 0) AS chars,
+        COALESCE(sum(CASE WHEN NOT is_tag AND NOT in_boiler AND in_a > 0
+                          THEN length(visible) END), 0) AS link_chars,
+        COALESCE(sum(CASE WHEN is_tag THEN 1 END), 0) AS n_inline_tags
+      FROM v GROUP BY doc_id, block_id),
+    kb AS (SELECT *, ({_dom_keep_sql()}) AS keep FROM blk)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN keep THEN text END,
+                               ' ' ORDER BY block_id), '') AS main_text,
+           CAST(COALESCE(sum(CASE WHEN chars > 0 THEN 1 END), 0) AS INTEGER)
+               AS n_blocks,
+           CAST(COALESCE(sum(CASE WHEN keep THEN 1 END), 0) AS INTEGER)
+               AS n_kept
+    FROM kb GROUP BY doc_id
+"""
+
+ORACLES["dom_node_stats"] = f"""
+    WITH {_dom_sql_prefix()}
+    SELECT doc_id,
+        CAST(COALESCE(sum(CASE WHEN is_tag THEN 1 END), 0) AS INTEGER)
+            AS n_tags,
+        CAST(COALESCE(sum(CASE WHEN NOT is_tag AND length(visible) > 0
+                               THEN 1 END), 0) AS INTEGER) AS n_text_nodes,
+        CAST(COALESCE(max(depth + greatest(d, 0)), 0) AS INTEGER)
+            AS max_depth,
+        CAST(COALESCE(sum(CASE WHEN NOT is_tag AND NOT in_boiler
+                               THEN length(visible) END), 0) AS INTEGER)
+            AS content_chars,
+        CAST(COALESCE(sum(CASE WHEN NOT is_tag AND in_boiler
+                               THEN length(visible) END), 0) AS INTEGER)
+            AS boiler_chars,
+        CAST(COALESCE(sum(CASE WHEN NOT is_tag AND NOT in_boiler
+                               AND in_a > 0
+                               THEN length(visible) END), 0) AS INTEGER)
+            AS link_chars
+    FROM v GROUP BY doc_id
+"""

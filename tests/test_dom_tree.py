@@ -1,0 +1,237 @@
+"""DOM-tree extraction (operators/dom_tree.py): the counter-tree must
+equal a SEQUENTIAL STACK PARSE on well-nested input (the prefix-sum ==
+stack theorem, probed over randomized balanced pages), behave definedly on
+hostile input (mis-nesting, stray '<', stack-bomb attributes), and keep
+its single-exchange zero-Python plan.
+"""
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cies_ocr_java_spark.formats import (
+    HTML_BLOCK_TAGS,
+    HTML_BOILERPLATE_CONTAINERS,
+    HTML_ENTITIES,
+    HTML_MIN_BLOCK_CHARS,
+    HTML_STRIP_CONTENT_TAGS,
+    WS_RUN,
+)
+from cies_ocr_java_spark.operators.dom_tree import (
+    DOM_MIN_TEXT_DENSITY,
+    DOM_VOID_TAGS,
+    LINK_DENSITY_PCT,
+    TAG_NAME_PATTERN,
+    TAG_PATTERN,
+    dom_main_text,
+    dom_node_stats,
+)
+from cies_ocr_java_spark.operators.html_extract import COMMENT_PATTERN
+
+_BOILER = set(HTML_STRIP_CONTENT_TAGS) | set(HTML_BOILERPLATE_CONTAINERS)
+
+
+def _vis(s: str) -> str:
+    for e, c in HTML_ENTITIES.items():
+        s = s.replace(e, c)
+    return re.sub(WS_RUN, " ", s).strip(" ")
+
+
+def seq_dom_main_text(html: str):
+    """Independent SEQUENTIAL reference: an explicit-stack DOM walk (the
+    textbook parser), with the same density gates. On well-nested input
+    the distributed counter formulation must produce identical output."""
+    html = re.sub("(?s)" + COMMENT_PATTERN, " ", html or "")
+    toks, last = [], 0
+    for m in re.finditer(TAG_PATTERN, html, re.ASCII):
+        toks.append((False, html[last : m.start()]))
+        toks.append((True, m.group(0)))
+        last = m.end()
+    toks.append((False, html[last:]))
+
+    stack: list[str] = []
+    block_id = 0
+    blocks: dict[int, dict] = {}
+
+    def blk(i):
+        return blocks.setdefault(
+            i, {"texts": [], "chars": 0, "link": 0, "tags": 0}
+        )
+
+    for is_tag, raw in toks:
+        if is_tag:
+            m = re.match(TAG_NAME_PATTERN, raw, re.ASCII)
+            name = (m.group(1) or "").lower() if m else ""
+            blk(block_id)["tags"] += 1
+            is_boundary = bool(name) and name in HTML_BLOCK_TAGS
+            inert = (
+                not name or raw.endswith("/>") or name in DOM_VOID_TAGS
+            )
+            if not inert:
+                if raw.startswith("</"):
+                    if stack and stack[-1] == name:
+                        stack.pop()
+                    # mis-nested close on balanced input never happens
+                else:
+                    stack.append(name)
+            if is_boundary:
+                block_id += 1
+        else:
+            v = _vis(raw)
+            if not v and not raw:
+                continue
+            b = blk(block_id)
+            if not any(s in _BOILER for s in stack):
+                if v:
+                    b["texts"].append(v)
+                b["chars"] += len(v)
+                if "a" in stack:
+                    b["link"] += len(v)
+
+    kept, n_blocks, n_kept = [], 0, 0
+    for i in sorted(blocks):
+        b = blocks[i]
+        if b["chars"] > 0:
+            n_blocks += 1
+        if (
+            b["chars"] >= HTML_MIN_BLOCK_CHARS
+            and 100 * b["link"] <= LINK_DENSITY_PCT * b["chars"]
+            and b["chars"] >= DOM_MIN_TEXT_DENSITY * (b["tags"] + 1)
+        ):
+            kept.append(" ".join(b["texts"]))
+            n_kept += 1
+    return " ".join(kept), n_blocks, n_kept
+
+
+_PAGE = (
+    '<!doctype html><html><head><title>T</title><script>var x = 1;</script>'
+    '</head><body><nav><ul><li><a href="/">Home</a></li><li>'
+    '<a href="/a">About</a></li></ul></nav><div id="main">'
+    "<h2>Section one &amp; notes</h2>"
+    '<p>the quick brown fox jumps over the lazy dog see '
+    '<a href="/ref">ref</a> tail &lt;ok&gt;</p>'
+    "<div><span>tiny</span><br/><b>x</b></div></div>"
+    "<!-- comment with > inside -->"
+    '<footer>&copy; 2024 <a href="/about">about</a> legal</footer>'
+    "</body></html>"
+)
+
+
+def test_dom_main_text_handcrafted(spark):
+    df = spark.createDataFrame([(1, _PAGE)], "doc_id int, html string")
+    row = dom_main_text(df, F.col("html")).collect()[0]
+    assert row.main_text == (
+        "Section one & notes the quick brown fox jumps over the "
+        "lazy dog see ref tail <ok>"
+    )
+    # blocks with content: h2, p, tiny-div, footer-side empty? footer is
+    # boiler (0 chars). nav is boiler. -> h2, p, tiny div, plus the 'x'
+    # fragment div: counted only if chars>0.
+    assert row.n_kept == 2
+    st = dom_node_stats(df, F.col("html")).collect()[0]
+    assert st.max_depth == 6  # html>body>nav>ul>li>a
+    assert st.link_chars == 3  # 'ref' — the only non-boiler anchor text
+    assert st.boiler_chars > 0 and st.content_chars > st.link_chars
+
+
+def test_dom_counter_tree_equals_sequential_stack_parse(spark):
+    """Prefix-sum tree == explicit-stack tree on balanced pages: 60
+    randomized well-nested documents (nested containers, inline anchors,
+    attributes with '>' inside quotes, entities, void tags), one Spark
+    pass, row-for-row equality with the sequential reference parser."""
+    rng = random.Random(42)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    inline = ["b", "i", "span", "em"]
+    containers = ["div", "p", "li", "section", "article", "nav", "footer"]
+
+    def text(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    def node(depth):
+        if depth >= 4 or rng.random() < 0.35:
+            t = text(rng.randint(1, 8))
+            if rng.random() < 0.2:
+                t += " &amp; x &lt;raw"
+            return t
+        tag = rng.choice(containers + inline)
+        attr = ""
+        r = rng.random()
+        if r < 0.25:
+            attr = ' class="x>y"'  # '>' inside quotes must not close
+        elif r < 0.35:
+            attr = " id='q>z'"
+        body = "".join(node(depth + 1) for _ in range(rng.randint(1, 3)))
+        if rng.random() < 0.25:
+            body += '<a href="/l">' + text(rng.randint(1, 3)) + "</a>"
+        if rng.random() < 0.15:
+            body += "<br/>"
+        return f"<{tag}{attr}>{body}</{tag}>"
+
+    pages = [
+        "<html><body>" + "".join(node(0) for _ in range(rng.randint(1, 4)))
+        + "</body></html>"
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(pages)), "doc_id int, html string"
+    )
+    got = {
+        r.doc_id: (r.main_text, r.n_blocks, r.n_kept)
+        for r in dom_main_text(df, F.col("html")).collect()
+    }
+    for i, page in enumerate(pages):
+        assert got[i] == seq_dom_main_text(page), f"doc {i}: {page[:200]}"
+
+
+def test_dom_hostile_inputs_are_defined(spark):
+    """Degradation contract: mis-nesting, stray close tags, a bare '<',
+    an unterminated quote (the whole tail is then text), a null payload,
+    and a 70 KB unquoted attribute (the BENCH_r02 stack-bomb class) all
+    produce rows, never an executor crash."""
+    bomb = "<div " + "x" * 70_000 + '><p>hello world content text</p></div>'
+    cases = [
+        (0, "</div></div><p>stray closes still yield this text</p>"),
+        (1, "<p>a < b and c > d arithmetic survives as text</p>"),
+        (2, '<p class="unterminated>this whole tail is character data'),
+        (3, None),
+        (4, bomb),
+        (5, "<nav><p>misnested </nav> still inside nav by counter</p>"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id int, html string")
+    rows = {r.doc_id: r for r in dom_main_text(df, F.col("html")).collect()}
+    assert len(rows) == 6
+    assert rows[0].main_text == "stray closes still yield this text"
+    # '<' not followed by [a-zA-Z!?/] is text; '< b and c >' survives
+    assert "arithmetic survives as text" in rows[1].main_text
+    # unterminated quote: the tag never closes, so the WHOLE string is
+    # character data and survives verbatim (formats.py degradation rule 3)
+    assert rows[2].main_text == (
+        '<p class="unterminated>this whole tail is character data'
+    )
+    assert rows[3].main_text == ""
+    assert rows[4].main_text == "hello world content text"
+    # counter semantics: text after the stray </nav> has nav counter 0,
+    # but 'misnested ' before it is inside nav -> dropped
+    assert rows[5].main_text == "still inside nav by counter"
+
+
+def test_dom_queries_plan_single_exchange_zero_python(spark):
+    """dom_tree_extract / dom_node_stats: the ONLY shuffle is the one
+    doc-partitioned hash exchange feeding the window (the groupBys reuse
+    it — doc_id partitioning satisfies (doc_id, block_id) clustering),
+    and the whole parse is codegen — no Arrow/Python nodes, no
+    SinglePartition exchange."""
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    for name in ("dom_tree_extract", "dom_node_stats"):
+        plan = (
+            QUERIES[name](spark, "/root/testdata/sf0.01")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan and "Arrow" not in plan, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Exchange SinglePartition" not in plan, name
