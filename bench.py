@@ -250,6 +250,7 @@ HEADLINE = [
     # round-3 session-2 additions (same per-name comparison rule)
     "dom_tree_extract",
     "dom_node_stats",
+    "dom_interleaved_spans",
 ]
 
 

@@ -238,6 +238,7 @@ def dom_blocks(ann: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("is_tag"), 1).otherwise(0))
         .cast("int")
         .alias("n_inline_tags"),
+        F.min(F.when(contrib, F.col("pos"))).alias("first_pos"),
     )
     keep = (
         (F.col("chars") >= HTML_MIN_BLOCK_CHARS)
@@ -270,6 +271,58 @@ def dom_main_text(df: DataFrame, payload, doc_col: str = "doc_id") -> DataFrame:
         .cast("int")
         .alias("n_blocks"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("int").alias("n_kept"),
+    )
+
+
+# src attribute of a media tag: double-quoted only (the closed grammar's
+# writer always double-quotes); shared verbatim with the oracle.
+IMG_SRC_PATTERN = 'src="([^"]*)"'
+
+
+def dom_interleaved_spans(
+    df: DataFrame, payload, doc_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, span_order, kind, text, media_ref): the interleaved
+    text+media span sequence of a page, in READING ORDER — the north
+    rule's span schema (kind, text, media_ref, order) extracted from real
+    markup. Text spans are the density-surviving blocks (anchored at
+    their first visible text node's token position); media spans are
+    ``<img>`` elements with a src, EXCLUDED when any ancestor is
+    boilerplate (a nav logo is furniture, not content media). Both ride
+    the one annotated token stream, so ordering is token-position-exact
+    and the merge needs no second parse."""
+    ann = dom_annotate(dom_tokens(df, payload, doc_col))
+    blocks = dom_blocks(ann)
+    text_spans = blocks.where(F.col("keep")).select(
+        "doc_id",
+        F.col("first_pos").alias("pos"),
+        F.lit("text").alias("kind"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+    src = F.regexp_extract("raw", IMG_SRC_PATTERN, 1)
+    media_spans = ann.where(
+        F.col("is_tag")
+        & (F.col("name") == "img")
+        & ~F.col("in_boiler")
+        & (src != "")
+    ).select(
+        "doc_id",
+        F.col("pos"),
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        src.alias("media_ref"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        text_spans.unionByName(media_spans)
+        .select(
+            "doc_id",
+            (F.row_number().over(w) - 1).cast("int").alias("span_order"),
+            "kind",
+            "text",
+            "media_ref",
+        )
     )
 
 

@@ -19096,38 +19096,92 @@ _DOM_LINKFARM = (
     '<p><a href="/l0">Link</a> <a href="/l1">Farm</a> '
     '<a href="/l2">Here</a> <a href="/l3">Now</a></p>'
 )
-_DOM_PAGE_HEAD = (
+
+# The deterministic nested test page wrapped around each doc: real tree
+# structure (nav/ul/li, nested divs, inline anchors in AND out of
+# boilerplate, void <br/>/<img/>, entities, a '>' inside a comment) so the
+# ancestor counters — not just flat block splitting — decide the output.
+# MEDIA spans ride the same tree: an <img> inside nav (must be excluded by
+# ancestry), the content image after the paragraph, and a <figure> image on
+# even doc_ids. ONE spec, two renderers (Spark Column / DuckDB SQL) — the
+# page can never drift between the engine and its oracle. Sentinels:
+#   ID     doc_id as string          N     ws-normalized doc text
+#   HEAD12 first 12 chars of N       FARM  link farm on doc_id%3==0
+#   IMG2   <figure><img .../2"/></figure> on doc_id%2==0
+_DOM_PAGE_SPEC = (
     "<!doctype html><html><head><title>T</title>"
     "<script>var x = 1;</script></head><body>"
     '<nav><ul><li><a href="/">Home</a></li>'
-    '<li><a href="/a">About</a></li></ul></nav>'
-    '<div id="main"><h2>'
-)
-_DOM_PAGE_MID = " &amp; notes</h2><p>"
-_DOM_PAGE_AFTER_P = ' see <a href="/ref">ref</a> tail &lt;ok&gt;</p>'
-_DOM_PAGE_TAIL = (
+    '<li><a href="/a">About</a></li></ul><img src="media://',
+    "ID",
+    '/0"/></nav><div id="main"><h2>',
+    "HEAD12",
+    " &amp; notes</h2><p>",
+    "N",
+    ' see <a href="/ref">ref</a> tail &lt;ok&gt;</p><img src="media://',
+    "ID",
+    '/1"/>',
+    "FARM",
+    "IMG2",
     "<div><span>tiny</span><br/><b>x</b></div></div>"
     "<!-- note: > inside --><footer>&copy; 2024 "
-    '<a href="/about">about</a> legal</footer></body></html>'
+    '<a href="/about">about</a> legal</footer></body></html>',
 )
+_DOM_SENTINELS = {"ID", "N", "HEAD12", "FARM", "IMG2"}
 
 
 def _dom_page_col() -> F.Column:
-    """The deterministic nested test page wrapped around each doc: real
-    tree structure (nav/ul/li, nested divs, inline anchors in AND out of
-    boilerplate, a void <br/>, entities, a '>' inside a comment) so the
-    ancestor counters — not just flat block splitting — decide the output."""
+    """Spark rendering of _DOM_PAGE_SPEC."""
     n = normalize_ws(F.col("text"))
+    did = F.col("doc_id").cast("string")
+    pieces = {
+        "ID": did,
+        "N": n,
+        "HEAD12": F.substring(n, 1, 12),
+        "FARM": F.when(
+            F.col("doc_id") % 3 == 0, F.lit(_DOM_LINKFARM)
+        ).otherwise(F.lit("")),
+        "IMG2": F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('<figure><img src="media://'),
+                did,
+                F.lit('/2"/></figure>'),
+            ),
+        ).otherwise(F.lit("")),
+    }
     return F.concat(
-        F.lit(_DOM_PAGE_HEAD),
-        F.substring(n, 1, 12),
-        F.lit(_DOM_PAGE_MID),
-        n,
-        F.lit(_DOM_PAGE_AFTER_P),
-        F.when(F.col("doc_id") % 3 == 0, F.lit(_DOM_LINKFARM)).otherwise(
-            F.lit("")
+        *[
+            pieces[p] if p in _DOM_SENTINELS else F.lit(p)
+            for p in _DOM_PAGE_SPEC
+        ]
+    )
+
+
+def _dom_page_sql() -> str:
+    """DuckDB rendering of _DOM_PAGE_SPEC (expects doc_id and the
+    normalized text ``n`` in scope)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    pieces = {
+        "ID": "CAST(doc_id AS VARCHAR)",
+        "N": "n",
+        "HEAD12": "substr(n, 1, 12)",
+        "FARM": (
+            f"CASE WHEN doc_id % 3 = 0 THEN '{q(_DOM_LINKFARM)}' "
+            "ELSE '' END"
         ),
-        F.lit(_DOM_PAGE_TAIL),
+        "IMG2": (
+            "CASE WHEN doc_id % 2 = 0 THEN "
+            "'<figure><img src=\"media://' || CAST(doc_id AS VARCHAR) || "
+            "'/2\"/></figure>' ELSE '' END"
+        ),
+    }
+    return " || ".join(
+        pieces[p] if p in _DOM_SENTINELS else f"'{q(p)}'"
+        for p in _DOM_PAGE_SPEC
     )
 
 
@@ -19168,12 +19222,7 @@ def _dom_sql_prefix() -> str:
         f"in_{t} > 0"
         for t in (*HTML_STRIP_CONTENT_TAGS, *HTML_BOILERPLATE_CONTAINERS)
     )
-    page = (
-        f"'{q(_DOM_PAGE_HEAD)}' || substr(n, 1, 12) || '{q(_DOM_PAGE_MID)}' "
-        f"|| n || '{q(_DOM_PAGE_AFTER_P)}' "
-        f"|| CASE WHEN doc_id % 3 = 0 THEN '{q(_DOM_LINKFARM)}' ELSE '' END "
-        f"|| '{q(_DOM_PAGE_TAIL)}'"
-    )
+    page = _dom_page_sql()
     return f"""
     h AS (SELECT doc_id, {page} AS html
           FROM (SELECT doc_id, {_norm_sql('text')} AS n
@@ -19269,8 +19318,9 @@ def dom_node_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stats(d, _dom_page_col())
 
 
-ORACLES["dom_tree_extract"] = f"""
-    WITH {_dom_sql_prefix()},
+# blk/kb: the per-(doc, block) aggregation + density gates, shared by the
+# dom_tree_extract and dom_interleaved_spans oracles.
+_DOM_BLK_SQL = """
     blk AS (SELECT doc_id, block_id,
         COALESCE(string_agg(CASE WHEN NOT is_tag AND NOT in_boiler
                                       AND length(visible) > 0
@@ -19280,8 +19330,15 @@ ORACLES["dom_tree_extract"] = f"""
                           THEN length(visible) END), 0) AS chars,
         COALESCE(sum(CASE WHEN NOT is_tag AND NOT in_boiler AND in_a > 0
                           THEN length(visible) END), 0) AS link_chars,
-        COALESCE(sum(CASE WHEN is_tag THEN 1 END), 0) AS n_inline_tags
-      FROM v GROUP BY doc_id, block_id),
+        COALESCE(sum(CASE WHEN is_tag THEN 1 END), 0) AS n_inline_tags,
+        min(CASE WHEN NOT is_tag AND NOT in_boiler AND length(visible) > 0
+                 THEN pos END) AS first_pos
+      FROM v GROUP BY doc_id, block_id)
+"""
+
+ORACLES["dom_tree_extract"] = f"""
+    WITH {_dom_sql_prefix()},
+    {_DOM_BLK_SQL},
     kb AS (SELECT *, ({_dom_keep_sql()}) AS keep FROM blk)
     SELECT doc_id,
            COALESCE(string_agg(CASE WHEN keep THEN text END,
@@ -19313,4 +19370,47 @@ ORACLES["dom_node_stats"] = f"""
                                THEN length(visible) END), 0) AS INTEGER)
             AS link_chars
     FROM v GROUP BY doc_id
+"""
+
+
+@_register(
+    "dom_interleaved_spans",
+    None,
+)
+def dom_interleaved_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+media span extraction from the DOM tree — the
+    north rule's output schema (kind, text, media_ref, order) produced
+    from real markup in reading order: density-surviving blocks become
+    text spans, non-boilerplate <img> elements become media spans (the
+    nav logo is excluded by ANCESTRY, the content/figure images kept),
+    both ordered by token position from the one annotated stream. The
+    oracle replays tokenize -> prefix sums -> gates -> the span merge in
+    SQL. Reference parity: the extracted-spans result shape the whole
+    pipeline commits (SURVEY §1.4); sibling of _synth_interleaved_docs,
+    which SYNTHESIZES this shape — here it is EXTRACTED."""
+    from cies_ocr_java_spark.operators.dom_tree import dom_interleaved_spans
+
+    d = _t(spark, sf_dir, "documents", fanout=True).where(F.col("n_chars") >= 20)
+    return dom_interleaved_spans(d, _dom_page_col())
+
+
+ORACLES["dom_interleaved_spans"] = f"""
+    WITH {_dom_sql_prefix()},
+    {_DOM_BLK_SQL},
+    kb AS (SELECT *, ({_dom_keep_sql()}) AS keep FROM blk),
+    ts AS (SELECT doc_id, first_pos AS pos, 'text' AS kind, text,
+                  CAST(NULL AS VARCHAR) AS media_ref
+           FROM kb WHERE keep),
+    ms AS (SELECT doc_id, pos, 'media' AS kind,
+                  CAST(NULL AS VARCHAR) AS text,
+                  regexp_extract(raw, 'src="([^"]*)"', 1) AS media_ref
+           FROM v
+           WHERE is_tag AND name = 'img' AND NOT in_boiler
+                 AND regexp_extract(raw, 'src="([^"]*)"', 1) <> ''),
+    u AS (SELECT * FROM ts UNION ALL SELECT * FROM ms)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                AS INTEGER) AS span_order,
+           kind, text, media_ref
+    FROM u
 """

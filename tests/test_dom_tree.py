@@ -235,3 +235,49 @@ def test_dom_queries_plan_single_exchange_zero_python(spark):
         assert "Python" not in plan and "Arrow" not in plan, name
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert "Exchange SinglePartition" not in plan, name
+
+
+def test_dom_interleaved_spans_reading_order_and_ancestry(spark):
+    """Text and media spans merge in token order; an <img> under nav is
+    furniture (excluded by ancestry), content/figure images are kept with
+    their src; a src-less <img> contributes nothing."""
+    from cies_ocr_java_spark.operators.dom_tree import dom_interleaved_spans
+
+    page = (
+        '<html><body><nav><img src="media://d/logo"/><a href="/">Home</a></nav>'
+        "<p>leading paragraph with enough characters</p>"
+        '<img src="media://d/1"/>'
+        "<p>second paragraph also long enough to keep</p>"
+        '<figure><img src="media://d/2"/></figure>'
+        "<img/>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(7, page)], "doc_id int, html string")
+    rows = sorted(
+        dom_interleaved_spans(df, F.col("html")).collect(),
+        key=lambda r: r.span_order,
+    )
+    assert [(r.kind, r.text, r.media_ref) for r in rows] == [
+        ("text", "leading paragraph with enough characters", None),
+        ("media", None, "media://d/1"),
+        ("text", "second paragraph also long enough to keep", None),
+        ("media", None, "media://d/2"),
+    ]
+    assert [r.span_order for r in rows] == [0, 1, 2, 3]
+
+
+def test_dom_interleaved_spans_plan_bounded_exchanges(spark):
+    """The span merge reuses the doc-partitioned token exchange for the
+    block aggregation; the union + final ordering window adds at most one
+    more doc-keyed exchange. Never SinglePartition, never Python."""
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["dom_interleaved_spans"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Exchange SinglePartition" not in plan
