@@ -251,6 +251,7 @@ HEADLINE = [
     "dom_tree_extract",
     "dom_node_stats",
     "dom_interleaved_spans",
+    "media_gif_decode",
 ]
 
 

@@ -554,11 +554,310 @@ def extract_bmp_features(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(op, BMP_FEATURES_SCHEMA)
 
 
+# --- GIF: the LZW-compressed, multi-frame image container ------------------
+# PNG proved zlib/DEFLATE; GIF proves the OTHER compression family (LZW,
+# variable-width codes, LSB-first bit packing, 255-byte sub-block framing)
+# plus multi-frame animation — the container shape video-style media spans
+# arrive in. Writer + decoder are both real (any image viewer opens the
+# generated files); stdlib only.
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+_GIF_MAX_CODE = 1 << 12  # LZW codes are capped at 12 bits
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """Real GIF-LZW: variable-width codes growing 9..12 bits (for
+    min_code_size=8), CLEAR emitted up front and on table overflow,
+    LSB-first bit packing."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, code_size = fresh()
+    emit(clear, code_size)
+    prefix = b""
+    for b in bytes(data):
+        nxt = prefix + bytes([b])
+        if nxt in table:
+            prefix = nxt
+            continue
+        emit(table[prefix], code_size)
+        if next_code < _GIF_MAX_CODE:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:  # table full: clear and start over
+            emit(clear, code_size)
+            table, next_code, code_size = fresh()
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """Inverse of _gif_lzw_encode (returns (pixels, error)): handles
+    code-size growth, CLEAR resets, the deferred-clear full-table state,
+    and the prev+prev[0] self-referencing code. Bounded by max_pixels so
+    a hostile stream cannot balloon memory."""
+    if not (2 <= min_code_size <= 8):
+        return None, "bad lzw code size"
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in bytes(data):
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out), None
+            if prev is None:
+                if code >= len(table):
+                    return None, "bad first lzw code"
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < _GIF_MAX_CODE:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < _GIF_MAX_CODE:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None, "bad lzw code"
+            if (
+                len(table) == (1 << code_size)
+                and code_size < 12
+            ):
+                code_size += 1
+            out += entry
+            if len(out) > max_pixels:
+                return None, "lzw output overrun"
+            prev = entry
+    return None, "missing lzw end code"
+
+
+def build_gif(width: int, height: int, value: int, n_frames: int = 1) -> bytes:
+    """Emit a REAL GIF89a: logical screen descriptor, 256-entry grayscale
+    global color table, and per frame a Graphic Control Extension + image
+    descriptor + genuine LZW-compressed indices in 255-byte sub-blocks.
+    Frame f is solid (value+f) — multi-frame files are real animations
+    any viewer plays."""
+    if (
+        width <= 0 or height <= 0 or n_frames <= 0
+        or not (0 <= value + n_frames - 1 <= 255)
+    ):
+        raise ValueError("bad gif dimensions/value/frames")
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-color GCT
+    for i in range(256):
+        out += bytes((i, i, i))  # grayscale palette: red channel == index
+    for f in range(n_frames):
+        # Graphic Control Extension (forces decoders to walk extensions)
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(8)  # LZW minimum code size
+        lzw = _gif_lzw_encode(bytes([value + f]) * (width * height), 8)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i:i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes | None) -> dict:
+    """Structural decode of the GIF subset: signature, logical screen
+    descriptor, global color table, extension walk, per-frame image
+    descriptor + LZW decode + pixel-count check. Returns {width, height,
+    n_frames, ink_sum, error}; ink is the palette RED channel summed over
+    every pixel of every frame (grayscale tables make that the gray sum).
+    Every malformed payload yields an error row."""
+    none = {"width": None, "height": None, "n_frames": None, "ink_sum": None}
+    if data is None or len(data) < 13:
+        return {**none, "error": "short or missing payload"}
+    data = bytes(data)
+    if data[:6] not in _GIF_SIGS:
+        return {**none, "error": "bad gif signature"}
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    if w <= 0 or h <= 0:
+        return {**none, "error": "bad dimensions"}
+    pos = 13
+    if not packed & 0x80:
+        return {**none, "error": "no global color table"}
+    gct_n = 2 << (packed & 0x07)
+    gct = data[pos:pos + 3 * gct_n]
+    if len(gct) != 3 * gct_n:
+        return {**none, "error": "truncated color table"}
+    pos += 3 * gct_n
+    n_frames = 0
+    ink = 0
+    while True:
+        if pos >= len(data):
+            return {**none, "error": "missing trailer"}
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1  # label
+            while True:
+                if pos >= len(data):
+                    return {**none, "error": "truncated extension"}
+                n = data[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if b != 0x2C:
+            return {**none, "error": f"unknown block 0x{b:02x}"}
+        if pos + 9 > len(data):
+            return {**none, "error": "truncated image descriptor"}
+        fl, ft, fw, fh, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if ipacked & 0x40:
+            return {**none, "error": "unsupported interlace"}
+        pal = gct
+        if ipacked & 0x80:  # local color table
+            lct_n = 2 << (ipacked & 0x07)
+            pal = data[pos:pos + 3 * lct_n]
+            if len(pal) != 3 * lct_n:
+                return {**none, "error": "truncated color table"}
+            pos += 3 * lct_n
+        if fw <= 0 or fh <= 0 or fl + fw > w or ft + fh > h:
+            return {**none, "error": "frame exceeds screen"}
+        if pos >= len(data):
+            return {**none, "error": "truncated image data"}
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            if pos >= len(data):
+                return {**none, "error": "truncated image data"}
+            n = data[pos]
+            pos += 1
+            if n == 0:
+                break
+            blk = data[pos:pos + n]
+            if len(blk) != n:
+                return {**none, "error": "truncated image data"}
+            lzw += blk
+            pos += n
+        pixels, err = _gif_lzw_decode(bytes(lzw), mcs, fw * fh)
+        if err is not None:
+            return {**none, "error": err}
+        if len(pixels) != fw * fh:
+            return {**none, "error": "pixel count mismatch"}
+        npal = len(pal) // 3
+        for p in pixels:
+            if p >= npal:
+                return {**none, "error": "pixel index out of palette"}
+            ink += pal[3 * p]  # red channel
+        n_frames += 1
+    if n_frames == 0:
+        return {**none, "error": "no image frames"}
+    return {
+        "width": w, "height": h, "n_frames": n_frames,
+        "ink_sum": ink, "error": None,
+    }
+
+
+class GifCodec(MediaCodec):
+    """Real decode for the GIF subset — LZW variable-width codes,
+    sub-block framing, extension walk, multi-frame. Registered 'gif'."""
+
+    name = "gif"
+
+    def decode_batch(self, content: pd.Series) -> pd.DataFrame:
+        rows = [decode_gif(b) for b in content]
+        ok = [r["error"] is None for r in rows]
+        return pd.DataFrame(
+            {
+                "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                "height": pd.array([r["height"] for r in rows], dtype="Int32"),
+                "n_frames": pd.array(
+                    [r["n_frames"] for r in rows], dtype="Int32"
+                ),
+                "mime": ["image/gif" if o else None for o in ok],
+                "error": [r["error"] for r in rows],
+            },
+            index=content.index,
+        )
+
+
+GIF_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, n_frames int, mime string, "
+    "ink_sum long, error string"
+)
+
+
+def extract_gif_features(df: DataFrame, content_col: str = "content",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, content:binary) -> decoded width/height/frames/ink rows via
+    one Arrow-batched mapInPandas pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_gif(b) for b in pdf[content_col]]
+            ok = [r["error"] is None for r in rows]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(
+                        [r["width"] for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r["height"] for r in rows], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [r["n_frames"] for r in rows], dtype="Int32"
+                    ),
+                    "mime": ["image/gif" if o else None for o in ok],
+                    "ink_sum": pd.array(
+                        [r["ink_sum"] for r in rows], dtype="Int64"
+                    ),
+                    "error": [r["error"] for r in rows],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(op, GIF_FEATURES_SCHEMA)
+
+
 def sniff_media_format(data: bytes | None) -> str | None:
-    """Magic-byte sniff over the real-codec suite: 'bmp' / 'png' / 'wav',
-    or None when no registered container signature matches. Content
-    sniffing, never trusting an extension/metadata column — the crawl
-    reality where both lie."""
+    """Magic-byte sniff over the real-codec suite: 'bmp' / 'png' / 'wav'
+    / 'gif', or None when no registered container signature matches.
+    Content sniffing, never trusting an extension/metadata column — the
+    crawl reality where both lie."""
     if data is None or len(data) < 12:
         return None
     data = bytes(data[:16])
@@ -568,6 +867,8 @@ def sniff_media_format(data: bytes | None) -> str | None:
         return "bmp"
     if data.startswith(b"RIFF") and data[8:12] == b"WAVE":
         return "wav"
+    if data[:6] in _GIF_SIGS:
+        return "gif"
     return None
 
 
@@ -598,6 +899,11 @@ def extract_media_dispatch(df: DataFrame, content_col: str = "content",
                     errs.append(r["error"])
                 elif fmt == "png":
                     r = decode_png(b)
+                    ws.append(r["width"]); hs.append(r["height"])
+                    ns.append(None); inks.append(r["ink_sum"])
+                    errs.append(r["error"])
+                elif fmt == "gif":
+                    r = decode_gif(b)
                     ws.append(r["width"]); hs.append(r["height"])
                     ns.append(None); inks.append(r["ink_sum"])
                     errs.append(r["error"])
@@ -653,6 +959,7 @@ register_codec(NativeCodec())
 register_codec(BmpCodec())
 register_codec(WavCodec())
 register_codec(PngCodec())
+register_codec(GifCodec())
 
 
 def decode_media_payload(content: bytes) -> dict:

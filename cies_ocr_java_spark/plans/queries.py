@@ -2610,19 +2610,22 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_dispatch_decode",
     """
     WITH base AS (
-      SELECT doc_id, doc_id % 4 AS kind,
+      SELECT doc_id, doc_id % 5 AS kind,
              doc_id % 23 = 0 AS trunc
       FROM documents)
     SELECT doc_id,
-           CASE WHEN kind = 3 THEN NULL
+           CASE WHEN kind = 4 THEN NULL
                 WHEN kind = 0 THEN 'bmp'
                 WHEN kind = 1 THEN 'png'
+                WHEN kind = 3 THEN 'gif'
                 ELSE 'wav' END AS format,
            CASE WHEN kind = 0 AND NOT trunc THEN CAST(4 + doc_id % 13 AS INT)
                 WHEN kind = 1 THEN CAST(5 + doc_id % 11 AS INT)
+                WHEN kind = 3 THEN CAST(4 + doc_id % 13 AS INT)
                 ELSE NULL END AS width,
            CASE WHEN kind = 0 AND NOT trunc THEN CAST(3 + doc_id % 7 AS INT)
                 WHEN kind = 1 THEN CAST(2 + doc_id % 9 AS INT)
+                WHEN kind = 3 THEN CAST(3 + doc_id % 8 AS INT)
                 ELSE NULL END AS height,
            CASE WHEN kind = 2 THEN CAST(10 + doc_id % 50 AS INT)
                 ELSE NULL END AS n_samples,
@@ -2636,8 +2639,13 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN CAST(abs(CAST(doc_id % 100 AS INT) * 300 - 15000)
                             * (10 + doc_id % 50) * (1 + doc_id % 2)
                             AS BIGINT)
+                WHEN kind = 3
+                  THEN CAST((4 + doc_id % 13) * (3 + doc_id % 8)
+                            * ((1 + doc_id % 3) * (doc_id % 200)
+                               + ((1 + doc_id % 3) * (doc_id % 3)) // 2)
+                            AS BIGINT)
                 ELSE NULL END AS ink_sum,
-           CASE WHEN kind = 3 THEN 'unknown format'
+           CASE WHEN kind = 4 THEN 'unknown format'
                 WHEN kind = 0 AND trunc THEN 'truncated pixel data'
                 ELSE NULL END AS error
     FROM base
@@ -2646,9 +2654,10 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-FORMAT codec dispatch — the ingest front door where media
     arrives as opaque bytes of unknown kind: a mixed payload column
-    (real BMP / PNG / WAV / garbage by id%4) is magic-byte SNIFFED
-    (never trusting metadata) and routed to the matching real codec in
-    one Arrow-batched pass. Images report width/height/pixel ink, audio
+    (real BMP / PNG / WAV / multi-frame GIF / garbage by id%5) is
+    magic-byte SNIFFED (never trusting metadata) and routed to the
+    matching real codec in one Arrow-batched pass. Images report
+    width/height/pixel ink (GIF ink summed over ALL frames), audio
     reports n_samples + absolute-sample energy in the shared ink slot,
     unrecognized payloads and a truncated-BMP tier (id%23 of the bmp
     class) become failure rows. Oracle = closed-form integer
@@ -2656,6 +2665,7 @@ def media_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded payloads."""
     from cies_ocr_java_spark.operators.multimodal import (
         build_bmp,
+        build_gif,
         build_png,
         build_wav,
         extract_media_dispatch,
@@ -2670,7 +2680,7 @@ def media_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                k = i % 4
+                k = i % 5
                 if k == 0:
                     b = build_bmp(4 + i % 13, 3 + i % 7, i % 251)
                     if i % 23 == 0:
@@ -2684,6 +2694,8 @@ def media_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (i % 100) * 300 - 15000,
                         channels=1 + i % 2,
                     )
+                elif k == 3:
+                    b = build_gif(4 + i % 13, 3 + i % 8, i % 200, 1 + i % 3)
                 else:
                     b = b"\x00GARBAGE-" + str(i).encode() * 3
                 payloads.append(b)
@@ -19414,3 +19426,71 @@ ORACLES["dom_interleaved_spans"] = f"""
            kind, text, media_ref
     FROM u
 """
+
+
+@_register(
+    "media_gif_decode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS w,
+             CAST(3 + doc_id % 8 AS INT) AS h,
+             doc_id % 200 AS v,
+             CAST(1 + doc_id % 3 AS INT) AS nf,
+             doc_id % 41 = 0 AS corrupt
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE w END AS width,
+           CASE WHEN corrupt THEN NULL ELSE h END AS height,
+           CASE WHEN corrupt THEN NULL ELSE nf END AS n_frames,
+           CASE WHEN corrupt THEN NULL ELSE 'image/gif' END AS mime,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(w * h * (nf * v + (nf * (nf - 1)) // 2) AS BIGINT)
+                END AS ink_sum,
+           CASE WHEN corrupt THEN 'bad lzw code size' ELSE NULL END AS error
+    FROM base
+    """,
+)
+def media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW image decode — the OTHER compression family beside PNG's
+    zlib: each doc gets a genuine (multi-frame) GIF89a — grayscale global
+    color table, Graphic Control Extensions, per-frame image descriptors,
+    and REAL LZW streams (variable-width 9..12-bit codes, LSB-first bit
+    packing, 255-byte sub-block framing) — and the registered 'gif'
+    MediaCodec walks it all back: extension skip, LZW inverse with
+    code-size growth and CLEAR resets, pixel-count check, palette-red ink
+    sum over EVERY frame (frame f is solid value+f, so ink =
+    w*h*(nf*v + nf(nf-1)/2)). Docs with id%41==0 carry an invalid LZW
+    minimum-code-size byte and must FAIL with an error row. Oracle =
+    closed-form integer expectations. PLAN: one Arrow-batched mapInPandas
+    pass, no shuffle; dims bounded (w<=16, h<=10, frames<=3)."""
+    from cies_ocr_java_spark.operators.multimodal import (
+        build_gif,
+        extract_gif_features,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = build_gif(4 + i % 13, 3 + i % 8, i % 200, 1 + i % 3)
+                if i % 41 == 0:
+                    # poison the first frame's LZW minimum-code-size byte
+                    # (fixed offset: 6 sig + 7 LSD + 768 GCT + 8 GCE + 10
+                    # image descriptor)
+                    b = b[:799] + b"\x0c" + b[800:]
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_gif_features(media)
