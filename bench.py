@@ -252,6 +252,7 @@ HEADLINE = [
     "dom_node_stats",
     "dom_interleaved_spans",
     "media_gif_decode",
+    "media_jpeg_decode",
 ]
 
 

@@ -869,6 +869,8 @@ def sniff_media_format(data: bytes | None) -> str | None:
         return "wav"
     if data[:6] in _GIF_SIGS:
         return "gif"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -904,6 +906,15 @@ def extract_media_dispatch(df: DataFrame, content_col: str = "content",
                     errs.append(r["error"])
                 elif fmt == "gif":
                     r = decode_gif(b)
+                    ws.append(r["width"]); hs.append(r["height"])
+                    ns.append(None); inks.append(r["ink_sum"])
+                    errs.append(r["error"])
+                elif fmt == "jpeg":
+                    from cies_ocr_java_spark.operators.jpeg_real import (
+                        decode_jpeg,
+                    )
+
+                    r = decode_jpeg(b)
                     ws.append(r["width"]); hs.append(r["height"])
                     ns.append(None); inks.append(r["ink_sum"])
                     errs.append(r["error"])

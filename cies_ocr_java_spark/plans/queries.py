@@ -2610,22 +2610,25 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_dispatch_decode",
     """
     WITH base AS (
-      SELECT doc_id, doc_id % 5 AS kind,
+      SELECT doc_id, doc_id % 6 AS kind,
              doc_id % 23 = 0 AS trunc
       FROM documents)
     SELECT doc_id,
-           CASE WHEN kind = 4 THEN NULL
+           CASE WHEN kind = 5 THEN NULL
                 WHEN kind = 0 THEN 'bmp'
                 WHEN kind = 1 THEN 'png'
                 WHEN kind = 3 THEN 'gif'
+                WHEN kind = 4 THEN 'jpeg'
                 ELSE 'wav' END AS format,
            CASE WHEN kind = 0 AND NOT trunc THEN CAST(4 + doc_id % 13 AS INT)
                 WHEN kind = 1 THEN CAST(5 + doc_id % 11 AS INT)
                 WHEN kind = 3 THEN CAST(4 + doc_id % 13 AS INT)
+                WHEN kind = 4 THEN CAST(5 + doc_id % 12 AS INT)
                 ELSE NULL END AS width,
            CASE WHEN kind = 0 AND NOT trunc THEN CAST(3 + doc_id % 7 AS INT)
                 WHEN kind = 1 THEN CAST(2 + doc_id % 9 AS INT)
                 WHEN kind = 3 THEN CAST(3 + doc_id % 8 AS INT)
+                WHEN kind = 4 THEN CAST(4 + doc_id % 9 AS INT)
                 ELSE NULL END AS height,
            CASE WHEN kind = 2 THEN CAST(10 + doc_id % 50 AS INT)
                 ELSE NULL END AS n_samples,
@@ -2644,8 +2647,11 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * ((1 + doc_id % 3) * (doc_id % 200)
                                + ((1 + doc_id % 3) * (doc_id % 3)) // 2)
                             AS BIGINT)
+                WHEN kind = 4
+                  THEN CAST((5 + doc_id % 12) * (4 + doc_id % 9)
+                            * (doc_id % 251) AS BIGINT)
                 ELSE NULL END AS ink_sum,
-           CASE WHEN kind = 4 THEN 'unknown format'
+           CASE WHEN kind = 5 THEN 'unknown format'
                 WHEN kind = 0 AND trunc THEN 'truncated pixel data'
                 ELSE NULL END AS error
     FROM base
@@ -2654,15 +2660,16 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-FORMAT codec dispatch — the ingest front door where media
     arrives as opaque bytes of unknown kind: a mixed payload column
-    (real BMP / PNG / WAV / multi-frame GIF / garbage by id%5) is
-    magic-byte SNIFFED (never trusting metadata) and routed to the
-    matching real codec in one Arrow-batched pass. Images report
+    (real BMP / PNG / WAV / multi-frame GIF / baseline JPEG / garbage by
+    id%6) is magic-byte SNIFFED (never trusting metadata) and routed to
+    the matching real codec in one Arrow-batched pass. Images report
     width/height/pixel ink (GIF ink summed over ALL frames), audio
     reports n_samples + absolute-sample energy in the shared ink slot,
     unrecognized payloads and a truncated-BMP tier (id%23 of the bmp
     class) become failure rows. Oracle = closed-form integer
     expectations per class. PLAN: one mapInPandas pass, no shuffle,
     bounded payloads."""
+    from cies_ocr_java_spark.operators.jpeg_real import build_jpeg
     from cies_ocr_java_spark.operators.multimodal import (
         build_bmp,
         build_gif,
@@ -2680,7 +2687,7 @@ def media_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                k = i % 5
+                k = i % 6
                 if k == 0:
                     b = build_bmp(4 + i % 13, 3 + i % 7, i % 251)
                     if i % 23 == 0:
@@ -2696,6 +2703,8 @@ def media_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 elif k == 3:
                     b = build_gif(4 + i % 13, 3 + i % 8, i % 200, 1 + i % 3)
+                elif k == 4:
+                    b = build_jpeg(5 + i % 12, 4 + i % 9, i % 251)
                 else:
                     b = b"\x00GARBAGE-" + str(i).encode() * 3
                 payloads.append(b)
@@ -19494,3 +19503,74 @@ def media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, "doc_id long, content binary"
     )
     return extract_gif_features(media)
+
+
+@_register(
+    "media_jpeg_decode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 2) AS INT) AS w,
+             CAST(8 * (1 + doc_id % 3) AS INT) AS h,
+             (1 + doc_id % 2) * (1 + doc_id % 3) AS nb,
+             doc_id % 100 AS v,
+             doc_id % 43 = 0 AS corrupt
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE w END AS width,
+           CASE WHEN corrupt THEN NULL ELSE h END AS height,
+           CASE WHEN corrupt THEN NULL ELSE 'image/jpeg' END AS mime,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(64 * (nb * v + 7 * (nb * (nb - 1)) // 2)
+                          AS BIGINT) END AS ink_sum,
+           CASE WHEN corrupt THEN 'unsupported jpeg variant' ELSE NULL END
+               AS error
+    FROM base
+    """,
+)
+def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode — entropy-coded transform compression, the
+    dominant web image format: each doc gets a genuine baseline JFIF
+    (SOI/APP0/DQT/SOF0/DHT/SOS, CUSTOM canonical Huffman tables declared
+    in DHT, DC-difference coding with sign-extension categories, byte
+    stuffing) as a BLOCK-SOLID gradient — block k is level v+7k, so the
+    DC prediction chain carries nonzero diffs of varying category across
+    every block — and the registered 'jpeg' MediaCodec decodes it all
+    back: canonical Huffman reconstruction, entropy decode, dezigzag,
+    dequantization, IDCT, level shift. DC-only blocks make lossy JPEG
+    exact (ink = 64*(nb*v + 7*nb(nb-1)/2)). Docs with id%43==0 have
+    SOF0 rewritten to SOF2 (progressive) and must FAIL with an error
+    row. Oracle = closed-form integer expectations. PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle; dims bounded (<=16x24,
+    <=6 blocks)."""
+    from cies_ocr_java_spark.operators.jpeg_real import (
+        build_jpeg_blocks,
+        extract_jpeg_features,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                bw, bh = 1 + i % 2, 1 + i % 3
+                grid = (i % 100) + 7 * np.arange(bw * bh).reshape(bh, bw)
+                b = build_jpeg_blocks(grid, 8 * bw, 8 * bh)
+                if i % 43 == 0:
+                    j = b.index(b"\xff\xc0")
+                    b = b[:j] + b"\xff\xc2" + b[j + 2:]
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_jpeg_features(media)
