@@ -253,6 +253,7 @@ HEADLINE = [
     "dom_interleaved_spans",
     "media_gif_decode",
     "media_jpeg_decode",
+    "extract_pdf_media_spans",
 ]
 
 

@@ -643,7 +643,19 @@ class _HexLit(bytes):
 
 
 def _literals(content: bytes) -> Iterator[bytes]:
-    """Yield show-op string payloads from BT/ET text objects, in order.
+    """Show-op string payloads only (back-compat wrapper over
+    _content_tokens)."""
+    for kind, payload in _content_tokens(content):
+        if kind == "lit":
+            yield payload
+
+
+_NAME_RE = re.compile(rb"/([^\s/<>\[\]()%]*)")
+
+
+def _content_tokens(content: bytes) -> Iterator[tuple]:
+    """Yield ('lit', payload) show-op strings and ('img', name) XObject
+    paint operations from a content stream, in stream order.
 
     SEQUENTIAL tokenizer over the whole stream — literals are consumed
     with a balanced-paren scan (PDF literals may nest unescaped balanced
@@ -652,7 +664,11 @@ def _literals(content: bytes) -> Iterator[bytes]:
     confuse the text-object or array tracking (a regex pre-split on
     BT...ET would truncate at an 'ET' inside a literal). A literal is
     shown iff its next operator token is Tj, ' or ", or it sits in a
-    [...] array whose closer is followed by TJ."""
+    [...] array whose closer is followed by TJ. An image paint is a
+    /Name token whose next operator token is Do (spec 8.8: the Do
+    operator paints the XObject named in the page's resource
+    dictionary) — recognized outside literals, so '/x Do' INSIDE a
+    literal is text, never a paint."""
     body = content
     i = 0
     in_text = False
@@ -689,7 +705,7 @@ def _literals(content: bytes) -> Iterator[bytes]:
                 else:
                     after = body[j:j + 8].lstrip()
                     if after.startswith((b"Tj", b"'", b'"')):
-                        yield lit
+                        yield ("lit", lit)
             i = j
         elif in_text and c == 0x3C and body[i + 1:i + 2] != b"<":  # < hex
             j = body.find(b">", i + 1)
@@ -709,7 +725,7 @@ def _literals(content: bytes) -> Iterator[bytes]:
             else:
                 after = body[j + 1:j + 9].lstrip()
                 if after.startswith((b"Tj", b"'", b'"')):
-                    yield _HexLit(lit)
+                    yield ("lit", _HexLit(lit))
             i = j + 1
         elif not in_text and c == 0x42 and _kw(i, b"BT"):  # B
             in_text = True
@@ -719,6 +735,13 @@ def _literals(content: bytes) -> Iterator[bytes]:
         elif in_text and c == 0x45 and _kw(i, b"ET"):  # E
             in_text = False
             i += 2
+        elif not in_array and c == 0x2F:  # / — a name token
+            m = _NAME_RE.match(body, i)
+            nm = m.group(1)
+            after = body[m.end():m.end() + 8].lstrip()
+            if after.startswith(b"Do") and not after[2:3].isalnum():
+                yield ("img", nm.decode("latin1"))
+            i = m.end()
         elif in_text and c == 0x5B:  # [ — array opens
             in_array = True
             pending = []
@@ -726,7 +749,8 @@ def _literals(content: bytes) -> Iterator[bytes]:
         elif in_text and c == 0x5D:  # ] — array closes; shown iff ... ] TJ
             after = body[i + 1:i + 8].lstrip()
             if in_array and after.startswith(b"TJ"):
-                yield from pending
+                for lit in pending:
+                    yield ("lit", lit)
             in_array = False
             pending = []
             i += 1
@@ -859,3 +883,282 @@ def extract_real_pdf(df: DataFrame, payload_col: str = "payload",
             })
 
     return df.select(id_col, payload_col).mapInPandas(gen, REAL_PDF_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Interleaved text + embedded-media PDFs (image XObjects)
+# ---------------------------------------------------------------------------
+# Real PDFs carry images as XObjects painted by the Do operator; a
+# /DCTDecode image stream IS a complete JPEG file and an unfiltered
+# /DeviceGray 8-bit stream is raw pixels (spec 8.9.5). This closes the
+# loop between the PDF parser and the codec suite: the SAME structural
+# walk that recovers the text layer recovers the media spans, in content-
+# stream order — the engine's interleaved span schema extracted from a
+# real container, not synthesized.
+
+def build_pdf_interleaved(text: str, images: list[tuple],
+                          corrupt_image: bool = False) -> bytes:
+    """One-page PDF interleaving ``text`` with embedded images.
+
+    ``images`` is a list of (width, height, value, codec) with codec
+    'jpeg' (a genuine baseline JPEG in a /DCTDecode stream) or 'gray'
+    (raw 8-bit /DeviceGray samples, no filter). The text splits into
+    len(images)+1 codepoint slices at k*len//(n+1); content paints
+    slice k, image k, ..., slice n. Object numbering: 1 catalog,
+    2 pages, 3 page, 4 content, 5..4+n images (media_ref pdf://im/5+k).
+    ``corrupt_image=True`` truncates image 0's stream bytes (with a
+    consistent /Length) — the decode-failure tier."""
+    n = len(images)
+    cuts = [len(text) * k // (n + 1) for k in range(n + 2)]
+    parts = [text[cuts[k]:cuts[k + 1]] for k in range(n + 1)]
+    ops = []
+    for k in range(n + 1):
+        ops.append(b"BT\n(" + _pdf_escape_bytes(parts[k]) + b") Tj\nET")
+        if k < n:
+            ops.append(b"q 96 0 0 96 72 600 cm /Im%d Do Q" % k)
+    raw = b"\n".join(ops) + b"\n"
+    comp = zlib.compress(raw, 6)
+    res = b" ".join(b"/Im%d %d 0 R" % (k, 5 + k) for k in range(n))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << " + res + b" >> >> "
+        b"/Contents 4 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp + b"\nendstream",
+    ]
+    from cies_ocr_java_spark.operators.jpeg_real import build_jpeg
+
+    for k, (w, h, v, codec) in enumerate(images):
+        if codec == "jpeg":
+            payload = build_jpeg(w, h, v)
+            filt = b"/Filter /DCTDecode "
+        else:  # raw 8-bit grayscale samples, row-major
+            payload = bytes([v]) * (w * h)
+            filt = b""
+        if corrupt_image and k == 0:
+            payload = payload[: max(1, len(payload) // 2)]
+        objects.append(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 %s/Length %d >>"
+            b"\nstream\n" % (w, h, filt, len(payload))
+            + payload + b"\nendstream"
+        )
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_off = len(buf)
+    n_objs = len(objects) + 1
+    buf += b"xref\n0 %d\n" % n_objs
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs, xref_off)
+    )
+    return bytes(buf)
+
+
+def parse_pdf_interleaved(data: bytes) -> dict:
+    """Structural parse into the interleaved span sequence.
+
+    Returns {"spans": [...], "error"}: spans are dicts with kind 'text'
+    (text) or 'media' (media_ref pdf://im/<obj>, codec, width, height,
+    ink_sum — the embedded payload DECODED: /DCTDecode through the real
+    JPEG codec, unfiltered /DeviceGray as raw samples), in content-
+    stream order across pages, empty text slices skipped. Every
+    malformed document (bad xref, unknown resource name, undecodable
+    image, unsupported image filter) is an error row."""
+    from cies_ocr_java_spark.operators.jpeg_real import decode_jpeg
+
+    try:
+        if not data or not bytes(data).startswith(b"%PDF-"):
+            raise _PdfError("missing %PDF header")
+        data = bytes(data)
+        offsets, trailer = _parse_xref(data)
+        root = _ref(trailer, b"Root")
+        catalog, _ = _load_object(data, offsets, root)
+        pages_obj, _ = _load_object(data, offsets, _ref(catalog, b"Pages"))
+        kids = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_obj)
+        if not kids:
+            raise _PdfError("pages tree missing /Kids")
+        kid_nums = [
+            int(x) for x in re.findall(rb"(\d+)\s+0\s+R", kids.group(1))
+        ]
+        if not kid_nums:
+            raise _PdfError("empty /Kids")
+        spans: list[dict] = []
+        for kn in kid_nums:
+            page, _ = _load_object(data, offsets, kn)
+            xob = re.search(rb"/XObject\s*<<(.*?)>>", page, re.S)
+            res = {}
+            if xob:
+                for nm, num in re.findall(
+                    rb"/([^\s/<>\[\]()%]+)\s+(\d+)\s+0\s+R", xob.group(1)
+                ):
+                    res[nm.decode("latin1")] = int(num)
+            am = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
+            if am:
+                cnums = [
+                    int(x)
+                    for x in re.findall(rb"(\d+)\s+0\s+R", am.group(1))
+                ]
+            else:
+                cnums = [_ref(page, b"Contents")]
+            raw = b""
+            for cn in cnums:
+                cdict, cend = _load_object(data, offsets, cn)
+                raw += _stream_bytes(data, cdict, cend)
+            buf: list[str] = []
+
+            def _flush():
+                t = "".join(buf)
+                buf.clear()
+                if t:
+                    spans.append({"kind": "text", "text": t})
+
+            for kind, payload in _content_tokens(raw):
+                if kind == "lit":
+                    p = (
+                        payload if isinstance(payload, _HexLit)
+                        else _unescape_literal(payload)
+                    )
+                    try:
+                        buf.append(p.decode("utf-8"))
+                    except UnicodeDecodeError:
+                        raise _PdfError(
+                            "non-utf8 text in content stream"
+                        ) from None
+                    continue
+                _flush()
+                name = payload
+                if name not in res:
+                    raise _PdfError(f"unknown xobject name /{name}")
+                inum = res[name]
+                idict, iend = _load_object(data, offsets, inum)
+                if b"/Subtype /Image" not in idict:
+                    raise _PdfError("xobject is not an image")
+                wm = re.search(rb"/Width\s+(\d+)", idict)
+                hm = re.search(rb"/Height\s+(\d+)", idict)
+                if not wm or not hm:
+                    raise _PdfError("image missing dimensions")
+                w, h = int(wm.group(1)), int(hm.group(1))
+                stream = _stream_bytes_rawfilter(data, idict, iend)
+                if b"/Filter /DCTDecode" in idict:
+                    r = decode_jpeg(stream)
+                    if r["error"] is not None:
+                        raise _PdfError(
+                            f"embedded jpeg decode failed: {r['error']}"
+                        )
+                    if (r["width"], r["height"]) != (w, h):
+                        raise _PdfError("image dict/payload size mismatch")
+                    codec, ink = "jpeg", r["ink_sum"]
+                elif b"/Filter" in idict:
+                    raise _PdfError("unsupported image filter")
+                else:
+                    if len(stream) != w * h:
+                        raise _PdfError("raw image size mismatch")
+                    codec, ink = "gray", sum(stream)
+                spans.append({
+                    "kind": "media",
+                    "media_ref": f"pdf://im/{inum}",
+                    "codec": codec, "width": w, "height": h,
+                    "ink_sum": ink,
+                })
+            _flush()
+        return {"spans": spans, "error": None}
+    except _PdfError as e:
+        return {"spans": None, "error": str(e)}
+
+
+def _stream_bytes_rawfilter(data: bytes, obj_dict: bytes,
+                            after_dict: int | None) -> bytes:
+    """/Length-bounded stream bytes WITHOUT filter decoding — image
+    streams hand their (possibly DCT-compressed) payload to the codec."""
+    if after_dict is None:
+        raise _PdfError("image object has no stream")
+    m = re.compile(rb"stream\r?\n").search(data, after_dict)
+    if not m:
+        raise _PdfError("image object has no stream")
+    lm = re.search(rb"/Length\s+(\d+)", obj_dict)
+    if not lm:
+        raise _PdfError("image stream missing /Length")
+    start = m.end()
+    end = start + int(lm.group(1))
+    if end > len(data):
+        raise _PdfError("image stream exceeds file")
+    return data[start:end]
+
+
+PDF_MEDIA_SPANS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("span_order", T.IntegerType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("media_w", T.IntegerType()),
+    T.StructField("media_h", T.IntegerType()),
+    T.StructField("media_ink", T.LongType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def extract_pdf_media_spans(df: DataFrame, payload_col: str = "payload",
+                            id_col: str = "doc_id") -> DataFrame:
+    """(id, payload binary) -> one row per interleaved span (text rows
+    carry text, media rows carry ref/codec/dims/decoded ink); a failed
+    document is ONE null-span row with the error. Arrow-batched
+    mapInPandas, no shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in PDF_MEDIA_SPANS_SCHEMA.fields}
+
+            def push(did, order, kind, text=None, ref=None, codec=None,
+                     w=None, h=None, ink=None, err=None):
+                out["doc_id"].append(did)
+                out["span_order"].append(order)
+                out["kind"].append(kind)
+                out["text"].append(text)
+                out["media_ref"].append(ref)
+                out["codec"].append(codec)
+                out["media_w"].append(w)
+                out["media_h"].append(h)
+                out["media_ink"].append(ink)
+                out["error"].append(err)
+
+            for did, payload in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                r = parse_pdf_interleaved(payload)
+                if r["error"] is not None:
+                    push(did, None, None, err=r["error"])
+                    continue
+                for k, s in enumerate(r["spans"]):
+                    if s["kind"] == "text":
+                        push(did, k, "text", text=s["text"])
+                    else:
+                        push(did, k, "media", ref=s["media_ref"],
+                             codec=s["codec"], w=s["width"],
+                             h=s["height"], ink=s["ink_sum"])
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "span_order": pd.array(out["span_order"], dtype="Int32"),
+                "kind": out["kind"],
+                "text": out["text"],
+                "media_ref": out["media_ref"],
+                "codec": out["codec"],
+                "media_w": pd.array(out["media_w"], dtype="Int32"),
+                "media_h": pd.array(out["media_h"], dtype="Int32"),
+                "media_ink": pd.array(out["media_ink"], dtype="Int64"),
+                "error": out["error"],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, PDF_MEDIA_SPANS_SCHEMA
+    )

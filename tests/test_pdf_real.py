@@ -353,3 +353,112 @@ def test_spark_real_pdf_round_trip(spark):
     assert out[4]["page_count"] == 3 and out[4]["n_objects"] == 8
     assert out[37]["text"] is None
     assert out[37]["error"].startswith("flate decode failed")
+
+
+# ---------------------------------------------------------------------------
+# interleaved text + embedded-media PDFs
+# ---------------------------------------------------------------------------
+
+class TestPdfInterleaved:
+    def test_spans_in_content_stream_order(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_pdf_interleaved,
+            parse_pdf_interleaved,
+        )
+
+        t = "alpha bravo charlie delta echo foxtrot golf hotel"
+        r = parse_pdf_interleaved(
+            build_pdf_interleaved(t, [(6, 4, 100, "jpeg"), (3, 5, 7, "gray")])
+        )
+        assert r["error"] is None
+        kinds = [s["kind"] for s in r["spans"]]
+        assert kinds == ["text", "media", "text", "media", "text"]
+        # text slices reassemble to the original exactly
+        assert "".join(
+            s["text"] for s in r["spans"] if s["kind"] == "text"
+        ) == t
+        media = [s for s in r["spans"] if s["kind"] == "media"]
+        assert media[0]["codec"] == "jpeg"
+        assert media[0]["ink_sum"] == 6 * 4 * 100
+        assert media[0]["media_ref"] == "pdf://im/5"
+        assert media[1]["codec"] == "gray"
+        assert media[1]["ink_sum"] == 3 * 5 * 7
+
+    def test_embedded_dct_stream_is_a_complete_jpeg_file(self):
+        """The /DCTDecode stream must be a standalone-decodable JPEG —
+        that is what real PDF writers embed (spec 7.4.8)."""
+        from cies_ocr_java_spark.operators.jpeg_real import decode_jpeg
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_pdf_interleaved,
+        )
+
+        pdf = build_pdf_interleaved("xx", [(9, 6, 30, "jpeg")])
+        i = pdf.index(b"\xff\xd8\xff")
+        j = pdf.index(b"\xff\xd9", i) + 2
+        assert decode_jpeg(pdf[i:j]) == {
+            "width": 9, "height": 6, "ink_sum": 9 * 6 * 30, "error": None
+        }
+
+    def test_failure_tiers(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_pdf_interleaved,
+            parse_pdf_interleaved,
+        )
+
+        t = "some text here"
+        bad = build_pdf_interleaved(
+            t, [(5, 4, 9, "gray")], corrupt_image=True
+        )
+        assert parse_pdf_interleaved(bad)["error"] == (
+            "raw image size mismatch"
+        )
+        good = build_pdf_interleaved(t, [(5, 4, 9, "gray")])
+        # unknown resource name: /Im0 renamed in the resource dict only
+        poisoned = good.replace(b"/XObject << /Im0", b"/XObject << /Au0")
+        assert "unknown xobject name" in parse_pdf_interleaved(poisoned)[
+            "error"
+        ]
+        # '/Name Do' INSIDE a literal is text, never an image paint
+        r = parse_pdf_interleaved(
+            build_pdf_interleaved("see /Im0 Do inside literal", [])
+        )
+        assert r["error"] is None
+        assert [s["kind"] for s in r["spans"]] == ["text"]
+        assert r["spans"][0]["text"] == "see /Im0 Do inside literal"
+
+    def test_empty_text_yields_media_only(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_pdf_interleaved,
+            parse_pdf_interleaved,
+        )
+
+        r = parse_pdf_interleaved(
+            build_pdf_interleaved("", [(4, 4, 50, "jpeg")])
+        )
+        assert r["error"] is None
+        assert [s["kind"] for s in r["spans"]] == ["media"]
+
+    def test_spark_extractor_rows(self, spark):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_pdf_interleaved,
+            extract_pdf_media_spans,
+        )
+
+        rows = [
+            (1, build_pdf_interleaved("hello world text", [(4, 3, 20, "jpeg")])),
+            (2, build_pdf_interleaved("x", [(5, 4, 9, "gray")],
+                                      corrupt_image=True)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = extract_pdf_media_spans(df).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        d1 = sorted(by_doc[1], key=lambda r: r.span_order)
+        assert [r.kind for r in d1] == ["text", "media", "text"]
+        assert d1[1].media_ink == 4 * 3 * 20 and d1[1].codec == "jpeg"
+        assert "".join(r.text for r in d1 if r.kind == "text") == (
+            "hello world text"
+        )
+        assert by_doc[2][0].error == "raw image size mismatch"
+        assert by_doc[2][0].kind is None
