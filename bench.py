@@ -254,6 +254,8 @@ HEADLINE = [
     "media_gif_decode",
     "media_jpeg_decode",
     "extract_pdf_media_spans",
+    "dom_flat_agreement",
+    "layout_hilbert_vs_zorder",
 ]
 
 

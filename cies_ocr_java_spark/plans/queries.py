@@ -19684,3 +19684,147 @@ def extract_pdf_media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, "doc_id long, payload binary"
     )
     return _extract(media)
+
+
+@_register(
+    "dom_flat_agreement",
+    f"""
+    SELECT doc_id, {_norm_sql('text')} AS main_text, TRUE AS agree
+    FROM documents WHERE n_chars >= 20
+    """,
+)
+def dom_flat_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-VALIDATION of the two HTML extractors: the flat
+    block-segmentation path (html_main_text_col — regex strips, the
+    pipeline default) and the DOM counter-tree path (dom_main_text —
+    ancestor prefix sums) run on the SAME page family
+    (extract_html_maincontent's wrapper), and every document must agree
+    byte-for-byte — on well-formed pages the tree semantics generalize
+    the flat approximation, and this query pins that as a corpus-wide
+    oracle row (agree must be TRUE for every doc AND both must equal
+    the normalized source text). Two genuinely different algorithms
+    agreeing is the same evidence class as the JVM/pandas byte-parity
+    pin (test_operators.py). PLAN: the flat path is map-only; the DOM
+    path adds its one doc-partitioned window exchange; one equi-join on
+    doc_id reuses the DOM side's partitioning."""
+    from cies_ocr_java_spark.operators.dom_tree import dom_main_text
+    from cies_ocr_java_spark.operators.html_extract import html_main_text_col
+
+    d = _t(spark, sf_dir, "documents", fanout=True).where(F.col("n_chars") >= 20)
+    linkfarm = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit("<p><a href='/l0'>Link</a> <a href='/l1'>Farm</a> "
+              "<a href='/l2'>Here</a> <a href='/l3'>Now</a></p>"),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>T</title><style>p{color:red}</style></head><body>"
+              "<nav><a href='/'>Home</a> <a href='/a'>About</a> <a href='/c'>Contact</a></nav>"
+              "<div class='content'>"),
+        linkfarm,
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("</div><!-- x --><footer><a href='/ab'>About</a> &copy; 2024</footer></body></html>"),
+    )
+    flat = d.select("doc_id", html_main_text_col(html).alias("flat_text"))
+    dom = dom_main_text(d, html).select(
+        "doc_id", F.col("main_text").alias("dom_text")
+    )
+    return flat.join(dom, "doc_id").select(
+        "doc_id",
+        F.col("dom_text").alias("main_text"),
+        (F.col("dom_text") == F.col("flat_text")).alias("agree"),
+    )
+
+
+@_register(
+    "layout_hilbert_vs_zorder",
+    None,  # assembled below (shares the CTE renderers)
+)
+def layout_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-filling-curve LAYOUT comparison — the OPTIMIZE-strategy
+    decision at 100 TB: for the (user, day) cells a box predicate
+    (user bucket < 16) touches, how many CONTIGUOUS KEY RUNS must a
+    reader scan under a Hilbert layout vs a Z-order layout? Fewer,
+    longer runs = fewer row groups read (the Hilbert curve never leaves
+    a quadrant before finishing it; Morton seams split the box). Both
+    keys are exact integer recurrences — Hilbert as one narrow Project
+    per fold round (functions/layout.py:with_hilbert_key), Z-order as
+    the bit interleave — and the oracle replays BOTH plus the
+    run-counting. PLAN: one distinct-cell aggregation, map-only key
+    math; the run windows order the CELL table (bounded by the 16x256
+    grid, the post-aggregate-tiny exception) — the full event scan
+    never sorts."""
+    from cies_ocr_java_spark.functions.layout import (
+        with_hilbert_key,
+        zorder_key,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("user_id") % 256).alias("x"),
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000 % 256")
+            .alias("y"),
+        )
+        .where(F.col("x") < 16)
+        .distinct()
+    )
+    keyed = with_hilbert_key(cells, F.col("x"), F.col("y"), bits=8).withColumn(
+        "zkey", zorder_key(F.col("x"), F.col("y"), bits=8)
+    )
+
+    def runs(col):
+        w = Window.orderBy(col)
+        brk = F.when(
+            F.col(col) - F.lag(col, 1).over(w) == 1, F.lit(0)
+        ).otherwise(F.lit(1))
+        return keyed.select(F.col(col), brk.alias("b")).agg(
+            F.sum("b").cast("bigint").alias(f"{col}_runs"),
+            (F.max(col) - F.min(col) + 1).cast("bigint").alias(f"{col}_span"),
+        )
+
+    n = keyed.agg(F.count("*").cast("bigint").alias("n_cells"))
+    return (
+        n.crossJoin(runs("hkey"))
+        .crossJoin(runs("zkey"))
+        .select(
+            "n_cells",
+            F.col("hkey_runs").alias("hilbert_runs"),
+            F.col("zkey_runs").alias("zorder_runs"),
+            F.col("hkey_span").alias("hilbert_span"),
+            F.col("zkey_span").alias("zorder_span"),
+        )
+    )
+
+
+def _hilbert_oracle_sql() -> str:
+    from cies_ocr_java_spark.functions.layout import (
+        hilbert_sql_ctes,
+        zorder_key_sql,
+    )
+
+    zsql = zorder_key_sql("x", "y", bits=8)
+    return f"""
+    WITH cells AS (
+      SELECT DISTINCT user_id % 256 AS x,
+             (epoch_us(ts) // 86400000000) % 256 AS y
+      FROM events WHERE user_id % 256 < 16),
+    {hilbert_sql_ctes('cells', 'x', 'y', bits=8)},
+    keyed AS (SELECT hkey, {zsql} AS zkey FROM hfin),
+    hb AS (SELECT hkey, CASE WHEN hkey - lag(hkey) OVER (ORDER BY hkey)
+                             = 1 THEN 0 ELSE 1 END AS b FROM keyed),
+    h AS (SELECT CAST(sum(b) AS BIGINT) AS hruns,
+                 CAST(max(hkey) - min(hkey) + 1 AS BIGINT) AS hspan
+          FROM hb),
+    zb AS (SELECT zkey, CASE WHEN zkey - lag(zkey) OVER (ORDER BY zkey)
+                             = 1 THEN 0 ELSE 1 END AS b FROM keyed),
+    z AS (SELECT CAST(sum(b) AS BIGINT) AS zruns,
+                 CAST(max(zkey) - min(zkey) + 1 AS BIGINT) AS zspan
+          FROM zb),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM keyed)
+    SELECT n.n_cells, h.hruns AS hilbert_runs, z.zruns AS zorder_runs,
+           h.hspan AS hilbert_span, z.zspan AS zorder_span
+    FROM n, h, z
+    """
+
+
+ORACLES["layout_hilbert_vs_zorder"] = _hilbert_oracle_sql()

@@ -1242,3 +1242,47 @@ def test_stream_static_enrich_keeps_no_join_state(spark):
     finally:
         q.stop()
     assert spark.table(name).count() == 10000
+
+
+def test_hilbert_key_matches_reference_and_is_continuous(spark):
+    """with_hilbert_key (one Project per fold round, pure codegen) must
+    equal the textbook xy2d recurrence on the full 16x16 grid, and the
+    curve property must hold: consecutive d-indices are GRID NEIGHBORS
+    (|dx|+|dy| = 1) — the locality guarantee Z-order lacks."""
+    from pyspark.sql import functions as F
+
+    from cies_ocr_java_spark.functions.layout import with_hilbert_key
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r.x, r.y): r.hkey
+        for r in with_hilbert_key(df, F.col("x"), F.col("y"), bits=4)
+        .collect()
+    }
+    exp = {(x, y): xy2d(16, x, y) for x, y in pts}
+    assert got == exp
+    inv = {d: k for k, d in exp.items()}
+    for d in range(255):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+    # plan sanity: the 4-round fold stays pure codegen — no Python nodes
+    plan = (
+        with_hilbert_key(df, F.col("x"), F.col("y"), bits=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan

@@ -663,6 +663,42 @@ COMMENTARY = {
         "Per-source exact power sums (the moments_sketch state) in one "
         "combinable pass; F is a single fixed-order double expression."
     ),
+    "dom_tree_extract": (
+        "DOM tree via prefix sums: tokenize (split + regexp_extract_all "
+        "+ zip_with/flatten + ONE posexplode), then every structural "
+        "fact — depth, per-tag ancestor counters, block id — from ONE "
+        "doc-partitioned window; both groupBys reuse that exchange "
+        "(doc_id partitioning satisfies (doc_id, block_id) clustering). "
+        "Zero Python: the whole parse is codegen + one WindowExec."
+    ),
+    "dom_interleaved_spans": (
+        "Text spans (density-surviving blocks) and media spans "
+        "(non-boilerplate <img>) both read the SAME annotated token "
+        "stream; the union's ordering window re-keys by doc_id only. "
+        "Never a second parse of the page bytes."
+    ),
+    "dom_flat_agreement": (
+        "Two genuinely different extraction algorithms on one page "
+        "family: the flat path is map-only codegen, the DOM path adds "
+        "its one window exchange, and the equality join pins "
+        "byte-agreement corpus-wide."
+    ),
+    "media_gif_decode": (
+        "One Arrow-batched mapInPandas pass (LZW bit-walking has no JVM "
+        "form); payloads bounded (<=16x10, <=3 frames) so executor "
+        "memory is flat at any corpus size. No shuffle."
+    ),
+    "media_jpeg_decode": (
+        "One Arrow-batched mapInPandas pass (entropy decode + IDCT — "
+        "irreducible Python, numpy-vectorized per block); bounded "
+        "payloads (<=16x24). No shuffle."
+    ),
+    "extract_pdf_media_spans": (
+        "The structural PDF walk and the media codecs in ONE Arrow "
+        "pass: per doc, xref -> page -> content tokens -> spans, with "
+        "embedded images decoded in place. Output is already exploded "
+        "span rows — no array column to re-shuffle."
+    ),
 }
 
 
