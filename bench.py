@@ -256,6 +256,7 @@ HEADLINE = [
     "extract_pdf_media_spans",
     "dom_flat_agreement",
     "layout_hilbert_vs_zorder",
+    "media_ocr_roundtrip",
 ]
 
 

@@ -156,16 +156,30 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def build_png(width: int, height: int, value: int) -> bytes:
-    """Emit a REAL 8-bit grayscale PNG: signature, IHDR, one
-    zlib-compressed IDAT, IEND — every chunk with its correct CRC32.
-    Scanline filters CYCLE through all five spec types (None/Sub/Up/
-    Average/Paeth by row index), so a decoder must implement the whole
-    filter suite to reconstruct even this solid-gray image. Any image
-    viewer opens these files."""
-    import zlib
-
+    """Emit a REAL 8-bit grayscale PNG of one solid level (see
+    build_png_pixels — this is the solid-image special case the
+    closed-form oracles use)."""
     if width <= 0 or height <= 0 or not (0 <= value <= 255):
         raise ValueError("bad png dimensions/value")
+    return build_png_pixels(
+        [bytes([value]) * width for _ in range(height)]
+    )
+
+
+def build_png_pixels(rows) -> bytes:
+    """Emit a REAL 8-bit grayscale PNG from arbitrary pixel rows
+    (list of equal-length byte rows, or a 2-D uint8 array): signature,
+    IHDR, one zlib-compressed IDAT, IEND — every chunk with its correct
+    CRC32. Scanline filters CYCLE through all five spec types
+    (None/Sub/Up/Average/Paeth by row index), so a decoder must
+    implement the whole filter suite. Any image viewer opens these
+    files."""
+    import zlib
+
+    rows = [bytes(bytearray(r)) for r in rows]
+    if not rows or not rows[0] or any(len(r) != len(rows[0]) for r in rows):
+        raise ValueError("bad png pixel rows")
+    width, height = len(rows[0]), len(rows)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -177,7 +191,7 @@ def build_png(width: int, height: int, value: int) -> bytes:
     raw = bytearray()
     prev = bytes(width)  # the row above row 0 is all zeros per spec
     for y in range(height):
-        row = bytes([value]) * width
+        row = rows[y]
         ft = y % 5
         raw.append(ft)
         if ft == 0:  # None
@@ -221,9 +235,22 @@ def decode_png(data: bytes | None) -> dict:
     IDAT concatenation + zlib inflate, and full scanline unfiltering
     (None/Sub/Up/Average/Paeth). Returns {width, height, ink_sum,
     error}; every malformed payload yields an error row."""
+    r = _decode_png_impl(data, want_pixels=False)
+    return {k: r[k] for k in ("width", "height", "ink_sum", "error")}
+
+
+def decode_png_pixels(data: bytes | None) -> dict:
+    """decode_png, but returning the reconstructed pixel BYTES
+    (row-major) instead of just the ink sum — the image-consuming
+    operators' entry point (glyph OCR reads these)."""
+    r = _decode_png_impl(data, want_pixels=True)
+    return {k: r[k] for k in ("width", "height", "pixels", "error")}
+
+
+def _decode_png_impl(data: bytes | None, want_pixels: bool) -> dict:
     import zlib
 
-    none = {"width": None, "height": None, "ink_sum": None}
+    none = {"width": None, "height": None, "ink_sum": None, "pixels": None}
     if data is None or len(data) < len(_PNG_SIG) + 12:
         return {**none, "error": "short or missing payload"}
     data = bytes(data)
@@ -237,7 +264,9 @@ def decode_png(data: bytes | None) -> dict:
         (clen,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + clen]
-        if len(body) != clen:
+        # the 4 CRC bytes must also fit — a chunk clipped inside its
+        # body OR its trailer is the same truncation failure
+        if len(body) != clen or pos + 12 + clen > len(data):
             return {**none, "error": "truncated chunk"}
         (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
@@ -268,6 +297,7 @@ def decode_png(data: bytes | None) -> dict:
     if len(raw) != h * (w + 1):
         return {**none, "error": "scanline data size mismatch"}
     ink = 0
+    px = bytearray() if want_pixels else None
     prev = bytes(w)
     for y in range(h):
         ft = raw[y * (w + 1)]
@@ -304,8 +334,11 @@ def decode_png(data: bytes | None) -> dict:
         else:
             return {**none, "error": f"unknown filter type {ft}"}
         ink += sum(out)
+        if px is not None:
+            px += out
         prev = bytes(out)
-    return {"width": w, "height": h, "ink_sum": ink, "error": None}
+    return {"width": w, "height": h, "ink_sum": ink,
+            "pixels": bytes(px) if px is not None else None, "error": None}
 
 
 class PngCodec(MediaCodec):

@@ -19828,3 +19828,95 @@ def _hilbert_oracle_sql() -> str:
 
 
 ORACLES["layout_hilbert_vs_zorder"] = _hilbert_oracle_sql()
+
+
+_OCR_SRC_SQL = (
+    "substr(trim(regexp_replace(regexp_replace(upper(text), "
+    "'[^A-Z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')), 1, 24)"
+)
+
+
+@_register(
+    "media_ocr_roundtrip",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_OCR_SRC_SQL} AS s,
+             doc_id % 13 = 0 AS noisy,
+             doc_id % 31 = 0 AS corrupt
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE s END AS ocr_text,
+           CASE WHEN corrupt THEN NULL
+                WHEN length(s) = 0 THEN 1
+                ELSE 6 * length(s) - 1 END AS width,
+           CASE WHEN corrupt THEN NULL ELSE 7 END AS height,
+           noisy,
+           CASE WHEN corrupt THEN 'truncated chunk' ELSE NULL END AS error
+    FROM base
+    """,
+)
+def media_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level OCR round trip — image-to-TEXT through genuine
+    bytes: each doc's OCR-able slice (A-Z/0-9/space, 24 chars) is
+    RENDERED with the 5x7 bitmap font into a real PNG (zlib IDAT,
+    cycling filters, CRCs), then RECOGNIZED back by glyph template
+    matching over the structurally-decoded pixels
+    (operators/ocr_glyph.py: fixed-pitch segmentation, one
+    cells x glyphs Hamming matrix per image, nearest-template within
+    the unique-decoding radius). Docs with id%13==0 carry ONE FLIPPED
+    PIXEL — recognition must absorb it (FONT_MIN_DIST=3 guarantees
+    unique decode), so the recovered text is unchanged; docs with
+    id%31==0 carry a truncated PNG and must FAIL as error rows. The
+    oracle is closed form: recovered == rendered, width = 6L-1. This is
+    the Textract-role made real at the pixel level
+    (DocumentExtractManager.java:571-599 delegates it; here the pixels
+    are actually read). PLAN: one Arrow-batched mapInPandas pass
+    (render + decode + one small matrix op per doc), no shuffle;
+    images bounded at 143x7."""
+    from cies_ocr_java_spark.operators.ocr_glyph import (
+        extract_ocr_glyph,
+        render_text_png,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    src = F.substring(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.upper(F.col("text")), "[^A-Z0-9 ]", " "),
+                r"\s+",
+                " ",
+            )
+        ),
+        1,
+        24,
+    )
+    staged = d.select("doc_id", src.alias("s"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s in zip(pdf["doc_id"], pdf["s"]):
+                i = int(i)
+                png = render_text_png(
+                    s or "", flip_pixel=i if i % 13 == 0 else None
+                )
+                if i % 31 == 0:
+                    png = png[:-14]  # clips into IEND + IDAT tail
+                payloads.append(png)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = staged.mapInPandas(gen, "doc_id long, content binary")
+    out = extract_ocr_glyph(media)
+    return out.select(
+        "doc_id",
+        F.col("text").alias("ocr_text"),
+        "width",
+        "height",
+        (F.col("doc_id") % 13 == 0).alias("noisy"),
+        "error",
+    )
