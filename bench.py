@@ -257,6 +257,7 @@ HEADLINE = [
     "dom_flat_agreement",
     "layout_hilbert_vs_zorder",
     "media_ocr_roundtrip",
+    "extract_pdf_ocr_spans",
 ]
 
 

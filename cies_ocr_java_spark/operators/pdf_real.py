@@ -901,8 +901,10 @@ def build_pdf_interleaved(text: str, images: list[tuple],
     """One-page PDF interleaving ``text`` with embedded images.
 
     ``images`` is a list of (width, height, value, codec) with codec
-    'jpeg' (a genuine baseline JPEG in a /DCTDecode stream) or 'gray'
-    (raw 8-bit /DeviceGray samples, no filter). The text splits into
+    'jpeg' (a genuine baseline JPEG in a /DCTDecode stream), 'gray'
+    (raw 8-bit /DeviceGray samples, no filter, solid ``value``), or
+    'pixels' (raw /DeviceGray with ``value`` being the w*h sample BYTES
+    — how real PDFs carry uncompressed imagery). The text splits into
     len(images)+1 codepoint slices at k*len//(n+1); content paints
     slice k, image k, ..., slice n. Object numbering: 1 catalog,
     2 pages, 3 page, 4 content, 5..4+n images (media_ref pdf://im/5+k).
@@ -934,7 +936,12 @@ def build_pdf_interleaved(text: str, images: list[tuple],
         if codec == "jpeg":
             payload = build_jpeg(w, h, v)
             filt = b"/Filter /DCTDecode "
-        else:  # raw 8-bit grayscale samples, row-major
+        elif codec == "pixels":  # raw samples supplied by the caller
+            payload = bytes(v)
+            if len(payload) != w * h:
+                raise ValueError("pixel payload size mismatch")
+            filt = b""
+        else:  # raw 8-bit grayscale samples, row-major, solid value
             payload = bytes([v]) * (w * h)
             filt = b""
         if corrupt_image and k == 0:
@@ -963,7 +970,7 @@ def build_pdf_interleaved(text: str, images: list[tuple],
     return bytes(buf)
 
 
-def parse_pdf_interleaved(data: bytes) -> dict:
+def parse_pdf_interleaved(data: bytes, keep_samples: bool = False) -> dict:
     """Structural parse into the interleaved span sequence.
 
     Returns {"spans": [...], "error"}: spans are dicts with kind 'text'
@@ -1063,12 +1070,15 @@ def parse_pdf_interleaved(data: bytes) -> dict:
                     if len(stream) != w * h:
                         raise _PdfError("raw image size mismatch")
                     codec, ink = "gray", sum(stream)
-                spans.append({
+                span = {
                     "kind": "media",
                     "media_ref": f"pdf://im/{inum}",
                     "codec": codec, "width": w, "height": h,
                     "ink_sum": ink,
-                })
+                }
+                if keep_samples and codec == "gray":
+                    span["samples"] = stream
+                spans.append(span)
             _flush()
         return {"spans": spans, "error": None}
     except _PdfError as e:
@@ -1161,4 +1171,80 @@ def extract_pdf_media_spans(df: DataFrame, payload_col: str = "payload",
 
     return df.select(id_col, payload_col).mapInPandas(
         gen, PDF_MEDIA_SPANS_SCHEMA
+    )
+
+
+PDF_OCR_SPANS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("span_order", T.IntegerType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("ocr_text", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def extract_pdf_ocr_spans(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "doc_id") -> DataFrame:
+    """The reference's WHOLE extraction flow, real at every layer: parse
+    the PDF structurally, recover the interleaved span sequence, and OCR
+    the embedded raster images — glyph template matching over the raw
+    /DeviceGray samples (7px-tall images are text lines by the fixed
+    -pitch font contract; anything else keeps ocr_text null). Text spans
+    carry the text layer; media spans carry the PIXEL-RECOVERED text —
+    the document reassembles from both modalities in reading order, the
+    way DocumentExtractManager.java:463-599 assembles PDFBox text with
+    Textract blocks. One Arrow-batched pass."""
+    import numpy as np
+
+    from cies_ocr_java_spark.operators.ocr_glyph import GLYPH_H, ocr_pixels
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in PDF_OCR_SPANS_SCHEMA.fields}
+
+            def push(did, order, kind, text=None, ref=None, ocr=None,
+                     err=None):
+                out["doc_id"].append(did)
+                out["span_order"].append(order)
+                out["kind"].append(kind)
+                out["text"].append(text)
+                out["media_ref"].append(ref)
+                out["ocr_text"].append(ocr)
+                out["error"].append(err)
+
+            for did, payload in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                r = parse_pdf_interleaved(payload, keep_samples=True)
+                if r["error"] is not None:
+                    push(did, None, None, err=r["error"])
+                    continue
+                for k, s in enumerate(r["spans"]):
+                    if s["kind"] == "text":
+                        push(did, k, "text", text=s["text"])
+                        continue
+                    ocr = None
+                    if (
+                        s.get("samples") is not None
+                        and s["height"] == GLYPH_H
+                    ):
+                        px = np.frombuffer(
+                            s["samples"], dtype=np.uint8
+                        ).reshape(s["height"], s["width"])
+                        ocr = ocr_pixels(px)
+                    push(did, k, "media", ref=s["media_ref"], ocr=ocr)
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "span_order": pd.array(out["span_order"], dtype="Int32"),
+                "kind": out["kind"],
+                "text": out["text"],
+                "media_ref": out["media_ref"],
+                "ocr_text": out["ocr_text"],
+                "error": out["error"],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, PDF_OCR_SPANS_SCHEMA
     )

@@ -19920,3 +19920,104 @@ def media_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 13 == 0).alias("noisy"),
         "error",
     )
+
+
+@_register(
+    "extract_pdf_ocr_spans",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS L,
+             {_OCR_SRC_SQL} AS s,
+             doc_id % 31 = 0 AS corrupt
+      FROM documents),
+    parts AS (
+      SELECT doc_id, 0 AS pre, 'text' AS kind,
+             substr(text, 1, L // 2) AS text,
+             CAST(NULL AS VARCHAR) AS media_ref,
+             CAST(NULL AS VARCHAR) AS ocr_text
+      FROM base WHERE NOT corrupt AND length(substr(text, 1, L // 2)) > 0
+      UNION ALL
+      SELECT doc_id, 1, 'media', CAST(NULL AS VARCHAR),
+             'pdf://im/5', s
+      FROM base WHERE NOT corrupt
+      UNION ALL
+      SELECT doc_id, 2, 'text', substr(text, L // 2 + 1),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM base WHERE NOT corrupt AND length(substr(text, L // 2 + 1)) > 0),
+    ordered AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pre) - 1
+                  AS INTEGER) AS span_order,
+             kind, text, media_ref, ocr_text,
+             CAST(NULL AS VARCHAR) AS error
+      FROM parts)
+    SELECT * FROM ordered
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), 'raw image size mismatch'
+    FROM base WHERE corrupt
+    """,
+)
+def extract_pdf_ocr_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE flow, real at every layer — PDF text layer
+    + image OCR assembled into one interleaved document: each doc is a
+    genuine PDF whose page interleaves its text with an embedded
+    /DeviceGray image that CONTAINS RENDERED TEXT (the 5x7 font), and
+    extraction runs the structural walk, recovers the text spans, and
+    OCRs the image's raw samples back to the string by glyph template
+    matching — text from BOTH modalities in reading order, the
+    DocumentExtractManager.java:463-599 assembly (PDFBox text +
+    Textract blocks) with the OCR actually reading pixels. Docs with
+    id%13==0 carry one flipped pixel (recognition must absorb it —
+    ocr_text is UNCHANGED in the oracle); id%31==0 carry a truncated
+    image and fail as one error row. Oracle closed form: the
+    interleave arithmetic + recovered == rendered. PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle; images bounded at
+    143x7."""
+    from cies_ocr_java_spark.operators.ocr_glyph import render_text_pixels
+    from cies_ocr_java_spark.operators.pdf_real import (
+        build_pdf_interleaved,
+        extract_pdf_ocr_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    src = F.substring(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.upper(F.col("text")), "[^A-Z0-9 ]", " "),
+                r"\s+",
+                " ",
+            )
+        ),
+        1,
+        24,
+    )
+    staged = d.select("doc_id", "text", src.alias("s"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t, s in zip(pdf["doc_id"], pdf["text"], pdf["s"]):
+                i = int(i)
+                px = render_text_pixels(s or "")
+                if i % 13 == 0 and px.size:
+                    flat = px.reshape(-1)
+                    j = i % px.size
+                    flat[j] = 255 - flat[j]
+                b = build_pdf_interleaved(
+                    t or "",
+                    [(px.shape[1], px.shape[0], px.tobytes(), "pixels")],
+                    corrupt_image=(i % 31 == 0),
+                )
+                ids.append(i)
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"),
+                 "payload": payloads}
+            )
+
+    media = staged.mapInPandas(gen, "doc_id long, payload binary")
+    return extract_pdf_ocr_spans(media)

@@ -96,3 +96,32 @@ def test_spark_extractor(spark):
     assert out[2].text == "NOISY"
     assert out[3].error == "truncated chunk"
     assert out[4].error == "short or missing payload"
+
+
+def test_pdf_embedded_image_ocr_end_to_end(spark):
+    """PDF text layer + embedded rendered-text image -> structural walk
+    + pixel OCR reassembles BOTH modalities in reading order."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cies_ocr_java_spark.operators.pdf_real import (
+        build_pdf_interleaved,
+        extract_pdf_ocr_spans,
+    )
+
+    px = render_text_pixels("SCANNED PAGE 7")
+    pdf_bytes = build_pdf_interleaved(
+        "lead text tail text",
+        [(px.shape[1], px.shape[0], px.tobytes(), "pixels")],
+    )
+    df = spark.createDataFrame(
+        [(1, pdf_bytes)], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        extract_pdf_ocr_spans(df).collect(), key=lambda r: r.span_order
+    )
+    assert [r.kind for r in rows] == ["text", "media", "text"]
+    assert rows[1].ocr_text == "SCANNED PAGE 7"
+    assert rows[1].media_ref == "pdf://im/5"
+    assert "".join(r.text for r in rows if r.kind == "text") == (
+        "lead text tail text"
+    )
