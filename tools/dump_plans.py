@@ -699,6 +699,22 @@ COMMENTARY = {
         "embedded images decoded in place. Output is already exploded "
         "span rows — no array column to re-shuffle."
     ),
+    "media_ocr_roundtrip": (
+        "Render -> real PNG -> structural decode -> glyph template "
+        "match, one Arrow pass; recognition is a single "
+        "(cells x glyphs) Hamming matrix op per image. Images bounded "
+        "at 143x7 — executor memory flat at any corpus size."
+    ),
+    "extract_pdf_ocr_spans": (
+        "Text layer AND pixel OCR from one structural walk, one Arrow "
+        "pass — the full reference assembly (PDFBox text + OCR blocks) "
+        "with no second read of the page bytes."
+    ),
+    "layout_hilbert_vs_zorder": (
+        "Distinct-cell aggregation, then pure-codegen key math (one "
+        "narrow Project per Hilbert fold round); run-count windows "
+        "order only the bounded CELL table, never the event scan."
+    ),
 }
 
 
