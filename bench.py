@@ -258,6 +258,7 @@ HEADLINE = [
     "layout_hilbert_vs_zorder",
     "media_ocr_roundtrip",
     "extract_pdf_ocr_spans",
+    "extract_pdf_ocr_stream",
 ]
 
 

@@ -19922,6 +19922,59 @@ def media_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pdf_ocr_spans_from(d: DataFrame) -> DataFrame:
+    """Shared kernel of extract_pdf_ocr_spans (batch) and
+    extract_pdf_ocr_stream: stage the OCR slice, synthesize the real
+    PDF-with-rendered-image per doc, run the structural walk + glyph
+    OCR. Stateless end to end, so it runs unchanged under Structured
+    Streaming."""
+    from cies_ocr_java_spark.operators.ocr_glyph import render_text_pixels
+    from cies_ocr_java_spark.operators.pdf_real import (
+        build_pdf_interleaved,
+        extract_pdf_ocr_spans,
+    )
+
+    src = F.substring(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.upper(F.col("text")), "[^A-Z0-9 ]", " "),
+                r"\s+",
+                " ",
+            )
+        ),
+        1,
+        24,
+    )
+    staged = d.select("doc_id", "text", src.alias("s"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t, s in zip(pdf["doc_id"], pdf["text"], pdf["s"]):
+                i = int(i)
+                px = render_text_pixels(s or "")
+                if i % 13 == 0 and px.size:
+                    flat = px.reshape(-1)
+                    j = i % px.size
+                    flat[j] = 255 - flat[j]
+                b = build_pdf_interleaved(
+                    t or "",
+                    [(px.shape[1], px.shape[0], px.tobytes(), "pixels")],
+                    corrupt_image=(i % 31 == 0),
+                )
+                ids.append(i)
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"),
+                 "payload": payloads}
+            )
+
+    media = staged.mapInPandas(gen, "doc_id long, payload binary")
+    return extract_pdf_ocr_spans(media)
+
+
 @_register(
     "extract_pdf_ocr_spans",
     f"""
@@ -19975,49 +20028,42 @@ def extract_pdf_ocr_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleave arithmetic + recovered == rendered. PLAN: one
     Arrow-batched mapInPandas pass, no shuffle; images bounded at
     143x7."""
-    from cies_ocr_java_spark.operators.ocr_glyph import render_text_pixels
-    from cies_ocr_java_spark.operators.pdf_real import (
-        build_pdf_interleaved,
-        extract_pdf_ocr_spans,
+    return _pdf_ocr_spans_from(_t(spark, sf_dir, "documents", fanout=True))
+
+
+@_register(
+    "extract_pdf_ocr_stream",
+    None,  # identical semantics -> identical oracle (assigned below)
+)
+def extract_pdf_ocr_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME real-PDF + pixel-OCR extraction under Structured
+    Streaming: readStream over the documents source -> the stateless
+    _pdf_ocr_spans_from kernel (PDF synthesis, structural walk, glyph
+    OCR — two Arrow-batched mapInPandas stages, both stateless, so the
+    plan streams unchanged) -> availableNow memory sink. Unified
+    batch/stream extraction for the full both-modalities flow; the
+    oracle is the batch query's SQL verbatim (the extract_stream_spans
+    precedent)."""
+    import uuid as _uuid
+
+    batch = _t(spark, sf_dir, "documents")  # schema donor only
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
     )
-
-    d = _t(spark, sf_dir, "documents", fanout=True)
-    src = F.substring(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.upper(F.col("text")), "[^A-Z0-9 ]", " "),
-                r"\s+",
-                " ",
-            )
-        ),
-        1,
-        24,
+    out = _pdf_ocr_spans_from(stream)
+    name = f"pos_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
     )
-    staged = d.select("doc_id", "text", src.alias("s"))
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
 
-    def gen(batches):
-        import pandas as pd
 
-        for pdf in batches:
-            ids, payloads = [], []
-            for i, t, s in zip(pdf["doc_id"], pdf["text"], pdf["s"]):
-                i = int(i)
-                px = render_text_pixels(s or "")
-                if i % 13 == 0 and px.size:
-                    flat = px.reshape(-1)
-                    j = i % px.size
-                    flat[j] = 255 - flat[j]
-                b = build_pdf_interleaved(
-                    t or "",
-                    [(px.shape[1], px.shape[0], px.tobytes(), "pixels")],
-                    corrupt_image=(i % 31 == 0),
-                )
-                ids.append(i)
-                payloads.append(b)
-            yield pd.DataFrame(
-                {"doc_id": pd.array(ids, dtype="int64"),
-                 "payload": payloads}
-            )
-
-    media = staged.mapInPandas(gen, "doc_id long, payload binary")
-    return extract_pdf_ocr_spans(media)
+ORACLES["extract_pdf_ocr_stream"] = ORACLES["extract_pdf_ocr_spans"]
