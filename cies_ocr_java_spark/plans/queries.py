@@ -20067,3 +20067,180 @@ def extract_pdf_ocr_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["extract_pdf_ocr_stream"] = ORACLES["extract_pdf_ocr_spans"]
+
+
+# =========================================================================
+# WordPiece merge training (Schuster & Nakajima 2012 / BERT) — the
+# LIKELIHOOD-RATIO merge criterion, beside BPE's raw frequency
+# =========================================================================
+
+_WP_ROUNDS = 4
+_WP_SCALE = 1_000_000_000  # score = cnt(ab)*SCALE div (cnt(a)*cnt(b))
+
+
+def _wp_round_sql(r: int) -> str:
+    """One WordPiece round as DuckDB CTEs: symbol totals + adjacent-pair
+    counts over the weighted word vocabulary, score = scaled INTEGER
+    division of the likelihood ratio (exact in both engines — no float
+    ranking), argmax with (score DESC, s1, s2) tie-break, leftmost
+    non-overlapping merge."""
+    return f"""
+    wsym{r} AS (SELECT cnt, string_split(trim(enc, '()'), ')(') AS s
+                FROM wenc{r - 1}),
+    walls{r} AS (SELECT s[i] AS sym, cnt
+                 FROM wsym{r}, unnest(range(1, len(s) + 1)) AS t(i)),
+    wsc{r} AS (SELECT sym, CAST(sum(cnt) AS BIGINT) AS c
+               FROM walls{r} GROUP BY 1),
+    wpr{r} AS (SELECT cnt, s[i] AS s1, s[i + 1] AS s2
+               FROM wsym{r}, unnest(range(1, len(s))) AS t(i)),
+    wpc{r} AS (SELECT s1, s2, CAST(sum(cnt) AS BIGINT) AS c
+               FROM wpr{r} GROUP BY 1, 2),
+    wsv{r} AS (SELECT p.s1, p.s2, p.c,
+                      (p.c * {_WP_SCALE}) // (a.c * b.c) AS v
+               FROM wpc{r} p
+               JOIN wsc{r} a ON a.sym = p.s1
+               JOIN wsc{r} b ON b.sym = p.s2),
+    wbp{r} AS (SELECT s1, s2, c, v FROM wsv{r}
+               ORDER BY v DESC, s1, s2 LIMIT 1),
+    wenc{r} AS (SELECT replace(enc, '(' || b.s1 || ')(' || b.s2 || ')',
+                               '(' || b.s1 || b.s2 || ')') AS enc, cnt
+                FROM wenc{r - 1}, wbp{r} b)"""
+
+
+@_register(
+    "wordpiece_train_merges",
+    f"""
+    WITH toks AS (SELECT unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS tok
+                  FROM documents),
+    w0 AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt FROM toks
+           WHERE regexp_matches(tok, '^[a-z0-9]+$') GROUP BY 1),
+    wenc0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc, cnt
+              FROM w0),
+    {",".join(_wp_round_sql(r) for r in range(1, _WP_ROUNDS + 1))}
+    {" UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, s1, s2, s1 || s2 AS merged, "
+        f"c AS pair_count, v AS score FROM wbp{r}"
+        for r in range(1, _WP_ROUNDS + 1)
+    )}
+    """,
+)
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training, first {_WP_ROUNDS} merges (Schuster
+    & Nakajima 2012; BERT's tokenizer): where BPE merges the most
+    FREQUENT adjacent pair, WordPiece merges the pair maximizing the
+    LIKELIHOOD RATIO count(ab)/(count(a)*count(b)) — frequency
+    normalized by the parts' own frequencies, so rare-but-cohesive
+    units win over common collocations. The ratio is ranked as one
+    scaled INTEGER division ((c*10^9) div (ca*cb)) — exact and
+    identically truncated in both engines, no float ordering anywhere;
+    ties break (score DESC, s1, s2).
+
+    Scale shape: identical to bpe_train_merges — everything is keyed on
+    the word vocabulary (corpus touched once for word counts), symbol
+    totals and pair counts are map-side-combinable aggs, per-round
+    argmax reduces via max+min-struct scalars (no global sort), and the
+    1-row best pair broadcasts into the literal-replace merge. Unlike
+    BPE, each round carries TWO extra symbol-count joins (the ratio's
+    denominators) plus the chosen-pair re-join — that wider per-round
+    tree compounds past the Catalyst planner's recursion depth at 4
+    rounds, so the encoding is localCheckpoint'ed per round (the
+    repo-wide iterative-operator invariant; connected_components
+    precedent) instead of lazily persisted. The oracle replays all
+    {_WP_ROUNDS} rounds exactly."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    # eager checkpoint BEFORE the loop: the round-1 checkpoint would
+    # otherwise materialize this plan under its own tracking (see
+    # CLAUDE.md persist-before-checkpoint note)
+    enc = (
+        d.select(F.explode(dedup.tokens_col(F.col("text"))).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.regexp_replace("w", "(.)", "($1)").alias("enc"), "cnt"
+        )
+        .localCheckpoint()
+    )
+    merges = None
+    for r in range(1, _WP_ROUNDS + 1):
+        syms = enc.select(
+            "cnt",
+            F.split(F.expr("trim(BOTH '()' FROM enc)"), r"\)\(").alias("s"),
+        )
+        sc = (
+            syms.select("cnt", F.explode("s").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("cnt").cast("bigint").alias("symc"))
+        )
+        pairs = syms.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(s, 1, size(s) - 1), "
+                    "slice(s, 2, size(s) - 1), "
+                    "(a, b) -> named_struct('s1', a, 's2', b))"
+                )
+            ).alias("p"),
+        )
+        pc = pairs.groupBy("p.s1", "p.s2").agg(
+            F.sum("cnt").cast("bigint").alias("c")
+        )
+        sv = (
+            pc.join(sc.withColumnRenamed("sym", "s1")
+                    .withColumnRenamed("symc", "ca"), "s1")
+            .join(sc.withColumnRenamed("sym", "s2")
+                  .withColumnRenamed("symc", "cb"), "s2")
+            .select(
+                "s1", "s2", "c",
+                F.expr(f"(c * {_WP_SCALE}L) div (ca * cb)").alias("v"),
+            )
+        )
+        mx = sv.agg(F.max("v").alias("v"))
+        best = sv.join(F.broadcast(mx), "v").agg(
+            F.min(F.struct("s1", "s2")).alias("b"),
+            F.max("v").cast("bigint").alias("v"),
+        )
+        # pair_count of the chosen pair (re-resolved by key, 1-row join)
+        chosen = (
+            best.where(F.col("b").isNotNull())
+            .select(F.col("b.s1").alias("s1"), F.col("b.s2").alias("s2"),
+                    "v")
+            .join(pc, ["s1", "s2"])
+        )
+        row = chosen.select(
+            F.lit(r).cast("int").alias("round"),
+            "s1",
+            "s2",
+            F.concat("s1", "s2").alias("merged"),
+            F.col("c").alias("pair_count"),
+            F.col("v").alias("score"),
+        )
+        # row's plan reads the CHECKPOINTED enc of this round's input, so
+        # the final union is 4 one-round-deep plans, never a 4-round chain
+        merges = row if merges is None else merges.unionAll(row)
+        sentinel = F.lit("\x01")
+        enc = (
+            enc.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.coalesce(F.col("b.s1"), sentinel).alias("_m1"),
+                        F.coalesce(F.col("b.s2"), sentinel).alias("_m2"),
+                    )
+                )
+            )
+            .select(
+                F.replace(
+                    F.col("enc"),
+                    F.concat(
+                        F.lit("("), F.col("_m1"), F.lit(")("),
+                        F.col("_m2"), F.lit(")"),
+                    ),
+                    F.concat(
+                        F.lit("("), F.col("_m1"), F.col("_m2"), F.lit(")")
+                    ),
+                ).alias("enc"),
+                "cnt",
+            )
+            .localCheckpoint()
+        )
+    return merges
