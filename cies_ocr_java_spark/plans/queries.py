@@ -20244,3 +20244,137 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return merges
+
+
+def _wp_munch_sql(w: str = "w") -> str:
+    """DuckDB maximal-munch piece count for one alnum word `w`: fold over
+    length(w) steps (each consumes >=1 char, so the word is always fully
+    consumed); at every step take the LONGEST learned unit (m.u1..u4)
+    prefixing the remainder, else one base character. DuckDB 1.0's
+    list_reduce has no init argument — the first list element IS the
+    accumulator, hence the length(w)+1-element constant list."""
+    pref = " ".join(
+        f"CASE WHEN substr(acc.rem, 1, length(m.u{r})) = m.u{r} "
+        f"THEN length(m.u{r}) ELSE 1 END,"
+        for r in range(1, _WP_ROUNDS + 1)
+    )
+    return (
+        f"(list_reduce(list_transform(range(0, length({w}) + 1), "
+        f"i -> {{'rem': {w}, 'n': CAST(0 AS BIGINT)}}), "
+        f"(acc, x) -> CASE WHEN acc.rem = '' THEN acc ELSE "
+        f"{{'rem': substr(acc.rem, 1 + greatest(1, {pref} 1)), "
+        f"'n': acc.n + 1}} END)).n"
+    )
+
+
+@_register(
+    "wordpiece_encode_stats",
+    f"""
+    WITH toks AS (SELECT unnest(string_split({_norm_sql('lower(text)')}, ' ')) AS tok
+                  FROM documents),
+    w0 AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt FROM toks
+           WHERE regexp_matches(tok, '^[a-z0-9]+$') GROUP BY 1),
+    wenc0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc, cnt
+              FROM w0),
+    {",".join(_wp_round_sql(r) for r in range(1, _WP_ROUNDS + 1))},
+    m AS (SELECT {", ".join(
+        f"coalesce((SELECT s1 || s2 FROM wbp{r}), chr(1)) AS u{r}"
+        for r in range(1, _WP_ROUNDS + 1)
+    )}),
+    dt AS (SELECT doc_id, string_split({_norm_sql('lower(text)')}, ' ') AS ws
+           FROM documents),
+    enc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(ws, w ->
+                     CASE WHEN regexp_matches(w, '^[a-z0-9]+$')
+                          THEN {_wp_munch_sql()}
+                          ELSE 1 END)) AS BIGINT) AS n_pieces
+            FROM dt, m)
+    SELECT doc_id, n_words, n_pieces,
+           CAST(CAST(CAST(n_pieces AS DOUBLE) / n_words AS VARCHAR)
+                AS DECIMAL(12,6))::DOUBLE AS pieces_per_word
+    FROM enc
+    """,
+)
+def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece APPLICATION at corpus scale: tokenize every document by
+    greedy longest-prefix match (BERT's maximal munch — NOT BPE's
+    merge-order replay) against the vocabulary learned by
+    wordpiece_train_merges (base characters + its {_WP_ROUNDS} merged
+    units), reporting per-doc piece counts and compression.
+
+    Scale shape: mirrors bpe_encode_stats — the trainer's vocab-keyed
+    rounds pivot to a 1-ROW unit table (never collected) that broadcasts
+    into a map-only codegen projection; the munch itself is a bounded
+    fold (`aggregate` over sequence(1, len(w)) — each step consumes at
+    least one character) evaluated entirely JVM-side, zero Python, zero
+    extra shuffles. Both engines fold the identical step function, so
+    counts match exactly; the longest-unit preference is a greatest()
+    over the four unit lengths, no ordering sensitivity."""
+    merges = QUERIES["wordpiece_train_merges"](spark, sf_dir)
+    m = merges.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("round") == r, F.col("merged"))),
+                F.lit("\x01"),
+            ).alias(f"u{r}")
+            for r in range(1, _WP_ROUNDS + 1)
+        ]
+    )
+    d = _t(spark, sf_dir, "documents", fanout=True).crossJoin(F.broadcast(m))
+
+    def piece_count(w):
+        init = F.struct(
+            w.alias("rem"), F.lit(0).cast("bigint").alias("n")
+        )
+
+        def step(acc, _x):
+            rem = acc.getField("rem")
+            n = acc.getField("n")
+            best = F.greatest(
+                F.lit(1),
+                *[
+                    F.when(
+                        F.substring(
+                            rem, F.lit(1), F.length(F.col(f"u{r}"))
+                        )
+                        == F.col(f"u{r}"),
+                        F.length(F.col(f"u{r}")),
+                    ).otherwise(F.lit(1))
+                    for r in range(1, _WP_ROUNDS + 1)
+                ],
+            )
+            return F.when(rem == F.lit(""), acc).otherwise(
+                F.struct(
+                    F.substring(
+                        rem, best + F.lit(1), F.length(rem)
+                    ).alias("rem"),
+                    (n + F.lit(1).cast("bigint")).alias("n"),
+                )
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(w)), init, step
+        ).getField("n")
+
+    ws = dedup.tokens_col(F.col("text"))
+    n_words = F.size(ws).cast("bigint")
+    n_pieces = F.aggregate(
+        F.transform(
+            ws,
+            lambda w: F.when(
+                w.rlike("^[a-z0-9]+$"), piece_count(w)
+            ).otherwise(F.lit(1).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_pieces.alias("n_pieces"),
+        (n_pieces.cast("double") / n_words)
+        .cast("string")
+        .cast("decimal(12,6)")
+        .cast("double")
+        .alias("pieces_per_word"),
+    )
