@@ -31,6 +31,7 @@ HEADLINE = [
     "extract_pdf_flate",
     "extract_pdf_xref_stream",
     "extract_pdf_incremental",
+    "pdf_column_reading_order",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

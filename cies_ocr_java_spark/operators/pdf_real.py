@@ -651,11 +651,25 @@ def _literals(content: bytes) -> Iterator[bytes]:
 
 
 _NAME_RE = re.compile(rb"/([^\s/<>\[\]()%]*)")
+# A PDF numeric object (spec 7.3.3): optional sign, digits, optional
+# fraction — also covers the bare-dot forms ('.5', '4.').
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+# An operator keyword: letters plus the three punctuation operators that
+# matter to the text state machine (T* next-line, ' and " show-next-line).
+_OP_RE = re.compile(rb"[A-Za-z][A-Za-z0-9*]*|['\"]")
 
 
 def _content_tokens(content: bytes) -> Iterator[tuple]:
-    """Yield ('lit', payload) show-op strings and ('img', name) XObject
-    paint operations from a content stream, in stream order.
+    """Back-compat view of _content_tokens_pos without the coordinates:
+    yields ('lit', payload) and ('img', name) 2-tuples in stream order."""
+    for tok in _content_tokens_pos(content):
+        yield (tok[0], tok[1])
+
+
+def _content_tokens_pos(content: bytes) -> Iterator[tuple]:
+    """Yield ('lit', payload, x, y) show-op strings and ('img', name, x, y)
+    XObject paint operations from a content stream, in stream order, with
+    the TEXT-SPACE POSITION each token is painted at.
 
     SEQUENTIAL tokenizer over the whole stream — literals are consumed
     with a balanced-paren scan (PDF literals may nest unescaped balanced
@@ -668,12 +682,33 @@ def _content_tokens(content: bytes) -> Iterator[tuple]:
     /Name token whose next operator token is Do (spec 8.8: the Do
     operator paints the XObject named in the page's resource
     dictionary) — recognized outside literals, so '/x Do' INSIDE a
-    literal is text, never a paint."""
+    literal is text, never a paint.
+
+    Position model (spec 9.4.2, the text-layer subset): the tokenizer
+    carries the LINE-START point (tlx, tly) and the leading tl.
+      ``tx ty Td``   moves the line start by (tx, ty);
+      ``tx ty TD``   = ``-ty TL`` then ``tx ty Td``;
+      ``a b c d e f Tm`` sets the line start to the translation (e, f)
+                     (scale/rotation are outside the subset — ignored);
+      ``T*``         = ``0 -tl Td``;   ``n TL`` sets the leading;
+      ``BT``         resets the matrix: line start (0, 0), tl unchanged
+                     per spec (Tl is TEXT STATE, not text-object state).
+    A show op paints at the current line start — glyph x-advance within
+    a line needs font metrics the subset does not model, so every lit of
+    one line (incl. all elements of a [..] TJ array) reports the line's
+    start point. Operand tracking is the real PDF model: numbers push
+    onto an operand list, every operator consumes-and-clears it. The
+    ``'`` and ``"`` show ops apply their next-line move BEFORE the show,
+    at literal-yield time (the keyword itself then only clears operands).
+    """
     body = content
     i = 0
     in_text = False
     in_array = False
     pending: list[bytes] = []  # literals of the currently-open array
+    tlx = tly = 0.0  # current line start (text space)
+    tl = 0.0  # leading (T* / ' / " move down by this)
+    nums: list[float] = []  # pending numeric operands
 
     def _kw(pos: int, kw: bytes) -> bool:
         if body[pos:pos + len(kw)] != kw:
@@ -704,8 +739,11 @@ def _content_tokens(content: bytes) -> Iterator[tuple]:
                     pending.append(lit)
                 else:
                     after = body[j:j + 8].lstrip()
-                    if after.startswith((b"Tj", b"'", b'"')):
-                        yield ("lit", lit)
+                    if after.startswith((b"'", b'"')):
+                        tly -= tl  # ' and " move to the next line FIRST
+                        yield ("lit", lit, tlx, tly)
+                    elif after.startswith(b"Tj"):
+                        yield ("lit", lit, tlx, tly)
             i = j
         elif in_text and c == 0x3C and body[i + 1:i + 2] != b"<":  # < hex
             j = body.find(b">", i + 1)
@@ -724,13 +762,18 @@ def _content_tokens(content: bytes) -> Iterator[tuple]:
                 pending.append(_HexLit(lit))
             else:
                 after = body[j + 1:j + 9].lstrip()
-                if after.startswith((b"Tj", b"'", b'"')):
-                    yield ("lit", _HexLit(lit))
+                if after.startswith((b"'", b'"')):
+                    tly -= tl
+                    yield ("lit", _HexLit(lit), tlx, tly)
+                elif after.startswith(b"Tj"):
+                    yield ("lit", _HexLit(lit), tlx, tly)
             i = j + 1
         elif not in_text and c == 0x42 and _kw(i, b"BT"):  # B
             in_text = True
             in_array = False
             pending = []
+            tlx = tly = 0.0  # BT resets the text matrix (spec 9.4.1)
+            nums = []
             i += 2
         elif in_text and c == 0x45 and _kw(i, b"ET"):  # E
             in_text = False
@@ -740,7 +783,7 @@ def _content_tokens(content: bytes) -> Iterator[tuple]:
             nm = m.group(1)
             after = body[m.end():m.end() + 8].lstrip()
             if after.startswith(b"Do") and not after[2:3].isalnum():
-                yield ("img", nm.decode("latin1"))
+                yield ("img", nm.decode("latin1"), tlx, tly)
             i = m.end()
         elif in_text and c == 0x5B:  # [ — array opens
             in_array = True
@@ -750,12 +793,88 @@ def _content_tokens(content: bytes) -> Iterator[tuple]:
             after = body[i + 1:i + 8].lstrip()
             if in_array and after.startswith(b"TJ"):
                 for lit in pending:
-                    yield ("lit", lit)
+                    yield ("lit", lit, tlx, tly)
             in_array = False
             pending = []
             i += 1
+        elif not in_array and (0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E)):
+            # numeric operand (TJ kerning numbers live inside arrays and
+            # are NOT operands — the in_array guard excludes them)
+            m = _NUM_RE.match(body, i)
+            if m:
+                nums.append(float(m.group()))
+                i = m.end()
+            else:
+                i += 1
+        elif (0x41 <= c <= 0x5A) or (0x61 <= c <= 0x7A) or c in (0x27, 0x22):
+            # operator keyword: apply the text-positioning ops, then
+            # consume the operand list (every operator clears it)
+            m = _OP_RE.match(body, i)
+            op = m.group()
+            if op == b"Td" and len(nums) >= 2:
+                tlx += nums[-2]
+                tly += nums[-1]
+            elif op == b"TD" and len(nums) >= 2:
+                tl = -nums[-1]
+                tlx += nums[-2]
+                tly += nums[-1]
+            elif op == b"Tm" and len(nums) >= 6:
+                tlx, tly = nums[-2], nums[-1]
+            elif op == b"T*":
+                tly -= tl
+            elif op == b"TL" and len(nums) >= 1:
+                tl = nums[-1]
+            nums = []
+            i = m.end()
         else:
             i += 1
+
+
+def _page_contents(data: bytes) -> tuple[list[bytes], int]:
+    """The structural walk shared by every whole-document parser: header
+    check -> startxref -> xref -> trailer /Root -> catalog -> /Pages ->
+    /Kids -> per-page decoded /Contents bytes (single ref or array, spec
+    7.7.3.3). Returns (per-page content bytes in /Kids order, n_objects);
+    raises _PdfError on any structural failure."""
+    if not data or not bytes(data).startswith(b"%PDF-"):
+        raise _PdfError("missing %PDF header")
+    data = bytes(data)
+    offsets, trailer = _parse_xref(data)
+    root = _ref(trailer, b"Root")
+    catalog, _ = _load_object(data, offsets, root)
+    pages_obj, _ = _load_object(data, offsets, _ref(catalog, b"Pages"))
+    kids = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_obj)
+    if not kids:
+        raise _PdfError("pages tree missing /Kids")
+    kid_nums = [int(n) for n in re.findall(rb"(\d+)\s+0\s+R", kids.group(1))]
+    if not kid_nums:
+        raise _PdfError("empty /Kids")
+    pages: list[bytes] = []
+    for kn in kid_nums:
+        page, _ = _load_object(data, offsets, kn)
+        am = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
+        if am:
+            cnums = [
+                int(x) for x in re.findall(rb"(\d+)\s+0\s+R", am.group(1))
+            ]
+            if not cnums:
+                raise _PdfError("empty /Contents array")
+        else:
+            cnums = [_ref(page, b"Contents")]
+        raw = b""
+        for cn in cnums:
+            cdict, cend = _load_object(data, offsets, cn)
+            raw += _stream_bytes(data, cdict, cend)
+        pages.append(raw)
+    return pages, len(offsets)
+
+
+def _decode_payload(lit: bytes) -> str:
+    payload = lit if isinstance(lit, _HexLit) else _unescape_literal(lit)
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        raise _PdfError("non-utf8 text in content stream") from None
 
 
 def parse_real_pdf(data: bytes) -> dict:
@@ -764,49 +883,14 @@ def parse_real_pdf(data: bytes) -> dict:
     Returns ``{"text", "page_count", "n_objects", "error"}`` — text/None
     with error=None on success, Nones with a reason string on failure."""
     try:
-        if not data or not bytes(data).startswith(b"%PDF-"):
-            raise _PdfError("missing %PDF header")
-        data = bytes(data)
-        offsets, trailer = _parse_xref(data)
-        root = _ref(trailer, b"Root")
-        catalog, _ = _load_object(data, offsets, root)
-        pages_obj, _ = _load_object(data, offsets, _ref(catalog, b"Pages"))
-        kids = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_obj)
-        if not kids:
-            raise _PdfError("pages tree missing /Kids")
-        kid_nums = [int(n) for n in re.findall(rb"(\d+)\s+0\s+R", kids.group(1))]
-        if not kid_nums:
-            raise _PdfError("empty /Kids")
+        pages, n_objects = _page_contents(data)
         texts: list[str] = []
-        for kn in kid_nums:
-            page, _ = _load_object(data, offsets, kn)
-            # /Contents is a single ref OR an array of refs whose decoded
-            # streams concatenate in order (spec 7.7.3.3)
-            am = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
-            if am:
-                cnums = [
-                    int(x) for x in re.findall(rb"(\d+)\s+0\s+R", am.group(1))
-                ]
-                if not cnums:
-                    raise _PdfError("empty /Contents array")
-            else:
-                cnums = [_ref(page, b"Contents")]
-            raw = b""
-            for cn in cnums:
-                cdict, cend = _load_object(data, offsets, cn)
-                raw += _stream_bytes(data, cdict, cend)
-            parts = []
-            for lit in _literals(raw):
-                payload = lit if isinstance(lit, _HexLit) else _unescape_literal(lit)
-                try:
-                    parts.append(payload.decode("utf-8"))
-                except UnicodeDecodeError:
-                    raise _PdfError("non-utf8 text in content stream") from None
-            texts.append("".join(parts))
+        for raw in pages:
+            texts.append("".join(_decode_payload(lit) for lit in _literals(raw)))
         return {
             "text": "".join(texts),
-            "page_count": len(kid_nums),
-            "n_objects": len(offsets),
+            "page_count": len(pages),
+            "n_objects": n_objects,
             "error": None,
         }
     except _PdfError as e:
@@ -814,6 +898,33 @@ def parse_real_pdf(data: bytes) -> dict:
             "text": None, "page_count": None, "n_objects": None,
             "error": str(e),
         }
+
+
+def parse_pdf_positioned(data: bytes) -> dict:
+    """Positioned-text parse: the same structural walk as parse_real_pdf,
+    but every show op is reported WITH its text-space paint position from
+    the Td/TD/Tm/T*/TL state machine (_content_tokens_pos) — the input a
+    layout-analysis / reading-order stage needs.
+
+    Returns ``{"spans": [(page, seq, x, y, text), ...], "page_count",
+    "error"}`` — spans in STREAM order (seq is the per-document stream
+    index), which a reading-order reconstruction then reorders by
+    geometry; error=None on success, spans=None + reason on failure."""
+    try:
+        pages, _ = _page_contents(data)
+        spans: list[tuple] = []
+        seq = 0
+        for pno, raw in enumerate(pages):
+            for tok in _content_tokens_pos(raw):
+                if tok[0] != "lit":
+                    continue
+                spans.append(
+                    (pno + 1, seq, tok[2], tok[3], _decode_payload(tok[1]))
+                )
+                seq += 1
+        return {"spans": spans, "page_count": len(pages), "error": None}
+    except _PdfError as e:
+        return {"spans": None, "page_count": None, "error": str(e)}
 
 
 # ---------------------------------------------------------------------------
@@ -1248,3 +1359,135 @@ def extract_pdf_ocr_spans(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(
         gen, PDF_OCR_SPANS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Positioned text + multi-column reading order
+# ---------------------------------------------------------------------------
+# The reference's PDFTextStripper sorts text by position before emitting
+# (setSortByPosition — DocumentExtractManager.java:438-461 relies on it for
+# multi-column documents); the analog here is a writer that places blocks
+# at explicit coordinates and a parser that reports each show op's paint
+# position, so a downstream DataFrame stage can reconstruct reading order
+# from geometry alone (XY-cut on the x projection).
+
+def _num(v: float) -> bytes:
+    """A PDF numeric token: integers without a decimal point."""
+    if float(v).is_integer():
+        return b"%d" % int(v)
+    return repr(float(v)).encode("ascii")
+
+
+def build_positioned_pdf(blocks: list, corrupt_stream: bool = False) -> bytes:
+    """One-page real PDF with each (text, x, y) block painted at its
+    coordinate. Positioning alternates between the two real mechanisms a
+    reader must track: block 0 and every 4th block set the text matrix
+    absolutely (``1 0 0 1 x y Tm``); every other block moves RELATIVELY
+    from the previous block's line start (``dx dy Td``) — so recovering
+    the coordinates requires genuine Td/Tm state, not scraping numbers
+    off the page. Content stream is FlateDecode-compressed like every
+    other writer here; ``corrupt_stream`` truncates it (the zlib failure
+    path)."""
+    ops = [b"BT", b"/F1 12 Tf"]
+    px = py = 0.0
+    for i, (text, x, y) in enumerate(blocks):
+        if i % 4 == 0:
+            ops.append(b"1 0 0 1 %s %s Tm" % (_num(x), _num(y)))
+        else:
+            ops.append(b"%s %s Td" % (_num(x - px), _num(y - py)))
+        px, py = float(x), float(y)
+        ops.append(b"(" + _pdf_escape_bytes(text) + b") Tj")
+    ops.append(b"ET")
+    raw = b"\n".join(ops) + b"\n"
+    comp = zlib.compress(raw, 6)
+    if corrupt_stream:
+        comp = comp[: max(1, len(comp) // 2)]
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp + b"\nendstream",
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_off = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objects) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_off)
+    )
+    return bytes(buf)
+
+
+PDF_POSITIONED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("x", T.DoubleType()),
+    T.StructField("y", T.DoubleType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def extract_pdf_positioned(df: DataFrame, blocks_col: str = "blocks",
+                           id_col: str = "doc_id",
+                           corrupt_col: str | None = None) -> DataFrame:
+    """(id, blocks array<struct<text,x,y>>) -> one row per show op with
+    its recovered paint position (PDF_POSITIONED_SCHEMA). Each document
+    is round-tripped through a REAL positioned PDF (build_positioned_pdf
+    -> parse_pdf_positioned) inside one Arrow-batched mapInPandas pass —
+    no shuffle; a failed parse yields one error row for the document
+    (nulls elsewhere), the degradation contract."""
+    cols = [id_col, blocks_col] + ([corrupt_col] if corrupt_col else [])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in PDF_POSITIONED_SCHEMA.fields}
+
+            def push(did, page=None, seq=None, x=None, y=None,
+                     text=None, err=None):
+                out["doc_id"].append(did)
+                out["page"].append(page)
+                out["seq"].append(seq)
+                out["x"].append(x)
+                out["y"].append(y)
+                out["text"].append(text)
+                out["error"].append(err)
+
+            corrupts = (
+                pdf[corrupt_col] if corrupt_col else [False] * len(pdf)
+            )
+            for did, blocks, corrupt in zip(
+                pdf[id_col], pdf[blocks_col], corrupts
+            ):
+                did = int(did)
+                payload = build_positioned_pdf(
+                    [(b["text"], b["x"], b["y"]) for b in blocks],
+                    corrupt_stream=bool(corrupt),
+                )
+                r = parse_pdf_positioned(payload)
+                if r["error"] is not None:
+                    push(did, err=r["error"])
+                    continue
+                for page, seq, x, y, text in r["spans"]:
+                    push(did, page, seq, x, y, text)
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "page": pd.array(out["page"], dtype="Int32"),
+                "seq": pd.array(out["seq"], dtype="Int32"),
+                "x": pd.array(out["x"], dtype="float64"),
+                "y": pd.array(out["y"], dtype="float64"),
+                "text": out["text"],
+                "error": out["error"],
+            })
+
+    return df.select(*cols).mapInPandas(gen, PDF_POSITIONED_SCHEMA)

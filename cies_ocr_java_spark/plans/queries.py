@@ -2071,6 +2071,162 @@ def extract_pdf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pdf_column_reading_order",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(length(text) / 40.0) AS INT), 1) AS nb,
+             doc_id % 59 = 0 AS corrupt
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, i, substr(text, CAST(i * 40 + 1 AS INT), 40) AS chunk
+      FROM (SELECT doc_id, text, unnest(range(0, nb)) AS i FROM base))
+    SELECT b.doc_id,
+           CASE WHEN b.corrupt THEN NULL ELSE b.nb END AS n_blocks,
+           CASE WHEN b.corrupt THEN NULL
+                WHEN b.nb >= 2 THEN 2 ELSE 1 END AS n_columns,
+           CASE WHEN b.corrupt THEN NULL ELSE
+             (SELECT string_agg(chunk, chr(10) ORDER BY i % 2, i)
+              FROM chunks c WHERE c.doc_id = b.doc_id) END AS reading_text,
+           CASE WHEN b.corrupt THEN NULL ELSE
+             (SELECT string_agg(chunk, chr(10) ORDER BY i)
+              FROM chunks c WHERE c.doc_id = b.doc_id) END AS stream_text,
+           CASE WHEN b.corrupt THEN 'flate decode failed' ELSE NULL END
+             AS error_kind
+    FROM base b
+    """,
+)
+def pdf_column_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN READING-ORDER RECONSTRUCTION from genuine PDF
+    geometry — the PDFTextStripper.setSortByPosition analog
+    (DocumentExtractManager.java:438-461 routes every PDF through the
+    stripper; position sort is what makes multi-column documents read
+    correctly). Each document's text is laid out as a real TWO-COLUMN
+    page: 40-char blocks placed left/right/left/right in STREAM order
+    (so naive stream-order concatenation interleaves the columns —
+    provably wrong, and `stream_text` exposes it), written as a real
+    positioned PDF (alternating `Tm` absolute sets and `Td` relative
+    moves — recovering coordinates requires the parser's full text-
+    matrix state machine), then parsed back to (x, y, text) spans with
+    operators/pdf_real.py:_content_tokens_pos. Reading order is then
+    reconstructed from GEOMETRY ALONE — no block index survives the
+    round trip:
+      1. per doc, the column boundary is found by XY-CUT on the x
+         projection: the largest gap between adjacent distinct x
+         values, a column split iff >= 100pt (one doc-keyed window over
+         the distinct-x table, then one max-by-gap agg);
+      2. column id = x >= gap midpoint; order = (column, -y, x);
+      3. ordered concat via array_sort(collect_list(struct)) — the A1
+         never-arrival-order discipline.
+    id%59 docs carry a truncated content stream and must fail as whole
+    documents (error row, nulls elsewhere). The oracle states the
+    expected permutation directly from the block indices (even chunks
+    top-to-bottom, then odd chunks); Spark never sees those indices —
+    only coordinates. PLAN: one Arrow-batched mapInPandas (build+parse),
+    one doc-hash exchange for the window/aggs, one broadcast-size join
+    of per-doc boundaries; no global sort, no collect."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        extract_pdf_positioned,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    nb = F.greatest(
+        F.ceil(F.length("text") / F.lit(40.0)).cast("int"), F.lit(1)
+    )
+    blocks = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.struct(
+            F.col("text").substr(i * 40 + 1, F.lit(40)).alias("text"),
+            (F.lit(72.0) + (i % 2).cast("double") * 234.0).alias("x"),
+            (F.lit(720.0) - F.floor(i / 2).cast("double") * 18.0).alias("y"),
+        ),
+    )
+    src = d.select(
+        "doc_id",
+        blocks.alias("blocks"),
+        (F.col("doc_id") % 59 == 0).alias("corrupt"),
+    )
+    spans = extract_pdf_positioned(src, corrupt_col="corrupt")
+
+    # XY-cut on the x projection: largest adjacent gap between distinct
+    # x values; a column boundary iff the gap is >= 100pt
+    xw = Window.partitionBy("doc_id").orderBy("x")
+    gaps = (
+        spans.select("doc_id", "x").distinct()
+        .select(
+            "doc_id",
+            F.coalesce(F.col("x") - F.lag("x").over(xw), F.lit(0.0))
+            .alias("gap"),
+            ((F.col("x") + F.lag("x").over(xw)) / 2.0).alias("mid"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("gap", "mid")).alias("g"))
+        .select(
+            "doc_id",
+            F.when(F.col("g.gap") >= 100.0, F.col("g.mid")).alias("boundary"),
+        )
+    )
+    colid = F.when(
+        F.col("boundary").isNotNull() & (F.col("x") >= F.col("boundary")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    agg = (
+        spans.join(gaps, "doc_id")
+        .withColumn("colid", colid)
+        .groupBy("doc_id")
+        .agg(
+            F.max("error").alias("error"),
+            F.count("x").alias("cnt"),
+            (F.max(F.when(F.col("x").isNotNull(), F.col("colid"))) + 1)
+            .alias("ncols"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("colid").alias("c"),
+                                (-F.col("y")).alias("ny"),
+                                F.col("x").alias("xx"),
+                                F.col("text").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n",
+            ).alias("rtext"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("seq").alias("s"),
+                                F.col("text").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n",
+            ).alias("stext"),
+        )
+    )
+    bad = F.col("error").isNotNull()
+    return agg.select(
+        "doc_id",
+        F.when(bad, F.lit(None)).otherwise(F.col("cnt")).cast("int")
+        .alias("n_blocks"),
+        F.when(bad, F.lit(None)).otherwise(F.col("ncols")).cast("int")
+        .alias("n_columns"),
+        F.when(bad, F.lit(None)).otherwise(F.col("rtext"))
+        .alias("reading_text"),
+        F.when(bad, F.lit(None)).otherwise(F.col("stext"))
+        .alias("stream_text"),
+        F.split(F.col("error"), ":").getItem(0).alias("error_kind"),
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

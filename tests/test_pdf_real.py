@@ -462,3 +462,145 @@ class TestPdfInterleaved:
         )
         assert by_doc[2][0].error == "raw image size mismatch"
         assert by_doc[2][0].kind is None
+
+
+# ---------------------------------------------------------------------------
+# positioned text + reading order (session-3: _content_tokens_pos,
+# build_positioned_pdf, parse_pdf_positioned, extract_pdf_positioned)
+# ---------------------------------------------------------------------------
+
+class TestPdfPositioned:
+    def test_round_trip_positions_exact(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_positioned_pdf,
+            parse_pdf_positioned,
+        )
+
+        blocks = [
+            ("b0", 72, 720), ("b1", 306, 720), ("b2", 72, 702),
+            ("b3", 306, 702), ("b4", 72, 684),
+        ]
+        r = parse_pdf_positioned(build_positioned_pdf(blocks))
+        assert r["error"] is None and r["page_count"] == 1
+        assert r["spans"] == [
+            (1, i, float(x), float(y), t)
+            for i, (t, x, y) in enumerate(blocks)
+        ]
+
+    def test_round_trip_positions_property(self):
+        # random coordinates through the alternating Tm/Td writer: the
+        # parser's relative-move accumulation must recover every block's
+        # absolute position exactly (integer coordinates -> exact floats)
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_positioned_pdf,
+            parse_pdf_positioned,
+        )
+
+        rng = random.Random(42)
+        for _ in range(25):
+            n = rng.randint(1, 12)
+            blocks = [
+                (f"t{k}", rng.randint(-500, 700), rng.randint(-500, 760))
+                for k in range(n)
+            ]
+            r = parse_pdf_positioned(build_positioned_pdf(blocks))
+            assert r["error"] is None
+            assert [(s[2], s[3], s[4]) for s in r["spans"]] == [
+                (float(x), float(y), t) for t, x, y in blocks
+            ]
+
+    def test_state_machine_tl_tstar_quote(self):
+        # TL sets leading; T* moves down by it; ' moves THEN shows;
+        # TD both moves and sets leading = -ty
+        from cies_ocr_java_spark.operators.pdf_real import (
+            _content_tokens_pos,
+        )
+
+        content = (
+            b"BT /F1 12 Tf 14 TL 1 0 0 1 100 700 Tm (l1) Tj "
+            b"T* (l2) Tj (l3) ' 10 -3 TD (l4) Tj T* (l5) Tj ET"
+        )
+        toks = list(_content_tokens_pos(content))
+        assert [(t[1], t[2], t[3]) for t in toks] == [
+            (b"l1", 100.0, 700.0),
+            (b"l2", 100.0, 686.0),
+            (b"l3", 100.0, 672.0),
+            (b"l4", 110.0, 669.0),
+            (b"l5", 110.0, 666.0),
+        ]
+
+    def test_bt_resets_matrix_not_leading(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            _content_tokens_pos,
+        )
+
+        content = (
+            b"BT 14 TL 50 600 Td (a) Tj ET "
+            b"BT T* (b) Tj ET"
+        )
+        toks = list(_content_tokens_pos(content))
+        # second BT: line start back to (0,0); TL survives (text STATE),
+        # so T* lands at (0, -14)
+        assert [(t[2], t[3]) for t in toks] == [(50.0, 600.0), (0.0, -14.0)]
+
+    def test_tj_array_numbers_are_not_operands(self):
+        # kerning numbers inside [..] TJ must not leak into the operand
+        # list: the Td AFTER the array still uses its own two operands
+        from cies_ocr_java_spark.operators.pdf_real import (
+            _content_tokens_pos,
+        )
+
+        content = b"BT 5 5 Td [(a) -120 (b)] TJ 1 2 Td (c) Tj ET"
+        toks = list(_content_tokens_pos(content))
+        assert [(t[1], t[2], t[3]) for t in toks] == [
+            (b"a", 5.0, 5.0), (b"b", 5.0, 5.0), (b"c", 6.0, 7.0),
+        ]
+
+    def test_corrupt_stream_fails_whole_doc(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_positioned_pdf,
+            parse_pdf_positioned,
+        )
+
+        r = parse_pdf_positioned(
+            build_positioned_pdf([("x", 72, 720)], corrupt_stream=True)
+        )
+        assert r["spans"] is None
+        assert r["error"].startswith("flate decode failed")
+
+    def test_positioned_fuzz_never_raises(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_positioned_pdf,
+            parse_pdf_positioned,
+        )
+
+        rng = random.Random(7)
+        base = bytearray(build_positioned_pdf([("hello", 72, 720)]))
+        for _ in range(200):
+            mutated = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            r = parse_pdf_positioned(bytes(mutated))
+            assert (r["spans"] is None) == (r["error"] is not None)
+
+    def test_spark_positioned_operator(self, spark):
+        from pyspark.sql import functions as F
+        from cies_ocr_java_spark.operators.pdf_real import (
+            extract_pdf_positioned,
+        )
+
+        src = spark.createDataFrame(
+            [(1, [("a", 72.0, 720.0), ("b", 306.0, 720.0)], False),
+             (2, [("c", 72.0, 720.0)], True)],
+            "doc_id long, blocks array<struct<text:string,x:double,y:double>>,"
+            " corrupt boolean",
+        )
+        rows = {
+            (r["doc_id"], r["seq"]): r
+            for r in extract_pdf_positioned(
+                src, corrupt_col="corrupt"
+            ).collect()
+        }
+        assert rows[(1, 0)]["x"] == 72.0 and rows[(1, 0)]["text"] == "a"
+        assert rows[(1, 1)]["x"] == 306.0 and rows[(1, 1)]["text"] == "b"
+        assert rows[(2, None)]["error"].startswith("flate decode failed")
