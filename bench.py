@@ -32,6 +32,7 @@ HEADLINE = [
     "extract_pdf_xref_stream",
     "extract_pdf_incremental",
     "pdf_column_reading_order",
+    "html_table_cells",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

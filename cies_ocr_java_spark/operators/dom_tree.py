@@ -355,3 +355,130 @@ def dom_node_stats(df: DataFrame, payload, doc_col: str = "doc_id") -> DataFrame
             ).otherwise(0)
         ).cast("int").alias("link_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured table extraction (session-3)
+# ---------------------------------------------------------------------------
+
+def extract_table_cells(df: DataFrame, payload,
+                        doc_col: str = "doc_id") -> DataFrame:
+    """Extract every ``<table>`` into structured (doc_id, table_idx,
+    row_idx, col_idx, is_header, cell_text) rows — the DOM counter
+    technique applied to tabular structure instead of density scoring.
+
+    Same parallel-parse reduction as dom_annotate: the nesting facts a
+    cell needs — which table, which row, which cell, header-or-data —
+    are all RUNNING COUNTS over the token stream, so one doc-partitioned
+    window carries the whole parse (pure codegen, zero Python):
+
+      table ordinal  = count of <table> opens so far;
+      row ordinal    = count of <tr> opens so far (global per doc);
+      cell ordinal   = count of <td>/<th> opens so far;
+      inside-a-cell  = td/th opens minus closes (with the table open).
+
+    Grouping text tokens by (doc, table, row, cell) ordinals rebuilds the
+    cells; per-table/per-row RELATIVE indices are the ordinal minus its
+    group minimum (two more windows over the already-grouped cell rows —
+    bounded by cell count, not token count). Cell text is the raw text
+    tokens concatenated in pos order FIRST, then entity-decoded and
+    ws-normalized once at the cell level, so inline markup inside a cell
+    (``<b>``, ``<span>``) splits tokens without corrupting spacing.
+
+    Subset contract (degradation discipline of formats.py): non-nested
+    tables parse exactly; a NESTED <table> inside a cell folds its
+    ordinals into the outer walk (defined output, never a crash); stray
+    </td>/</tr> move counters down like every other counter here. The
+    reference has no table extractor — this is training-data surface
+    (tables -> structured records) the engine adds; closest reference
+    behavior is the per-block type tagging of Textract's TABLE blocks
+    (DocumentExtractManager.java's Textract call returns BlockType.TABLE
+    which the reference flattens to LINE text — we keep the structure).
+
+    PLAN: tokenize (split + regexp_extract_all + one posexplode), ONE
+    window pass for the counters over the doc-hash partition, one
+    groupBy(cell ordinals), two bounded index windows. The only exchange
+    is the doc-hash shuffle — the natural layout at 10^12 docs.
+    """
+    toks = dom_tokens(df, payload, doc_col)
+    name = F.when(
+        F.col("is_tag"),
+        F.lower(F.regexp_extract("raw", TAG_NAME_PATTERN, 1)),
+    ).otherwise(F.lit(""))
+    t = toks.withColumn("_name", name)
+    is_open = F.col("is_tag") & ~F.col("raw").startswith("</") & ~F.col(
+        "raw"
+    ).endswith("/>")
+    is_close = F.col("is_tag") & F.col("raw").startswith("</")
+
+    def delta(tags: tuple, sign_open: int, sign_close: int):
+        return (
+            F.when(is_open & F.col("_name").isin(*tags), F.lit(sign_open))
+            .when(is_close & F.col("_name").isin(*tags), F.lit(sign_close))
+            .otherwise(F.lit(0))
+        )
+
+    t = (
+        t.withColumn("_tbl_o", delta(("table",), 1, 0))
+        .withColumn("_tbl", delta(("table",), 1, -1))
+        .withColumn("_tr_o", delta(("tr",), 1, 0))
+        .withColumn("_cell_o", delta(("td", "th"), 1, 0))
+        .withColumn("_cell", delta(("td", "th"), 1, -1))
+        .withColumn("_th_o", delta(("th",), 1, 0))
+    )
+    # include the CURRENT row: text tokens carry zero deltas, and the
+    # opening <td> token then belongs to its own cell group (that is how
+    # the cell learns whether it opened as <th>)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ann = t.select(
+        "doc_id",
+        "pos",
+        "is_tag",
+        "raw",
+        F.sum("_tbl_o").over(w).cast("int").alias("tbl_ord"),
+        F.sum("_tbl").over(w).cast("int").alias("in_table"),
+        F.sum("_tr_o").over(w).cast("int").alias("tr_ord"),
+        F.sum("_cell_o").over(w).cast("int").alias("cell_ord"),
+        F.sum("_cell").over(w).cast("int").alias("in_cell"),
+        F.when(
+            F.col("is_tag") & is_open & (F.col("_name") == "th"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_th_open"),
+    )
+    members = ann.where(
+        (F.col("in_table") > 0)
+        & (F.col("in_cell") > 0)
+        & (F.col("tr_ord") > 0)
+        & (F.col("cell_ord") > 0)
+    )
+    cells = members.groupBy("doc_id", "tbl_ord", "tr_ord", "cell_ord").agg(
+        visible_text_col(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_tag"), F.struct("pos", "raw")
+                            )
+                        )
+                    ),
+                    lambda s: s["raw"],
+                ),
+                "",
+            )
+        ).alias("cell_text"),
+        (F.max("is_th_open") == 1).alias("is_header"),
+    )
+    wt = Window.partitionBy("doc_id", "tbl_ord")
+    wr = Window.partitionBy("doc_id", "tbl_ord", "tr_ord")
+    return cells.select(
+        "doc_id",
+        (F.col("tbl_ord") - 1).alias("table_idx"),
+        (F.col("tr_ord") - F.min("tr_ord").over(wt)).alias("row_idx"),
+        (F.col("cell_ord") - F.min("cell_ord").over(wr)).alias("col_idx"),
+        "is_header",
+        "cell_text",
+    )

@@ -2227,6 +2227,117 @@ def pdf_column_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "html_table_cells",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_norm_sql('text')} AS n,
+             2 + doc_id % 2 AS ncols, 1 + doc_id % 3 AS nrows
+      FROM documents),
+    hdr AS (
+      SELECT doc_id, 0 AS table_idx, 0 AS row_idx, CAST(c AS INT) AS col_idx,
+             TRUE AS is_header, 'H' || CAST(c AS VARCHAR) AS cell_text
+      FROM (SELECT doc_id, unnest(range(0, ncols)) AS c FROM base)),
+    rws AS (SELECT doc_id, n, ncols, unnest(range(1, nrows + 1)) AS r
+            FROM base),
+    body AS (
+      SELECT doc_id, 0 AS table_idx, CAST(r AS INT) AS row_idx,
+             CAST(c AS INT) AS col_idx, FALSE AS is_header,
+             trim(substr(n, CAST(((r - 1) * ncols + c) * 6 + 1 AS INT), 6))
+               AS cell_text
+      FROM (SELECT doc_id, n, ncols, r, unnest(range(0, ncols)) AS c
+            FROM rws)),
+    t1 AS (
+      SELECT doc_id, 1 AS table_idx, 0 AS row_idx, 0 AS col_idx,
+             FALSE AS is_header, 'fo&o' AS cell_text FROM base
+      UNION ALL
+      SELECT doc_id, 1, 0, 1, FALSE, 'bar' FROM base)
+    SELECT * FROM hdr UNION ALL SELECT * FROM body UNION ALL SELECT * FROM t1
+    """,
+)
+def html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED TABLE EXTRACTION: every <table> on the page becomes
+    (table_idx, row_idx, col_idx, is_header, cell_text) rows — the DOM
+    ancestor-counter parse (dom_tree.py) applied to tabular structure.
+    Each doc renders a page with a VARIABLE-SHAPE data table (2+id%2
+    columns x 1+id%3 body rows under a <th> header row, cells = 6-char
+    slices of the normalized text) plus a second fixed table carrying
+    the two cell-content hazards: an entity (``fo&amp;o``) and inline
+    markup (``<b>bar</b>``) that splits the cell across text tokens.
+    The oracle states the expected structured rows directly from the
+    page spec; Spark recovers them from the serialized HTML alone via
+    running-count ordinals (operators/dom_tree.py:extract_table_cells).
+    The reference flattens Textract TABLE blocks to LINE text
+    (DocumentExtractManager.java keeps only block text); keeping the
+    grid is training-data surface on top. PLAN: page synthesis and
+    tokenization are map-side codegen; ONE doc-hash exchange feeds the
+    counter window; the groupBy and the two relative-index windows
+    reuse that partitioning (cell-count-bounded). Zero Python."""
+    from cies_ocr_java_spark.operators.dom_tree import extract_table_cells
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n = normalize_ws(F.col("text"))
+    ncols = (F.lit(2) + F.col("doc_id") % 2).cast("int")
+    nrows = (F.lit(1) + F.col("doc_id") % 3).cast("int")
+    header = F.concat(
+        F.lit("<tr>"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), ncols - 1),
+                lambda c: F.concat(
+                    F.lit("<th>H"), c.cast("string"), F.lit("</th>")
+                ),
+            ),
+            "",
+        ),
+        F.lit("</tr>"),
+    )
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), nrows),
+            lambda r: F.concat(
+                F.lit("<tr>"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), ncols - 1),
+                        lambda c: F.concat(
+                            F.lit("<td>"),
+                            n.substr(
+                                ((r - 1) * ncols + c) * 6 + 1, F.lit(6)
+                            ),
+                            F.lit("</td>"),
+                        ),
+                    ),
+                    "",
+                ),
+                F.lit("</tr>"),
+            ),
+        ),
+        "",
+    )
+    page = F.concat(
+        F.lit("<html><body><p>intro</p><table>"),
+        header,
+        body,
+        F.lit(
+            "</table><p>mid</p><table><tr><td>fo&amp;o</td>"
+            "<td><b>bar</b></td></tr></table></body></html>"
+        ),
+    )
+    # materialize the page into a named column BEFORE dom_tokens' select:
+    # a doc_id-dependent payload expression inside the same select as the
+    # posexplode trips Spark 4's lateral-column-alias internal check
+    src = d.select("doc_id", page.alias("page"))
+    return extract_table_cells(src, F.col("page")).select(
+        "doc_id",
+        F.col("table_idx").cast("int").alias("table_idx"),
+        F.col("row_idx").cast("int").alias("row_idx"),
+        F.col("col_idx").cast("int").alias("col_idx"),
+        "is_header",
+        "cell_text",
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

@@ -281,3 +281,81 @@ def test_dom_interleaved_spans_plan_bounded_exchanges(spark):
     assert "Python" not in plan and "Arrow" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# structured table extraction (session-3: extract_table_cells)
+# ---------------------------------------------------------------------------
+
+def _cells(spark, html):
+    from pyspark.sql import functions as F
+    from cies_ocr_java_spark.operators.dom_tree import extract_table_cells
+
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return sorted(
+        (r.table_idx, r.row_idx, r.col_idx, r.is_header, r.cell_text)
+        for r in extract_table_cells(df, F.col("html")).collect()
+    )
+
+
+def test_table_cells_grid_and_header(spark):
+    got = _cells(
+        spark,
+        "<html><body><table><tr><th>A</th><th>B</th></tr>"
+        "<tr><td>1</td><td>2</td></tr></table></body></html>",
+    )
+    assert got == [
+        (0, 0, 0, True, "A"), (0, 0, 1, True, "B"),
+        (0, 1, 0, False, "1"), (0, 1, 1, False, "2"),
+    ]
+
+
+def test_table_cells_second_table_and_hazards(spark):
+    # entity decode at cell level; inline markup splits tokens but not
+    # the cell; an empty <td></td> still yields its row
+    got = _cells(
+        spark,
+        "<table><tr><td>fo&amp;o</td><td><b>b</b>ar</td><td></td></tr>"
+        "</table><p>x</p><table><tr><td>z</td></tr></table>",
+    )
+    assert got == [
+        (0, 0, 0, False, "fo&o"), (0, 0, 1, False, "bar"),
+        (0, 0, 2, False, ""),
+        (1, 0, 0, False, "z"),
+    ]
+
+
+def test_table_cells_text_outside_cells_excluded(spark):
+    # prose, <caption> text, and text between </tr> and <tr> never
+    # become cells
+    got = _cells(
+        spark,
+        "<p>before</p><table><caption>cap</caption>"
+        "<tr><td>a</td></tr>stray</table><p>after</p>",
+    )
+    assert got == [(0, 0, 0, False, "a")]
+
+
+def test_table_cells_hostile_never_crashes(spark):
+    # stray closes and a nested table: DEFINED output (counters move),
+    # never an exception — the degradation contract
+    got = _cells(
+        spark,
+        "</td></tr></table><table><tr><td>a<table><tr><td>n</td></tr>"
+        "</table>b</td></tr></table>",
+    )
+    assert any(t[4] == "n" for t in got)  # nested cell text recovered
+    assert all(isinstance(t[4], str) for t in got)
+
+
+def test_table_cells_zero_python_plan(spark):
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["html_table_cells"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Exchange SinglePartition" not in plan
