@@ -33,6 +33,7 @@ HEADLINE = [
     "extract_pdf_incremental",
     "pdf_column_reading_order",
     "html_table_cells",
+    "charset_sniff_decode",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

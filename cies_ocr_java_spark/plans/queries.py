@@ -2338,6 +2338,71 @@ def html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "charset_sniff_decode",
+    """
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'utf-8-bom'
+             WHEN 1 THEN 'utf-16le'
+             WHEN 2 THEN 'utf-16be'
+             WHEN 3 THEN 'utf-8'
+             WHEN 4 THEN 'latin-1'
+             ELSE CASE WHEN length(text) = 0 THEN 'utf-8'
+                       ELSE 'utf-16le' END
+           END AS charset,
+           CASE WHEN doc_id % 6 = 4 THEN text || 'é' ELSE text END AS text,
+           doc_id % 6 IN (0, 1, 2) AS had_bom
+    FROM documents
+    """,
+)
+def charset_sniff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARSET SNIFF + TRANSCODE at the ingest edge: every doc's text is
+    serialized into one of six REAL byte encodings (UTF-8 with and
+    without BOM, UTF-16LE/BE with BOM, BOM-less UTF-16LE, Latin-1 with a
+    genuine non-ASCII byte so the stream is invalid UTF-8), and the
+    engine must recover BOTH the charset label and the exact text from
+    the BYTES ALONE (operators/classify.py:sniff_charset_cols): BOMs
+    first, then strict UTF-8 validation, with the chardet NUL-parity
+    heuristic for BOM-less UTF-16 (ASCII-LE is ``ch 00`` — first NUL at
+    even byte position) and the total Latin-1 floor. The reference
+    inherits charset handling from Textract/PDFBox defaults; a crawl
+    corpus needs it explicit — a mis-decode silently corrupts every
+    downstream span offset. Encode AND decode are both JVM expressions
+    (F.encode / F.decode / is_valid_utf8 / binary substring): the whole
+    query is ONE map-side codegen projection — no shuffle, no Python.
+    The oracle states the round-trip identity + label from the variant
+    rule; Spark never sees the variant, only bytes. (Empty docs under
+    the BOM-less variant are legitimately utf-8 — zero bytes carry no
+    evidence; the oracle says so too.)"""
+    from cies_ocr_java_spark.operators.classify import sniff_charset_cols
+
+    d = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 6
+    bom8 = F.lit(bytes([0xEF, 0xBB, 0xBF]))
+    bom_le = F.lit(bytes([0xFF, 0xFE]))
+    bom_be = F.lit(bytes([0xFE, 0xFF]))
+    payload = (
+        F.when(v == 0, F.concat(bom8, F.encode("text", "UTF-8")))
+        .when(v == 1, F.concat(bom_le, F.encode("text", "UTF-16LE")))
+        .when(v == 2, F.concat(bom_be, F.encode("text", "UTF-16BE")))
+        .when(v == 3, F.encode("text", "UTF-8"))
+        .when(
+            v == 4,
+            F.encode(F.concat(F.col("text"), F.lit("é")), "ISO-8859-1"),
+        )
+        .otherwise(F.encode("text", "UTF-16LE"))
+    )
+    src = d.select("doc_id", payload.alias("payload"))
+    c = sniff_charset_cols(F.col("payload"))
+    return src.select(
+        "doc_id",
+        c["charset"].alias("charset"),
+        c["text"].alias("text"),
+        c["had_bom"].alias("had_bom"),
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

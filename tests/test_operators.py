@@ -313,3 +313,57 @@ def test_interleaved_pack_windows_are_exact_and_reassemblable(spark):
             assert b["span_tok_start"] == a["span_tok_end"] + 1
         if frs[0]["kind"] == "media":
             assert sum(f["n_tokens"] for f in frs) == 16
+
+
+# ---------------------------------------------------------------------------
+# charset sniff + transcode (session-3: classify.sniff_charset_cols)
+# ---------------------------------------------------------------------------
+
+def test_charset_sniff_all_variants(spark):
+    from pyspark.sql import functions as F
+    from cies_ocr_java_spark.operators.classify import sniff_charset_cols
+
+    rows = [
+        (0, b"\xef\xbb\xbfhello"),
+        (1, "hi".encode("utf-16-le")),                      # BOM-less LE
+        (2, b"\xff\xfe" + "hi".encode("utf-16-le")),
+        (3, b"\xfe\xff" + "hi".encode("utf-16-be")),
+        (4, "hi".encode("utf-16-be")),                      # BOM-less BE
+        (5, b"plain ascii"),
+        (6, "caf\xe9".encode("latin-1")),                   # invalid UTF-8
+        (7, b""),                                           # no evidence
+        (8, "naïve ☃".encode("utf-8")),                     # real UTF-8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    c = sniff_charset_cols(F.col("payload"))
+    got = {
+        r["doc_id"]: (r["cs"], r["t"], r["b"])
+        for r in df.select(
+            "doc_id", c["charset"].alias("cs"), c["text"].alias("t"),
+            c["had_bom"].alias("b"),
+        ).collect()
+    }
+    assert got == {
+        0: ("utf-8-bom", "hello", True),
+        1: ("utf-16le", "hi", False),
+        2: ("utf-16le", "hi", True),
+        3: ("utf-16be", "hi", True),
+        4: ("utf-16be", "hi", False),
+        5: ("utf-8", "plain ascii", False),
+        6: ("latin-1", "caf\xe9", False),
+        7: ("utf-8", "", False),
+        8: ("utf-8", "naïve ☃", False),
+    }
+
+
+def test_charset_sniff_zero_python_no_shuffle(spark):
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["charset_sniff_decode"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Exchange" not in plan  # one map-side projection, no shuffle
