@@ -34,6 +34,8 @@ HEADLINE = [
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",
+    "pdf_line_assembly",
+    "pdf_figure_anchors",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

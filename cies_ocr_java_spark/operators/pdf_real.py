@@ -708,6 +708,7 @@ def _content_tokens_pos(content: bytes) -> Iterator[tuple]:
     pending: list[bytes] = []  # literals of the currently-open array
     tlx = tly = 0.0  # current line start (text space)
     tl = 0.0  # leading (T* / ' / " move down by this)
+    cmx = cmy = 0.0  # CTM translation (images paint at this, not tlx/tly)
     nums: list[float] = []  # pending numeric operands
 
     def _kw(pos: int, kw: bytes) -> bool:
@@ -783,7 +784,7 @@ def _content_tokens_pos(content: bytes) -> Iterator[tuple]:
             nm = m.group(1)
             after = body[m.end():m.end() + 8].lstrip()
             if after.startswith(b"Do") and not after[2:3].isalnum():
-                yield ("img", nm.decode("latin1"), tlx, tly)
+                yield ("img", nm.decode("latin1"), cmx, cmy)
             i = m.end()
         elif in_text and c == 0x5B:  # [ — array opens
             in_array = True
@@ -824,6 +825,12 @@ def _content_tokens_pos(content: bytes) -> Iterator[tuple]:
                 tly -= tl
             elif op == b"TL" and len(nums) >= 1:
                 tl = nums[-1]
+            elif op == b"cm" and len(nums) >= 6:
+                # subset: the q .. cm /Im Do Q idiom — translation only
+                # (no matrix COMPOSITION across nested cm, no q-stack)
+                cmx, cmy = nums[-2], nums[-1]
+            elif op == b"Q":
+                cmx = cmy = 0.0  # restore to the page baseline
             nums = []
             i = m.end()
         else:
@@ -1491,3 +1498,168 @@ def extract_pdf_positioned(df: DataFrame, blocks_col: str = "blocks",
             })
 
     return df.select(*cols).mapInPandas(gen, PDF_POSITIONED_SCHEMA)
+
+
+def build_positioned_interleaved(blocks: list,
+                                 corrupt_stream: bool = False) -> bytes:
+    """One-page real PDF interleaving POSITIONED text and figures.
+
+    ``blocks`` entries are ('text', s, x, y) — painted via ``Tm`` +
+    ``Tj`` — or ('img', value, x, y) — an 8x8 solid-gray /DeviceGray
+    XObject painted via the real ``q 8 0 0 8 x y cm /ImK Do Q`` idiom,
+    so recovering a figure's anchor requires the tokenizer's CTM
+    tracking, not its text matrix. Object numbering matches
+    build_pdf_interleaved: 1 catalog, 2 pages, 3 page, 4 content,
+    5..4+n images (names Im0..Im{n-1} in block order)."""
+    ops = []
+    n_img = 0
+    img_values = []
+    for kind, payload, x, y in blocks:
+        if kind == "text":
+            ops.append(
+                b"BT /F1 12 Tf 1 0 0 1 %s %s Tm (" % (_num(x), _num(y))
+                + _pdf_escape_bytes(payload) + b") Tj ET"
+            )
+        else:
+            ops.append(
+                b"q 8 0 0 8 %s %s cm /Im%d Do Q"
+                % (_num(x), _num(y), n_img)
+            )
+            img_values.append(int(payload))
+            n_img += 1
+    raw = b"\n".join(ops) + b"\n"
+    comp = zlib.compress(raw, 6)
+    if corrupt_stream:
+        comp = comp[: max(1, len(comp) // 2)]
+    res = b" ".join(b"/Im%d %d 0 R" % (k, 5 + k) for k in range(n_img))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << " + res + b" >> >> "
+        b"/Contents 4 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp + b"\nendstream",
+    ]
+    for v in img_values:
+        payload = bytes([v & 0xFF]) * 64
+        objects.append(
+            b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 64 >>"
+            b"\nstream\n" + payload + b"\nendstream"
+        )
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_off = len(buf)
+    n_objs = len(objects) + 1
+    buf += b"xref\n0 %d\n" % n_objs
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs, xref_off)
+    )
+    return bytes(buf)
+
+
+def parse_pdf_anchored(data: bytes) -> dict:
+    """Positioned INTERLEAVED parse: every show op and every image paint
+    with its recovered anchor — text from the Td/Tm state machine, images
+    from the CTM translation of their ``cm``. Returns ``{"spans":
+    [(kind, content, x, y), ...], "error"}`` in stream order; content is
+    the decoded text or the XObject name."""
+    try:
+        pages, _ = _page_contents(data)
+        spans: list[tuple] = []
+        for raw in pages:
+            for tok in _content_tokens_pos(raw):
+                if tok[0] == "lit":
+                    spans.append(
+                        ("text", _decode_payload(tok[1]), tok[2], tok[3])
+                    )
+                else:
+                    spans.append(("media", tok[1], tok[2], tok[3]))
+        return {"spans": spans, "error": None}
+    except _PdfError as e:
+        return {"spans": None, "error": str(e)}
+
+
+PDF_ANCHORED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("content", T.StringType()),
+    T.StructField("x", T.DoubleType()),
+    T.StructField("y", T.DoubleType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def extract_pdf_anchored(df: DataFrame, blocks_col: str = "blocks",
+                         id_col: str = "doc_id",
+                         corrupt_col: str | None = None) -> DataFrame:
+    """(id, blocks array<struct<kind,content,x,y>>) -> PDF_ANCHORED_SCHEMA:
+    round-trip through a real positioned interleaved PDF in one
+    Arrow-batched mapInPandas pass. Text blocks carry their string in
+    ``content``; media blocks carry the solid-gray value as a string.
+    Failed parses yield one error row per doc (degradation contract)."""
+    cols = [id_col, blocks_col] + ([corrupt_col] if corrupt_col else [])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in PDF_ANCHORED_SCHEMA.fields
+            }
+
+            def push(did, seq=None, kind=None, content=None, x=None,
+                     y=None, err=None):
+                out["doc_id"].append(did)
+                out["seq"].append(seq)
+                out["kind"].append(kind)
+                out["content"].append(content)
+                out["x"].append(x)
+                out["y"].append(y)
+                out["error"].append(err)
+
+            corrupts = (
+                pdf[corrupt_col] if corrupt_col else [False] * len(pdf)
+            )
+            for did, blocks, corrupt in zip(
+                pdf[id_col], pdf[blocks_col], corrupts
+            ):
+                did = int(did)
+                spec = [
+                    (
+                        b["kind"],
+                        b["content"] if b["kind"] == "text"
+                        else int(b["content"]),
+                        b["x"],
+                        b["y"],
+                    )
+                    for b in blocks
+                ]
+                r = parse_pdf_anchored(
+                    build_positioned_interleaved(
+                        spec, corrupt_stream=bool(corrupt)
+                    )
+                )
+                if r["error"] is not None:
+                    push(did, err=r["error"])
+                    continue
+                for seq, (kind, content, x, y) in enumerate(r["spans"]):
+                    push(did, seq, kind, content, x, y)
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "seq": pd.array(out["seq"], dtype="Int32"),
+                "kind": out["kind"],
+                "content": out["content"],
+                "x": pd.array(out["x"], dtype="float64"),
+                "y": pd.array(out["y"], dtype="float64"),
+                "error": out["error"],
+            })
+
+    return df.select(*cols).mapInPandas(gen, PDF_ANCHORED_SCHEMA)

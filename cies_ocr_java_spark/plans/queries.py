@@ -2403,6 +2403,242 @@ def charset_sniff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pdf_line_assembly",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(length(text) / 60.0) AS INT), 1) AS nl,
+             doc_id % 61 = 0 AS corrupt
+      FROM documents),
+    lns AS (
+      SELECT doc_id, l, substr(text, CAST(l * 60 + 1 AS INT), 60) AS line
+      FROM (SELECT doc_id, text, unnest(range(0, nl)) AS l FROM base))
+    SELECT b.doc_id,
+           CASE WHEN b.corrupt THEN NULL ELSE b.nl END AS n_lines,
+           CASE WHEN b.corrupt THEN NULL ELSE
+             (SELECT string_agg(line, chr(10) ORDER BY l)
+              FROM lns x WHERE x.doc_id = b.doc_id) END AS text,
+           CASE WHEN b.corrupt THEN 'flate decode failed' ELSE NULL END
+             AS error_kind
+    FROM base b
+    """,
+)
+def pdf_line_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE ASSEMBLY FROM FRAGMENTED SHOW OPS — the canonical real-PDF
+    hazard PDFTextStripper's position sort exists for: writers emit a
+    visual line as SEVERAL show ops (one per kerned run or word), often
+    out of stream order. Each doc's text becomes 60-char lines; each
+    line splits into up to three 20-char fragments painted at monospace
+    x offsets (72 + 6pt/char) on the line's y; fragments of ODD lines
+    enter the content stream in REVERSED order, so stream-order concat
+    garbles every other line. The engine reassembles purely from
+    geometry (the PDFTextStripper algorithm, DocumentExtractManager.java
+    :438-461's stripper dependency): group show ops by (doc, y), order
+    within a line by x, order lines by -y, join with newlines — the
+    oracle's expected text is then exactly the original split at 60.
+    id%61 docs carry a truncated stream and fail whole (error row).
+    PLAN: block synthesis is codegen transforms; one Arrow mapInPandas
+    (build+parse); ONE doc-hash exchange feeds both the per-line and
+    per-doc aggregations (line grain nests in doc grain). No global
+    sort, no collect."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        extract_pdf_positioned,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    nl = F.greatest(
+        F.ceil(F.length("text") / F.lit(60.0)).cast("int"), F.lit(1)
+    )
+    line_of = lambda l: F.col("text").substr(l * 60 + 1, F.lit(60))  # noqa: E731
+    frags_of = lambda l: F.transform(  # noqa: E731
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.ceil(F.length(line_of(l)) / F.lit(20.0)).cast("int"),
+                F.lit(1),
+            ) - 1,
+        ),
+        lambda j: F.struct(
+            line_of(l).substr(j * 20 + 1, F.lit(20)).alias("text"),
+            (F.lit(72.0) + j.cast("double") * 120.0).alias("x"),
+            (F.lit(720.0) - l.cast("double") * 14.0).alias("y"),
+        ),
+    )
+    blocks = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda l: F.when(l % 2 == 1, F.reverse(frags_of(l))).otherwise(
+                frags_of(l)
+            ),
+        )
+    )
+    src = d.select(
+        "doc_id",
+        blocks.alias("blocks"),
+        (F.col("doc_id") % 61 == 0).alias("corrupt"),
+    )
+    spans = extract_pdf_positioned(src, corrupt_col="corrupt")
+    lines = spans.groupBy("doc_id", "y").agg(
+        F.max("error").alias("error"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("x").alias("x"), F.col("text").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            "",
+        ).alias("line"),
+    )
+    agg = lines.groupBy("doc_id").agg(
+        F.max("error").alias("error"),
+        F.count("y").alias("n_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("y")).alias("ny"),
+                                 F.col("line").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    bad = F.col("error").isNotNull()
+    return agg.select(
+        "doc_id",
+        F.when(bad, F.lit(None)).otherwise(F.col("n_lines")).cast("int")
+        .alias("n_lines"),
+        F.when(bad, F.lit(None)).otherwise(F.col("text")).alias("text"),
+        F.split(F.col("error"), ":").getItem(0).alias("error_kind"),
+    )
+
+
+@_register(
+    "pdf_figure_anchors",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(length(text) / 40.0) AS INT), 1) AS nb,
+             1 + doc_id % 2 AS nf,
+             doc_id % 67 = 0 AS corrupt
+      FROM documents),
+    t AS (
+      SELECT doc_id, CAST(i % 2 AS INT) AS col,
+             -(720.0 - 18.0 * (i // 2)) AS ny,
+             72.0 + 234.0 * (i % 2) AS x,
+             'text' AS kind,
+             substr(text, CAST(i * 40 + 1 AS INT), 40) AS content
+      FROM (SELECT doc_id, text, unnest(range(0, nb)) AS i FROM base)),
+    f AS (
+      SELECT doc_id, CAST(fi % 2 AS INT) AS col, -80.0 AS ny,
+             72.0 + 234.0 * (fi % 2) AS x,
+             'media' AS kind, 'Im' || CAST(fi AS VARCHAR) AS content
+      FROM (SELECT doc_id, unnest(range(0, nf)) AS fi FROM base)),
+    u AS (SELECT * FROM t UNION ALL SELECT * FROM f),
+    good AS (
+      SELECT u.doc_id,
+             CAST(row_number() OVER (PARTITION BY u.doc_id
+                                     ORDER BY col, ny, x) AS INT) AS ord,
+             kind, content, NULL AS error_kind
+      FROM u JOIN base b ON u.doc_id = b.doc_id WHERE NOT b.corrupt)
+    SELECT * FROM good
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, 'flate decode failed'
+    FROM base WHERE corrupt
+    """,
+)
+def pdf_figure_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIGURE-ANCHORED INTERLEAVED READING ORDER: text AND media spans
+    merge into ONE geometric order — the full north-rule span model
+    (kind, content, order) recovered from a real container's geometry.
+    Two-column pages as in pdf_column_reading_order, plus 1 + id%2
+    solid-gray image XObjects painted at the column FEET via the real
+    ``q 8 0 0 8 x y cm /Im Do Q`` idiom — so figure anchors come from
+    the tokenizer's CTM tracking while text anchors come from its text
+    matrix, and the two streams only meet in the geometry. Figures
+    enter the content stream FIRST (before any text), so stream order
+    is maximally wrong; the engine rebuilds (column, -y, x) order with
+    the same XY-cut boundary as the text-only query and numbers the
+    merged sequence. id%67 docs fail whole (truncated stream). PLAN:
+    codegen block synthesis; one Arrow mapInPandas; one doc-hash
+    exchange shared by the boundary agg and the per-doc row_number
+    window (doc-partitioned — never SinglePartition)."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        extract_pdf_anchored,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    nb = F.greatest(
+        F.ceil(F.length("text") / F.lit(40.0)).cast("int"), F.lit(1)
+    )
+    nf = (F.lit(1) + F.col("doc_id") % 2).cast("int")
+    tblocks = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").substr(i * 40 + 1, F.lit(40)).alias("content"),
+            (F.lit(72.0) + (i % 2).cast("double") * 234.0).alias("x"),
+            (F.lit(720.0) - F.floor(i / 2).cast("double") * 18.0).alias("y"),
+        ),
+    )
+    fblocks = F.transform(
+        F.sequence(F.lit(0), nf - 1),
+        lambda fi: F.struct(
+            F.lit("media").alias("kind"),
+            (fi + 50).cast("string").alias("content"),
+            (F.lit(72.0) + (fi % 2).cast("double") * 234.0).alias("x"),
+            F.lit(80.0).alias("y"),
+        ),
+    )
+    src = d.select(
+        "doc_id",
+        F.concat(fblocks, tblocks).alias("blocks"),  # figures FIRST
+        (F.col("doc_id") % 67 == 0).alias("corrupt"),
+    )
+    spans = extract_pdf_anchored(src, corrupt_col="corrupt")
+
+    xw = Window.partitionBy("doc_id").orderBy("x")
+    gaps = (
+        spans.select("doc_id", "x").distinct()
+        .select(
+            "doc_id",
+            F.coalesce(F.col("x") - F.lag("x").over(xw), F.lit(0.0))
+            .alias("gap"),
+            ((F.col("x") + F.lag("x").over(xw)) / 2.0).alias("mid"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("gap", "mid")).alias("g"))
+        .select(
+            "doc_id",
+            F.when(F.col("g.gap") >= 100.0, F.col("g.mid")).alias("boundary"),
+        )
+    )
+    colid = F.when(
+        F.col("boundary").isNotNull() & (F.col("x") >= F.col("boundary")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    ow = Window.partitionBy("doc_id").orderBy(
+        "colid", F.desc("y"), "x"
+    )
+    j = spans.join(gaps, "doc_id").withColumn("colid", colid)
+    bad = F.col("error").isNotNull()
+    return j.select(
+        "doc_id",
+        F.when(bad, F.lit(None))
+        .otherwise(F.row_number().over(ow)).cast("int").alias("ord"),
+        F.when(bad, F.lit(None)).otherwise(F.col("kind")).alias("kind"),
+        F.when(bad, F.lit(None)).otherwise(F.col("content"))
+        .alias("content"),
+        F.split(F.col("error"), ":").getItem(0).alias("error_kind"),
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

@@ -604,3 +604,74 @@ class TestPdfPositioned:
         assert rows[(1, 0)]["x"] == 72.0 and rows[(1, 0)]["text"] == "a"
         assert rows[(1, 1)]["x"] == 306.0 and rows[(1, 1)]["text"] == "b"
         assert rows[(2, None)]["error"].startswith("flate decode failed")
+
+
+class TestPdfAnchored:
+    def test_cm_tracking_and_q_restore(self):
+        # image anchors come from the CTM translation; Q restores the
+        # baseline so a later Do without cm paints at (0,0)
+        from cies_ocr_java_spark.operators.pdf_real import (
+            _content_tokens_pos,
+        )
+
+        content = (
+            b"BT 10 700 Td (t) Tj ET "
+            b"q 8 0 0 8 100 50 cm /Im0 Do Q "
+            b"/Im1 Do"
+        )
+        toks = list(_content_tokens_pos(content))
+        assert toks == [
+            ("lit", b"t", 10.0, 700.0),
+            ("img", "Im0", 100.0, 50.0),
+            ("img", "Im1", 0.0, 0.0),
+        ]
+
+    def test_interleaved_round_trip(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_positioned_interleaved,
+            parse_pdf_anchored,
+        )
+
+        blocks = [
+            ("img", 55, 306, 80), ("text", "t0", 72, 720),
+            ("text", "t1", 306, 720), ("img", 99, 72, 80),
+        ]
+        r = parse_pdf_anchored(build_positioned_interleaved(blocks))
+        assert r["error"] is None
+        assert r["spans"] == [
+            ("media", "Im0", 306.0, 80.0),
+            ("text", "t0", 72.0, 720.0),
+            ("text", "t1", 306.0, 720.0),
+            ("media", "Im1", 72.0, 80.0),
+        ]
+
+    def test_corrupt_fails_whole_doc(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_positioned_interleaved,
+            parse_pdf_anchored,
+        )
+
+        r = parse_pdf_anchored(
+            build_positioned_interleaved(
+                [("text", "x", 72, 720)], corrupt_stream=True
+            )
+        )
+        assert r["spans"] is None
+        assert r["error"].startswith("flate decode failed")
+
+    def test_anchored_fuzz_never_raises(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_positioned_interleaved,
+            parse_pdf_anchored,
+        )
+
+        rng = random.Random(13)
+        base = bytearray(build_positioned_interleaved(
+            [("text", "hello", 72, 720), ("img", 42, 306, 80)]
+        ))
+        for _ in range(200):
+            mutated = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            r = parse_pdf_anchored(bytes(mutated))
+            assert (r["spans"] is None) == (r["error"] is not None)
