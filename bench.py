@@ -36,6 +36,7 @@ HEADLINE = [
     "charset_sniff_decode",
     "pdf_line_assembly",
     "pdf_figure_anchors",
+    "html_outline_extract",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -482,3 +482,139 @@ def extract_table_cells(df: DataFrame, payload,
         "is_header",
         "cell_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Document outline extraction (session-3)
+# ---------------------------------------------------------------------------
+
+def extract_outline(df: DataFrame, payload,
+                    doc_col: str = "doc_id") -> DataFrame:
+    """Extract the heading outline: one row per <h1>..<h6> with its text,
+    level, ordinal, and the hierarchical SECTION PATH ("2.1.3") — the
+    table-of-contents structure a training pipeline wants as metadata
+    and the reference flattens away (Textract LAYOUT_SECTION_HEADER
+    blocks become plain LINE text).
+
+    Section numbering is the interesting part distributively: the number
+    at level l resets whenever a SHALLOWER heading appears, which is a
+    prefix scan WITH RESETS. Formulated as pure running sums (one
+    doc-partitioned window over the per-doc heading rows, bounded by
+    heading count, never token count):
+
+        n_l  =  cum_l  -  cum_l(at the last heading with level < l)
+
+    where cum_l is the running count of level-l headings: F.sum for the
+    cumulative, F.last(ignorenulls) over a WHEN(level < l) projection
+    for the reset baseline. The path is the first ``level`` entries of
+    [n_1..n_6] joined with dots. Heading text reuses the enclosure
+    counters of dom_annotate's representation: a text token belongs to
+    heading instance ``h_ord`` (running count of heading opens) while
+    any per-level open-minus-close counter is positive.
+
+    Subset contract: headings do not nest in valid HTML and the closed
+    grammar never nests them; a hostile nested heading folds into the
+    outer instance (defined output, degradation discipline).
+    """
+    toks = dom_tokens(df, payload, doc_col)
+    name = F.when(
+        F.col("is_tag"),
+        F.lower(F.regexp_extract("raw", TAG_NAME_PATTERN, 1)),
+    ).otherwise(F.lit(""))
+    t = toks.withColumn("_name", name)
+    is_open = F.col("is_tag") & ~F.col("raw").startswith("</") & ~F.col(
+        "raw"
+    ).endswith("/>")
+    is_close = F.col("is_tag") & F.col("raw").startswith("</")
+    levels = [f"h{i}" for i in range(1, 7)]
+    hopen = is_open & F.col("_name").isin(*levels)
+    t = t.withColumn("_h_open", F.when(hopen, 1).otherwise(0))
+    for h in levels:
+        t = t.withColumn(
+            f"_d_{h}",
+            F.when(is_open & (F.col("_name") == h), 1)
+            .when(is_close & (F.col("_name") == h), -1)
+            .otherwise(0),
+        )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ann = t.select(
+        "doc_id",
+        "pos",
+        "is_tag",
+        "raw",
+        F.sum("_h_open").over(w).cast("int").alias("h_ord"),
+        *[
+            F.sum(f"_d_{h}").over(w).cast("int").alias(f"in_{h}")
+            for h in levels
+        ],
+    )
+    in_any = None
+    lvl = F.lit(0)
+    for i, h in enumerate(levels, start=1):
+        cond = F.col(f"in_{h}") > 0
+        in_any = cond if in_any is None else (in_any | cond)
+        lvl = F.when(cond, F.lit(i)).otherwise(lvl)
+    heads = (
+        ann.where(in_any & (F.col("h_ord") > 0))
+        .withColumn("_lvl", lvl)
+        .groupBy("doc_id", "h_ord")
+        .agg(
+            F.max("_lvl").alias("level"),
+            visible_text_col(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(~F.col("is_tag"),
+                                       F.struct("pos", "raw"))
+                            )
+                        ),
+                        lambda s: s["raw"],
+                    ),
+                    "",
+                )
+            ).alias("heading"),
+        )
+    )
+    hw = (
+        Window.partitionBy("doc_id")
+        .orderBy("h_ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for i in range(1, 7):
+        heads = heads.withColumn(
+            f"_cum_{i}",
+            F.sum((F.col("level") == i).cast("int")).over(hw),
+        )
+    for i in range(1, 7):
+        heads = heads.withColumn(
+            f"_n_{i}",
+            F.col(f"_cum_{i}")
+            - F.coalesce(
+                F.last(
+                    F.when(F.col("level") < i, F.col(f"_cum_{i}")),
+                    ignorenulls=True,
+                ).over(hw),
+                F.lit(0),
+            ),
+        )
+    path = F.array_join(
+        F.slice(
+            F.array(*[F.col(f"_n_{i}").cast("string") for i in range(1, 7)]),
+            1,
+            F.col("level"),
+        ),
+        ".",
+    )
+    ow = Window.partitionBy("doc_id").orderBy("h_ord")
+    return heads.select(
+        "doc_id",
+        (F.row_number().over(ow) - 1).alias("idx"),
+        "level",
+        path.alias("path"),
+        "heading",
+    )

@@ -2639,6 +2639,75 @@ def pdf_figure_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "html_outline_extract",
+    f"""
+    WITH n0 AS (
+      SELECT doc_id, {_norm_sql('text')} AS n,
+             doc_id % 2 = 1 AS has_d, doc_id % 3 = 0 AS has_e
+      FROM documents)
+    SELECT doc_id, 0 AS idx, 1 AS level, '1' AS path,
+           trim(substr(n, 1, 8)) AS heading FROM n0
+    UNION ALL
+    SELECT doc_id, 1, 2, '1.1', trim(substr(n, 9, 8)) FROM n0
+    UNION ALL
+    SELECT doc_id, 2, 3, '1.1.1', trim(substr(n, 17, 8)) FROM n0
+    UNION ALL
+    SELECT doc_id, 3, 2, '1.2', trim(substr(n, 25, 8)) FROM n0 WHERE has_d
+    UNION ALL
+    SELECT doc_id, CASE WHEN has_d THEN 4 ELSE 3 END, 3,
+           CASE WHEN has_d THEN '1.2.1' ELSE '1.1.2' END,
+           trim(substr(n, 33, 8)) FROM n0 WHERE has_e
+    UNION ALL
+    SELECT doc_id, 3 + CAST(has_d AS INT) + CAST(has_e AS INT), 1, '2',
+           trim(substr(n, 41, 8)) FROM n0
+    """,
+)
+def html_outline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT OUTLINE EXTRACTION: the <h1>..<h6> hierarchy with
+    computed SECTION PATHS ("1.2.1") — prefix scans WITH RESETS over the
+    heading sequence (operators/dom_tree.py:extract_outline): the number
+    at level l is the running count of level-l headings minus that count
+    at the last SHALLOWER heading (F.sum + F.last(ignorenulls) over one
+    doc-partitioned window — the reset made associative). Each doc's
+    page carries a variant heading tree (an extra <h2> for odd ids, an
+    extra <h3> for id%3==0 — so the reset path '1.2.1' vs the no-reset
+    path '1.1.2' both occur); the oracle states paths directly from the
+    variant rule, Spark derives them from the serialized HTML alone.
+    The reference flattens Textract LAYOUT_SECTION_HEADER blocks to
+    plain lines; the outline is the structure a curriculum/chunking
+    stage wants. PLAN: codegen page synthesis + tokenize; ONE doc-hash
+    exchange carries the token window, the per-heading group, and the
+    bounded numbering windows. Zero Python."""
+    from cies_ocr_java_spark.operators.dom_tree import extract_outline
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n = normalize_ws(F.col("text"))
+    s = lambda a: n.substr(F.lit(a), F.lit(8))  # noqa: E731
+    page = F.concat(
+        F.lit("<html><body><h1>"), s(1),
+        F.lit("</h1><p>p1</p><h2>"), s(9),
+        F.lit("</h2><h3>"), s(17), F.lit("</h3><p>p2</p>"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit("<h2>"), s(25), F.lit("</h2>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("<h3>"), s(33), F.lit("</h3>")),
+        ).otherwise(F.lit("")),
+        F.lit("<h1>"), s(41), F.lit("</h1></body></html>"),
+    )
+    src = d.select("doc_id", page.alias("page"))
+    return extract_outline(src, F.col("page")).select(
+        "doc_id",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("level").cast("int").alias("level"),
+        "path",
+        "heading",
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

@@ -359,3 +359,65 @@ def test_table_cells_zero_python_plan(spark):
     )
     assert "Python" not in plan and "Arrow" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# outline extraction (session-3: extract_outline)
+# ---------------------------------------------------------------------------
+
+def test_outline_numbering_with_resets(spark):
+    from pyspark.sql import functions as F
+    from cies_ocr_java_spark.operators.dom_tree import extract_outline
+
+    html = (
+        "<html><body><h1>Alpha</h1><p>x</p><h2>Beta</h2><h3>Gamma</h3>"
+        "<p>y</p><h3>Gam2</h3><h2>Delta</h2><h3>Eps</h3><h1>Omega</h1>"
+        "<h2>Last &amp; one</h2></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = [
+        (r.idx, r.level, r.path, r.heading)
+        for r in extract_outline(df, F.col("html")).orderBy("idx").collect()
+    ]
+    assert got == [
+        (0, 1, "1", "Alpha"),
+        (1, 2, "1.1", "Beta"),
+        (2, 3, "1.1.1", "Gamma"),
+        (3, 3, "1.1.2", "Gam2"),
+        (4, 2, "1.2", "Delta"),
+        (5, 3, "1.2.1", "Eps"),
+        (6, 1, "2", "Omega"),
+        (7, 2, "2.1", "Last & one"),
+    ]
+
+
+def test_outline_deep_jump_and_empty_heading(spark):
+    # an h3 with no h2 ancestor gets a 0 at the skipped level (defined
+    # output); empty headings still emit their row
+    from pyspark.sql import functions as F
+    from cies_ocr_java_spark.operators.dom_tree import extract_outline
+
+    html = "<h1>A</h1><h3>deep</h3><h2></h2>"
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = [
+        (r.idx, r.level, r.path, r.heading)
+        for r in extract_outline(df, F.col("html")).orderBy("idx").collect()
+    ]
+    assert got == [
+        (0, 1, "1", "A"),
+        (1, 3, "1.0.1", "deep"),
+        (2, 2, "1.1", ""),
+    ]
+
+
+def test_outline_zero_python_plan(spark):
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["html_outline_extract"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Exchange SinglePartition" not in plan
