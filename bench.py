@@ -51,6 +51,7 @@ HEADLINE = [
     "media_wav_decode",
     "media_png_decode",
     "media_dispatch_decode",
+    "media_tiff_decode",
     "archive_zip_extract",
     "archive_tar_extract",
     "events_asof_join",

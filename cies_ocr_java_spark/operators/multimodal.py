@@ -904,6 +904,8 @@ def sniff_media_format(data: bytes | None) -> str | None:
         return "gif"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -1304,3 +1306,252 @@ def plan_audio_chunks(
     return features.select("media_ref", "n_bytes").mapInPandas(
         op, AUDIO_CHUNK_SCHEMA
     )
+
+
+# --- TIFF: the IFD-structured, dual-endian, multi-page container -----------
+# (session-3) TIFF is the only common image container whose metadata is a
+# linked list of tag directories in EITHER byte order — the decode walk is
+# offset-chasing like the PDF xref, not chunk streaming like PNG/GIF.
+
+_TIFF_SHORT, _TIFF_LONG = 3, 4
+
+
+def build_tiff(width: int, height: int, value: int, pages: int = 1,
+               big_endian: bool = False) -> bytes:
+    """Emit a REAL baseline TIFF: 8-bit grayscale, uncompressed
+    (Compression=1, PhotometricInterpretation=BlackIsZero), ``pages``
+    chained IFDs (page p is solid ``(value+p) % 256``), each page split
+    into TWO strips when it has >=2 rows (so StripOffsets/ByteCounts are
+    genuine out-of-line LONG arrays, not inline values), in either byte
+    order. Any image tool opens these files."""
+    import struct
+
+    if width <= 0 or height <= 0 or pages <= 0 or not (0 <= value <= 255):
+        raise ValueError("bad tiff dimensions/value")
+    e = ">" if big_endian else "<"
+    buf = bytearray(
+        struct.pack(e + "2sHI", b"MM" if big_endian else b"II", 42, 0)
+    )
+    rps = (height + 1) // 2 if height >= 2 else height
+    page_meta = []
+    for p in range(pages):
+        pix = bytes([(value + p) % 256]) * (width * height)
+        offs, cnts = [], []
+        pos = 0
+        while pos < len(pix):
+            chunk = pix[pos:pos + rps * width]
+            offs.append(len(buf))
+            cnts.append(len(chunk))
+            buf += chunk
+            pos += len(chunk)
+        page_meta.append((offs, cnts))
+
+    def entry(tag: int, typ: int, vals: list[int]) -> tuple[bytes, list]:
+        """(12-byte entry, deferred-array-or-None): arrays that do not
+        fit the 4-byte value field are appended after the IFD chain."""
+        size = 2 if typ == _TIFF_SHORT else 4
+        if len(vals) * size <= 4:
+            fmt = "H" if typ == _TIFF_SHORT else "I"
+            raw = b"".join(struct.pack(e + fmt, v) for v in vals)
+            raw += b"\x00" * (4 - len(raw))
+            return struct.pack(e + "HHI", tag, typ, len(vals)) + raw, None
+        return struct.pack(e + "HHI", tag, typ, len(vals)), vals
+
+    ifd_positions = []
+    deferred_all = []
+    for p, (offs, cnts) in enumerate(page_meta):
+        ifd_positions.append(len(buf))
+        entries = [
+            entry(256, _TIFF_LONG, [width]),
+            entry(257, _TIFF_LONG, [height]),
+            entry(258, _TIFF_SHORT, [8]),
+            entry(259, _TIFF_SHORT, [1]),
+            entry(262, _TIFF_SHORT, [1]),
+            entry(273, _TIFF_LONG, offs),
+            entry(277, _TIFF_SHORT, [1]),
+            entry(278, _TIFF_LONG, [rps]),
+            entry(279, _TIFF_LONG, cnts),
+        ]
+        buf += struct.pack(e + "H", len(entries))
+        ifd_body_at = len(buf)
+        for ent, deferred in entries:
+            buf += ent if deferred is None else ent + b"\x00\x00\x00\x00"
+        buf += b"\x00\x00\x00\x00"  # next-IFD placeholder
+        # place deferred arrays now, patching their offset fields
+        slot = ifd_body_at
+        for ent, deferred in entries:
+            if deferred is not None:
+                struct.pack_into(e + "I", buf, slot + 8, len(buf))
+                for v in deferred:
+                    buf += struct.pack(e + "I", v)
+            slot += 12
+        deferred_all.append(ifd_body_at)
+    # chain: header -> IFD0, IFD p -> IFD p+1
+    struct.pack_into(e + "I", buf, 4, ifd_positions[0])
+    for p in range(pages - 1):
+        nxt_at = deferred_all[p] + 12 * 9
+        struct.pack_into(e + "I", buf, nxt_at, ifd_positions[p + 1])
+    return bytes(buf)
+
+
+def decode_tiff(data: bytes | None) -> dict:
+    """Structural decode of the baseline-TIFF subset: endian-aware header,
+    IFD chain walk (cycle-guarded), typed tag reads with inline-vs-offset
+    value resolution, strip reassembly with byte-count validation.
+
+    Returns {width, height, n_pages, ink_sum, error}: dims from the FIRST
+    page, ink summed across ALL pages' strips. Every malformed payload
+    yields an error row, never an exception (the MediaCodec contract);
+    offsets are trusted then bounds-VERIFIED like the PDF xref walk."""
+    import struct
+
+    none = {"width": None, "height": None, "n_pages": None, "ink_sum": None}
+    if data is None or len(data) < 8:
+        return {**none, "error": "short or missing payload"}
+    data = bytes(data)
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        return {**none, "error": "bad magic"}
+    (ver,) = struct.unpack_from(e + "H", data, 2)
+    if ver != 42:
+        return {**none, "error": "bad version"}
+    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+
+    def read_values(typ: int, cnt: int, field: bytes) -> list[int] | None:
+        size = 2 if typ == _TIFF_SHORT else 4
+        fmt = "H" if typ == _TIFF_SHORT else "I"
+        if cnt * size <= 4:
+            return list(struct.unpack_from(e + str(cnt) + fmt, field, 0))
+        (off,) = struct.unpack_from(e + "I", field, 0)
+        if off + cnt * size > len(data):
+            return None
+        return list(struct.unpack_from(e + str(cnt) + fmt, data, off))
+
+    first_w = first_h = None
+    n_pages = 0
+    ink = 0
+    seen: set[int] = set()
+    while ifd_off != 0:
+        if ifd_off in seen or len(seen) >= 64:
+            return {**none, "error": "cyclic or runaway ifd chain"}
+        seen.add(ifd_off)
+        if ifd_off + 2 > len(data):
+            return {**none, "error": "ifd out of bounds"}
+        (n_ent,) = struct.unpack_from(e + "H", data, ifd_off)
+        end = ifd_off + 2 + 12 * n_ent + 4
+        if end > len(data):
+            return {**none, "error": "ifd out of bounds"}
+        tags: dict[int, list[int]] = {}
+        for k in range(n_ent):
+            at = ifd_off + 2 + 12 * k
+            tag, typ, cnt = struct.unpack_from(e + "HHI", data, at)
+            if typ not in (_TIFF_SHORT, _TIFF_LONG):
+                continue  # unknown-type tags are skipped, not fatal
+            vals = read_values(typ, cnt, data[at + 8:at + 12])
+            if vals is None:
+                return {**none, "error": f"tag {tag} array out of bounds"}
+            tags[tag] = vals
+        (ifd_off,) = struct.unpack_from(e + "I", data, end - 4)
+
+        def first(tag: int, default: int | None = None) -> int | None:
+            vals = tags.get(tag)
+            if not vals:  # absent OR a hostile zero-count entry
+                return default
+            return vals[0]
+
+        w, h = first(256), first(257)
+        offs, cnts = tags.get(273), tags.get(279)
+        if w is None or h is None or not offs or not cnts:
+            return {**none, "error": "missing required tag"}
+        if first(259, 1) != 1:
+            return {**none, "error": "unsupported compression"}
+        if first(258, 8) != 8 or first(277, 1) != 1:
+            return {**none, "error": "unsupported sample layout"}
+        if w <= 0 or h <= 0 or len(offs) != len(cnts):
+            return {**none, "error": "bad dimensions or strip tables"}
+        if sum(cnts) != w * h:
+            return {**none, "error": "strip byte counts mismatch"}
+        for o, c in zip(offs, cnts):
+            if o + c > len(data):
+                return {**none, "error": "truncated strip"}
+            ink += sum(data[o:o + c])
+        if n_pages == 0:
+            first_w, first_h = w, h
+        n_pages += 1
+    if n_pages == 0:
+        return {**none, "error": "empty ifd chain"}
+    return {
+        "width": first_w, "height": first_h,
+        "n_pages": n_pages, "ink_sum": ink, "error": None,
+    }
+
+
+class TiffCodec(MediaCodec):
+    """Real decode for the baseline-TIFF subset (both byte orders,
+    multi-page IFD chains). Registered as 'tiff'."""
+
+    name = "tiff"
+
+    def decode_batch(self, content: pd.Series) -> pd.DataFrame:
+        rows = [decode_tiff(b) for b in content]
+        ok = [r["error"] is None for r in rows]
+        return pd.DataFrame(
+            {
+                "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                "height": pd.array(
+                    [r["height"] for r in rows], dtype="Int32"
+                ),
+                "n_frames": pd.array(
+                    [r["n_pages"] for r in rows], dtype="Int32"
+                ),
+                "mime": ["image/tiff" if o else None for o in ok],
+                "error": [r["error"] for r in rows],
+            },
+            index=content.index,
+        )
+
+
+TIFF_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, n_pages int, mime string, "
+    "ink_sum long, error string"
+)
+
+
+def extract_tiff_features(df: DataFrame, content_col: str = "content",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, content:binary) -> decoded TIFF rows via one Arrow-batched
+    mapInPandas pass (ink needs the strip bytes)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_tiff(b) for b in pdf[content_col]]
+            ok = [r["error"] is None for r in rows]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(
+                        [r["width"] for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r["height"] for r in rows], dtype="Int32"
+                    ),
+                    "n_pages": pd.array(
+                        [r["n_pages"] for r in rows], dtype="Int32"
+                    ),
+                    "mime": ["image/tiff" if o else None for o in ok],
+                    "ink_sum": pd.array(
+                        [r["ink_sum"] for r in rows], dtype="Int64"
+                    ),
+                    "error": [r["error"] for r in rows],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        op, TIFF_FEATURES_SCHEMA
+    )
+
+
+register_codec(TiffCodec())

@@ -2708,6 +2708,78 @@ def html_outline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_tiff_decode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(5 + doc_id % 11 AS INT) AS w,
+             CAST(2 + doc_id % 9 AS INT) AS h,
+             doc_id % 251 AS v,
+             CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS np,
+             doc_id % 31 = 0 AS corrupt
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE w END AS width,
+           CASE WHEN corrupt THEN NULL ELSE h END AS height,
+           CASE WHEN corrupt THEN NULL ELSE np END AS n_pages,
+           CASE WHEN corrupt THEN NULL ELSE 'image/tiff' END AS mime,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(w * h * (np * v + (np - 1)) AS BIGINT) END
+             AS ink_sum,
+           CASE WHEN corrupt THEN 'tag 279 array out of bounds' ELSE NULL END
+             AS error
+    FROM base
+    """,
+)
+def media_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode — the codec suite's OFFSET-CHASING container:
+    unlike PNG/GIF chunk streams, TIFF metadata is a linked list of tag
+    directories (IFDs) in EITHER byte order, resolved like the PDF xref
+    (trust offsets, bounds-verify every read). Each doc gets a genuine
+    baseline TIFF (8-bit gray, uncompressed, two strips per page so
+    StripOffsets/ByteCounts are real out-of-line LONG arrays): odd ids
+    little-endian 'II', even ids big-endian 'MM'; id%3==0 docs are
+    MULTI-PAGE (two chained IFDs, page p solid value+p) — TIFF is the
+    multi-page image container, the n_frames analog. id%31 docs lose
+    the file tail — the last page's out-of-line StripByteCounts array
+    (the directories and their deferred arrays live after the pixel
+    strips) — and must fail whole with the bounds error. Oracle = closed-form
+    integer expectations (ink = w*h*(np*v + np-1)). PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle; dims bounded."""
+    from cies_ocr_java_spark.operators.multimodal import (
+        build_tiff,
+        extract_tiff_features,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = build_tiff(
+                    5 + i % 11, 2 + i % 9, i % 251,
+                    pages=2 if i % 3 == 0 else 1,
+                    big_endian=(i % 2 == 0),
+                )
+                if i % 31 == 0:
+                    b = b[:len(b) - 8]
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_tiff_features(media)
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)
