@@ -31,6 +31,7 @@ HEADLINE = [
     "extract_pdf_flate",
     "extract_pdf_xref_stream",
     "extract_pdf_incremental",
+    "extract_pdf_pagetree",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

@@ -97,7 +97,8 @@ def build_real_pdf(text: str, use_tj_array: bool = False,
                    xref_stream: bool = False,
                    split_contents: bool = False,
                    use_hex_strings: bool = False,
-                   filter_chain: bool = False) -> bytes:
+                   filter_chain: bool = False,
+                   page_tree: bool = False) -> bytes:
     """Emit a real, minimal, spec-conformant PDF carrying ``text``.
 
     Pages are ``PAGE_CHUNK_CHARS``-codepoint chunks (>=1 page even for
@@ -108,9 +109,15 @@ def build_real_pdf(text: str, use_tj_array: bool = False,
     emits the PDF-1.5 form instead: the catalog/pages/page dictionaries
     live in a compressed OBJECT STREAM (/Type /ObjStm) and the
     cross-reference is a compressed XREF STREAM (/Type /XRef, W [1 4 2])
-    — the modern layout PDFBox handles and naive readers choke on."""
+    — the modern layout PDFBox handles and naive readers choke on.
+    ``page_tree=True`` emits the REAL recursive page tree (spec 7.7.3.2):
+    leaves grouped in pairs under intermediate /Pages nodes — the layout
+    every PDFBox/Acrobat-produced document of any size actually uses,
+    which a flat-/Kids reader silently misreads as zero pages."""
     if xref_stream:
         return _build_pdf15(text, use_tj_array, corrupt_stream)
+    if page_tree:
+        return _build_pdf_tree(text, use_tj_array, corrupt_stream)
     chunks = [
         text[i:i + PAGE_CHUNK_CHARS]
         for i in range(0, len(text), PAGE_CHUNK_CHARS)
@@ -174,6 +181,64 @@ def build_real_pdf(text: str, use_tj_array: bool = False,
             objects.append(_comp_stream(chunk, corrupt_stream and last))
     buf = bytearray(b"%PDF-1.4\n")
     offsets = [0]  # object 0 is the free head
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_off = len(buf)
+    n_objs = len(objects) + 1
+    buf += b"xref\n0 %d\n" % n_objs
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs, xref_off)
+    )
+    return bytes(buf)
+
+
+def _build_pdf_tree(text: str, use_tj_array: bool,
+                    corrupt_stream: bool) -> bytes:
+    """Recursive page-tree layout: root /Pages -> ceil(p/2) intermediate
+    /Pages nodes (two leaves each) -> leaf /Page objects. Numbering:
+    1 catalog, 2 root, 3..2+m internals, then per leaf i: page 3+m+2i,
+    content stream 4+m+2i."""
+    chunks = [
+        text[i:i + PAGE_CHUNK_CHARS]
+        for i in range(0, len(text), PAGE_CHUNK_CHARS)
+    ] or [""]
+    p = len(chunks)
+    m = (p + 1) // 2
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids ["
+        + b" ".join(b"%d 0 R" % (3 + k) for k in range(m))
+        + b"] /Count %d >>" % p,
+    ]
+    for k in range(m):
+        leaf_nums = [
+            3 + m + 2 * i for i in range(2 * k, min(2 * k + 2, p))
+        ]
+        objects.append(
+            b"<< /Type /Pages /Parent 2 0 R /Kids ["
+            + b" ".join(b"%d 0 R" % n for n in leaf_nums)
+            + b"] /Count %d >>" % len(leaf_nums)
+        )
+    for i, chunk in enumerate(chunks):
+        objects.append(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R >>" % (3 + i // 2, 4 + m + 2 * i)
+        )
+        raw = _content_stream(chunk, use_tj_array)
+        comp = zlib.compress(raw, 6)
+        if corrupt_stream and i == p - 1:
+            comp = comp[: max(1, len(comp) // 2)]
+        objects.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp + b"\nendstream"
+        )
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
     for num, body in enumerate(objects, start=1):
         offsets.append(len(buf))
         buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
@@ -840,25 +905,50 @@ def _content_tokens_pos(content: bytes) -> Iterator[tuple]:
 def _page_contents(data: bytes) -> tuple[list[bytes], int]:
     """The structural walk shared by every whole-document parser: header
     check -> startxref -> xref -> trailer /Root -> catalog -> /Pages ->
-    /Kids -> per-page decoded /Contents bytes (single ref or array, spec
-    7.7.3.3). Returns (per-page content bytes in /Kids order, n_objects);
-    raises _PdfError on any structural failure."""
+    page TREE -> per-page decoded /Contents bytes (single ref or array,
+    spec 7.7.3.3). Returns (per-page content bytes in depth-first tree
+    order, n_objects); raises _PdfError on any structural failure.
+
+    The page tree is the REAL recursive structure (spec 7.7.3.2): a node
+    with /Kids is an intermediate /Pages node whose children resolve in
+    order; a node without /Kids is a leaf /Page. Depth-capped at 32 and
+    cycle-guarded by object number — a self-referencing tree fails the
+    document, never loops."""
     if not data or not bytes(data).startswith(b"%PDF-"):
         raise _PdfError("missing %PDF header")
     data = bytes(data)
     offsets, trailer = _parse_xref(data)
     root = _ref(trailer, b"Root")
     catalog, _ = _load_object(data, offsets, root)
-    pages_obj, _ = _load_object(data, offsets, _ref(catalog, b"Pages"))
-    kids = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_obj)
-    if not kids:
+    pages_root = _ref(catalog, b"Pages")
+    root_obj, _ = _load_object(data, offsets, pages_root)
+    if re.search(rb"/Kids\s*\[([^\]]*)\]", root_obj) is None:
         raise _PdfError("pages tree missing /Kids")
-    kid_nums = [int(n) for n in re.findall(rb"(\d+)\s+0\s+R", kids.group(1))]
-    if not kid_nums:
-        raise _PdfError("empty /Kids")
+    leaves: list[bytes] = []
+    seen: set[int] = set()
+
+    def _walk(num: int, depth: int) -> None:
+        if depth > 32:
+            raise _PdfError("page tree too deep")
+        if num in seen:
+            raise _PdfError("cyclic page tree")
+        seen.add(num)
+        node, _ = _load_object(data, offsets, num)
+        km = re.search(rb"/Kids\s*\[([^\]]*)\]", node)
+        if km is not None:
+            kid_nums = [
+                int(n) for n in re.findall(rb"(\d+)\s+0\s+R", km.group(1))
+            ]
+            if not kid_nums:
+                raise _PdfError("empty /Kids")
+            for kn in kid_nums:
+                _walk(kn, depth + 1)
+        else:
+            leaves.append(node)
+
+    _walk(pages_root, 0)
     pages: list[bytes] = []
-    for kn in kid_nums:
-        page, _ = _load_object(data, offsets, kn)
+    for page in leaves:
         am = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
         if am:
             cnums = [

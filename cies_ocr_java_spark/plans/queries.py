@@ -2780,6 +2780,82 @@ def media_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "extract_pdf_pagetree",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(length(text) / 200.0) AS INT), 1) AS pc,
+             doc_id % 43 = 0 AS corrupt
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE pc END AS page_count,
+           CASE WHEN corrupt THEN NULL
+                ELSE 2 + (pc + 1) // 2 + 2 * pc END AS n_objects,
+           CASE WHEN corrupt THEN NULL ELSE text END AS text,
+           CASE WHEN corrupt THEN 'flate decode failed' ELSE NULL END
+             AS error_kind
+    FROM base
+    """,
+)
+def extract_pdf_pagetree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE PAGE-TREE extraction — the fourth real-PDF layout, and
+    the one every PDFBox/Acrobat-produced document of any size actually
+    uses (spec 7.7.3.2 recommends balanced trees; PDFBox's PDPageTree
+    walks them): leaves grouped in pairs under intermediate /Pages
+    nodes, so a flat-/Kids reader either misreads intermediate nodes as
+    empty pages or drops every leaf. The shared structural walk
+    (_page_contents) resolves the tree depth-first, cycle-guarded and
+    depth-capped — a self-referencing tree fails the document, never
+    loops an executor. id%3 docs use TJ kerning arrays; id%43 docs
+    truncate the LAST leaf's stream and fail whole. Oracle = recovered
+    text identity + the tree arithmetic (2 + ceil(p/2) + 2p objects).
+    PLAN: one Arrow-batched mapInPandas pass, no shuffle."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        REAL_PDF_SCHEMA,
+        build_real_pdf,
+        parse_real_pdf,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                parse_real_pdf(
+                    build_real_pdf(
+                        t if isinstance(t, str) else "",
+                        use_tj_array=(int(i) % 3 == 0),
+                        corrupt_stream=(int(i) % 43 == 0),
+                        page_tree=True,
+                    )
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "page_count": pd.array(
+                    [r["page_count"] for r in rows], dtype="Int32"
+                ),
+                "n_objects": pd.array(
+                    [r["n_objects"] for r in rows], dtype="Int32"
+                ),
+                "text": [r["text"] for r in rows],
+                "error": [r["error"] for r in rows],
+            })
+
+    parsed = d.select("doc_id", "text").mapInPandas(gen, REAL_PDF_SCHEMA)
+    return parsed.select(
+        "doc_id",
+        "page_count",
+        "n_objects",
+        "text",
+        F.split(F.col("error"), ":").getItem(0).alias("error_kind"),
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

@@ -6,6 +6,7 @@ digit must fail the document, never fall back to scanning."""
 from __future__ import annotations
 
 import random
+import re
 import zlib
 
 import pytest
@@ -675,3 +676,49 @@ class TestPdfAnchored:
                 mutated[rng.randrange(len(mutated))] = rng.randrange(256)
             r = parse_pdf_anchored(bytes(mutated))
             assert (r["spans"] is None) == (r["error"] is not None)
+
+
+class TestPdfPageTree:
+    @pytest.mark.parametrize("n", [0, 150, 450, 950, 1300])
+    def test_tree_round_trip_identity(self, n):
+        t = ("ab cd " * 400)[:n]
+        r = parse_real_pdf(build_real_pdf(t, page_tree=True))
+        p = _pages(t)
+        assert r["error"] is None and r["text"] == t
+        assert r["page_count"] == p
+        assert r["n_objects"] == 2 + (p + 1) // 2 + 2 * p
+
+    def test_positioned_parsers_inherit_tree_walk(self):
+        # the tree walk lives in the shared _page_contents, so the
+        # positioned parser sees tree-layout pages too
+        from cies_ocr_java_spark.operators.pdf_real import (
+            parse_pdf_positioned,
+        )
+
+        t = "x" * 450  # 3 pages -> 2 intermediate nodes
+        r = parse_pdf_positioned(build_real_pdf(t, page_tree=True))
+        assert r["error"] is None and r["page_count"] == 3
+        assert [s[0] for s in r["spans"]] == [1, 2, 3]
+
+    def test_cyclic_tree_fails_never_loops(self):
+        # point an intermediate node's /Kids back at the root
+        pdf = bytearray(build_real_pdf("y" * 450, page_tree=True))
+        # object 3 is the first intermediate node; rewrite its Kids to 2
+        start = pdf.index(b"3 0 obj")
+        end = pdf.index(b"endobj", start)
+        body = bytes(pdf[start:end])
+        patched = re.sub(
+            rb"/Kids \[[^\]]*\]", b"/Kids [2 0 R]", body
+        )
+        # same-length padding keeps the xref offsets valid
+        patched = patched + b" " * (len(body) - len(patched))
+        pdf[start:end] = patched
+        r = parse_real_pdf(bytes(pdf))
+        assert r["text"] is None and r["error"] == "cyclic page tree"
+
+    def test_tree_corrupt_last_stream_fails_whole(self):
+        r = parse_real_pdf(
+            build_real_pdf("z" * 500, page_tree=True, corrupt_stream=True)
+        )
+        assert r["text"] is None
+        assert r["error"].startswith("flate decode failed")
