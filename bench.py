@@ -37,6 +37,8 @@ HEADLINE = [
     "charset_sniff_decode",
     "pdf_line_assembly",
     "pdf_figure_anchors",
+    "pdf_paragraph_segment",
+    "pdf_outline_toc",
     "html_outline_extract",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

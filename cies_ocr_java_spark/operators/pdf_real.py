@@ -1753,3 +1753,150 @@ def extract_pdf_anchored(df: DataFrame, blocks_col: str = "blocks",
             })
 
     return df.select(*cols).mapInPandas(gen, PDF_ANCHORED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Document outline (/Outlines bookmarks)
+# ---------------------------------------------------------------------------
+# The PDF table of contents is a LINKED LIST of outline item dictionaries
+# (spec 12.3.3): the catalog's /Outlines root points at /First; items chain
+# via /Next and nest via their own /First. PDFBox exposes it as
+# PDDocumentOutline; the reference drops it (Textract sees only pixels).
+
+def build_pdf_outlined(text: str, items: list) -> bytes:
+    """A real PDF carrying ``text`` (single page) plus an /Outlines tree
+    built from ``items`` = [(depth, title), ...] in depth-first order
+    (depths start at 1 and step by at most +1). Object numbering:
+    1 catalog, 2 pages, 3 page, 4 content stream, 5 outline root,
+    6..5+len(items) outline items in input order."""
+    comp = zlib.compress(_content_stream(text, False), 6)
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp + b"\nendstream",
+    ]
+    n = len(items)
+    # linked structure from the depth list: stack of (obj_num, depth)
+    first: dict[int, int] = {}   # parent obj -> first child obj
+    nxt: dict[int, int] = {}     # obj -> next sibling obj
+    parent: dict[int, int] = {}  # obj -> parent obj
+    root_num = 5
+    stack: list[tuple[int, int]] = [(root_num, 0)]
+    for k, (depth, _title) in enumerate(items):
+        num = 6 + k
+        while stack and stack[-1][1] >= depth:
+            stack.pop()
+        if not stack:
+            raise ValueError("outline depths must start at 1")
+        p = stack[-1][0]
+        parent[num] = p
+        if p not in first:
+            first[p] = num
+        else:
+            # find the last sibling under p and chain
+            last = first[p]
+            while last in nxt:
+                last = nxt[last]
+            nxt[last] = num
+        stack.append((num, depth))
+    root = b"<< /Type /Outlines"
+    if first.get(root_num):
+        root += b" /First %d 0 R" % first[root_num]
+    root += b" /Count %d >>" % n
+    objects.append(root)
+    for k, (_depth, title) in enumerate(items):
+        num = 6 + k
+        body = b"<< /Title (" + _pdf_escape_bytes(title) + b") /Parent "
+        body += b"%d 0 R" % parent[num]
+        if num in first:
+            body += b" /First %d 0 R" % first[num]
+        if num in nxt:
+            body += b" /Next %d 0 R" % nxt[num]
+        body += b" >>"
+        objects.append(body)
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_off = len(buf)
+    n_objs = len(objects) + 1
+    buf += b"xref\n0 %d\n" % n_objs
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs, xref_off)
+    )
+    return bytes(buf)
+
+
+def parse_pdf_outline(data: bytes) -> dict:
+    """Walk the /Outlines linked list depth-first: /First descends,
+    /Next advances, both cycle-guarded and depth-capped (a hostile
+    self-chaining outline fails the document, never loops). Titles are
+    PDF string literals through the full escape decoder. Returns
+    ``{"items": [(idx, depth, title), ...], "error"}`` in depth-first
+    order, or items=None + reason."""
+    try:
+        if not data or not bytes(data).startswith(b"%PDF-"):
+            raise _PdfError("missing %PDF header")
+        data = bytes(data)
+        offsets, trailer = _parse_xref(data)
+        catalog, _ = _load_object(data, offsets, _ref(trailer, b"Root"))
+        m = re.search(rb"/Outlines\s+(\d+)\s+0\s+R", catalog)
+        if not m:
+            return {"items": [], "error": None}  # no outline: empty TOC
+        root, _ = _load_object(data, offsets, int(m.group(1)))
+        items: list[tuple] = []
+        seen: set[int] = set()
+
+        def _first(d: bytes):
+            fm = re.search(rb"/First\s+(\d+)\s+0\s+R", d)
+            return int(fm.group(1)) if fm else None
+
+        def _next(d: bytes):
+            nm = re.search(rb"/Next\s+(\d+)\s+0\s+R", d)
+            return int(nm.group(1)) if nm else None
+
+        def _walk(num: int | None, depth: int) -> None:
+            if depth > 32:
+                raise _PdfError("outline too deep")
+            while num is not None:
+                if num in seen:
+                    raise _PdfError("cyclic outline chain")
+                seen.add(num)
+                item, _ = _load_object(data, offsets, num)
+                tm = re.search(rb"/Title\s*\(", item)
+                if not tm:
+                    raise _PdfError("outline item missing /Title")
+                # balanced-paren scan with escapes (titles may contain
+                # parens), same rules as content-stream literals
+                j, dep = tm.end(), 1
+                while j < len(item) and dep:
+                    c = item[j]
+                    if c == 0x5C:
+                        j += 2
+                        continue
+                    if c == 0x28:
+                        dep += 1
+                    elif c == 0x29:
+                        dep -= 1
+                    j += 1
+                if dep:
+                    raise _PdfError("unterminated outline title")
+                title = _unescape_literal(
+                    item[tm.end():j - 1]
+                ).decode("utf-8", errors="replace")
+                items.append((len(items), depth, title))
+                _walk(_first(item), depth + 1)
+                num = _next(item)
+
+        _walk(_first(root), 1)
+        return {"items": items, "error": None}
+    except _PdfError as e:
+        return {"items": None, "error": str(e)}

@@ -2856,6 +2856,177 @@ def extract_pdf_pagetree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pdf_paragraph_segment",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(length(text) / 48.0) AS INT), 1) AS nl
+      FROM documents),
+    lns AS (
+      SELECT doc_id, l, l // 3 AS para,
+             substr(text, CAST(l * 48 + 1 AS INT), 48) AS line
+      FROM (SELECT doc_id, text, unnest(range(0, nl)) AS l FROM base))
+    SELECT doc_id, CAST(para AS INT) AS para_idx,
+           CAST(count(*) AS INT) AS n_lines,
+           string_agg(line, ' ' ORDER BY l) AS para_text
+    FROM lns
+    GROUP BY doc_id, para
+    """,
+)
+def pdf_paragraph_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH SEGMENTATION FROM LINE GEOMETRY — the leading-analysis
+    step after line assembly: consecutive lines of one paragraph sit one
+    leading (14pt) apart; a paragraph break is a DOUBLE gap. Each doc's
+    text becomes 48-char lines grouped in threes; the writer leaves a
+    28pt gap after every third line. The engine recovers the grouping
+    from the y coordinates alone: sort lines by -y (one doc-partitioned
+    window), flag rows whose gap from the previous line exceeds 1.5x
+    the base leading, and prefix-sum the flags into paragraph ids — the
+    same counter-prefix-sum reduction as the DOM tree, applied to
+    geometry. Output is (para_idx, n_lines, para_text) per paragraph;
+    the oracle states the grouping directly (l // 3). PLAN: codegen
+    block synthesis; one Arrow mapInPandas; ONE doc-hash exchange
+    shared by the ordering window and both aggregations."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        extract_pdf_positioned,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    nl = F.greatest(
+        F.ceil(F.length("text") / F.lit(48.0)).cast("int"), F.lit(1)
+    )
+    # line l's y: 14pt leading inside a paragraph, +14 extra after every
+    # third line => y = 720 - 14*l - 14*(l//3)
+    blocks = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda l: F.struct(
+            F.col("text").substr(l * 48 + 1, F.lit(48)).alias("text"),
+            F.lit(72.0).alias("x"),
+            (
+                F.lit(720.0)
+                - l.cast("double") * 14.0
+                - F.floor(l / 3).cast("double") * 14.0
+            ).alias("y"),
+        ),
+    )
+    src = d.select("doc_id", blocks.alias("blocks"))
+    spans = extract_pdf_positioned(src)
+    ow = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("y"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = F.lag("y").over(Window.partitionBy("doc_id").orderBy(F.desc("y"))) - F.col("y")
+    flagged = spans.select(
+        "doc_id",
+        "y",
+        "text",
+        F.when(F.coalesce(gap, F.lit(0.0)) > 14.0 * 1.5, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    paras = flagged.select(
+        "doc_id",
+        "y",
+        "text",
+        F.sum("brk").over(ow).cast("int").alias("para_idx"),
+    )
+    return paras.groupBy("doc_id", "para_idx").agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("y")).alias("ny"),
+                                 F.col("text").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("para_text"),
+    )
+
+
+@_register(
+    "pdf_outline_toc",
+    f"""
+    WITH n0 AS (
+      SELECT doc_id, {_norm_sql('text')} AS n,
+             doc_id % 2 = 1 AS has_d, doc_id % 3 = 0 AS has_e
+      FROM documents)
+    SELECT doc_id, 0 AS idx, 1 AS depth, substr(n, 1, 8) AS title FROM n0
+    UNION ALL
+    SELECT doc_id, 1, 2, substr(n, 9, 8) FROM n0
+    UNION ALL
+    SELECT doc_id, 2, 3, substr(n, 17, 8) FROM n0
+    UNION ALL
+    SELECT doc_id, 3, 2, substr(n, 25, 8) FROM n0 WHERE has_d
+    UNION ALL
+    SELECT doc_id, CASE WHEN has_d THEN 4 ELSE 3 END, 3,
+           substr(n, 33, 8) FROM n0 WHERE has_e
+    UNION ALL
+    SELECT doc_id, 3 + CAST(has_d AS INT) + CAST(has_e AS INT), 1, '2:'
+           || substr(n, 41, 8) FROM n0
+    """,
+)
+def pdf_outline_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF BOOKMARK EXTRACTION — the /Outlines LINKED LIST (spec 12.3.3,
+    PDFBox's PDDocumentOutline; the reference drops it since Textract
+    sees only pixels): the catalog points at an outline root whose items
+    chain via /Next and nest via /First. Each doc gets the SAME variant
+    tree as html_outline_extract (the reset and no-reset shapes), built
+    as a genuine linked object structure and walked back depth-first —
+    cycle-guarded and depth-capped, titles through the full PDF-literal
+    escape decoder (one title carries a ':' prefix marker and the
+    escape-needing cases are pinned in pytest). Oracle states the
+    depth-first (idx, depth, title) sequence from the variant rule.
+    PLAN: one Arrow-batched mapInPandas pass, no shuffle — the outline
+    walk is per-document pointer chasing, the documented irreducible-
+    Python case."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        build_pdf_outlined,
+        parse_pdf_outline,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    src = d.select("doc_id", normalize_ws(F.col("text")).alias("n"))
+
+    def gen(batches):
+        import pandas as pd
+
+        out = {"doc_id": [], "idx": [], "depth": [], "title": []}
+        for pdf in batches:
+            for i, n in zip(pdf["doc_id"], pdf["n"]):
+                i = int(i)
+                n = n if isinstance(n, str) else ""
+                items = [(1, n[0:8]), (2, n[8:16]), (3, n[16:24])]
+                if i % 2 == 1:
+                    items.append((2, n[24:32]))
+                if i % 3 == 0:
+                    items.append((3, n[32:40]))
+                items.append((1, "2:" + n[40:48]))
+                r = parse_pdf_outline(build_pdf_outlined(n[:4], items))
+                assert r["error"] is None, r["error"]
+                for idx, depth, title in r["items"]:
+                    out["doc_id"].append(i)
+                    out["idx"].append(idx)
+                    out["depth"].append(depth)
+                    out["title"].append(title)
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "idx": pd.array(out["idx"], dtype="Int32"),
+                "depth": pd.array(out["depth"], dtype="Int32"),
+                "title": out["title"],
+            })
+            out = {"doc_id": [], "idx": [], "depth": [], "title": []}
+
+    return src.mapInPandas(
+        gen, "doc_id long, idx int, depth int, title string"
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

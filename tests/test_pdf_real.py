@@ -722,3 +722,63 @@ class TestPdfPageTree:
         )
         assert r["text"] is None
         assert r["error"].startswith("flate decode failed")
+
+
+class TestPdfOutline:
+    def test_outline_round_trip_depth_first(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_pdf_outlined,
+            parse_pdf_outline,
+        )
+
+        items = [
+            (1, "Alpha"), (2, "Beta (sub)"), (3, "Gam\\ma"),
+            (2, "Delta\nline"), (1, "Omega"),
+        ]
+        pdf = build_pdf_outlined("hello", items)
+        r = parse_pdf_outline(pdf)
+        assert r["error"] is None
+        assert r["items"] == [(i, d, t) for i, (d, t) in enumerate(items)]
+        # the text layer coexists with the outline objects
+        assert parse_real_pdf(pdf)["text"] == "hello"
+
+    def test_no_outline_is_empty_toc(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            parse_pdf_outline,
+        )
+
+        assert parse_pdf_outline(build_real_pdf("x")) == {
+            "items": [], "error": None,
+        }
+
+    def test_cyclic_outline_fails_never_loops(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_pdf_outlined,
+            parse_pdf_outline,
+        )
+
+        pdf = bytearray(build_pdf_outlined("x", [(1, "A"), (1, "B")]))
+        # item A is object 6, B is 7; rewrite A's /Next back to itself
+        start = pdf.index(b"6 0 obj")
+        end = pdf.index(b"endobj", start)
+        body = bytes(pdf[start:end])
+        patched = re.sub(rb"/Next 7 0 R", b"/Next 6 0 R", body)
+        patched += b" " * (len(body) - len(patched))
+        pdf[start:end] = patched
+        r = parse_pdf_outline(bytes(pdf))
+        assert r["items"] is None and r["error"] == "cyclic outline chain"
+
+    def test_outline_fuzz_never_raises(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_pdf_outlined,
+            parse_pdf_outline,
+        )
+
+        rng = random.Random(11)
+        base = build_pdf_outlined("t", [(1, "A"), (2, "B"), (1, "C")])
+        for _ in range(200):
+            m = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            r = parse_pdf_outline(bytes(m))
+            assert (r["items"] is None) == (r["error"] is not None)
