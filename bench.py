@@ -39,6 +39,7 @@ HEADLINE = [
     "pdf_figure_anchors",
     "pdf_paragraph_segment",
     "pdf_outline_toc",
+    "pdf_stream_positioned",
     "html_outline_extract",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -3027,6 +3027,86 @@ def pdf_outline_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pdf_stream_positioned",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(length(text) / 40.0) AS INT), 1) AS nb,
+             doc_id % 59 = 0 AS corrupt
+      FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS seq,
+           72.0 + 234.0 * (i % 2) AS x,
+           720.0 - 18.0 * (i // 2) AS y,
+           substr(text, CAST(i * 40 + 1 AS INT), 40) AS text,
+           NULL AS error_kind
+    FROM (SELECT doc_id, text, unnest(range(0, nb)) AS i
+          FROM base WHERE NOT corrupt)
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL, 'flate decode failed'
+    FROM base WHERE corrupt
+    """,
+)
+def pdf_stream_positioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POSITIONED extraction kernel under Structured Streaming:
+    readStream over the documents source -> codegen block synthesis ->
+    the same build+parse mapInPandas pass as pdf_column_reading_order,
+    emitting per-span rows with recovered coordinates. The kernel is
+    STATELESS (one doc in, that doc's spans out), so it streams in
+    append mode unchanged; the reading-order reconstruction stays
+    batch-side where cross-batch order is defined — the same split as
+    extract_stream_spans. Failure rows flow through the stream like any
+    other row (id%59 truncated streams). Oracle = the per-span stream-
+    order expectations from the layout spec."""
+    import uuid as _uuid
+
+    from cies_ocr_java_spark.operators.pdf_real import (
+        extract_pdf_positioned,
+    )
+
+    batch = _t(spark, sf_dir, "documents")  # schema donor only
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    nb = F.greatest(
+        F.ceil(F.length("text") / F.lit(40.0)).cast("int"), F.lit(1)
+    )
+    blocks = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.struct(
+            F.col("text").substr(i * 40 + 1, F.lit(40)).alias("text"),
+            (F.lit(72.0) + (i % 2).cast("double") * 234.0).alias("x"),
+            (F.lit(720.0) - F.floor(i / 2).cast("double") * 18.0).alias("y"),
+        ),
+    )
+    src = stream.select(
+        "doc_id",
+        blocks.alias("blocks"),
+        (F.col("doc_id") % 59 == 0).alias("corrupt"),
+    )
+    out = extract_pdf_positioned(src, corrupt_col="corrupt").select(
+        "doc_id",
+        "seq",
+        "x",
+        "y",
+        "text",
+        F.split(F.col("error"), ":").getItem(0).alias("error_kind"),
+    )
+    name = f"psp_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)
