@@ -41,6 +41,7 @@ HEADLINE = [
     "pdf_outline_toc",
     "pdf_stream_positioned",
     "html_outline_extract",
+    "html_list_items",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -618,3 +618,147 @@ def extract_outline(df: DataFrame, payload,
         path.alias("path"),
         "heading",
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested list extraction (session-3)
+# ---------------------------------------------------------------------------
+
+LIST_MAX_DEPTH = 4  # tracked nesting depths (the closed grammar uses <= 3)
+
+
+def extract_list_items(df: DataFrame, payload,
+                       doc_col: str = "doc_id") -> DataFrame:
+    """Extract <ul>/<ol> items into (doc_id, idx, depth, kind, ordinal,
+    item_text) rows — nesting resolved, ordinals counted PER LIST
+    INSTANCE, tail text after a nested sublist credited back to its
+    parent item.
+
+    The stack a sequential parser keeps is replaced by PER-DEPTH
+    LAST-INSTANCE counters (bounded by LIST_MAX_DEPTH): the innermost
+    open list at depth k is the most recent list-open token whose
+    inclusive depth is k (F.last(ignorenulls) over the doc window), and
+    the same trick resolves the innermost <li> per depth — so a text
+    token's owning item is ``li_inst[list_depth]`` evaluated at the
+    token, which is exactly the stack top without a stack. Ordinals are
+    a row_number per (doc, list instance) over the li-open tokens —
+    bounded windows, zero Python, one doc-hash exchange.
+
+    Subset contract: nesting deeper than LIST_MAX_DEPTH folds into the
+    deepest tracked level (defined output, degradation discipline);
+    stray closes move counters down like every counter here."""
+    toks = dom_tokens(df, payload, doc_col)
+    name = F.when(
+        F.col("is_tag"),
+        F.lower(F.regexp_extract("raw", TAG_NAME_PATTERN, 1)),
+    ).otherwise(F.lit(""))
+    t = toks.withColumn("_name", name)
+    is_open = F.col("is_tag") & ~F.col("raw").startswith("</") & ~F.col(
+        "raw"
+    ).endswith("/>")
+    is_close = F.col("is_tag") & F.col("raw").startswith("</")
+    lst = F.col("_name").isin("ul", "ol")
+    li = F.col("_name") == "li"
+    t = (
+        t.withColumn("_l_d", F.when(is_open & lst, 1)
+                     .when(is_close & lst, -1).otherwise(0))
+        .withColumn("_l_o", F.when(is_open & lst, 1).otherwise(0))
+        .withColumn("_li_d", F.when(is_open & li, 1)
+                    .when(is_close & li, -1).otherwise(0))
+        .withColumn("_li_o", F.when(is_open & li, 1).otherwise(0))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    depth_cap = F.least(
+        F.sum("_l_d").over(w).cast("int"), F.lit(LIST_MAX_DEPTH)
+    )
+    ann = t.select(
+        "doc_id",
+        "pos",
+        "is_tag",
+        "raw",
+        "_name",
+        (is_open & lst).alias("_lopen"),
+        (is_open & li).alias("_liopen"),
+        depth_cap.alias("ldepth"),
+        F.sum("_l_o").over(w).cast("int").alias("l_ord"),
+        F.sum("_li_o").over(w).cast("int").alias("li_ord"),
+        (F.sum("_li_d").over(w) > 0).alias("in_li"),
+    )
+    # per tracked depth k: innermost open list instance + its kind, and
+    # the innermost open <li> instance — the stack top, stackless
+    for k in range(1, LIST_MAX_DEPTH + 1):
+        ann = (
+            ann.withColumn(
+                f"_inst_{k}",
+                F.last(
+                    F.when(F.col("_lopen") & (F.col("ldepth") == k),
+                           F.col("l_ord")),
+                    ignorenulls=True,
+                ).over(w),
+            )
+            .withColumn(
+                f"_kind_{k}",
+                F.last(
+                    F.when(F.col("_lopen") & (F.col("ldepth") == k),
+                           F.col("_name")),
+                    ignorenulls=True,
+                ).over(w),
+            )
+            .withColumn(
+                f"_li_inst_{k}",
+                F.last(
+                    F.when(F.col("_liopen") & (F.col("ldepth") == k),
+                           F.col("li_ord")),
+                    ignorenulls=True,
+                ).over(w),
+            )
+        )
+    inst = F.lit(None)
+    kind = F.lit(None)
+    li_inst = F.lit(None)
+    for k in range(1, LIST_MAX_DEPTH + 1):
+        inst = F.when(F.col("ldepth") == k, F.col(f"_inst_{k}")).otherwise(inst)
+        kind = F.when(F.col("ldepth") == k, F.col(f"_kind_{k}")).otherwise(kind)
+        li_inst = F.when(
+            F.col("ldepth") == k, F.col(f"_li_inst_{k}")
+        ).otherwise(li_inst)
+    ann = ann.select(
+        "doc_id", "pos", "is_tag", "raw", "ldepth", "in_li", "_liopen",
+        inst.alias("inst"), kind.alias("kind"), li_inst.alias("li_inst"),
+    )
+    members = ann.where(
+        (F.col("ldepth") > 0) & F.col("in_li") & F.col("li_inst").isNotNull()
+    )
+    items = members.groupBy("doc_id", "li_inst").agg(
+        F.max(F.when(F.col("_liopen"), F.col("ldepth"))).alias("depth"),
+        F.max(F.when(F.col("_liopen"), F.col("kind"))).alias("kind"),
+        F.max(F.when(F.col("_liopen"), F.col("inst"))).alias("inst"),
+        visible_text_col(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("is_tag"),
+                                   F.struct("pos", "raw"))
+                        )
+                    ),
+                    lambda s: s["raw"],
+                ),
+                "",
+            )
+        ).alias("item_text"),
+    )
+    ow = Window.partitionBy("doc_id", "inst").orderBy("li_inst")
+    iw = Window.partitionBy("doc_id").orderBy("li_inst")
+    return items.select(
+        "doc_id",
+        (F.row_number().over(iw) - 1).alias("idx"),
+        "depth",
+        "kind",
+        F.row_number().over(ow).alias("ordinal"),
+        "item_text",
+    )

@@ -3107,6 +3107,67 @@ def pdf_stream_positioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "html_list_items",
+    f"""
+    WITH n0 AS (
+      SELECT doc_id, {_norm_sql('text')} AS n, doc_id % 2 = 1 AS has_f
+      FROM documents)
+    SELECT doc_id, 0 AS idx, 1 AS depth, 'ul' AS kind, 1 AS ordinal,
+           trim(substr(n, 1, 6)) AS item_text FROM n0
+    UNION ALL
+    SELECT doc_id, 1, 1, 'ul', 2, trim(substr(n, 7, 6)) FROM n0
+    UNION ALL
+    SELECT doc_id, 2, 2, 'ol', 1, trim(substr(n, 13, 6)) FROM n0
+    UNION ALL
+    SELECT doc_id, 3, 2, 'ol', 2, trim(substr(n, 19, 6)) FROM n0
+    UNION ALL
+    SELECT doc_id, 4, 1, 'ul', 3, trim(substr(n, 25, 6)) FROM n0
+    UNION ALL
+    SELECT doc_id, 5, 1, 'ol', 1, trim(substr(n, 31, 6)) FROM n0
+    WHERE has_f
+    """,
+)
+def html_list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED LIST EXTRACTION: <ul>/<ol> items with nesting depth, list
+    kind, and PER-INSTANCE ordinals — the sequential parser's stack
+    replaced by per-depth last-instance counters
+    (operators/dom_tree.py:extract_list_items): the innermost open list
+    (or <li>) at depth k is the most recent open token at that depth,
+    F.last(ignorenulls) over the doc window — the stack top without a
+    stack, bounded by LIST_MAX_DEPTH. Each doc's page nests an <ol>
+    inside the second <ul> item (its items must NOT inherit the parent's
+    text or ordinals) and odd ids append a second top-level <ol> whose
+    numbering restarts at 1. Oracle states the structured rows from the
+    page spec. PLAN: codegen synthesis + tokenize; ONE doc-hash
+    exchange; bounded per-instance ordinal windows. Zero Python."""
+    from cies_ocr_java_spark.operators.dom_tree import extract_list_items
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n = normalize_ws(F.col("text"))
+    s = lambda a: n.substr(F.lit(a), F.lit(6))  # noqa: E731
+    page = F.concat(
+        F.lit("<html><body><ul><li>"), s(1),
+        F.lit("</li><li>"), s(7),
+        F.lit("<ol><li>"), s(13), F.lit("</li><li>"), s(19),
+        F.lit("</li></ol></li><li>"), s(25), F.lit("</li></ul><p>x</p>"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit("<ol><li>"), s(31), F.lit("</li></ol>")),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    src = d.select("doc_id", page.alias("page"))
+    return extract_list_items(src, F.col("page")).select(
+        "doc_id",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("depth").cast("int").alias("depth"),
+        "kind",
+        F.col("ordinal").cast("int").alias("ordinal"),
+        "item_text",
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

@@ -421,3 +421,58 @@ def test_outline_zero_python_plan(spark):
     )
     assert "Python" not in plan and "Arrow" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# nested list extraction (session-3: extract_list_items)
+# ---------------------------------------------------------------------------
+
+def test_list_items_nesting_ordinals_tail_text(spark):
+    from pyspark.sql import functions as F
+    from cies_ocr_java_spark.operators.dom_tree import extract_list_items
+
+    html = (
+        "<ul><li>A</li><li>B<ol><li>C</li><li>D</li></ol> tail</li>"
+        "<li>E</li></ul><p>x</p><ol><li>F &amp; G</li></ol>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = [
+        (r.idx, r.depth, r.kind, r.ordinal, r.item_text)
+        for r in extract_list_items(df, F.col("html"))
+        .orderBy("idx").collect()
+    ]
+    assert got == [
+        (0, 1, "ul", 1, "A"),
+        (1, 1, "ul", 2, "B tail"),   # tail text credits the PARENT item
+        (2, 2, "ol", 1, "C"),        # nested items own their text
+        (3, 2, "ol", 2, "D"),
+        (4, 1, "ul", 3, "E"),
+        (5, 1, "ol", 1, "F & G"),    # second list restarts at 1
+    ]
+
+
+def test_list_items_hostile_never_crashes(spark):
+    from pyspark.sql import functions as F
+    from cies_ocr_java_spark.operators.dom_tree import extract_list_items
+
+    html = "</li></ul><ul><li>a<ul><li>b<ul><li>c<ul><li>d<ul><li>e"
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = extract_list_items(df, F.col("html")).collect()
+    # DEFINED degradation: the stray leading closes push the counter to
+    # -1, so the first list opens at net depth 0 and its direct item 'a'
+    # folds out; deeper items surface, depth capping at LIST_MAX_DEPTH
+    assert sorted(r.item_text for r in rows) == ["b", "c", "d", "e"]
+    assert max(r.depth for r in rows) == 4
+
+
+def test_list_items_zero_python_plan(spark):
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["html_list_items"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Exchange SinglePartition" not in plan
