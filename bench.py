@@ -42,6 +42,7 @@ HEADLINE = [
     "pdf_stream_positioned",
     "html_outline_extract",
     "html_list_items",
+    "markdown_extract",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

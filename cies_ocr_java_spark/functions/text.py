@@ -337,3 +337,58 @@ def accent_fold_udf():
     # pandas_udf re-evaluates them via get_type_hints
     _fold.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_fold, "string")
+
+
+def markdown_line_blocks(df, md_col: str = "md", doc_col: str = "doc_id"):
+    """Markdown line-block classification — the lightweight-markup side
+    of the extraction surface (crawl corpora carry READMEs and forum
+    posts as Markdown, not HTML). One posexplode over the line split,
+    then pure-codegen classification with the ONE stateful rule done as
+    a window: CODE-FENCE PARITY. A line inside a ``` fence is 'code' no
+    matter what it looks like — '# x' between fences is code, not a
+    heading — and fence state is (count of fence markers among PRECEDING
+    lines) % 2, a prefix sum over the same doc window every other
+    operator here uses.
+
+    Returns (doc_id, line_idx, kind, level, content): kind in
+    fence|code|heading|ul_item|ol_item|quote|blank|para; level is the
+    ATX heading depth (# run length) for headings, NULL otherwise;
+    content is the raw line. PLAN: one doc-hash exchange for the window;
+    everything else map-side."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(F.split(_col(md_col), "\n")).alias("line_idx", "line"),
+    )
+    is_fence = F.col("line").rlike(r"^```")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("line_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_code = (
+        F.coalesce(
+            F.sum(is_fence.cast("int")).over(w), F.lit(0)
+        ) % 2 == 1
+    )
+    hashes = F.length(F.regexp_extract("line", r"^(#{1,6})\s", 1))
+    kind = (
+        F.when(is_fence, F.lit("fence"))
+        .when(in_code, F.lit("code"))
+        .when(hashes > 0, F.lit("heading"))
+        .when(F.col("line").rlike(r"^[-*+]\s"), F.lit("ul_item"))
+        .when(F.col("line").rlike(r"^\d+\.\s"), F.lit("ol_item"))
+        .when(F.col("line").rlike(r"^>"), F.lit("quote"))
+        .when(F.trim(F.col("line")) == "", F.lit("blank"))
+        .otherwise(F.lit("para"))
+    )
+    return lines.select(
+        "doc_id",
+        "line_idx",
+        kind.alias("kind"),
+        F.when(
+            ~is_fence & ~in_code & (hashes > 0), hashes
+        ).cast("int").alias("level"),
+        F.col("line").alias("content"),
+    )

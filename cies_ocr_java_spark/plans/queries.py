@@ -3168,6 +3168,76 @@ def html_list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "markdown_extract",
+    f"""
+    WITH n0 AS (
+      SELECT doc_id, {_norm_sql('text')} AS n, doc_id % 2 = 1 AS has_h2
+      FROM documents)
+    SELECT doc_id, 0 AS line_idx, 'heading' AS kind, 1 AS level,
+           '# ' || substr(n, 1, 10) AS content FROM n0
+    UNION ALL
+    SELECT doc_id, 1, 'para', NULL, 'p ' || substr(n, 11, 40) FROM n0
+    UNION ALL
+    SELECT doc_id, 2, 'fence', NULL, '```' FROM n0
+    UNION ALL
+    SELECT doc_id, 3, 'code', NULL, '# ' || substr(n, 51, 10) FROM n0
+    UNION ALL
+    SELECT doc_id, 4, 'fence', NULL, '```' FROM n0
+    UNION ALL
+    SELECT doc_id, 5, 'ul_item', NULL, '- ' || substr(n, 61, 10) FROM n0
+    UNION ALL
+    SELECT doc_id, 6, 'ol_item', NULL, '1. ' || substr(n, 71, 10) FROM n0
+    UNION ALL
+    SELECT doc_id, 7, 'quote', NULL, '> ' || substr(n, 81, 10) FROM n0
+    UNION ALL
+    SELECT doc_id, 8, 'heading', 2, '## ' || substr(n, 91, 10) FROM n0
+    WHERE has_h2
+    """,
+)
+def markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKDOWN BLOCK EXTRACTION — the lightweight-markup side of the
+    extraction surface (crawl corpora carry READMEs/forum posts as
+    Markdown): line classification with the one stateful rule, CODE-
+    FENCE PARITY, as a prefix sum (functions/text.py:
+    markdown_line_blocks). The hazard is pinned by construction: line 3
+    is '# ...' INSIDE a fence and must classify as code, not heading —
+    an unstateful line classifier gets it wrong. Every content line is
+    prefix-marked so its intended kind is independent of the text slice
+    it carries (a slice starting '1. ' cannot forge a list item). Oracle
+    states the classified rows from the document spec. PLAN: codegen
+    synthesis, one posexplode, ONE doc-hash exchange for the parity
+    window. Zero Python."""
+    from cies_ocr_java_spark.functions.text import markdown_line_blocks
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n = normalize_ws(F.col("text"))
+    s = lambda a, ln=10: n.substr(F.lit(a), F.lit(ln))  # noqa: E731
+    md = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# "), s(1)),
+        F.concat(F.lit("p "), s(11, 40)),
+        F.lit("```"),
+        F.concat(F.lit("# "), s(51)),
+        F.lit("```"),
+        F.concat(F.lit("- "), s(61)),
+        F.concat(F.lit("1. "), s(71)),
+        F.concat(F.lit("> "), s(81)),
+    )
+    md = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(md, F.lit("\n## "), s(91)),
+    ).otherwise(md)
+    src = d.select("doc_id", md.alias("md"))
+    return markdown_line_blocks(src).select(
+        "doc_id",
+        F.col("line_idx").cast("int").alias("line_idx"),
+        "kind",
+        "level",
+        "content",
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

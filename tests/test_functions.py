@@ -229,3 +229,32 @@ def test_tracking_prefix_fold_honors_every_prefix(spark, monkeypatch):
     )
     q = df.select(urls.url_query_canonical(F.col("url")).alias("q")).collect()
     assert q[0]["q"] == "z=2"
+
+
+def test_markdown_fence_parity_and_kinds(spark):
+    from cies_ocr_java_spark.functions.text import markdown_line_blocks
+
+    md = "\n".join([
+        "# Title",
+        "plain text",
+        "```",
+        "# not a heading",
+        "- not a list",
+        "```",
+        "- item",
+        "12. ordered",
+        "> quoted",
+        "",
+        "### deep",
+    ])
+    df = spark.createDataFrame([(1, md)], "doc_id long, md string")
+    got = [
+        (r.kind, r.level)
+        for r in markdown_line_blocks(df).orderBy("line_idx").collect()
+    ]
+    assert got == [
+        ("heading", 1), ("para", None), ("fence", None),
+        ("code", None), ("code", None), ("fence", None),
+        ("ul_item", None), ("ol_item", None), ("quote", None),
+        ("blank", None), ("heading", 3),
+    ]
