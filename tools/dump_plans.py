@@ -28,6 +28,50 @@ COMMENTARY = {
         "PDF parse / OCR decode / HTML strip / text normalize all live "
         "inside the codegen stages as CASE branches."
     ),
+    "pdf_column_reading_order": (
+        "Multi-column reading order from genuine PDF geometry: one "
+        "Arrow-batched mapInPandas (build+parse — zlib/byte-walking is "
+        "the documented irreducible-Python case), then XY-cut boundary "
+        "+ ordered concat entirely JVM-side. All exchanges are doc-hash; "
+        "never SinglePartition, no global sort."
+    ),
+    "pdf_figure_anchors": (
+        "Text + media merged into ONE geometric order: text anchors from "
+        "the Td/Tm state machine, figure anchors from the CTM, renumbered "
+        "by a doc-partitioned row_number — bounded grain, no global "
+        "window."
+    ),
+    "html_table_cells": (
+        "Structured table extraction with ZERO Python: table/row/cell "
+        "ordinals are running counts over the token stream in ONE "
+        "doc-partitioned window; the groupBy and both relative-index "
+        "windows reuse the same doc-hash partitioning."
+    ),
+    "html_outline_extract": (
+        "Section numbering as a prefix scan WITH RESETS (F.sum + "
+        "F.last(ignorenulls) per level over one bounded window) — the "
+        "stack a sequential parser needs, made associative. Zero Python."
+    ),
+    "html_list_items": (
+        "Nested-list resolution without a stack: per-depth last-instance "
+        "counters give the innermost open list/li column-wise; ordinals "
+        "are per-instance row_numbers over cell-count-bounded windows."
+    ),
+    "charset_sniff_decode": (
+        "Charset sniff + transcode as ONE map-side codegen projection — "
+        "hex BOM probes, is_valid_utf8, NUL-parity UTF-16 detection, "
+        "binary-substring BOM strips. NO exchange anywhere in the plan."
+    ),
+    "markdown_extract": (
+        "Markdown line blocks: one posexplode + codegen classification; "
+        "the only stateful rule (code-fence parity) is a prefix sum over "
+        "the doc window. One doc-hash exchange total."
+    ),
+    "media_tiff_decode": (
+        "Offset-chasing container decode (dual-endian IFD chains) in one "
+        "Arrow-batched mapInPandas pass; no shuffle — the same shape as "
+        "every other real-codec query."
+    ),
     "quality_repetition_rules": (
         "MAP-ONLY curation: all three Gopher repetition stats are doc-local, "
         "computed by run-length folds over sorted gram arrays inside one "
@@ -787,7 +831,11 @@ def main() -> int:
         lines += ["```", head, "```", ""]
 
     with open(args.out, "w") as f:
-        f.write("\n".join(lines))
+        # plans can embed literal control bytes (e.g. the charset
+        # sniffer's NUL probe) — escape them so the .md stays text
+        f.write(
+            "\n".join(lines).replace("\x00", "\\x00").replace("\x01", "\\x01")
+        )
     print(f"wrote {args.out}")
     spark.stop()
     return 0
