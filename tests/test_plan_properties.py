@@ -764,3 +764,47 @@ def test_kmv_topk_is_take_ordered_not_window(spark):
     plan = plan_of(QUERIES["kmv_set_operations"](spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "row_number" not in plan
+
+
+# ---------------------------------------------------------------------------
+# session-3 geometry / structured-extraction plan shapes
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name,max_hash_ex",
+    [
+        ("pdf_column_reading_order", 3),
+        ("pdf_figure_anchors", 3),
+        ("pdf_line_assembly", 2),
+        ("pdf_paragraph_segment", 2),
+    ],
+)
+def test_geometry_queries_bounded_doc_hash_exchanges(spark, name, max_hash_ex):
+    """The geometry family reorders WITHIN documents: every exchange must
+    be a doc-keyed hash partition (the natural 10^12-doc layout), counts
+    bounded, never SinglePartition, never a global sort."""
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES[name](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= max_hash_ex, name
+    assert "Exchange SinglePartition" not in plan, name
+    assert "Sort [" not in plan or "global=true" not in plan, name
+
+
+def test_markdown_extract_single_exchange(spark):
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["markdown_extract"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in plan
