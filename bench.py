@@ -40,6 +40,7 @@ HEADLINE = [
     "pdf_paragraph_segment",
     "pdf_outline_toc",
     "pdf_stream_positioned",
+    "pdf_anchored_ocr",
     "html_outline_extract",
     "html_list_items",
     "markdown_extract",

@@ -914,12 +914,19 @@ def _page_contents(data: bytes) -> tuple[list[bytes], int]:
     order; a node without /Kids is a leaf /Page. Depth-capped at 32 and
     cycle-guarded by object number — a self-referencing tree fails the
     document, never loops."""
+    leaves, offsets, data, n_objects = _leaf_pages(data)
+    return [_contents_of(data, offsets, page) for page in leaves], n_objects
+
+
+def _leaf_pages(data: bytes) -> tuple[list[bytes], dict, bytes, int]:
+    """Like _page_contents but returns the leaf PAGE DICTS (plus the
+    offsets map and normalized data) so callers can also resolve
+    per-page /Resources — the XObject name -> object mapping."""
     if not data or not bytes(data).startswith(b"%PDF-"):
         raise _PdfError("missing %PDF header")
     data = bytes(data)
     offsets, trailer = _parse_xref(data)
-    root = _ref(trailer, b"Root")
-    catalog, _ = _load_object(data, offsets, root)
+    catalog, _ = _load_object(data, offsets, _ref(trailer, b"Root"))
     pages_root = _ref(catalog, b"Pages")
     root_obj, _ = _load_object(data, offsets, pages_root)
     if re.search(rb"/Kids\s*\[([^\]]*)\]", root_obj) is None:
@@ -927,7 +934,7 @@ def _page_contents(data: bytes) -> tuple[list[bytes], int]:
     leaves: list[bytes] = []
     seen: set[int] = set()
 
-    def _walk(num: int, depth: int) -> None:
+    def _walk2(num: int, depth: int) -> None:
         if depth > 32:
             raise _PdfError("page tree too deep")
         if num in seen:
@@ -942,28 +949,31 @@ def _page_contents(data: bytes) -> tuple[list[bytes], int]:
             if not kid_nums:
                 raise _PdfError("empty /Kids")
             for kn in kid_nums:
-                _walk(kn, depth + 1)
+                _walk2(kn, depth + 1)
         else:
             leaves.append(node)
 
-    _walk(pages_root, 0)
-    pages: list[bytes] = []
-    for page in leaves:
-        am = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
-        if am:
-            cnums = [
-                int(x) for x in re.findall(rb"(\d+)\s+0\s+R", am.group(1))
-            ]
-            if not cnums:
-                raise _PdfError("empty /Contents array")
-        else:
-            cnums = [_ref(page, b"Contents")]
-        raw = b""
-        for cn in cnums:
-            cdict, cend = _load_object(data, offsets, cn)
-            raw += _stream_bytes(data, cdict, cend)
-        pages.append(raw)
-    return pages, len(offsets)
+    _walk2(pages_root, 0)
+    return leaves, offsets, data, len(offsets)
+
+
+def _contents_of(data: bytes, offsets: dict, page: bytes) -> bytes:
+    """Decoded /Contents bytes of one leaf page (single ref or array
+    whose streams concatenate in order, spec 7.7.3.3)."""
+    am = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
+    if am:
+        cnums = [
+            int(x) for x in re.findall(rb"(\d+)\s+0\s+R", am.group(1))
+        ]
+        if not cnums:
+            raise _PdfError("empty /Contents array")
+    else:
+        cnums = [_ref(page, b"Contents")]
+    raw = b""
+    for cn in cnums:
+        cdict, cend = _load_object(data, offsets, cn)
+        raw += _stream_bytes(data, cdict, cend)
+    return raw
 
 
 def _decode_payload(lit: bytes) -> str:
@@ -1595,15 +1605,20 @@ def build_positioned_interleaved(blocks: list,
     """One-page real PDF interleaving POSITIONED text and figures.
 
     ``blocks`` entries are ('text', s, x, y) — painted via ``Tm`` +
-    ``Tj`` — or ('img', value, x, y) — an 8x8 solid-gray /DeviceGray
-    XObject painted via the real ``q 8 0 0 8 x y cm /ImK Do Q`` idiom,
-    so recovering a figure's anchor requires the tokenizer's CTM
-    tracking, not its text matrix. Object numbering matches
-    build_pdf_interleaved: 1 catalog, 2 pages, 3 page, 4 content,
-    5..4+n images (names Im0..Im{n-1} in block order)."""
+    ``Tj`` — or ('img', payload, x, y) — a /DeviceGray XObject painted
+    via the real ``q w 0 0 h x y cm /ImK Do Q`` idiom, so recovering a
+    figure's anchor requires the tokenizer's CTM tracking, not its text
+    matrix. An int img payload is an 8x8 solid-gray tile; a str payload
+    is RENDERED with the 5x7 glyph font (ocr_glyph.render_text_pixels)
+    into raw samples — an image that genuinely CONTAINS text, the OCR
+    tier's input. Object numbering matches build_pdf_interleaved:
+    1 catalog, 2 pages, 3 page, 4 content, 5..4+n images (names
+    Im0..Im{n-1} in block order)."""
+    from cies_ocr_java_spark.operators.ocr_glyph import render_text_pixels
+
     ops = []
     n_img = 0
-    img_values = []
+    img_specs: list[tuple] = []  # (w, h, sample bytes)
     for kind, payload, x, y in blocks:
         if kind == "text":
             ops.append(
@@ -1611,11 +1626,18 @@ def build_positioned_interleaved(blocks: list,
                 + _pdf_escape_bytes(payload) + b") Tj ET"
             )
         else:
+            if isinstance(payload, str):
+                px = render_text_pixels(payload)
+                img_specs.append(
+                    (px.shape[1], px.shape[0], px.tobytes())
+                )
+            else:
+                img_specs.append((8, 8, bytes([int(payload) & 0xFF]) * 64))
+            w_i, h_i, _ = img_specs[-1]
             ops.append(
-                b"q 8 0 0 8 %s %s cm /Im%d Do Q"
-                % (_num(x), _num(y), n_img)
+                b"q %d 0 0 %d %s %s cm /Im%d Do Q"
+                % (w_i, h_i, _num(x), _num(y), n_img)
             )
-            img_values.append(int(payload))
             n_img += 1
     raw = b"\n".join(ops) + b"\n"
     comp = zlib.compress(raw, 6)
@@ -1631,12 +1653,12 @@ def build_positioned_interleaved(blocks: list,
         b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
         + comp + b"\nendstream",
     ]
-    for v in img_values:
-        payload = bytes([v & 0xFF]) * 64
+    for w_i, h_i, samples in img_specs:
         objects.append(
-            b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
-            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 64 >>"
-            b"\nstream\n" + payload + b"\nendstream"
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>"
+            b"\nstream\n" % (w_i, h_i, len(samples))
+            + samples + b"\nendstream"
         )
     buf = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -1900,3 +1922,60 @@ def parse_pdf_outline(data: bytes) -> dict:
         return {"items": items, "error": None}
     except _PdfError as e:
         return {"items": None, "error": str(e)}
+
+
+def parse_pdf_anchored_ocr(data: bytes) -> dict:
+    """The anchored parse WITH the media payloads read: text spans carry
+    their decoded string, media spans carry the OCR of their pixel
+    content — each span at its recovered geometric anchor. This closes
+    the whole loop in one walk: page tree -> content streams -> the
+    positioned tokenizer -> per-paint /Resources /XObject resolution ->
+    raw /DeviceGray samples -> glyph template matching
+    (operators/ocr_glyph.py). Images whose height is not the font's
+    GLYPH_H are not text-bearing and yield content=None (kind stays
+    'media'). Returns ``{"spans": [(kind, content, x, y), ...],
+    "error"}`` in stream order."""
+    import numpy as np
+
+    from cies_ocr_java_spark.operators.ocr_glyph import GLYPH_H, ocr_pixels
+
+    try:
+        leaves, offsets, data, _ = _leaf_pages(data)
+        spans: list[tuple] = []
+        for page in leaves:
+            raw = _contents_of(data, offsets, page)
+            xmap: dict[str, int] = {}
+            xob = re.search(rb"/XObject\s*<<(.*?)>>", page, re.S)
+            if xob:
+                for nm, num in re.findall(
+                    rb"/([^\s/<>\[\]()%]+)\s+(\d+)\s+0\s+R", xob.group(1)
+                ):
+                    xmap[nm.decode("latin1")] = int(num)
+            for tok in _content_tokens_pos(raw):
+                if tok[0] == "lit":
+                    spans.append(
+                        ("text", _decode_payload(tok[1]), tok[2], tok[3])
+                    )
+                    continue
+                name = tok[1]
+                if name not in xmap:
+                    raise _PdfError(f"unresolved XObject /{name}")
+                idict, iend = _load_object(data, offsets, xmap[name])
+                wm = re.search(rb"/Width\s+(\d+)", idict)
+                hm = re.search(rb"/Height\s+(\d+)", idict)
+                if not wm or not hm:
+                    raise _PdfError("image missing dimensions")
+                w, h = int(wm.group(1)), int(hm.group(1))
+                if w <= 0 or h <= 0:
+                    raise _PdfError("bad image dimensions")
+                samples = _stream_bytes(data, idict, iend)
+                if len(samples) != w * h:
+                    raise _PdfError("image sample count mismatch")
+                content = None
+                if h == GLYPH_H:
+                    px = np.frombuffer(samples, dtype=np.uint8).reshape(h, w)
+                    content = ocr_pixels(px)
+                spans.append(("media", content, tok[2], tok[3]))
+        return {"spans": spans, "error": None}
+    except _PdfError as e:
+        return {"spans": None, "error": str(e)}

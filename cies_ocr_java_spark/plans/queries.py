@@ -3238,6 +3238,162 @@ def markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pdf_anchored_ocr",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             regexp_replace(upper(text), '[^A-Z0-9 ]', ' ', 'g') AS s,
+             greatest(CAST(ceil(length(text) / 40.0) AS INT), 1) AS nb,
+             1 + doc_id % 2 AS nf,
+             doc_id % 73 = 0 AS corrupt
+      FROM documents),
+    t AS (
+      SELECT doc_id, CAST(i % 2 AS INT) AS col,
+             -(720.0 - 18.0 * (i // 2)) AS ny,
+             72.0 + 234.0 * (i % 2) AS x,
+             'text' AS kind,
+             substr(text, CAST(i * 40 + 1 AS INT), 40) AS content
+      FROM (SELECT doc_id, text, unnest(range(0, nb)) AS i FROM base)),
+    f AS (
+      SELECT doc_id, CAST(fi % 2 AS INT) AS col, -80.0 AS ny,
+             72.0 + 234.0 * (fi % 2) AS x,
+             'media' AS kind,
+             'F' || substr(s, CAST(fi * 14 + 1 AS INT), 14) AS content
+      FROM (SELECT doc_id, s, unnest(range(0, nf)) AS fi FROM base)),
+    u AS (SELECT * FROM t UNION ALL SELECT * FROM f),
+    good AS (
+      SELECT u.doc_id,
+             CAST(row_number() OVER (PARTITION BY u.doc_id
+                                     ORDER BY col, ny, x) AS INT) AS ord,
+             kind, content, NULL AS error_kind
+      FROM u JOIN base b ON u.doc_id = b.doc_id WHERE NOT b.corrupt)
+    SELECT * FROM good
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, 'flate decode failed'
+    FROM base WHERE corrupt
+    """,
+)
+def pdf_anchored_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE WHOLE NORTH-RULE FLOW IN ONE WALK, WITH GEOMETRY: two-column
+    positioned text + figures whose pixels genuinely CONTAIN rendered
+    text, extracted as ONE geometrically-ordered interleaved sequence
+    where every media span's content is the OCR of its own raw samples
+    (pdf_real.parse_pdf_anchored_ocr: page tree -> positioned tokenizer
+    -> per-paint /XObject resolution -> /DeviceGray samples -> glyph
+    template matching). Figures enter the stream FIRST and carry 'F' +
+    a 14-char sanitized slice rendered with the 5x7 font; the engine
+    must place each at its CTM anchor, column-merge with the text
+    blocks, and read the pixels back exactly. id%73 docs fail whole.
+    PLAN: one Arrow mapInPandas (build+parse+OCR); the same doc-hash
+    boundary/row_number topology as pdf_figure_anchors."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        build_positioned_interleaved,
+        parse_pdf_anchored_ocr,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    src = d.select(
+        "doc_id",
+        F.col("text"),
+        F.regexp_replace(F.upper("text"), "[^A-Z0-9 ]", " ").alias("s"),
+        (F.col("doc_id") % 73 == 0).alias("corrupt"),
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        out = {"doc_id": [], "seq": [], "kind": [], "content": [],
+               "x": [], "y": [], "error": []}
+
+        def push(did, seq=None, kind=None, content=None, x=None, y=None,
+                 err=None):
+            out["doc_id"].append(did)
+            out["seq"].append(seq)
+            out["kind"].append(kind)
+            out["content"].append(content)
+            out["x"].append(x)
+            out["y"].append(y)
+            out["error"].append(err)
+
+        for pdf in batches:
+            for i, t, s, corrupt in zip(
+                pdf["doc_id"], pdf["text"], pdf["s"], pdf["corrupt"]
+            ):
+                i = int(i)
+                t = t if isinstance(t, str) else ""
+                s = s if isinstance(s, str) else ""
+                nb = max(1, -(-len(t) // 40))
+                nf = 1 + i % 2
+                blocks = [
+                    ("img", "F" + s[fi * 14:fi * 14 + 14],
+                     72.0 + 234.0 * (fi % 2), 80.0)
+                    for fi in range(nf)
+                ] + [
+                    ("text", t[k * 40:k * 40 + 40],
+                     72.0 + 234.0 * (k % 2), 720.0 - 18.0 * (k // 2))
+                    for k in range(nb)
+                ]
+                r = parse_pdf_anchored_ocr(
+                    build_positioned_interleaved(
+                        blocks, corrupt_stream=bool(corrupt)
+                    )
+                )
+                if r["error"] is not None:
+                    push(i, err=r["error"])
+                    continue
+                for seq, (kind, content, x, y) in enumerate(r["spans"]):
+                    push(i, seq, kind, content, x, y)
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "seq": pd.array(out["seq"], dtype="Int32"),
+                "kind": out["kind"],
+                "content": out["content"],
+                "x": pd.array(out["x"], dtype="float64"),
+                "y": pd.array(out["y"], dtype="float64"),
+                "error": out["error"],
+            })
+            out = {k: [] for k in out}
+
+    spans = src.mapInPandas(
+        gen,
+        "doc_id long, seq int, kind string, content string, "
+        "x double, y double, error string",
+    )
+    xw = Window.partitionBy("doc_id").orderBy("x")
+    gaps = (
+        spans.select("doc_id", "x").distinct()
+        .select(
+            "doc_id",
+            F.coalesce(F.col("x") - F.lag("x").over(xw), F.lit(0.0))
+            .alias("gap"),
+            ((F.col("x") + F.lag("x").over(xw)) / 2.0).alias("mid"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("gap", "mid")).alias("g"))
+        .select(
+            "doc_id",
+            F.when(F.col("g.gap") >= 100.0, F.col("g.mid")).alias("boundary"),
+        )
+    )
+    colid = F.when(
+        F.col("boundary").isNotNull() & (F.col("x") >= F.col("boundary")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    ow = Window.partitionBy("doc_id").orderBy("colid", F.desc("y"), "x")
+    j = spans.join(gaps, "doc_id").withColumn("colid", colid)
+    bad = F.col("error").isNotNull()
+    return j.select(
+        "doc_id",
+        F.when(bad, F.lit(None))
+        .otherwise(F.row_number().over(ow)).cast("int").alias("ord"),
+        F.when(bad, F.lit(None)).otherwise(F.col("kind")).alias("kind"),
+        F.when(bad, F.lit(None)).otherwise(F.col("content"))
+        .alias("content"),
+        F.split(F.col("error"), ":").getItem(0).alias("error_kind"),
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

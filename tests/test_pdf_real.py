@@ -782,3 +782,72 @@ class TestPdfOutline:
                 m[rng.randrange(len(m))] = rng.randrange(256)
             r = parse_pdf_outline(bytes(m))
             assert (r["items"] is None) == (r["error"] is not None)
+
+
+class TestPdfAnchoredOcr:
+    def test_whole_loop_text_and_pixels(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_positioned_interleaved,
+            parse_pdf_anchored_ocr,
+        )
+
+        blocks = [
+            ("img", "HELLO 42", 306, 80), ("text", "t0", 72, 720),
+            ("text", "t1", 306, 720), ("img", 99, 72, 80),
+        ]
+        r = parse_pdf_anchored_ocr(build_positioned_interleaved(blocks))
+        assert r["error"] is None
+        assert r["spans"] == [
+            ("media", "HELLO 42", 306.0, 80.0),   # pixels read back
+            ("text", "t0", 72.0, 720.0),
+            ("text", "t1", 306.0, 720.0),
+            ("media", None, 72.0, 80.0),          # 8x8 tile: not text
+        ]
+
+    def test_rendered_image_is_genuine_devicegray(self):
+        # the figure's stream is w*h raw samples whose OCR equals the
+        # rendered string — the pixels, not a label, carry the content
+        from cies_ocr_java_spark.operators.ocr_glyph import (
+            GLYPH_H,
+            render_text_pixels,
+        )
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_positioned_interleaved,
+        )
+
+        pdf = build_positioned_interleaved([("img", "AB", 72, 80)])
+        px = render_text_pixels("AB")
+        assert px.tobytes() in pdf
+        assert b"/Height %d" % GLYPH_H in pdf
+
+    def test_sample_count_mismatch_fails(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_positioned_interleaved,
+            parse_pdf_anchored_ocr,
+        )
+
+        pdf = bytearray(build_positioned_interleaved(
+            [("img", "XY", 72, 80)]
+        ))
+        i = pdf.index(b"/Width ")
+        pdf[i:i + 8] = b"/Width 9"  # lie about the width
+        r = parse_pdf_anchored_ocr(bytes(pdf))
+        assert r["spans"] is None
+        assert "mismatch" in r["error"] or "dimension" in r["error"]
+
+    def test_anchored_ocr_fuzz_never_raises(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            build_positioned_interleaved,
+            parse_pdf_anchored_ocr,
+        )
+
+        rng = random.Random(17)
+        base = build_positioned_interleaved(
+            [("text", "hello", 72, 720), ("img", "OCR ME", 306, 80)]
+        )
+        for _ in range(150):
+            m = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            r = parse_pdf_anchored_ocr(bytes(m))
+            assert (r["spans"] is None) == (r["error"] is not None)
