@@ -44,6 +44,8 @@ HEADLINE = [
     "html_outline_extract",
     "html_list_items",
     "markdown_extract",
+    "feed_items_extract",
+    "pdf_word_boxes",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -762,3 +762,99 @@ def extract_list_items(df: DataFrame, payload,
         F.row_number().over(ow).alias("ordinal"),
         "item_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Feed (RSS/Atom) item extraction (session-3)
+# ---------------------------------------------------------------------------
+
+def extract_feed_items(df: DataFrame, payload,
+                       doc_col: str = "doc_id") -> DataFrame:
+    """Extract syndication-feed entries into (doc_id, item_idx, title,
+    link, guid) rows — the same token/counter machinery as the HTML
+    extractors applied to the OTHER crawl markup: RSS (``<item>`` /
+    ``<guid>``) and Atom (``<entry>`` / ``<id>``) handled as synonyms,
+    the real-world feed duality. Item ordinal = running count of
+    item/entry opens; field text = pos-ordered concat of text tokens
+    while the field's open-minus-close counter is positive, entity-
+    decoded once per field. One doc-partitioned window, zero Python."""
+    toks = dom_tokens(df, payload, doc_col)
+    name = F.when(
+        F.col("is_tag"),
+        F.lower(F.regexp_extract("raw", TAG_NAME_PATTERN, 1)),
+    ).otherwise(F.lit(""))
+    t = toks.withColumn("_name", name)
+    is_open = F.col("is_tag") & ~F.col("raw").startswith("</") & ~F.col(
+        "raw"
+    ).endswith("/>")
+    is_close = F.col("is_tag") & F.col("raw").startswith("</")
+
+    def delta(tags: tuple):
+        return (
+            F.when(is_open & F.col("_name").isin(*tags), 1)
+            .when(is_close & F.col("_name").isin(*tags), -1)
+            .otherwise(0)
+        )
+
+    t = (
+        t.withColumn(
+            "_it_o",
+            F.when(is_open & F.col("_name").isin("item", "entry"), 1)
+            .otherwise(0),
+        )
+        .withColumn("_it", delta(("item", "entry")))
+        .withColumn("_ti", delta(("title",)))
+        .withColumn("_li", delta(("link",)))
+        .withColumn("_gu", delta(("guid", "id")))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ann = t.select(
+        "doc_id",
+        "pos",
+        "is_tag",
+        "raw",
+        F.sum("_it_o").over(w).cast("int").alias("item_ord"),
+        (F.sum("_it").over(w) > 0).alias("in_item"),
+        (F.sum("_ti").over(w) > 0).alias("in_title"),
+        (F.sum("_li").over(w) > 0).alias("in_link"),
+        (F.sum("_gu").over(w) > 0).alias("in_guid"),
+    )
+
+    def field(flag: str):
+        return visible_text_col(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_tag") & F.col(flag),
+                                F.struct("pos", "raw"),
+                            )
+                        )
+                    ),
+                    lambda s: s["raw"],
+                ),
+                "",
+            )
+        )
+
+    items = (
+        ann.where(F.col("in_item") & (F.col("item_ord") > 0))
+        .groupBy("doc_id", "item_ord")
+        .agg(
+            field("in_title").alias("title"),
+            field("in_link").alias("link"),
+            field("in_guid").alias("guid"),
+        )
+    )
+    return items.select(
+        "doc_id",
+        (F.col("item_ord") - 1).alias("item_idx"),
+        "title",
+        "link",
+        "guid",
+    )

@@ -3394,6 +3394,170 @@ def pdf_anchored_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pdf_word_boxes",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(length(text) / 48.0) AS INT), 1) AS nl
+      FROM documents),
+    lns AS (
+      SELECT doc_id, l, substr(text, CAST(l * 48 + 1 AS INT), 48) AS line
+      FROM (SELECT doc_id, text, unnest(range(0, nl)) AS l FROM base)),
+    words AS (
+      SELECT doc_id, l, i,
+             string_split(line, ' ') AS ws
+      FROM (SELECT doc_id, l, line,
+                   unnest(range(1, len(string_split(line, ' ')) + 1)) AS i
+            FROM lns)),
+    placed AS (
+      SELECT doc_id, l, ws[CAST(i AS INT)] AS word,
+             CASE WHEN i = 1 THEN 0
+                  ELSE length(array_to_string(ws[1:CAST(i - 1 AS INT)], ' '))
+                       + 1 END AS off
+      FROM words)
+    SELECT doc_id, CAST(l AS INT) AS line_idx,
+           CAST(row_number() OVER (PARTITION BY doc_id, l ORDER BY off)
+                - 1 AS INT) AS word_idx,
+           word,
+           72.0 + 6.0 * off AS x0,
+           72.0 + 6.0 * (off + length(word)) - 1 AS x1,
+           720.0 - 14.0 * l AS y
+    FROM placed WHERE length(word) > 0
+    """,
+)
+def pdf_word_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD-LEVEL BOUNDING BOXES — the layout-model training surface
+    (LayoutLM-family inputs are (word, box) pairs; Textract emits WORD
+    blocks with Geometry the reference flattens to LINE text): each
+    line's show op splits into words whose boxes derive from the line
+    anchor + MONOSPACE advance (6pt/char, matching the writer's
+    metrics): x0 = line_x + 6*char_offset, x1 = x0 + 6*len - 1. The
+    char offsets are a PREFIX SUM of (len+1) over the preceding words —
+    one (doc, y)-keyed window over the posexploded words; runs of
+    spaces advance the offset without emitting words. Everything after
+    the build+parse mapInPandas is codegen. Oracle replays the
+    split/offset arithmetic in DuckDB list ops. PLAN: one doc-hash
+    exchange shared by the window; no global sort."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        extract_pdf_positioned,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    nl = F.greatest(
+        F.ceil(F.length("text") / F.lit(48.0)).cast("int"), F.lit(1)
+    )
+    blocks = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda l: F.struct(
+            F.col("text").substr(l * 48 + 1, F.lit(48)).alias("text"),
+            F.lit(72.0).alias("x"),
+            (F.lit(720.0) - l.cast("double") * 14.0).alias("y"),
+        ),
+    )
+    src = d.select("doc_id", blocks.alias("blocks"))
+    spans = extract_pdf_positioned(src)
+    words = spans.select(
+        "doc_id",
+        "x",
+        "y",
+        F.posexplode(F.split("text", " ")).alias("widx", "word"),
+    )
+    ww = (
+        Window.partitionBy("doc_id", "y")
+        .orderBy("widx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ow = Window.partitionBy("doc_id", "y").orderBy("widx")
+    placed = words.select(
+        "doc_id",
+        "y",
+        "x",
+        "word",
+        F.coalesce(
+            F.sum(F.length("word") + 1).over(ww), F.lit(0)
+        ).alias("off"),
+        F.row_number().over(ow).alias("rn"),
+    ).where(F.length("word") > 0)
+    vw = Window.partitionBy("doc_id", "y").orderBy("rn")
+    return placed.select(
+        "doc_id",
+        ((F.lit(720.0) - F.col("y")) / 14.0).cast("int").alias("line_idx"),
+        (F.row_number().over(vw) - 1).cast("int").alias("word_idx"),
+        "word",
+        (F.col("x") + 6.0 * F.col("off")).alias("x0"),
+        (F.col("x") + 6.0 * (F.col("off") + F.length("word")) - 1.0)
+        .alias("x1"),
+        F.col("y").alias("y"),
+    )
+
+
+@_register(
+    "feed_items_extract",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_norm_sql('text')} AS n,
+             2 + doc_id % 3 AS ni, doc_id % 2 = 1 AS atom
+      FROM documents)
+    SELECT doc_id, CAST(k AS INT) AS item_idx,
+           trim(substr(n, CAST(k * 12 + 1 AS INT), 12)) AS title,
+           'https://ex.test/' || CAST(doc_id AS VARCHAR) || '/'
+             || CAST(k AS VARCHAR) AS link,
+           CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR) AS guid
+    FROM (SELECT doc_id, n, unnest(range(0, ni)) AS k FROM base)
+    """,
+)
+def feed_items_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYNDICATION-FEED extraction — the other crawl markup: each doc
+    renders as an RSS channel (even ids: <item>/<guid>) or an Atom feed
+    (odd ids: <entry>/<id>) with 2+id%3 entries; the extractor treats
+    the two vocabularies as synonyms (dom_tree.extract_feed_items) and
+    recovers (item_idx, title, link, guid) from the markup alone —
+    title carries an entity hazard (&amp; from the channel template).
+    The reference never sees feeds (Textract is pixels); a crawl
+    frontier lives on them. Oracle states the structured rows from the
+    feed spec. PLAN: codegen synthesis + tokenize; ONE doc-hash
+    exchange; zero Python."""
+    from cies_ocr_java_spark.operators.dom_tree import extract_feed_items
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n = normalize_ws(F.col("text"))
+    ni = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    atom = F.col("doc_id") % 2 == 1
+    did = F.col("doc_id").cast("string")
+    item_tag = F.when(atom, F.lit("entry")).otherwise(F.lit("item"))
+    guid_tag = F.when(atom, F.lit("id")).otherwise(F.lit("guid"))
+    items = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), ni - 1),
+            lambda k: F.concat(
+                F.lit("<"), item_tag, F.lit("><title>"),
+                n.substr(k * 12 + 1, F.lit(12)),
+                F.lit("</title><link>https://ex.test/"), did,
+                F.lit("/"), k.cast("string"),
+                F.lit("</link><"), guid_tag, F.lit(">"), did,
+                F.lit("-"), k.cast("string"),
+                F.lit("</"), guid_tag, F.lit("></"), item_tag, F.lit(">"),
+            ),
+        ),
+        "",
+    )
+    page = F.concat(
+        F.lit('<?xml version="1.0"?><rss><channel><title>C &amp; D'
+              "</title>"),
+        items,
+        F.lit("</channel></rss>"),
+    )
+    src = d.select("doc_id", page.alias("page"))
+    return extract_feed_items(src, F.col("page")).select(
+        "doc_id",
+        F.col("item_idx").cast("int").alias("item_idx"),
+        "title",
+        "link",
+        "guid",
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)

@@ -476,3 +476,41 @@ def test_list_items_zero_python_plan(spark):
     )
     assert "Python" not in plan and "Arrow" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_feed_items_rss_and_atom_synonyms(spark):
+    from pyspark.sql import functions as F
+    from cies_ocr_java_spark.operators.dom_tree import extract_feed_items
+
+    rss = ("<rss><channel><title>chan &amp; co</title>"
+           "<item><title>T0 &amp; x</title><link>u0</link><guid>g0</guid>"
+           "</item><item><title>T1</title><link>u1</link><guid>g1</guid>"
+           "</item></channel></rss>")
+    atom = ("<feed><title>chan</title>"
+            "<entry><title>A0</title><link>v0</link><id>i0</id></entry>"
+            "</feed>")
+    df = spark.createDataFrame(
+        [(1, rss), (2, atom)], "doc_id long, page string"
+    )
+    got = sorted(
+        (r.doc_id, r.item_idx, r.title, r.link, r.guid)
+        for r in extract_feed_items(df, F.col("page")).collect()
+    )
+    assert got == [
+        (1, 0, "T0 & x", "u0", "g0"),   # channel title excluded; entity
+        (1, 1, "T1", "u1", "g1"),
+        (2, 0, "A0", "v0", "i0"),       # Atom entry/id as synonyms
+    ]
+
+
+def test_feed_items_zero_python_plan(spark):
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["feed_items_extract"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Exchange SinglePartition" not in plan
