@@ -3558,6 +3558,92 @@ def feed_items_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "html_meta_og",
+    f"""
+    WITH n0 AS (
+      SELECT doc_id, {_norm_sql('text')} AS n, doc_id % 2 = 1 AS has_img
+      FROM documents)
+    SELECT doc_id, 'og:title' AS property,
+           trim(substr(n, 1, 20)) AS content FROM n0
+    UNION ALL
+    SELECT doc_id, 'og:description',
+           trim(trim(substr(n, 21, 30)) || ' & more') FROM n0
+    UNION ALL
+    SELECT doc_id, 'og:type', 'a > b' FROM n0
+    UNION ALL
+    SELECT doc_id, 'og:image',
+           'https://ex.test/' || CAST(doc_id AS VARCHAR) || '.png'
+    FROM n0 WHERE has_img
+    """,
+)
+def html_meta_og(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPENGRAPH METADATA extraction — ATTRIBUTE values, not text
+    content (the dimension every other HTML extractor here reads):
+    ``<meta property=.. content=..>`` pairs pulled from the quote-aware
+    tag tokens, both quoting styles, entity-decoded per value. The
+    hazards are pinned by construction: one content carries '&amp;'
+    (decode), one carries a literal '>' INSIDE its quotes (a naive
+    '[^>]*' tag scan truncates the tag there — TAG_BODY's quote-aware
+    body is what survives it), and the charset/non-property metas must
+    not emit rows. PLAN: tokenize + regexp over tag tokens, all
+    codegen; ONE posexplode, no Python, no join."""
+    from cies_ocr_java_spark.operators.dom_tree import dom_tokens
+    from cies_ocr_java_spark.operators.dom_tree import visible_text_col
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n = normalize_ws(F.col("text"))
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit('<html><head><meta charset="utf-8"/>'
+              '<meta property="og:title" content="'),
+        n.substr(F.lit(1), F.lit(20)),
+        F.lit('"/><meta property=\'og:description\' content=\''),
+        n.substr(F.lit(21), F.lit(30)),
+        F.lit(" &amp; more'/>"
+              '<meta property="og:type" content="a > b"/>'),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit('<meta property="og:image" content="https://ex.test/'),
+                did,
+                F.lit('.png"/>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    src = d.select("doc_id", page.alias("page"))
+    toks = dom_tokens(src, F.col("page"))
+    metas = toks.where(
+        F.col("is_tag")
+        & (F.lower(F.regexp_extract("raw", r"^</?([a-zA-Z][a-zA-Z0-9]*)", 1))
+           == "meta")
+    )
+    # presence-based branching (NOT nullif): an EMPTY attribute value is
+    # a legal value and must not read as "attribute absent"
+    def attr(name: str) -> F.Column:
+        return (
+            F.when(
+                F.col("raw").rlike(name + r'\s*=\s*"'),
+                F.regexp_extract("raw", name + r'\s*=\s*"([^"]*)"', 1),
+            )
+            .when(
+                F.col("raw").rlike(name + r"\s*=\s*'"),
+                F.regexp_extract("raw", name + r"\s*=\s*'([^']*)'", 1),
+            )
+        )
+
+    return (
+        metas.select(
+            "doc_id",
+            attr("property").alias("property"),
+            visible_text_col(F.coalesce(attr("content"), F.lit("")))
+            .alias("content"),
+        )
+        .where(F.col("property").isNotNull())
+    )
+
+
+@_register(
     "extract_pdf_ocr_route",
     f"""
     WITH n AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)
