@@ -45,6 +45,7 @@ HEADLINE = [
     "html_list_items",
     "markdown_extract",
     "feed_items_extract",
+    "html_meta_og",
     "pdf_word_boxes",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

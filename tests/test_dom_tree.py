@@ -514,3 +514,19 @@ def test_feed_items_zero_python_plan(spark):
     )
     assert "Python" not in plan and "Arrow" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_meta_og_attribute_hazards(spark):
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    rows = (
+        QUERIES["html_meta_og"](spark, "/root/testdata/sf0.001")
+        .where("doc_id = 1").collect()
+    )
+    by_prop = {r.property: r.content for r in rows}
+    # the og:type content carries a literal '>' INSIDE its quotes — a
+    # naive [^>]* tag scan truncates there; quote-aware TAG_BODY survives
+    assert by_prop["og:type"] == "a > b"
+    assert by_prop["og:description"].endswith("& more")  # entity decoded
+    assert "og:image" in by_prop  # odd id
+    assert len(by_prop) == 4  # charset meta (no property) excluded
