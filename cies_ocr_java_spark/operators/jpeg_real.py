@@ -467,6 +467,234 @@ def extract_jpeg_features(df: DataFrame, content_col: str = "content",
     )
 
 
+# ---------------------------------------------------------------------
+# EXIF — the metadata sidecar every real camera JPEG carries: an APP1
+# segment whose body is "Exif\0\0" followed by a COMPLETE EMBEDDED TIFF
+# (endian-aware header + IFD chain, offsets relative to the TIFF start,
+# EXIF 2.3 / CIPA DC-008 §4.5). The walker below shares the baseline-TIFF
+# discipline of multimodal.decode_tiff (trust offsets, bounds-verify every
+# read) and adds the ASCII value type the pixel codec never needed.
+# ---------------------------------------------------------------------
+
+_EXIF_ASCII, _EXIF_SHORT, _EXIF_LONG = 2, 3, 4
+_TAG_ORIENTATION = 274
+_TAG_DATETIME = 306
+_TAG_EXIF_IFD = 34665
+_TAG_PIXEL_X = 40962
+_TAG_PIXEL_Y = 40963
+
+
+def _exif_entry(e: str, tag: int, typ: int, vals, data_off: int):
+    """One 12-byte IFD entry. Returns (entry_bytes, deferred_bytes):
+    values that fit 4 bytes are inline; otherwise the value field is the
+    absolute TIFF-relative offset ``data_off`` and the caller appends
+    ``deferred_bytes`` there."""
+    if typ == _EXIF_ASCII:
+        raw = vals  # bytes, NUL-terminated by the caller
+        cnt = len(raw)
+    else:
+        fmt = "H" if typ == _EXIF_SHORT else "I"
+        raw = b"".join(struct.pack(e + fmt, v) for v in vals)
+        cnt = len(vals)
+    head = struct.pack(e + "HHI", tag, typ, cnt)
+    if len(raw) <= 4:
+        return head + raw + b"\x00" * (4 - len(raw)), b""
+    return head + struct.pack(e + "I", data_off), raw
+
+
+def build_exif_app1(orientation: int, datetime_str: str,
+                    pixel_x: int, pixel_y: int,
+                    big_endian: bool = False) -> bytes:
+    """Emit a real APP1 EXIF segment: embedded TIFF with IFD0
+    (Orientation SHORT, DateTime ASCII out-of-line, ExifIFDPointer LONG)
+    chaining to the Exif sub-IFD (PixelXDimension / PixelYDimension).
+    ``datetime_str`` must be the spec's exactly-19-char
+    'YYYY:MM:DD HH:MM:SS' form."""
+    if not (1 <= orientation <= 8):
+        raise ValueError("exif orientation out of range")
+    if len(datetime_str) != 19:
+        raise ValueError("exif datetime must be 19 chars")
+    e = ">" if big_endian else "<"
+    dt_raw = datetime_str.encode("ascii") + b"\x00"  # count 20 -> deferred
+    # fixed layout, offsets relative to the TIFF header start:
+    # 0 header(8) | 8 IFD0: 2 + 3*12 + 4 = 42 | 50 dt string(20) | 70 sub-IFD
+    ifd0_at, dt_at, sub_at = 8, 50, 70
+    tiff = bytearray(
+        struct.pack(e + "2sHI", b"MM" if big_endian else b"II", 42, ifd0_at)
+    )
+    entries0 = [
+        _exif_entry(e, _TAG_ORIENTATION, _EXIF_SHORT, [orientation], 0),
+        _exif_entry(e, _TAG_DATETIME, _EXIF_ASCII, dt_raw, dt_at),
+        _exif_entry(e, _TAG_EXIF_IFD, _EXIF_LONG, [sub_at], 0),
+    ]
+    tiff += struct.pack(e + "H", len(entries0))
+    for ent, _ in entries0:
+        tiff += ent
+    tiff += b"\x00\x00\x00\x00"  # next IFD: none
+    assert len(tiff) == dt_at
+    tiff += dt_raw
+    assert len(tiff) == sub_at
+    sub = [
+        _exif_entry(e, _TAG_PIXEL_X, _EXIF_LONG, [pixel_x], 0),
+        _exif_entry(e, _TAG_PIXEL_Y, _EXIF_LONG, [pixel_y], 0),
+    ]
+    tiff += struct.pack(e + "H", len(sub))
+    for ent, _ in sub:
+        tiff += ent
+    tiff += b"\x00\x00\x00\x00"
+    return _seg(0xE1, b"Exif\x00\x00" + bytes(tiff))
+
+
+def build_jpeg_exif(width: int, height: int, value: int, orientation: int,
+                    datetime_str: str, big_endian: bool = False) -> bytes:
+    """A real decodable JPEG carrying a real EXIF APP1: the segment is
+    spliced right after SOI (where cameras put it), so decode_jpeg still
+    round-trips the pixels exactly — the two decoders cross-check."""
+    base = build_jpeg(width, height, value)
+    app1 = build_exif_app1(
+        orientation, datetime_str, width, height, big_endian=big_endian
+    )
+    return base[:2] + app1 + base[2:]
+
+
+def _exif_read_ifd(t: bytes, e: str, off: int):
+    """Typed read of one EXIF IFD at TIFF-relative ``off``. Returns
+    (tags, error): tags maps tag id -> int (SHORT/LONG first value) or
+    str (ASCII, NUL-stripped); unknown value types are skipped."""
+    if off + 2 > len(t):
+        return None, "exif ifd out of bounds"
+    (n_ent,) = struct.unpack_from(e + "H", t, off)
+    end = off + 2 + 12 * n_ent + 4
+    if end > len(t):
+        return None, "exif ifd out of bounds"
+    tags: dict[int, object] = {}
+    for k in range(n_ent):
+        at = off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from(e + "HHI", t, at)
+        size = {_EXIF_ASCII: 1, _EXIF_SHORT: 2, _EXIF_LONG: 4}.get(typ)
+        if size is None:
+            continue
+        nbytes = cnt * size
+        if nbytes <= 4:
+            vat = at + 8
+        else:
+            (vat,) = struct.unpack_from(e + "I", t, at + 8)
+            if vat + nbytes > len(t):
+                return None, "exif tag array out of bounds"
+        if typ == _EXIF_ASCII:
+            tags[tag] = t[vat:vat + cnt].split(b"\x00")[0].decode(
+                "ascii", "replace"
+            )
+        elif cnt >= 1:
+            fmt = "H" if typ == _EXIF_SHORT else "I"
+            tags[tag] = struct.unpack_from(e + fmt, t, vat)[0]
+    return tags, None
+
+
+_EXIF_NONE = {
+    "orientation": None, "exif_datetime": None,
+    "pixel_x": None, "pixel_y": None,
+}
+
+
+def decode_exif(data: bytes | None) -> dict:
+    """Walk the JPEG marker stream for an APP1 EXIF segment and parse its
+    embedded TIFF: IFD0 tags + the Exif sub-IFD behind the 34665 pointer.
+    Returns {orientation, exif_datetime, pixel_x, pixel_y, error}; every
+    malformed payload is an error row, never an exception (the MediaCodec
+    degradation contract). Missing individual tags are nulls, not errors."""
+    if data is None or len(data) < 4:
+        return {**_EXIF_NONE, "error": "short or missing payload"}
+    data = bytes(data)
+    if data[:2] != b"\xff\xd8":
+        return {**_EXIF_NONE, "error": "bad jpeg signature"}
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return {**_EXIF_NONE, "error": "marker sync lost"}
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / entropy data follows: stop
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return {**_EXIF_NONE, "error": "truncated segment"}
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            return _decode_exif_tiff(body[6:])
+        pos += 2 + seglen
+    return {**_EXIF_NONE, "error": "no exif segment"}
+
+
+def _decode_exif_tiff(t: bytes) -> dict:
+    if len(t) < 8:
+        return {**_EXIF_NONE, "error": "bad exif tiff header"}
+    if t[:2] == b"II":
+        e = "<"
+    elif t[:2] == b"MM":
+        e = ">"
+    else:
+        return {**_EXIF_NONE, "error": "bad exif tiff header"}
+    ver, ifd0 = struct.unpack_from(e + "HI", t, 2)
+    if ver != 42:
+        return {**_EXIF_NONE, "error": "bad exif tiff header"}
+    tags, err = _exif_read_ifd(t, e, ifd0)
+    if err:
+        return {**_EXIF_NONE, "error": err}
+    out = dict(_EXIF_NONE)
+    ori = tags.get(_TAG_ORIENTATION)
+    out["orientation"] = ori if isinstance(ori, int) else None
+    dt = tags.get(_TAG_DATETIME)
+    out["exif_datetime"] = dt if isinstance(dt, str) else None
+    sub_off = tags.get(_TAG_EXIF_IFD)
+    if isinstance(sub_off, int):
+        sub, err = _exif_read_ifd(t, e, sub_off)
+        if err:
+            return {**_EXIF_NONE, "error": err}
+        px, py = sub.get(_TAG_PIXEL_X), sub.get(_TAG_PIXEL_Y)
+        out["pixel_x"] = px if isinstance(px, int) else None
+        out["pixel_y"] = py if isinstance(py, int) else None
+    return {**out, "error": None}
+
+
+EXIF_SCHEMA = (
+    "doc_id long, orientation int, exif_datetime string, pixel_x int, "
+    "pixel_y int, width int, error string"
+)
+
+
+def extract_exif_metadata(df: DataFrame, content_col: str = "content",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, content:binary) -> EXIF metadata rows + the pixel decoder's
+    width as a cross-check that the APP1 splice leaves the image
+    decodable. One Arrow-batched mapInPandas pass, no shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_exif(b) for b in pdf[content_col]]
+            pix = [decode_jpeg(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "orientation": pd.array(
+                        [r["orientation"] for r in rows], dtype="Int32"
+                    ),
+                    "exif_datetime": [r["exif_datetime"] for r in rows],
+                    "pixel_x": pd.array(
+                        [r["pixel_x"] for r in rows], dtype="Int32"
+                    ),
+                    "pixel_y": pd.array(
+                        [r["pixel_y"] for r in rows], dtype="Int32"
+                    ),
+                    "width": pd.array(
+                        [p["width"] for p in pix], dtype="Int32"
+                    ),
+                    "error": [r["error"] for r in rows],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(op, EXIF_SCHEMA)
+
+
 # register on import (multimodal's dispatch imports this module lazily)
 from cies_ocr_java_spark.operators.multimodal import register_codec  # noqa: E402
 

@@ -2780,6 +2780,87 @@ def media_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_exif_metadata",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS INT) AS xd,
+             CAST(1 + doc_id % 8 AS INT) AS ori,
+             printf('2023:01:%02d %02d:%02d:00',
+                    1 + CAST(doc_id % 28 AS INT),
+                    CAST(doc_id % 24 AS INT),
+                    CAST(doc_id % 60 AS INT)) AS dt,
+             doc_id % 5 = 0 AS noex,
+             doc_id % 37 = 0 AND doc_id % 5 <> 0 AS trunc
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN noex OR trunc THEN NULL ELSE ori END AS orientation,
+           CASE WHEN noex OR trunc THEN NULL ELSE dt END AS exif_datetime,
+           CASE WHEN noex OR trunc THEN NULL ELSE xd END AS pixel_x,
+           CASE WHEN noex OR trunc THEN NULL
+                ELSE CAST(8 + doc_id % 7 AS INT) END AS pixel_y,
+           CASE WHEN trunc THEN NULL ELSE xd END AS width,
+           CASE WHEN trunc THEN 'truncated segment'
+                WHEN noex THEN 'no exif segment'
+                ELSE NULL END AS error
+    FROM base
+    """,
+)
+def media_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF METADATA extraction — the metadata sidecar of every camera
+    JPEG, and the codec suite's NESTED-CONTAINER case: an APP1 marker
+    segment whose body is a complete embedded TIFF (EXIF 2.3 / CIPA
+    DC-008 §4.5), walked with the same trust-offsets/bounds-verify
+    discipline as media_tiff_decode plus the ASCII value type. Each doc
+    gets a genuine decodable JPEG with the APP1 spliced after SOI
+    (odd ids little-endian, even big-endian); the Exif sub-IFD behind
+    the 34665 pointer carries PixelX/YDimension. id%5 docs have NO
+    EXIF (metadata nulls + 'no exif segment', pixels still decode —
+    the `width` cross-check column comes from the PIXEL decoder, so
+    the row proves the splice didn't corrupt the image); id%37 docs
+    are cut mid-APP1 and fail BOTH decoders whole. Oracle =
+    closed-form expectations from the id arithmetic. PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle; dims bounded."""
+    from cies_ocr_java_spark.operators.jpeg_real import (
+        build_jpeg,
+        build_jpeg_exif,
+        extract_exif_metadata,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, v = 8 + i % 9, 8 + i % 7, i % 251
+                if i % 5 == 0:
+                    b = build_jpeg(w, h, v)
+                else:
+                    dt = "2023:01:%02d %02d:%02d:00" % (
+                        1 + i % 28, i % 24, i % 60
+                    )
+                    b = build_jpeg_exif(
+                        w, h, v, 1 + i % 8, dt, big_endian=(i % 2 == 0)
+                    )
+                    if i % 37 == 0:
+                        b = b[:40]  # mid-APP1 cut: both decoders fail
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_exif_metadata(media)
+
+
+@_register(
     "extract_pdf_pagetree",
     """
     WITH base AS (

@@ -182,3 +182,78 @@ def test_spark_jpeg_feature_extraction_and_dispatch(spark):
     )
     row = extract_media_dispatch(d2).collect()[0]
     assert row["format"] == "jpeg" and row["ink_sum"] == 5 * 4 * 20
+
+
+# ----------------------------------------------------------------- EXIF
+
+def test_exif_round_trip_both_endians():
+    from cies_ocr_java_spark.operators.jpeg_real import (
+        build_jpeg_exif, decode_exif,
+    )
+
+    for be in (False, True):
+        b = build_jpeg_exif(10, 7, 50, 6, "2023:01:05 14:30:00",
+                            big_endian=be)
+        assert decode_exif(b) == {
+            "orientation": 6,
+            "exif_datetime": "2023:01:05 14:30:00",
+            "pixel_x": 10, "pixel_y": 7, "error": None,
+        }
+        # the APP1 splice must leave the pixel stream exactly decodable
+        assert decode_jpeg(b) == {
+            "width": 10, "height": 7, "ink_sum": 10 * 7 * 50,
+            "error": None,
+        }
+
+
+def test_exif_absent_and_failure_contract():
+    from cies_ocr_java_spark.operators.jpeg_real import (
+        build_jpeg_exif, decode_exif,
+    )
+
+    assert decode_exif(build_jpeg(4, 4, 9))["error"] == "no exif segment"
+    assert decode_exif(None)["error"] == "short or missing payload"
+    assert decode_exif(b"\x00\x01\x02\x03")["error"] == "bad jpeg signature"
+    b = build_jpeg_exif(10, 7, 50, 1, "2023:01:05 14:30:00")
+    assert decode_exif(b[:40])["error"] == "truncated segment"
+    # corrupt the embedded TIFF magic only -> header error, not a crash
+    m = bytearray(b)
+    at = b.index(b"Exif\x00\x00") + 6
+    m[at:at + 2] = b"XX"
+    assert decode_exif(bytes(m))["error"] == "bad exif tiff header"
+
+
+def test_exif_out_of_bounds_pointers_are_errors():
+    """Hostile offsets: the DateTime out-of-line pointer and the Exif
+    sub-IFD pointer both get bounds-verified, never chased blindly."""
+    from cies_ocr_java_spark.operators.jpeg_real import (
+        build_exif_app1, decode_exif,
+    )
+
+    app1 = build_exif_app1(3, "2020:06:01 00:00:00", 5, 5)
+    full = b"\xff\xd8" + app1 + b"\xff\xd9"
+    tiff_at = full.index(b"Exif\x00\x00") + 6
+    # IFD0 entry 1 (DateTime) value field = tiff_at + 8 (hdr) + 2 (count)
+    # + 12 (entry 0) + 8 -> point it past the end
+    m = bytearray(full)
+    struct.pack_into("<I", m, tiff_at + 8 + 2 + 12 + 8, 10_000)
+    assert decode_exif(bytes(m))["error"] == "exif tag array out of bounds"
+    m = bytearray(full)
+    struct.pack_into("<I", m, tiff_at + 8 + 2 + 24 + 8, 10_000)
+    assert decode_exif(bytes(m))["error"] == "exif ifd out of bounds"
+
+
+def test_exif_fuzz_never_raises():
+    from cies_ocr_java_spark.operators.jpeg_real import (
+        build_jpeg_exif, decode_exif,
+    )
+
+    rng = random.Random(11)
+    base = bytearray(build_jpeg_exif(9, 9, 3, 3, "2021:12:31 23:59:59",
+                                     big_endian=True))
+    for _ in range(400):
+        m = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        decode_exif(bytes(m))
+        decode_exif(bytes(m[:rng.randrange(len(m))]))
