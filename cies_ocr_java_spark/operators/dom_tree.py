@@ -858,3 +858,270 @@ def extract_feed_items(df: DataFrame, payload,
         "link",
         "guid",
     )
+
+
+# type attribute marking a JSON-LD script block (both quote styles; the
+# MIME is matched case-insensitively like a browser does).
+_LDJSON_TYPE = r"""(?i)type\s*=\s*("application/ld\+json"|'application/ld\+json')"""
+
+
+def extract_jsonld(df: DataFrame, payload,
+                   doc_col: str = "doc_id") -> DataFrame:
+    """Extract the RAW text of every ``<script type="application/ld+json">``
+    block into (doc_id, block_idx, raw_json) — the schema.org structured
+    data that rides most commercial pages, and the one HTML region where
+    the usual text rules INVERT: script content is raw character data, so
+    entity references must NOT be decoded (``&amp;`` stays five chars) and
+    JSON's own ``\\u003c`` escapes are the author's way of keeping ``<``
+    out of the markup (the parser downstream decodes them, not the DOM).
+
+    Distributed formulation: a text token belongs to block k iff the most
+    recent script-boundary tag before it is the k-th ld+json OPEN (one
+    ``F.last(ignorenulls)`` + one running count over the same
+    doc-partitioned window — non-ld scripts write a 0 marker, so their
+    bodies are excluded without a second pass). Block text = pos-ordered
+    raw concat, trimmed only. Zero Python; ONE doc-hash exchange.
+
+    Reference parity: none (Textract never sees markup; a web-crawl
+    extraction tier lives on structured data). Malformed JSON is the
+    CONSUMER's problem by design — this operator reproduces bytes."""
+    toks = dom_tokens(df, payload, doc_col)
+    name = F.when(
+        F.col("is_tag"),
+        F.lower(F.regexp_extract("raw", TAG_NAME_PATTERN, 1)),
+    ).otherwise(F.lit(""))
+    t = toks.withColumn("_name", name)
+    is_ld_open = (
+        F.col("is_tag")
+        & (F.col("_name") == "script")
+        & ~F.col("raw").startswith("</")
+        & F.col("raw").rlike(_LDJSON_TYPE)
+    )
+    is_script_edge = F.col("is_tag") & (F.col("_name") == "script")
+    # marker: 1 = ld+json open, 0 = any other script open/close; null else
+    t = t.withColumn(
+        "_m",
+        F.when(is_ld_open, F.lit(1))
+        .when(is_script_edge, F.lit(0))
+        .otherwise(F.lit(None).cast("int")),
+    ).withColumn("_o", F.when(is_ld_open, 1).otherwise(0))
+    wb = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ann = t.select(
+        "doc_id",
+        "pos",
+        "is_tag",
+        "raw",
+        (F.last("_m", ignorenulls=True).over(wb) == 1).alias("in_ld"),
+        F.coalesce(F.sum("_o").over(wb), F.lit(0)).cast("int").alias("blk"),
+    )
+    return (
+        ann.where(~F.col("is_tag") & F.col("in_ld"))
+        .groupBy("doc_id", "blk")
+        .agg(
+            F.trim(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "raw"))
+                        ),
+                        lambda s: s["raw"],
+                    ),
+                    "",
+                )
+            ).alias("raw_json")
+        )
+        .select(
+            "doc_id",
+            (F.col("blk") - 1).cast("int").alias("block_idx"),
+            "raw_json",
+        )
+    )
+
+
+def _attr_value(name: str) -> Column:
+    """Attribute value of a tag token, both quote styles, PRESENCE-based
+    (an empty value is a value; absent attribute is null) — the
+    html_meta_og rule, shared by the srcset extractor."""
+    return (
+        F.when(
+            F.col("raw").rlike(name + r'\s*=\s*"'),
+            F.regexp_extract("raw", name + r'\s*=\s*"([^"]*)"', 1),
+        )
+        .when(
+            F.col("raw").rlike(name + r"\s*=\s*'"),
+            F.regexp_extract("raw", name + r"\s*=\s*'([^']*)'", 1),
+        )
+    )
+
+
+def extract_srcset(df: DataFrame, payload,
+                   doc_col: str = "doc_id") -> DataFrame:
+    """Parse responsive-image ``srcset`` attributes into one row per
+    candidate: (doc_id, img_idx, cand_idx, url, width_w, density_x) —
+    the HTML §4.8.4.3 image-candidate grammar (comma-separated, each
+    candidate a URL plus an optional ``<int>w`` width or ``<float>x``
+    density descriptor; a bare URL means 1x). img ordinal = running
+    count of ``<img>`` tags CARRYING a srcset, in token order, so docs
+    mixing plain and responsive imgs index densely. All codegen: one
+    split-on-comma + transform + posexplode; ONE doc-hash exchange for
+    the ordinal window, no Python, no join.
+
+    Reference parity: none (beyond-reference crawl operator) — at
+    extraction scale srcset is where the HIGH-RES variant of every
+    content image hides, and a media-span table keyed only on ``src``
+    systematically picks the low-res fallback."""
+    toks = dom_tokens(df, payload, doc_col)
+    name = F.when(
+        F.col("is_tag"),
+        F.lower(F.regexp_extract("raw", TAG_NAME_PATTERN, 1)),
+    ).otherwise(F.lit(""))
+    imgs = toks.withColumn("_name", name).where(
+        F.col("is_tag") & (F.col("_name") == "img")
+        & _attr_value("srcset").isNotNull()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    imgs = imgs.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("int").alias("img_idx"),
+        _attr_value("srcset").alias("_srcset"),
+    )
+    cands = F.filter(
+        F.transform(
+            F.split(F.col("_srcset"), ","),
+            lambda c: F.trim(F.regexp_replace(c, WS_RUN, " ")),
+        ),
+        lambda c: F.length(c) > 0,
+    )
+    ex = imgs.select(
+        "doc_id",
+        "img_idx",
+        F.posexplode(cands).alias("cand_idx", "cand"),
+    )
+    parts = F.split(F.col("cand"), " ")
+    url = parts.getItem(0)
+    desc = F.when(F.size(parts) > 1, parts.getItem(1))
+    return ex.select(
+        "doc_id",
+        "img_idx",
+        F.col("cand_idx").cast("int").alias("cand_idx"),
+        url.alias("url"),
+        F.when(
+            desc.rlike(r"^\d+w$"),
+            F.regexp_extract(desc, r"^(\d+)w$", 1).cast("int"),
+        ).alias("width_w"),
+        F.when(
+            desc.rlike(r"^\d+(\.\d+)?x$"),
+            F.regexp_extract(desc, r"^(\d+(\.\d+)?)x$", 1).cast("double"),
+        )
+        .when(desc.isNull(), F.lit(1.0))
+        .alias("density_x"),
+    )
+
+
+def extract_sitemap(df: DataFrame, payload,
+                    doc_col: str = "doc_id") -> DataFrame:
+    """Parse sitemap XML (sitemaps.org protocol) into one row per entry:
+    (doc_id, entry_idx, loc, lastmod, priority, is_index). Handles BOTH
+    document kinds — ``<urlset>`` of ``<url>`` entries and
+    ``<sitemapindex>`` of ``<sitemap>`` entries (the recursion node of
+    the protocol; is_index marks it so a crawl frontier can re-enqueue
+    rather than fetch). Same counter machinery as extract_feed_items:
+    entry ordinal = running count of url/sitemap opens, field text =
+    pos-ordered concat while the field counter is positive, entity-
+    decoded once (``&amp;`` in a loc is the ONE entity the protocol
+    requires escaping). lastmod/priority stay strings here — the typed
+    casts (date → unix micros, priority → decimal) are query-side so
+    the operator is schema-stable across partial entries (absent fields
+    → empty string → null in the query). One doc-partitioned window,
+    zero Python. Reference parity: none (crawl-frontier operator)."""
+    toks = dom_tokens(df, payload, doc_col)
+    name = F.when(
+        F.col("is_tag"),
+        F.lower(F.regexp_extract("raw", TAG_NAME_PATTERN, 1)),
+    ).otherwise(F.lit(""))
+    t = toks.withColumn("_name", name)
+    is_open = F.col("is_tag") & ~F.col("raw").startswith("</") & ~F.col(
+        "raw"
+    ).endswith("/>")
+    is_close = F.col("is_tag") & F.col("raw").startswith("</")
+
+    def delta(tags: tuple):
+        return (
+            F.when(is_open & F.col("_name").isin(*tags), 1)
+            .when(is_close & F.col("_name").isin(*tags), -1)
+            .otherwise(0)
+        )
+
+    t = (
+        t.withColumn(
+            "_e_o",
+            F.when(is_open & F.col("_name").isin("url", "sitemap"), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "_ix_o",
+            F.when(is_open & (F.col("_name") == "sitemap"), 1).otherwise(0),
+        )
+        .withColumn("_en", delta(("url", "sitemap")))
+        .withColumn("_lo", delta(("loc",)))
+        .withColumn("_lm", delta(("lastmod",)))
+        .withColumn("_pr", delta(("priority",)))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ann = t.select(
+        "doc_id",
+        "pos",
+        "is_tag",
+        "raw",
+        F.sum("_e_o").over(w).cast("int").alias("entry_ord"),
+        (F.sum("_ix_o").over(w) > 0).alias("is_index"),
+        (F.sum("_en").over(w) > 0).alias("in_entry"),
+        (F.sum("_lo").over(w) > 0).alias("in_loc"),
+        (F.sum("_lm").over(w) > 0).alias("in_lastmod"),
+        (F.sum("_pr").over(w) > 0).alias("in_priority"),
+    )
+
+    def field(flag: str):
+        return visible_text_col(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_tag") & F.col(flag),
+                                F.struct("pos", "raw"),
+                            )
+                        )
+                    ),
+                    lambda s: s["raw"],
+                ),
+                "",
+            )
+        )
+
+    entries = (
+        ann.where(F.col("in_entry") & (F.col("entry_ord") > 0))
+        .groupBy("doc_id", "entry_ord")
+        .agg(
+            field("in_loc").alias("loc"),
+            field("in_lastmod").alias("lastmod"),
+            field("in_priority").alias("priority"),
+            F.max("is_index").alias("is_index"),
+        )
+    )
+    return entries.select(
+        "doc_id",
+        (F.col("entry_ord") - 1).cast("int").alias("entry_idx"),
+        "loc",
+        F.nullif(F.col("lastmod"), F.lit("")).alias("lastmod"),
+        F.nullif(F.col("priority"), F.lit("")).alias("priority"),
+        "is_index",
+    )

@@ -22032,3 +22032,318 @@ def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("pieces_per_word"),
     )
+
+
+# =========================================================================
+# Round-3 session-4: structured-data / crawl-markup extraction family
+# (JSON-LD, srcset, sitemaps) + URL resolution + PDF annotations
+# =========================================================================
+
+
+@_register(
+    "html_jsonld_extract",
+    f"""
+    WITH nn AS (SELECT doc_id, {_norm_sql('text')} AS n FROM documents),
+    n0 AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(substr(n, 1, 16),
+                  '[^A-Za-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')) AS clean,
+             doc_id % 13 = 0 AS corrupt,
+             doc_id % 2 = 1 AS has_bc,
+             CAST(doc_id % 997 AS INT) AS wc
+      FROM nn)
+    SELECT doc_id, 0 AS block_idx,
+           CASE WHEN corrupt THEN NULL ELSE 'Article' END AS ld_type,
+           CASE WHEN corrupt THEN NULL ELSE clean || ' &amp; co' END
+             AS headline,
+           CASE WHEN corrupt THEN NULL ELSE 'x <b> y' END AS description,
+           CASE WHEN corrupt THEN NULL ELSE wc END AS word_count,
+           CAST(NULL AS INT) AS n_items,
+           NOT corrupt AS parse_ok
+    FROM n0
+    UNION ALL
+    SELECT doc_id, 1, 'BreadcrumbList', NULL, NULL, NULL,
+           CAST(1 + doc_id % 4 AS INT), TRUE
+    FROM n0 WHERE has_bc
+    """,
+)
+def html_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD STRUCTURED-DATA extraction — the schema.org sidecar on
+    most commercial pages, and the one HTML region where the text rules
+    INVERT: script content is raw character data, so ``&amp;`` must NOT
+    entity-decode (it survives five-chars into the parsed headline) and
+    ``<`` is kept out of the markup by the JSON ``\\u003c`` escape,
+    which the JSON parser (not the DOM) decodes — both hazards pinned
+    by construction. Each page carries an Article block (id%13 docs
+    corrupted by dropping the opening brace — from_json yields all-null
+    fields, parse_ok false), a NON-ld ``<script>`` whose body must leak
+    into no block, and (odd ids) a single-quoted-type BreadcrumbList
+    block whose itemListElement count is the extracted value. PLAN:
+    codegen synthesis + tokenize (dom_tree.extract_jsonld: one
+    F.last(ignorenulls) marker + running open count on ONE doc-hash
+    window) + JVM-side from_json; zero Python. Reference parity: none
+    (Textract is pixels; a crawl extraction tier lives on this)."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from cies_ocr_java_spark.operators.dom_tree import extract_jsonld
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n = normalize_ws(F.col("text"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                n.substr(F.lit(1), F.lit(16)), "[^A-Za-z0-9 ]", ""
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    wc = (F.col("doc_id") % 997).cast("int")
+    b0_body = F.concat(
+        F.lit('"@context":"https://schema.org","@type":"Article",'
+              '"headline":"'),
+        clean,
+        F.lit(' &amp; co","description":"x \\u003cb\\u003e y",'
+              '"wordCount":'),
+        wc.cast("string"),
+        F.lit("}"),
+    )
+    b0 = F.when(F.col("doc_id") % 13 == 0, b0_body).otherwise(
+        F.concat(F.lit("{"), b0_body)
+    )
+    k_items = (F.lit(1) + F.col("doc_id") % 4).cast("int")
+    b1 = F.concat(
+        F.lit('{"@type":"BreadcrumbList","itemListElement":['),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), k_items),
+                lambda i: F.concat(
+                    F.lit('{"position":'), i.cast("string"), F.lit("}")
+                ),
+            ),
+            ",",
+        ),
+        F.lit("]}"),
+    )
+    page = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        b0,
+        F.lit("</script><script>var x = 1 - 2; NOTJSON</script>"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit("<script type='application/ld+json'>"),
+                b1,
+                F.lit("</script>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>stub</p></body></html>"),
+    )
+    src = d.select("doc_id", page.alias("page"))
+    schema = StructType([
+        StructField("@type", StringType()),
+        StructField("headline", StringType()),
+        StructField("description", StringType()),
+        StructField("wordCount", IntegerType()),
+        StructField(
+            "itemListElement",
+            ArrayType(StructType([StructField("position", IntegerType())])),
+        ),
+    ])
+    j = extract_jsonld(src, F.col("page"))
+    p = F.from_json(F.col("raw_json"), schema)
+    return j.select(
+        "doc_id",
+        "block_idx",
+        p.getField("@type").alias("ld_type"),
+        p.getField("headline").alias("headline"),
+        p.getField("description").alias("description"),
+        p.getField("wordCount").cast("int").alias("word_count"),
+        F.size(p.getField("itemListElement")).cast("int").alias("n_items"),
+        p.getField("@type").isNotNull().alias("parse_ok"),
+    )
+
+
+@_register(
+    "html_srcset_parse",
+    """
+    WITH n0 AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+             CAST(800 + doc_id % 5 AS INT) AS w,
+             doc_id % 2 = 1 AS two
+      FROM documents)
+    SELECT doc_id, 0 AS img_idx, 0 AS cand_idx,
+           'a' || did || '-s.jpg' AS url,
+           480 AS width_w, CAST(NULL AS DOUBLE) AS density_x FROM n0
+    UNION ALL
+    SELECT doc_id, 0, 1, 'a' || did || '-l.jpg', w, NULL FROM n0
+    UNION ALL
+    SELECT doc_id, 1, 0, 'b' || did || '.jpg', NULL, 2.0 FROM n0 WHERE two
+    UNION ALL
+    SELECT doc_id, 1, 1, 'b' || did || '-lo.jpg', NULL, 1.0 FROM n0 WHERE two
+    """,
+)
+def html_srcset_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESPONSIVE-IMAGE srcset parsing (HTML §4.8.4.3 image-candidate
+    grammar) — at extraction scale the HIGH-RES variant of every content
+    image hides in srcset, and a media-span table keyed only on ``src``
+    systematically picks the low-res fallback. Each page carries a plain
+    img (no srcset — must not consume an ordinal), a double-quoted
+    srcset with width descriptors and hostile whitespace (double space,
+    no space after comma), and (odd ids) a single-quoted srcset mixing a
+    density descriptor with a BARE url (defaults 1x). PLAN: tokenize +
+    split/transform/posexplode, all codegen; ONE doc-hash exchange for
+    the img ordinal; zero Python, no join. Reference parity: none
+    (beyond-reference crawl operator)."""
+    from cies_ocr_java_spark.operators.dom_tree import extract_srcset
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    did = F.col("doc_id").cast("string")
+    w = (F.lit(800) + F.col("doc_id") % 5).cast("int")
+    page = F.concat(
+        F.lit('<html><body><img src="plain.jpg"><img srcset="a'),
+        did,
+        F.lit('-s.jpg  480w,a'),
+        did,
+        F.lit("-l.jpg "),
+        w.cast("string"),
+        F.lit('w" src="a'),
+        did,
+        F.lit('-s.jpg">'),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit("<img srcset='b"),
+                did,
+                F.lit(".jpg 2x , b"),
+                did,
+                F.lit("-lo.jpg'>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    src = d.select("doc_id", page.alias("page"))
+    return extract_srcset(src, F.col("page"))
+
+
+@_register(
+    "sitemap_entries_extract",
+    """
+    WITH n0 AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+             CAST(2 + doc_id % 3 AS INT) AS k,
+             doc_id % 2 = 1 AS ix
+      FROM documents),
+    ents AS (
+      SELECT doc_id, did, ix, CAST(j AS INT) AS j
+      FROM (SELECT doc_id, did, ix,
+                   unnest(range(0, CASE WHEN ix THEN 2 ELSE k END)) AS j
+            FROM n0))
+    SELECT doc_id, j AS entry_idx,
+           CASE WHEN ix
+                THEN 'https://ex.test/' || did || '/sitemap'
+                     || CAST(j AS VARCHAR) || '.xml'
+                ELSE 'https://ex.test/' || did || '/p'
+                     || CAST(j AS VARCHAR) || '?a=1&b=2' END AS loc,
+           CASE WHEN ix THEN epoch_us(CAST(printf('2024-01-%02d', 1 + j)
+                                            AS TIMESTAMP))
+                WHEN j % 3 < 2 THEN epoch_us(CAST(
+                     printf('2023-%02d-%02d', 1 + j % 12, 10 + j % 17)
+                     AS TIMESTAMP))
+                ELSE NULL END AS lastmod_us,
+           CASE WHEN NOT ix AND j % 2 = 0
+                THEN CAST('0.' || CAST((j * 3) % 10 AS VARCHAR) AS DOUBLE)
+                ELSE NULL END AS priority,
+           ix AS is_index
+    FROM ents
+    """,
+)
+def sitemap_entries_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SITEMAP extraction (sitemaps.org protocol) — the crawl frontier's
+    OTHER structured markup: even-id docs are ``<urlset>`` files
+    (2+id%3 ``<url>`` entries; loc carries the protocol's one mandated
+    entity escape ``&amp;`` which MUST decode; lastmod/priority are
+    OPTIONAL per entry — absence is null, never ''), odd-id docs are
+    ``<sitemapindex>`` files (2 ``<sitemap>`` entries, is_index=true —
+    the protocol's recursion node, re-enqueued not fetched). Typed
+    casts are query-side: lastmod → unix micros via the shared
+    cast-timestamp rule, priority → double by parsing the SAME decimal
+    string in both engines. PLAN: codegen synthesis + tokenize + ONE
+    doc-hash window (dom_tree.extract_sitemap); zero Python. Reference
+    parity: none (crawl-frontier operator)."""
+    from cies_ocr_java_spark.operators.dom_tree import extract_sitemap
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    did = F.col("doc_id").cast("string")
+    k = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    ix = F.col("doc_id") % 2 == 1
+
+    def url_entry(j):
+        lastmod = F.when(
+            j % 3 < 2,
+            F.concat(
+                F.lit("<lastmod>"),
+                F.format_string(
+                    "2023-%02d-%02d", (j % 12 + 1).cast("int"),
+                    (j % 17 + 10).cast("int"),
+                ),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit(""))
+        prio = F.when(
+            j % 2 == 0,
+            F.concat(
+                F.lit("<priority>0."),
+                ((j * 3) % 10).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit("<url><loc>https://ex.test/"), did, F.lit("/p"),
+            j.cast("string"), F.lit("?a=1&amp;b=2</loc>"),
+            lastmod, prio, F.lit("</url>"),
+        )
+
+    def idx_entry(j):
+        return F.concat(
+            F.lit("<sitemap><loc>https://ex.test/"), did,
+            F.lit("/sitemap"), j.cast("string"), F.lit(".xml</loc>"),
+            F.lit("<lastmod>2024-01-0"), (j + 1).cast("string"),
+            F.lit("</lastmod></sitemap>"),
+        )
+
+    body = F.when(
+        ix,
+        F.concat(
+            F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas'
+                  '/sitemap/0.9">'),
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), F.lit(1)), idx_entry), ""
+            ),
+            F.lit("</sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas'
+                  '/sitemap/0.9">'),
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), k - 1), url_entry), ""
+            ),
+            F.lit("</urlset>"),
+        )
+    )
+    page = F.concat(F.lit('<?xml version="1.0" encoding="UTF-8"?>'), body)
+    src = d.select("doc_id", page.alias("page"))
+    ents = extract_sitemap(src, F.col("page"))
+    return ents.select(
+        "doc_id",
+        F.col("entry_idx"),
+        "loc",
+        F.unix_micros(F.col("lastmod").cast("timestamp")).alias(
+            "lastmod_us"
+        ),
+        F.col("priority").cast("double").alias("priority"),
+        "is_index",
+    )
