@@ -111,3 +111,76 @@ def host_suffixes(host: Column) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# RFC 3986 scheme prefix: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":"
+_SCHEME_PREFIX = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"
+
+
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over a path column, as ONE codegen fold: split on
+    '/', aggregate with an array accumulator ('.' skips, '..' pops —
+    never past the leading rooted segment), re-join. A trailing '/.'
+    or '/..' keeps the trailing slash per the RFC's output table; a
+    plain trailing '/' survives as the split's empty last segment."""
+    segs = F.split(path, "/")
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            (s == "..") & (F.size(acc) > 1),
+            F.slice(acc, 1, F.size(acc) - 1),
+        )
+        .when(s == "..", acc)
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    joined = F.array_join(folded, "/")
+    return F.when(
+        path.rlike(r"/\.\.?$"), F.concat(joined, F.lit("/"))
+    ).otherwise(joined)
+
+
+def resolve_url(base: Column, ref: Column) -> Column:
+    """Resolve a reference against an absolute hierarchical base URL —
+    RFC 3986 §5.2 reference resolution as one codegen CASE: absolute
+    refs pass through verbatim (strict parser, no dot-normalization of
+    foreign URLs), '//' takes the base scheme, '/' is authority-rooted
+    (dot segments removed), '?' replaces only the query, '#' only the
+    fragment, '' is the base sans fragment, and a relative path merges
+    with the base path's directory then removes dot segments — '..'
+    underflow clamps at the root per §5.2.4. This is what turns an
+    extracted href column into a link-graph edge: at crawl scale most
+    hrefs are relative, and a graph keyed on raw href strings is not a
+    graph. Zero Python; composes with canonicalize_url downstream."""
+    scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.\-]*):", 1)
+    auth = F.regexp_extract(
+        base, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1
+    )
+    root = F.concat(scheme, F.lit("://"), auth)
+    bpath = F.regexp_extract(
+        base, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    defrag = F.regexp_replace(base, r"#.*$", "")
+    rpath = F.regexp_extract(ref, r"^([^?#]*)", 1)
+    rtail = F.substring(ref, F.length(rpath) + 1, F.length(ref))
+    bdir = F.regexp_extract(bpath, r"^(.*/)", 1)
+    bdir = F.when(bdir == "", F.lit("/")).otherwise(bdir)
+    return (
+        F.when(ref == "", defrag)
+        .when(ref.rlike(_SCHEME_PREFIX), ref)
+        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
+        .when(ref.startswith("#"), F.concat(defrag, ref))
+        .when(ref.startswith("?"), F.concat(root, bpath, ref))
+        .when(
+            ref.startswith("/"),
+            F.concat(root, remove_dot_segments(rpath), rtail),
+        )
+        .otherwise(
+            F.concat(
+                root,
+                remove_dot_segments(F.concat(bdir, rpath)),
+                rtail,
+            )
+        )
+    )

@@ -22347,3 +22347,102 @@ def sitemap_entries_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("priority").cast("double").alias("priority"),
         "is_index",
     )
+
+
+_RESOLVE_REFS = [
+    "https://other.test/abs",
+    "//cdn.test/lib.js",
+    "/rooted/x.html",
+    "sub/page2.html",
+    "./same.html",
+    "../up.html",
+    "../../../over.html",
+    "?only=query",
+    "#frag",
+    "",
+    "a/b/../c.html",
+    "d/.",
+    "mailto:x@y.test",
+]
+
+
+@_register(
+    "url_resolve_relative",
+    """
+    WITH n0 AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS h
+      FROM documents),
+    r AS (SELECT doc_id, h, CAST(j AS INT) AS ref_idx
+          FROM (SELECT doc_id, h, unnest(range(0, 13)) AS j FROM n0))
+    SELECT doc_id, ref_idx,
+           CASE ref_idx
+             WHEN 0 THEN 'https://other.test/abs'
+             WHEN 1 THEN '//cdn.test/lib.js'
+             WHEN 2 THEN '/rooted/x.html'
+             WHEN 3 THEN 'sub/page2.html'
+             WHEN 4 THEN './same.html'
+             WHEN 5 THEN '../up.html'
+             WHEN 6 THEN '../../../over.html'
+             WHEN 7 THEN '?only=query'
+             WHEN 8 THEN '#frag'
+             WHEN 9 THEN ''
+             WHEN 10 THEN 'a/b/../c.html'
+             WHEN 11 THEN 'd/.'
+             WHEN 12 THEN 'mailto:x@y.test'
+           END AS ref,
+           CASE ref_idx
+             WHEN 0 THEN 'https://other.test/abs'
+             WHEN 1 THEN 'https://cdn.test/lib.js'
+             WHEN 2 THEN 'https://' || h || '/rooted/x.html'
+             WHEN 3 THEN 'https://' || h || '/dir1/dir2/sub/page2.html'
+             WHEN 4 THEN 'https://' || h || '/dir1/dir2/same.html'
+             WHEN 5 THEN 'https://' || h || '/dir1/up.html'
+             WHEN 6 THEN 'https://' || h || '/over.html'
+             WHEN 7 THEN 'https://' || h || '/dir1/dir2/page.html?only=query'
+             WHEN 8 THEN 'https://' || h || '/dir1/dir2/page.html?q=1#frag'
+             WHEN 9 THEN 'https://' || h || '/dir1/dir2/page.html?q=1'
+             WHEN 10 THEN 'https://' || h || '/dir1/dir2/a/c.html'
+             WHEN 11 THEN 'https://' || h || '/dir1/dir2/d/'
+             WHEN 12 THEN 'mailto:x@y.test'
+           END AS resolved
+    FROM r
+    """,
+)
+def url_resolve_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE-URL RESOLUTION (RFC 3986 §5.2) — the step between href
+    extraction (html_links_extract) and the link graph: at crawl scale
+    most hrefs are relative, and a graph keyed on raw href strings is
+    not a graph. Each doc gets a host-variant base
+    ``https://h{id%7}.test/dir1/dir2/page.html?q=1#top`` and the 13-ref
+    battery covering every CASE arm: absolute passthrough (incl. a
+    non-hierarchical mailto), scheme-relative ``//``, authority-rooted,
+    plain/./ /../ merges, ``..`` underflow clamped at root, query-only,
+    fragment-only, empty ref (base sans fragment), an interior
+    ``a/b/../c`` collapse, and the trailing-'/.'-keeps-slash rule. The
+    oracle states every resolution closed-form from the spec — the SQL
+    never re-implements the resolver, so a Spark-side regression cannot
+    self-confirm. PLAN: one posexplode of a 13-literal array + map-only
+    codegen CASE (functions/urls.py:resolve_url — a split/aggregate
+    fold does §5.2.4); zero Python, no shuffle beyond the explode's
+    narrow dependency. Reference parity: none (crawl operator)."""
+    from cies_ocr_java_spark.functions.urls import resolve_url
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    base = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".test/dir1/dir2/page.html?q=1#top"),
+    )
+    refs = F.array(*[F.lit(r) for r in _RESOLVE_REFS])
+    ex = d.select(
+        "doc_id",
+        base.alias("base"),
+        F.posexplode(refs).alias("ref_idx", "ref"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("ref_idx").cast("int").alias("ref_idx"),
+        "ref",
+        resolve_url(F.col("base"), F.col("ref")).alias("resolved"),
+    )
