@@ -1979,3 +1979,209 @@ def parse_pdf_anchored_ocr(data: bytes) -> dict:
         return {"spans": spans, "error": None}
     except _PdfError as e:
         return {"spans": None, "error": str(e)}
+
+
+# ---------------------------------------------------------------------------
+# Page annotations (/Annots): link URIs, internal GoTo destinations, notes
+# ---------------------------------------------------------------------------
+# A PDF's hyperlinks do NOT live in the content stream — they are
+# annotation objects hung off each page's /Annots array (spec 12.5), so a
+# text-layer extraction that never walks /Annots loses every outbound
+# link. These builders/parsers give PDFs the same link-graph feed that
+# anchor_links_col gives HTML.
+
+
+def build_pdf_with_annots(
+    text: str,
+    annots_per_page: list[list[tuple]],
+    broken_ref: bool = False,
+) -> bytes:
+    """Emit a real PDF with one page per entry of ``annots_per_page``,
+    each page carrying its annotation objects via /Annots. An annot spec
+    is ('uri', uri, rect), ('goto', dest_name, rect) or
+    ('note', contents, rect) with rect = (x0, y0, x1, y1) ints.
+    ``broken_ref=True`` points the FIRST page's first /Annots entry at a
+    nonexistent object — structurally valid xref, dangling reference."""
+    n_pages = len(annots_per_page) or 1
+    per_page = [list(a) for a in (annots_per_page or [[]])]
+    # object numbering: 1 catalog, 2 pages; per page: page, content,
+    # then its annots
+    bases: list[int] = []
+    nxt = 3
+    for ann in per_page:
+        bases.append(nxt)
+        nxt += 2 + len(ann)
+    objects: list[bytes] = []
+    kids = b" ".join(b"%d 0 R" % b for b in bases)
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    for pi, ann in enumerate(per_page):
+        base = bases[pi]
+        annot_nums = [base + 2 + j for j in range(len(ann))]
+        ref_nums = list(annot_nums)
+        if broken_ref and pi == 0 and ref_nums:
+            ref_nums[0] = 999
+        annots_arr = (
+            b" /Annots [" + b" ".join(b"%d 0 R" % n for n in ref_nums)
+            + b"]"
+            if ref_nums
+            else b""
+        )
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R" % (base + 1) + annots_arr + b" >>"
+        )
+        raw = _content_stream(text, False)
+        comp = zlib.compress(raw, 6)
+        objects.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp
+            + b"\nendstream"
+        )
+        for kind, value, rect in ann:
+            r = b"[%d %d %d %d]" % tuple(rect)
+            v = _pdf_escape_bytes(value)
+            if kind == "uri":
+                body = (
+                    b"<< /Type /Annot /Subtype /Link /Rect " + r
+                    + b" /Border [0 0 0] /A << /S /URI /URI (" + v
+                    + b") >> >>"
+                )
+            elif kind == "goto":
+                body = (
+                    b"<< /Type /Annot /Subtype /Link /Rect " + r
+                    + b" /Dest (" + v + b") >>"
+                )
+            elif kind == "note":
+                body = (
+                    b"<< /Type /Annot /Subtype /Text /Rect " + r
+                    + b" /Contents (" + v + b") >>"
+                )
+            else:
+                raise ValueError(f"unknown annot kind {kind!r}")
+            objects.append(body)
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_off = len(buf)
+    n_objs = len(objects) + 1
+    buf += b"xref\n0 %d\n" % n_objs
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs, xref_off)
+    )
+    return bytes(buf)
+
+
+_RECT_PATTERN = re.compile(
+    rb"/Rect\s*\[\s*(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)"
+    rb"\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s*\]"
+)
+
+
+def _annot_literal(annot: bytes, key: bytes) -> bytes:
+    """The (..) literal value of ``key`` in an annot dict, unescaped —
+    bounded paren scan honoring backslash escapes (a URI may carry
+    escaped parens; a naive ``\\(([^)]*)\\)`` regex truncates there)."""
+    m = re.search(rb"/" + key + rb"\s*\(", annot)
+    if m is None:
+        raise _PdfError(f"annot missing /{key.decode()}")
+    i = m.end()
+    out = bytearray()
+    while i < len(annot):
+        c = annot[i]
+        if c == 0x5C and i + 1 < len(annot):
+            out += annot[i:i + 2]
+            i += 2
+            continue
+        if c == 0x29:  # )
+            return _unescape_literal(bytes(out))
+        out.append(c)
+        i += 1
+    raise _PdfError(f"unterminated /{key.decode()} literal")
+
+
+def extract_annotations(data: bytes) -> dict:
+    """Walk every leaf page's /Annots array and classify each annotation:
+    /Link with /A->(S /URI) -> kind 'uri' (target = the URI), /Link with
+    /Dest -> kind 'goto' (target = destination name), /Text -> kind
+    'note' (target = /Contents). Returns {'annots': [...], 'error':
+    None} or {'annots': None, 'error': reason} — the degradation
+    contract: a dangling /Annots ref fails the DOCUMENT, never raises."""
+    try:
+        leaves, offsets, data, _ = _leaf_pages(data)
+        out = []
+        for page_idx, page in enumerate(leaves):
+            am = re.search(rb"/Annots\s*\[([^\]]*)\]", page)
+            if am is None:
+                continue
+            refs = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", am.group(1))]
+            for ref in refs:
+                annot, _end = _load_object(data, offsets, ref)
+                rm = _RECT_PATTERN.search(annot)
+                if rm is None:
+                    raise _PdfError("annot missing /Rect")
+                x0, y0, x1, y1 = (float(g) for g in rm.groups())
+                if re.search(rb"/Subtype\s*/Link\b", annot):
+                    if re.search(rb"/S\s*/URI\b", annot):
+                        kind, target = "uri", _annot_literal(annot, b"URI")
+                    else:
+                        kind, target = "goto", _annot_literal(annot, b"Dest")
+                elif re.search(rb"/Subtype\s*/Text\b", annot):
+                    kind, target = "note", _annot_literal(annot, b"Contents")
+                else:
+                    raise _PdfError("unsupported annot subtype")
+                out.append({
+                    "page_idx": page_idx,
+                    "kind": kind,
+                    "target": target.decode("utf-8"),
+                    "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                })
+        return {"annots": out, "error": None}
+    except _PdfError as e:
+        return {"annots": None, "error": str(e)}
+
+
+PDF_ANNOTS_SCHEMA = (
+    "doc_id long, annot_idx int, page_idx int, kind string, "
+    "target string, x0 double, y0 double, x1 double, y1 double, "
+    "error string"
+)
+
+
+def extract_pdf_annots(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) -> one row per annotation in (page, /Annots-array)
+    order, or ONE error row per malformed document. Arrow-batched
+    mapInPandas, no shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                r = extract_annotations(p)
+                if r["error"] is not None:
+                    rows.append((int(did), None, None, None, None,
+                                 None, None, None, None, r["error"]))
+                    continue
+                for i, a in enumerate(r["annots"]):
+                    rows.append((int(did), i, a["page_idx"], a["kind"],
+                                 a["target"], a["x0"], a["y0"], a["x1"],
+                                 a["y1"], None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "annot_idx", "page_idx", "kind",
+                         "target", "x0", "y0", "x1", "y1", "error"],
+            ).astype({"doc_id": "int64", "annot_idx": "Int32",
+                      "page_idx": "Int32"})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, PDF_ANNOTS_SCHEMA
+    )

@@ -22446,3 +22446,89 @@ def url_resolve_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref",
         resolve_url(F.col("base"), F.col("ref")).alias("resolved"),
     )
+
+
+@_register(
+    "pdf_annot_links",
+    """
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+             CAST(doc_id % 50 AS INT) AS dx,
+             CAST(doc_id % 40 AS INT) AS dy,
+             doc_id % 2 = 1 AS two,
+             doc_id % 17 = 0 AS broken
+      FROM documents)
+    SELECT doc_id, 0 AS annot_idx, 0 AS page_idx, 'uri' AS kind,
+           'https://ex.test/' || did || '?a=(1)' AS target,
+           CAST(10 + dx AS DOUBLE) AS x0, CAST(700 AS DOUBLE) AS y0,
+           CAST(110 + dx AS DOUBLE) AS x1, CAST(712 AS DOUBLE) AS y1,
+           CAST(NULL AS VARCHAR) AS error
+    FROM base WHERE NOT broken
+    UNION ALL
+    SELECT doc_id, 1, 0, 'note', 'n ' || did,
+           20, CAST(650 - dy AS DOUBLE), 36, CAST(666 - dy AS DOUBLE),
+           NULL
+    FROM base WHERE NOT broken
+    UNION ALL
+    SELECT doc_id, 2, 1, 'goto', 'sec' || CAST(doc_id % 5 AS VARCHAR),
+           30, 600, 130, 612, NULL
+    FROM base WHERE two AND NOT broken
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           'object 999 not in xref'
+    FROM base WHERE broken
+    """,
+)
+def pdf_annot_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF ANNOTATION extraction — a PDF's hyperlinks do NOT live in the
+    content stream: they are annotation objects hung off each page's
+    /Annots array (spec 12.5), so a text-layer-only extraction loses
+    every outbound link. Each doc gets a real PDF whose first page
+    carries a /Link->/A->/URI annot (URI with ESCAPED PARENS — the
+    bounded paren scan survives what a ``\\(([^)]*)\\)`` regex
+    truncates) and a /Text note; odd ids add a second page with an
+    internal /Dest GoTo link (page_idx proves the tree order). id%17
+    docs point /Annots at a nonexistent object — a structurally valid
+    xref with a dangling ref — and fail WHOLE with one error row (the
+    degradation contract). This is html_links_extract's feed for the
+    OTHER document format: resolve_url + canonicalize_url compose
+    downstream identically. Oracle = closed-form rows from the id
+    arithmetic. PLAN: one Arrow-batched mapInPandas pass, no shuffle.
+    Reference parity: Tika-path PDFs (DocumentExtractManager.java
+    text-layer route) never surface links; this closes that gap."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        build_pdf_with_annots,
+        extract_pdf_annots,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                dx, dy = i % 50, i % 40
+                p0 = [
+                    ("uri", f"https://ex.test/{i}?a=(1)",
+                     (10 + dx, 700, 110 + dx, 712)),
+                    ("note", f"n {i}", (20, 650 - dy, 36, 666 - dy)),
+                ]
+                pages = [p0]
+                if i % 2 == 1:
+                    pages.append(
+                        [("goto", f"sec{i % 5}", (30, 600, 130, 612))]
+                    )
+                payloads.append(
+                    build_pdf_with_annots("x", pages,
+                                          broken_ref=(i % 17 == 0))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    docs = d.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    return extract_pdf_annots(docs)
