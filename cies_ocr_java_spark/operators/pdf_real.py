@@ -722,6 +722,9 @@ _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 # An operator keyword: letters plus the three punctuation operators that
 # matter to the text state machine (T* next-line, ' and " show-next-line).
 _OP_RE = re.compile(rb"[A-Za-z][A-Za-z0-9*]*|['\"]")
+# The ID keyword of an inline image (spec 8.9.7), keyword-bounded.
+_INLINE_ID_RE = re.compile(rb"(?<![A-Za-z0-9])ID(?![A-Za-z0-9])")
+
 
 
 def _content_tokens(content: bytes) -> Iterator[tuple]:
@@ -834,6 +837,37 @@ def _content_tokens_pos(content: bytes) -> Iterator[tuple]:
                 elif after.startswith(b"Tj"):
                     yield ("lit", _HexLit(lit), tlx, tly)
             i = j + 1
+        elif not in_text and c == 0x42 and _kw(i, b"BI"):  # inline image
+            # BI <dict> ID <exactly-one-ws><w*h raw bytes> <ws> EI
+            # (spec 8.9.7). The sample run is skipped by COUNT, never by
+            # searching for EI — raw samples may contain any byte
+            # sequence including 'EI' itself.
+            m_id = _INLINE_ID_RE.search(body, i + 2)
+            if m_id is None:
+                raise _PdfError("inline image missing ID")
+            d = body[i + 2:m_id.start()]
+            wm = re.search(rb"/W\s+(\d+)", d)
+            hm = re.search(rb"/H\s+(\d+)", d)
+            if not wm or not hm:
+                raise _PdfError("inline image missing /W or /H")
+            bm = re.search(rb"/BPC\s+(\d+)", d)
+            if bm and int(bm.group(1)) != 8:
+                raise _PdfError("unsupported inline image BPC")
+            if re.search(rb"/F\s*[/\[]", d):
+                raise _PdfError("unsupported inline image filter")
+            w_, h_ = int(wm.group(1)), int(hm.group(1))
+            if w_ <= 0 or h_ <= 0:
+                raise _PdfError("bad inline image dimensions")
+            start = m_id.end() + 1  # one whitespace byte after ID
+            samples = body[start:start + w_ * h_]
+            if len(samples) != w_ * h_:
+                raise _PdfError("inline image truncated")
+            tm = re.match(rb"\s+EI(?![A-Za-z0-9])", body[start + w_ * h_:])
+            if tm is None:
+                raise _PdfError("inline image missing EI")
+            yield ("inlimg", (w_, h_, samples), cmx, cmy)
+            nums = []
+            i = start + w_ * h_ + tm.end()
         elif not in_text and c == 0x42 and _kw(i, b"BT"):  # B
             in_text = True
             in_array = False
@@ -1217,6 +1251,7 @@ def parse_pdf_interleaved(data: bytes, keep_samples: bool = False) -> dict:
         if not kid_nums:
             raise _PdfError("empty /Kids")
         spans: list[dict] = []
+        inline_idx = 0
         for kn in kid_nums:
             page, _ = _load_object(data, offsets, kn)
             xob = re.search(rb"/XObject\s*<<(.*?)>>", page, re.S)
@@ -1258,6 +1293,23 @@ def parse_pdf_interleaved(data: bytes, keep_samples: bool = False) -> dict:
                         raise _PdfError(
                             "non-utf8 text in content stream"
                         ) from None
+                    continue
+                if kind == "inlimg":
+                    # inline media span (spec 8.9.7): anonymous — no
+                    # object number — so the ref is its ordinal; samples
+                    # ride the content stream itself
+                    _flush()
+                    w, h, samples = payload
+                    span = {
+                        "kind": "media",
+                        "media_ref": f"pdf://inline/{inline_idx}",
+                        "codec": "gray", "width": w, "height": h,
+                        "ink_sum": sum(samples),
+                    }
+                    inline_idx += 1
+                    if keep_samples:
+                        span["samples"] = samples
+                    spans.append(span)
                     continue
                 _flush()
                 name = payload
@@ -1693,8 +1745,13 @@ def parse_pdf_anchored(data: bytes) -> dict:
                     spans.append(
                         ("text", _decode_payload(tok[1]), tok[2], tok[3])
                     )
-                else:
+                elif tok[0] == "img":
                     spans.append(("media", tok[1], tok[2], tok[3]))
+                else:  # inlimg: anonymous — content is its shape
+                    spans.append(
+                        ("media", "inline %dx%d" % tok[1][:2],
+                         tok[2], tok[3])
+                    )
         return {"spans": spans, "error": None}
     except _PdfError as e:
         return {"spans": None, "error": str(e)}
@@ -1957,6 +2014,18 @@ def parse_pdf_anchored_ocr(data: bytes) -> dict:
                         ("text", _decode_payload(tok[1]), tok[2], tok[3])
                     )
                     continue
+                if tok[0] == "inlimg":
+                    # inline images carry their samples with them — OCR
+                    # them directly, same height rule as XObjects
+                    w, h, samples = tok[1]
+                    content = None
+                    if h == GLYPH_H and len(samples) == w * h:
+                        px = np.frombuffer(
+                            samples, dtype=np.uint8
+                        ).reshape(h, w)
+                        content = ocr_pixels(px)
+                    spans.append(("media", content, tok[2], tok[3]))
+                    continue
                 name = tok[1]
                 if name not in xmap:
                     raise _PdfError(f"unresolved XObject /{name}")
@@ -2184,4 +2253,143 @@ def extract_pdf_annots(df: DataFrame, payload_col: str = "payload",
 
     return df.select(id_col, payload_col).mapInPandas(
         gen, PDF_ANNOTS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inline images (BI/ID/EI, spec 8.9.7): media embedded IN the content
+# stream itself — no XObject, no resource dictionary, no object number.
+# Scanned documents and label/stamp overlays use them for small images;
+# a parser that only resolves /XObject paints silently drops every one.
+# ---------------------------------------------------------------------------
+
+
+def build_pdf_inline_images(
+    items_per_page: list[list[tuple]],
+    truncate_last: bool = False,
+) -> bytes:
+    """Emit a real PDF whose content streams INTERLEAVE text show ops
+    and BI/ID/EI inline images. An item is ('text', s, x, y) or
+    ('img', w, h, base, x, y) — image samples are (base+k) % 256 for k
+    in raster order, so ink sums are closed-form. ``truncate_last=True``
+    cuts the final image's sample run short (and the stream with it):
+    the in-count skip must fail loudly, never resync on a lucky 'EI'."""
+    pages: list[bytes] = []
+    for items in (items_per_page or [[]]):
+        ops: list[bytes] = []
+        for it in items:
+            if it[0] == "text":
+                _, s, x, y = it
+                ops.append(
+                    b"BT 1 0 0 1 %d %d Tm (" % (x, y)
+                    + _pdf_escape_bytes(s) + b") Tj ET"
+                )
+            else:
+                _, w, h, base, x, y = it
+                samples = bytes((base + k) % 256 for k in range(w * h))
+                ops.append(
+                    b"q 1 0 0 1 %d %d cm BI /W %d /H %d /BPC 8 /CS /G ID "
+                    % (x, y, w, h)
+                    + samples
+                    + b"\nEI Q"
+                )
+        raw = b"\n".join(ops) + b"\n"
+        pages.append(raw)
+    if truncate_last and pages:
+        # cut inside the last image's samples: drop the tail past half
+        # of the final ID run (keeps the stream structurally a prefix)
+        last = pages[-1]
+        m = list(_INLINE_ID_RE.finditer(last))
+        if m:
+            cut = m[-1].end() + 4
+            pages[-1] = last[:cut]
+    n_pages = len(pages)
+    objects: list[bytes] = []
+    kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    for raw in pages:
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R >>" % (len(objects) + 2)
+        )
+        comp = zlib.compress(raw, 6)
+        objects.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp
+            + b"\nendstream"
+        )
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_off = len(buf)
+    n_objs = len(objects) + 1
+    buf += b"xref\n0 %d\n" % n_objs
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs, xref_off)
+    )
+    return bytes(buf)
+
+
+def parse_pdf_inline_images(data: bytes) -> dict:
+    """All inline images of a document: {'images': [(page_idx, x, y, w,
+    h, ink_sum)], 'error'} in stream order, anchored at the CTM
+    translation like XObject paints. Malformed inline syntax (missing
+    ID/EI, truncated samples, unsupported BPC/filter) fails the
+    DOCUMENT — the degradation contract."""
+    try:
+        pages, _ = _page_contents(data)
+        out = []
+        for pno, raw in enumerate(pages):
+            for tok in _content_tokens_pos(raw):
+                if tok[0] != "inlimg":
+                    continue
+                w, h, samples = tok[1]
+                out.append((pno, tok[2], tok[3], w, h, sum(samples)))
+        return {"images": out, "error": None}
+    except _PdfError as e:
+        return {"images": None, "error": str(e)}
+
+
+PDF_INLINE_SCHEMA = (
+    "doc_id long, img_idx int, page_idx int, x double, y double, "
+    "w int, h int, ink_sum bigint, error string"
+)
+
+
+def extract_pdf_inline_images(df: DataFrame, payload_col: str = "payload",
+                              id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) -> one row per inline image in stream order, or ONE
+    error row per malformed document. Arrow-batched mapInPandas, no
+    shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                r = parse_pdf_inline_images(p)
+                if r["error"] is not None:
+                    rows.append((int(did), None, None, None, None,
+                                 None, None, None, r["error"]))
+                    continue
+                for i, (pno, x, y, w, h, ink) in enumerate(r["images"]):
+                    rows.append((int(did), i, pno, x, y, w, h, ink, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "img_idx", "page_idx", "x", "y",
+                         "w", "h", "ink_sum", "error"],
+            ).astype({"doc_id": "int64", "img_idx": "Int32",
+                      "page_idx": "Int32", "w": "Int32", "h": "Int32",
+                      "ink_sum": "Int64"})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, PDF_INLINE_SCHEMA
     )

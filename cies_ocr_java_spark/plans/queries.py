@@ -22532,3 +22532,96 @@ def pdf_annot_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = d.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
     return extract_pdf_annots(docs)
+
+
+@_register(
+    "pdf_inline_images",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INT) AS w1,
+             CAST(3 + doc_id % 4 AS INT) AS h1,
+             CAST(doc_id % 100 AS INT) AS b1,
+             CAST(100 + doc_id % 30 AS INT) AS x1,
+             CAST(300 + doc_id % 50 AS INT) AS y2,
+             doc_id % 2 = 1 AS two,
+             doc_id % 19 = 0 AS trunc
+      FROM documents),
+    ink AS (
+      SELECT *,
+             CAST(w1 * h1 AS BIGINT) AS n1
+      FROM base)
+    SELECT doc_id, 0 AS img_idx, 0 AS page_idx,
+           CAST(x1 AS DOUBLE) AS x, CAST(500 AS DOUBLE) AS y,
+           w1 AS w, h1 AS h,
+           n1 * b1 + n1 * (n1 - 1) // 2 AS ink_sum,
+           CAST(NULL AS VARCHAR) AS error
+    FROM ink WHERE NOT trunc
+    UNION ALL
+    SELECT doc_id, 1, 0, 200, CAST(y2 AS DOUBLE), 8, 8,
+           CAST(64 * 40 + 2016 AS BIGINT), NULL
+    FROM ink WHERE NOT trunc
+    UNION ALL
+    SELECT doc_id, 2, 1, 50, 60, 5, 2,
+           CAST(10 * (doc_id % 120) + 45 AS BIGINT), NULL
+    FROM ink WHERE two AND NOT trunc
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           'inline image truncated'
+    FROM ink WHERE trunc
+    """,
+)
+def pdf_inline_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INLINE-IMAGE extraction (BI/ID/EI, spec 8.9.7) — media embedded
+    IN the content stream itself: no XObject, no resource dictionary,
+    no object number, so a parser that only resolves /XObject paints
+    silently drops every one (scanned-page stamps and label overlays
+    live here). The sample run is skipped BY COUNT (/W*/H), never by
+    searching for 'EI' — the second image's samples deliberately
+    contain the bytes 'EI' and '(' (base 40 covers 0x28..0x67) and a
+    resync-based reader desynchronizes there. Each doc interleaves two
+    text show ops with two inline images on page 0 (anchored at their
+    q..cm translation, proving the CTM state machine threads THROUGH
+    the BI branch); odd ids add a page-1 image; id%19 docs truncate the
+    final sample run and fail WHOLE with one error row. Oracle =
+    closed-form ink sums (n*base + n(n-1)/2, integer-exact — `//` vs
+    Spark `div` per the engine-division rule). PLAN: one Arrow-batched
+    mapInPandas pass, no shuffle; dims bounded. Reference parity:
+    PDFBox's PDImageXObject path (reference Tika route) also walks
+    inline images; this is that surface."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        build_pdf_inline_images,
+        extract_pdf_inline_images,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                p0 = [
+                    ("text", f"t{i}", 72, 720),
+                    ("img", 4 + i % 5, 3 + i % 4, i % 100,
+                     100 + i % 30, 500),
+                    ("text", "tail", 72, 640),
+                    ("img", 8, 8, 40, 200, 300 + i % 50),
+                ]
+                pages = [p0]
+                if i % 2 == 1:
+                    pages.append([("img", 5, 2, i % 120, 50, 60)])
+                payloads.append(
+                    build_pdf_inline_images(
+                        pages, truncate_last=(i % 19 == 0)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    docs = d.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    return extract_pdf_inline_images(docs)
