@@ -906,6 +906,8 @@ def sniff_media_format(data: bytes | None) -> str | None:
         return "jpeg"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:4] == b"\x00\x00\x01\x00":
+        return "ico"
     return None
 
 
@@ -957,6 +959,11 @@ def extract_media_dispatch(df: DataFrame, content_col: str = "content",
                     r = decode_wav(b)
                     ws.append(None); hs.append(None)
                     ns.append(r["n_samples"]); inks.append(r["abs_sum"])
+                    errs.append(r["error"])
+                elif fmt == "ico":
+                    r = decode_ico(b)
+                    ws.append(r["width"]); hs.append(r["height"])
+                    ns.append(r["n_images"]); inks.append(r["ink_sum"])
                     errs.append(r["error"])
                 else:
                     r = None
@@ -1555,3 +1562,191 @@ def extract_tiff_features(df: DataFrame, content_col: str = "content",
 
 
 register_codec(TiffCodec())
+
+
+# ---------------------------------------------------------------------------
+# ICO container (favicons): the codec suite's CONTAINER-OF-CODECS case —
+# each directory entry's payload is EITHER a complete embedded PNG file
+# (Vista+ icons) or a headerless DIB whose BITMAPINFOHEADER declares
+# DOUBLE height (XOR pixel mask + 1-bpp AND transparency mask). A crawl
+# sees one per site; the favicon is the smallest real multi-resolution
+# container in the wild.
+# ---------------------------------------------------------------------------
+
+_ICO_DIR = struct.Struct("<HHH")          # reserved=0, type=1, count
+_ICO_ENTRY = struct.Struct("<BBBBHHII")   # w, h, colors, res, planes, bpp, size, offset
+
+
+def build_ico(entries: list[tuple]) -> bytes:
+    """Emit a REAL .ico: ICONDIR + ICONDIRENTRY table + payloads. An
+    entry is ('png', w, h, value) — a complete embedded PNG — or
+    ('dib', w, h, value) — a BITMAPINFOHEADER with biHeight = 2*h, 24-bit
+    XOR rows, and an all-zero 1-bpp AND mask, both 4-byte-padded. Any
+    icon viewer opens these files."""
+    payloads = []
+    for kind, w, h, value in entries:
+        if w <= 0 or h <= 0 or w > 256 or h > 256:
+            raise ValueError("bad ico entry dimensions")
+        if kind == "png":
+            payloads.append(build_png(w, h, value))
+        elif kind == "dib":
+            xor_stride = (w * 3 + 3) // 4 * 4
+            xor_row = bytes([value]) * (w * 3) + b"\x00" * (
+                xor_stride - w * 3
+            )
+            and_stride = (w + 31) // 32 * 4
+            payloads.append(
+                _BMP_INFO_HDR.pack(40, w, 2 * h, 1, 24, 0, 0, 0, 0, 0, 0)
+                + xor_row * h
+                + b"\x00" * (and_stride * h)
+            )
+        else:
+            raise ValueError(f"unknown ico entry kind {kind!r}")
+    off = _ICO_DIR.size + _ICO_ENTRY.size * len(entries)
+    head = [_ICO_DIR.pack(0, 1, len(entries))]
+    for (kind, w, h, _v), payload in zip(entries, payloads):
+        head.append(
+            _ICO_ENTRY.pack(w % 256, h % 256, 0, 0, 1, 24 if kind == "dib"
+                            else 32, len(payload), off)
+        )
+        off += len(payload)
+    return b"".join(head) + b"".join(payloads)
+
+
+def decode_ico(data: bytes | None) -> dict:
+    """Structural decode of an ICO container: directory walk with
+    bounds-verified (offset, size) slices per entry, payload SNIFFED
+    (PNG signature -> the real PNG codec; else BITMAPINFOHEADER DIB with
+    the double-height XOR/AND layout). Returns {n_images, width, height,
+    fmt0, ink_sum, error}: width/height/fmt0 from entry 0 (the
+    resolution ladder's base), ink_sum totalled over every entry's
+    PIXEL bytes (AND masks and padding excluded). Every malformed
+    payload -> error row, never an exception."""
+    none = {"n_images": None, "width": None, "height": None,
+            "fmt0": None, "ink_sum": None}
+    if data is None or len(data) < _ICO_DIR.size:
+        return {**none, "error": "short or missing payload"}
+    data = bytes(data)
+    res, typ, count = _ICO_DIR.unpack_from(data, 0)
+    if res != 0 or typ != 1:
+        return {**none, "error": "bad icondir header"}
+    if count == 0:
+        return {**none, "error": "empty icon directory"}
+    if _ICO_DIR.size + _ICO_ENTRY.size * count > len(data):
+        return {**none, "error": "truncated entry table"}
+    ink = 0
+    w0 = h0 = fmt0 = None
+    for i in range(count):
+        ew, eh, _c, _r, _pl, _bpp, size, off = _ICO_ENTRY.unpack_from(
+            data, _ICO_DIR.size + _ICO_ENTRY.size * i
+        )
+        ew, eh = ew or 256, eh or 256
+        if off + size > len(data) or size <= 0:
+            return {**none, "error": f"entry {i} payload out of bounds"}
+        payload = data[off:off + size]
+        if payload.startswith(_PNG_SIG):
+            r = decode_png(payload)
+            if r["error"] is not None:
+                return {**none,
+                        "error": f"entry {i} png: {r['error']}"}
+            if (r["width"], r["height"]) != (ew, eh):
+                return {**none, "error": f"entry {i} size mismatch"}
+            ink += r["ink_sum"]
+            fmt = "png"
+        else:
+            if len(payload) < _BMP_INFO_HDR.size:
+                return {**none, "error": f"entry {i} short dib header"}
+            (hsize, w, h2, planes, bpp, comp, _is, _x, _y, _cl, _im) = (
+                _BMP_INFO_HDR.unpack_from(payload, 0)
+            )
+            if hsize != 40 or planes != 1 or comp != 0:
+                return {**none, "error": f"entry {i} bad dib header"}
+            if bpp != 24:
+                return {**none, "error": f"entry {i} unsupported bpp"}
+            if w != ew or h2 != 2 * eh:
+                # the DIB's double-height rule IS the format: height
+                # covers XOR pixels + AND mask
+                return {**none, "error": f"entry {i} size mismatch"}
+            xor_stride = (w * 3 + 3) // 4 * 4
+            and_stride = (w + 31) // 32 * 4
+            need = hsize + xor_stride * eh + and_stride * eh
+            if len(payload) < need:
+                return {**none, "error": f"entry {i} truncated dib"}
+            for r_ in range(eh):
+                start = hsize + r_ * xor_stride
+                ink += sum(payload[start:start + w * 3])
+            fmt = "dib"
+        if i == 0:
+            w0, h0, fmt0 = ew, eh, fmt
+    return {"n_images": count, "width": w0, "height": h0, "fmt0": fmt0,
+            "ink_sum": ink, "error": None}
+
+
+class IcoCodec(MediaCodec):
+    """Real decode for the ICO favicon container (PNG or DIB members).
+    Maps into the generic codec schema: width/height from entry 0,
+    n_frames = member count. Registered 'ico'."""
+
+    name = "ico"
+
+    def decode_batch(self, content: pd.Series) -> pd.DataFrame:
+        rows = [decode_ico(b) for b in content]
+        ok = [r["error"] is None for r in rows]
+        return pd.DataFrame(
+            {
+                "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                "height": pd.array(
+                    [r["height"] for r in rows], dtype="Int32"
+                ),
+                "n_frames": pd.array(
+                    [r["n_images"] for r in rows], dtype="Int32"
+                ),
+                "mime": ["image/x-icon" if o else None for o in ok],
+                "error": [r["error"] for r in rows],
+            },
+            index=content.index,
+        )
+
+
+ICO_FEATURES_SCHEMA = (
+    "doc_id long, n_images int, width int, height int, fmt0 string, "
+    "mime string, ink_sum long, error string"
+)
+
+
+def extract_ico_features(df: DataFrame, content_col: str = "content",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, content:binary) -> per-container decode rows via one
+    Arrow-batched mapInPandas pass, no shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_ico(b) for b in pdf[content_col]]
+            ok = [r["error"] is None for r in rows]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_images": pd.array(
+                        [r["n_images"] for r in rows], dtype="Int32"
+                    ),
+                    "width": pd.array(
+                        [r["width"] for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r["height"] for r in rows], dtype="Int32"
+                    ),
+                    "fmt0": [r["fmt0"] for r in rows],
+                    "mime": ["image/x-icon" if o else None for o in ok],
+                    "ink_sum": pd.array(
+                        [r["ink_sum"] for r in rows], dtype="Int64"
+                    ),
+                    "error": [r["error"] for r in rows],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        op, ICO_FEATURES_SCHEMA
+    )
+
+
+register_codec(IcoCodec())

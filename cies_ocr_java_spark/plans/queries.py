@@ -22625,3 +22625,80 @@ def pdf_inline_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = d.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
     return extract_pdf_inline_images(docs)
+
+
+@_register(
+    "media_ico_decode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(5 + doc_id % 11 AS INT) AS w0,
+             CAST(3 + doc_id % 7 AS INT) AS h0,
+             doc_id % 200 AS v0,
+             CAST(4 + doc_id % 6 AS INT) AS w1,
+             CAST(2 + doc_id % 5 AS INT) AS h1,
+             doc_id % 251 AS v1,
+             doc_id % 2 = 1 AS two,
+             doc_id % 29 = 0 AS trunc
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN trunc THEN NULL
+                WHEN two THEN 2 ELSE 1 END AS n_images,
+           CASE WHEN trunc THEN NULL ELSE w0 END AS width,
+           CASE WHEN trunc THEN NULL ELSE h0 END AS height,
+           CASE WHEN trunc THEN NULL ELSE 'dib' END AS fmt0,
+           CASE WHEN trunc THEN NULL ELSE 'image/x-icon' END AS mime,
+           CASE WHEN trunc THEN NULL
+                ELSE CAST(w0 * h0 * 3 * v0
+                          + CASE WHEN two THEN w1 * h1 * v1 ELSE 0 END
+                          AS BIGINT) END AS ink_sum,
+           CASE WHEN trunc THEN
+                'entry ' || CASE WHEN two THEN '1' ELSE '0' END
+                || ' payload out of bounds'
+                ELSE NULL END AS error
+    FROM base
+    """,
+)
+def media_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO FAVICON decode — the codec suite's CONTAINER-OF-CODECS case:
+    each directory entry's payload is EITHER a complete embedded PNG
+    file (delegated to the real PNG codec, CRCs and all) or a headerless
+    DIB whose BITMAPINFOHEADER declares DOUBLE height (XOR pixels + AND
+    mask — the rule that makes naive BMP reuse fail). Entry 0 is always
+    a DIB; odd ids add a PNG member (the Vista+ mixed-container form —
+    n_images=2, both inks summed). id%29 docs lose the file's last 8
+    bytes, so the LAST entry's (offset, size) slice runs past EOF — the
+    bounds gate rejects it before any nested decode and the container
+    fails WHOLE (entry ordinal in the error proves which). Oracle =
+    closed-form ink (24-bit solid: w*h*3*v; gray PNG: w*h*v). PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle; dims bounded."""
+    from cies_ocr_java_spark.operators.multimodal import (
+        build_ico,
+        extract_ico_features,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                entries = [("dib", 5 + i % 11, 3 + i % 7, i % 200)]
+                if i % 2 == 1:
+                    entries.append(("png", 4 + i % 6, 2 + i % 5, i % 251))
+                b = build_ico(entries)
+                if i % 29 == 0:
+                    b = b[:len(b) - 8]
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_ico_features(media)
