@@ -908,6 +908,8 @@ def sniff_media_format(data: bytes | None) -> str | None:
         return "tiff"
     if data[:4] == b"\x00\x00\x01\x00":
         return "ico"
+    if data.startswith(b"FORM") and data[8:12] == b"AIFF":
+        return "aiff"
     return None
 
 
@@ -964,6 +966,11 @@ def extract_media_dispatch(df: DataFrame, content_col: str = "content",
                     r = decode_ico(b)
                     ws.append(r["width"]); hs.append(r["height"])
                     ns.append(r["n_images"]); inks.append(r["ink_sum"])
+                    errs.append(r["error"])
+                elif fmt == "aiff":
+                    r = decode_aiff(b)
+                    ws.append(None); hs.append(None)
+                    ns.append(r["n_samples"]); inks.append(r["abs_sum"])
                     errs.append(r["error"])
                 else:
                     r = None
@@ -1750,3 +1757,184 @@ def extract_ico_features(df: DataFrame, content_col: str = "content",
 
 
 register_codec(IcoCodec())
+
+
+# ---------------------------------------------------------------------------
+# AIFF (the OTHER audio container): big-endian IFF chunks, and the one
+# genuinely exotic scalar in common media formats — the COMM chunk's
+# sample rate is an 80-bit IEEE 754 EXTENDED-precision float (15-bit
+# exponent, explicit-integer-bit 64-bit mantissa). A decoder that
+# byte-swaps WAV logic reads garbage; the extended parse is the format.
+# ---------------------------------------------------------------------------
+
+
+def _extended80_pack(value: int) -> bytes:
+    """Pack a positive integer as 80-bit extended (sign 0): exponent
+    16383+floor(log2(v)), mantissa v left-justified with the explicit
+    integer bit at bit 63."""
+    if value <= 0:
+        raise ValueError("extended80 subset packs positive integers only")
+    e = value.bit_length() - 1
+    mant = value << (63 - e)
+    return struct.pack(">HQ", 16383 + e, mant)
+
+
+def _extended80_unpack(b: bytes) -> int | None:
+    """Unpack the 80-bit extended subset: positive, integral, in-range.
+    Returns None for anything else (negative, NaN/inf exponent, values
+    that are not exact integers)."""
+    se, mant = struct.unpack(">HQ", b)
+    if se & 0x8000:
+        return None  # negative rate is nonsense
+    e = se - 16383
+    if se == 0x7FFF or e < 0 or e > 62:
+        return None
+    shift = 63 - e
+    if mant & ((1 << shift) - 1):
+        return None  # fractional rate: outside the subset
+    return mant >> shift
+
+
+def build_aiff(n_frames: int, sample_rate: int, amplitude: int,
+               channels: int = 1) -> bytes:
+    """Emit a REAL AIFF (FORM/COMM/SSND, 16-bit big-endian PCM), every
+    sample the constant ``amplitude`` — any audio tool opens it."""
+    if n_frames <= 0 or channels <= 0 or not (-32768 <= amplitude <= 32767):
+        raise ValueError("bad aiff parameters")
+    if sample_rate <= 0:
+        raise ValueError("bad aiff sample rate")
+    frame = struct.pack(">h", amplitude) * channels
+    data = frame * n_frames
+    comm = (
+        struct.pack(">HIH", channels, n_frames, 16)
+        + _extended80_pack(sample_rate)
+    )
+    body = (
+        b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">III", 8 + len(data), 0, 0)[:4]
+        + struct.pack(">II", 0, 0) + data
+    )
+    return b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF" + body
+
+
+def decode_aiff(data: bytes | None) -> dict:
+    """Structural decode of the 16-bit PCM AIFF subset: FORM header,
+    big-endian chunk walk (unknown chunks skipped by size,
+    word-aligned), the 80-bit extended sample-rate parse, frame
+    arithmetic, and the exact integer sum of absolute sample values.
+    Malformed -> error row, never an exception."""
+    none = {"channels": None, "sample_rate": None, "n_samples": None,
+            "abs_sum": None}
+    if data is None or len(data) < 12:
+        return {**none, "error": "short or missing payload"}
+    data = bytes(data)
+    if data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        return {**none, "error": "bad form header"}
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack_from(">I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            return {**none, "error": "truncated chunk"}
+        if cid == b"COMM":
+            if clen < 18:
+                return {**none, "error": "short comm chunk"}
+            comm = body
+        elif cid == b"SSND":
+            if clen < 8:
+                return {**none, "error": "short ssnd chunk"}
+            off, _blk = struct.unpack_from(">II", body, 0)
+            if 8 + off > clen:
+                return {**none, "error": "bad ssnd offset"}
+            ssnd = body[8 + off:]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        return {**none, "error": "missing comm or ssnd chunk"}
+    channels, n_frames, bits = struct.unpack_from(">HIH", comm, 0)
+    rate = _extended80_unpack(comm[8:18])
+    if bits != 16:
+        return {**none, "error": f"unsupported sample size {bits}bit"}
+    if rate is None or channels <= 0:
+        return {**none, "error": "bad channel/rate"}
+    frame = channels * 2
+    if len(ssnd) % frame:
+        return {**none, "error": "partial frame in ssnd chunk"}
+    if len(ssnd) // frame != n_frames:
+        return {**none, "error": "frame count mismatch"}
+    samples = struct.unpack(f">{len(ssnd) // 2}h", ssnd)
+    return {
+        "channels": channels, "sample_rate": rate, "n_samples": n_frames,
+        "abs_sum": sum(abs(s) for s in samples), "error": None,
+    }
+
+
+class AiffCodec(MediaCodec):
+    """Real audio decode for the 16-bit PCM AIFF subset (stdlib struct;
+    big-endian dual of WavCodec). Same schema mapping: width=rate,
+    height=channels, n_frames=frames. Registered 'aiff'."""
+
+    name = "aiff"
+
+    def decode_batch(self, content: pd.Series) -> pd.DataFrame:
+        rows = [decode_aiff(b) for b in content]
+        ok = [r["error"] is None for r in rows]
+        return pd.DataFrame(
+            {
+                "width": pd.array(
+                    [r["sample_rate"] for r in rows], dtype="Int32"
+                ),
+                "height": pd.array(
+                    [r["channels"] for r in rows], dtype="Int32"
+                ),
+                "n_frames": pd.array(
+                    [r["n_samples"] for r in rows], dtype="Int32"
+                ),
+                "mime": ["audio/aiff" if o else None for o in ok],
+                "error": [r["error"] for r in rows],
+            },
+            index=content.index,
+        )
+
+
+AIFF_FEATURES_SCHEMA = (
+    "doc_id long, channels int, sample_rate int, n_samples int, "
+    "abs_sum long, mime string, error string"
+)
+
+
+def extract_aiff_features(df: DataFrame, content_col: str = "content",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, content:binary) -> decoded audio rows via one Arrow-batched
+    mapInPandas pass, no shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_aiff(b) for b in pdf[content_col]]
+            ok = [r["error"] is None for r in rows]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "channels": pd.array(
+                        [r["channels"] for r in rows], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [r["sample_rate"] for r in rows], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [r["n_samples"] for r in rows], dtype="Int32"
+                    ),
+                    "abs_sum": pd.array(
+                        [r["abs_sum"] for r in rows], dtype="Int64"
+                    ),
+                    "mime": ["audio/aiff" if o else None for o in ok],
+                    "error": [r["error"] for r in rows],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        op, AIFF_FEATURES_SCHEMA
+    )
+
+
+register_codec(AiffCodec())

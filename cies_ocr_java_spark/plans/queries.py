@@ -22702,3 +22702,184 @@ def media_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, "doc_id long, content binary"
     )
     return extract_ico_features(media)
+
+
+@_register(
+    "html_link_graph_resolved",
+    """
+    WITH n0 AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS did, source AS s,
+             CAST(doc_id % 9 AS VARCHAR) AS sec,
+             CAST(doc_id % 7 AS VARCHAR) AS b7,
+             CAST(doc_id % 5 AS VARCHAR) AS m5,
+             CAST(doc_id % 11 AS VARCHAR) AS m11,
+             doc_id % 3 = 0 AS has_base
+      FROM documents),
+    n1 AS (
+      SELECT *,
+             'https://' || s || '.test/sec' || sec || '/page' || did
+               || '.html' AS page_url,
+             CASE WHEN has_base THEN 'https://b' || b7 || '.test/root/'
+                  ELSE 'https://' || s || '.test/sec' || sec || '/' END
+               AS bdir,
+             CASE WHEN has_base THEN 'https://b' || b7 || '.test'
+                  ELSE 'https://' || s || '.test' END AS broot
+      FROM n0)
+    SELECT doc_id, 0 AS link_idx, 'item' || did || '.html' AS href,
+           bdir || 'item' || did || '.html' AS resolved,
+           bdir || 'item' || did || '.html' AS canonical
+    FROM n1
+    UNION ALL
+    SELECT doc_id, 1, '../up/' || m5 || '.html',
+           broot || '/up/' || m5 || '.html',
+           broot || '/up/' || m5 || '.html'
+    FROM n1
+    UNION ALL
+    SELECT doc_id, 2, 'https://ext.test/x?utm_source=z&id=' || m11,
+           'https://ext.test/x?utm_source=z&id=' || m11,
+           'https://ext.test/x?id=' || m11
+    FROM n1
+    UNION ALL
+    SELECT doc_id, 3, '#local',
+           CASE WHEN has_base THEN 'https://b' || b7 || '.test/root/#local'
+                ELSE page_url || '#local' END,
+           CASE WHEN has_base THEN 'https://b' || b7 || '.test/root'
+                ELSE page_url END
+    FROM n1
+    """,
+)
+def html_link_graph_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK-GRAPH EDGE construction end-to-end — the three-operator
+    composition a crawl actually runs per page: extract every anchor
+    (anchor_links_col, pure codegen), resolve it against the page's
+    EFFECTIVE base (the ``<base href>`` element when present — id%3
+    docs — else the page's own URL; presence-based, RFC 3986 §5.1), and
+    canonicalize the result into the graph key (www/default-port/
+    tracking-param/fragment rules). The four-href battery covers the
+    arms that differ by base: same-dir relative, ../ traversal, an
+    absolute ref with a utm_ param (only canonicalization changes it),
+    and a fragment-only ref (resolution keeps it, canonicalization
+    strips it AND collapses the base's trailing slash). Oracle states
+    every edge closed-form from the spec. PLAN: map-only codegen + one
+    posexplode; zero Python, zero shuffle — at 10^12 docs the edge list
+    is a free rider on the page scan. Reference parity: none (crawl
+    operator); composes url_canonicalize + url_resolve_relative."""
+    from cies_ocr_java_spark.functions.urls import canonicalize_url, resolve_url
+    from cies_ocr_java_spark.operators.html_extract import anchor_links_col
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    did = F.col("doc_id").cast("string")
+    sec = (F.col("doc_id") % 9).cast("string")
+    page_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".test/sec"), sec,
+        F.lit("/page"), did, F.lit(".html"),
+    )
+    base_href = F.concat(
+        F.lit("https://b"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".test/root/"),
+    )
+    h0 = F.concat(F.lit("item"), did, F.lit(".html"))
+    h1 = F.concat(F.lit("../up/"), (F.col("doc_id") % 5).cast("string"),
+                  F.lit(".html"))
+    h2 = F.concat(F.lit("https://ext.test/x?utm_source=z&id="),
+                  (F.col("doc_id") % 11).cast("string"))
+    page = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<base href="'), base_href, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit('</head><body><a href="'), h0, F.lit('">a0</a><a href="'),
+        h1, F.lit('">a1</a><a href="'), h2,
+        F.lit('">a2</a><a href="#local">a3</a></body></html>'),
+    )
+    src = d.select(
+        "doc_id", page.alias("page"), page_url.alias("page_url")
+    )
+    # the effective base: <base href> when present, else the page URL
+    base_attr = F.regexp_extract(
+        F.col("page"), '<base [^>]*href="([^"]*)"', 1
+    )
+    eff_base = F.when(
+        F.col("page").rlike('<base [^>]*href="'), base_attr
+    ).otherwise(F.col("page_url"))
+    ex = src.select(
+        "doc_id",
+        eff_base.alias("base"),
+        F.posexplode(anchor_links_col(F.col("page"))).alias("link_idx", "a"),
+    )
+    resolved = resolve_url(F.col("base"), F.col("a.href"))
+    return ex.select(
+        "doc_id",
+        F.col("link_idx").cast("int").alias("link_idx"),
+        F.col("a.href").alias("href"),
+        resolved.alias("resolved"),
+        canonicalize_url(resolved).alias("canonical"),
+    )
+
+
+@_register(
+    "media_aiff_decode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(20 + doc_id % 50 AS INT) AS n,
+             CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                  WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS rate,
+             CAST(doc_id % 2000 - 1000 AS INT) AS amp,
+             CAST(1 + doc_id % 2 AS INT) AS ch,
+             doc_id % 23 = 0 AS trunc
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN trunc THEN NULL ELSE ch END AS channels,
+           CASE WHEN trunc THEN NULL ELSE rate END AS sample_rate,
+           CASE WHEN trunc THEN NULL ELSE n END AS n_samples,
+           CASE WHEN trunc THEN NULL
+                ELSE CAST(n * ch * abs(amp) AS BIGINT) END AS abs_sum,
+           CASE WHEN trunc THEN NULL ELSE 'audio/aiff' END AS mime,
+           CASE WHEN trunc THEN 'truncated chunk' ELSE NULL END AS error
+    FROM base
+    """,
+)
+def media_aiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AIFF decode — the OTHER audio container (big-endian IFF dual
+    of media_wav): chunk walk with word alignment, and the one genuinely
+    exotic scalar in common media formats — the COMM sample rate is an
+    80-bit IEEE 754 EXTENDED float (15-bit exponent, explicit integer
+    bit), round-tripped exactly for integer rates; a decoder that
+    byte-swaps WAV logic reads garbage there. Each doc gets a genuine
+    16-bit PCM AIFF (rate from the real-world ladder 8000/11025/22050/
+    44100 by id%4, NEGATIVE amplitudes exercised via abs-sum, mono/
+    stereo by id%2); id%23 docs lose the file tail mid-SSND and fail
+    whole. Oracle = closed-form integers. PLAN: one Arrow-batched
+    mapInPandas pass, no shuffle. Reference parity: none (codec-suite
+    operator)."""
+    from cies_ocr_java_spark.operators.multimodal import (
+        build_aiff,
+        extract_aiff_features,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            rates = [8000, 11025, 22050, 44100]
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = build_aiff(20 + i % 50, rates[i % 4], i % 2000 - 1000,
+                               channels=1 + i % 2)
+                if i % 23 == 0:
+                    b = b[:len(b) - 5]
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_aiff_features(media)
