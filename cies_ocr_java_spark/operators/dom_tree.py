@@ -1125,3 +1125,62 @@ def extract_sitemap(df: DataFrame, payload,
         F.nullif(F.col("priority"), F.lit("")).alias("priority"),
         "is_index",
     )
+
+
+def extract_microdata(df: DataFrame, payload,
+                      doc_col: str = "doc_id") -> DataFrame:
+    """Extract schema.org MICRODATA — the third structured-data
+    vocabulary beside JSON-LD (extract_jsonld) and OpenGraph
+    (html_meta_og), the one that rides ATTRIBUTES on ordinary content
+    markup: ``itemscope``/``itemtype`` mark an item, ``itemprop`` marks
+    a property whose value is (in precedence order) the tag's
+    ``content`` attribute (meta), its ``href`` (a/link), or the
+    element's text. Subset: items do not nest and a text-valued
+    itemprop element contains exactly one text node (the closed-grammar
+    simplification; hostile inputs still get defined output — the next
+    token is either the value or not text at all, yielding '').
+
+    One doc-partitioned window carries the item ordinal (running count
+    of itemscope opens) and each prop tag's NEXT token (F.lead) — zero
+    Python, ONE doc-hash exchange. Returns (doc_id, item_idx, itemtype,
+    prop_idx, prop, value) with text values entity-decoded, attribute
+    values raw-then-decoded like html_meta_og."""
+    toks = dom_tokens(df, payload, doc_col)
+    is_scope = F.col("is_tag") & F.col("raw").rlike(r"\bitemscope\b")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    ann = toks.select(
+        "doc_id",
+        "pos",
+        "is_tag",
+        "raw",
+        F.sum(F.when(is_scope, 1).otherwise(0)).over(wb).cast("int")
+        .alias("item_ord"),
+        F.last(
+            F.when(is_scope, _attr_value("itemtype")), ignorenulls=True
+        ).over(wb).alias("itemtype"),
+        F.lead("raw").over(w).alias("next_raw"),
+        F.lead("is_tag").over(w).alias("next_is_tag"),
+    )
+    props = ann.where(
+        F.col("is_tag")
+        & F.col("raw").rlike(r"\bitemprop\s*=")
+        & (F.col("item_ord") > 0)
+    )
+    # raw value first, ONE entity decode at the end (a text node decoded
+    # here and again below would double-decode '&amp;amp;')
+    value = F.coalesce(
+        _attr_value("content"),
+        _attr_value("href"),
+        F.when(~F.col("next_is_tag"), F.col("next_raw")),
+        F.lit(""),
+    )
+    pw = Window.partitionBy("doc_id", "item_ord").orderBy("pos")
+    return props.select(
+        "doc_id",
+        (F.col("item_ord") - 1).cast("int").alias("item_idx"),
+        "itemtype",
+        (F.row_number().over(pw) - 1).cast("int").alias("prop_idx"),
+        _attr_value("itemprop").alias("prop"),
+        visible_text_col(value).alias("value"),
+    )

@@ -22883,3 +22883,141 @@ def media_aiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, "doc_id long, content binary"
     )
     return extract_aiff_features(media)
+
+
+@_register(
+    "html_microdata_extract",
+    f"""
+    WITH nn AS (SELECT doc_id, {_norm_sql('text')} AS n FROM documents),
+    n0 AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+             trim(substr(n, 1, 12)) AS nm,
+             doc_id % 2 = 1 AS two,
+             CAST(doc_id % 90 AS VARCHAR) AS pr
+      FROM nn)
+    SELECT doc_id, 0 AS item_idx, 'https://schema.org/Product' AS itemtype,
+           0 AS prop_idx, 'name' AS prop,
+           CASE WHEN nm = '' THEN '& co' ELSE nm || ' & co' END AS value
+    FROM n0
+    UNION ALL
+    SELECT doc_id, 0, 'https://schema.org/Product', 1, 'sku', 'S-' || did
+    FROM n0
+    UNION ALL
+    SELECT doc_id, 0, 'https://schema.org/Product', 2, 'url', '/p/' || did
+    FROM n0
+    UNION ALL
+    SELECT doc_id, 1, 'https://schema.org/Offer', 0, 'price', pr || '.99'
+    FROM n0 WHERE two
+    """,
+)
+def html_microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MICRODATA extraction — the third structured-data vocabulary
+    beside JSON-LD and OpenGraph, riding ATTRIBUTES on ordinary content
+    markup: itemscope/itemtype mark an item, itemprop marks a property
+    whose value precedence is content attr (meta) > href (a/link) >
+    element text (HTML §5.2.5). Each page carries a Product item
+    exercising all three value sources (the text value with an entity
+    hazard '&amp;' that must decode EXACTLY once); odd ids add a second
+    Offer item — item ordinals and itemtype tracking via one
+    F.last(ignorenulls) over the same doc window. PLAN: tokenize + two
+    windows on ONE doc-hash exchange; zero Python, no join. Reference
+    parity: none (crawl structured-data operator)."""
+    from cies_ocr_java_spark.operators.dom_tree import extract_microdata
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n = normalize_ws(F.col("text"))
+    did = F.col("doc_id").cast("string")
+    nm = F.trim(n.substr(F.lit(1), F.lit(12)))
+    page = F.concat(
+        F.lit('<html><body><div itemscope '
+              'itemtype="https://schema.org/Product">'
+              '<span itemprop="name">'),
+        nm,
+        F.lit(' &amp; co</span>'
+              '<meta itemprop="sku" content="S-'),
+        did,
+        F.lit('"><a itemprop=\'url\' href=\'/p/'),
+        did,
+        F.lit("'>link text</a></div>"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit('<div itemscope itemtype="https://schema.org/Offer">'
+                      '<span itemprop="price">'),
+                (F.col("doc_id") % 90).cast("string"),
+                F.lit(".99</span></div>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    src = d.select("doc_id", page.alias("page"))
+    return extract_microdata(src, F.col("page"))
+
+
+@_register(
+    "robots_sitemap_directives",
+    """
+    WITH n0 AS (
+      SELECT doc_id, source AS s, CAST(2 + doc_id % 3 AS INT) AS k,
+             CAST(doc_id % 10 AS INT) AS cd
+      FROM documents)
+    SELECT doc_id, CAST(j AS INT) AS sm_idx,
+           'https://' || s || '.test/sitemap' || CAST(j AS VARCHAR)
+             || '.xml' AS sitemap_url,
+           cd AS crawl_delay
+    FROM (SELECT doc_id, s, cd, unnest(range(0, k)) AS j FROM n0)
+    """,
+)
+def robots_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBOTS.TXT SITEMAP DISCOVERY — the crawl frontier's bootstrap:
+    the ``Sitemap:`` directive is cross-group (REP §2.2.4: it binds to
+    no user-agent group and may appear anywhere in the file), keys are
+    CASE-INSENSITIVE with optional whitespace around ':', and comments/
+    rule lines must not emit rows. Each doc's file mixes 'Sitemap:',
+    'sitemap:' and 'SITEMAP :' spellings (2+id%3 of them) among
+    User-agent/Disallow/Crawl-delay/comment lines; crawl_delay rides
+    along as the doc-level scalar. Complements url_robots_filter (which
+    does Allow/Disallow precedence) — together they cover the REP
+    surface a frontier needs. PLAN: map-only split + filter + ONE
+    posexplode; zero Python, zero shuffle beyond the explode's narrow
+    dependency."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    s = F.col("source")
+    k = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    spell = ["Sitemap:", "sitemap:", "SITEMAP :"]
+    sm_lines = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda j: F.concat(
+                F.element_at(
+                    F.array(*[F.lit(x) for x in spell]), (j % 3) + 1
+                ),
+                F.lit(" https://"), s, F.lit(".test/sitemap"),
+                j.cast("string"), F.lit(".xml"),
+            ),
+        ),
+        "\n",
+    )
+    robots = F.concat(
+        F.lit("# robots for "), s,
+        F.lit(".test\nUser-agent: *\nDisallow: /tmp/\nCrawl-delay: "),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("\n"), sm_lines, F.lit("\nAllow: /\n"),
+    )
+    lines = F.filter(
+        F.transform(F.split(robots, "\n"), lambda x: F.trim(x)),
+        lambda x: F.lower(x).rlike(r"^sitemap\s*:"),
+    )
+    urls = F.transform(
+        lines, lambda x: F.trim(F.regexp_replace(x, r"(?i)^sitemap\s*:", ""))
+    )
+    cd = F.regexp_extract(
+        robots, r"(?im)^crawl-delay\s*:\s*(\d+)\s*$", 1
+    ).cast("int")
+    return d.select(
+        "doc_id", F.posexplode(urls).alias("sm_idx", "sitemap_url"),
+        cd.alias("crawl_delay"),
+    ).select(
+        "doc_id", F.col("sm_idx").cast("int").alias("sm_idx"),
+        "sitemap_url", "crawl_delay",
+    )
