@@ -1184,3 +1184,131 @@ def extract_microdata(df: DataFrame, payload,
         _attr_value("itemprop").alias("prop"),
         visible_text_col(value).alias("value"),
     )
+
+
+# A tag that hides its whole subtree from rendering: inline
+# style display:none, the HTML5 `hidden` boolean attribute (word-bounded
+# so `aria-hidden` cannot false-match), or aria-hidden="true"/'true'.
+HIDDEN_TAG_PATTERN = (
+    r"""(?i)style\s*=\s*("[^"]*display\s*:\s*none[^"]*"|"""
+    r"""'[^']*display\s*:\s*none[^']*')"""
+    r"""|\shidden(?=[\s=>/])"""
+    r"""|aria-hidden\s*=\s*("true"|'true')"""
+)
+
+
+def extract_hidden_text(df: DataFrame, payload,
+                        doc_col: str = "doc_id") -> DataFrame:
+    """Split a page's text into RENDERED vs HIDDEN — the subtree-hiding
+    attributes (``style="display:none"``, the HTML5 ``hidden`` boolean
+    attribute, ``aria-hidden="true"``) that every real extraction engine
+    must honor or it ships invisible SEO-spam text into the corpus and
+    silently drops nothing a reader ever saw. Hiding is SUBTREE-scoped:
+    the attribute rides the OPEN tag but the exclusion covers every
+    descendant token until the MATCHING close — an ancestor property the
+    per-tag-name enclosure counters of dom_annotate cannot carry (close
+    tags have no attributes, so ``</div>`` cannot know whether it closes
+    a hidden or a visible div).
+
+    Distributed formulation (no stack, no Python):
+
+      1. dom_annotate gives every token its depth-before prefix sum;
+      2. open/close tags pair by RANK-AT-DEPTH: in well-formed nesting,
+         same-depth elements cannot overlap, so the k-th open at depth D
+         matches the k-th close at depth D+1 (close tokens sit one
+         deeper because their own -1 lands after them) — two
+         row_numbers partitioned by (doc, depth) and ONE slim equi-join
+         on (doc, depth, k), tags only, no text rows shuffled twice;
+      3. matched hidden intervals become +1/-1 deltas re-joined to the
+         stream; a second prefix sum yields hid_level — nested hidden
+         inside hidden counts text once, an UNCLOSED hidden open (no
+         matching close) hides to end-of-document (defined hostile
+         output per the formats.py degradation contract, never a crash).
+
+    Returns (doc_id, visible_text, hidden_text, n_hidden, hidden_chars)
+    with <script>/<style> content excluded from BOTH sides (it is code,
+    not copy). ~3 doc-hash exchanges (window, rank windows, final agg) +
+    one broadcast-sized interval join; all codegen."""
+    ann = dom_annotate(dom_tokens(df, payload, doc_col))
+    is_open = F.col("is_tag") & (F.col("d_depth") == 1)
+    is_close = F.col("is_tag") & (F.col("d_depth") == -1)
+    opens = ann.where(is_open).select(
+        "doc_id", "pos", "depth",
+        F.col("raw").rlike(HIDDEN_TAG_PATTERN).alias("is_hidden"),
+        F.row_number()
+        .over(Window.partitionBy("doc_id", "depth").orderBy("pos"))
+        .alias("k"),
+    )
+    closes = ann.where(is_close).select(
+        "doc_id", F.col("pos").alias("close_pos"),
+        (F.col("depth") - 1).alias("depth"),
+        F.row_number()
+        .over(Window.partitionBy("doc_id", "depth").orderBy("pos"))
+        .alias("k"),
+    )
+    hidden = (
+        opens.where("is_hidden")
+        .join(closes, ["doc_id", "depth", "k"], "left")
+    )
+    deltas = (
+        hidden.select("doc_id", "pos", F.lit(1).alias("delta"))
+        .unionAll(
+            hidden.where(F.col("close_pos").isNotNull()).select(
+                "doc_id", F.col("close_pos").alias("pos"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    lv = (
+        ann.join(deltas, ["doc_id", "pos"], "left")
+        .withColumn(
+            "hid_level",
+            F.coalesce(
+                F.sum(F.coalesce(F.col("delta"), F.lit(0))).over(
+                    Window.partitionBy("doc_id")
+                    .orderBy("pos")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    strip = F.lit(False)
+    for tag in HTML_STRIP_CONTENT_TAGS:
+        strip = strip | (F.col(f"in_{tag}") > 0)
+    txt = (~F.col("is_tag")) & (~strip) & (F.length("visible") > 0)
+
+    def _joined(cond):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(cond, F.struct("pos", "visible")))
+                ),
+                lambda s: s["visible"],
+            ),
+            " ",
+        )
+
+    n_hidden = df.select(
+        F.col(doc_col).alias("doc_id")
+    ).join(
+        hidden.groupBy("doc_id").agg(F.count("*").alias("n_hidden")),
+        "doc_id", "left",
+    )
+    per = lv.groupBy("doc_id").agg(
+        _joined(txt & (F.col("hid_level") == 0)).alias("visible_text"),
+        _joined(txt & (F.col("hid_level") > 0)).alias("hidden_text"),
+        F.sum(
+            F.when(txt & (F.col("hid_level") > 0), F.length("visible"))
+            .otherwise(F.lit(0))
+        ).cast("int").alias("hidden_chars"),
+    )
+    return n_hidden.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("visible_text", F.lit("")).alias("visible_text"),
+        F.coalesce("hidden_text", F.lit("")).alias("hidden_text"),
+        F.coalesce("n_hidden", F.lit(0)).cast("int").alias("n_hidden"),
+        F.coalesce("hidden_chars", F.lit(0)).cast("int").alias("hidden_chars"),
+    )

@@ -23021,3 +23021,84 @@ def robots_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("sm_idx").cast("int").alias("sm_idx"),
         "sitemap_url", "crawl_delay",
     )
+
+
+@_register(
+    "html_hidden_text_extract",
+    f"""
+    WITH nn AS (SELECT doc_id, {_norm_sql('text')} AS n FROM documents),
+    n0 AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+             trim(substr(n, 1, 12)) AS nm,
+             doc_id % 2 = 1 AS two, doc_id % 5 = 0 AS five
+      FROM nn)
+    SELECT doc_id,
+           CASE WHEN nm = '' THEN 'Alpha one Beta two Gamma three'
+                ELSE 'Alpha ' || nm || ' one Beta two Gamma three'
+           END AS visible_text,
+           'secret ' || did || ' a'
+             || CASE WHEN five THEN ' deep' ELSE '' END
+             || ' secret b icon' || did
+             || CASE WHEN two THEN ' ghost ' || did ELSE '' END
+             AS hidden_text,
+           CAST(2 + CASE WHEN five THEN 1 ELSE 0 END
+                  + CASE WHEN two THEN 1 ELSE 0 END AS INT) AS n_hidden,
+           CAST(length('secret ' || did || ' a') + 8
+                  + CASE WHEN five THEN 4 ELSE 0 END
+                  + length('icon' || did)
+                  + CASE WHEN two THEN length('ghost ' || did) ELSE 0 END
+                AS INT) AS hidden_chars
+    FROM n0
+    """,
+)
+def html_hidden_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN-SUBTREE exclusion — the extraction-correctness gap every
+    density heuristic misses: text under ``style="display:none"``, the
+    HTML5 ``hidden`` boolean attribute, or ``aria-hidden="true"`` was
+    never rendered, so shipping it into a corpus imports invisible
+    SEO-spam; dropping rendered text loses content. The attribute rides
+    the OPEN tag but scopes the whole SUBTREE — close tags carry no
+    attributes, so per-tag-name enclosure counters cannot represent it.
+    The operator pairs opens/closes by RANK-AT-DEPTH (same-depth
+    elements cannot overlap in well-formed nesting) and runs a second
+    +1/-1 prefix sum for the hidden nesting level. Pages cycle three
+    hiding spellings (doc%3: double-quote style, whitespace-y
+    single-quote style, bare hidden attr), every page has an
+    aria-hidden inline icon splitting a visible paragraph, odd ids add
+    a second hidden div, %5==0 adds HIDDEN-INSIDE-HIDDEN (text must
+    count once). Oracle states expected split from the page spec.
+    PLAN: slim tag-only rank join + two windows on doc-hash exchanges;
+    zero Python. Reference parity: none (extraction-correctness
+    operator; reference renders nothing client-side)."""
+    from cies_ocr_java_spark.operators.dom_tree import extract_hidden_text
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n = normalize_ws(F.col("text"))
+    did = F.col("doc_id").cast("string")
+    nm = F.trim(n.substr(F.lit(1), F.lit(12)))
+    v = F.element_at(
+        F.array(
+            F.lit(' style="display:none"'),
+            F.lit(" style='display : none'"),
+            F.lit(" hidden"),
+        ),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    page = F.concat(
+        F.lit("<html><body><p>Alpha "), nm, F.lit(" one</p><div"), v,
+        F.lit("><p>secret "), did, F.lit(" a</p>"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("<span hidden>deep</span>")).otherwise(F.lit("")),
+        F.lit('<p>secret b</p></div>'
+              '<p>Beta <span aria-hidden="true">icon'),
+        did,
+        F.lit("</span> two</p>"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit("<div hidden><span>ghost "), did,
+                     F.lit("</span></div>")),
+        ).otherwise(F.lit("")),
+        F.lit("<p>Gamma three</p></body></html>"),
+    )
+    src = d.select("doc_id", page.alias("page"))
+    return extract_hidden_text(src, F.col("page"))

@@ -530,3 +530,133 @@ def test_meta_og_attribute_hazards(spark):
     assert by_prop["og:description"].endswith("& more")  # entity decoded
     assert "og:image" in by_prop  # odd id
     assert len(by_prop) == 4  # charset meta (no property) excluded
+
+
+# ---------------------------------------------------------------------------
+# hidden-subtree exclusion (session-5: extract_hidden_text)
+# ---------------------------------------------------------------------------
+
+def seq_hidden_split(html: str):
+    """Sequential stack reference for the hidden split: an explicit
+    (name, hidden?) stack; a text node is hidden iff any ancestor open
+    carried a hiding attribute. Must equal the distributed rank-match
+    formulation on well-nested input."""
+    from cies_ocr_java_spark.operators.dom_tree import HIDDEN_TAG_PATTERN
+
+    html = re.sub("(?s)" + COMMENT_PATTERN, " ", html or "")
+    toks, last = [], 0
+    for m in re.finditer(TAG_PATTERN, html, re.ASCII):
+        toks.append((False, html[last: m.start()]))
+        toks.append((True, m.group(0)))
+        last = m.end()
+    toks.append((False, html[last:]))
+    hid_pat = re.compile(HIDDEN_TAG_PATTERN)
+    stack = []
+    vis, hid, n_hidden, hid_chars = [], [], 0, 0
+    for is_tag, raw in toks:
+        if is_tag:
+            m = re.match(TAG_NAME_PATTERN, raw)
+            name = (m.group(1).lower() if m else "")
+            inert = (not name) or raw.endswith("/>") or name in DOM_VOID_TAGS
+            if raw.startswith("</"):
+                if stack:
+                    stack.pop()
+            elif not inert:
+                h = bool(hid_pat.search(raw))
+                n_hidden += h
+                stack.append((name, h))
+        else:
+            t = _vis(raw)
+            if not t:
+                continue
+            if any(n in HTML_STRIP_CONTENT_TAGS for n, _ in stack):
+                continue
+            if any(h for _, h in stack):
+                hid.append(t)
+                hid_chars += len(t)
+            else:
+                vis.append(t)
+    return " ".join(vis), " ".join(hid), n_hidden, hid_chars
+
+
+def _run_hidden(spark, pages):
+    from cies_ocr_java_spark.operators.dom_tree import extract_hidden_text
+
+    df = spark.createDataFrame(
+        list(enumerate(pages)), "doc_id long, html string"
+    )
+    out = extract_hidden_text(df, F.col("html")).collect()
+    return {
+        r.doc_id: (r.visible_text, r.hidden_text, r.n_hidden, r.hidden_chars)
+        for r in out
+    }
+
+
+def test_hidden_text_matches_sequential_stack(spark):
+    rng = random.Random(55)
+    tags = ["div", "span", "p", "section"]
+    attrs = ['', '', '', ' style="display:none"', " hidden",
+             ' aria-hidden="true"', " style='display : none'",
+             ' class="x"', ' aria-hidden="false"']
+
+    def page(depth=0):
+        parts = []
+        for _ in range(rng.randint(1, 3)):
+            if depth < 3 and rng.random() < 0.6:
+                t = rng.choice(tags)
+                parts.append(
+                    f"<{t}{rng.choice(attrs)}>{page(depth + 1)}</{t}>"
+                )
+            else:
+                parts.append(rng.choice(["alpha", "beta b", " ", "gamma"]))
+        return " ".join(parts)
+
+    pages = [f"<html><body>{page()}</body></html>" for _ in range(24)]
+    got = _run_hidden(spark, pages)
+    for i, p in enumerate(pages):
+        assert got[i] == seq_hidden_split(p), p
+
+
+def test_hidden_text_unclosed_hides_to_end(spark):
+    got = _run_hidden(
+        spark, ["<p>pre</p><div hidden><p>gone</p><p>after</p>"]
+    )
+    assert got[0] == ("pre", "gone after", 1, 9)
+
+
+def test_hidden_text_hostile_misnesting_defined(spark):
+    # stray closes + overlap: defined output, never a crash
+    got = _run_hidden(
+        spark,
+        ["</div></div><p>a<div hidden>x</p>y</div><p>b</p>",
+         "<div style=\"display:none\">" * 40 + "deep"],
+    )
+    assert set(got) == {0, 1}
+    for v in got.values():
+        assert v[0] is not None and v[1] is not None
+
+
+def test_hidden_text_aria_word_boundary(spark):
+    # aria-hidden must not false-match the bare-hidden branch;
+    # hidden="false" is still hidden (HTML5 boolean presence semantics);
+    # class="hidden" (value, not attribute) must NOT hide
+    got = _run_hidden(
+        spark,
+        ['<p aria-hidden="false">shown</p>'
+         '<p hidden="false">boolean</p>'
+         '<p class="hidden">classy</p>'],
+    )
+    assert got[0] == ("shown classy", "boolean", 1, 7)
+
+
+def test_hidden_text_zero_python_plan(spark):
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["html_hidden_text_extract"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Exchange SinglePartition" not in plan
