@@ -23102,3 +23102,98 @@ def html_hidden_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = d.select("doc_id", page.alias("page"))
     return extract_hidden_text(src, F.col("page"))
+
+
+@_register(
+    "html_pagination_stitch",
+    f"""
+    WITH nn AS (SELECT doc_id, {_norm_sql('text')} AS n FROM documents),
+    n0 AS (
+      SELECT doc_id, doc_id // 4 AS a, CAST(doc_id % 4 AS INT) AS idx,
+             CAST(1 + (doc_id // 4) % 4 AS INT) AS klen,
+             trim('pg' || CAST(doc_id % 4 AS VARCHAR) || ' '
+                  || trim(substr(n, 1, 12))) AS ptext,
+             trim('solo ' || trim(substr(n, 1, 12))) AS stext,
+             CAST(doc_id AS VARCHAR) AS did
+      FROM nn),
+    members AS (SELECT * FROM n0 WHERE idx < klen),
+    arts AS (
+      SELECT a, CAST(min(doc_id) AS BIGINT) AS head_doc,
+             CAST(count(*) AS INT) AS n_pages,
+             string_agg(ptext, ' ' ORDER BY idx) AS stitched_text
+      FROM members GROUP BY a)
+    SELECT head_doc,
+           'https://pg.test/a' || CAST(a AS VARCHAR) || '/p0' AS head_url,
+           n_pages, stitched_text
+    FROM arts
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), 'https://pg.test/s' || did || '/x',
+           1, stext
+    FROM n0 WHERE idx >= klen
+    """,
+)
+def html_pagination_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGINATION-CHAIN STITCHING — reassemble multi-page articles from
+    ``<link rel="next">`` chains so the corpus carries one document per
+    ARTICLE, not one per page (page-grain docs truncate every long read
+    and flood dedup with boilerplate frames). Docs group into articles
+    of 1-4 pages (article = id div 4, length 1 + article%4; ids past
+    the length are standalone singletons). Each page declares <base
+    href>, a RELATIVE rel=canonical (its join key) and a RELATIVE
+    rel=next — so the stitch exercises RFC 3986 resolution
+    (resolve_url) before any edge exists. Chain assembly = one
+    anti-join for heads + max_hops-1 url equi-joins accumulating texts
+    in order (operators/pagination.py; pointer-doubling is the
+    unbounded-chain path, deliberately not paid here). Oracle states
+    articles from the grouping spec. PLAN: map-side parse, then
+    hash-join chains; zero Python. Reference parity: none
+    (beyond-reference crawl-assembly operator)."""
+    from cies_ocr_java_spark.functions.urls import resolve_url
+    from cies_ocr_java_spark.operators.dom_tree import visible_text_col
+    from cies_ocr_java_spark.operators.pagination import (
+        stitch_rel_next_chains,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n = normalize_ws(F.col("text"))
+    nm = F.trim(n.substr(F.lit(1), F.lit(12)))
+    did = F.col("doc_id").cast("string")
+    a = F.expr("doc_id div 4").cast("string")
+    idx = (F.col("doc_id") % 4).cast("int")
+    klen = (F.lit(1) + F.expr("doc_id div 4") % 4).cast("int")
+    member = idx < klen
+    base = F.when(
+        member, F.concat(F.lit("https://pg.test/a"), a, F.lit("/"))
+    ).otherwise(F.concat(F.lit("https://pg.test/s"), did, F.lit("/")))
+    canonical = F.when(member, F.concat(F.lit("p"), idx.cast("string"))) \
+        .otherwise(F.lit("x"))
+    has_next = member & (idx + 1 < klen)
+    page = F.concat(
+        F.lit('<html><head><base href="'), base,
+        F.lit('"><link rel="canonical" href="'), canonical, F.lit('">'),
+        F.when(
+            has_next,
+            F.concat(F.lit('<link rel="next" href="p'),
+                     (idx + 1).cast("string"), F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>"),
+        F.when(member,
+               F.concat(F.lit("pg"), idx.cast("string"), F.lit(" "), nm))
+        .otherwise(F.concat(F.lit("solo "), nm)),
+        F.lit("</p></body></html>"),
+    )
+    src = d.select("doc_id", page.alias("page"))
+    pb = F.regexp_extract("page", r'<base href="([^"]*)"', 1)
+    pc = F.regexp_extract("page", r'<link rel="canonical" href="([^"]*)"', 1)
+    pn = F.nullif(
+        F.regexp_extract("page", r'<link rel="next" href="([^"]*)"', 1),
+        F.lit(""),
+    )
+    pt = visible_text_col(F.regexp_extract("page", r"<p>(.*?)</p>", 1))
+    pages = src.select(
+        "doc_id",
+        resolve_url(pb, pc).alias("url"),
+        resolve_url(pb, pn).alias("next_url"),
+        pt.alias("text"),
+    )
+    return stitch_rel_next_chains(pages, max_hops=4)
