@@ -23197,3 +23197,72 @@ def html_pagination_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         pt.alias("text"),
     )
     return stitch_rel_next_chains(pages, max_hops=4)
+
+
+@_register(
+    "mime_multipart_extract",
+    f"""
+    WITH nn AS (SELECT doc_id, {_norm_sql('text')} AS n FROM documents),
+    n0 AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+             trim(substr(n, 1, 12)) AS nm, trim(substr(n, 1, 8)) AS nm8
+      FROM nn)
+    SELECT doc_id, 0 AS part_idx, 'text/plain' AS content_type,
+           '7bit' AS encoding,
+           'Hello ' || nm || ' plain' AS decoded_text,
+           CAST(length('Hello ' || nm || ' plain') AS INT) AS decoded_len
+    FROM n0
+    UNION ALL
+    SELECT doc_id, 1, 'text/html', 'quoted-printable',
+           'café ' || nm8 || ' line two = done',
+           CAST(length('café ' || nm8 || ' line two = done') AS INT)
+    FROM n0
+    UNION ALL
+    SELECT doc_id, 2, 'application/octet-stream', 'base64',
+           'bin ' || did || ' payload',
+           CAST(length('bin ' || did || ' payload') AS INT)
+    FROM n0
+    """,
+)
+def mime_multipart_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME MULTIPART DECODE — mail archives and mixed crawl payloads
+    arrive as boundary-delimited parts, each with its own
+    Content-Transfer-Encoding; a corpus that skips the decode trains on
+    'caf=C3=A9' and base64 walls. Each doc carries a three-part
+    multipart/mixed message: 7bit plaintext, a QUOTED-PRINTABLE html
+    part exercising a soft line break, a multi-byte escape (=C3=A9 must
+    assemble to 'é', not chr-per-byte mojibake — the hex-normalize +
+    one-unhex trick in operators/mime.py), and a literal =3D; and a
+    BASE64 part round-tripped through the builtin. Preamble and
+    epilogue are dropped per RFC 2046 §5.1.1. Oracle states decoded
+    parts from the message spec. PLAN: map-only parse+decode, one
+    posexplode, the part-ordinal window on the doc-hash exchange; zero
+    Python. Reference parity: none (beyond-reference ingest codec)."""
+    from cies_ocr_java_spark.operators.mime import parse_mime_multipart
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    n = normalize_ws(F.col("text"))
+    nm = F.trim(n.substr(F.lit(1), F.lit(12)))
+    nm8 = F.trim(n.substr(F.lit(1), F.lit(8)))
+    did = F.col("doc_id").cast("string")
+    b = F.concat(F.lit("b"), did)
+    b64 = F.base64(
+        F.encode(F.concat(F.lit("bin "), did, F.lit(" payload")), "utf-8")
+    )
+    nl = F.lit("\n")
+    msg = F.concat(
+        F.lit('MIME-Version: 1.0\nContent-Type: multipart/mixed; '
+              'boundary="'), b, F.lit('"\n\npreamble\n--'), b,
+        F.lit("\nContent-Type: text/plain\n"
+              "Content-Transfer-Encoding: 7bit\n\nHello "),
+        nm, F.lit(" plain\n--"), b,
+        F.lit("\nContent-Type: text/html\n"
+              "Content-Transfer-Encoding: quoted-printable\n\n"
+              "caf=C3=A9 "),
+        nm8, F.lit("=\n line two =3D done\n--"), b,
+        F.lit("\nContent-Type: application/octet-stream\n"
+              "Content-Transfer-Encoding: base64\n\n"),
+        b64, nl, F.lit("--"), b, F.lit("--\nepilogue\n"),
+    )
+    src = d.select("doc_id", msg.alias("msg"))
+    return parse_mime_multipart(src, F.col("msg"))
