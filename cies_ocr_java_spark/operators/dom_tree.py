@@ -1312,3 +1312,49 @@ def extract_hidden_text(df: DataFrame, payload,
         F.coalesce("n_hidden", F.lit(0)).cast("int").alias("n_hidden"),
         F.coalesce("hidden_chars", F.lit(0)).cast("int").alias("hidden_chars"),
     )
+
+
+def extract_svg_text(df: DataFrame, payload,
+                     doc_col: str = "doc_id") -> DataFrame:
+    """Positioned text from inline SVG — ``<text x= y=>`` elements carry
+    their own layout, so extraction order must come from GEOMETRY, not
+    document order (charts and diagrams emit labels in draw order, which
+    is arbitrary). Reading order is raster (y asc, then x asc, pos as
+    the deterministic tiebreak) — the flat sibling of
+    pdf_column_reading_order's column detection; SVG labels are sparse
+    annotations, not column text, so raster is the correct default.
+
+    Tokenizes with dom_tokens (SVG is XML; the quote-aware tag grammar
+    applies unchanged); a ``<text>`` open tag's x/y attributes plus its
+    NEXT token (the label, F.lead) make a span; missing coordinates
+    default to 0 per the SVG lacuna rules. Returns (doc_id, span_idx,
+    x, y, text) with span_idx the reading-order rank. ONE doc-hash
+    exchange carries both the lead and the rank window; zero Python."""
+    toks = dom_tokens(df, payload, doc_col)
+    name = F.lower(F.regexp_extract("raw", TAG_NAME_PATTERN, 1))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ann = toks.select(
+        "doc_id", "pos", "is_tag", "raw",
+        F.lead("raw").over(w).alias("next_raw"),
+        F.lead("is_tag").over(w).alias("next_is_tag"),
+    )
+    opens = ann.where(
+        F.col("is_tag")
+        & ~F.col("raw").startswith("</")
+        & (name == "text")
+    )
+    # try_cast: a malformed coordinate degrades to 0, never an
+    # ANSI cast exception (the formats.py degradation contract)
+    x = F.coalesce(_attr_value("x").try_cast("int"), F.lit(0))
+    y = F.coalesce(_attr_value("y").try_cast("int"), F.lit(0))
+    label = F.when(
+        ~F.col("next_is_tag"), visible_text_col(F.col("next_raw"))
+    ).otherwise(F.lit(""))
+    ro = Window.partitionBy("doc_id").orderBy("y", "x", "pos")
+    return opens.select(
+        "doc_id", x.alias("x"), y.alias("y"), label.alias("text"), "pos"
+    ).select(
+        "doc_id",
+        (F.row_number().over(ro) - 1).cast("int").alias("span_idx"),
+        "x", "y", "text",
+    )

@@ -23266,3 +23266,57 @@ def mime_multipart_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = d.select("doc_id", msg.alias("msg"))
     return parse_mime_multipart(src, F.col("msg"))
+
+
+@_register(
+    "svg_text_extract",
+    """
+    WITH n0 AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+             CAST(3 + doc_id % 3 AS INT) AS n
+      FROM documents)
+    SELECT doc_id, CAST(r AS INT) AS span_idx,
+           CAST(10 + 190 * (r % 2) AS INT) AS x,
+           CAST(20 * (1 + r // 2) AS INT) AS y,
+           'lbl' || CAST(r AS VARCHAR) || ' ' || did AS text
+    FROM (SELECT doc_id, did, unnest(range(0, n)) AS r FROM n0)
+    """,
+)
+def svg_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONED SVG TEXT — chart and diagram labels carry their own
+    x/y layout, and draw order is arbitrary, so extraction order must
+    come from GEOMETRY (raster y-then-x), the flat sibling of
+    pdf_column_reading_order. Each doc's <svg> emits 3-5 labels in
+    REVERSE reading order (the hostile draw order) across two columns
+    (x=10/200) and stacked rows (y=20/40/60); a <rect> sibling must be
+    ignored. The operator re-ranks by (y, x, pos). Oracle states the
+    raster order from the layout spec. PLAN: tokenize + lead + rank on
+    ONE doc-hash exchange; zero Python. Reference parity: none
+    (beyond-reference vector-graphics extraction)."""
+    from cies_ocr_java_spark.operators.dom_tree import extract_svg_text
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    did = F.col("doc_id").cast("string")
+    n = (F.lit(3) + F.col("doc_id") % 3).cast("int")
+    parts = F.array_join(
+        F.transform(
+            F.sequence(n - 1, F.lit(0), F.lit(-1)),
+            lambda r: F.concat(
+                F.lit('<text x="'),
+                (F.lit(10) + F.lit(190) * (r % 2)).cast("string"),
+                F.lit('" y="'),
+                (F.lit(20) * (F.lit(1) + F.floor(r / 2)))
+                .cast("int").cast("string"),
+                F.lit('">lbl'), r.cast("string"), F.lit(" "), did,
+                F.lit("</text>"),
+            ),
+        ),
+        "",
+    )
+    page = F.concat(
+        F.lit('<svg width="400" height="80"><rect x="5" y="5"/>'),
+        parts,
+        F.lit("</svg>"),
+    )
+    src = d.select("doc_id", page.alias("page"))
+    return extract_svg_text(src, F.col("page"))

@@ -660,3 +660,58 @@ def test_hidden_text_zero_python_plan(spark):
     )
     assert "Python" not in plan and "Arrow" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# positioned SVG text (session-5: extract_svg_text)
+# ---------------------------------------------------------------------------
+
+def test_svg_text_raster_order_and_defaults(spark):
+    from cies_ocr_java_spark.operators.dom_tree import extract_svg_text
+
+    svg = (
+        '<svg><text x="200" y="40">d</text>'
+        '<text x="10" y="40">c</text>'
+        "<text>origin</text>"            # missing coords default to 0
+        '<rect x="1" y="1"/>'
+        '<text x="10" y="20">a</text>'
+        '<text x="200" y="20">b &amp; e</text></svg>'
+    )
+    df = spark.createDataFrame([(1, svg)], "doc_id long, html string")
+    rows = sorted(
+        extract_svg_text(df, F.col("html")).collect(),
+        key=lambda r: r.span_idx,
+    )
+    assert [(r.span_idx, r.x, r.y, r.text) for r in rows] == [
+        (0, 0, 0, "origin"),
+        (1, 10, 20, "a"),
+        (2, 200, 20, "b & e"),
+        (3, 10, 40, "c"),
+        (4, 200, 40, "d"),
+    ]
+
+
+def test_svg_text_hostile_defined(spark):
+    from cies_ocr_java_spark.operators.dom_tree import extract_svg_text
+
+    df = spark.createDataFrame(
+        [(1, '<text x="zz" y="-3"><b>nested</b></text><text')],
+        "doc_id long, html string",
+    )
+    rows = extract_svg_text(df, F.col("html")).collect()
+    # non-numeric x -> 0; tag follows open -> empty label; trailing
+    # unterminated '<text' is character data, not a tag
+    assert [(r.x, r.y, r.text) for r in rows] == [(0, -3, "")]
+
+
+def test_svg_text_zero_python_plan(spark):
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["svg_text_extract"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Exchange SinglePartition" not in plan
