@@ -23320,3 +23320,93 @@ def svg_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = d.select("doc_id", page.alias("page"))
     return extract_svg_text(src, F.col("page"))
+
+
+@_register(
+    "anchor_text_signal",
+    """
+    WITH l AS (
+      SELECT 'https://t.test/page'
+               || CAST((doc_id + j * 7) % 50 AS VARCHAR) AS target_url,
+             ['download','homepage','contact','about']
+               [CAST((doc_id + j) % 4 AS INT) + 1] AS term,
+             source
+      FROM (SELECT doc_id, source,
+                   unnest(range(0, 2 + doc_id % 3)) AS j
+            FROM documents)),
+    t AS (SELECT target_url, CAST(count(*) AS BIGINT) AS n_inlinks,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_hosts
+          FROM l GROUP BY target_url),
+    pt AS (SELECT target_url, term, count(*) AS c
+           FROM l GROUP BY target_url, term),
+    top AS (SELECT target_url, term, c,
+                   row_number() OVER (PARTITION BY target_url
+                                      ORDER BY c DESC, term DESC) AS rn
+            FROM pt)
+    SELECT t.target_url, n_inlinks, n_hosts,
+           top.term AS top_anchor, CAST(top.c AS BIGINT) AS top_anchor_n
+    FROM t JOIN top USING (target_url) WHERE rn = 1
+    """,
+)
+def anchor_text_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INBOUND ANCHOR-TEXT AGGREGATION — what the web calls a page is
+    what other pages' anchors call it; per-target anchor rollups are
+    the classic off-page relevance signal (and the dedup tiebreaker:
+    keep the copy the web points at). Each doc emits 2+id%3 outlinks
+    into a 50-target space with vocab-cycled anchors; per target the
+    operator rolls up in-degree, distinct source hosts, and the
+    MODAL anchor term. PLAN shape is the scale story: two map-side-
+    combinable groupBys (target grain, then target×term grain) and a
+    MAX_BY-of-struct for the mode — no row-grain window, no global
+    sort; ties break on the lexicographically larger term so both
+    engines agree exactly. Reference parity: none (beyond-reference
+    link-graph operator; feeds the domain_pagerank family)."""
+    from cies_ocr_java_spark.operators.html_extract import anchor_links_col
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    vocab = F.array(*[F.lit(x) for x in
+                      ("download", "homepage", "contact", "about")])
+    k = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda j: F.concat(
+                    F.lit('<a href="https://t.test/page'),
+                    ((F.col("doc_id") + j * 7) % 50).cast("string"),
+                    F.lit('">'),
+                    F.element_at(vocab, ((F.col("doc_id") + j) % 4 + 1)
+                                 .cast("int")),
+                    F.lit("</a>"),
+                ),
+            ),
+            " ",
+        ),
+        F.lit("</body></html>"),
+    )
+    links = d.select(
+        "source", F.explode(anchor_links_col(html)).alias("lnk")
+    ).select(
+        F.col("lnk.href").alias("target_url"),
+        F.col("lnk.anchor").alias("term"),
+        "source",
+    )
+    targets = links.groupBy("target_url").agg(
+        F.count("*").alias("n_inlinks"),
+        F.countDistinct("source").alias("n_hosts"),
+    )
+    top = (
+        links.groupBy("target_url", "term")
+        .agg(F.count("*").alias("c"))
+        .groupBy("target_url")
+        .agg(F.max(F.struct("c", "term")).alias("m"))
+        .select(
+            "target_url",
+            F.col("m.term").alias("top_anchor"),
+            F.col("m.c").alias("top_anchor_n"),
+        )
+    )
+    return targets.join(top, "target_url").select(
+        "target_url", "n_inlinks", "n_hosts", "top_anchor", "top_anchor_n"
+    )

@@ -808,3 +808,32 @@ def test_markdown_extract_single_exchange(spark):
     assert "Python" not in plan and "Arrow" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Exchange SinglePartition" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "html_microdata_extract",
+        "robots_sitemap_directives",
+        "html_hidden_text_extract",
+        "html_pagination_stitch",
+        "mime_multipart_extract",
+        "svg_text_extract",
+        "anchor_text_signal",
+    ],
+)
+def test_session5_queries_zero_python_no_single_partition(spark, name):
+    """Session-5 crawl operators: all-JVM plans (no Python/Arrow eval),
+    no SinglePartition exchange, no global row sort — the shapes that
+    survive a 1000-executor scale-up."""
+    from cies_ocr_java_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES[name](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan, name
+    assert "Exchange SinglePartition" not in plan, name
+    assert "Sort [" not in plan or "global=true" not in plan, name
