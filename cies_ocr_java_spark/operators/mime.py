@@ -68,15 +68,18 @@ def decode_transfer(body: Column, encoding: Column) -> Column:
     )
 
 
-def parse_mime_multipart(df: DataFrame, payload,
+def parse_mime_parts_raw(df: DataFrame, payload,
                          doc_col: str = "doc_id") -> DataFrame:
-    """Parse a multipart MIME message column into one row per part:
-    (doc_id, part_idx, content_type, encoding, decoded_text,
-    decoded_len). The boundary comes from the top-level Content-Type
-    header; preamble (before the first boundary) and epilogue (after
-    the closing ``--boundary--``) are dropped per RFC 2046 §5.1.1.
-    Messages with no parseable boundary yield zero rows (defined
-    degradation). Both \\n and \\r\\n line conventions accepted."""
+    """Split a multipart MIME message into one row per part WITHOUT
+    decoding: (doc_id, part_idx, content_type, encoding, body). The
+    body stays in its transfer encoding — callers decode text parts
+    with decode_transfer and BINARY parts (images, audio) with a plain
+    ``unbase64``, which a UTF-8 text decode would corrupt. The boundary
+    comes from the top-level Content-Type header; preamble (before the
+    first boundary) and epilogue (after the closing ``--boundary--``)
+    are dropped per RFC 2046 §5.1.1. Messages with no parseable
+    boundary yield zero rows (defined degradation). Both \\n and
+    \\r\\n line conventions accepted."""
     msg = F.coalesce(payload, F.lit(""))
     boundary = F.regexp_extract(msg, r'boundary="([^"]*)"', 1)
     # split on the delimiter line start '--' + boundary; literal-quote
@@ -115,12 +118,27 @@ def parse_mime_multipart(df: DataFrame, payload,
     w = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("piece_idx")
     )
-    decoded = decode_transfer(body, enc)
     return rows.select(
         "doc_id",
         (w - 1).cast("int").alias("part_idx"),
         ctype.alias("content_type"),
         enc.alias("encoding"),
+        body.alias("body"),
+    )
+
+
+def parse_mime_multipart(df: DataFrame, payload,
+                         doc_col: str = "doc_id") -> DataFrame:
+    """Parse a multipart MIME message column into one row per TEXT part:
+    (doc_id, part_idx, content_type, encoding, decoded_text,
+    decoded_len) — parse_mime_parts_raw plus decode_transfer."""
+    parts = parse_mime_parts_raw(df, payload, doc_col)
+    decoded = decode_transfer(F.col("body"), F.col("encoding"))
+    return parts.select(
+        "doc_id",
+        "part_idx",
+        "content_type",
+        "encoding",
         decoded.alias("decoded_text"),
         F.length(decoded).cast("int").alias("decoded_len"),
     )

@@ -23410,3 +23410,124 @@ def anchor_text_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return targets.join(top, "target_url").select(
         "target_url", "n_inlinks", "n_hosts", "top_anchor", "top_anchor_n"
     )
+
+
+@_register(
+    "mime_interleaved_spans",
+    f"""
+    WITH nn AS (SELECT doc_id, {_norm_sql('text')} AS n FROM documents),
+    n0 AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+             trim(substr(n, 1, 12)) AS nm,
+             CAST(4 + doc_id % 13 AS INT) AS w,
+             CAST(3 + doc_id % 7 AS INT) AS h,
+             doc_id % 23 = 0 AS poison
+      FROM nn)
+    SELECT doc_id, 0 AS span_idx, 'text' AS kind,
+           'intro ' || nm AS text, CAST(NULL AS VARCHAR) AS media_ref
+    FROM n0
+    UNION ALL
+    SELECT doc_id, 1, 'media', NULL,
+           CASE WHEN poison THEN 'bmp:error'
+                ELSE 'bmp:' || CAST(w AS VARCHAR) || 'x'
+                     || CAST(h AS VARCHAR) END
+    FROM n0
+    UNION ALL
+    SELECT doc_id, 2, 'text', 'outro ' || did, NULL
+    FROM n0
+    """,
+)
+def mime_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLEAVED TEXT+MEDIA through one MIME container — the axes-A+B
+    closing loop: a multipart message carries text parts around a
+    base64 REAL BMP, and extraction must yield the north rule's span
+    schema (kind, text, media_ref, order) with the media span's ref
+    derived from a genuine codec decode (width x height), text spans
+    decoded in place, and the poisoned payload (id%23==0, truncated
+    pixels) degrading to 'bmp:error' — an error SPAN in sequence, never
+    a lost document. The binary path matters: the text parser's UTF-8
+    decode would corrupt pixel bytes, so the media branch goes
+    parse_mime_parts_raw -> unbase64 -> extract_bmp_features (the one
+    irreducible Arrow hop, same as media_real_decode). PLAN: JVM parse
+    + split routing; one mapInPandas for message synthesis (BMP bytes
+    need struct packing) and one for the codec; union keeps span order
+    by part_idx. Reference parity: interleaved span assembly mirrors
+    the reference's text+media result sequences (SURVEY §2.5 ordered
+    concat; DocumentExtractManager.java:410-429 routes by content)."""
+    import base64 as _b64
+
+    from cies_ocr_java_spark.operators.mime import (
+        decode_transfer,
+        parse_mime_parts_raw,
+    )
+    from cies_ocr_java_spark.operators.multimodal import (
+        build_bmp,
+        extract_bmp_features,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import re as _re
+
+        import pandas as pd
+
+        for pdf in batches:
+            msgs = []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                norm = _re.sub(r"\s+", " ", str(txt)).strip()
+                nm = norm[:12].strip()
+                bmp = build_bmp(4 + i % 13, 3 + i % 7, i % 251)
+                if i % 23 == 0:
+                    bmp = bmp[:-5]
+                b64 = _b64.b64encode(bmp).decode("ascii")
+                b = f"b{i}"
+                msgs.append(
+                    f'Content-Type: multipart/mixed; boundary="{b}"\n\n'
+                    f"--{b}\nContent-Type: text/plain\n\nintro {nm}\n"
+                    f"--{b}\nContent-Type: image/bmp\n"
+                    f"Content-Transfer-Encoding: base64\n\n{b64}\n"
+                    f"--{b}\nContent-Type: text/plain\n\noutro {i}\n"
+                    f"--{b}--\n"
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "msg": msgs}
+            )
+
+    src = d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, msg string"
+    )
+    parts = parse_mime_parts_raw(src, F.col("msg"))
+    texts = parts.where(F.col("content_type").startswith("text/")).select(
+        "doc_id",
+        F.col("part_idx").alias("span_idx"),
+        F.lit("text").alias("kind"),
+        decode_transfer(F.col("body"), F.col("encoding")).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+    imgs = parts.where(F.col("content_type") == "image/bmp").select(
+        "doc_id",
+        F.col("part_idx").alias("span_idx"),
+        F.unbase64(F.regexp_replace("body", r"\s", "")).alias("content"),
+    )
+    feats = extract_bmp_features(
+        imgs.select(
+            (F.col("doc_id") * 10 + F.col("span_idx")).alias("doc_id"),
+            "content",
+        )
+    ).select(
+        F.expr("doc_id div 10").alias("doc_id"),
+        (F.col("doc_id") % 10).cast("int").alias("span_idx"),
+        F.when(
+            F.col("error").isNull(),
+            F.concat(F.lit("bmp:"), F.col("width").cast("string"),
+                     F.lit("x"), F.col("height").cast("string")),
+        ).otherwise(F.lit("bmp:error")).alias("media_ref"),
+    ).select(
+        "doc_id", "span_idx", F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"), "media_ref",
+    )
+    return texts.unionByName(feats).select(
+        "doc_id", "span_idx", "kind", "text", "media_ref"
+    )

@@ -129,3 +129,34 @@ def test_multipart_zero_python_plan(spark):
     )
     assert "Python" not in plan and "Arrow" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_raw_parts_preserve_binary_through_base64(spark):
+    """A binary part must survive unbase64 byte-exact — the text
+    decoder's UTF-8 pass would corrupt it (why parse_mime_parts_raw
+    exists)."""
+    from cies_ocr_java_spark.operators.mime import parse_mime_parts_raw
+    from cies_ocr_java_spark.operators.multimodal import (
+        build_bmp,
+        decode_bmp,
+    )
+
+    bmp = build_bmp(5, 4, 200)
+    m = _msg(
+        "bb",
+        [
+            (
+                "Content-Type: image/bmp\n"
+                "Content-Transfer-Encoding: base64",
+                base64.b64encode(bmp).decode(),
+            )
+        ],
+    )
+    df = spark.createDataFrame([(1, m)], "doc_id long, msg string")
+    parts = parse_mime_parts_raw(df, F.col("msg"))
+    row = parts.select(
+        F.unbase64(F.regexp_replace("body", r"\s", "")).alias("content")
+    ).collect()[0]
+    assert bytes(row.content) == bmp
+    d = decode_bmp(bytes(row.content))
+    assert (d["width"], d["height"], d["error"]) == (5, 4, None)
