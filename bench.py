@@ -276,6 +276,15 @@ HEADLINE = [
     "media_ocr_roundtrip",
     "extract_pdf_ocr_spans",
     "extract_pdf_ocr_stream",
+    # session-5 crawl/container operators
+    "html_microdata_extract",
+    "robots_sitemap_directives",
+    "html_hidden_text_extract",
+    "html_pagination_stitch",
+    "mime_multipart_extract",
+    "mime_interleaved_spans",
+    "svg_text_extract",
+    "anchor_text_signal",
 ]
 
 
