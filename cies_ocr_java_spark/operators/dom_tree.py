@@ -1250,14 +1250,24 @@ def extract_hidden_text(df: DataFrame, payload,
         opens.where("is_hidden")
         .join(closes, ["doc_id", "depth", "k"], "left")
     )
+    # ONE reference to the hidden-interval subtree: explode each matched
+    # interval into its +1/-1 endpoint events (a second reference — e.g.
+    # a unionAll of open and close projections — would recompute the
+    # whole rank-join per consumer: scans of the corpus, not of a temp)
     deltas = (
-        hidden.select("doc_id", "pos", F.lit(1).alias("delta"))
-        .unionAll(
-            hidden.where(F.col("close_pos").isNotNull()).select(
-                "doc_id", F.col("close_pos").alias("pos"),
-                F.lit(-1).alias("delta"),
-            )
+        hidden.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(F.col("pos").alias("p"), F.lit(1).alias("d")),
+                    F.struct(
+                        F.col("close_pos").alias("p"), F.lit(-1).alias("d")
+                    ),
+                )
+            ).alias("e"),
         )
+        .select("doc_id", F.col("e.p").alias("pos"), F.col("e.d").alias("delta"))
+        .where(F.col("pos").isNotNull())
         .groupBy("doc_id", "pos")
         .agg(F.sum("delta").alias("delta"))
     )
@@ -1291,26 +1301,23 @@ def extract_hidden_text(df: DataFrame, payload,
             " ",
         )
 
-    n_hidden = df.select(
-        F.col(doc_col).alias("doc_id")
-    ).join(
-        hidden.groupBy("doc_id").agg(F.count("*").alias("n_hidden")),
-        "doc_id", "left",
-    )
-    per = lv.groupBy("doc_id").agg(
+    # n_hidden folds into the SAME final aggregate as the sum of
+    # positive deltas (each hidden open contributed exactly +1) — no
+    # doc-list join-back, no second pass over the interval table. Every
+    # payload tokenizes to >=1 row, so the doc-grain grouping is total.
+    return lv.groupBy("doc_id").agg(
         _joined(txt & (F.col("hid_level") == 0)).alias("visible_text"),
         _joined(txt & (F.col("hid_level") > 0)).alias("hidden_text"),
+        F.sum(
+            F.when(F.coalesce(F.col("delta"), F.lit(0)) > 0, F.col("delta"))
+            .otherwise(F.lit(0))
+        ).cast("int").alias("n_hidden"),
         F.sum(
             F.when(txt & (F.col("hid_level") > 0), F.length("visible"))
             .otherwise(F.lit(0))
         ).cast("int").alias("hidden_chars"),
-    )
-    return n_hidden.join(per, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("visible_text", F.lit("")).alias("visible_text"),
-        F.coalesce("hidden_text", F.lit("")).alias("hidden_text"),
-        F.coalesce("n_hidden", F.lit(0)).cast("int").alias("n_hidden"),
-        F.coalesce("hidden_chars", F.lit(0)).cast("int").alias("hidden_chars"),
+    ).select(
+        "doc_id", "visible_text", "hidden_text", "n_hidden", "hidden_chars"
     )
 
 

@@ -759,6 +759,54 @@ COMMENTARY = {
         "narrow Project per Hilbert fold round); run-count windows "
         "order only the bounded CELL table, never the event scan."
     ),
+    "html_microdata_extract": (
+        "Structured-data extraction riding ONE doc-hash exchange: item "
+        "ordinal (running count of itemscope opens), itemtype carry "
+        "(last ignorenulls) and the value's next-token lead all share "
+        "the same window spec. Zero Python, no join."
+    ),
+    "robots_sitemap_directives": (
+        "Frontier bootstrap: map-only line split + case-insensitive "
+        "key filter + ONE posexplode — zero shuffle beyond the "
+        "explode's narrow dependency."
+    ),
+    "html_hidden_text_extract": (
+        "Subtree hiding as data: opens/closes pair by rank-at-depth "
+        "(two slim tag-only windows + one equi-join), hidden intervals "
+        "become +1/-1 deltas, a second prefix sum carries the nesting "
+        "level. All exchanges doc-hash; zero Python."
+    ),
+    "html_pagination_stitch": (
+        "Chain assembly at crawl scale: heads by anti-join against "
+        "next-targets, then max_hops-1 unrolled equi-joins on the "
+        "resolved url key accumulate page texts in order — bounded "
+        "plan depth regardless of corpus size, no iteration driver-side."
+    ),
+    "mime_multipart_extract": (
+        "Container decode fully in codegen: boundary split (literal-"
+        "quoted column regex), per-part headers, quoted-printable via "
+        "hex-normalize + ONE unhex (multi-byte escapes assemble "
+        "correctly), base64 builtin. One posexplode + the part-ordinal "
+        "window on the doc-hash exchange."
+    ),
+    "mime_interleaved_spans": (
+        "Interleaved text+media through one container: text parts "
+        "decode JVM-side, the base64 BMP part routes raw->unbase64-> "
+        "codec (one Arrow pass, the documented irreducible hop), and "
+        "the union restores span order by part_idx. Poison payloads "
+        "surface as error SPANS, never lost documents."
+    ),
+    "svg_text_extract": (
+        "Geometry from markup: x/y attributes (try_cast, ANSI-safe) "
+        "re-rank draw-ordered labels into raster reading order via one "
+        "doc-partitioned window. Zero Python."
+    ),
+    "anchor_text_signal": (
+        "Off-page signal rollup with NO row-grain window: two map-side-"
+        "combinable groupBys (target, then target x term) and a "
+        "max_by-of-struct picks the modal anchor; distinct-host count "
+        "rides the same target exchange."
+    ),
 }
 
 
