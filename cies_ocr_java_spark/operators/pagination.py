@@ -32,6 +32,13 @@ def stitch_rel_next_chains(pages: DataFrame, max_hops: int = 8) -> DataFrame:
     canonical key, next_url null for chain tails. Returns one row per
     chain head: (head_doc, head_url, n_pages, stitched_text) with texts
     space-joined in chain order, truncated at ``max_hops`` pages."""
+    # PERSIST the slim parsed edge table: it has max_hops+2 consumers
+    # (targets, heads, one per chase round) and without materialization
+    # each consumer re-parses the whole corpus — 5 scans for the default
+    # bound (the dedup.py shared-table precedent; at 10^12 docs the
+    # (url, next_url, text, doc_id) projection is a fraction of the
+    # page bytes it replaces).
+    pages = pages.persist()
     targets = (
         pages.where(F.col("next_url").isNotNull())
         .select(F.col("next_url").alias("url"))
