@@ -283,6 +283,7 @@ HEADLINE = [
     "html_pagination_stitch",
     "mime_multipart_extract",
     "mime_interleaved_spans",
+    "mime_stream_spans",
     "svg_text_extract",
     "anchor_text_signal",
 ]

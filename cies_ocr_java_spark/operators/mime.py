@@ -25,7 +25,7 @@ linear in message size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # A quoted-printable escape: '=' + exactly two hex digits.
 _QP_HEX = r"^[0-9A-Fa-f]{2}"
@@ -115,12 +115,15 @@ def parse_mime_parts_raw(df: DataFrame, payload,
             F.lit("7bit"),
         )
     )
-    w = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("piece_idx")
-    )
+    # part_idx = piece_idx - 1: piece 0 is always the preamble (the
+    # Content-Type header precedes the first delimiter) and the epilogue
+    # piece is last, so part indices are dense with NO window — the
+    # parser stays fully stateless (streaming-capable, zero exchange).
+    # A hostile mid-message '--boundary--' gaps the indices instead of
+    # renumbering them (defined degradation, order still correct).
     return rows.select(
         "doc_id",
-        (w - 1).cast("int").alias("part_idx"),
+        (F.col("piece_idx") - 1).cast("int").alias("part_idx"),
         ctype.alias("content_type"),
         enc.alias("encoding"),
         body.alias("body"),

@@ -23412,48 +23412,10 @@ def anchor_text_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "mime_interleaved_spans",
-    f"""
-    WITH nn AS (SELECT doc_id, {_norm_sql('text')} AS n FROM documents),
-    n0 AS (
-      SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
-             trim(substr(n, 1, 12)) AS nm,
-             CAST(4 + doc_id % 13 AS INT) AS w,
-             CAST(3 + doc_id % 7 AS INT) AS h,
-             doc_id % 23 = 0 AS poison
-      FROM nn)
-    SELECT doc_id, 0 AS span_idx, 'text' AS kind,
-           'intro ' || nm AS text, CAST(NULL AS VARCHAR) AS media_ref
-    FROM n0
-    UNION ALL
-    SELECT doc_id, 1, 'media', NULL,
-           CASE WHEN poison THEN 'bmp:error'
-                ELSE 'bmp:' || CAST(w AS VARCHAR) || 'x'
-                     || CAST(h AS VARCHAR) END
-    FROM n0
-    UNION ALL
-    SELECT doc_id, 2, 'text', 'outro ' || did, NULL
-    FROM n0
-    """,
-)
-def mime_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERLEAVED TEXT+MEDIA through one MIME container — the axes-A+B
-    closing loop: a multipart message carries text parts around a
-    base64 REAL BMP, and extraction must yield the north rule's span
-    schema (kind, text, media_ref, order) with the media span's ref
-    derived from a genuine codec decode (width x height), text spans
-    decoded in place, and the poisoned payload (id%23==0, truncated
-    pixels) degrading to 'bmp:error' — an error SPAN in sequence, never
-    a lost document. The binary path matters: the text parser's UTF-8
-    decode would corrupt pixel bytes, so the media branch goes
-    parse_mime_parts_raw -> unbase64 -> extract_bmp_features (the one
-    irreducible Arrow hop, same as media_real_decode). PLAN: JVM parse
-    + split routing; one mapInPandas for message synthesis (BMP bytes
-    need struct packing) and one for the codec; union keeps span order
-    by part_idx. Reference parity: interleaved span assembly mirrors
-    the reference's text+media result sequences (SURVEY §2.5 ordered
-    concat; DocumentExtractManager.java:410-429 routes by content)."""
+def _mime_spans_from(d: DataFrame) -> DataFrame:
+    """The mime_interleaved_spans kernel over a documents frame (batch
+    OR stream — every stage is stateless: two Arrow hops, JVM parse, a
+    union; no window, no aggregation)."""
     import base64 as _b64
 
     from cies_ocr_java_spark.operators.mime import (
@@ -23464,8 +23426,6 @@ def mime_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_bmp,
         extract_bmp_features,
     )
-
-    d = _t(spark, sf_dir, "documents", fanout=True)
 
     def gen(batches):
         import re as _re
@@ -23531,3 +23491,85 @@ def mime_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return texts.unionByName(feats).select(
         "doc_id", "span_idx", "kind", "text", "media_ref"
     )
+
+
+@_register(
+    "mime_interleaved_spans",
+    f"""
+    WITH nn AS (SELECT doc_id, {_norm_sql('text')} AS n FROM documents),
+    n0 AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+             trim(substr(n, 1, 12)) AS nm,
+             CAST(4 + doc_id % 13 AS INT) AS w,
+             CAST(3 + doc_id % 7 AS INT) AS h,
+             doc_id % 23 = 0 AS poison
+      FROM nn)
+    SELECT doc_id, 0 AS span_idx, 'text' AS kind,
+           'intro ' || nm AS text, CAST(NULL AS VARCHAR) AS media_ref
+    FROM n0
+    UNION ALL
+    SELECT doc_id, 1, 'media', NULL,
+           CASE WHEN poison THEN 'bmp:error'
+                ELSE 'bmp:' || CAST(w AS VARCHAR) || 'x'
+                     || CAST(h AS VARCHAR) END
+    FROM n0
+    UNION ALL
+    SELECT doc_id, 2, 'text', 'outro ' || did, NULL
+    FROM n0
+    """,
+)
+def mime_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLEAVED TEXT+MEDIA through one MIME container — the axes-A+B
+    closing loop: a multipart message carries text parts around a
+    base64 REAL BMP, and extraction must yield the north rule's span
+    schema (kind, text, media_ref, order) with the media span's ref
+    derived from a genuine codec decode (width x height), text spans
+    decoded in place, and the poisoned payload (id%23==0, truncated
+    pixels) degrading to 'bmp:error' — an error SPAN in sequence, never
+    a lost document. The binary path matters: the text parser's UTF-8
+    decode would corrupt pixel bytes, so the media branch goes
+    parse_mime_parts_raw -> unbase64 -> extract_bmp_features (the one
+    irreducible Arrow hop, same as media_real_decode). PLAN: JVM parse
+    + split routing; one mapInPandas for message synthesis (BMP bytes
+    need struct packing) and one for the codec; union keeps span order
+    by part_idx. Reference parity: interleaved span assembly mirrors
+    the reference's text+media result sequences (SURVEY §2.5 ordered
+    concat; DocumentExtractManager.java:410-429 routes by content)."""
+    return _mime_spans_from(_t(spark, sf_dir, "documents", fanout=True))
+
+
+@_register(
+    "mime_stream_spans",
+    None,  # identical semantics -> identical oracle (assigned below)
+)
+def mime_stream_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME MIME-container interleaved extraction under Structured
+    Streaming: readStream over the documents source -> _mime_spans_from
+    (message synthesis, boundary parse, QP/base64 decode, BMP codec —
+    every stage stateless since the part ordinal comes from piece_idx,
+    not a window) -> availableNow memory sink. Unified batch/stream
+    container decode; the oracle is the batch query's SQL verbatim
+    (the extract_pdf_ocr_stream precedent)."""
+    import uuid as _uuid
+
+    batch = _t(spark, sf_dir, "documents")  # schema donor only
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = _mime_spans_from(stream)
+    name = f"mss_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+ORACLES["mime_stream_spans"] = ORACLES["mime_interleaved_spans"]
