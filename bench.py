@@ -286,6 +286,8 @@ HEADLINE = [
     "mime_stream_spans",
     "svg_text_extract",
     "anchor_text_signal",
+    "media_mp4_decode",
+    "media_mp4_frames",
 ]
 
 

@@ -910,6 +910,8 @@ def sniff_media_format(data: bytes | None) -> str | None:
         return "ico"
     if data.startswith(b"FORM") and data[8:12] == b"AIFF":
         return "aiff"
+    if data[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -971,6 +973,15 @@ def extract_media_dispatch(df: DataFrame, content_col: str = "content",
                     r = decode_aiff(b)
                     ws.append(None); hs.append(None)
                     ns.append(r["n_samples"]); inks.append(r["abs_sum"])
+                    errs.append(r["error"])
+                elif fmt == "mp4":
+                    from cies_ocr_java_spark.operators.mp4_real import (
+                        parse_mp4,
+                    )
+
+                    r = parse_mp4(b)
+                    ws.append(r["width"]); hs.append(r["height"])
+                    ns.append(r["n_samples"]); inks.append(r["payload_sum"])
                     errs.append(r["error"])
                 else:
                     r = None

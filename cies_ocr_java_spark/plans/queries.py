@@ -23573,3 +23573,169 @@ def mime_stream_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["mime_stream_spans"] = ORACLES["mime_interleaved_spans"]
+
+
+# =========================================================================
+# REAL MP4 / ISO-BMFF video container (operators/mp4_real.py) — the video
+# modality's structural walk: box tree, mvhd duration, sample tables, and
+# every frame READ back out of mdat through stco+stsz.
+# =========================================================================
+
+
+@_register(
+    "media_mp4_decode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 5 AS INT) AS nf,
+             100 + doc_id % 7 AS delta,
+             doc_id % 200 AS v,
+             CAST(16 * (1 + doc_id % 3) AS INT) AS w,
+             CAST(8 * (1 + doc_id % 4) AS INT) AS h,
+             doc_id % 47 = 0 AS corrupt
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(unnest(range(nf)) AS INT) AS k FROM base),
+    ps AS (
+      SELECT f.doc_id, SUM((3 + f.k % 3) * (b.v + f.k)) AS psum
+      FROM fr f JOIN base b USING (doc_id) GROUP BY f.doc_id)
+    SELECT b.doc_id,
+           CASE WHEN corrupt THEN NULL ELSE 'isom' END AS brand,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(nf * delta * 1000 // 600 AS BIGINT)
+                END AS duration_ms,
+           CASE WHEN corrupt THEN NULL ELSE 1 END AS n_tracks,
+           CASE WHEN corrupt THEN NULL ELSE nf END AS n_samples,
+           CASE WHEN corrupt THEN NULL ELSE w END AS width,
+           CASE WHEN corrupt THEN NULL ELSE h END AS height,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(ps.psum AS BIGINT) END AS payload_sum,
+           CASE WHEN corrupt
+                THEN 'box b''mdat'' overruns parent (4294967280 bytes at 24)'
+                ELSE NULL END AS error
+    FROM base b JOIN ps USING (doc_id)
+    """,
+)
+def media_mp4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF video-container decode (operators/mp4_real.py):
+    each doc gets a genuine single-track MP4 — ftyp + mdat (frame k is
+    3+k%3 bytes of v+k) + trailing moov whose stts/stsz/stsc/stco sample
+    tables index back into the already-written mdat — and the walker
+    recovers brand, mvhd duration→ms, trak count, tkhd 16.16 dims, and
+    reads EVERY frame out of mdat through stco+stsz (payload_sum proves
+    the random-access path, not header trust). Docs with id%47==0 carry
+    a poisoned mdat size field (fixed offset 24 — ftyp is fixed-length)
+    and must FAIL with the bounds error row. Oracle = closed-form
+    integer expectations (frame sum via unnest(range(nf))). PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle; bounded payloads
+    (nf<=6, frames <=5 bytes). Reference parity: none — the reference
+    hands media bytes to Textract (DocumentExtractManager.java:463-599);
+    container structure recovery is beyond-reference."""
+    import struct as _struct
+
+    from cies_ocr_java_spark.operators.mp4_real import (
+        build_mp4,
+        extract_mp4_features,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = build_mp4(
+                    2 + i % 5, 100 + i % 7, i % 200,
+                    width=16 * (1 + i % 3), height=8 * (1 + i % 4),
+                )
+                if i % 47 == 0:
+                    # poison the mdat box size (fixed offset: ftyp is
+                    # exactly 24 bytes in this subset)
+                    b = b[:24] + _struct.pack(">I", 0xFFFFFFF0) + b[28:]
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_mp4_features(media)
+
+
+@_register(
+    "media_mp4_frames",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 5 AS INT) AS nf,
+             doc_id % 200 AS v,
+             doc_id % 47 = 0 AS corrupt
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(unnest(range(nf)) AS INT) AS k
+      FROM base WHERE NOT corrupt),
+    sz AS (
+      SELECT f.doc_id, f.k, CAST(3 + f.k % 3 AS INT) AS size, b.v
+      FROM fr f JOIN base b USING (doc_id)),
+    ok AS (
+      SELECT doc_id, k AS sample_idx,
+             CAST(32 + COALESCE(SUM(size) OVER (
+                    PARTITION BY doc_id ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS INT) AS offset,
+             size,
+             CAST(size * (v + k) AS BIGINT) AS byte_sum,
+             CAST(NULL AS VARCHAR) AS error
+      FROM sz)
+    SELECT * FROM ok
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL,
+           'box b''mdat'' overruns parent (4294967280 bytes at 24)'
+    FROM base WHERE corrupt
+    """,
+)
+def media_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME SAMPLING over a REAL video container — one row per sample
+    read back through the stco+stsz random-access path (offset, size,
+    byte_sum all verified against the mdat actually written): the
+    training-pipeline frame-extraction surface (media_frame_sample's
+    sibling, with a genuine container under it instead of synthesized
+    frames). Corrupt docs (id%47, poisoned mdat size) degrade to a
+    single error row. Oracle replays the offset arithmetic as a running
+    window over unnest(range(nf)). PLAN: one mapInPandas pass, no
+    shuffle; output is the per-frame fanout (bounded <=6 rows/doc)."""
+    from cies_ocr_java_spark.operators.mp4_real import extract_mp4_samples
+    import struct as _struct
+
+    from cies_ocr_java_spark.operators.mp4_real import build_mp4
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = build_mp4(
+                    2 + i % 5, 100 + i % 7, i % 200,
+                    width=16 * (1 + i % 3), height=8 * (1 + i % 4),
+                )
+                if i % 47 == 0:
+                    b = b[:24] + _struct.pack(">I", 0xFFFFFFF0) + b[28:]
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_mp4_samples(media)

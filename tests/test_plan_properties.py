@@ -837,3 +837,18 @@ def test_session5_queries_zero_python_no_single_partition(spark, name):
     assert "Python" not in plan and "Arrow" not in plan, name
     assert "Exchange SinglePartition" not in plan, name
     assert "Sort [" not in plan or "global=true" not in plan, name
+
+
+def test_mp4_container_queries_single_pass_no_shuffle(spark):
+    """media_mp4_decode / media_mp4_frames: payload synthesis + container
+    walk fuse into Arrow-batched MapInPandas stages with NO exchange —
+    the per-doc container decode never shuffles, and nothing falls back
+    to row-at-a-time Python."""
+    for name in ("media_mp4_decode", "media_mp4_frames"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        # the only exchange allowed is the single-split fanout guard
+        assert plan.count("Exchange") <= 1, name
+        assert "hashpartitioning" not in plan, name
+        assert "rangepartitioning" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
