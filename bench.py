@@ -288,6 +288,7 @@ HEADLINE = [
     "anchor_text_signal",
     "media_mp4_decode",
     "media_mp4_frames",
+    "media_mp3_decode",
 ]
 
 

@@ -912,6 +912,10 @@ def sniff_media_format(data: bytes | None) -> str | None:
         return "aiff"
     if data[4:8] == b"ftyp":
         return "mp4"
+    if data[:3] == b"ID3" or (
+        data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
     return None
 
 
@@ -982,6 +986,15 @@ def extract_media_dispatch(df: DataFrame, content_col: str = "content",
                     r = parse_mp4(b)
                     ws.append(r["width"]); hs.append(r["height"])
                     ns.append(r["n_samples"]); inks.append(r["payload_sum"])
+                    errs.append(r["error"])
+                elif fmt == "mp3":
+                    from cies_ocr_java_spark.operators.mp3_real import (
+                        parse_mp3,
+                    )
+
+                    r = parse_mp3(b)
+                    ws.append(None); hs.append(None)
+                    ns.append(r["n_frames"]); inks.append(r["audio_bytes"])
                     errs.append(r["error"])
                 else:
                     r = None

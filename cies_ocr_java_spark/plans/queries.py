@@ -23739,3 +23739,94 @@ def media_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, "doc_id long, content binary"
     )
     return extract_mp4_samples(media)
+
+
+# =========================================================================
+# REAL MPEG-audio frame walk (operators/mp3_real.py) — duration/bitrate
+# recovered from the physical frame sequence, never a header field.
+# =========================================================================
+
+
+@_register(
+    "media_mp3_decode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(20 + doc_id % 11 AS INT) AS nf,
+             list_extract([44100, 48000, 32000],
+                          CAST(doc_id % 3 AS INT) + 1) AS sr,
+             doc_id % 9 AS base,
+             CAST(10 + doc_id % 17 AS INT) AS tag,
+             doc_id % 2 = 0 AS v1,
+             doc_id % 37 = 0 AS corrupt
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(unnest(range(nf)) AS INT) AS k FROM base),
+    ab AS (
+      SELECT f.doc_id,
+             SUM(144 * list_extract(
+                   [32, 40, 48, 56, 64, 80, 96, 112, 128],
+                   CAST((b.base + f.k) % 9 AS INT) + 1) * 1000 // b.sr)
+               AS audio_bytes
+      FROM fr f JOIN base b USING (doc_id) GROUP BY f.doc_id)
+    SELECT b.doc_id,
+           CASE WHEN corrupt THEN NULL ELSE nf END AS n_frames,
+           CASE WHEN corrupt THEN NULL ELSE CAST(sr AS INT) END
+             AS sample_rate,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(nf * 1152 * 1000 // sr AS BIGINT)
+                END AS duration_ms,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(ab.audio_bytes AS BIGINT) END AS audio_bytes,
+           CASE WHEN corrupt THEN NULL ELSE tag + 10 END AS id3v2_size,
+           CASE WHEN corrupt THEN NULL ELSE CAST(v1 AS INT) END AS has_id3v1,
+           CASE WHEN corrupt THEN 'id3v2 tag overruns file'
+                ELSE NULL END AS error
+    FROM base b JOIN ab USING (doc_id)
+    """,
+)
+def media_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-audio frame walk (operators/mp3_real.py): each doc gets
+    a genuine MP3 byte stream — ID3v2.3 tag (7-bit syncsafe length),
+    then a VBR frame sequence (frame k's bitrate index walks the MPEG-1
+    Layer III table, so duration/size are recoverable ONLY by reading
+    every frame header and stepping real frame lengths — the ffprobe
+    behavior, not first-header trust), optionally closed by an ID3v1
+    trailer (even ids). Docs with id%37==0 carry a poisoned syncsafe
+    length pointing past EOF and must FAIL as error rows. Oracle =
+    closed-form frame-length arithmetic over unnest(range(nf)) with the
+    bitrate table as a list literal. PLAN: one Arrow-batched mapInPandas
+    pass, no shuffle; bounded payloads (<=30 frames, <=128 kbps).
+    Reference parity: none — beyond-reference media operator (the
+    reference hands bytes to Textract, DocumentExtractManager.java:463)."""
+    from cies_ocr_java_spark.operators.mp3_real import (
+        build_mp3,
+        extract_mp3_features,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nf = 20 + i % 11
+                bis = [1 + ((i % 9) + k) % 9 for k in range(nf)]
+                b = build_mp3(bis, i % 3, tag_len=10 + i % 17,
+                              id3v1=i % 2 == 0)
+                if i % 37 == 0:
+                    # poison the syncsafe length (fixed offset 6..10)
+                    b = b[:6] + b"\x7f\x7f\x7f\x7f" + b[10:]
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_mp3_features(media)
