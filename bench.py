@@ -289,6 +289,7 @@ HEADLINE = [
     "media_mp4_decode",
     "media_mp4_frames",
     "media_mp3_decode",
+    "subtitle_cue_extract",
 ]
 
 

@@ -23830,3 +23830,148 @@ def media_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, "doc_id long, content binary"
     )
     return extract_mp3_features(media)
+
+
+# =========================================================================
+# SRT / WebVTT subtitle cue extraction — the TIMESTAMPED-text modality
+# (interleaved text with a time axis instead of a geometry axis).
+# =========================================================================
+
+
+@_register(
+    "subtitle_cue_extract",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 4 AS INT) AS nc,
+             (doc_id % 7) * 100 AS off,
+             doc_id % 5 AS e5,
+             doc_id % 29 = 0 AS bad
+      FROM documents),
+    cues AS (
+      SELECT doc_id, CAST(unnest(range(nc)) AS INT) AS k FROM base),
+    kept AS (
+      SELECT c.doc_id, c.k, b.off, b.e5, b.bad
+      FROM cues c JOIN base b USING (doc_id)
+      WHERE NOT (b.bad AND c.k = 0))
+    SELECT doc_id,
+           CAST(k - CASE WHEN bad THEN 1 ELSE 0 END AS INT) AS cue_idx,
+           CAST(21000 * k + off AS BIGINT) AS start_ms,
+           CAST(21000 * k + off + 1500 + 10 * e5 AS BIGINT) AS end_ms,
+           CAST(1500 + 10 * e5 AS BIGINT) AS dur_ms,
+           'Cue ' || k || ' for doc ' || doc_id ||
+             CASE WHEN k % 2 = 1 THEN ' continued ' || k ELSE '' END AS text
+    FROM kept
+    """,
+)
+def subtitle_cue_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT / WebVTT subtitle cue extraction — timestamped text spans,
+    the temporal sibling of the geometric interleave: each doc renders a
+    real subtitle file (even ids SRT with 1-based index lines and comma
+    millis; odd ids WebVTT with a header block and dot millis — the
+    RSS/Atom synonym duality), cues split on blank lines, the timestamp
+    line located by its arrow, hours/minutes/seconds/millis recomposed
+    into integer ms, and TEXT = only the lines AFTER the arrow (an SRT
+    index line must never leak into cue text). Docs with id%29==0 carry
+    a non-numeric timestamp in cue 0: try_cast nulls it and the cue is
+    DROPPED (ANSI-mode degradation, never an exception), renumbering the
+    survivors. Oracle states every row closed-form from the generation
+    spec — the parser must RECOVER the spec, not re-parse. PLAN:
+    zero-Python codegen (split/filter/transform/posexplode); the only
+    shuffle is the doc-partitioned cue-renumber window. Reference
+    parity: none (beyond-reference temporal-text modality)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    i = F.col("doc_id")
+    nc = (i % 4 + 2).cast("int")
+    off = (i % 7) * 100
+    e5 = i % 5
+    vtt = (i % 2) == 1
+    bad = (i % 29) == 0
+    sep = F.when(vtt, F.lit(".")).otherwise(F.lit(","))
+
+    def ts(ms):
+        return F.concat(
+            F.format_string(
+                "%02d:%02d:%02d",
+                (ms / F.lit(3600000)).cast("long"),
+                ((ms / F.lit(60000)) % 60).cast("long"),
+                ((ms / F.lit(1000)) % 60).cast("long"),
+            ),
+            sep,
+            F.format_string("%03d", (ms % 1000).cast("long")),
+        )
+
+    def cue_block(k):
+        start = F.lit(21000) * k + off
+        end = start + F.lit(1500) + F.lit(10) * e5
+        ts_line = F.when(
+            bad & (k == F.lit(0)),
+            F.concat(F.lit("00:00:aa"), sep, F.lit("000 --> 00:00:bb"),
+                     sep, F.lit("000")),
+        ).otherwise(F.concat(ts(start), F.lit(" --> "), ts(end)))
+        text = F.concat(
+            F.lit("Cue "), k.cast("string"), F.lit(" for doc "),
+            i.cast("string"),
+            F.when(k % 2 == 1,
+                   F.concat(F.lit("\ncontinued "), k.cast("string"))
+                   ).otherwise(F.lit("")),
+        )
+        # SRT carries a 1-based cue-index line; VTT does not
+        idx_line = F.when(vtt, F.lit("")).otherwise(
+            F.concat((k + 1).cast("string"), F.lit("\n")))
+        return F.concat(idx_line, ts_line, F.lit("\n"), text)
+
+    body = F.concat(
+        F.when(vtt, F.lit("WEBVTT\n\n")).otherwise(F.lit("")),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), nc - 1), cue_block), "\n\n"
+        ),
+    )
+    blocks = d.select("doc_id", F.posexplode(F.split(body, "\n\n"))
+                      .alias("bpos", "block"))
+    lines = F.split(F.col("block"), "\n")
+    arrow_pos = F.array_position(
+        F.transform(lines, lambda x: x.contains("-->")), F.lit(True)
+    )
+    # array_position yields 0 on no-arrow blocks (the WEBVTT header);
+    # element_at(_, 0) THROWS in ANSI mode — nullify before indexing
+    ts_line = F.element_at(
+        lines, F.nullif(arrow_pos, F.lit(0)).cast("int"))
+    pat = r"^(\d+):(\d+):(\d+)[.,](\d+) --> (\d+):(\d+):(\d+)[.,](\d+)$"
+
+    def ms_of(base_group):
+        return (
+            F.regexp_extract(ts_line, pat, base_group)
+            .try_cast("long") * 3600000
+            + F.regexp_extract(ts_line, pat, base_group + 1)
+            .try_cast("long") * 60000
+            + F.regexp_extract(ts_line, pat, base_group + 2)
+            .try_cast("long") * 1000
+            + F.regexp_extract(ts_line, pat, base_group + 3)
+            .try_cast("long")
+        )
+
+    parsed = (
+        blocks.where(F.col("block").contains("-->"))
+        .select(
+            "doc_id", "bpos",
+            ms_of(1).alias("start_ms"),
+            ms_of(5).alias("end_ms"),
+            F.array_join(
+                F.slice(lines, arrow_pos.cast("int") + 1,
+                        F.greatest(
+                            F.size(lines) - arrow_pos.cast("int"),
+                            F.lit(0))),
+                " ",
+            ).alias("text"),
+        )
+        .where(F.col("start_ms").isNotNull() & F.col("end_ms").isNotNull())
+    )
+    w = Window.partitionBy("doc_id").orderBy("bpos")
+    return parsed.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("int").alias("cue_idx"),
+        "start_ms", "end_ms",
+        (F.col("end_ms") - F.col("start_ms")).alias("dur_ms"),
+        "text",
+    )

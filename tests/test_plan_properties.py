@@ -820,6 +820,7 @@ def test_markdown_extract_single_exchange(spark):
         "mime_multipart_extract",
         "svg_text_extract",
         "anchor_text_signal",
+        "subtitle_cue_extract",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
