@@ -290,6 +290,7 @@ HEADLINE = [
     "media_mp4_frames",
     "media_mp3_decode",
     "subtitle_cue_extract",
+    "docx_extract_text",
 ]
 
 

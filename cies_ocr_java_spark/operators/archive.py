@@ -64,6 +64,75 @@ def build_zip(members: list[tuple[str, str, int]]) -> bytes:
     return bytes(buf)
 
 
+def walk_zip_members(
+    data: bytes | None,
+) -> tuple[list[tuple[str, bytes, int]] | None, str | None]:
+    """The shared structural walk: EOCD -> central directory -> verified
+    local headers -> inflated + CRC-checked member payloads.  Returns
+    ([(name, raw_bytes, method)...], None) or (None, error).  parse_zip
+    and the OOXML reader (docx_real.py) both sit on this."""
+    if data is None or len(data) < _EOCD.size:
+        return None, "short or missing payload"
+    data = bytes(data)
+    eocd_at = data.rfind(b"PK\x05\x06", max(0, len(data) - 65557))
+    if eocd_at < 0:
+        return None, "missing end-of-central-directory"
+    try:
+        (_, _dn, _cn, n_here, n_total, cd_size, cd_off, _cl) = _EOCD.unpack_from(
+            data, eocd_at
+        )
+    except struct.error:
+        return None, "truncated end-of-central-directory"
+    if cd_off + cd_size > eocd_at or n_total != n_here:
+        return None, "central directory out of bounds"
+    pos = cd_off
+    members: list[tuple[str, bytes, int]] = []
+    for _ in range(n_total):
+        if pos + _CENTRAL.size > eocd_at:
+            return None, "truncated central directory"
+        fields = _CENTRAL.unpack_from(data, pos)
+        if fields[0] != b"PK\x01\x02":
+            return None, "bad central-directory signature"
+        (_sig, _vm, _vn, _fl, method, _t, _d, crc, csize, usize,
+         nlen, elen, clen, _dk, _ia, _ea, lho) = fields
+        name = data[pos + _CENTRAL.size:pos + _CENTRAL.size + nlen]
+        pos += _CENTRAL.size + nlen + elen + clen
+        # trust-then-verify: the local header at the declared offset must
+        # exist and agree on the member name
+        if lho + _LOCAL.size > len(data):
+            return None, "local header offset beyond EOF"
+        lf = _LOCAL.unpack_from(data, lho)
+        if lf[0] != b"PK\x03\x04":
+            return None, "local header offset is wrong"
+        lnlen, lelen = lf[9], lf[10]
+        lname = data[lho + _LOCAL.size:lho + _LOCAL.size + lnlen]
+        if lname != name:
+            return None, "central/local name mismatch"
+        dstart = lho + _LOCAL.size + lnlen + lelen
+        payload = data[dstart:dstart + csize]
+        if len(payload) != csize:
+            return None, "truncated member data"
+        if method == 0:
+            raw = payload
+        elif method == 8:
+            try:
+                raw = zlib.decompress(payload, -15)
+            except zlib.error as e:
+                return None, f"deflate failed: {e}"
+        else:
+            return None, f"unsupported method {method}"
+        if len(raw) != usize:
+            return None, "uncompressed size mismatch"
+        if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+            return None, "crc mismatch"
+        try:
+            name_s = name.decode("utf-8")
+        except UnicodeDecodeError:
+            return None, "non-utf8 member name"
+        members.append((name_s, raw, method))
+    return members, None
+
+
 def parse_zip(data: bytes | None) -> dict:
     """Structural parse of the ZIP subset.
 
@@ -73,72 +142,19 @@ def parse_zip(data: bytes | None) -> dict:
     member texts. Malformed -> error row."""
     none = {"n_members": None, "methods": None, "total_bytes": None,
             "text": None}
-    if data is None or len(data) < _EOCD.size:
-        return {**none, "error": "short or missing payload"}
-    data = bytes(data)
-    eocd_at = data.rfind(b"PK\x05\x06", max(0, len(data) - 65557))
-    if eocd_at < 0:
-        return {**none, "error": "missing end-of-central-directory"}
-    try:
-        (_, _dn, _cn, n_here, n_total, cd_size, cd_off, _cl) = _EOCD.unpack_from(
-            data, eocd_at
-        )
-    except struct.error:
-        return {**none, "error": "truncated end-of-central-directory"}
-    if cd_off + cd_size > eocd_at or n_total != n_here:
-        return {**none, "error": "central directory out of bounds"}
-    pos = cd_off
+    members, err = walk_zip_members(data)
+    if err is not None:
+        return {**none, "error": err}
     texts: list[str] = []
-    methods: list[str] = []
-    total = 0
-    for _ in range(n_total):
-        if pos + _CENTRAL.size > eocd_at:
-            return {**none, "error": "truncated central directory"}
-        fields = _CENTRAL.unpack_from(data, pos)
-        if fields[0] != b"PK\x01\x02":
-            return {**none, "error": "bad central-directory signature"}
-        (_sig, _vm, _vn, _fl, method, _t, _d, crc, csize, usize,
-         nlen, elen, clen, _dk, _ia, _ea, lho) = fields
-        name = data[pos + _CENTRAL.size:pos + _CENTRAL.size + nlen]
-        pos += _CENTRAL.size + nlen + elen + clen
-        # trust-then-verify: the local header at the declared offset must
-        # exist and agree on the member name
-        if lho + _LOCAL.size > len(data):
-            return {**none, "error": "local header offset beyond EOF"}
-        lf = _LOCAL.unpack_from(data, lho)
-        if lf[0] != b"PK\x03\x04":
-            return {**none, "error": "local header offset is wrong"}
-        lnlen, lelen = lf[9], lf[10]
-        lname = data[lho + _LOCAL.size:lho + _LOCAL.size + lnlen]
-        if lname != name:
-            return {**none, "error": "central/local name mismatch"}
-        dstart = lho + _LOCAL.size + lnlen + lelen
-        payload = data[dstart:dstart + csize]
-        if len(payload) != csize:
-            return {**none, "error": "truncated member data"}
-        if method == 0:
-            raw = payload
-        elif method == 8:
-            try:
-                raw = zlib.decompress(payload, -15)
-            except zlib.error as e:
-                return {**none, "error": f"deflate failed: {e}"}
-        else:
-            return {**none, "error": f"unsupported method {method}"}
-        if len(raw) != usize:
-            return {**none, "error": "uncompressed size mismatch"}
-        if zlib.crc32(raw) & 0xFFFFFFFF != crc:
-            return {**none, "error": "crc mismatch"}
+    for _name, raw, _method in members:
         try:
             texts.append(raw.decode("utf-8"))
         except UnicodeDecodeError:
             return {**none, "error": "non-utf8 member payload"}
-        methods.append(str(method))
-        total += usize
     return {
-        "n_members": n_total,
-        "methods": ",".join(methods),
-        "total_bytes": total,
+        "n_members": len(members),
+        "methods": ",".join(str(m) for _, _, m in members),
+        "total_bytes": sum(len(raw) for _, raw, _ in members),
         "text": "".join(texts),
         "error": None,
     }

@@ -23975,3 +23975,87 @@ def subtitle_cue_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("end_ms") - F.col("start_ms")).alias("dur_ms"),
         "text",
     )
+
+
+# =========================================================================
+# REAL DOCX (OOXML) extraction — the container-of-markup format: a real
+# PKZIP whose word/document.xml carries fragmented w:r/w:t runs.
+# =========================================================================
+
+
+@_register(
+    "docx_extract_text",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 4 AS INT) AS np,
+             doc_id % 31 = 0 AS corrupt
+      FROM documents),
+    ps AS (
+      SELECT doc_id, CAST(unnest(range(np)) AS INT) AS p
+      FROM base WHERE NOT corrupt)
+    SELECT doc_id,
+           p AS para_idx,
+           'Paragraph ' || p || ' of doc ' || doc_id ||
+             CASE WHEN p % 2 = 1 THEN ' Q&A section ' || p
+                  ELSE '' END AS text,
+           CAST(1 + (doc_id + p) % 3 AS INT) AS n_runs,
+           CAST(NULL AS VARCHAR) AS error
+    FROM ps
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, 'truncated end-of-central-directory'
+    FROM base WHERE corrupt
+    """,
+)
+def docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DOCX text extraction (operators/docx_real.py): each doc gets
+    a genuine OPC/PKZIP .docx — [Content_Types].xml + _rels/.rels +
+    word/document.xml whose paragraphs are DELIBERATELY fragmented into
+    1-3 `<w:t xml:space="preserve">` runs at computed offsets (the Word
+    spell-check/formatting-churn reality) with XML entities in odd
+    paragraphs ('Q&A' rides through as &amp;). The reader re-enters
+    through the verified ZIP walk (archive.walk_zip_members: EOCD,
+    central directory, trust-then-verify local headers, inflate, CRC)
+    then runs the closed WordprocessingML grammar — paragraph split, NO-
+    SEPARATOR run concatenation, entity decode last. stdlib `zipfile`
+    opens every emitted archive (pinned in tests). Docs with id%31==0
+    are truncated mid-EOCD and must FAIL as error rows. Oracle states
+    every paragraph closed-form from the generation spec — the parser
+    must RECOVER the spec through container + markup. PLAN: one
+    Arrow-batched mapInPandas pass, no shuffle; bounded docs (<=4
+    paragraphs). Reference parity: the reference's DOCX path delegates
+    to Textract DOCUMENT_TEXT (DocumentExtractManager.java:438-461);
+    here both container and markup are walked natively."""
+    from cies_ocr_java_spark.operators.docx_real import (
+        build_docx,
+        extract_docx_paragraphs,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                paras = []
+                for p in range(1 + i % 4):
+                    text = f"Paragraph {p} of doc {i}"
+                    if p % 2 == 1:
+                        text += f" Q&A section {p}"
+                    paras.append((text, 1 + (i + p) % 3))
+                b = build_docx(paras)
+                if i % 31 == 0:
+                    b = b[:-5]
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_docx_paragraphs(media)
