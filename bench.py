@@ -291,6 +291,7 @@ HEADLINE = [
     "media_mp3_decode",
     "subtitle_cue_extract",
     "docx_extract_text",
+    "epub_spine_extract",
 ]
 
 

@@ -24059,3 +24059,89 @@ def docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, "doc_id long, content binary"
     )
     return extract_docx_paragraphs(media)
+
+
+# =========================================================================
+# REAL EPUB extraction (operators/epub_real.py) — reading order from
+# PACKAGE METADATA (OPF spine), not archive order.
+# =========================================================================
+
+
+@_register(
+    "epub_spine_extract",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 4 AS INT) AS nch,
+             doc_id % 43 = 0 AS corrupt
+      FROM documents),
+    sp AS (
+      SELECT doc_id, nch, CAST(unnest(range(nch)) AS INT) AS s
+      FROM base WHERE NOT corrupt),
+    ch AS (
+      SELECT doc_id, s, CAST((s + doc_id % nch) % nch AS INT) AS c
+      FROM sp)
+    SELECT doc_id,
+           s AS spine_idx,
+           'chap' || c || '.xhtml' AS href,
+           'Chapter ' || c || ' of doc ' || doc_id AS title,
+           'Body of chapter ' || c || ' in doc ' || doc_id AS text,
+           CAST(NULL AS VARCHAR) AS error
+    FROM ch
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL, 'crc mismatch'
+    FROM base WHERE corrupt
+    """,
+)
+def epub_spine_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EPUB spine-order extraction (operators/epub_real.py): each
+    doc gets a genuine OCF container — stored-FIRST mimetype member,
+    META-INF/container.xml, an OPF whose <spine> lists the chapters
+    ROTATED by doc_id %% nch while the archive stores them in 0..n-1
+    order — so zip-order concatenation is provably wrong and only the
+    manifest+spine walk recovers the book (the reading-order-from-
+    structure obligation, transplanted from PDF geometry to container
+    metadata). Docs with id%%43==0 carry a flipped byte inside the stored
+    mimetype payload (fixed offset 38) and must FAIL the member CRC as
+    error rows — the trust-then-verify ZIP discipline catching content
+    corruption. Oracle states every spine row closed-form from the spec.
+    PLAN: one Arrow-batched mapInPandas pass, no shuffle; bounded books
+    (<=5 chapters). Reference parity: none (beyond-reference container
+    operator)."""
+    from cies_ocr_java_spark.operators.epub_real import (
+        build_epub,
+        extract_epub_spine,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nch = 2 + i % 4
+                rot = i % nch
+                chs = [
+                    (f"Chapter {c} of doc {i}",
+                     f"Body of chapter {c} in doc {i}")
+                    for c in range(nch)
+                ]
+                spine = [(s + rot) % nch for s in range(nch)]
+                b = build_epub(chs, spine)
+                if i % 43 == 0:
+                    # flip a byte of the STORED mimetype payload (fixed
+                    # offset: 30-byte local header + 8-byte name)
+                    b = b[:38] + b"x" + b[39:]
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "content": payloads}
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+    return extract_epub_spine(media)
