@@ -292,6 +292,7 @@ HEADLINE = [
     "subtitle_cue_extract",
     "docx_extract_text",
     "epub_spine_extract",
+    "ics_event_extract",
 ]
 
 

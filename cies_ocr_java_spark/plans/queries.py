@@ -24145,3 +24145,196 @@ def epub_spine_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, "doc_id long, content binary"
     )
     return extract_epub_spine(media)
+
+
+# =========================================================================
+# iCalendar (RFC 5545) event extraction — LINE UNFOLDING as a prefix
+# scan: a physical line starting with SPACE continues the previous
+# logical line (folds land MID-WORD, so rejoining with any separator is
+# provably wrong).  Zero Python: the unfold is the gaps-and-islands
+# running count, property parse is regexp, the event pivot is max(CASE).
+# =========================================================================
+
+_ICS_EPOCH_20260315 = 1773532800  # 2026-03-15T00:00:00Z
+
+
+@_register(
+    "ics_event_extract",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 3 AS INT) AS nv,
+             doc_id % 24 AS hh,
+             doc_id % 23 = 0 AS bad
+      FROM documents),
+    ev AS (
+      SELECT doc_id, hh, bad, CAST(unnest(range(nv)) AS INT) AS k
+      FROM base)
+    SELECT doc_id,
+           k AS event_idx,
+           'ev-' || k || '-doc-' || doc_id || '@test' AS uid,
+           CASE WHEN bad AND k = 0 THEN NULL
+                ELSE CAST({_ICS_EPOCH_20260315} + hh * 3600
+                          + ((k * 7) % 60) * 60 AS BIGINT)
+                END AS start_unix,
+           'Planning meeting ' || k || ' for doc ' || doc_id ||
+             ' agenda item ' || k AS summary,
+           'Room ' || k || ', Floor ' || (k + 1) AS location
+    FROM ev
+    """,
+)
+def ics_event_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iCalendar event extraction (RFC 5545) — the LINE-UNFOLDING
+    format: each doc renders a real VCALENDAR whose SUMMARY lines are
+    folded at 20 octets MID-WORD (continuation = leading space, RFC
+    5545 §3.1), LOCATION carries escaped commas (\\,), and 1-3 VEVENT
+    blocks delimit the property scope. The parse is ALL prefix scans:
+    unfold = running count of non-continuation lines (gaps-and-islands)
+    + per-logical-line ordered concat with the fold marker stripped and
+    NO separator; event ordinal = running BEGIN:VEVENT count; the
+    per-event pivot is max(CASE) over property names; DTSTART decodes
+    via timezone-free datediff arithmetic (never session-tz
+    to_unix_timestamp). Docs with id%23==0 carry DTSTART:BADDATE on
+    event 0 — try_to_date nulls it (ANSI degradation, row kept with
+    NULL start). Oracle states every event closed-form from the spec.
+    PLAN: zero-Python codegen; shuffles are the doc-grain unfold
+    aggregation + pivot. Reference parity: none (beyond-reference
+    temporal-metadata operator)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    i = F.col("doc_id")
+    nv = (i % 3 + 1).cast("int")
+    hh = i % 24
+    bad = (i % 23) == 0
+
+    def fold(s):
+        # fold a property line at 20 octets with leading-space marks
+        return F.array_join(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(5)),
+                    lambda j: F.when(
+                        j == 0, F.substring(s, 1, 20)
+                    ).otherwise(
+                        F.when(
+                            F.length(s) > j * 20,
+                            F.concat(F.lit(" "),
+                                     F.substring(s, j * 20 + 1, 20)),
+                        )
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+            "\r\n",
+        )
+
+    def event_block(k):
+        mm = (k * 7) % 60
+        dt = F.when(bad & (k == F.lit(0)), F.lit("BADDATE")).otherwise(
+            F.concat(
+                F.lit("20260315T"),
+                F.format_string("%02d%02d00", hh.cast("long"),
+                                mm.cast("long")),
+                F.lit("Z"),
+            )
+        )
+        summary = F.concat(
+            F.lit("SUMMARY:Planning meeting "), k.cast("string"),
+            F.lit(" for doc "), i.cast("string"),
+            F.lit(" agenda item "), k.cast("string"),
+        )
+        return F.concat(
+            F.lit("BEGIN:VEVENT\r\nUID:ev-"), k.cast("string"),
+            F.lit("-doc-"), i.cast("string"), F.lit("@test\r\nDTSTART:"),
+            dt, F.lit("\r\n"), fold(summary),
+            F.lit("\r\nLOCATION:Room "), k.cast("string"),
+            F.lit("\\, Floor "), (k + 1).cast("string"),
+            F.lit("\r\nEND:VEVENT"),
+        )
+
+    ics = F.concat(
+        F.lit("BEGIN:VCALENDAR\r\nVERSION:2.0\r\nPRODID:-//cies//EN\r\n"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), nv - 1), event_block),
+            "\r\n",
+        ),
+        F.lit("\r\nEND:VCALENDAR"),
+    )
+    phys = d.select(
+        "doc_id", F.posexplode(F.split(ics, "\r\n")).alias("pos", "line")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = phys.select(
+        "doc_id", "pos", "line",
+        F.sum(
+            F.when(F.col("line").startswith(" "), 0).otherwise(1)
+        ).over(w).alias("lid"),
+    )
+    logical = (
+        flagged.groupBy("doc_id", "lid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda x: F.when(
+                        x["line"].startswith(" "),
+                        F.substring(x["line"], 2, 1 << 20),
+                    ).otherwise(x["line"]),
+                ),
+                "",
+            ).alias("logical"),
+            F.min("pos").alias("lpos"),
+        )
+    )
+    wl = Window.partitionBy("doc_id").orderBy("lpos")
+    ev = logical.select(
+        "doc_id", "lpos", "logical",
+        (F.sum(
+            F.when(F.col("logical") == "BEGIN:VEVENT", 1).otherwise(0)
+        ).over(wl) - 1).cast("int").alias("event_idx"),
+        F.sum(
+            F.when(F.col("logical") == "END:VEVENT", 1).otherwise(0)
+        ).over(
+            wl.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("closed"),
+    ).where(
+        (F.col("event_idx") >= 0)
+        & (F.col("event_idx") > F.coalesce(F.col("closed"), F.lit(0)) - 1)
+        & ~F.col("logical").isin("BEGIN:VEVENT", "END:VEVENT")
+    )
+    name = F.regexp_extract(F.col("logical"), r"^([^:;]+)", 1)
+    value = F.regexp_extract(F.col("logical"), r"^[^:]*:(.*)$", 1)
+    unesc = F.regexp_replace(
+        F.regexp_replace(value, r"\\,", ","), r"\;", ";"
+    )
+    props = ev.select(
+        "doc_id", "event_idx", name.alias("name"), unesc.alias("value")
+    )
+    dt = F.max(F.when(F.col("name") == "DTSTART", F.col("value")))
+    date_part = F.expr(
+        "try_to_date(substring(dtstart, 1, 8), 'yyyyMMdd')"
+    )
+    start_unix = (
+        F.datediff(date_part, F.lit("1970-01-01").cast("date"))
+        .cast("bigint") * 86400
+        + F.substring(F.col("dtstart"), 10, 2).try_cast("bigint") * 3600
+        + F.substring(F.col("dtstart"), 12, 2).try_cast("bigint") * 60
+        + F.substring(F.col("dtstart"), 14, 2).try_cast("bigint")
+    )
+    return (
+        props.groupBy("doc_id", "event_idx")
+        .agg(
+            F.max(F.when(F.col("name") == "UID", F.col("value")))
+            .alias("uid"),
+            dt.alias("dtstart"),
+            F.max(F.when(F.col("name") == "SUMMARY", F.col("value")))
+            .alias("summary"),
+            F.max(F.when(F.col("name") == "LOCATION", F.col("value")))
+            .alias("location"),
+        )
+        .select(
+            "doc_id", "event_idx", "uid",
+            start_unix.alias("start_unix"), "summary", "location",
+        )
+    )

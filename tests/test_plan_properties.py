@@ -821,6 +821,7 @@ def test_markdown_extract_single_exchange(spark):
         "svg_text_extract",
         "anchor_text_signal",
         "subtitle_cue_extract",
+        "ics_event_extract",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
