@@ -293,6 +293,7 @@ HEADLINE = [
     "docx_extract_text",
     "epub_spine_extract",
     "ics_event_extract",
+    "rtf_extract_text",
 ]
 
 

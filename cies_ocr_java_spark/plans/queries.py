@@ -24338,3 +24338,80 @@ def ics_event_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             start_unix.alias("start_unix"), "summary", "location",
         )
     )
+
+
+# =========================================================================
+# RTF extraction (operators/rtf_real.py) — brace-group markup with
+# destination-subtree exclusion via rank-at-depth pairing.
+# =========================================================================
+
+
+@_register(
+    "rtf_extract_text",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 3 AS INT) AS np,
+             doc_id % 38 = 0 AS unclosed
+      FROM documents),
+    ps AS (
+      SELECT doc_id, CAST(unnest(range(np)) AS INT) AS p
+      FROM base WHERE NOT unclosed)
+    SELECT doc_id,
+           p AS para_idx,
+           'Para ' || p || ' of doc ' || doc_id ||
+             CASE WHEN p % 2 = 1 THEN ' caf' || chr(233)
+                  ELSE ' weekly' END ||
+             ' agenda item ' || p AS text
+    FROM ps
+    """,
+)
+def rtf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF text extraction (operators/rtf_real.py): each doc renders a
+    real RTF — {\\rtf1\\ansi header, a {\\fonttbl{\\f0..}} table and a
+    {\\*\\generator..} destination that must NOT leak, bold groups mid-
+    sentence whose braces must not break words, \\'e9 hex escapes
+    decoding to é, \\par paragraph breaks. The walk is the
+    extract_hidden_text rank-at-depth move on BRACES: brace depth by
+    prefix sum, k-th open at depth D pairs with the k-th close at
+    depth-before D+1, destination intervals (+1/-1 deltas) carry a
+    hid_level prefix sum, visible pieces concatenate with NO separator
+    (control words consumed their own delimiter at tokenize time). Docs
+    with id%38==0 leave the generator destination UNCLOSED: the
+    rank-match pairs it with the root brace, hiding every paragraph to
+    EOF — those docs yield ZERO rows (defined hostile degradation, the
+    formats.py contract). Oracle states every paragraph closed-form.
+    PLAN: zero-Python codegen; one regexp tokenize pass, doc-hash
+    window exchanges + the slim braces-only rank join. Reference
+    parity: the reference routes RTF to Textract
+    (DocumentExtractManager.java:438-461); native walk is
+    beyond-reference."""
+    from cies_ocr_java_spark.operators.rtf_real import (
+        extract_rtf_paragraphs,
+    )
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    i = F.col("doc_id")
+    np_ = (i % 3 + 1).cast("int")
+    unclosed = (i % 38) == 0
+
+    def para(p):
+        return F.concat(
+            F.lit("Para "), p.cast("string"), F.lit(" of doc "),
+            i.cast("string"),
+            F.when(p % 2 == 1, F.lit(" caf\\'e9")).otherwise(
+                F.lit(" weekly")),
+            F.lit(" {\\b agenda} item "), p.cast("string"),
+            F.lit("\\par "),
+        )
+
+    rtf = F.concat(
+        F.lit("{\\rtf1\\ansi{\\fonttbl{\\f0 Helvetica;}}"
+              "{\\*\\generator cies v1;"),
+        F.when(unclosed, F.lit("")).otherwise(F.lit("}")),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), np_ - 1), para), ""
+        ),
+        F.lit("}"),
+    )
+    return extract_rtf_paragraphs(d, rtf)

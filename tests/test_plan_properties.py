@@ -822,6 +822,7 @@ def test_markdown_extract_single_exchange(spark):
         "anchor_text_signal",
         "subtitle_cue_extract",
         "ics_event_extract",
+        "rtf_extract_text",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
