@@ -113,3 +113,21 @@ def test_codec_registry_and_sniff():
     assert out["mime"].tolist() == ["video/mp4", None]
     assert out["n_frames"].tolist()[0] == 3
     assert out["error"].iloc[1] is not None
+
+
+def test_dispatch_routes_mp4_and_mp3(spark):
+    from cies_ocr_java_spark.operators.mp3_real import build_mp3
+    from cies_ocr_java_spark.operators.multimodal import (
+        extract_media_dispatch,
+    )
+
+    df = spark.createDataFrame(
+        [(0, bytearray(build_mp4(3, 100, 10))),
+         (1, bytearray(build_mp3([5, 9, 2], 0, tag_len=7)))],
+        "doc_id long, content binary",
+    )
+    out = {r["doc_id"]: r for r in extract_media_dispatch(df).collect()}
+    assert out[0]["format"] == "mp4" and out[0]["n_samples"] == 3
+    assert out[0]["width"] == 16 and out[0]["error"] is None
+    assert out[1]["format"] == "mp3" and out[1]["n_samples"] == 3
+    assert out[1]["ink_sum"] > 0 and out[1]["error"] is None
