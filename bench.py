@@ -294,6 +294,7 @@ HEADLINE = [
     "epub_spine_extract",
     "ics_event_extract",
     "rtf_extract_text",
+    "docx_stream_paragraphs",
 ]
 
 
