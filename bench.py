@@ -295,6 +295,7 @@ HEADLINE = [
     "ics_event_extract",
     "rtf_extract_text",
     "docx_stream_paragraphs",
+    "http_chunked_decode",
 ]
 
 

@@ -823,6 +823,7 @@ def test_markdown_extract_single_exchange(spark):
         "subtitle_cue_extract",
         "ics_event_extract",
         "rtf_extract_text",
+        "http_chunked_decode",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
