@@ -296,6 +296,7 @@ HEADLINE = [
     "rtf_extract_text",
     "docx_stream_paragraphs",
     "http_chunked_decode",
+    "proto_wire_decode",
 ]
 
 

@@ -850,7 +850,7 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
     to row-at-a-time Python."""
     for name in ("media_mp4_decode", "media_mp4_frames",
                  "media_mp3_decode", "docx_extract_text",
-                 "epub_spine_extract"):
+                 "epub_spine_extract", "proto_wire_decode"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
