@@ -297,6 +297,8 @@ HEADLINE = [
     "docx_stream_paragraphs",
     "http_chunked_decode",
     "proto_wire_decode",
+    "html_robots_meta",
+    "hreflang_variant_clusters",
 ]
 
 

@@ -824,6 +824,8 @@ def test_markdown_extract_single_exchange(spark):
         "ics_event_extract",
         "rtf_extract_text",
         "http_chunked_decode",
+        "html_robots_meta",
+        "hreflang_variant_clusters",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
