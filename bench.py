@@ -299,6 +299,7 @@ HEADLINE = [
     "proto_wire_decode",
     "html_robots_meta",
     "hreflang_variant_clusters",
+    "epub_interleaved_spans",
 ]
 
 

@@ -55,11 +55,11 @@ _TITLE_RE = re.compile(r"<title>(.*?)</title>", re.DOTALL)
 _P_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
 
 
-def _chapter_xhtml(title: str, text: str) -> str:
+def _chapter_xhtml(title: str, body: str) -> str:
     return (
         '<?xml version="1.0" encoding="UTF-8"?>'
         '<html xmlns="http://www.w3.org/1999/xhtml"><head><title>'
-        f"{title}</title></head><body><p>{text}</p></body></html>"
+        f"{title}</title></head><body>{body}</body></html>"
     )
 
 
@@ -70,6 +70,30 @@ def build_epub(chapters: list[tuple[str, str]],
     ``chapters``), chapter files stored in archive order 0..n-1 — so a
     zip-order reader and a spine-order reader disagree whenever
     spine_order is not the identity."""
+    return _build_epub(
+        [(t, f"<p>{x}</p>") for t, x in chapters], spine_order
+    )
+
+
+def build_epub_interleaved(
+    chapters: list[tuple[str, list[tuple[str, str]]]],
+    spine_order: list[int],
+) -> bytes:
+    """Interleaved variant: each chapter is (title, spans) with spans
+    ('text', s) -> <p>s</p> and ('media', src) -> <img src=.../> in
+    document order — the north-rule span shape inside a book."""
+    html = []
+    for title, spans in chapters:
+        body = "".join(
+            f"<p>{v}</p>" if k == "text" else f'<img src="{v}"/>'
+            for k, v in spans
+        )
+        html.append((title, body))
+    return _build_epub(html, spine_order)
+
+
+def _build_epub(chapters: list[tuple[str, str]],
+                spine_order: list[int]) -> bytes:
     n = len(chapters)
     if sorted(spine_order) != list(range(n)):
         raise ValueError("spine_order must be a permutation of chapters")
@@ -88,9 +112,9 @@ def build_epub(chapters: list[tuple[str, str]],
     members = [("mimetype", EPUB_MIMETYPE, 0),
                ("META-INF/container.xml", _CONTAINER_XML, 8),
                ("OEBPS/content.opf", opf, 8)]
-    for k, (title, text) in enumerate(chapters):
+    for k, (title, body) in enumerate(chapters):
         members.append(
-            (f"OEBPS/chap{k}.xhtml", _chapter_xhtml(title, text), 8)
+            (f"OEBPS/chap{k}.xhtml", _chapter_xhtml(title, body), 8)
         )
     return build_zip(members)
 
@@ -184,3 +208,82 @@ def extract_epub_spine(df: DataFrame, content_col: str = "content",
 
     return df.select(id_col, content_col).mapInPandas(
         op, EPUB_SPINE_SCHEMA)
+
+
+_SPAN_TOKEN_RE = re.compile(
+    r"<p>(.*?)</p>|<img\s+src=\"([^\"]*)\"\s*/>", re.DOTALL
+)
+
+EPUB_SPANS_SCHEMA = (
+    "doc_id long, span_order int, kind string, text string, "
+    "media_ref string, error string"
+)
+
+
+def parse_epub_spans(data: bytes | None) -> list[dict]:
+    """The north-rule span schema (kind, text, media_ref, order) from a
+    BOOK container: chapters resolved in SPINE order, then within each
+    chapter <p> text and <img> media tokens in document order — the
+    global ordinal is spine-major.  Malformed containers yield a single
+    error row (the parse_epub contract)."""
+    chapters = parse_epub(data)
+    if chapters and chapters[0]["error"] is not None:
+        return [{"span_order": None, "kind": None, "text": None,
+                 "media_ref": None, "error": chapters[0]["error"]}]
+    # re-walk the chapter files for token order (parse_epub flattened
+    # paragraphs into one text field; spans need the interleave)
+    members, _ = walk_zip_members(data)
+    files = {name: raw for name, raw, _ in members}
+    m = _ROOTFILE_RE.search(
+        files["META-INF/container.xml"].decode("utf-8", "replace"))
+    opf_path = m.group(1)
+    opf = files[opf_path].decode("utf-8", "replace")
+    opf_dir = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+    manifest = dict(_ITEM_RE.findall(opf))
+    rows = []
+    order = 0
+    for idref in _IDREF_RE.findall(opf):
+        chap = files[opf_dir + manifest[idref]].decode("utf-8", "replace")
+        for mt in _SPAN_TOKEN_RE.finditer(chap):
+            text, src = mt.group(1), mt.group(2)
+            if src is not None:
+                rows.append({"span_order": order, "kind": "media",
+                             "text": None, "media_ref": src,
+                             "error": None})
+            else:
+                rows.append({"span_order": order, "kind": "text",
+                             "text": text, "media_ref": None,
+                             "error": None})
+            order += 1
+    return rows
+
+
+def extract_epub_spans(df: DataFrame, content_col: str = "content",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, content:binary) -> interleaved (kind, text, media_ref,
+    order) spans in spine-major reading order; one Arrow-batched
+    mapInPandas pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "span_order": [], "kind": [],
+                   "text": [], "media_ref": [], "error": []}
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                for r in parse_epub_spans(b):
+                    out["doc_id"].append(int(i))
+                    out["span_order"].append(r["span_order"])
+                    out["kind"].append(r["kind"])
+                    out["text"].append(r["text"])
+                    out["media_ref"].append(r["media_ref"])
+                    out["error"].append(r["error"])
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "span_order": pd.array(out["span_order"], dtype="Int32"),
+                "kind": out["kind"],
+                "text": out["text"],
+                "media_ref": out["media_ref"],
+                "error": out["error"],
+            })
+
+    return df.select(id_col, content_col).mapInPandas(
+        op, EPUB_SPANS_SCHEMA)

@@ -81,3 +81,24 @@ def test_fuzz_never_raises():
         for _ in range(rnd.randrange(1, 6)):
             bb[rnd.randrange(len(bb))] = rnd.randrange(256)
         parse_epub(bytes(bb))
+
+
+def test_interleaved_spans_spine_major():
+    from cies_ocr_java_spark.operators.epub_real import (
+        build_epub_interleaved,
+        parse_epub_spans,
+    )
+
+    ich = [
+        ("C0", [("text", "intro 0"), ("media", "img0.png"),
+                ("text", "outro 0")]),
+        ("C1", [("media", "img1.png"), ("text", "body 1")]),
+    ]
+    spans = parse_epub_spans(build_epub_interleaved(ich, [1, 0]))
+    got = [(r["kind"], r["media_ref"] or r["text"]) for r in spans]
+    assert got == [("media", "img1.png"), ("text", "body 1"),
+                   ("text", "intro 0"), ("media", "img0.png"),
+                   ("text", "outro 0")]
+    assert [r["span_order"] for r in spans] == [0, 1, 2, 3, 4]
+    bad = parse_epub_spans(b"\x00" * 40)
+    assert bad[0]["error"] is not None and bad[0]["span_order"] is None
