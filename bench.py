@@ -300,6 +300,7 @@ HEADLINE = [
     "html_robots_meta",
     "hreflang_variant_clusters",
     "epub_interleaved_spans",
+    "epub_media_decode",
 ]
 
 

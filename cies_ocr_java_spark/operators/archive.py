@@ -33,16 +33,18 @@ _CENTRAL = struct.Struct("<4sHHHHHHIIIHHHHHII")  # PK\x01\x02
 _EOCD = struct.Struct("<4sHHHHIIH")        # PK\x05\x06
 
 
-def build_zip(members: list[tuple[str, str, int]]) -> bytes:
-    """Emit a real ZIP from (name, text, method) members; method 0 stores,
-    8 raw-deflates. Fixed DOS date/time fields keep output deterministic."""
+def build_zip(members: list[tuple[str, str | bytes, int]]) -> bytes:
+    """Emit a real ZIP from (name, payload, method) members; method 0
+    stores, 8 raw-deflates. str payloads encode UTF-8, bytes pass
+    through (binary members — images inside EPUB/OOXML). Fixed DOS
+    date/time fields keep output deterministic."""
     buf = bytearray()
     central = bytearray()
     for name, text, method in members:
         if method not in (0, 8):
             raise ValueError("method must be 0 (stored) or 8 (deflated)")
         nb = name.encode("utf-8")
-        data = text.encode("utf-8")
+        data = text.encode("utf-8") if isinstance(text, str) else bytes(text)
         crc = zlib.crc32(data) & 0xFFFFFFFF
         if method == 8:
             co = zlib.compressobj(6, zlib.DEFLATED, -15)

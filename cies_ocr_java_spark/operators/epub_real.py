@@ -78,10 +78,13 @@ def build_epub(chapters: list[tuple[str, str]],
 def build_epub_interleaved(
     chapters: list[tuple[str, list[tuple[str, str]]]],
     spine_order: list[int],
+    media_members: list[tuple[str, bytes]] | None = None,
 ) -> bytes:
     """Interleaved variant: each chapter is (title, spans) with spans
     ('text', s) -> <p>s</p> and ('media', src) -> <img src=.../> in
-    document order — the north-rule span shape inside a book."""
+    document order — the north-rule span shape inside a book.
+    ``media_members`` packs (href, raw_bytes) binary image members
+    under the OPF directory so the refs RESOLVE inside the archive."""
     html = []
     for title, spans in chapters:
         body = "".join(
@@ -89,11 +92,13 @@ def build_epub_interleaved(
             for k, v in spans
         )
         html.append((title, body))
-    return _build_epub(html, spine_order)
+    return _build_epub(html, spine_order, media_members)
 
 
 def _build_epub(chapters: list[tuple[str, str]],
-                spine_order: list[int]) -> bytes:
+                spine_order: list[int],
+                media_members: list[tuple[str, bytes]] | None = None,
+                ) -> bytes:
     n = len(chapters)
     if sorted(spine_order) != list(range(n)):
         raise ValueError("spine_order must be a permutation of chapters")
@@ -116,6 +121,8 @@ def _build_epub(chapters: list[tuple[str, str]],
         members.append(
             (f"OEBPS/chap{k}.xhtml", _chapter_xhtml(title, body), 8)
         )
+    for href, raw in (media_members or []):
+        members.append((f"OEBPS/{href}", raw, 0))
     return build_zip(members)
 
 
@@ -287,3 +294,83 @@ def extract_epub_spans(df: DataFrame, content_col: str = "content",
 
     return df.select(id_col, content_col).mapInPandas(
         op, EPUB_SPANS_SCHEMA)
+
+
+EPUB_MEDIA_SPANS_SCHEMA = (
+    "doc_id long, span_order int, kind string, text string, "
+    "media_ref string, width int, height int, ink_sum bigint, "
+    "error string"
+)
+
+
+def parse_epub_media_spans(data: bytes | None) -> list[dict]:
+    """The interleave with the media REAL: every <img> span's src is
+    resolved against the archive manifest directory and the member
+    bytes are DECODED through the registered PNG codec (width/height/
+    ink) — the both-modalities-real story (extract_pdf_media_spans) at
+    the book layer.  A dangling src degrades to a per-SPAN error row
+    (finer than the doc-level contract: the text spans around it still
+    extract)."""
+    from cies_ocr_java_spark.operators.multimodal import decode_png
+
+    base = parse_epub_spans(data)
+    if base and base[0]["error"] is not None:
+        return [{**base[0], "width": None, "height": None,
+                 "ink_sum": None}]
+    members, _ = walk_zip_members(data)
+    files = {name: raw for name, raw, _ in members}
+    m = _ROOTFILE_RE.search(
+        files["META-INF/container.xml"].decode("utf-8", "replace"))
+    opf_path = m.group(1)
+    opf_dir = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+    rows = []
+    for r in base:
+        if r["kind"] != "media":
+            rows.append({**r, "width": None, "height": None,
+                         "ink_sum": None})
+            continue
+        raw = files.get(opf_dir + r["media_ref"])
+        if raw is None:
+            rows.append({**r, "width": None, "height": None,
+                         "ink_sum": None,
+                         "error": f"missing member {r['media_ref']!r}"})
+            continue
+        dec = decode_png(raw)
+        rows.append({
+            **r,
+            "width": dec["width"], "height": dec["height"],
+            "ink_sum": dec["ink_sum"], "error": dec["error"],
+        })
+    return rows
+
+
+def extract_epub_media_spans(df: DataFrame, content_col: str = "content",
+                             id_col: str = "doc_id") -> DataFrame:
+    """(id, content:binary) -> spine-major interleaved spans with media
+    decoded from the archive's own PNG members; one mapInPandas pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "span_order", "kind", "text",
+                                   "media_ref", "width", "height",
+                                   "ink_sum", "error")}
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                for r in parse_epub_media_spans(b):
+                    out["doc_id"].append(int(i))
+                    for k in ("span_order", "kind", "text", "media_ref",
+                              "width", "height", "ink_sum", "error"):
+                        out[k].append(r[k])
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "span_order": pd.array(out["span_order"], dtype="Int32"),
+                "kind": out["kind"],
+                "text": out["text"],
+                "media_ref": out["media_ref"],
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "ink_sum": pd.array(out["ink_sum"], dtype="Int64"),
+                "error": out["error"],
+            })
+
+    return df.select(id_col, content_col).mapInPandas(
+        op, EPUB_MEDIA_SPANS_SCHEMA)

@@ -102,3 +102,29 @@ def test_interleaved_spans_spine_major():
     assert [r["span_order"] for r in spans] == [0, 1, 2, 3, 4]
     bad = parse_epub_spans(b"\x00" * 40)
     assert bad[0]["error"] is not None and bad[0]["span_order"] is None
+
+
+def test_media_spans_decode_from_archive_members():
+    from cies_ocr_java_spark.operators.epub_real import (
+        build_epub_interleaved,
+        parse_epub_media_spans,
+    )
+    from cies_ocr_java_spark.operators.multimodal import build_png
+
+    png = build_png(5, 3, 40)
+    ich = [
+        ("C0", [("text", "intro 0"), ("media", "im0.png"),
+                ("text", "outro 0")]),
+        ("C1", [("media", "gone.png"), ("text", "body 1")]),
+    ]
+    rows = parse_epub_media_spans(
+        build_epub_interleaved(ich, [1, 0], [("im0.png", png)])
+    )
+    # spine puts C1 first: its dangling media degrades per-SPAN only
+    assert rows[0]["error"] == "missing member 'gone.png'"
+    assert rows[1]["text"] == "body 1" and rows[1]["error"] is None
+    assert rows[3]["ink_sum"] == 5 * 3 * 40
+    assert rows[3]["width"] == 5 and rows[3]["height"] == 3
+    # container-level failure still collapses to one error row
+    bad = parse_epub_media_spans(b"\x00" * 40)
+    assert len(bad) == 1 and bad[0]["error"] is not None

@@ -853,7 +853,7 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
     for name in ("media_mp4_decode", "media_mp4_frames",
                  "media_mp3_decode", "docx_extract_text",
                  "epub_spine_extract", "proto_wire_decode",
-                 "epub_interleaved_spans"):
+                 "epub_interleaved_spans", "epub_media_decode"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
