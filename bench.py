@@ -301,6 +301,7 @@ HEADLINE = [
     "hreflang_variant_clusters",
     "epub_interleaved_spans",
     "epub_media_decode",
+    "accept_language_rank",
 ]
 
 

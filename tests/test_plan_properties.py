@@ -826,6 +826,7 @@ def test_markdown_extract_single_exchange(spark):
         "http_chunked_decode",
         "html_robots_meta",
         "hreflang_variant_clusters",
+        "accept_language_rank",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
