@@ -302,6 +302,8 @@ HEADLINE = [
     "epub_interleaved_spans",
     "epub_media_decode",
     "accept_language_rank",
+    "archive_gzip_extract",
+    "archive_targz_extract",
 ]
 
 
