@@ -304,6 +304,8 @@ HEADLINE = [
     "accept_language_rank",
     "archive_gzip_extract",
     "archive_targz_extract",
+    "vcard_extract",
+    "markdown_front_matter",
 ]
 
 

@@ -827,6 +827,8 @@ def test_markdown_extract_single_exchange(spark):
         "html_robots_meta",
         "hreflang_variant_clusters",
         "accept_language_rank",
+        "vcard_extract",
+        "markdown_front_matter",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
@@ -854,7 +856,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
     for name in ("media_mp4_decode", "media_mp4_frames",
                  "media_mp3_decode", "docx_extract_text",
                  "epub_spine_extract", "proto_wire_decode",
-                 "epub_interleaved_spans", "epub_media_decode"):
+                 "epub_interleaved_spans", "epub_media_decode",
+                 "archive_gzip_extract", "archive_targz_extract"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
