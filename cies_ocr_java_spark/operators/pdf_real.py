@@ -92,13 +92,69 @@ def _content_stream(page_text: str, use_tj_array: bool,
     return b"\n".join(ops) + b"\n"
 
 
+# /Filter chains for the filter-cascade tier: decode applies the array
+# IN ORDER (spec 7.4.1), so the writer applies the inverse transforms in
+# REVERSE. One entry per implemented standard filter family.
+FILTER_CHAINS: list[tuple[bytes, str, int]] = [
+    (b"/FlateDecode", "Flate", 1),
+    (b"[/ASCII85Decode /FlateDecode]", "A85+Flate", 2),
+    (b"/LZWDecode", "LZW", 1),
+    (b"/RunLengthDecode", "RLE", 1),
+    (b"[/ASCIIHexDecode /RunLengthDecode /FlateDecode]", "Hex+RLE+Flate", 3),
+]
+
+# What the reader reports when the OUTERMOST (first-decoded) layer of
+# each chain is poisoned — one distinct error kind per decoder, pinning
+# that failure surfaces in the filter that owns the corruption.
+FILTER_POISON_ERRORS: list[str] = [
+    "flate decode failed",
+    "bad ascii85 character",
+    "bad lzw code",
+    "runlength literal past end of stream",
+    "non-hex byte in ASCIIHexDecode stream",
+]
+
+
+def _encode_filtered(raw: bytes, filter_id: int, poison: bool) -> bytes:
+    """On-disk stream bytes for FILTER_CHAINS[filter_id]. ``poison``
+    corrupts the outermost layer deterministically so every chain fails
+    in ITS OWN decoder (error kinds in FILTER_POISON_ERRORS)."""
+    import binascii
+
+    if filter_id == 0:
+        disk = zlib.compress(raw, 6)
+        if poison:  # broken zlib header -> 'incorrect header check'
+            disk = bytes([disk[0] ^ 0xFF]) + disk[1:]
+    elif filter_id == 1:
+        disk = _ascii85_encode(zlib.compress(raw, 6))
+        if poison:  # 'v' (118) is outside the '!'..'u' alphabet
+            disk = b"v" + disk
+    elif filter_id == 2:
+        disk = _lzw_encode(raw)
+        if poison:  # first 9-bit code becomes 511 > table size 258
+            disk = b"\xff\xff" + disk
+    elif filter_id == 3:
+        disk = _rle_encode(raw)
+        if poison:  # literal run of 128 announced, 1 byte present
+            disk = b"\x7f\x00"
+    else:
+        disk = (
+            binascii.hexlify(_rle_encode(zlib.compress(raw, 6))).upper()
+            + b">"
+        )
+        if poison:
+            disk = b"x" + disk
+    return disk
+
+
 def build_real_pdf(text: str, use_tj_array: bool = False,
                    corrupt_stream: bool = False,
                    xref_stream: bool = False,
                    split_contents: bool = False,
                    use_hex_strings: bool = False,
                    filter_chain: bool = False,
-                   page_tree: bool = False) -> bytes:
+                   page_tree: bool = False,
+                   filter_id: int | None = None) -> bytes:
     """Emit a real, minimal, spec-conformant PDF carrying ``text``.
 
     Pages are ``PAGE_CHUNK_CHARS``-codepoint chunks (>=1 page even for
@@ -139,6 +195,19 @@ def build_real_pdf(text: str, use_tj_array: bool = False,
 
     def _comp_stream(chunk_text: str, corrupt: bool) -> bytes:
         raw = _content_stream(chunk_text, use_tj_array, use_hex_strings)
+        if filter_id is not None:
+            # filter-cascade tier: the /Filter name(s) come from
+            # FILTER_CHAINS and the bytes from the matching inverse
+            # transforms applied in REVERSE of decode order; ``corrupt``
+            # poisons the OUTERMOST layer so the failure surfaces in the
+            # decoder that owns it (FILTER_POISON_ERRORS)
+            disk = _encode_filtered(raw, filter_id, poison=corrupt)
+            return (
+                b"<< /Length %d /Filter %s >>\nstream\n"
+                % (len(disk), FILTER_CHAINS[filter_id][0])
+                + disk
+                + b"\nendstream"
+            )
         comp = zlib.compress(raw, 6)
         if corrupt:
             comp = comp[: max(1, len(comp) // 2)]
@@ -645,6 +714,12 @@ def _stream_bytes(data: bytes, obj_dict: bytes, after_dict: int | None) -> bytes
         for name in names:
             if name == b"ASCIIHexDecode":
                 raw = _ascii_hex_decode(raw)
+            elif name == b"ASCII85Decode":
+                raw = _ascii85_decode(raw)
+            elif name == b"RunLengthDecode":
+                raw = _rle_decode(raw)
+            elif name == b"LZWDecode":
+                raw = _lzw_decode(raw)
             elif name == b"FlateDecode":
                 try:
                     raw = zlib.decompress(raw)
@@ -668,6 +743,213 @@ def _ascii_hex_decode(raw: bytes) -> bytes:
     if len(body) % 2:
         body += b"0"
     return binascii.unhexlify(body)
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    """ASCII85Encode (spec 7.4.3): 4-byte big-endian groups -> 5 chars in
+    '!'..'u'; an ALL-ZERO full group collapses to 'z'; a final partial
+    group of n bytes emits n+1 chars (never 'z'); EOD is '~>'."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        grp = data[i:i + 4]
+        n = len(grp)
+        v = int.from_bytes(grp + b"\x00" * (4 - n), "big")
+        if v == 0 and n == 4:
+            out += b"z"
+            continue
+        chars = bytearray(5)
+        for k in range(4, -1, -1):
+            chars[k] = 33 + v % 85
+            v //= 85
+        out += chars[:n + 1]
+    return bytes(out) + b"~>"
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    """ASCII85Decode: whitespace ignored, 'z' = zero group (full groups
+    only), '~>' is EOD, group value overflow and stray bytes fail."""
+    eod = raw.find(b"~>")
+    body = raw[:eod] if eod >= 0 else raw
+    body = re.sub(rb"[ \t\r\n\f\x00]", b"", body)
+    out = bytearray()
+    grp: list[int] = []
+    for ch in body:
+        if ch == 0x7A:  # 'z'
+            if grp:
+                raise _PdfError("'z' inside an ascii85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 33 <= ch <= 117:
+            raise _PdfError("bad ascii85 character")
+        grp.append(ch - 33)
+        if len(grp) == 5:
+            v = 0
+            for d in grp:
+                v = v * 85 + d
+            if v > 0xFFFFFFFF:
+                raise _PdfError("ascii85 group overflow")
+            out += v.to_bytes(4, "big")
+            grp = []
+    if grp:
+        if len(grp) == 1:
+            raise _PdfError("truncated ascii85 group")
+        n = len(grp)
+        v = 0
+        for d in grp + [84] * (5 - n):
+            v = v * 85 + d
+        if v > 0xFFFFFFFF:
+            raise _PdfError("ascii85 group overflow")
+        out += v.to_bytes(4, "big")[:n - 1]
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """RunLengthEncode (spec 7.4.5 inverse): repeat runs >=3 become
+    (257-len, byte) with len<=128; literals chunk at 128; EOD 0x80."""
+    out = bytearray()
+    i = 0
+    lit_start = 0
+
+    def flush_literal(end: int) -> None:
+        j = lit_start
+        while j < end:
+            chunk = data[j:min(j + 128, end)]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            j += 128
+
+    while i < len(data):
+        run = 1
+        while (i + run < len(data) and run < 128
+               and data[i + run] == data[i]):
+            run += 1
+        if run >= 3:
+            flush_literal(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literal(len(data))
+    out.append(128)
+    return bytes(out)
+
+
+def _rle_decode(raw: bytes) -> bytes:
+    """RunLengthDecode: L in 0..127 copies L+1 literal bytes, L in
+    129..255 repeats the next byte 257-L times, 128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        length = raw[i]
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            chunk = raw[i + 1:i + 2 + length]
+            if len(chunk) != length + 1:
+                raise _PdfError("runlength literal past end of stream")
+            out += chunk
+            i += 2 + length
+        else:
+            if i + 1 >= len(raw):
+                raise _PdfError("runlength repeat past end of stream")
+            out += bytes([raw[i + 1]]) * (257 - length)
+            i += 2
+    raise _PdfError("runlength stream ended without EOD")
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZWEncode (spec 7.4.4 inverse): TIFF-style LZW — MSB-first bit
+    packing, 9..12-bit codes, 256=Clear, 257=EOD, EarlyChange=1 (the
+    PDF default: the code width bumps one table entry early). The GIF
+    codec (multimodal.py) is the LSB-first cousin — the two bit orders
+    are NOT interchangeable."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    width = 9
+    table: dict[bytes, int] = {bytes([c]): c for c in range(256)}
+    next_code = 258
+    emit(256, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(256, width)
+            width = 9
+            table = {bytes([c]): c for c in range(256)}
+            next_code = 258
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+        # the decoder appends an entry while processing this tail code,
+        # so its width check advances once more before it reads EOD —
+        # mirror that in the bookkeeping or EOD is read one bit wide
+        next_code += 1
+        if next_code + early > (1 << width) and width < 12:
+            width += 1
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(raw: bytes, early: int = 1) -> bytes:
+    """LZWDecode: MSB-first 9..12-bit codes, Clear/EOD, KwKwK case,
+    EarlyChange=1 width bumps mirroring the encoder."""
+    out = bytearray()
+    width = 9
+    table: list[bytes] = [bytes([c]) for c in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(raw) * 8
+    while True:
+        if bitpos + width > total_bits:
+            raise _PdfError("lzw stream ended without EOD")
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((raw[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        if v == 256:
+            width = 9
+            table = [bytes([c]) for c in range(256)] + [b"", b""]
+            prev = None
+            continue
+        if v == 257:
+            return bytes(out)
+        if v < len(table) and (v < 256 or v >= 258):
+            entry = table[v]
+        elif v == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise _PdfError("bad lzw code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        # the encoder has already added the entry the NEXT code will
+        # reference, so the width check runs one entry ahead (+1) — the
+        # classic LZW decoder lag
+        if len(table) + 1 + early > (1 << width) and width < 12:
+            width += 1
+        prev = entry
 
 
 def _unescape_literal(raw: bytes) -> bytes:

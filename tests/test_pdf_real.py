@@ -851,3 +851,95 @@ class TestPdfAnchoredOcr:
                 m[rng.randrange(len(m))] = rng.randrange(256)
             r = parse_pdf_anchored_ocr(bytes(m))
             assert (r["spans"] is None) == (r["error"] is not None)
+
+
+# ---------------------------------------------------------------------------
+# standard-filter cascade (spec 7.4): ASCII85 / LZW / RunLength encoders +
+# decoders, chain application order, and per-decoder poison attribution
+# ---------------------------------------------------------------------------
+
+class TestFilterCascade:
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(max_size=1500))
+    def test_ascii85_round_trip(self, data):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            _ascii85_decode, _ascii85_encode,
+        )
+
+        enc = _ascii85_encode(data)
+        assert enc.endswith(b"~>")
+        body = enc[:-2]
+        assert not re.search(rb"[^!-uz]", body)
+        assert _ascii85_decode(enc) == data
+
+    def test_ascii85_z_collapse(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            _ascii85_decode, _ascii85_encode,
+        )
+
+        enc = _ascii85_encode(b"\x00" * 8 + b"Q")
+        assert enc.startswith(b"zz")
+        assert _ascii85_decode(enc) == b"\x00" * 8 + b"Q"
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(max_size=1500))
+    def test_rle_round_trip(self, data):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            _rle_decode, _rle_encode,
+        )
+
+        assert _rle_decode(_rle_encode(data)) == data
+
+    def test_rle_long_run_compresses(self):
+        from cies_ocr_java_spark.operators.pdf_real import _rle_encode
+
+        # 256-byte run -> two (257-128, byte) pairs + EOD = 5 bytes
+        assert len(_rle_encode(b"\x55" * 256)) == 5
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=3000))
+    def test_lzw_round_trip(self, data):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            _lzw_decode, _lzw_encode,
+        )
+
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+    def test_lzw_width_growth_and_reset(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            _lzw_decode, _lzw_encode,
+        )
+
+        rng = random.Random(7)
+        # > 4096 table entries forces 9->12-bit growth AND a mid-stream
+        # Clear/reset; random bytes maximize fresh table entries
+        data = bytes(rng.randrange(256) for _ in range(20000))
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+    @pytest.mark.parametrize("fid", range(5))
+    def test_chain_round_trip_and_poison(self, fid):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            FILTER_POISON_ERRORS,
+        )
+
+        text = "cascade " * 60  # 3 pages
+        r = parse_real_pdf(build_real_pdf(text, filter_id=fid))
+        assert r["error"] is None
+        assert r["text"] == text
+        assert r["n_objects"] == 2 + 2 * _pages(text)
+        rp = parse_real_pdf(
+            build_real_pdf(text, filter_id=fid, corrupt_stream=True)
+        )
+        assert rp["text"] is None and rp["page_count"] is None
+        assert rp["error"].split(":")[0] == FILTER_POISON_ERRORS[fid]
+
+    @pytest.mark.parametrize("fid", range(5))
+    def test_filtered_pdf_fuzz_never_raises(self, fid):
+        base = build_real_pdf("fuzz target text " * 10, filter_id=fid)
+        rng = random.Random(100 + fid)
+        for _ in range(80):
+            m = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            r = parse_real_pdf(bytes(m))
+            assert (r["text"] is None) == (r["error"] is not None)
