@@ -33,6 +33,7 @@ HEADLINE = [
     "extract_pdf_incremental",
     "extract_pdf_pagetree",
     "pdf_filter_decode",
+    "inflate_raw_decode",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",
