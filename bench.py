@@ -34,6 +34,7 @@ HEADLINE = [
     "extract_pdf_pagetree",
     "pdf_filter_decode",
     "inflate_raw_decode",
+    "sqlite_file_walk",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",
