@@ -35,6 +35,7 @@ HEADLINE = [
     "pdf_filter_decode",
     "inflate_raw_decode",
     "sqlite_file_walk",
+    "parquet_footer_walk",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",
