@@ -36,6 +36,7 @@ HEADLINE = [
     "inflate_raw_decode",
     "sqlite_file_walk",
     "parquet_footer_walk",
+    "idna_punycode_decode",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",
