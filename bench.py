@@ -37,6 +37,7 @@ HEADLINE = [
     "sqlite_file_walk",
     "parquet_footer_walk",
     "idna_punycode_decode",
+    "der_cert_walk",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",
