@@ -38,6 +38,7 @@ HEADLINE = [
     "parquet_footer_walk",
     "idna_punycode_decode",
     "der_cert_walk",
+    "css_cascade_styles",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

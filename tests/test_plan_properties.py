@@ -829,6 +829,7 @@ def test_markdown_extract_single_exchange(spark):
         "accept_language_rank",
         "vcard_extract",
         "markdown_front_matter",
+        "css_cascade_styles",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
