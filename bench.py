@@ -39,6 +39,7 @@ HEADLINE = [
     "idna_punycode_decode",
     "der_cert_walk",
     "css_cascade_styles",
+    "mail_thread_assembly",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

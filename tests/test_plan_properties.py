@@ -830,6 +830,7 @@ def test_markdown_extract_single_exchange(spark):
         "vcard_extract",
         "markdown_front_matter",
         "css_cascade_styles",
+        "mail_thread_assembly",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
