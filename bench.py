@@ -40,6 +40,7 @@ HEADLINE = [
     "der_cert_walk",
     "css_cascade_styles",
     "mail_thread_assembly",
+    "pdf_cid_tounicode",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

@@ -1016,10 +1016,14 @@ def _content_tokens(content: bytes) -> Iterator[tuple]:
         yield (tok[0], tok[1])
 
 
-def _content_tokens_pos(content: bytes) -> Iterator[tuple]:
+def _content_tokens_pos(content: bytes, fonts: bool = False) -> Iterator[tuple]:
     """Yield ('lit', payload, x, y) show-op strings and ('img', name, x, y)
     XObject paint operations from a content stream, in stream order, with
-    the TEXT-SPACE POSITION each token is painted at.
+    the TEXT-SPACE POSITION each token is painted at.  With ``fonts=True``
+    also yield ('font', name, x, y) for ``/Name size Tf`` selections —
+    OPT-IN so the long-standing consumers (which dispatch exhaustively on
+    the three classic kinds) never see the new kind; only the CID/ToUnicode
+    parser (operators/pdf_cid.py) requests it.
 
     SEQUENTIAL tokenizer over the whole stream — literals are consumed
     with a balanced-paren scan (PDF literals may nest unescaped balanced
@@ -1166,6 +1170,13 @@ def _content_tokens_pos(content: bytes) -> Iterator[tuple]:
             after = body[m.end():m.end() + 8].lstrip()
             if after.startswith(b"Do") and not after[2:3].isalnum():
                 yield ("img", nm.decode("latin1"), cmx, cmy)
+            elif fonts and re.match(
+                rb"\s+[+-]?(?:\d+\.?\d*|\.\d+)\s+Tf(?![A-Za-z0-9])",
+                body[m.end():m.end() + 24],
+            ):
+                # /Name size Tf — the size operand sits BETWEEN the name
+                # and the keyword (spec 9.3.1), so the lookahead skips it
+                yield ("font", nm.decode("latin1"), tlx, tly)
             i = m.end()
         elif in_text and c == 0x5B:  # [ — array opens
             in_array = True
