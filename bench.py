@@ -41,6 +41,7 @@ HEADLINE = [
     "css_cascade_styles",
     "mail_thread_assembly",
     "pdf_cid_tounicode",
+    "media_ico_decode",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",
