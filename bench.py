@@ -42,6 +42,7 @@ HEADLINE = [
     "mail_thread_assembly",
     "pdf_cid_tounicode",
     "media_ico_decode",
+    "media_ogg_decode",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",
