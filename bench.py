@@ -43,6 +43,7 @@ HEADLINE = [
     "pdf_cid_tounicode",
     "media_ico_decode",
     "media_ogg_decode",
+    "cbor_wire_decode",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",
