@@ -44,6 +44,7 @@ HEADLINE = [
     "media_ico_decode",
     "media_ogg_decode",
     "cbor_wire_decode",
+    "pdf_link_annots",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

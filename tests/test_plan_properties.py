@@ -861,7 +861,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "epub_interleaved_spans", "epub_media_decode",
                  "archive_gzip_extract", "archive_targz_extract",
                  "pdf_cid_tounicode", "media_ico_decode",
-                 "media_ogg_decode", "cbor_wire_decode"):
+                 "media_ogg_decode", "cbor_wire_decode",
+                 "pdf_link_annots"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
