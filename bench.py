@@ -45,6 +45,10 @@ HEADLINE = [
     "media_ogg_decode",
     "cbor_wire_decode",
     "pdf_link_annots",
+    "font_sfnt_cmap",
+    "lz4_frame_decode",
+    "id3_tag_frames",
+    "hls_playlist_extract",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

@@ -831,6 +831,7 @@ def test_markdown_extract_single_exchange(spark):
         "markdown_front_matter",
         "css_cascade_styles",
         "mail_thread_assembly",
+        "hls_playlist_extract",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
@@ -862,7 +863,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "archive_gzip_extract", "archive_targz_extract",
                  "pdf_cid_tounicode", "media_ico_decode",
                  "media_ogg_decode", "cbor_wire_decode",
-                 "pdf_link_annots"):
+                 "pdf_link_annots", "font_sfnt_cmap",
+                 "lz4_frame_decode", "id3_tag_frames"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
