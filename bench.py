@@ -49,6 +49,8 @@ HEADLINE = [
     "lz4_frame_decode",
     "id3_tag_frames",
     "hls_playlist_extract",
+    "media_flac_decode",
+    "csv_rfc4180_parse",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

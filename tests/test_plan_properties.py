@@ -832,6 +832,7 @@ def test_markdown_extract_single_exchange(spark):
         "css_cascade_styles",
         "mail_thread_assembly",
         "hls_playlist_extract",
+        "csv_rfc4180_parse",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
@@ -864,7 +865,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "pdf_cid_tounicode", "media_ico_decode",
                  "media_ogg_decode", "cbor_wire_decode",
                  "pdf_link_annots", "font_sfnt_cmap",
-                 "lz4_frame_decode", "id3_tag_frames"):
+                 "lz4_frame_decode", "id3_tag_frames",
+                 "media_flac_decode"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
