@@ -51,6 +51,7 @@ HEADLINE = [
     "hls_playlist_extract",
     "media_flac_decode",
     "csv_rfc4180_parse",
+    "archive_tar_longnames",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

@@ -246,6 +246,157 @@ def parse_tar(data: bytes | None) -> dict:
     return {**none, "error": "missing end-of-archive blocks"}
 
 
+def build_tar_pax(members: list[tuple[str, str]], *,
+                  poison: str | None = None) -> bytes:
+    """build_tar, but names longer than the 100-byte ustar field emit
+    the REAL extension mechanisms: even members a pax 'x' extended
+    header (``len key=value\\n`` records, length field counts ITSELF —
+    the spec's fixed-point quirk) applying to the next file; odd
+    members a GNU 'L' longname block. Short names ride the plain ustar
+    path. Any modern tar reads all three forms. ``poison``:
+    ``bad_pax_len`` forces the first long name onto the pax path with
+    its record length overstated by one."""
+    buf = bytearray()
+    poisoned = False
+
+    def _hdr(name_b: bytes, size: int, typeflag: bytes) -> bytes:
+        hdr = bytearray(_TAR_BLOCK)
+        hdr[0:len(name_b)] = name_b
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = b"%011o\x00" % size
+        hdr[136:148] = b"%011o\x00" % 0o14000000000
+        hdr[148:156] = b" " * 8
+        hdr[156:157] = typeflag
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        hdr[148:156] = b"%06o\x00 " % sum(hdr)
+        return bytes(hdr)
+
+    def _blocked(data: bytes) -> bytes:
+        return data + b"\x00" * (-len(data) % _TAR_BLOCK)
+
+    for idx, (name, text) in enumerate(members):
+        nb = name.encode("utf-8")
+        data = text.encode("utf-8")
+        if len(nb) > 100:
+            force_pax = poison == "bad_pax_len" and not poisoned
+            if idx % 2 == 0 or force_pax:
+                # pax: "len path=value\n" where len counts the whole
+                # record INCLUDING the digits of len itself
+                body = b"path=" + nb + b"\n"
+                rec_len = len(body) + 1  # provisional: 1-digit length
+                while len(str(rec_len)) + 1 + len(body) != rec_len:
+                    rec_len = len(str(rec_len)) + 1 + len(body)
+                if force_pax:
+                    rec_len += 1  # overstated: record no longer ends \n
+                    poisoned = True
+                pax = str(rec_len).encode() + b" " + body
+                buf += _hdr(b"./PaxHeaders/" + nb[:80], len(pax), b"x")
+                buf += _blocked(pax)
+            else:
+                buf += _hdr(b"././@LongLink", len(nb) + 1, b"L")
+                buf += _blocked(nb + b"\x00")
+            stored_name = nb[:100]
+        else:
+            stored_name = nb
+        buf += _hdr(stored_name, len(data), b"0")
+        buf += _blocked(data)
+    buf += b"\x00" * (2 * _TAR_BLOCK)
+    return bytes(buf)
+
+
+def parse_tar_names(data: bytes | None) -> dict:
+    """The ustar walk of parse_tar, plus NAME RECOVERY through both
+    long-name extension mechanisms: a pax 'x' extended header's
+    ``path=`` record overrides the NEXT member's name (records framed
+    as ``len key=value\\n`` with self-counting lengths, verified); a
+    GNU 'L' block's payload is the next member's name (trailing NUL).
+    Returns {n_members, names, longest_name, text, error}; names in
+    archive order, '|'-joined."""
+    none = {"n_members": None, "names": None, "longest_name": None,
+            "text": None}
+    if data is None or len(data) < 2 * _TAR_BLOCK:
+        return {**none, "error": "short or missing payload"}
+    data = bytes(data)
+    pos = 0
+    names: list[str] = []
+    texts: list[str] = []
+    pending_name: str | None = None
+    while pos + _TAR_BLOCK <= len(data):
+        hdr = data[pos:pos + _TAR_BLOCK]
+        if hdr == b"\x00" * _TAR_BLOCK:
+            nxt = data[pos + _TAR_BLOCK:pos + 2 * _TAR_BLOCK]
+            if nxt != b"\x00" * _TAR_BLOCK:
+                return {**none, "error": "lone zero block"}
+            return {
+                "n_members": len(names),
+                "names": "|".join(names),
+                "longest_name": max((len(n) for n in names), default=0),
+                "text": "".join(texts),
+                "error": None,
+            }
+        try:
+            declared = int(hdr[148:156].rstrip(b"\x00 ").lstrip() or b"0", 8)
+            size = int(hdr[124:136].rstrip(b"\x00 ").lstrip() or b"0", 8)
+        except ValueError:
+            return {**none, "error": "non-octal header field"}
+        if sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:]) != declared:
+            return {**none, "error": "header checksum mismatch"}
+        if hdr[257:262] != b"ustar":
+            return {**none, "error": "missing ustar magic"}
+        body = data[pos + _TAR_BLOCK:pos + _TAR_BLOCK + size]
+        if len(body) != size:
+            return {**none, "error": "truncated member data"}
+        typeflag = hdr[156:157]
+        if typeflag == b"x":
+            p = 0
+            while p < len(body):
+                sp = body.find(b" ", p)
+                if sp < 0:
+                    return {**none, "error": "malformed pax record"}
+                try:
+                    rec_len = int(body[p:sp])
+                except ValueError:
+                    return {**none, "error": "malformed pax record"}
+                rec = body[p:p + rec_len]
+                if (rec_len <= sp - p or p + rec_len > len(body)
+                        or not rec.endswith(b"\n")):
+                    return {**none, "error": "bad pax record length"}
+                kv = rec[sp - p + 1:-1]
+                eq = kv.find(b"=")
+                if eq < 0:
+                    return {**none, "error": "malformed pax record"}
+                if kv[:eq] == b"path":
+                    try:
+                        pending_name = kv[eq + 1:].decode("utf-8")
+                    except UnicodeDecodeError:
+                        return {**none, "error": "non-utf8 pax path"}
+                p += rec_len
+        elif typeflag == b"L":
+            try:
+                pending_name = body.rstrip(b"\x00").decode("utf-8")
+            except UnicodeDecodeError:
+                return {**none, "error": "non-utf8 longname"}
+        elif typeflag in (b"0", b"\x00"):
+            if pending_name is not None:
+                name = pending_name
+                pending_name = None
+            else:
+                try:
+                    name = hdr[:100].rstrip(b"\x00").decode("utf-8")
+                except UnicodeDecodeError:
+                    return {**none, "error": "non-utf8 member name"}
+            names.append(name)
+            try:
+                texts.append(body.decode("utf-8"))
+            except UnicodeDecodeError:
+                return {**none, "error": "non-utf8 member payload"}
+        pos += _TAR_BLOCK + size + (-size % _TAR_BLOCK)
+    return {**none, "error": "missing end-of-archive blocks"}
+
+
 TAR_FEATURES_SCHEMA = (
     "doc_id long, n_members int, total_bytes long, text string, "
     "error string"

@@ -866,7 +866,7 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "media_ogg_decode", "cbor_wire_decode",
                  "pdf_link_annots", "font_sfnt_cmap",
                  "lz4_frame_decode", "id3_tag_frames",
-                 "media_flac_decode"):
+                 "media_flac_decode", "archive_tar_longnames"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
