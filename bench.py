@@ -52,6 +52,9 @@ HEADLINE = [
     "media_flac_decode",
     "csv_rfc4180_parse",
     "archive_tar_longnames",
+    "torrent_metainfo_decode",
+    "mail_mime_thread_spans",
+    "media_heif_items",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",
