@@ -21,6 +21,52 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 COMMENTARY = {
+    "css_cascade_styles": (
+        "The CSS cascade as a doc-keyed element×rule match: bounded "
+        "per-doc cross product, winner by one max_by((specificity, "
+        "order)). The BuildLeft broadcast of the element side is a "
+        "local-stats artifact — at real corpus sizes AQE replaces it "
+        "with the doc-keyed sort-merge join, so the shape survives "
+        "scale. Zero Python."
+    ),
+    "mail_thread_assembly": (
+        "JWZ threading relationally: reference resolution is one "
+        "doc-keyed left join against the thread's id set; depth/root "
+        "are MAX_DEPTH unrolled doc-keyed parent joins (bounded "
+        "fan-out, the pagination precedent); child counts one "
+        "combinable agg. Zero Python, no unpartitioned window."
+    ),
+    "hls_playlist_extract": (
+        "M3U8 segment pairing without a self-join: each URI line "
+        "claims the LAST #EXTINF above it via one doc-keyed "
+        "last(ignorenulls) window — tags legally intervene between "
+        "EXTINF and URI, so next-line pairing is wrong. Playlist tags "
+        "fold in one doc agg; try_cast degradation drops malformed "
+        "durations. Zero Python."
+    ),
+    "csv_rfc4180_parse": (
+        "RFC 4180 relationally: logical records reassembled across "
+        "embedded newlines by a quote-PARITY prefix sum (the code-fence "
+        "move), record rebuild order-independent (array_sort of "
+        "(pos,line) structs), fields by one regex whose quoted "
+        "alternative crosses the rejoined newlines. Odd total parity = "
+        "unterminated final record, dropped + flagged. Zero Python."
+    ),
+    "pdf_cid_tounicode": (
+        "Representative of the session-7 container/wire family "
+        "(ico/ogg/flac/heif/cbor/torrent/lz4/id3/sfnt/tar-longnames "
+        "share the shape): payload synthesis and the byte-level walk "
+        "fuse into ONE Arrow-batched mapInPandas chain — no shuffle "
+        "beyond the single-split fanout guard, nothing row-at-a-time."
+    ),
+    "mail_mime_thread_spans": (
+        "Three operator families on one payload: thread resolution "
+        "(all-JVM doc-keyed joins), MIME part split (stateless — part "
+        "ordinal from piece_idx, no window), and the one irreducible "
+        "codec Arrow hop for BMP attachments; the final join back to "
+        "thread facts is doc-keyed. Message identity packs as "
+        "doc_id*10+msg_idx, so every stage stays key-local."
+    ),
     "pipeline_end_to_end": (
         "The flagship DAG. One parquet scan, ONE salt shuffle "
         "(repartition by (doc_id, offset) — spreads a giant document's spans), "
