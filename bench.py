@@ -55,6 +55,7 @@ HEADLINE = [
     "torrent_metainfo_decode",
     "mail_mime_thread_spans",
     "media_heif_items",
+    "font_woff_decode",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

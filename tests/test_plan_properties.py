@@ -867,7 +867,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "pdf_link_annots", "font_sfnt_cmap",
                  "lz4_frame_decode", "id3_tag_frames",
                  "media_flac_decode", "archive_tar_longnames",
-                 "torrent_metainfo_decode", "media_heif_items"):
+                 "torrent_metainfo_decode", "media_heif_items",
+                 "font_woff_decode"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
