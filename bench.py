@@ -56,6 +56,8 @@ HEADLINE = [
     "mail_mime_thread_spans",
     "media_heif_items",
     "font_woff_decode",
+    "dkim_relaxed_canon",
+    "media_png_metadata",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

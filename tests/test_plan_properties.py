@@ -833,6 +833,7 @@ def test_markdown_extract_single_exchange(spark):
         "mail_thread_assembly",
         "hls_playlist_extract",
         "csv_rfc4180_parse",
+        "dkim_relaxed_canon",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
@@ -868,7 +869,7 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "lz4_frame_decode", "id3_tag_frames",
                  "media_flac_decode", "archive_tar_longnames",
                  "torrent_metainfo_decode", "media_heif_items",
-                 "font_woff_decode"):
+                 "font_woff_decode", "media_png_metadata"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
