@@ -58,6 +58,8 @@ HEADLINE = [
     "font_woff_decode",
     "dkim_relaxed_canon",
     "media_png_metadata",
+    "media_webp_decode",
+    "git_object_walk",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",
