@@ -60,6 +60,8 @@ HEADLINE = [
     "media_png_metadata",
     "media_webp_decode",
     "git_object_walk",
+    "jwt_claims_decode",
+    "url_homograph_flags",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

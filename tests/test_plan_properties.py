@@ -834,6 +834,8 @@ def test_markdown_extract_single_exchange(spark):
         "hls_playlist_extract",
         "csv_rfc4180_parse",
         "dkim_relaxed_canon",
+        "jwt_claims_decode",
+        "url_homograph_flags",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
