@@ -62,6 +62,7 @@ HEADLINE = [
     "git_object_walk",
     "jwt_claims_decode",
     "url_homograph_flags",
+    "archive_zip64_extract",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 _LOCAL = struct.Struct("<4sHHHHHIIIHH")    # PK\x03\x04
 _CENTRAL = struct.Struct("<4sHHHHHHIIIHHHHHII")  # PK\x01\x02
 _EOCD = struct.Struct("<4sHHHHIIH")        # PK\x05\x06
+_Z64_EOCD = struct.Struct("<4sQHHIIQQQQ")  # PK\x06\x06
+_Z64_LOC = struct.Struct("<4sIQI")         # PK\x06\x07
 
 
 def build_zip(members: list[tuple[str, str | bytes, int]]) -> bytes:
@@ -66,6 +68,59 @@ def build_zip(members: list[tuple[str, str | bytes, int]]) -> bytes:
     return bytes(buf)
 
 
+def build_zip64(members: list[tuple[str, str | bytes, int]], *,
+                poison: str | None = None) -> bytes:
+    """build_zip, but emitted in ZIP64 form the way a >4 GB archive
+    would be: central entries saturate compressed/uncompressed/offset
+    to 0xFFFFFFFF and carry the real u64s in a 0x0001 extra field
+    (values present ONLY for saturated fields, per APPNOTE §4.5.3),
+    the classic EOCD saturates its counts/offset, and an EOCD64 record
+    + locator carry the real values. Every modern unzip opens these.
+    ``poison``: ``locator_sig``, ``eocd64_sig``, ``no_extra`` (first
+    entry saturated but its zip64 extra dropped)."""
+    buf = bytearray()
+    centrals: list[tuple[bytes, bytes, int, int, int, int]] = []
+    for name, text, method in members:
+        if method not in (0, 8):
+            raise ValueError("method must be 0 (stored) or 8 (deflated)")
+        nb = name.encode("utf-8")
+        raw = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+        crc = zlib.crc32(raw) & 0xFFFFFFFF
+        if method == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(raw) + co.flush()
+        else:
+            payload = raw
+        off = len(buf)
+        buf += _LOCAL.pack(b"PK\x03\x04", 45, 0, method, 0x6020, 0x5ab1,
+                           crc, len(payload), len(raw), len(nb), 0)
+        buf += nb + payload
+        centrals.append((nb, payload, method, crc, len(raw), off))
+    cd_off = len(buf)
+    n = len(centrals)
+    central = bytearray()
+    for k, (nb, payload, method, crc, ulen, off) in enumerate(centrals):
+        extra = struct.pack("<HHQQQ", 0x0001, 24, ulen, len(payload), off)
+        if poison == "no_extra" and k == 0:
+            extra = b""
+        central += _CENTRAL.pack(
+            b"PK\x01\x02", 45, 45, 0, method, 0x6020, 0x5ab1, crc,
+            0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(extra), 0, 0, 0, 0,
+            0xFFFFFFFF)
+        central += nb + extra
+    buf += central
+    e64_at = len(buf)
+    buf += _Z64_EOCD.pack(
+        b"PK\x06\x05" if poison == "eocd64_sig" else b"PK\x06\x06",
+        _Z64_EOCD.size - 12, 45, 45, 0, 0, n, n, len(central), cd_off)
+    buf += _Z64_LOC.pack(
+        b"PK\x06\x08" if poison == "locator_sig" else b"PK\x06\x07",
+        0, e64_at, 1)
+    buf += _EOCD.pack(b"PK\x05\x06", 0, 0, 0xFFFF, 0xFFFF,
+                      0xFFFFFFFF, 0xFFFFFFFF, 0)
+    return bytes(buf)
+
+
 def walk_zip_members(
     data: bytes | None,
 ) -> tuple[list[tuple[str, bytes, int]] | None, str | None]:
@@ -85,8 +140,26 @@ def walk_zip_members(
         )
     except struct.error:
         return None, "truncated end-of-central-directory"
-    if cd_off + cd_size > eocd_at or n_total != n_here:
+    cd_end = eocd_at
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF or cd_size == 0xFFFFFFFF:
+        # ZIP64 (APPNOTE §4.3.14/15): a locator sits immediately before
+        # the classic EOCD and points at the EOCD64 record, which holds
+        # the real u64 counts/size/offset the sentinels saturated
+        loc_at = eocd_at - _Z64_LOC.size
+        if loc_at < 0 or data[loc_at:loc_at + 4] != b"PK\x06\x07":
+            return None, "bad zip64 locator"
+        (_, _disk, e64_at, _ndisk) = _Z64_LOC.unpack_from(data, loc_at)
+        if e64_at + _Z64_EOCD.size > loc_at:
+            return None, "bad zip64 eocd"
+        z = _Z64_EOCD.unpack_from(data, e64_at)
+        if z[0] != b"PK\x06\x06":
+            return None, "bad zip64 eocd"
+        (_sig, _rsz, _vm, _vn, _d1, _d2, n_here, n_total, cd_size,
+         cd_off) = z
+        cd_end = e64_at
+    if cd_off + cd_size > cd_end or n_total != n_here:
         return None, "central directory out of bounds"
+    eocd_at = cd_end
     pos = cd_off
     members: list[tuple[str, bytes, int]] = []
     for _ in range(n_total):
@@ -98,7 +171,38 @@ def walk_zip_members(
         (_sig, _vm, _vn, _fl, method, _t, _d, crc, csize, usize,
          nlen, elen, clen, _dk, _ia, _ea, lho) = fields
         name = data[pos + _CENTRAL.size:pos + _CENTRAL.size + nlen]
+        extra = data[pos + _CENTRAL.size + nlen:
+                     pos + _CENTRAL.size + nlen + elen]
         pos += _CENTRAL.size + nlen + elen + clen
+        if 0xFFFFFFFF in (csize, usize, lho):
+            # ZIP64 extra field 0x0001: supplies u64 values ONLY for the
+            # saturated fields, in the fixed order uncompressed,
+            # compressed, local-header offset (APPNOTE §4.5.3 — reading
+            # all three unconditionally is the classic zip64 bug)
+            z64 = None
+            ep = 0
+            while ep + 4 <= len(extra):
+                fid, flen = struct.unpack_from("<HH", extra, ep)
+                if fid == 0x0001:
+                    z64 = extra[ep + 4:ep + 4 + flen]
+                    break
+                ep += 4 + flen
+            if z64 is None:
+                return None, "missing zip64 extra"
+            zp = 0
+            for field in ("usize", "csize", "lho"):
+                cur = {"usize": usize, "csize": csize, "lho": lho}[field]
+                if cur == 0xFFFFFFFF:
+                    if zp + 8 > len(z64):
+                        return None, "short zip64 extra"
+                    val = struct.unpack_from("<Q", z64, zp)[0]
+                    zp += 8
+                    if field == "usize":
+                        usize = val
+                    elif field == "csize":
+                        csize = val
+                    else:
+                        lho = val
         # trust-then-verify: the local header at the declared offset must
         # exist and agree on the member name
         if lho + _LOCAL.size > len(data):

@@ -872,7 +872,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "media_flac_decode", "archive_tar_longnames",
                  "torrent_metainfo_decode", "media_heif_items",
                  "font_woff_decode", "media_png_metadata",
-                 "media_webp_decode", "git_object_walk"):
+                 "media_webp_decode", "git_object_walk",
+                 "archive_zip64_extract"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name

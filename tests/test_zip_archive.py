@@ -108,3 +108,91 @@ def test_spark_zip_extraction(spark):
     assert out[1]["text"] == "onetwo" and out[1]["methods"] == "0,8"
     assert out[2]["error"] == "truncated end-of-central-directory"
     assert out[3]["error"] == "short or missing payload"
+
+
+# ---------------------------------------------------------------------------
+# ZIP64 (build_zip64 grafted into the shared walk)
+# ---------------------------------------------------------------------------
+
+def test_zip64_round_trip_and_zipfile_interop():
+    import io
+    import zipfile
+
+    from cies_ocr_java_spark.operators.archive import build_zip64, parse_zip
+
+    members = [("a.txt", "hello ", 0), ("b/c.md", "deflated " * 30, 8)]
+    z = build_zip64(members)
+    r = parse_zip(z)
+    assert r["error"] is None and r["n_members"] == 2
+    assert r["text"].startswith("hello deflated")
+    zf = zipfile.ZipFile(io.BytesIO(z))
+    assert zf.namelist() == ["a.txt", "b/c.md"]
+    assert zf.read("a.txt") == b"hello "
+
+
+def test_zip64_extra_is_conditional_per_field():
+    # only saturated fields get u64s: a hand-built entry with ONLY the
+    # offset saturated must read a 8-byte extra, not 24
+    import struct
+
+    from cies_ocr_java_spark.operators.archive import (
+        build_zip,
+        walk_zip_members,
+    )
+
+    z = bytearray(build_zip([("k.txt", "vv", 0)]))
+    # saturate the central entry's local-header offset (last I field)
+    at = z.index(b"PK\x01\x02")
+    off_at = at + 42
+    (real_off,) = struct.unpack_from("<I", z, off_at)
+    struct.pack_into("<I", z, off_at, 0xFFFFFFFF)
+    # splice an 8-byte zip64 extra after the name, fix elen + eocd sizes
+    name_end = at + 46 + 5
+    extra = struct.pack("<HHQ", 0x0001, 8, real_off)
+    struct.pack_into("<H", z, at + 30, len(extra))  # extra length field
+    z2 = z[:name_end] + extra + z[name_end:]
+    # fix EOCD cd_size (+len(extra)); cd_off unchanged
+    e = z2.index(b"PK\x05\x06")
+    (cd_size,) = struct.unpack_from("<I", z2, e + 12)
+    z2 = bytearray(z2)
+    struct.pack_into("<I", z2, e + 12, cd_size + len(extra))
+    members, err = walk_zip_members(bytes(z2))
+    assert err is None and members[0][0] == "k.txt"
+
+
+def test_zip64_poisons():
+    from cies_ocr_java_spark.operators.archive import (
+        build_zip64,
+        walk_zip_members,
+    )
+
+    members = [("a.txt", "x", 0)]
+    for pz, want in (("locator_sig", "bad zip64 locator"),
+                     ("eocd64_sig", "bad zip64 eocd"),
+                     ("no_extra", "missing zip64 extra")):
+        _, err = walk_zip_members(build_zip64(members, poison=pz))
+        assert err == want, (pz, err)
+
+
+def test_zip64_fuzz_never_raises():
+    import random
+
+    from cies_ocr_java_spark.operators.archive import (
+        build_zip64,
+        parse_zip,
+    )
+
+    base = build_zip64([("a.txt", "fuzz " * 20, 8), ("b.txt", "x", 0)])
+    rng = random.Random(13)
+    for _ in range(150):
+        mode = rng.randrange(3)
+        if mode == 0:
+            data = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(400)))
+        elif mode == 1:
+            at = rng.randrange(len(base))
+            data = base[:at] + bytes([rng.randrange(256)]) + base[at + 1:]
+        else:
+            data = base[: rng.randrange(len(base))]
+        r = parse_zip(data)
+        assert (r["error"] is None) != (r["text"] is None)
