@@ -63,6 +63,7 @@ HEADLINE = [
     "jwt_claims_decode",
     "url_homograph_flags",
     "archive_zip64_extract",
+    "warc_http_extract",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

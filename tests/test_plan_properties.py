@@ -836,6 +836,7 @@ def test_markdown_extract_single_exchange(spark):
         "dkim_relaxed_canon",
         "jwt_claims_decode",
         "url_homograph_flags",
+        "warc_http_extract",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
