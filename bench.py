@@ -64,6 +64,7 @@ HEADLINE = [
     "url_homograph_flags",
     "archive_zip64_extract",
     "warc_http_extract",
+    "mime_nested_forward",
     "pdf_column_reading_order",
     "html_table_cells",
     "charset_sniff_decode",

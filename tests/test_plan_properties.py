@@ -837,6 +837,7 @@ def test_markdown_extract_single_exchange(spark):
         "jwt_claims_decode",
         "url_homograph_flags",
         "warc_http_extract",
+        "mime_nested_forward",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
