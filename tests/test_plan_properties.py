@@ -838,6 +838,7 @@ def test_markdown_extract_single_exchange(spark):
         "url_homograph_flags",
         "warc_http_extract",
         "mime_nested_forward",
+        "ical_event_expand",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
