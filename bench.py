@@ -339,6 +339,15 @@ HEADLINE = [
     "archive_targz_extract",
     "vcard_extract",
     "markdown_front_matter",
+    "pcap_packet_walk",
+    "pcap_http_reassembly",
+    "dns_message_walk",
+    "media_mkv_walk",
+    "avro_container_read",
+    "jpeg_exif_extract",
+    "ical_event_expand",
+    "tls_client_hello_walk",
+    "msgpack_decode_walk",
 ]
 
 
