@@ -348,6 +348,7 @@ HEADLINE = [
     "ical_event_expand",
     "tls_client_hello_walk",
     "msgpack_decode_walk",
+    "elf_binary_walk",
 ]
 
 
