@@ -349,6 +349,7 @@ HEADLINE = [
     "tls_client_hello_walk",
     "msgpack_decode_walk",
     "elf_binary_walk",
+    "bplist_decode_walk",
 ]
 
 
