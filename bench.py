@@ -350,6 +350,7 @@ HEADLINE = [
     "msgpack_decode_walk",
     "elf_binary_walk",
     "bplist_decode_walk",
+    "bzip2_decode_walk",
 ]
 
 
