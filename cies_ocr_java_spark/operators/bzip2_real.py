@@ -44,17 +44,17 @@ class _Bits:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
+        self.nbits = len(data) * 8
 
     def take(self, n: int) -> int:
-        v = 0
-        data, pos = self.data, self.pos
-        if pos + n > len(data) * 8:
+        pos = self.pos
+        end = pos + n
+        if end > self.nbits:
             raise ValueError("unexpected end of stream")
-        for _ in range(n):
-            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
-            pos += 1
-        self.pos = pos
-        return v
+        b0, b1 = pos >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(self.data[b0:b1], "big")
+        self.pos = end
+        return (chunk >> (b1 * 8 - end)) & ((1 << n) - 1)
 
 
 def _bz_crc(data: bytes) -> int:

@@ -76,9 +76,11 @@ def test_structural_errors():
 
 def test_fuzz_never_raises():
     rng = random.Random(7)
+    # level 1: the 100k block-size cap bounds how far a corrupted
+    # symbol stream can run before a gate fires
     z = bz2.compress(b"The quick brown fox jumps over the lazy dog. "
-                     * 50, 9)
-    for _ in range(400):
+                     * 50, 1)
+    for _ in range(200):
         x = bytearray(z)
         for _ in range(rng.randrange(1, 5)):
             x[rng.randrange(len(x))] = rng.randrange(256)
