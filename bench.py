@@ -351,6 +351,7 @@ HEADLINE = [
     "elf_binary_walk",
     "bplist_decode_walk",
     "bzip2_decode_walk",
+    "iso9660_walk",
 ]
 
 
