@@ -352,6 +352,7 @@ HEADLINE = [
     "bplist_decode_walk",
     "bzip2_decode_walk",
     "iso9660_walk",
+    "git_pack_walk",
 ]
 
 

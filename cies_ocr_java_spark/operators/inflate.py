@@ -180,6 +180,15 @@ def _dynamic_tables(bits: _Bits) -> tuple[dict, dict]:
 
 def inflate_raw(data: bytes, max_out: int = 1 << 26) -> tuple[bytes, int]:
     """Decode a raw DEFLATE stream. Returns (payload, n_blocks)."""
+    payload, n_blocks, _consumed = _inflate_raw_full(data, max_out)
+    return payload, n_blocks
+
+
+def _inflate_raw_full(data: bytes, max_out: int = 1 << 26
+                      ) -> tuple[bytes, int, int]:
+    """Like inflate_raw, but also returns the CONSUMED byte count —
+    what lets container walks (git packs) find the next header after
+    an embedded stream of undeclared length."""
     bits = _Bits(data)
     out = bytearray()
     n_blocks = 0
@@ -236,7 +245,7 @@ def inflate_raw(data: bytes, max_out: int = 1 << 26) -> tuple[bytes, int]:
         if len(out) > max_out:
             raise InflateError("output size cap exceeded")
         if bfinal:
-            return bytes(out), n_blocks
+            return bytes(out), n_blocks, bits.pos - bits.nbits // 8
 
 
 def inflate_zlib(data: bytes) -> tuple[bytes, int]:
@@ -257,6 +266,32 @@ def inflate_zlib(data: bytes) -> tuple[bytes, int]:
     if zlib.adler32(payload) & 0xFFFFFFFF != stated:
         raise InflateError("adler32 mismatch")
     return payload, n_blocks
+
+
+def inflate_zlib_stream(data: bytes) -> tuple[bytes, int]:
+    """PREFIX decode of an RFC 1950 stream that may be followed by
+    unrelated bytes (a pack's next object header): returns
+    (payload, consumed) where consumed covers header + deflate bits +
+    Adler-32."""
+    if len(data) < 6:
+        raise InflateError("zlib stream too short")
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != 8:
+        raise InflateError("unsupported zlib compression method")
+    if cmf >> 4 > 7:
+        raise InflateError("zlib window size too large")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise InflateError("bad zlib header check")
+    if flg & 0x20:
+        raise InflateError("preset dictionary not supported")
+    payload, _nb, used = _inflate_raw_full(data[2:])
+    end = 2 + used
+    if end + 4 > len(data):
+        raise InflateError("truncated adler32")
+    stated = int.from_bytes(data[end:end + 4], "big")
+    if zlib.adler32(payload) & 0xFFFFFFFF != stated:
+        raise InflateError("adler32 mismatch")
+    return payload, end + 4
 
 
 # ---------------------------------------------------------------------------
