@@ -353,6 +353,7 @@ HEADLINE = [
     "bzip2_decode_walk",
     "iso9660_walk",
     "git_pack_walk",
+    "lzma_decode_walk",
 ]
 
 

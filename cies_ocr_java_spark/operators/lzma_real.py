@@ -1,0 +1,321 @@
+"""REAL LZMA decoder from first principles — the probability-model
+end of the compressor spectrum: where DEFLATE/bzip2 ship explicit
+code TABLES, LZMA ships almost nothing; both sides regrow ~14k
+adaptive probabilities in lockstep and the bitstream is a RANGE CODER
+(arithmetic coding's integer form): one 32-bit window narrowed by
+`bound = (range >> 11) * prob` per bit, probabilities nudged by
++(2048-p)>>5 / -p>>5, renormalized by shifting in a byte when the
+range drops below 2^24.
+
+Model structure decoded here (the complete LZMA1 spec):
+- literals: 0x300 probs per context, context = (lc high bits of the
+  previous byte, lp low bits of position); after a match the literal
+  is decoded AGAINST the byte at the last match distance (matched-
+  literal mode) until the paths diverge;
+- matches: state machine over 12 states choosing match vs rep vs
+  shortrep; lengths via choice/choice2 + 3/3/8-bit trees; distances
+  via a 6-bit slot tree (per length class) + fixed-prob middle bits +
+  the 4-bit reversed ALIGN tree; 4 rotating rep distances;
+- the container is .lzma FORMAT_ALONE: props byte (pb*5+lp)*9+lc,
+  u32le dict size, u64le uncompressed size (0xFFFF.. = unknown, ended
+  by the dist-0xFFFFFFFF end marker).
+
+Fixtures come from STDLIB lzma at FORMAT_ALONE (the real bitstream) —
+every decode is checked against the canonical encoder, the bz2/zip/tar
+interop precedent.
+
+Failure contract (the MediaCodec discipline, multimodal.py): every
+malformed stream yields an error ROW — never an exception.
+
+Reference parity: none — beyond-reference codec operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_K_TOP = 1 << 24
+_PROB_INIT = 1024  # 2048 / 2
+
+
+class _RangeDecoder:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        if pos + 5 > len(data):
+            raise ValueError("unexpected end of stream")
+        if data[pos] != 0:
+            raise ValueError("nonzero first range-coder byte")
+        self.code = int.from_bytes(data[pos + 1:pos + 5], "big")
+        self.range = 0xFFFFFFFF
+        self.pos = pos + 5
+
+    def _next(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("unexpected end of stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def decode_bit(self, probs: list[int], i: int) -> int:
+        prob = probs[i]
+        bound = (self.range >> 11) * prob
+        if self.code < bound:
+            self.range = bound
+            probs[i] = prob + ((2048 - prob) >> 5)
+            bit = 0
+        else:
+            self.range -= bound
+            self.code -= bound
+            probs[i] = prob - (prob >> 5)
+            bit = 1
+        if self.range < _K_TOP:
+            self.range <<= 8
+            self.code = ((self.code << 8) | self._next()) & 0xFFFFFFFF
+        return bit
+
+    def decode_direct(self, n: int) -> int:
+        res = 0
+        for _ in range(n):
+            self.range >>= 1
+            if self.code < self.range:
+                bit = 0
+            else:
+                self.code -= self.range
+                bit = 1
+            res = (res << 1) | bit
+            if self.range < _K_TOP:
+                self.range <<= 8
+                self.code = ((self.code << 8)
+                             | self._next()) & 0xFFFFFFFF
+        return res
+
+    def decode_tree(self, probs: list[int], nbits: int) -> int:
+        m = 1
+        for _ in range(nbits):
+            m = (m << 1) | self.decode_bit(probs, m)
+        return m - (1 << nbits)
+
+    def decode_tree_rev(self, probs: list[int], nbits: int,
+                        base: int = 0) -> int:
+        # base indexes into a SHARED prob array (spec_pos) so the
+        # adaptive updates persist — a slice would copy them away
+        m = 1
+        sym = 0
+        for k in range(nbits):
+            b = self.decode_bit(probs, base + m)
+            m = (m << 1) | b
+            sym |= b << k
+        return sym
+
+    def finished(self) -> bool:
+        return self.code == 0
+
+
+class _LenDecoder:
+    def __init__(self, n_pos_states: int) -> None:
+        self.choice = [_PROB_INIT] * 2
+        self.low = [[_PROB_INIT] * 8 for _ in range(n_pos_states)]
+        self.mid = [[_PROB_INIT] * 8 for _ in range(n_pos_states)]
+        self.high = [_PROB_INIT] * 256
+
+    def decode(self, rc: _RangeDecoder, pos_state: int) -> int:
+        if not rc.decode_bit(self.choice, 0):
+            return rc.decode_tree(self.low[pos_state], 3)
+        if not rc.decode_bit(self.choice, 1):
+            return 8 + rc.decode_tree(self.mid[pos_state], 3)
+        return 16 + rc.decode_tree(self.high, 8)
+
+
+def lzma_decode_alone(data: bytes, max_out: int = 1 << 26) -> bytes:
+    """Decode a .lzma (FORMAT_ALONE) stream: 13-byte header + LZMA1."""
+    if len(data) < 13:
+        raise ValueError("short lzma header")
+    props = data[0]
+    if props >= 9 * 5 * 5:
+        raise ValueError("bad lzma properties byte")
+    lc = props % 9
+    lp = (props // 9) % 5
+    pb = props // 45
+    # dict size (data[1:5], unused for decode) + uncompressed size
+    usize = int.from_bytes(data[5:13], "little")
+    unknown_size = usize == 0xFFFFFFFFFFFFFFFF
+    if not unknown_size and usize > max_out:
+        raise ValueError("declared size exceeds cap")
+    rc = _RangeDecoder(data, 13)
+    n_pos_states = 1 << pb
+    pos_mask = n_pos_states - 1
+    lit_pos_mask = (1 << lp) - 1
+    is_match = [_PROB_INIT] * (12 << 4)
+    is_rep = [_PROB_INIT] * 12
+    is_rep_g0 = [_PROB_INIT] * 12
+    is_rep_g1 = [_PROB_INIT] * 12
+    is_rep_g2 = [_PROB_INIT] * 12
+    is_rep0_long = [_PROB_INIT] * (12 << 4)
+    lit = [[_PROB_INIT] * 0x300
+           for _ in range(1 << (lc + lp))]
+    len_dec = _LenDecoder(n_pos_states)
+    rep_len_dec = _LenDecoder(n_pos_states)
+    pos_slot = [[_PROB_INIT] * 64 for _ in range(4)]
+    spec_pos = [_PROB_INIT] * 115
+    align = [_PROB_INIT] * 16
+    out = bytearray()
+    rep0 = rep1 = rep2 = rep3 = 0
+    state = 0
+    while True:
+        if not unknown_size and len(out) >= usize:
+            break
+        pos_state = len(out) & pos_mask
+        if not rc.decode_bit(is_match, (state << 4) | pos_state):
+            # literal
+            prev = out[-1] if out else 0
+            ctx = (((len(out) & lit_pos_mask) << lc)
+                   | (prev >> (8 - lc)))
+            probs = lit[ctx]
+            if state >= 7:
+                # matched literal: fold in the byte at rep0+1 back
+                if rep0 + 1 > len(out):
+                    raise ValueError("match byte out of window")
+                match_byte = out[len(out) - rep0 - 1]
+                sym = 1
+                while sym < 0x100:
+                    match_bit = (match_byte >> 7) & 1
+                    match_byte = (match_byte << 1) & 0xFF
+                    bit = rc.decode_bit(
+                        probs, ((1 + match_bit) << 8) + sym)
+                    sym = (sym << 1) | bit
+                    if match_bit != bit:
+                        while sym < 0x100:
+                            sym = (sym << 1) | rc.decode_bit(probs, sym)
+                        break
+            else:
+                sym = 1
+                while sym < 0x100:
+                    sym = (sym << 1) | rc.decode_bit(probs, sym)
+            out.append(sym & 0xFF)
+            if len(out) > max_out:
+                raise ValueError("output size cap exceeded")
+            state = (0 if state < 4 else
+                     state - 3 if state < 10 else state - 6)
+            continue
+        # match path
+        if rc.decode_bit(is_rep, state):
+            # rep match
+            if not out:
+                raise ValueError("rep match with empty window")
+            if not rc.decode_bit(is_rep_g0, state):
+                if not rc.decode_bit(is_rep0_long,
+                                     (state << 4) | pos_state):
+                    # short rep: one byte at rep0
+                    if rep0 + 1 > len(out):
+                        raise ValueError("distance out of window")
+                    out.append(out[len(out) - rep0 - 1])
+                    state = 9 if state < 7 else 11
+                    if len(out) > max_out:
+                        raise ValueError("output size cap exceeded")
+                    continue
+            else:
+                if not rc.decode_bit(is_rep_g1, state):
+                    dist = rep1
+                    rep1 = rep0
+                    rep0 = dist
+                else:
+                    if not rc.decode_bit(is_rep_g2, state):
+                        dist = rep2
+                    else:
+                        dist = rep3
+                        rep3 = rep2
+                    rep2 = rep1
+                    rep1 = rep0
+                    rep0 = dist
+            length = 2 + rep_len_dec.decode(rc, pos_state)
+            state = 8 if state < 7 else 11
+        else:
+            # new match
+            rep3, rep2, rep1 = rep2, rep1, rep0
+            length = 2 + len_dec.decode(rc, pos_state)
+            len_class = min(length - 2, 3)
+            slot = rc.decode_tree(pos_slot[len_class], 6)
+            if slot < 4:
+                rep0 = slot
+            else:
+                nbits = (slot >> 1) - 1
+                rep0 = (2 | (slot & 1)) << nbits
+                if slot < 14:
+                    rep0 += rc.decode_tree_rev(
+                        spec_pos, nbits, base=rep0 - slot)
+                else:
+                    rep0 += rc.decode_direct(nbits - 4) << 4
+                    rep0 += rc.decode_tree_rev(align, 4)
+            if rep0 == 0xFFFFFFFF:
+                # end marker
+                if not unknown_size and len(out) != usize:
+                    raise ValueError("size mismatch at end marker")
+                rep0 = rep1  # restore (unused)
+                break
+            state = 7 if state < 7 else 10
+        if rep0 + 1 > len(out):
+            raise ValueError("distance out of window")
+        if len(out) + length > max_out:
+            raise ValueError("output size cap exceeded")
+        if not unknown_size and len(out) + length > usize:
+            raise ValueError("match overruns declared size")
+        start = len(out) - rep0 - 1
+        for k in range(length):
+            out.append(out[start + k])
+    return bytes(out)
+
+
+_LZMA_NONE = {"n_bytes": None, "n_lines": None, "text_md5": None,
+              "lc": None, "lp": None, "pb": None}
+
+
+def parse_lzma_doc(data: bytes | None) -> dict:
+    import hashlib
+
+    if data is None or len(data) < 13:
+        return {**_LZMA_NONE, "error": "short or missing payload"}
+    try:
+        # 4 MiB cap: bounds how long a corrupted unknown-size stream
+        # can emit garbage before a gate fires (fixture docs are KBs)
+        out = lzma_decode_alone(bytes(data), max_out=1 << 22)
+    except ValueError as e:
+        return {**_LZMA_NONE, "error": str(e)}
+    props = data[0]
+    return {
+        "n_bytes": len(out),
+        "n_lines": out.count(b"\n"),
+        "text_md5": hashlib.md5(out).hexdigest(),
+        "lc": props % 9,
+        "lp": (props // 9) % 5,
+        "pb": props // 45,
+        "error": None,
+    }
+
+
+LZMA_SCHEMA = ("doc_id long, n_bytes bigint, n_lines int, "
+               "text_md5 string, lc int, lp int, pb int, error string")
+
+
+def extract_lzma_docs(df: DataFrame, content_col: str = "content",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, content:binary) -> decoded-stream stats via one
+    Arrow-batched mapInPandas pass (no shuffle)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_lzma_doc(b) for b in pdf[content_col]]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for k, dt in [
+                ("n_bytes", "Int64"), ("n_lines", "Int32"),
+                ("text_md5", None), ("lc", "Int32"), ("lp", "Int32"),
+                ("pb", "Int32"), ("error", None),
+            ]:
+                vals = [r[k] for r in rows]
+                out[k] = pd.array(vals, dtype=dt) if dt else vals
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        op, LZMA_SCHEMA)
