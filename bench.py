@@ -354,6 +354,7 @@ HEADLINE = [
     "iso9660_walk",
     "git_pack_walk",
     "lzma_decode_walk",
+    "xz_decode_walk",
 ]
 
 

@@ -129,142 +129,176 @@ class _LenDecoder:
         return 16 + rc.decode_tree(self.high, 8)
 
 
+class _Lzma1Decoder:
+    """The LZMA1 probability model + state machine, factored out so a
+    container (lzma_decode_alone's FORMAT_ALONE, xz_real's LZMA2
+    chunks) can drive it with its own reset/limit policy."""
+
+    def __init__(self, lc: int, lp: int, pb: int) -> None:
+        self.lc, self.lp, self.pb = lc, lp, pb
+        self.pos_mask = (1 << pb) - 1
+        self.lit_pos_mask = (1 << lp) - 1
+        self.reset_state()
+
+    def reset_state(self) -> None:
+        n_pos_states = 1 << self.pb
+        self.is_match = [_PROB_INIT] * (12 << 4)
+        self.is_rep = [_PROB_INIT] * 12
+        self.is_rep_g0 = [_PROB_INIT] * 12
+        self.is_rep_g1 = [_PROB_INIT] * 12
+        self.is_rep_g2 = [_PROB_INIT] * 12
+        self.is_rep0_long = [_PROB_INIT] * (12 << 4)
+        self.lit = [[_PROB_INIT] * 0x300
+                    for _ in range(1 << (self.lc + self.lp))]
+        self.len_dec = _LenDecoder(n_pos_states)
+        self.rep_len_dec = _LenDecoder(n_pos_states)
+        self.pos_slot = [[_PROB_INIT] * 64 for _ in range(4)]
+        self.spec_pos = [_PROB_INIT] * 115
+        self.align = [_PROB_INIT] * 16
+        self.state = 0
+        self.rep0 = self.rep1 = self.rep2 = self.rep3 = 0
+
+    def run(self, rc: _RangeDecoder, out: bytearray,
+            limit: int | None, max_out: int,
+            allow_end_marker: bool) -> None:
+        """Append decoded bytes to ``out`` until len(out) == limit
+        (exact), or until the end marker when ``limit`` is None.
+        ``out`` doubles as the dictionary window, so container formats
+        share history across chunks by passing the same buffer."""
+        lc = self.lc
+        state = self.state
+        rep0, rep1 = self.rep0, self.rep1
+        rep2, rep3 = self.rep2, self.rep3
+        while True:
+            if limit is not None and len(out) >= limit:
+                break
+            pos_state = len(out) & self.pos_mask
+            if not rc.decode_bit(self.is_match,
+                                 (state << 4) | pos_state):
+                # literal
+                prev = out[-1] if out else 0
+                ctx = (((len(out) & self.lit_pos_mask) << lc)
+                       | (prev >> (8 - lc)))
+                probs = self.lit[ctx]
+                if state >= 7:
+                    # matched literal: decode against the byte at rep0
+                    if rep0 + 1 > len(out):
+                        raise ValueError("match byte out of window")
+                    match_byte = out[len(out) - rep0 - 1]
+                    sym = 1
+                    while sym < 0x100:
+                        match_bit = (match_byte >> 7) & 1
+                        match_byte = (match_byte << 1) & 0xFF
+                        bit = rc.decode_bit(
+                            probs, ((1 + match_bit) << 8) + sym)
+                        sym = (sym << 1) | bit
+                        if match_bit != bit:
+                            while sym < 0x100:
+                                sym = ((sym << 1)
+                                       | rc.decode_bit(probs, sym))
+                            break
+                else:
+                    sym = 1
+                    while sym < 0x100:
+                        sym = (sym << 1) | rc.decode_bit(probs, sym)
+                out.append(sym & 0xFF)
+                if len(out) > max_out:
+                    raise ValueError("output size cap exceeded")
+                state = (0 if state < 4 else
+                         state - 3 if state < 10 else state - 6)
+                continue
+            # match path
+            if rc.decode_bit(self.is_rep, state):
+                # rep match
+                if not out:
+                    raise ValueError("rep match with empty window")
+                if not rc.decode_bit(self.is_rep_g0, state):
+                    if not rc.decode_bit(self.is_rep0_long,
+                                         (state << 4) | pos_state):
+                        # short rep: one byte at rep0
+                        if rep0 + 1 > len(out):
+                            raise ValueError("distance out of window")
+                        out.append(out[len(out) - rep0 - 1])
+                        state = 9 if state < 7 else 11
+                        if len(out) > max_out:
+                            raise ValueError("output size cap exceeded")
+                        continue
+                else:
+                    if not rc.decode_bit(self.is_rep_g1, state):
+                        dist = rep1
+                        rep1 = rep0
+                        rep0 = dist
+                    else:
+                        if not rc.decode_bit(self.is_rep_g2, state):
+                            dist = rep2
+                        else:
+                            dist = rep3
+                            rep3 = rep2
+                        rep2 = rep1
+                        rep1 = rep0
+                        rep0 = dist
+                length = 2 + self.rep_len_dec.decode(rc, pos_state)
+                state = 8 if state < 7 else 11
+            else:
+                # new match
+                rep3, rep2, rep1 = rep2, rep1, rep0
+                length = 2 + self.len_dec.decode(rc, pos_state)
+                len_class = min(length - 2, 3)
+                slot = rc.decode_tree(self.pos_slot[len_class], 6)
+                if slot < 4:
+                    rep0 = slot
+                else:
+                    nbits = (slot >> 1) - 1
+                    rep0 = (2 | (slot & 1)) << nbits
+                    if slot < 14:
+                        rep0 += rc.decode_tree_rev(
+                            self.spec_pos, nbits, base=rep0 - slot)
+                    else:
+                        rep0 += rc.decode_direct(nbits - 4) << 4
+                        rep0 += rc.decode_tree_rev(self.align, 4)
+                if rep0 == 0xFFFFFFFF:
+                    if not allow_end_marker:
+                        raise ValueError("unexpected end marker")
+                    if limit is not None and len(out) != limit:
+                        raise ValueError("size mismatch at end marker")
+                    rep0 = rep1  # restore (unused)
+                    break
+                state = 7 if state < 7 else 10
+            if rep0 + 1 > len(out):
+                raise ValueError("distance out of window")
+            if len(out) + length > max_out:
+                raise ValueError("output size cap exceeded")
+            if limit is not None and len(out) + length > limit:
+                raise ValueError("match overruns declared size")
+            start = len(out) - rep0 - 1
+            for k in range(length):
+                out.append(out[start + k])
+        self.state = state
+        self.rep0, self.rep1 = rep0, rep1
+        self.rep2, self.rep3 = rep2, rep3
+
+
+def split_props(props: int) -> tuple[int, int, int]:
+    if props >= 9 * 5 * 5:
+        raise ValueError("bad lzma properties byte")
+    return props % 9, (props // 9) % 5, props // 45
+
+
 def lzma_decode_alone(data: bytes, max_out: int = 1 << 26) -> bytes:
     """Decode a .lzma (FORMAT_ALONE) stream: 13-byte header + LZMA1."""
     if len(data) < 13:
         raise ValueError("short lzma header")
-    props = data[0]
-    if props >= 9 * 5 * 5:
-        raise ValueError("bad lzma properties byte")
-    lc = props % 9
-    lp = (props // 9) % 5
-    pb = props // 45
+    lc, lp, pb = split_props(data[0])
     # dict size (data[1:5], unused for decode) + uncompressed size
     usize = int.from_bytes(data[5:13], "little")
     unknown_size = usize == 0xFFFFFFFFFFFFFFFF
     if not unknown_size and usize > max_out:
         raise ValueError("declared size exceeds cap")
     rc = _RangeDecoder(data, 13)
-    n_pos_states = 1 << pb
-    pos_mask = n_pos_states - 1
-    lit_pos_mask = (1 << lp) - 1
-    is_match = [_PROB_INIT] * (12 << 4)
-    is_rep = [_PROB_INIT] * 12
-    is_rep_g0 = [_PROB_INIT] * 12
-    is_rep_g1 = [_PROB_INIT] * 12
-    is_rep_g2 = [_PROB_INIT] * 12
-    is_rep0_long = [_PROB_INIT] * (12 << 4)
-    lit = [[_PROB_INIT] * 0x300
-           for _ in range(1 << (lc + lp))]
-    len_dec = _LenDecoder(n_pos_states)
-    rep_len_dec = _LenDecoder(n_pos_states)
-    pos_slot = [[_PROB_INIT] * 64 for _ in range(4)]
-    spec_pos = [_PROB_INIT] * 115
-    align = [_PROB_INIT] * 16
+    dec = _Lzma1Decoder(lc, lp, pb)
     out = bytearray()
-    rep0 = rep1 = rep2 = rep3 = 0
-    state = 0
-    while True:
-        if not unknown_size and len(out) >= usize:
-            break
-        pos_state = len(out) & pos_mask
-        if not rc.decode_bit(is_match, (state << 4) | pos_state):
-            # literal
-            prev = out[-1] if out else 0
-            ctx = (((len(out) & lit_pos_mask) << lc)
-                   | (prev >> (8 - lc)))
-            probs = lit[ctx]
-            if state >= 7:
-                # matched literal: fold in the byte at rep0+1 back
-                if rep0 + 1 > len(out):
-                    raise ValueError("match byte out of window")
-                match_byte = out[len(out) - rep0 - 1]
-                sym = 1
-                while sym < 0x100:
-                    match_bit = (match_byte >> 7) & 1
-                    match_byte = (match_byte << 1) & 0xFF
-                    bit = rc.decode_bit(
-                        probs, ((1 + match_bit) << 8) + sym)
-                    sym = (sym << 1) | bit
-                    if match_bit != bit:
-                        while sym < 0x100:
-                            sym = (sym << 1) | rc.decode_bit(probs, sym)
-                        break
-            else:
-                sym = 1
-                while sym < 0x100:
-                    sym = (sym << 1) | rc.decode_bit(probs, sym)
-            out.append(sym & 0xFF)
-            if len(out) > max_out:
-                raise ValueError("output size cap exceeded")
-            state = (0 if state < 4 else
-                     state - 3 if state < 10 else state - 6)
-            continue
-        # match path
-        if rc.decode_bit(is_rep, state):
-            # rep match
-            if not out:
-                raise ValueError("rep match with empty window")
-            if not rc.decode_bit(is_rep_g0, state):
-                if not rc.decode_bit(is_rep0_long,
-                                     (state << 4) | pos_state):
-                    # short rep: one byte at rep0
-                    if rep0 + 1 > len(out):
-                        raise ValueError("distance out of window")
-                    out.append(out[len(out) - rep0 - 1])
-                    state = 9 if state < 7 else 11
-                    if len(out) > max_out:
-                        raise ValueError("output size cap exceeded")
-                    continue
-            else:
-                if not rc.decode_bit(is_rep_g1, state):
-                    dist = rep1
-                    rep1 = rep0
-                    rep0 = dist
-                else:
-                    if not rc.decode_bit(is_rep_g2, state):
-                        dist = rep2
-                    else:
-                        dist = rep3
-                        rep3 = rep2
-                    rep2 = rep1
-                    rep1 = rep0
-                    rep0 = dist
-            length = 2 + rep_len_dec.decode(rc, pos_state)
-            state = 8 if state < 7 else 11
-        else:
-            # new match
-            rep3, rep2, rep1 = rep2, rep1, rep0
-            length = 2 + len_dec.decode(rc, pos_state)
-            len_class = min(length - 2, 3)
-            slot = rc.decode_tree(pos_slot[len_class], 6)
-            if slot < 4:
-                rep0 = slot
-            else:
-                nbits = (slot >> 1) - 1
-                rep0 = (2 | (slot & 1)) << nbits
-                if slot < 14:
-                    rep0 += rc.decode_tree_rev(
-                        spec_pos, nbits, base=rep0 - slot)
-                else:
-                    rep0 += rc.decode_direct(nbits - 4) << 4
-                    rep0 += rc.decode_tree_rev(align, 4)
-            if rep0 == 0xFFFFFFFF:
-                # end marker
-                if not unknown_size and len(out) != usize:
-                    raise ValueError("size mismatch at end marker")
-                rep0 = rep1  # restore (unused)
-                break
-            state = 7 if state < 7 else 10
-        if rep0 + 1 > len(out):
-            raise ValueError("distance out of window")
-        if len(out) + length > max_out:
-            raise ValueError("output size cap exceeded")
-        if not unknown_size and len(out) + length > usize:
-            raise ValueError("match overruns declared size")
-        start = len(out) - rep0 - 1
-        for k in range(length):
-            out.append(out[start + k])
+    dec.run(rc, out, None if unknown_size else usize, max_out,
+            allow_end_marker=True)
     return bytes(out)
 
 
