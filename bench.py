@@ -355,6 +355,7 @@ HEADLINE = [
     "git_pack_walk",
     "lzma_decode_walk",
     "xz_decode_walk",
+    "deb_package_walk",
 ]
 
 
