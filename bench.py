@@ -356,6 +356,7 @@ HEADLINE = [
     "lzma_decode_walk",
     "xz_decode_walk",
     "deb_package_walk",
+    "java_class_walk",
 ]
 
 
