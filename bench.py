@@ -357,6 +357,7 @@ HEADLINE = [
     "xz_decode_walk",
     "deb_package_walk",
     "java_class_walk",
+    "wasm_module_walk",
 ]
 
 
