@@ -358,6 +358,7 @@ HEADLINE = [
     "deb_package_walk",
     "java_class_walk",
     "wasm_module_walk",
+    "rpm_package_walk",
 ]
 
 
