@@ -359,6 +359,7 @@ HEADLINE = [
     "java_class_walk",
     "wasm_module_walk",
     "rpm_package_walk",
+    "cookie_jar_match",
 ]
 
 

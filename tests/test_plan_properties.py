@@ -839,6 +839,7 @@ def test_markdown_extract_single_exchange(spark):
         "warc_http_extract",
         "mime_nested_forward",
         "ical_event_expand",
+        "cookie_jar_match",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
