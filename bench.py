@@ -360,6 +360,7 @@ HEADLINE = [
     "wasm_module_walk",
     "rpm_package_walk",
     "cookie_jar_match",
+    "media_avi_walk",
 ]
 
 
