@@ -361,6 +361,7 @@ HEADLINE = [
     "rpm_package_walk",
     "cookie_jar_match",
     "media_avi_walk",
+    "mime_partial_reassembly",
 ]
 
 

@@ -840,6 +840,7 @@ def test_markdown_extract_single_exchange(spark):
         "mime_nested_forward",
         "ical_event_expand",
         "cookie_jar_match",
+        "mime_partial_reassembly",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
