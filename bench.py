@@ -362,6 +362,7 @@ HEADLINE = [
     "cookie_jar_match",
     "media_avi_walk",
     "mime_partial_reassembly",
+    "cafebabe_dispatch",
 ]
 
 
