@@ -363,6 +363,7 @@ HEADLINE = [
     "media_avi_walk",
     "mime_partial_reassembly",
     "cafebabe_dispatch",
+    "pe_binary_walk",
 ]
 
 
