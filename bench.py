@@ -364,6 +364,7 @@ HEADLINE = [
     "mime_partial_reassembly",
     "cafebabe_dispatch",
     "pe_binary_walk",
+    "media_tiff_lzw_decode",
 ]
 
 
