@@ -51,15 +51,16 @@ def test_decoded_size_gate():
     b, w, h, rows = _mk(2)
     r = decode_tiff_lzw(b)
     assert r["error"] is None
-    # rebuild with one row dropped from the declared height
+    # widen the declared image: every strip now decodes short of
+    # rows*width (RowsPerStrip is clamped, so bumping Height alone
+    # would cancel out -- Width is the load-bearing dimension)
     b2 = build_tiff_lzw(w, h, rows)
     import struct
     bad = bytearray(b2)
     (ifd_at,) = struct.unpack_from("<I", b2, 4)
-    # Height is entry 1; bump it by one row: strip 1 now decodes short
-    struct.pack_into("<I", bad, ifd_at + 2 + 12 * 1 + 8, h + 2)
+    struct.pack_into("<I", bad, ifd_at + 2 + 12 * 0 + 8, w + 4)
     assert decode_tiff_lzw(bytes(bad))["error"] \
-        == "strip 1 decodes to wrong pixel count"
+        == "strip 0 decodes to wrong pixel count"
 
 
 def test_poison_tiers():
