@@ -878,7 +878,19 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "torrent_metainfo_decode", "media_heif_items",
                  "font_woff_decode", "media_png_metadata",
                  "media_webp_decode", "git_object_walk",
-                 "archive_zip64_extract"):
+                 "archive_zip64_extract",
+                 # session-8 walkers: one mapInPandas pass each
+                 "pcap_packet_walk", "dns_message_walk",
+                 "media_mkv_walk", "avro_container_read",
+                 "jpeg_exif_extract", "tls_client_hello_walk",
+                 "msgpack_decode_walk", "elf_binary_walk",
+                 "bplist_decode_walk", "bzip2_decode_walk",
+                 "iso9660_walk", "git_pack_walk",
+                 "lzma_decode_walk", "xz_decode_walk",
+                 "deb_package_walk", "java_class_walk",
+                 "wasm_module_walk", "rpm_package_walk",
+                 "media_avi_walk", "cafebabe_dispatch",
+                 "pe_binary_walk", "media_tiff_lzw_decode"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
