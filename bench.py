@@ -365,6 +365,7 @@ HEADLINE = [
     "cafebabe_dispatch",
     "pe_binary_walk",
     "media_tiff_lzw_decode",
+    "sqlite_wal_recovery",
 ]
 
 

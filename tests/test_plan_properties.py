@@ -890,7 +890,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "deb_package_walk", "java_class_walk",
                  "wasm_module_walk", "rpm_package_walk",
                  "media_avi_walk", "cafebabe_dispatch",
-                 "pe_binary_walk", "media_tiff_lzw_decode"):
+                 "pe_binary_walk", "media_tiff_lzw_decode",
+                 "sqlite_wal_recovery"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
