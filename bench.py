@@ -366,6 +366,7 @@ HEADLINE = [
     "pe_binary_walk",
     "media_tiff_lzw_decode",
     "sqlite_wal_recovery",
+    "intel_hex_parse",
 ]
 
 

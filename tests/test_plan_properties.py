@@ -841,6 +841,7 @@ def test_markdown_extract_single_exchange(spark):
         "ical_event_expand",
         "cookie_jar_match",
         "mime_partial_reassembly",
+        "intel_hex_parse",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
