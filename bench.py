@@ -367,6 +367,7 @@ HEADLINE = [
     "media_tiff_lzw_decode",
     "sqlite_wal_recovery",
     "intel_hex_parse",
+    "bson_decode_walk",
 ]
 
 
