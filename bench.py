@@ -368,6 +368,7 @@ HEADLINE = [
     "sqlite_wal_recovery",
     "intel_hex_parse",
     "bson_decode_walk",
+    "svg_path_geometry",
 ]
 
 

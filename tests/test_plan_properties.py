@@ -842,6 +842,7 @@ def test_markdown_extract_single_exchange(spark):
         "cookie_jar_match",
         "mime_partial_reassembly",
         "intel_hex_parse",
+        "svg_path_geometry",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
