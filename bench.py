@@ -369,6 +369,7 @@ HEADLINE = [
     "intel_hex_parse",
     "bson_decode_walk",
     "svg_path_geometry",
+    "utf7_mail_decode",
 ]
 
 
