@@ -370,6 +370,7 @@ HEADLINE = [
     "bson_decode_walk",
     "svg_path_geometry",
     "utf7_mail_decode",
+    "media_ppm_decode",
 ]
 
 
