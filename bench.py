@@ -371,6 +371,7 @@ HEADLINE = [
     "svg_path_geometry",
     "utf7_mail_decode",
     "media_ppm_decode",
+    "uuencode_decode",
 ]
 
 

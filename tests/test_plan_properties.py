@@ -894,7 +894,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "media_avi_walk", "cafebabe_dispatch",
                  "pe_binary_walk", "media_tiff_lzw_decode",
                  "sqlite_wal_recovery", "bson_decode_walk",
-                 "utf7_mail_decode", "media_ppm_decode"):
+                 "utf7_mail_decode", "media_ppm_decode",
+                 "uuencode_decode"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
