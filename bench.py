@@ -372,6 +372,7 @@ HEADLINE = [
     "utf7_mail_decode",
     "media_ppm_decode",
     "uuencode_decode",
+    "binary_artifact_dispatch",
 ]
 
 
