@@ -373,6 +373,7 @@ HEADLINE = [
     "media_ppm_decode",
     "uuencode_decode",
     "binary_artifact_dispatch",
+    "pcap_dns_capture",
 ]
 
 

@@ -94,6 +94,28 @@ def build_packet(src_ip: str, dst_ip: str, sport: int, dport: int,
     return eth + ip + tcp
 
 
+def build_udp_packet(src_ip: str, dst_ip: str, sport: int, dport: int,
+                     payload: bytes) -> bytes:
+    """One Ethernet II / IPv4 / UDP datagram with REAL checksums
+    (UDP's over the same 96-bit pseudo-header, RFC 768)."""
+    ulen = 8 + len(payload)
+    sb, db = _ip(src_ip), _ip(dst_ip)
+    pseudo = sb + db + struct.pack(">BBH", 0, 17, ulen)
+    z = struct.pack(">HHHH", sport, dport, ulen, 0) + payload
+    ck = (~_ones_complement_sum(pseudo + z)) & 0xFFFF
+    if ck == 0:
+        ck = 0xFFFF
+    udp = struct.pack(">HHHH", sport, dport, ulen, ck) + payload
+    total = 20 + len(udp)
+    ip = struct.pack(
+        ">BBHHHBBH4s4s", 0x45, 0, total, 0, 0, 64, 17, 0, sb, db,
+    )
+    ip = ip[:10] + struct.pack(">H", ipv4_checksum(ip)) + ip[12:]
+    eth = b"\x02\x00\x00\x00\x00\x01" + b"\x02\x00\x00\x00\x00\x02" \
+        + struct.pack(">H", _ETHERTYPE_IPV4)
+    return eth + ip + udp
+
+
 def build_pcap(frames: list[tuple[int, bytes]],
                big_endian: bool = False) -> bytes:
     """Classic pcap file: (ts_us, frame) pairs.  ``big_endian`` flips
@@ -162,12 +184,39 @@ def parse_pcap(data: bytes | None) -> tuple[list[dict] | None, str | None]:
         total, = struct.unpack(">H", ip[2:4])
         if total < ihl or total > len(ip):
             return None, f"ip total length overrun at record {idx}"
-        if ip[9] != 6:
-            return None, f"non-tcp protocol at record {idx}"
+        proto = ip[9]
+        if proto not in (6, 17):
+            return None, f"unsupported ip protocol at record {idx}"
         ip_ok = int(struct.unpack(">H", ip[10:12])[0]
                     == ipv4_checksum(ip[:ihl]))
         src = ".".join(str(b) for b in ip[12:16])
         dst = ".".join(str(b) for b in ip[16:20])
+        if proto == 17:
+            # UDP: 8-byte header; checksum over the same pseudo-header
+            udp = ip[ihl:total]
+            if len(udp) < 8:
+                return None, f"short udp header at record {idx}"
+            sport, dport, ulen, uck = struct.unpack(">HHHH", udp[:8])
+            if ulen < 8 or ulen > len(udp):
+                return None, f"udp length overrun at record {idx}"
+            pseudo = ip[12:16] + ip[16:20] \
+                + struct.pack(">BBH", 0, 17, ulen)
+            z = udp[:6] + b"\x00\x00" + udp[8:ulen]
+            calc = (~_ones_complement_sum(pseudo + z)) & 0xFFFF
+            if calc == 0:
+                calc = 0xFFFF  # RFC 768: transmitted as all-ones
+            udp_ok = int(uck == calc or uck == 0)  # 0 = unchecked
+            rows.append({
+                "pkt_idx": idx,
+                "ts_us": ts_sec * 1_000_000 + ts_usec,
+                "src_ip": src, "dst_ip": dst,
+                "src_port": sport, "dst_port": dport,
+                "seq": None, "ack": None, "flags": None,
+                "payload": udp[8:ulen], "ip_ok": ip_ok,
+                "tcp_ok": udp_ok,
+            })
+            idx += 1
+            continue
         tcp = ip[ihl:total]
         if len(tcp) < 20:
             return None, f"short tcp header at record {idx}"

@@ -119,3 +119,24 @@ def test_fuzz_never_raises():
                      for _ in range(rng.randrange(0, 120)))
         rows, err = parse_pcap(blob)
         assert (rows is None) == (err is not None)
+
+
+def test_udp_datagrams_and_pseudo_header_checksum():
+    """UDP support (session-8 extension): RFC 768 checksum over the
+    same pseudo-header, zero-transmits-as-0xFFFF, seq/ack/flags null
+    on UDP rows, and a flipped payload byte drops the ok flag."""
+    from cies_ocr_java_spark.operators.pcap_real import (
+        build_udp_packet,
+    )
+
+    f = build_udp_packet("10.0.0.1", "10.0.53.1", 3333, 53, b"dns?")
+    rows, err = parse_pcap(build_pcap([(5, f)]))
+    assert err is None
+    (r,) = rows
+    assert r["payload"] == b"dns?" and r["dst_port"] == 53
+    assert r["tcp_ok"] == 1 and r["ip_ok"] == 1
+    assert r["seq"] is None and r["flags"] is None
+    bad = bytearray(f)
+    bad[-1] ^= 0xFF
+    rows, err = parse_pcap(build_pcap([(5, bytes(bad))]))
+    assert rows[0]["tcp_ok"] == 0

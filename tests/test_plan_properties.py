@@ -895,7 +895,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "pe_binary_walk", "media_tiff_lzw_decode",
                  "sqlite_wal_recovery", "bson_decode_walk",
                  "utf7_mail_decode", "media_ppm_decode",
-                 "uuencode_decode", "binary_artifact_dispatch"):
+                 "uuencode_decode", "binary_artifact_dispatch",
+                 "pcap_dns_capture"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
