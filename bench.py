@@ -374,6 +374,7 @@ HEADLINE = [
     "uuencode_decode",
     "binary_artifact_dispatch",
     "pcap_dns_capture",
+    "base58check_decode",
 ]
 
 
