@@ -375,6 +375,7 @@ HEADLINE = [
     "binary_artifact_dispatch",
     "pcap_dns_capture",
     "base58check_decode",
+    "leveldb_sst_walk",
 ]
 
 

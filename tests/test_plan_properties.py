@@ -896,7 +896,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "sqlite_wal_recovery", "bson_decode_walk",
                  "utf7_mail_decode", "media_ppm_decode",
                  "uuencode_decode", "binary_artifact_dispatch",
-                 "pcap_dns_capture", "base58check_decode"):
+                 "pcap_dns_capture", "base58check_decode",
+                 "leveldb_sst_walk"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
