@@ -376,6 +376,7 @@ HEADLINE = [
     "pcap_dns_capture",
     "base58check_decode",
     "leveldb_sst_walk",
+    "midi_track_walk",
 ]
 
 
