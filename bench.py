@@ -377,6 +377,7 @@ HEADLINE = [
     "base58check_decode",
     "leveldb_sst_walk",
     "midi_track_walk",
+    "fits_image_walk",
 ]
 
 
