@@ -378,6 +378,7 @@ HEADLINE = [
     "leveldb_sst_walk",
     "midi_track_walk",
     "fits_image_walk",
+    "dicom_image_walk",
 ]
 
 
