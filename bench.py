@@ -379,6 +379,7 @@ HEADLINE = [
     "midi_track_walk",
     "fits_image_walk",
     "dicom_image_walk",
+    "safetensors_walk",
 ]
 
 
