@@ -380,6 +380,7 @@ HEADLINE = [
     "fits_image_walk",
     "dicom_image_walk",
     "safetensors_walk",
+    "gguf_model_walk",
 ]
 
 
