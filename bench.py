@@ -381,6 +381,7 @@ HEADLINE = [
     "dicom_image_walk",
     "safetensors_walk",
     "gguf_model_walk",
+    "flatbuffer_decode",
 ]
 
 
