@@ -382,6 +382,7 @@ HEADLINE = [
     "safetensors_walk",
     "gguf_model_walk",
     "flatbuffer_decode",
+    "toml_config_parse",
 ]
 
 
