@@ -383,6 +383,7 @@ HEADLINE = [
     "gguf_model_walk",
     "flatbuffer_decode",
     "toml_config_parse",
+    "git_index_walk",
 ]
 
 
