@@ -384,6 +384,7 @@ HEADLINE = [
     "flatbuffer_decode",
     "toml_config_parse",
     "git_index_walk",
+    "java_properties_parse",
 ]
 
 

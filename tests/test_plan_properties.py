@@ -844,6 +844,7 @@ def test_markdown_extract_single_exchange(spark):
         "intel_hex_parse",
         "svg_path_geometry",
         "toml_config_parse",
+        "java_properties_parse",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
