@@ -385,6 +385,7 @@ HEADLINE = [
     "toml_config_parse",
     "git_index_walk",
     "java_properties_parse",
+    "jar_manifest_walk",
 ]
 
 

@@ -902,7 +902,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "leveldb_sst_walk", "midi_track_walk",
                  "fits_image_walk", "dicom_image_walk",
                  "safetensors_walk", "gguf_model_walk",
-                 "flatbuffer_decode", "git_index_walk"):
+                 "flatbuffer_decode", "git_index_walk",
+                 "jar_manifest_walk"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
