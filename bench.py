@@ -386,6 +386,7 @@ HEADLINE = [
     "git_index_walk",
     "java_properties_parse",
     "jar_manifest_walk",
+    "roaring_bitmap_walk",
 ]
 
 
