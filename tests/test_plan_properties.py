@@ -903,7 +903,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "fits_image_walk", "dicom_image_walk",
                  "safetensors_walk", "gguf_model_walk",
                  "flatbuffer_decode", "git_index_walk",
-                 "jar_manifest_walk", "roaring_bitmap_walk"):
+                 "jar_manifest_walk", "roaring_bitmap_walk",
+                 "parquet_page_values"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
