@@ -160,11 +160,17 @@ class _Lzma1Decoder:
 
     def run(self, rc: _RangeDecoder, out: bytearray,
             limit: int | None, max_out: int,
-            allow_end_marker: bool) -> None:
+            allow_end_marker: bool, win_base: int = 0) -> None:
         """Append decoded bytes to ``out`` until len(out) == limit
         (exact), or until the end marker when ``limit`` is None.
         ``out`` doubles as the dictionary window, so container formats
-        share history across chunks by passing the same buffer."""
+        share history across chunks by passing the same buffer.
+        ``win_base`` fences the window after a MID-BLOCK dictionary
+        reset (LZMA2 ctrl 0x01 / reset==3): bytes below it stay in the
+        accumulated output but are invisible to distances, positions,
+        and the previous-byte literal context — clearing the buffer
+        instead would lose the block's earlier payload (round-3 advice
+        item, xz_real.py)."""
         lc = self.lc
         state = self.state
         rep0, rep1 = self.rep0, self.rep1
@@ -172,17 +178,18 @@ class _Lzma1Decoder:
         while True:
             if limit is not None and len(out) >= limit:
                 break
-            pos_state = len(out) & self.pos_mask
+            dict_pos = len(out) - win_base
+            pos_state = dict_pos & self.pos_mask
             if not rc.decode_bit(self.is_match,
                                  (state << 4) | pos_state):
                 # literal
-                prev = out[-1] if out else 0
-                ctx = (((len(out) & self.lit_pos_mask) << lc)
+                prev = out[-1] if dict_pos else 0
+                ctx = (((dict_pos & self.lit_pos_mask) << lc)
                        | (prev >> (8 - lc)))
                 probs = self.lit[ctx]
                 if state >= 7:
                     # matched literal: decode against the byte at rep0
-                    if rep0 + 1 > len(out):
+                    if rep0 + 1 > dict_pos:
                         raise ValueError("match byte out of window")
                     match_byte = out[len(out) - rep0 - 1]
                     sym = 1
@@ -210,13 +217,13 @@ class _Lzma1Decoder:
             # match path
             if rc.decode_bit(self.is_rep, state):
                 # rep match
-                if not out:
+                if not dict_pos:
                     raise ValueError("rep match with empty window")
                 if not rc.decode_bit(self.is_rep_g0, state):
                     if not rc.decode_bit(self.is_rep0_long,
                                          (state << 4) | pos_state):
                         # short rep: one byte at rep0
-                        if rep0 + 1 > len(out):
+                        if rep0 + 1 > dict_pos:
                             raise ValueError("distance out of window")
                         out.append(out[len(out) - rep0 - 1])
                         state = 9 if state < 7 else 11
@@ -264,7 +271,7 @@ class _Lzma1Decoder:
                     rep0 = rep1  # restore (unused)
                     break
                 state = 7 if state < 7 else 10
-            if rep0 + 1 > len(out):
+            if rep0 + 1 > dict_pos:
                 raise ValueError("distance out of window")
             if len(out) + length > max_out:
                 raise ValueError("output size cap exceeded")

@@ -108,6 +108,11 @@ def parse_parquet_values(data: bytes | None, column: str = "val"
                     if 4 + lvl_len > len(body):
                         raise ValueError("levels overrun page")
                     q = 4 + lvl_len
+                    # exact consumption: a stray 1..7 trailing bytes
+                    # would otherwise vanish under the floor division
+                    if (len(body) - q) % 8:
+                        raise ValueError(
+                            "trailing bytes after plain values")
                     n = (len(body) - q) // 8
                     if n != nvals:
                         raise ValueError(

@@ -80,6 +80,11 @@ def _decode_lzma2(data: bytes, pos: int, end: int,
     dec: _Lzma1Decoder | None = None
     props: tuple[int, int, int] | None = None
     n_chunks = 0
+    # Dictionary-reset fence: ``out`` is ALSO the block's output
+    # accumulator, so a mid-block dict reset must not clear it (that
+    # would lose every previously decoded byte of the block). Instead
+    # the window base advances and run() fences distances below it.
+    win_base = 0
     while True:
         if pos >= end:
             raise ValueError("lzma2 stream missing end control")
@@ -96,7 +101,7 @@ def _decode_lzma2(data: bytes, pos: int, end: int,
             if pos + size > end:
                 raise ValueError("uncompressed chunk overruns block")
             if ctrl == 0x01:
-                out.clear()  # dict reset
+                win_base = len(out)  # dict reset
             out += data[pos:pos + size]
             pos += size
             if len(out) > max_out:
@@ -122,7 +127,7 @@ def _decode_lzma2(data: bytes, pos: int, end: int,
             if pos + packed > end:
                 raise ValueError("lzma chunk overruns block")
             if reset == 3:
-                out.clear()
+                win_base = len(out)
             if reset >= 1 or dec is None or (
                     reset >= 2 and (dec.lc, dec.lp, dec.pb) != props):
                 dec = _Lzma1Decoder(*props)
@@ -130,7 +135,8 @@ def _decode_lzma2(data: bytes, pos: int, end: int,
             limit = len(out) + unpacked
             if limit > max_out:
                 raise ValueError("output size cap exceeded")
-            dec.run(rc, out, limit, max_out, allow_end_marker=False)
+            dec.run(rc, out, limit, max_out, allow_end_marker=False,
+                    win_base=win_base)
             if rc.pos - pos != packed:
                 raise ValueError("lzma chunk packed-size mismatch")
             pos += packed

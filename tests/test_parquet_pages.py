@@ -44,6 +44,31 @@ def test_dictionary_pages_rejected_by_name():
     assert r["error"] is not None
 
 
+def test_trailing_page_body_bytes_rejected():
+    """Round-3 advice item: up to 7 trailing non-value bytes in a v1
+    page body used to pass silently under the floor division. Shrink
+    the levels-length prefix by one so the body carries exactly one
+    extra byte ahead of the values — the %8 gate must name it."""
+    from cies_ocr_java_spark.operators.parquet_footer import (
+        _Reader,
+        parse_parquet_footer,
+    )
+
+    b = build_parquet_plain(4, 3)
+    meta = parse_parquet_footer(b)
+    col = next(c for c in meta["row_groups"][0]["cols"]
+               if c["path"] == "val")
+    pos = col["data_page_offset"]
+    r = _Reader(b[pos:])
+    r.struct()
+    body_at = pos + r.pos
+    lvl_len = int.from_bytes(b[body_at:body_at + 4], "little")
+    x = (b[:body_at] + (lvl_len - 1).to_bytes(4, "little")
+         + b[body_at + 4:])
+    assert parse_parquet_values(x)["error"] \
+        == "trailing bytes after plain values"
+
+
 def test_envelope_gates_and_fuzz():
     b = build_parquet_plain(5, 11)
     assert parse_parquet_values(b[:-5])["error"] == "bad footer magic"

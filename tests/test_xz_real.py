@@ -38,6 +38,31 @@ def test_stdlib_interop_all_checks():
             assert facts["check_type"] == name
 
 
+def test_mid_block_dict_reset_keeps_block_prefix():
+    """Round-3 advice item: a mid-block dictionary reset (ctrl 0x01 /
+    reset==3) must NOT clear the block's output accumulator — the
+    window-base fence makes earlier bytes invisible to distances while
+    keeping them in the payload. Chunk 1 is a handcrafted uncompressed
+    dict-reset chunk; chunk 2 is stdlib liblzma's raw LZMA2 output,
+    whose first chunk is a genuine reset==3 COMPRESSED chunk — so the
+    reset fires mid-block with a non-empty accumulator."""
+    import struct
+    from cies_ocr_java_spark.operators.xz_real import _decode_lzma2
+
+    pre = b"hello world, first chunk bytes "
+    chunk1 = bytes([0x01]) + struct.pack(">H", len(pre) - 1) + pre
+    tail = b"second chunk after mid-block dict reset" * 3
+    raw = lzma.compress(
+        tail, format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+    assert raw[0] >> 5 == 0x07  # reset==3: props+state+dict reset
+    data = chunk1 + raw
+    payload, nxt, n_chunks = _decode_lzma2(data, 0, len(data), 1 << 20)
+    assert payload == pre + tail
+    assert nxt == len(data)
+    assert n_chunks == 2
+
+
 def test_check_actually_gates():
     """Flipping one decoded-payload bit inside the compressed stream
     must be caught by SOME gate (chunk size, range coder, or the
