@@ -20,375 +20,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cies_ocr_java_spark.plans.queries import QUERIES  # noqa: E402
+from cies_ocr_java_spark.plans.queries import (  # noqa: E402
+    QUERIES,
+    premint_fixture_caches,
+)
 from cies_ocr_java_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
-    "pipeline_end_to_end",
-    "extract_html_maincontent",
-    "extract_html_maincontent_jvm",
-    "extract_pdf_ocr_route",
-    "extract_pdf_flate",
-    "extract_pdf_xref_stream",
-    "extract_pdf_incremental",
-    "extract_pdf_pagetree",
-    "pdf_filter_decode",
-    "inflate_raw_decode",
-    "sqlite_file_walk",
-    "parquet_footer_walk",
-    "idna_punycode_decode",
-    "der_cert_walk",
-    "css_cascade_styles",
-    "mail_thread_assembly",
-    "pdf_cid_tounicode",
-    "media_ico_decode",
-    "media_ogg_decode",
-    "cbor_wire_decode",
-    "pdf_link_annots",
-    "font_sfnt_cmap",
-    "lz4_frame_decode",
-    "id3_tag_frames",
-    "hls_playlist_extract",
-    "media_flac_decode",
-    "csv_rfc4180_parse",
-    "archive_tar_longnames",
-    "torrent_metainfo_decode",
-    "mail_mime_thread_spans",
-    "media_heif_items",
-    "font_woff_decode",
-    "dkim_relaxed_canon",
-    "media_png_metadata",
-    "media_webp_decode",
-    "git_object_walk",
-    "jwt_claims_decode",
-    "url_homograph_flags",
-    "archive_zip64_extract",
-    "warc_http_extract",
-    "mime_nested_forward",
-    "pdf_column_reading_order",
-    "html_table_cells",
-    "charset_sniff_decode",
-    "pdf_line_assembly",
-    "pdf_figure_anchors",
-    "pdf_paragraph_segment",
-    "pdf_outline_toc",
-    "pdf_stream_positioned",
-    "pdf_anchored_ocr",
-    "html_outline_extract",
-    "html_list_items",
-    "markdown_extract",
-    "feed_items_extract",
-    "html_meta_og",
-    "pdf_word_boxes",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "text_quality_scores",
-    "bpe_token_stats",
-    "media_frame_sample",
-    "media_real_decode",
-    "media_wav_decode",
-    "media_png_decode",
-    "media_dispatch_decode",
-    "media_tiff_decode",
-    "archive_zip_extract",
-    "archive_tar_extract",
-    "events_asof_join",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "events_sessionize",
-    "events_window_agg",
-    "events_range_join",
-    "revenue_rollup",
-    "kmv_distinct_sketch",
-    "tfidf_top_terms",
-    "pii_scrub",
-    "media_phash_near_dup",
-    # build→consume: the pair-table build runs FIRST so its cost is
-    # attributed to it, and every graph-family consumer below scans the
-    # committed table instead of re-deriving the pairs
-    "neardup_pairs_build",
-    "dedup_clusters_from_table",
-    "dedup_clusters",
-    "customer_order_full_outer",
-    "training_corpus_curation",
-    # round-2 additions (BASELINE.md: totals grow by added coverage, not
-    # regression — compare the r01 queries per-name, not the total)
-    "extract_ocr_layout",
-    "text_chunks",
-    "embedding_kmeans",
-    "dedup_clusters_star",
-    "quality_repetition_rules",
-    "decontaminate_ngram_overlap",
-    "domain_token_budget_sample",
-    "duplicate_passages",
-    "corpus_pack_sequences",
-    "vocab_heavy_hitters",
-    "domain_pagerank",
-    "dedup_incremental",
-    "doc_length_percentiles",
-    "media_caption_pairs",
-    "domain_typo_pairs",
-    "doc_unigram_surprisal",
-    "dedup_containment",
-    "media_region_segment",
-    "bm25_retrieval",
-    "semdedup_keep",
-    "dsir_importance_weights",
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "hll_distinct_sketch",
-    "events_zorder_keys",
-    "neardup_triangle_counts",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "phrase_search",
-    "pmi_collocations",
-    # round-2 late additions (same per-name comparison rule)
-    "sentence_dedup_rewrite",
-    "url_canonicalize",
-    "url_host_blocklist",
-    "span_kind_transitions",
-    "order_priority_grouping_sets",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q13_order_count_histogram",
-    "q15_top_supplier",
-    "q19_disjunctive_join",
-    "q21_sole_returned_supplier",
-    # round-2 final additions (same per-name comparison rule)
-    "events_stream_enrich",
-    "ann_recall_at_k",
-    "events_stream_sessionize",
-    "salted_hot_key_agg",
-    "neardup_kcore",
-    "text_accent_fold",
-    "customer_revenue_quartiles",
-    "pdf_reading_order",
-    "pdf_table_cells",
-    "quality_c4_line_filter",
-    "quality_lr_train",
-    "weighted_reservoir_sample",
-    "interleaved_pack_manifest",
-    "domain_temperature_mix",
-    "url_robots_filter",
-    "dedup_url_canonical",
-    # round-2 session-3 additions (same per-name comparison rule)
-    "dedup_passage_rewrite",
-    "leakage_safe_split",
-    "contrastive_pairs",
-    "html_links_extract",
-    "ccnet_perplexity_buckets",
-    "char_entropy_filter",
-    "domain_quality_rollup",
-    "domain_epoch_schedule",
-    "dataset_profile",
-    "events_stream_join_outer",
-    "retrieval_rrf_fusion",
-    "countmin_sketch",
-    "training_shuffle_order",
-    "pdf_dehyphenate",
-    "readability_scores",
-    "q11_value_concentration",
-    "q16_supplier_count_by_class",
-    "q20_dominant_part_suppliers",
-    "lsh_recall_eval",
-    "record_linkage_blocked",
-    "interleaved_integrity_repair",
-    "embedding_pq_codes",
-    "ann_pq_adc_topk",
-    "events_funnel",
-    "events_retention_cohorts",
-    "dedup_intradoc_rewrite",
-    # round-2 session-4 additions (same per-name comparison rule)
-    "classifier_eval_auc",
-    "classifier_calibration_bins",
-    "events_rolling_range_window",
-    "pareto_frontier_parts",
-    "compaction_bin_packing",
-    "events_anomaly_mad",
-    "qa_token_f1",
-    "media_context_windows",
-    "moments_sketch",
-    "graph_link_prediction",
-    "dup_ngram_coverage",
-    "tokenizer_fertility",
-    "text_mojibake_repair",
-    "content_wordlist_filter",
-    "ab_test_two_proportion",
-    "snapshot_diff_cdc",
-    "gini_domain_concentration",
-    "events_forward_fill",
-    "session_bot_flags",
-    "zipf_law_fit",
-    "minhash_jaccard_estimate",
-    "events_date_spine",
-    "winsorize_doc_lengths",
-    "k_anonymity_audit",
-    "dedup_loss_weights",
-    "chi_square_lang_source",
-    "media_phash_clusters",
-    "embedding_label_outliers",
-    "events_log2_histogram",
-    "orders_rfm_segments",
-    "basket_type_lift",
-    "site_boilerplate_trim",
-    "join_key_skew_profile",
-    "embedding_random_projection",
-    "data_contract_checks",
-    "domain_ppr_seeded",
-    "chunk_overlap_stitch",
-    "conformal_threshold",
-    "parts_abc_classification",
-    "bootstrap_mean_ci",
-    "domain_kl_divergence",
-    "events_ewma_smooth",
-    "int8_reconstruction_error",
-    "span_provenance_offsets",
-    "interleaved_budget_trim",
-    "retrieval_ndcg_eval",
-    "graph_clustering_coefficient",
-    "rolling_distinct_users",
-    "customer_balance_distribution",
-    "revenue_seasonality_index",
-    "order_lead_time_stats",
-    "ngram_novelty_curve",
-    "kmv_set_operations",
-    "cube_materialization_plan",
-    "semijoin_reduction_plan",
-    "functional_dependency_check",
-    "aggregate_why_provenance",
-    "corpus_token_ids",
-    "cdc_chunk_dedup",
-    "curation_funnel_report",
-    "spell_correction_candidates",
-    "events_dispersion_index",
-    "feature_hash_collision_audit",
-    "revenue_yoy_alignment",
-    "watermark_detection",
-    "lsh_s_curve_planner",
-    "giant_payload_routing",
-    "theil_sen_trend",
-    "events_weekday_profile",
-    "customer_spend_migration",
-    "selectivity_estimation_audit",
-    "session_path_ngrams",
-    "anova_length_by_source",
-    "benford_first_digit_audit",
-    "psi_drift_audit",
-    "ks_two_sample_test",
-    "mann_whitney_length_test",
-    "spearman_corr_length_tokens",
-    "events_autocorrelation",
-    "user_behavior_entropy",
-    "events_hourly_load_factor",
-    "embedding_fisher_ratio",
-    "purchase_attribution_touchpoints",
-    "customer_hhi_concentration",
-    "interleaved_media_position_stats",
-    "scd2_temporal_join",
-    "revenue_percent_of_parent",
-    "vocab_hapax_stats",
-    "histogram_strategy_comparison",
-    "click_to_purchase_latency",
-    "embedding_triplet_violations",
-    # round-3 session-2 additions (same per-name comparison rule)
-    "dom_tree_extract",
-    "dom_node_stats",
-    "dom_interleaved_spans",
-    "media_gif_decode",
-    "media_jpeg_decode",
-    "extract_pdf_media_spans",
-    "dom_flat_agreement",
-    "layout_hilbert_vs_zorder",
-    "media_ocr_roundtrip",
-    "extract_pdf_ocr_spans",
-    "extract_pdf_ocr_stream",
-    # session-5 crawl/container operators
-    "html_microdata_extract",
-    "robots_sitemap_directives",
-    "html_hidden_text_extract",
-    "html_pagination_stitch",
-    "mime_multipart_extract",
-    "mime_interleaved_spans",
-    "mime_stream_spans",
-    "svg_text_extract",
-    "anchor_text_signal",
-    "media_mp4_decode",
-    "media_mp4_frames",
-    "media_mp3_decode",
-    "subtitle_cue_extract",
-    "docx_extract_text",
-    "epub_spine_extract",
-    "ics_event_extract",
-    "rtf_extract_text",
-    "docx_stream_paragraphs",
-    "http_chunked_decode",
-    "proto_wire_decode",
-    "html_robots_meta",
-    "hreflang_variant_clusters",
-    "epub_interleaved_spans",
-    "epub_media_decode",
-    "accept_language_rank",
-    "archive_gzip_extract",
-    "archive_targz_extract",
-    "vcard_extract",
-    "markdown_front_matter",
-    "pcap_packet_walk",
-    "pcap_http_reassembly",
-    "dns_message_walk",
-    "media_mkv_walk",
-    "avro_container_read",
-    "jpeg_exif_extract",
-    "ical_event_expand",
-    "tls_client_hello_walk",
-    "msgpack_decode_walk",
-    "elf_binary_walk",
-    "bplist_decode_walk",
-    "bzip2_decode_walk",
-    "iso9660_walk",
-    "git_pack_walk",
-    "lzma_decode_walk",
-    "xz_decode_walk",
-    "deb_package_walk",
-    "java_class_walk",
-    "wasm_module_walk",
-    "rpm_package_walk",
-    "cookie_jar_match",
-    "media_avi_walk",
-    "mime_partial_reassembly",
-    "cafebabe_dispatch",
-    "pe_binary_walk",
-    "media_tiff_lzw_decode",
-    "sqlite_wal_recovery",
-    "intel_hex_parse",
-    "bson_decode_walk",
-    "svg_path_geometry",
-    "utf7_mail_decode",
-    "media_ppm_decode",
-    "uuencode_decode",
-    "binary_artifact_dispatch",
-    "pcap_dns_capture",
-    "base58check_decode",
-    "leveldb_sst_walk",
-    "midi_track_walk",
-    "fits_image_walk",
-    "dicom_image_walk",
-    "safetensors_walk",
-    "gguf_model_walk",
-    "flatbuffer_decode",
-    "toml_config_parse",
-    "git_index_walk",
-    "java_properties_parse",
-    "jar_manifest_walk",
-    "roaring_bitmap_walk",
-    "parquet_page_values",
-]
+# The bench covers the ENTIRE registry (round-3 verdict #3: 68 names were
+# unbenched, so a perf regression there was invisible). HEADLINE is derived
+# from the registry itself — a new @_register entry is benched automatically
+# and the list can never drift again. Order = registry (source-file) order:
+# the build-once caches (the near-dup pair table, the LSH sample pairs) are
+# rm -rf'd at bench start and rebuilt by their FIRST consumer, so file order
+# keeps that attribution stable run-over-run.
+HEADLINE = list(QUERIES)
 
 
 def _measure_skew(spark, docs: int = 5000, mega_spans: int = 1200) -> dict | None:
@@ -536,6 +181,14 @@ def main() -> int:
     # 19-query sweep doesn't accumulate caches (and so no query is ever
     # accidentally served from a previous query's identical cached subtree).
     spark.catalog.clearCache()
+
+    # Pre-mint expensive fixture corpora (real sqlite3 -wal files etc.)
+    # OUTSIDE the timed region: minting is fixture generation, not query
+    # cost, and leaving it inline misattributed ~90% of
+    # sqlite_wal_recovery's round-3 wall to the sqlite3 engine. The
+    # cache itself is persistent (content depends only on doc_id), so
+    # this is a no-op on every bench run after the first.
+    premint_fixture_caches(spark, sf_dir)
 
     timings, failed = run_queries(spark, HEADLINE, sf_dir)
 

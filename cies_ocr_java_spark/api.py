@@ -43,7 +43,20 @@ class DocumentStore:
     # --- POST ----------------------------------------------------------------
     def ingest_documents(self, docs: DataFrame, on_conflict: str = "error") -> int:
         """Append new documents; duplicate doc_ids are conflicts
-        (reference returns 409). on_conflict: 'error' | 'skip'."""
+        (reference returns 409). on_conflict: 'error' | 'skip'.
+
+        F8: a document arriving WITHOUT an identifier gets a UUID
+        assigned at ingest (DocumentExtractManager.java:160,
+        ``UUID.randomUUID()`` when absent) — the one intentionally
+        nondeterministic column in the engine; everything downstream
+        keys on it, and fixtures/tests pass explicit doc_ids precisely
+        so their runs replay deterministically."""
+        if "doc_id" not in docs.columns:
+            docs = docs.withColumn("doc_id", F.expr("uuid()"))
+        else:
+            docs = docs.withColumn(
+                "doc_id", F.coalesce(F.col("doc_id"), F.expr("uuid()"))
+            )
         if self.documents.exists():
             existing = self.documents.read(self.spark).select("doc_id")
             if on_conflict == "error":
@@ -117,8 +130,13 @@ class DocumentStore:
 
     # --- DELETE ---------------------------------------------------------------
     def delete_documents(self, doc_ids: list[str]) -> int:
-        """S8: row-level delete as an overwrite snapshot (anti-join), keeping
-        history — time travel to the pre-delete snapshot still works."""
-        current = self.documents.read(self.spark)
-        remaining = current.where(~F.col("doc_id").isin(doc_ids))
-        return self.documents.commit(remaining, mode="overwrite")
+        """S8 (DocumentExtractManager.java:233-265): row-level delete as
+        file-granular copy-on-write (SnapshotTable.delete_where) — only
+        data files containing a hit are rewritten, untouched files are
+        re-referenced, and time travel to the pre-delete snapshot still
+        works until expire_snapshots reclaims it. To erase a doc from
+        the DERIVED tables too (spans/state/pair tables), compose with
+        sources.takedown.takedown_docs."""
+        return self.documents.delete_where(
+            self.spark, F.col("doc_id").isin(doc_ids)
+        )

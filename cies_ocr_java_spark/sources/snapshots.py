@@ -230,7 +230,8 @@ class SnapshotTable:
 
     def _finalize(self, tmp_dir: str, mode: str, op: str | None = None,
                   meta: dict | None = None,
-                  partition_by: list[str] | None = None) -> int:
+                  partition_by: list[str] | None = None,
+                  keep_dirs: list[str] | None = None) -> int:
         """Steps 2-3 of the commit protocol: atomic rename + manifest swap,
         serialized across writers by the commit lock. A crash orphan the
         locked section renamed aside is reclaimed HERE, after release —
@@ -240,7 +241,8 @@ class SnapshotTable:
         self._acquire_lock()
         try:
             return self._finalize_locked(tmp_dir, mode, op=op, meta=meta,
-                                         partition_by=partition_by)
+                                         partition_by=partition_by,
+                                         keep_dirs=keep_dirs)
         finally:
             self._release_lock()
             aside, self._orphan_aside = self._orphan_aside, None
@@ -249,7 +251,8 @@ class SnapshotTable:
 
     def _finalize_locked(self, tmp_dir: str, mode: str, op: str | None,
                          meta: dict | None,
-                         partition_by: list[str] | None = None) -> int:
+                         partition_by: list[str] | None = None,
+                         keep_dirs: list[str] | None = None) -> int:
         log = self._read_log()
         sid = int(log["current"]) + 1
         final_rel = f"snap-{sid:06d}"
@@ -278,7 +281,13 @@ class SnapshotTable:
         os.rename(tmp_dir, target)
 
         parent_dirs: list[str] = []
-        if mode == "append" and log["snapshots"]:
+        if keep_dirs is not None:
+            # partial rewrite (delete_where): the new snapshot references
+            # the UNAFFECTED dirs of its parent unchanged plus the one
+            # replacement dir — file-granular copy-on-write at the
+            # manifest level
+            parent_dirs = list(keep_dirs)
+        elif mode == "append" and log["snapshots"]:
             parent_dirs = list(log["snapshots"][-1]["data_dirs"])
         entry = Snapshot(
             snapshot_id=sid,
@@ -350,6 +359,146 @@ class SnapshotTable:
             mode="overwrite",
             partition_by=self.current_partitioning(),
             meta=meta,
+        )
+
+    def _dir_partitioning(self) -> dict[str, list[str] | None]:
+        """Map each data dir ever created to the hive layout of the commit
+        that created it (an entry's NEW dir is always the last element of
+        its data_dirs; carried-over dirs keep their creators' layouts)."""
+        out: dict[str, list[str] | None] = {}
+        for s in self._read_log()["snapshots"]:
+            if s["data_dirs"]:
+                out[s["data_dirs"][-1]] = s.get("partition_by") or None
+        return out
+
+    @staticmethod
+    def _parquet_files(d: str) -> list[str]:
+        files = []
+        for root, _, names in os.walk(d):
+            files.extend(os.path.join(root, n) for n in names
+                         if n.endswith(".parquet"))
+        return sorted(files)
+
+    @staticmethod
+    def _link_or_copy(src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device or FS without hardlinks
+            shutil.copy2(src, dst)
+
+    def delete_where(self, spark: SparkSession, predicate,
+                     meta: dict | None = None) -> int:
+        """Row-level DELETE — copy-on-write at FILE granularity, the
+        Iceberg `DELETE FROM t WHERE p` analog and the reference's DELETE
+        verb (DocumentExtractManager.java:233-265) lifted from a mutable
+        tag store to snapshot semantics.
+
+        Rows where ``predicate`` is TRUE are removed; rows where it is
+        FALSE **or NULL** are kept (SQL DELETE three-valued semantics).
+        Only data files that actually CONTAIN matching rows are rewritten:
+
+          1. one scan finds the affected files via ``_metadata.file_path``
+             (predicate pushdown prunes the scan — a delete keyed on a
+             hive partition column reads only that partition);
+          2. data dirs with no affected files stay referenced by the new
+             snapshot UNCHANGED — zero I/O for them;
+          3. each affected dir is replaced inside ONE new snapshot dir:
+             its untouched files are HARDLINKED in (zero data rewrite —
+             an object-store deployment would re-reference them in a real
+             Iceberg manifest instead), and only the affected files are
+             re-read, filtered, and rewritten.
+
+        History is immutable: pre-delete snapshots still read the old
+        dirs (takedown audits and time travel keep working), and the old
+        rows are physically reclaimed only when ``expire_snapshots``
+        releases those snapshots — the GDPR hard-delete step.
+
+        Returns the new snapshot id, or the CURRENT id unchanged when no
+        row matches (a no-op delete commits nothing).
+        """
+        from pyspark.sql import functions as F
+
+        if not self.exists():
+            raise KeyError(f"cannot delete from empty table {self.root}")
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        log = self._read_log()
+        cur_entry = next(s for s in log["snapshots"]
+                         if s["snapshot_id"] == int(log["current"]))
+        cur_dirs = list(cur_entry["data_dirs"])
+
+        matched = (
+            self.read(spark)
+            .filter(pred)
+            .select(F.col("_metadata.file_path").alias("f"))
+            .distinct()
+            .collect()
+        )  # bounded by FILE count, never row count
+        affected_files = {
+            os.path.realpath(r["f"].removeprefix("file:")) for r in matched
+        }
+        if not affected_files:
+            return int(log["current"])
+
+        dir_pb = self._dir_partitioning()
+        by_dir: dict[str, list[str]] = {}
+        for rel in cur_dirs:
+            d_abs = os.path.realpath(os.path.join(self.data_root, rel))
+            hits = [f for f in affected_files
+                    if f.startswith(d_abs + os.sep)]
+            if hits:
+                by_dir[rel] = hits
+        layouts = {tuple(dir_pb.get(rel) or []) for rel in by_dir}
+        if len(layouts) > 1:
+            raise ValueError(
+                "delete_where across dirs with different hive layouts "
+                f"({sorted(layouts)}) — compact() first"
+            )
+        pb = list(next(iter(layouts))) or None
+
+        os.makedirs(self.data_root, exist_ok=True)
+        tmp_dir = os.path.join(self.data_root, f"_tmp-{uuid.uuid4().hex}")
+        os.makedirs(tmp_dir)
+        keep = F.coalesce(pred, F.lit(False)) == F.lit(False)
+        n_linked = n_rewritten = 0
+        for rel, hits in by_dir.items():
+            d_abs = os.path.realpath(os.path.join(self.data_root, rel))
+            for f in self._parquet_files(d_abs):
+                if f in set(hits):
+                    continue
+                sub = os.path.relpath(f, d_abs)
+                dst = os.path.join(
+                    tmp_dir, os.path.dirname(sub),
+                    f"{rel.replace(os.sep, '_')}-{os.path.basename(sub)}")
+                self._link_or_copy(f, dst)
+                n_linked += 1
+            survivors = (
+                spark.read.option("basePath", d_abs).parquet(*hits)
+                .filter(keep)
+            )
+            side = os.path.join(self.data_root,
+                                f"_tmp-rw-{uuid.uuid4().hex}")
+            w = survivors.write.mode("overwrite")
+            if pb:
+                w = w.partitionBy(*pb)
+            w.parquet(side)
+            for f in self._parquet_files(side):
+                sub = os.path.relpath(f, side)
+                dst = os.path.join(
+                    tmp_dir, os.path.dirname(sub),
+                    f"rw-{rel.replace(os.sep, '_')}-"
+                    f"{os.path.basename(sub)}")
+                self._link_or_copy(f, dst)
+                n_rewritten += 1
+            shutil.rmtree(side, ignore_errors=True)
+        keep_dirs = [d for d in cur_dirs if d not in by_dir]
+        return self._finalize(
+            tmp_dir, "overwrite", op="delete",
+            meta={**(meta or {}),
+                  "files_rewritten": len(affected_files),
+                  "files_linked": n_linked,
+                  "dirs_kept": len(keep_dirs)},
+            partition_by=pb, keep_dirs=keep_dirs,
         )
 
     def compact(self, spark: SparkSession, target_files: int | None = None) -> int:

@@ -95,3 +95,44 @@ def test_put_upserts_and_keeps_history(spark, store):
     old = store.documents.read(spark, snapshot_id=pre)
     assert old.where(F.col("doc_id") == "doc-000001").first()["spans"][0]["text"] != "REPLACED BODY"
     assert old.where(F.col("doc_id") == "doc-999999").count() == 0
+
+
+def test_ingest_assigns_uuid_when_identifier_absent(spark, tmp_path):
+    """F8 (DocumentExtractManager.java:160): UUID.randomUUID() when the
+    identifier is absent — generate, assert shape + uniqueness, and pin
+    that a provided doc_id passes through untouched (the deterministic
+    override every fixture relies on)."""
+    import re
+
+    s = DocumentStore(spark, str(tmp_path / "store"))
+    docs = spark.createDataFrame(
+        [("doc-keep", "a"), (None, "b"), (None, "c")],
+        "doc_id string, body string")
+    s.ingest_documents(docs)
+    got = {r["body"]: r["doc_id"]
+           for r in s.documents.read(spark).collect()}
+    assert got["a"] == "doc-keep"
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}"
+        r"-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+    assert pat.match(got["b"]) and pat.match(got["c"])
+    assert got["b"] != got["c"]
+    # a frame with NO doc_id column at all also gets ids
+    s2 = DocumentStore(spark, str(tmp_path / "store2"))
+    s2.ingest_documents(
+        spark.createDataFrame([("x",), ("y",)], "body string"))
+    ids = [r["doc_id"] for r in s2.documents.read(spark).collect()]
+    assert len(ids) == 2 and all(pat.match(i) for i in ids)
+    assert len(set(ids)) == 2
+
+
+def test_delete_documents_is_file_granular(spark, store):
+    """S8 via delete_where: the delete snapshot's manifest must record a
+    copy-on-write rewrite (op='delete' with file accounting), not a full
+    table overwrite."""
+    sid = store.delete_documents(["doc-000003"])
+    entry = next(s for s in store.documents.history()
+                 if s.snapshot_id == sid)
+    assert entry.op == "delete"
+    assert entry.meta["files_rewritten"] >= 1
+    assert store.get_document("doc-000003").count() == 0

@@ -676,30 +676,58 @@ def test_rfm_ranks_are_distributed(spark):
 
 
 def test_lsh_evaluators_sample_below_the_shingle_explode(spark):
-    """lsh_s_curve_planner / lsh_recall_eval (round-2 verdict #5): both
-    evaluators must derive their pair distributions from the
-    deterministic hash-sample, and the sample predicate must be applied
-    at the scan stage — i.e. in a Filter whose subtree contains no
-    Generate (explode): sampled-away docs never get shingled. Pinned on
-    the optimized logical plan, where predicate pushdown leaves the
-    sample Filter directly above the parquet relation (its next printed
-    line)."""
+    """Round-2 verdict #5, re-pinned after the round-3 verdict #8
+    amortization. The scan-stage-sampling invariant now lives in the
+    BUILD-ONCE builder (_build_sampled_exact_pairs): the hash-sample
+    Filter must sit directly above the parquet relation, below any
+    Generate — sampled-away docs never get shingled, once, at build
+    time. The CONSUMERS (lsh_s_curve_planner / lsh_recall_eval) must
+    then be scans of the committed cache table with NO re-shingling
+    (no Generate) in their consumed plans."""
+    from cies_ocr_java_spark.plans.queries import (
+        _build_sampled_exact_pairs,
+    )
+
+    opt = (
+        _build_sampled_exact_pairs(spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    lines = opt.splitlines()
     marker = "md5(cast(cast(doc_id"
+    hits = [
+        i for i, ln in enumerate(lines)
+        if "Filter (" in ln and marker in ln and "parquet" not in ln
+    ]
+    assert hits  # the hash-sample predicate exists in the builder
+    for i in hits:
+        assert "parquet" in lines[i + 1], lines[i + 1][-120:]
+
     for name in ("lsh_s_curve_planner", "lsh_recall_eval"):
-        opt = (
-            QUERIES[name](spark, SF)
-            ._jdf.queryExecution()
-            .optimizedPlan()
-            .toString()
-        )
-        lines = opt.splitlines()
-        hits = [
-            i for i, ln in enumerate(lines)
-            if "Filter (" in ln and marker in ln and "parquet" not in ln
-        ]
-        assert hits, name  # the hash-sample predicate exists
-        for i in hits:
-            assert "parquet" in lines[i + 1], (name, lines[i + 1][-120:])
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "cies_fixture_payloads" in plan, name  # committed cache
+        # no re-shingling (recall_eval's band explode over the 8-int
+        # signature table is legitimate and cheap; a shingle column
+        # anywhere means the text pipeline snuck back in)
+        assert "shingle" not in plan, name
+    # recall_eval's signature side: the hash-sample filter on the sig
+    # cache scan (id column) must still reach the parquet relation
+    opt2 = (
+        QUERIES["lsh_recall_eval"](spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    lines2 = opt2.splitlines()
+    hits2 = [
+        i for i, ln in enumerate(lines2)
+        if "Filter (" in ln and "md5(cast(cast(id" in ln
+        and "parquet" not in ln
+    ]
+    assert hits2
+    for i in hits2:
+        assert "parquet" in lines2[i + 1], lines2[i + 1][-120:]
 
 
 def test_neardup_pairs_build_returns_a_table_scan(spark):
