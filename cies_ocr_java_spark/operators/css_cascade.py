@@ -176,8 +176,14 @@ def resolve_cascade(pages: DataFrame, page: str = "page",
             F.split("e.cls", " ").alias("classes"),
         )
     )
+    # Both join sides are DATA-SIZED (O(docs) elements x O(docs) rules).
+    # The shuffle_hash hint forbids Catalyst from ever electing either
+    # side as a broadcast build (round-3 verdict #4: at local small
+    # stats it picked BuildLeft over the element side — harmless at
+    # 500 docs, a driver OOM at 10^12): the join stays the doc-keyed
+    # co-partitioned exchange at every scale, enforced by plan pin.
     matched = (
-        elems.join(rules, doc_id)
+        elems.hint("shuffle_hash").join(rules, doc_id)
         .where(
             ((F.col("sel_tag") == "") | (F.col("sel_tag") == F.col("tag")))
             & ((F.col("sel_cls") == "")
@@ -191,7 +197,8 @@ def resolve_cascade(pages: DataFrame, page: str = "page",
         )
     )
     return (
-        elems.join(matched, [doc_id, "elem_idx"], "left")
+        elems.hint("shuffle_hash")
+        .join(matched, [doc_id, "elem_idx"], "left")
         .select(
             doc_id,
             "elem_idx",

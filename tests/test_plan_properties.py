@@ -940,3 +940,45 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
         assert "rangepartitioning" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_css_cascade_join_is_never_a_broadcast(spark):
+    """Round-3 verdict #4: the element x rule join has DATA-SIZED sides
+    (O(docs) each); at local small stats Catalyst used to elect a
+    broadcast build — harmless at 500 docs, a driver OOM at 10^12. The
+    shuffle_hash hint in resolve_cascade forbids that at every scale;
+    this pin enforces the claim instead of narrating it."""
+    plan = plan_of(QUERIES["css_cascade_styles"](spark, SF))
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the doc-keyed co-partitioned exchange IS the intended join
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_wide_codegen_queries_compile_without_fallback(spark):
+    """Round-3 verdict #9: intel_hex_parse's 9.5 s was one-time
+    whole-stage-codegen compile of a WIDE expression tree; if future
+    widening pushed it past the JVM method limit, Spark would silently
+    fall back to interpreted mode and 10x the per-task cost. With
+    spark.sql.codegen.fallback=false a compile failure THROWS instead —
+    executing one partition under that conf proves the whole plan still
+    compiles."""
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+            .fromString("formatted")
+        for name in ("intel_hex_parse", "css_cascade_styles"):
+            df = QUERIES[name](spark, "/root/testdata/sf0.001")
+            # the enforcement: with fallback disabled, a generated
+            # method past the JVM limit throws here instead of
+            # silently interpreting
+            df.collect()
+            # codegen stage markers on the now-FINAL adaptive plan:
+            # "*(n)" stage stars mark whole-stage-codegen spans
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan, name
+            assert "*(" in plan, name
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
