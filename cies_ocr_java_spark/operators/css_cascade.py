@@ -107,8 +107,18 @@ def resolve_cascade(pages: DataFrame, page: str = "page",
     """(doc_id, page) -> one row per element with the cascade winner.
 
     Parses the page with regex only, then: selector decomposition ->
-    doc-keyed join -> match predicate -> max_by((specificity, order))."""
-    style = F.regexp_extract(F.col(page), r"<style>([\s\S]*?)</style>", 1)
+    doc-keyed join -> match predicate -> max_by((specificity, order)).
+
+    The style/body SPLIT is substring_index, not regex (round-4 bench
+    finding): the reluctant ``[\\s\\S]*?`` derivations cost ~1 ms/row
+    in the JVM regex engine AND were re-evaluated once per referencing
+    column (three extract_all columns each inlined the body
+    subexpression), making the split 15 of the query's 22 measured
+    seconds. substring_index is a linear scan; the page grammar
+    guarantees exactly one style block, so "after the last </style>"
+    equals "after the first"."""
+    style = F.substring_index(
+        F.substring_index(F.col(page), "</style>", 1), "<style>", -1)
     rules = (
         pages.select(
             doc_id,
@@ -154,7 +164,7 @@ def resolve_cascade(pages: DataFrame, page: str = "page",
             ),
         )
     )
-    body = F.regexp_replace(F.col(page), r"[\s\S]*?</style>", "")
+    body = F.substring_index(F.col(page), "</style>", -1)
     elems = (
         pages.select(
             doc_id,
