@@ -232,6 +232,7 @@ def _interpret(md: dict) -> dict:
                 "uncompressed": cm.get(6),
                 "compressed": cm.get(7),
                 "data_page_offset": cm.get(9),
+                "dictionary_page_offset": cm.get(11),
                 "null_count": st.get(3),
                 "min": _decode_stat(st.get(6), phys),
                 "max": _decode_stat(st.get(5), phys),

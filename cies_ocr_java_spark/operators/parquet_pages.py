@@ -128,7 +128,7 @@ def parse_parquet_values(data: bytes | None, column: str = "val"
                     n_pages += 1
                     pos = body_at + comp_size
     except (ValueError, ParquetFooterError, struct.error,
-            TypeError) as e:
+            TypeError, AttributeError) as e:
         msg = str(e) if isinstance(e, (ValueError,
                                        ParquetFooterError)) \
             else "malformed page structure"
@@ -169,3 +169,203 @@ def extract_parquet_values(df: DataFrame,
             yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(op, PP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-encoded pages — the OTHER half of the v1 data-page story
+# (parse_parquet_values rejects dictionary files by name; this decodes
+# them): per-row-group DICTIONARY_PAGE of PLAIN int64 entries, then
+# RLE_DICTIONARY data pages whose def levels AND indices both ride the
+# RLE/BIT-PACKED HYBRID — LSB-first bit packing in groups of 8, RLE runs
+# with ceil(bw/8)-byte little-endian values, a ULEB128 header whose low
+# bit picks the form. pyarrow writes all of it by DEFAULT; this reader
+# re-derives sums/min/max through the dictionary with bounds gates.
+
+
+def _uleb(data: bytes, pos: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("uleb128 overruns page")
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+        if shift > 35:
+            raise ValueError("uleb128 too long")
+
+
+def _hybrid(body: bytes, pos: int, bw: int, count: int,
+            what: str) -> tuple[list[int], int]:
+    """Decode exactly ``count`` values; a bit-packed group's padding
+    slack past count is discarded (its bits are unspecified)."""
+    out: list[int] = []
+    mask = (1 << bw) - 1
+    while len(out) < count:
+        header, pos = _uleb(body, pos)
+        if header & 1:
+            groups = header >> 1
+            nbytes = groups * bw
+            if groups > (count + 7) // 8 + 1 \
+                    or pos + nbytes > len(body):
+                raise ValueError(f"{what} bit-packed run overruns page")
+            acc = int.from_bytes(body[pos:pos + nbytes], "little")
+            out.extend((acc >> (k * bw)) & mask
+                       for k in range(groups * 8))
+            pos += nbytes
+        else:
+            run = header >> 1
+            vb = (bw + 7) // 8
+            if run > count + 8 or pos + vb > len(body):
+                raise ValueError(f"{what} rle run overruns page")
+            v = int.from_bytes(body[pos:pos + vb], "little")
+            out.extend([v] * run)
+            pos += vb
+    return out[:count], pos
+
+
+_PD_NONE = {"n_row_groups": None, "n_pages": None,
+            "dict_entries": None, "total_values": None,
+            "n_nulls": None, "values_sum": None,
+            "min_val": None, "max_val": None}
+
+
+def parse_parquet_dict_values(data: bytes | None,
+                              column: str = "val") -> dict:
+    if data is None or len(data) < 12:
+        return {**_PD_NONE, "error": "file shorter than parquet "
+                                     "envelope"}
+    data = bytes(data)
+    try:
+        meta = parse_parquet_footer(data)
+    except ParquetFooterError as e:
+        return {**_PD_NONE, "error": str(e)}
+    try:
+        n_pages = dict_entries = total = nulls = 0
+        vsum = 0
+        vmin = vmax = None
+        for rg in meta["row_groups"]:
+            for col in rg["cols"]:
+                if col["path"] != column:
+                    continue
+                if col["codec"] != "UNCOMPRESSED":
+                    raise ValueError(
+                        f"unsupported codec {col['codec']}")
+                pos = col.get("dictionary_page_offset")
+                if pos is None:
+                    raise ValueError(
+                        "first page is not a dictionary page")
+                r = _Reader(data[pos:])
+                hdr = r.struct()
+                if hdr.get(1) != 2:
+                    raise ValueError(
+                        "first page is not a dictionary page")
+                dph = hdr.get(7) or {}
+                n_dict = dph.get(1)
+                if dph.get(2) not in (0, 2):
+                    raise ValueError(
+                        "unsupported dictionary encoding")
+                comp = hdr.get(3)
+                body_at = pos + r.pos
+                if body_at + comp > len(data):
+                    raise ValueError("dictionary page overruns file")
+                if comp != 8 * n_dict:
+                    raise ValueError(
+                        "dictionary size disagrees with header")
+                dictionary = struct.unpack_from(
+                    f"<{n_dict}q", data, body_at)
+                dict_entries += n_dict
+                pos = body_at + comp
+                remaining = col["num_values"]
+                while remaining > 0:
+                    r = _Reader(data[pos:])
+                    hdr = r.struct()
+                    if hdr.get(1) != 0:
+                        raise ValueError(
+                            f"unsupported page type {hdr.get(1)}")
+                    dh = hdr.get(5) or {}
+                    nvals = dh.get(1)
+                    if dh.get(2) not in (2, 8):
+                        raise ValueError(
+                            "data page is not dictionary-encoded")
+                    comp = hdr.get(3)
+                    body_at = pos + r.pos
+                    if body_at + comp > len(data):
+                        raise ValueError("page overruns file")
+                    body = data[body_at:body_at + comp]
+                    (lvl_len,) = struct.unpack_from("<I", body, 0)
+                    if 4 + lvl_len > len(body):
+                        raise ValueError("levels overrun page")
+                    levels, lp = _hybrid(body[4:4 + lvl_len], 0, 1,
+                                         nvals, "definition levels")
+                    if lp != lvl_len:
+                        raise ValueError(
+                            "trailing bytes after definition levels")
+                    present = sum(levels)
+                    q = 4 + lvl_len
+                    if q >= len(body):
+                        raise ValueError("missing index bit width")
+                    bw = body[q]
+                    if bw == 0 or bw > 32:
+                        raise ValueError("bad index bit width")
+                    idx, ip = _hybrid(body[q + 1:], 0, bw, present,
+                                      "dictionary indices")
+                    if q + 1 + ip != len(body):
+                        raise ValueError(
+                            "trailing bytes after dictionary indices")
+                    for x in idx:
+                        if x >= n_dict:
+                            raise ValueError(
+                                "dictionary index out of range")
+                        v = dictionary[x]
+                        vsum += v
+                        vmin = v if vmin is None else min(vmin, v)
+                        vmax = v if vmax is None else max(vmax, v)
+                    nulls += nvals - present
+                    total += nvals
+                    remaining -= nvals
+                    n_pages += 1
+                    pos = body_at + comp
+    except (ValueError, ParquetFooterError, struct.error,
+            TypeError, AttributeError) as e:
+        msg = str(e) if isinstance(e, (ValueError,
+                                       ParquetFooterError)) \
+            else "malformed page structure"
+        return {**_PD_NONE, "error": msg}
+    return {
+        "n_row_groups": len(meta["row_groups"]),
+        "n_pages": n_pages, "dict_entries": dict_entries,
+        "total_values": total, "n_nulls": nulls,
+        "values_sum": vsum, "min_val": vmin, "max_val": vmax,
+        "error": None,
+    }
+
+
+_PD_SCHEMA = (
+    "doc_id long, n_row_groups int, n_pages int, dict_entries int, "
+    "total_values bigint, n_nulls bigint, values_sum bigint, "
+    "min_val bigint, max_val bigint, error string"
+)
+
+
+def extract_parquet_dict_values(df: DataFrame,
+                                content_col: str = "content",
+                                id_col: str = "doc_id") -> DataFrame:
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                r = parse_parquet_dict_values(
+                    None if blob is None else bytes(blob))
+                rows.append({"doc_id": int(i), **r})
+            out = pd.DataFrame(rows)
+            for c in ("n_row_groups", "n_pages", "dict_entries"):
+                out[c] = out[c].astype("Int32")
+            for c in ("total_values", "n_nulls", "values_sum",
+                      "min_val", "max_val"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return df.mapInPandas(op, _PD_SCHEMA)

@@ -84,3 +84,74 @@ def test_envelope_gates_and_fuzz():
         blob = (bytes(x[:rng.randrange(len(x) + 1)])
                 if rng.random() < 0.3 else bytes(x))
         assert "error" in parse_parquet_values(blob)
+
+
+def test_dictionary_pages_decoded_end_to_end():
+    """The OTHER half: pyarrow's DEFAULT dictionary encoding decoded
+    through the RLE/bit-packed hybrid (def levels AND indices), values
+    mapped through the per-row-group dictionary."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cies_ocr_java_spark.operators.parquet_pages import (
+        parse_parquet_dict_values,
+    )
+
+    i, n = 4, 23
+    t = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "val": pa.array([None if (r + i) % 5 == 0
+                         else ((r + i) % 7) * 11 + i % 3
+                         for r in range(n)], pa.int64()),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="none", use_dictionary=True,
+                   write_statistics=False, row_group_size=10)
+    r = parse_parquet_dict_values(buf.getvalue())
+    vals = [None if (k + i) % 5 == 0 else ((k + i) % 7) * 11 + i % 3
+            for k in range(n)]
+    pres = [v for v in vals if v is not None]
+    assert r["error"] is None
+    assert (r["n_row_groups"], r["n_pages"]) == (3, 3)
+    assert r["dict_entries"] == sum(
+        len({v for v in vals[g * 10:(g + 1) * 10] if v is not None})
+        for g in range(3))
+    assert (r["total_values"], r["n_nulls"]) == (n, vals.count(None))
+    assert (r["values_sum"], r["min_val"], r["max_val"]) \
+        == (sum(pres), min(pres), max(pres))
+    # the two readers reject each other's files BY NAME
+    buf2 = io.BytesIO()
+    pq.write_table(t, buf2, compression="none", use_dictionary=False,
+                   write_statistics=False, row_group_size=10)
+    assert parse_parquet_dict_values(buf2.getvalue())["error"] \
+        == "first page is not a dictionary page"
+    assert parse_parquet_values(buf.getvalue())["error"] is not None
+
+
+def test_dictionary_fuzz_never_raises():
+    import io
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cies_ocr_java_spark.operators.parquet_pages import (
+        parse_parquet_dict_values,
+    )
+
+    t = pa.table({"val": pa.array([k % 5 for k in range(30)],
+                                  pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="none", use_dictionary=True,
+                   write_statistics=False, row_group_size=12)
+    b = buf.getvalue()
+    rng = random.Random(1259)
+    for _ in range(300):
+        x = bytearray(b)
+        for _ in range(rng.randrange(1, 5)):
+            x[rng.randrange(len(x))] = rng.randrange(256)
+        blob = (bytes(x[:rng.randrange(len(x) + 1)])
+                if rng.random() < 0.3 else bytes(x))
+        assert "error" in parse_parquet_dict_values(blob)
