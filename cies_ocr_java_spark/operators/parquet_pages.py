@@ -369,3 +369,194 @@ def extract_parquet_dict_values(df: DataFrame,
             yield out
 
     return df.mapInPandas(op, _PD_SCHEMA)
+
+
+def build_parquet_delta(values: list[int],
+                        row_group_size: int = 10) -> bytes:
+    """One int64 'val' column, DELTA_BINARY_PACKED (encoding 5) —
+    pyarrow is the writer, so the decoder below is checked against
+    the canonical encoder (the stdlib-encoder rule)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({"val": pa.array(values, pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(table, buf, row_group_size=row_group_size,
+                   compression="none", use_dictionary=False,
+                   column_encoding={"val": "DELTA_BINARY_PACKED"},
+                   write_statistics=False)
+    return buf.getvalue()
+
+
+def _zigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _unpack_lsb(body: bytes, pos: int, bw: int, count: int
+                ) -> tuple[list[int], int]:
+    """LSB-first bit-packed unsigned values, `count` of them in
+    exactly ceil(count*bw/8) bytes (count is a multiple of 8 by
+    the miniblock-size rule, so it is count*bw/8)."""
+    nbytes = count * bw // 8
+    if pos + nbytes > len(body):
+        raise ValueError("miniblock overruns page")
+    if bw == 0:
+        return [0] * count, pos
+    big = int.from_bytes(body[pos:pos + nbytes], "little")
+    mask = (1 << bw) - 1
+    out = [(big >> (k * bw)) & mask for k in range(count)]
+    return out, pos + nbytes
+
+
+def decode_delta_binary_packed(body: bytes, pos: int,
+                               expect: int) -> tuple[list[int], int]:
+    """Decode one DELTA_BINARY_PACKED run of `expect` values
+    starting at `pos`; returns (values, new_pos). The first value
+    rides in the header (zigzag ULEB); each block carries a zigzag
+    min-delta and one bitwidth PER miniblock, but only miniblocks
+    that hold at least one remaining value are materialized — a
+    STARTED miniblock is always written in full (padding decodes to
+    min_delta offsets that must be DISCARDED, not appended)."""
+    block_size, pos = _uleb(body, pos)
+    n_mini, pos = _uleb(body, pos)
+    total, pos = _uleb(body, pos)
+    if n_mini == 0 or block_size % n_mini:
+        raise ValueError("bad delta block geometry")
+    mb = block_size // n_mini
+    if mb % 8:
+        raise ValueError("miniblock size not byte aligned")
+    if total != expect:
+        raise ValueError("delta count disagrees with header")
+    first_z, pos = _uleb(body, pos)
+    first = _zigzag(first_z)
+    out = [first]
+    remaining = total - 1
+    prev = first
+    while remaining > 0:
+        mind_z, pos = _uleb(body, pos)
+        mind = _zigzag(mind_z)
+        if pos + n_mini > len(body):
+            raise ValueError("miniblock widths overrun page")
+        widths = list(body[pos:pos + n_mini])
+        pos += n_mini
+        for bw in widths:
+            if remaining <= 0:
+                break
+            if bw > 64:
+                raise ValueError("delta bit width out of range")
+            packed, pos = _unpack_lsb(body, pos, bw, mb)
+            take = min(remaining, mb)
+            for v in packed[:take]:
+                prev = prev + mind + v
+                out.append(prev)
+            remaining -= take
+    return out, pos
+
+
+_PDB_NONE = {"n_row_groups": None, "n_pages": None,
+             "total_values": None, "values_sum": None,
+             "min_val": None, "max_val": None}
+
+
+def parse_parquet_delta_values(data: bytes | None,
+                               column: str = "val") -> dict:
+    """DELTA_BINARY_PACKED data pages end to end: footer thrift ->
+    page thrift -> RLE definition levels -> delta-decoded int64s,
+    with the exact-consumption gate at the page tail."""
+    if data is None or len(data) < 12:
+        return {**_PDB_NONE, "error": "file shorter than parquet "
+                                      "envelope"}
+    data = bytes(data)
+    try:
+        meta = parse_parquet_footer(data)
+    except ParquetFooterError as e:
+        return {**_PDB_NONE, "error": str(e)}
+    try:
+        n_rg = len(meta["row_groups"])
+        n_pages = 0
+        total = 0
+        vsum = 0
+        vmin = vmax = None
+        for rg in meta["row_groups"]:
+            for col in rg["cols"]:
+                if col["path"] != column:
+                    continue
+                if col["codec"] != "UNCOMPRESSED":
+                    raise ValueError(
+                        f"unsupported codec {col['codec']}")
+                pos = col["data_page_offset"]
+                remaining = col["num_values"]
+                while remaining > 0:
+                    r = _Reader(data[pos:])
+                    hdr = r.struct()
+                    header_len = r.pos
+                    if hdr.get(1) != 0:
+                        raise ValueError(
+                            f"unsupported page type {hdr.get(1)}")
+                    comp_size = hdr.get(3)
+                    dph = hdr.get(5) or {}
+                    nvals = dph.get(1)
+                    if dph.get(2) != 5:
+                        raise ValueError(
+                            "unsupported encoding "
+                            f"{dph.get(2)} (want delta)")
+                    body_at = pos + header_len
+                    if (not isinstance(comp_size, int)
+                            or comp_size < 4
+                            or body_at + comp_size > len(data)):
+                        raise ValueError("page overruns file")
+                    body = data[body_at:body_at + comp_size]
+                    (lvl_len,) = struct.unpack_from("<I", body, 0)
+                    if 4 + lvl_len > len(body):
+                        raise ValueError("levels overrun page")
+                    vals, endq = decode_delta_binary_packed(
+                        body, 4 + lvl_len, nvals)
+                    if endq != len(body):
+                        raise ValueError(
+                            "trailing bytes after delta values")
+                    n_pages += 1
+                    total += len(vals)
+                    vsum += sum(vals)
+                    lo, hi = min(vals), max(vals)
+                    vmin = lo if vmin is None else min(vmin, lo)
+                    vmax = hi if vmax is None else max(vmax, hi)
+                    remaining -= nvals
+                    pos = body_at + comp_size
+    except (ValueError, AttributeError, IndexError, KeyError,
+            TypeError, struct.error, ParquetFooterError) as e:
+        # ParquetFooterError: the page header rides the same thrift
+        # reader as the footer, so header corruption surfaces as it
+        msg = str(e) or type(e).__name__
+        return {**_PDB_NONE, "error": msg}
+    return {"n_row_groups": n_rg, "n_pages": n_pages,
+            "total_values": total, "values_sum": vsum,
+            "min_val": vmin, "max_val": vmax, "error": None}
+
+
+def extract_parquet_delta_values(df: DataFrame,
+                                 content_col: str = "content",
+                                 id_col: str = "doc_id"
+                                 ) -> DataFrame:
+    schema = ("doc_id long, n_row_groups int, n_pages int, "
+              "total_values bigint, values_sum bigint, "
+              "min_val bigint, max_val bigint, error string")
+
+    def op(batches: Iterator[pd.DataFrame]
+           ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                r = parse_parquet_delta_values(
+                    None if blob is None else bytes(blob))
+                rows.append({"doc_id": int(i), **r})
+            out = pd.DataFrame(rows)
+            for c in ("n_row_groups", "n_pages"):
+                out[c] = out[c].astype("Int32")
+            for c in ("total_values", "values_sum", "min_val",
+                      "max_val"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return df.mapInPandas(op, schema)

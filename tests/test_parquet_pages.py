@@ -155,3 +155,78 @@ def test_dictionary_fuzz_never_raises():
         blob = (bytes(x[:rng.randrange(len(x) + 1)])
                 if rng.random() < 0.3 else bytes(x))
         assert "error" in parse_parquet_dict_values(blob)
+
+
+class TestDeltaBinaryPacked:
+    """DELTA_BINARY_PACKED (encoding 5): pyarrow is the writer, the
+    from-scratch decoder reads header geometry, zigzag first value /
+    min-deltas, per-miniblock bitwidths, and discards the padding of
+    the last started miniblock."""
+
+    def test_property_against_pyarrow(self):
+        import random
+
+        from cies_ocr_java_spark.operators.parquet_pages import (
+            build_parquet_delta,
+            parse_parquet_delta_values,
+        )
+        rng = random.Random(0xDE17A)
+        for _ in range(30):
+            n = rng.randrange(1, 400)
+            vals = [rng.randrange(-10**12, 10**12)
+                    for _ in range(n)]
+            r = parse_parquet_delta_values(build_parquet_delta(
+                vals, row_group_size=rng.choice((5, 10, 50, 1000))))
+            assert r["error"] is None
+            assert r["total_values"] == n
+            assert r["values_sum"] == sum(vals)
+            assert r["min_val"] == min(vals)
+            assert r["max_val"] == max(vals)
+
+    def test_constant_stride_uses_zero_bitwidths(self):
+        # arithmetic sequence -> all deltas equal min_delta ->
+        # bw=0 miniblocks carrying zero bytes
+        from cies_ocr_java_spark.operators.parquet_pages import (
+            build_parquet_delta,
+            parse_parquet_delta_values,
+        )
+        vals = list(range(0, 7000, 7))
+        r = parse_parquet_delta_values(
+            build_parquet_delta(vals, row_group_size=10000))
+        assert r["error"] is None
+        assert r["values_sum"] == sum(vals)
+        assert (r["min_val"], r["max_val"]) == (0, 6993)
+
+    def test_plain_reader_rejects_delta_by_name(self):
+        from cies_ocr_java_spark.operators.parquet_pages import (
+            build_parquet_delta,
+            parse_parquet_values,
+        )
+        r = parse_parquet_values(build_parquet_delta([1, 2, 3]))
+        assert r["error"] == "unsupported encoding 5"
+
+    def test_delta_reader_rejects_plain_by_name(self):
+        from cies_ocr_java_spark.operators.parquet_pages import (
+            build_parquet_plain,
+            parse_parquet_delta_values,
+        )
+        r = parse_parquet_delta_values(build_parquet_plain(6, 10))
+        assert r["error"] == "unsupported encoding 0 (want delta)"
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from cies_ocr_java_spark.operators.parquet_pages import (
+            build_parquet_delta,
+            parse_parquet_delta_values,
+        )
+        rng = random.Random(0xDE17B)
+        base = build_parquet_delta(
+            [rng.randrange(-1000, 1000) for _ in range(50)])
+        for _ in range(400):
+            x = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                x[rng.randrange(len(x))] = rng.randrange(256)
+            blob = (bytes(x[:rng.randrange(len(x) + 1)])
+                    if rng.random() < 0.3 else bytes(x))
+            assert "error" in parse_parquet_delta_values(blob)
