@@ -873,6 +873,11 @@ def test_markdown_extract_single_exchange(spark):
         "svg_path_geometry",
         "toml_config_parse",
         "java_properties_parse",
+        # round-4 session-3 relational parsers + lakehouse replay
+        "diff_unified_parse",
+        "syslog_rfc5424_parse",
+        "gettext_po_parse",
+        "hudi_timeline_replay",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
@@ -932,7 +937,13 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "safetensors_walk", "gguf_model_walk",
                  "flatbuffer_decode", "git_index_walk",
                  "jar_manifest_walk", "roaring_bitmap_walk",
-                 "parquet_page_values"):
+                 "parquet_page_values",
+                 # round-4 session-3 walkers: one mapInPandas pass
+                 "media_qoi_decode", "media_tga_decode",
+                 "ole2_compound_walk", "java_serial_walk",
+                 "pcapng_block_walk", "pgp_armor_walk",
+                 "py_marshal_walk", "flv_tag_walk",
+                 "parquet_delta_values", "psd_layer_walk"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
