@@ -943,7 +943,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "ole2_compound_walk", "java_serial_walk",
                  "pcapng_block_walk", "pgp_armor_walk",
                  "py_marshal_walk", "flv_tag_walk",
-                 "parquet_delta_values", "psd_layer_walk"):
+                 "parquet_delta_values", "psd_layer_walk",
+                 "swf_tag_walk", "npz_array_walk"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
