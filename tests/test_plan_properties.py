@@ -946,7 +946,8 @@ def test_mp4_container_queries_single_pass_no_shuffle(spark):
                  "parquet_delta_values", "psd_layer_walk",
                  "swf_tag_walk", "npz_array_walk",
                  "dwarf_lineprog_walk",
-                 "websocket_frame_walk", "http2_frame_walk"):
+                 "websocket_frame_walk", "http2_frame_walk",
+                 "font_glyf_outlines"):
         plan = plan_of(QUERIES[name](spark, SF))
         # the only exchange allowed is the single-split fanout guard
         assert plan.count("Exchange") <= 1, name
