@@ -783,3 +783,138 @@ def extract_targz_features(df: DataFrame, content_col: str = "content",
             )
 
     return df.select(id_col, content_col).mapInPandas(op, TAR_FEATURES_SCHEMA)
+
+
+# --- streamed (bit-3) zips: sizes ride AFTER the data -----------------
+
+_DESC_SIG = b"PK\x07\x08"
+
+
+def build_zip_streamed(members: list[tuple[str, bytes, int]], *,
+                       signed_desc_every: int = 2,
+                       nonzero_local: bool = False,
+                       lie_descriptor: bool = False) -> bytes:
+    """Emit a STREAMED zip: general-purpose bit 3 set, local header
+    crc/sizes ZERO, and a data descriptor (crc, csize, usize) after
+    each member's payload — with the PK\\x07\\x08 signature on every
+    ``signed_desc_every``-th member and SIGNATURELESS on the rest
+    (both forms are legal per APPNOTE 4.3.9.3, and a reader that
+    requires the signature drops half the world's streamed zips)."""
+    buf = bytearray()
+    central = bytearray()
+    for k, (name, data, method) in enumerate(members):
+        nb = name.encode("utf-8")
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if method == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(data) + co.flush()
+        else:
+            payload = data
+        off = len(buf)
+        lcrc = crc if nonzero_local and k == 0 else 0
+        buf += _LOCAL.pack(b"PK\x03\x04", 20, 0x08, method, 0x6020,
+                           0x5ab1, lcrc,
+                           0 if not (nonzero_local and k == 0)
+                           else len(payload),
+                           0, len(nb), 0)
+        buf += nb + payload
+        dcrc = crc ^ (1 if lie_descriptor and k == 0 else 0)
+        desc = struct.pack("<III", dcrc, len(payload), len(data))
+        if k % signed_desc_every == 0:
+            buf += _DESC_SIG
+        buf += desc
+        central += _CENTRAL.pack(b"PK\x01\x02", 20, 20, 0x08, method,
+                                 0x6020, 0x5ab1, crc, len(payload),
+                                 len(data), len(nb), 0, 0, 0, 0, 0,
+                                 off)
+        central += nb
+    cd_off = len(buf)
+    buf += central
+    buf += _EOCD.pack(b"PK\x05\x06", 0, 0, len(members),
+                      len(members), len(central), cd_off, 0)
+    return bytes(buf)
+
+
+def parse_zip_streamed(data: bytes | None) -> dict:
+    """Walk a streamed zip: central-directory sizes locate the data,
+    then the per-member DATA DESCRIPTOR (signed or signatureless —
+    both accepted) is cross-checked against the central values and
+    the recomputed CRC. Bit-3 members must carry ZERO local
+    crc/sizes (a nonzero value means a lying writer, rejected)."""
+    none = {"n_members": None, "n_streamed": None,
+            "n_signed_desc": None, "content_bytes": None,
+            "content_sum": None}
+    members, err = walk_zip_members(data)
+    if err is not None:
+        return {**none, "error": err}
+    data = bytes(data)
+    try:
+        # re-walk the central directory for flags/offsets
+        eocd_at = data.rfind(b"PK\x05\x06",
+                             max(0, len(data) - 65557))
+        (_, _dn, _cn, _nh, n_total, cd_size,
+         cd_off, _cl) = _EOCD.unpack_from(data, eocd_at)
+        pos = cd_off
+        n_streamed = n_signed = 0
+        content_bytes = content_sum = 0
+        for _ in range(n_total):
+            fields = _CENTRAL.unpack_from(data, pos)
+            (_sig, _vm, _vn, flags, method, _t, _d, crc, csize,
+             usize, nlen, elen, clen, _dk, _ia, _ea, lho) = fields
+            pos += _CENTRAL.size + nlen + elen + clen
+            lf = _LOCAL.unpack_from(data, lho)
+            lnlen, lelen = lf[9], lf[10]
+            dstart = lho + _LOCAL.size + lnlen + lelen
+            if flags & 0x08:
+                n_streamed += 1
+                if lf[6] != 0 or lf[7] != 0 or lf[8] != 0:
+                    raise ValueError(
+                        "streamed member with nonzero local sizes")
+                dend = dstart + csize
+                if data[dend:dend + 4] == _DESC_SIG:
+                    n_signed += 1
+                    dend += 4
+                if dend + 12 > len(data):
+                    raise ValueError("truncated data descriptor")
+                dcrc, dcsize, dusize = struct.unpack_from(
+                    "<III", data, dend)
+                if (dcrc, dcsize, dusize) != (crc, csize, usize):
+                    raise ValueError(
+                        "descriptor disagrees with directory")
+        # content accounting from the shared walk's payloads
+        for _name, raw_bytes, _m in members:
+            content_bytes += len(raw_bytes)
+            content_sum += sum(raw_bytes)
+    except (ValueError, struct.error) as e:
+        msg = str(e) or "malformed structure"
+        return {**none, "error": msg}
+    return {"n_members": len(members), "n_streamed": n_streamed,
+            "n_signed_desc": n_signed,
+            "content_bytes": content_bytes,
+            "content_sum": content_sum, "error": None}
+
+
+def extract_zip_streamed_features(df: DataFrame,
+                                  content_col: str = "content",
+                                  id_col: str = "doc_id"
+                                  ) -> DataFrame:
+    schema = ("doc_id long, n_members int, n_streamed int, "
+              "n_signed_desc int, content_bytes bigint, "
+              "content_sum bigint, error string")
+
+    def op(batches: Iterator[pd.DataFrame]
+           ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                r = parse_zip_streamed(
+                    None if blob is None else bytes(blob))
+                rows.append({"doc_id": int(i), **r})
+            out = pd.DataFrame(rows)
+            for c in ("n_members", "n_streamed", "n_signed_desc"):
+                out[c] = out[c].astype("Int32")
+            for c in ("content_bytes", "content_sum"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return df.mapInPandas(op, schema)

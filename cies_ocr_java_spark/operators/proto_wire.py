@@ -199,3 +199,146 @@ def extract_proto_docs(df: DataFrame, content_col: str = "content",
 
     return df.select(id_col, content_col).mapInPandas(
         op, PROTO_DOC_SCHEMA)
+
+
+# --- groups (wire types 3/4) + packed repeated fields -----------------
+
+
+def build_proto_groups(top: list, *,
+                       mismatch_end: bool = False,
+                       drop_end: bool = False,
+                       stray_end: bool = False) -> bytes:
+    """top: list of ('int', num, v) | ('group', num, sublist) |
+    ('packed', num, [values]). Emits SGROUP/EGROUP pairs (the
+    deprecated wire types 3/4 that proto1 used for nesting)."""
+    out = bytearray()
+
+    def emit(items: list, depth: int) -> None:
+        for it in items:
+            kind = it[0]
+            if kind == "int":
+                _, num, v = it
+                out.extend(encode_varint((num << 3) | 0))
+                out.extend(encode_varint(v))
+            elif kind == "packed":
+                _, num, vals = it
+                body = b"".join(encode_varint(v) for v in vals)
+                out.extend(encode_varint((num << 3) | 2))
+                out.extend(encode_varint(len(body)))
+                out.extend(body)
+            else:
+                _, num, sub = it
+                out.extend(encode_varint((num << 3) | 3))
+                emit(sub, depth + 1)
+                end_num = num + (1 if mismatch_end
+                                 and depth == 0 else 0)
+                if not (drop_end and depth == 0):
+                    out.extend(encode_varint((end_num << 3) | 4))
+
+    emit(top, 0)
+    if stray_end:
+        out.extend(encode_varint((9 << 3) | 4))
+    return bytes(out)
+
+
+_PG_NONE = {
+    "n_fields": None, "n_groups": None, "max_group_depth": None,
+    "int_sum": None, "n_packed_values": None, "packed_sum": None,
+}
+
+
+def parse_proto_groups(data: bytes | None) -> dict:
+    """Group-aware walk: SGROUP opens a scope whose EGROUP must carry
+    the SAME field number (the bracket rule proto1 relied on);
+    packed wt-2 fields on number 5 decode as concatenated varints
+    with exact consumption."""
+    if data is None or len(data) == 0:
+        return {**_PG_NONE, "error": "short or missing payload"}
+    data = bytes(data)
+    try:
+        st = {"fields": 0, "groups": 0, "maxd": 0, "isum": 0,
+              "pk": 0, "psum": 0}
+        stack: list[int] = []
+        pos = 0
+        while pos < len(data):
+            tag, pos = _decode_varint(data, pos)
+            num, wt = tag >> 3, tag & 0x07
+            if wt == 3:
+                stack.append(num)
+                st["groups"] += 1
+                st["maxd"] = max(st["maxd"], len(stack))
+            elif wt == 4:
+                if not stack:
+                    raise ValueError("group end without start")
+                if stack[-1] != num:
+                    raise ValueError("group end mismatches start")
+                stack.pop()
+            elif wt == 0:
+                v, pos = _decode_varint(data, pos)
+                st["fields"] += 1
+                st["isum"] += v
+            elif wt == 2:
+                ln, pos = _decode_varint(data, pos)
+                if pos + ln > len(data):
+                    raise ValueError(
+                        "length-delimited field overruns")
+                if num == 5:
+                    q = pos
+                    end = pos + ln
+                    while q < end:
+                        v, q = _decode_varint(data, q)
+                        st["pk"] += 1
+                        st["psum"] += v
+                    if q != end:
+                        raise ValueError(
+                            "packed field under-consumed")
+                st["fields"] += 1
+                pos += ln
+            elif wt == 1:
+                pos += 8
+                st["fields"] += 1
+            elif wt == 5:
+                pos += 4
+                st["fields"] += 1
+            else:
+                raise ValueError(f"unskippable wire type {wt}")
+            if pos > len(data):
+                raise ValueError("field overruns message")
+        if stack:
+            raise ValueError("unterminated group")
+    except ValueError as e:
+        return {**_PG_NONE, "error": str(e)}
+    return {
+        "n_fields": st["fields"], "n_groups": st["groups"],
+        "max_group_depth": st["maxd"], "int_sum": st["isum"],
+        "n_packed_values": st["pk"], "packed_sum": st["psum"],
+        "error": None,
+    }
+
+
+def extract_proto_group_features(df: DataFrame,
+                                 content_col: str = "content",
+                                 id_col: str = "doc_id"
+                                 ) -> DataFrame:
+    schema = ("doc_id long, n_fields int, n_groups int, "
+              "max_group_depth int, int_sum bigint, "
+              "n_packed_values int, packed_sum bigint, "
+              "error string")
+
+    def op(batches: Iterator[pd.DataFrame]
+           ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                r = parse_proto_groups(
+                    None if blob is None else bytes(blob))
+                rows.append({"doc_id": int(i), **r})
+            out = pd.DataFrame(rows)
+            for c in ("n_fields", "n_groups", "max_group_depth",
+                      "n_packed_values"):
+                out[c] = out[c].astype("Int32")
+            for c in ("int_sum", "packed_sum"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return df.mapInPandas(op, schema)

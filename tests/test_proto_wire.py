@@ -73,3 +73,59 @@ def test_fuzz_never_raises():
 def test_build_rejects_negative():
     with pytest.raises(ValueError):
         encode_varint(-1)
+
+
+class TestProtoGroups:
+    """Wire types 3/4 (proto1 groups): bracket-matched field
+    numbers, nesting depth, packed repeated varints with exact
+    consumption."""
+
+    _TOP = [("int", 1, 100),
+            ("group", 2, [("int", 1, 7),
+                          ("group", 3, [("int", 1, 9)]),
+                          ("int", 2, 11)]),
+            ("packed", 5, [1, 300, 70000]),
+            ("int", 6, 50)]
+
+    def test_round_trip(self):
+        from cies_ocr_java_spark.operators.proto_wire import (
+            build_proto_groups,
+            parse_proto_groups,
+        )
+        r = parse_proto_groups(build_proto_groups(self._TOP))
+        assert r["error"] is None
+        assert (r["n_groups"], r["max_group_depth"]) == (2, 2)
+        assert r["int_sum"] == 100 + 7 + 9 + 11 + 50
+        assert (r["n_packed_values"], r["packed_sum"]) == (3, 70301)
+
+    def test_gates(self):
+        from cies_ocr_java_spark.operators.proto_wire import (
+            build_proto_groups,
+            parse_proto_groups,
+        )
+        assert parse_proto_groups(build_proto_groups(
+            self._TOP, mismatch_end=True))["error"] \
+            == "group end mismatches start"
+        assert parse_proto_groups(build_proto_groups(
+            self._TOP, drop_end=True))["error"] \
+            == "unterminated group"
+        assert parse_proto_groups(build_proto_groups(
+            self._TOP, stray_end=True))["error"] \
+            == "group end without start"
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from cies_ocr_java_spark.operators.proto_wire import (
+            build_proto_groups,
+            parse_proto_groups,
+        )
+        rng = random.Random(0x347)
+        base = build_proto_groups(self._TOP)
+        for _ in range(400):
+            x = bytearray(base)
+            for _ in range(rng.randrange(1, 5)):
+                x[rng.randrange(len(x))] = rng.randrange(256)
+            blob = (bytes(x[:rng.randrange(len(x) + 1)])
+                    if rng.random() < 0.3 else bytes(x))
+            assert "error" in parse_proto_groups(blob)

@@ -196,3 +196,73 @@ def test_zip64_fuzz_never_raises():
             data = base[: rng.randrange(len(base))]
         r = parse_zip(data)
         assert (r["error"] is None) != (r["text"] is None)
+
+
+class TestStreamedZip:
+    """Bit-3 streamed members: zero local sizes, data descriptors
+    (signed AND signatureless), descriptor-vs-directory agreement,
+    stdlib interop."""
+
+    def _members(self, i):
+        return [(f"m{k}.bin",
+                 bytes((i + k + t) % 256
+                       for t in range(20 + (i + 13 * k) % 60)),
+                 8 if (i + k) % 2 else 0)
+                for k in range(2 + i % 3)]
+
+    def test_round_trip_sweep(self):
+        from cies_ocr_java_spark.operators.archive import (
+            build_zip_streamed,
+            parse_zip_streamed,
+        )
+        for i in range(30):
+            ms = self._members(i)
+            r = parse_zip_streamed(build_zip_streamed(ms))
+            assert r["error"] is None, (i, r)
+            assert r["n_members"] == r["n_streamed"] == len(ms)
+            # every 2nd descriptor carries the PK\x07\x08 signature
+            assert r["n_signed_desc"] == (len(ms) + 1) // 2
+            assert r["content_sum"] == sum(
+                sum(d) for _, d, _ in ms)
+
+    def test_stdlib_zipfile_opens_streamed_output(self):
+        import io
+        import zipfile
+
+        from cies_ocr_java_spark.operators.archive import (
+            build_zip_streamed,
+        )
+        ms = self._members(3)
+        z = zipfile.ZipFile(io.BytesIO(build_zip_streamed(ms)))
+        for name, d, _m in ms:
+            assert z.read(name) == d
+
+    def test_gates(self):
+        from cies_ocr_java_spark.operators.archive import (
+            build_zip_streamed,
+            parse_zip_streamed,
+        )
+        ms = self._members(3)
+        assert parse_zip_streamed(build_zip_streamed(
+            ms, nonzero_local=True))["error"] \
+            == "streamed member with nonzero local sizes"
+        assert parse_zip_streamed(build_zip_streamed(
+            ms, lie_descriptor=True))["error"] \
+            == "descriptor disagrees with directory"
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from cies_ocr_java_spark.operators.archive import (
+            build_zip_streamed,
+            parse_zip_streamed,
+        )
+        rng = random.Random(0x708)
+        base = build_zip_streamed(self._members(7))
+        for _ in range(300):
+            x = bytearray(base)
+            for _ in range(rng.randrange(1, 5)):
+                x[rng.randrange(len(x))] = rng.randrange(256)
+            blob = (bytes(x[:rng.randrange(len(x) + 1)])
+                    if rng.random() < 0.3 else bytes(x))
+            assert "error" in parse_zip_streamed(blob)
