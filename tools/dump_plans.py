@@ -853,6 +853,40 @@ COMMENTARY = {
         "max_by-of-struct picks the modal anchor; distinct-host count "
         "rides the same target exchange."
     ),
+    "diff_unified_parse": (
+        "Unified diffs: synthesis AND parse in one plan — nested "
+        "transform/flatten builds the text, posexplode + two doc-keyed "
+        "prefix-sum windows (file counter, hunk counter) classify "
+        "lines, hunk-grain compare enforces the @@ span declarations. "
+        "Zero Python, doc-keyed windows only."
+    ),
+    "gettext_po_parse": (
+        "PO catalogs: two-LEVEL prefix sums (blank lines advance the "
+        "entry counter, keyword lines the group counter) reassemble "
+        "multi-line quoted values via array_sort(collect_list) in pos "
+        "order — the csv-record move one level deeper. Zero Python."
+    ),
+    "hudi_timeline_replay": (
+        "The third lakehouse replay: instants synthesized as three "
+        "files each, state recovered from FILENAME regexes, one "
+        "instant-grain agg + one doc rollup. Zero Python, no window."
+    ),
+    "nmea_sentence_parse": (
+        "The XOR checksum verified IN SQL: one F.aggregate bitwiseXOR "
+        "fold over the split sentence body, compared to the declared "
+        "hex pair; failed sentences drop as counted degradation. "
+        "Zero Python, no window."
+    ),
+    "http2_frame_walk": (
+        "One Arrow-batched mapInPandas pass: frame walk + "
+        "connection-scoped HPACK decode inside the batch, no shuffle "
+        "beyond the fanout guard — the walker family's shape."
+    ),
+    "ole2_compound_walk": (
+        "One Arrow-batched mapInPandas pass over synthesized compound "
+        "files; the FAT/miniFAT walk is per-doc bounded, zero shuffle "
+        "beyond the fanout guard."
+    ),
 }
 
 
