@@ -871,16 +871,30 @@ def parse_zip_streamed(data: bytes | None) -> dict:
                     raise ValueError(
                         "streamed member with nonzero local sizes")
                 dend = dstart + csize
-                if data[dend:dend + 4] == _DESC_SIG:
-                    n_signed += 1
-                    dend += 4
-                if dend + 12 > len(data):
-                    raise ValueError("truncated data descriptor")
-                dcrc, dcsize, dusize = struct.unpack_from(
-                    "<III", data, dend)
-                if (dcrc, dcsize, dusize) != (crc, csize, usize):
+                # APPNOTE ambiguity: a signatureless descriptor whose
+                # CRC happens to equal 0x08074B50 sniffs as signed.
+                # Deterministic resolution: prefer the signed reading,
+                # but if the central-directory cross-check rejects it,
+                # retry the signatureless reading (descriptor at dend,
+                # no 4-byte skip) before declaring the member malformed.
+                sniffed = data[dend:dend + 4] == _DESC_SIG
+                offsets = [dend + 4, dend] if sniffed else [dend]
+                matched = None
+                for at in offsets:
+                    if at + 12 <= len(data):
+                        dcrc, dcsize, dusize = struct.unpack_from(
+                            "<III", data, at)
+                        if (dcrc, dcsize, dusize) == (crc, csize,
+                                                      usize):
+                            matched = at
+                            break
+                if matched is None:
+                    if dend + 12 > len(data):
+                        raise ValueError("truncated data descriptor")
                     raise ValueError(
                         "descriptor disagrees with directory")
+                if matched == dend + 4:
+                    n_signed += 1
         # content accounting from the shared walk's payloads
         for _name, raw_bytes, _m in members:
             content_bytes += len(raw_bytes)

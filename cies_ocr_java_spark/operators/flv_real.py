@@ -20,6 +20,7 @@ in the reference; structure recovery is beyond-reference.
 
 from __future__ import annotations
 
+import math
 import struct
 from collections.abc import Iterator
 
@@ -132,6 +133,13 @@ def parse_flv(data: bytes | None) -> dict:
             elif ttype == 18:
                 n_s += 1
                 props = _parse_amf_meta(body)
+                # Degradation contract: AMF doubles can be +/-inf, which
+                # int() raises OverflowError on (NaN raises ValueError and
+                # is already caught) — gate before converting so a poisoned
+                # duration yields an error row, never a task crash.
+                for key in ("duration", "width", "height"):
+                    if key in props and not math.isfinite(props[key]):
+                        raise ValueError("non-finite value")
                 if "duration" in props:
                     duration_ms = int(props["duration"] * 1000)
                 if "width" in props:

@@ -28,6 +28,7 @@ Reference parity: none — ML-artifact recovery is beyond-reference.
 
 from __future__ import annotations
 
+import math
 import struct
 from collections.abc import Iterator
 
@@ -147,6 +148,10 @@ def parse_npy(data: bytes) -> dict:
         total = 0.0
         for v in struct.unpack(f"<{n}d", body):
             total += v * 256
+        # An f8 body containing +/-inf makes int(round(total)) raise
+        # OverflowError, which the ValueError net misses — gate first.
+        if not math.isfinite(total):
+            raise ValueError("non-finite value")
         vsum = int(round(total))
     return {"descr": descr, "shape": shape,
             "fortran": fortran == "True", "n": n,

@@ -23,6 +23,7 @@ Reference parity: none — geodata recovery is beyond-reference.
 
 from __future__ import annotations
 
+import math
 import struct
 from collections.abc import Iterator
 
@@ -166,6 +167,10 @@ def parse_shp(data: bytes | None) -> dict:
                                         44 + 4 * npp)
             for k in range(npt):
                 x, y = coords[2 * k], coords[2 * k + 1]
+                # int() on +/-inf raises OverflowError past the ValueError
+                # net — gate so poisoned coordinates yield an error row.
+                if not (math.isfinite(x) and math.isfinite(y)):
+                    raise ValueError("non-finite value")
                 x_sum += int(x)
                 y_sum += int(y)
                 if env is None:

@@ -57,3 +57,13 @@ def test_fuzz_never_raises():
         blob = (bytes(x[:rng.randrange(len(x) + 1)])
                 if rng.random() < 0.3 else bytes(x))
         assert "error" in parse_flv(blob)
+
+
+def test_non_finite_amf_duration_degrades():
+    """An adversarial AMF duration/width/height of +/-inf must yield an
+    error row, not an OverflowError task crash (NaN already raised
+    ValueError; inf did not until gated)."""
+    for v in (float("inf"), float("-inf"), float("nan")):
+        for key in ("duration", "width", "height"):
+            r = parse_flv(build_flv({key: v}, _TAGS))
+            assert r["error"] == "non-finite value", (key, v, r)

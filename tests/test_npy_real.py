@@ -84,3 +84,17 @@ def test_fuzz_never_raises_npz():
         blob = (bytes(x[:rng.randrange(len(x) + 1)])
                 if rng.random() < 0.3 else bytes(x))
         assert "error" in parse_npz(blob)
+
+
+def test_non_finite_f8_body_degrades():
+    """An f8 body containing +/-inf made int(round(total)) raise
+    OverflowError past the ValueError net — must be an error row."""
+    import struct
+
+    from cies_ocr_java_spark.operators.archive import build_zip
+
+    base = bytearray(build_npy("<f8", (2,), [256, 512]))
+    for v in (float("inf"), float("-inf")):
+        member = bytes(base[:-16]) + struct.pack("<2d", v, 1.0)
+        r = parse_npz(build_zip([("a.npy", member, 0)]))
+        assert r["error"] == "non-finite value", (v, r)

@@ -72,3 +72,17 @@ def test_fuzz_never_raises():
         blob = (bytes(x[:rng.randrange(len(x) + 1)])
                 if rng.random() < 0.3 else bytes(x))
         assert "error" in parse_shp(blob)
+
+
+def test_non_finite_coordinate_degrades():
+    """int() on an inf coordinate raised OverflowError past the
+    ValueError net — must degrade to an error row."""
+    pts = [(10, 20), (30, 40), (50, 60), (70, 80)]
+    base = build_shp(5, [(pts, [0])])
+    for v in (float("inf"), float("-inf"), float("nan")):
+        needle = struct.pack("<2d", 30.0, 40.0)
+        patched = base.replace(needle,
+                               struct.pack("<2d", v, 40.0))
+        assert patched != base
+        r = parse_shp(patched)
+        assert r["error"] == "non-finite value", (v, r)

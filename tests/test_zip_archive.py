@@ -250,6 +250,59 @@ class TestStreamedZip:
             ms, lie_descriptor=True))["error"] \
             == "descriptor disagrees with directory"
 
+    def test_signatureless_descriptor_crc_collides_with_signature(self):
+        """APPNOTE ambiguity: a signatureless descriptor whose CRC field
+        equals 0x08074B50 (the PK\\x07\\x08 magic, little-endian) sniffs
+        as signed. The parser must fall back to the signatureless
+        interpretation when the signed reading fails the central-
+        directory cross-check — forged here by solving the affine CRC32
+        map for a 4-byte suffix over GF(2)."""
+        import zlib
+
+        from cies_ocr_java_spark.operators.archive import (
+            build_zip_streamed,
+            parse_zip_streamed,
+        )
+
+        def forge_crc(prefix: bytes, target: int) -> bytes:
+            # crc32(prefix + x) is affine in the 32 bits of x for
+            # fixed-length messages: f(x) = f(0) XOR L(x). Build L's
+            # basis, then Gaussian-eliminate L(x) = target XOR f(0).
+            f0 = zlib.crc32(prefix + b"\x00\x00\x00\x00") & 0xFFFFFFFF
+            basis = []
+            for bit in range(32):
+                xb = (1 << bit).to_bytes(4, "little")
+                basis.append((zlib.crc32(prefix + xb) ^ f0)
+                             & 0xFFFFFFFF)
+            want = (target ^ f0) & 0xFFFFFFFF
+            # solve sum of chosen basis vectors == want
+            rows = [(basis[i], 1 << i) for i in range(32)]
+            x = 0
+            for col in range(31, -1, -1):
+                piv = next((j for j, (v, _) in enumerate(rows)
+                            if v >> col & 1), None)
+                assert piv is not None, "CRC basis is full rank"
+                pv, px = rows.pop(piv)
+                rows = [(v ^ pv, m ^ px) if v >> col & 1 else (v, m)
+                        for v, m in rows]
+                if want >> col & 1:
+                    want ^= pv
+                    x ^= px
+            assert want == 0
+            return prefix + x.to_bytes(4, "little")
+
+        payload = forge_crc(b"ambiguous-descriptor-", 0x08074B50)
+        assert zlib.crc32(payload) & 0xFFFFFFFF == 0x08074B50
+        # member 0 signed, member 1 signatureless with the forged CRC
+        ms = [("a.bin", b"plain first member", 0),
+              ("b.bin", payload, 0)]
+        r = parse_zip_streamed(
+            build_zip_streamed(ms, signed_desc_every=1000))
+        assert r["error"] is None, r
+        assert r["n_members"] == r["n_streamed"] == 2
+        assert r["n_signed_desc"] == 1
+        assert r["content_sum"] == sum(sum(d) for _, d, _ in ms)
+
     def test_fuzz_never_raises(self):
         import random
 
