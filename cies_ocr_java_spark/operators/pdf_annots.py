@@ -41,6 +41,7 @@ from cies_ocr_java_spark.operators.pdf_real import (
     _contents_of,
     _HexLit,
     _load_object,
+    _make_decryptor,
     _parse_xref,
     _PdfError,
     _ref,
@@ -139,15 +140,19 @@ def build_pdf_links(doc: int, *, poison: str | None = None) -> bytes:
     return bytes(buf)
 
 
-def _leaf_page_nums(data: bytes) -> tuple[list[int], dict, bytes]:
+def _leaf_page_nums(data: bytes) -> tuple[list[int], dict, bytes, object]:
     """The shared page-tree walk, but keeping OBJECT NUMBERS (pdf_real.
     _leaf_pages returns dict bytes only) — /Dest targets resolve by
-    number. Same guards: depth cap, cycle check by object number."""
+    number. Same guards: depth cap, cycle check by object number.
+    Returns the document decryptor as the 4th element (None when
+    unencrypted) so link targets/anchors decrypt correctly."""
     if not data or not bytes(data).startswith(b"%PDF-"):
         raise _PdfError("missing %PDF header")
     data = bytes(data)
     offsets, trailer = _parse_xref(data)
-    catalog, _ = _load_object(data, offsets, _ref(trailer, b"Root"))
+    crypt = _make_decryptor(data, offsets, trailer)
+    catalog, _ = _load_object(data, offsets, _ref(trailer, b"Root"),
+                              crypt=crypt)
     root = _ref(catalog, b"Pages")
     nums: list[int] = []
     seen: set[int] = set()
@@ -158,7 +163,7 @@ def _leaf_page_nums(data: bytes) -> tuple[list[int], dict, bytes]:
         if num in seen:
             raise _PdfError("cyclic page tree")
         seen.add(num)
-        node, _ = _load_object(data, offsets, num)
+        node, _ = _load_object(data, offsets, num, crypt=crypt)
         km = re.search(rb"/Kids\s*\[([^\]]*)\]", node)
         if km is not None:
             kids = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R",
@@ -171,7 +176,7 @@ def _leaf_page_nums(data: bytes) -> tuple[list[int], dict, bytes]:
             nums.append(num)
 
     walk(root, 0)
-    return nums, offsets, data
+    return nums, offsets, data, crypt
 
 
 def parse_pdf_links(data: bytes | None) -> dict:
@@ -183,16 +188,16 @@ def parse_pdf_links(data: bytes | None) -> dict:
     if data is None:
         return {"links": None, "error": "missing %PDF header"}
     try:
-        nums, offsets, data = _leaf_page_nums(data)
+        nums, offsets, data, crypt = _leaf_page_nums(data)
         page_index = {num: i for i, num in enumerate(nums)}
         links: list[tuple] = []
         for pidx, num in enumerate(nums):
-            page, _ = _load_object(data, offsets, num)
+            page, _ = _load_object(data, offsets, num, crypt=crypt)
             am = re.search(rb"/Annots\s*\[([^\]]*)\]", page)
             if am is None:
                 continue
             # positioned text of this page, for rect anchoring
-            raw = _contents_of(data, offsets, page)
+            raw = _contents_of(data, offsets, page, crypt)
             spans = [
                 (tok[2], tok[3],
                  (bytes(tok[1]) if isinstance(tok[1], _HexLit)
@@ -201,7 +206,8 @@ def parse_pdf_links(data: bytes | None) -> dict:
             ]
             link_idx = 0
             for aref in re.findall(rb"(\d+)\s+0\s+R", am.group(1)):
-                adict, _end = _load_object(data, offsets, int(aref))
+                adict, _end = _load_object(data, offsets, int(aref),
+                                           crypt=crypt)
                 if not re.search(rb"/Subtype\s*/Link\b", adict):
                     continue
                 rm = re.search(rb"/Rect\s*\[([^\]]*)\]", adict)
@@ -218,7 +224,15 @@ def parse_pdf_links(data: bytes | None) -> dict:
                     rb"/A\s*<<[^>]*?/URI\s*\(((?:[^()\\]|\\.)*)\)", adict)
                 if um is not None:
                     kind = "uri"
-                    target = _unescape_literal(um.group(1)).decode("utf-8")
+                    tb = _unescape_literal(um.group(1))
+                    if crypt is not None:
+                        # dict-borne strings are individually encrypted
+                        # under the annot object's key (spec §7.6.2)
+                        try:
+                            tb = crypt.decrypt(int(aref), 0, tb)
+                        except ValueError as e:
+                            raise _PdfError(str(e)) from None
+                    target = tb.decode("utf-8")
                 else:
                     dm = re.search(rb"/Dest\s*\[\s*(\d+)\s+0\s+R", adict)
                     if dm is None:

@@ -293,7 +293,7 @@ def parse_pdf_cid(data: bytes | None) -> dict:
     if data is None:
         return {**none, "error": "missing %PDF header"}
     try:
-        leaves, offsets, data, _n = _leaf_pages(data)
+        leaves, offsets, data, _n, crypt = _leaf_pages(data)
         texts: list[str] = []
         n_fonts = n_codes = n_unmapped = 0
         for page in leaves:
@@ -303,16 +303,18 @@ def parse_pdf_cid(data: bytes | None) -> dict:
                 for nm, num in re.findall(
                     rb"/([^\s/<>\[\]()%]+)\s+(\d+)\s+0\s+R", fm.group(1)
                 ):
-                    fd, fend = _load_object(data, offsets, int(num))
+                    fd, fend = _load_object(data, offsets, int(num),
+                                            crypt=crypt)
                     if re.search(rb"/Subtype\s*/Type0\b", fd):
+                        tnum = _ref(fd, b"ToUnicode")
                         td, tend = _load_object(
-                            data, offsets, _ref(fd, b"ToUnicode"))
+                            data, offsets, tnum, crypt=crypt)
                         fonts[nm.decode("latin1")] = _parse_cmap(
-                            _stream_bytes(data, td, tend))
+                            _stream_bytes(data, td, tend, crypt, tnum))
                         n_fonts += 1
                     else:
                         fonts[nm.decode("latin1")] = None
-            raw = _contents_of(data, offsets, page)
+            raw = _contents_of(data, offsets, page, crypt)
             cmap: dict[int, str] | None = None
             for tok in _content_tokens_pos(raw, fonts=True):
                 if tok[0] == "font":

@@ -154,7 +154,9 @@ def build_real_pdf(text: str, use_tj_array: bool = False,
                    use_hex_strings: bool = False,
                    filter_chain: bool = False,
                    page_tree: bool = False,
-                   filter_id: int | None = None) -> bytes:
+                   filter_id: int | None = None,
+                   predictor: bool = False,
+                   poison_predictor: bool = False) -> bytes:
     """Emit a real, minimal, spec-conformant PDF carrying ``text``.
 
     Pages are ``PAGE_CHUNK_CHARS``-codepoint chunks (>=1 page even for
@@ -171,7 +173,8 @@ def build_real_pdf(text: str, use_tj_array: bool = False,
     every PDFBox/Acrobat-produced document of any size actually uses,
     which a flat-/Kids reader silently misreads as zero pages."""
     if xref_stream:
-        return _build_pdf15(text, use_tj_array, corrupt_stream)
+        return _build_pdf15(text, use_tj_array, corrupt_stream,
+                            predictor, poison_predictor)
     if page_tree:
         return _build_pdf_tree(text, use_tj_array, corrupt_stream)
     chunks = [
@@ -324,11 +327,18 @@ def _build_pdf_tree(text: str, use_tj_array: bool,
     return bytes(buf)
 
 
-def _build_pdf15(text: str, use_tj_array: bool, corrupt_stream: bool) -> bytes:
+def _build_pdf15(text: str, use_tj_array: bool, corrupt_stream: bool,
+                 predictor: bool = False,
+                 poison_predictor: bool = False) -> bytes:
     """PDF-1.5 layout: dict-only objects packed into one /ObjStm, offsets
     delivered by a /XRef stream. Object numbering: 1 catalog, 2 pages
     tree, 3..2+p page dicts (all type-2, inside the ObjStm), 3+p..2+2p
-    content streams (type-1), 3+2p the ObjStm, 4+2p the XRef stream."""
+    content streams (type-1), 3+2p the ObjStm, 4+2p the XRef stream.
+    ``predictor=True`` emits the xref stream the way most real writers
+    do: /DecodeParms << /Predictor 12 /Columns 7 >> with every W-row
+    Up-filtered (PNG filter 2) before compression. ``poison_predictor``
+    corrupts one row's filter-type byte to an undefined value — the
+    whole document must fail structurally (the xref is unreadable)."""
     chunks = [
         text[i:i + PAGE_CHUNK_CHARS]
         for i in range(0, len(text), PAGE_CHUNK_CHARS)
@@ -393,11 +403,26 @@ def _build_pdf15(text: str, use_tj_array: bool, corrupt_stream: bool) -> bytes:
         rows += bytes([1]) + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
     rows += bytes([1]) + offsets[objstm_num].to_bytes(4, "big") + (0).to_bytes(2, "big")
     rows += bytes([1]) + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    parms = b""
+    if predictor:
+        # Up-filter every 7-byte W-row (PNG filter 2) — the layout
+        # most real producers emit for their xref streams
+        filtered = bytearray()
+        prev = bytes(7)
+        for r0 in range(0, len(rows), 7):
+            row = bytes(rows[r0:r0 + 7])
+            filtered.append(2)
+            filtered += bytes((a - b) & 0xFF for a, b in zip(row, prev))
+            prev = row
+        if poison_predictor:
+            filtered[0] = 9  # undefined PNG filter type
+        rows = filtered
+        parms = b"/DecodeParms << /Predictor 12 /Columns 7 >> "
     xref_comp = zlib.compress(bytes(rows), 6)
     buf += (
         b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
-        b"/Length %d /Filter /FlateDecode >>\nstream\n"
-        % (xref_num, size, len(xref_comp))
+        b"%s/Length %d /Filter /FlateDecode >>\nstream\n"
+        % (xref_num, size, parms, len(xref_comp))
         + xref_comp
         + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_off
     )
@@ -636,8 +661,31 @@ def _parse_xref(data: bytes) -> tuple[dict, bytes]:
     raise _PdfError("/Prev chain too long")
 
 
+def _make_decryptor(data: bytes, offsets: dict, trailer: bytes):
+    """Build the standard-security-handler decryptor when the trailer
+    carries /Encrypt (spec §7.6.3); None for unencrypted documents.
+    The /Encrypt dictionary itself and the /ID strings are exempt from
+    encryption, so loading them through the plain path is correct.
+    Every handshake failure (non-empty user password, corrupted /O,
+    lying /P, unsupported version/handler) maps to an error row."""
+    if not re.search(rb"/Encrypt\s+\d+\s+0\s+R", trailer):
+        return None
+    from cies_ocr_java_spark.operators.pdf_crypt import PdfDecryptor
+
+    enc_num = _ref(trailer, b"Encrypt")
+    enc_dict, _ = _load_object(data, offsets, enc_num)
+    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", trailer)
+    if not idm:
+        raise _PdfError("encrypted document missing /ID")
+    id0 = bytes.fromhex(idm.group(1).decode("ascii"))
+    try:
+        return PdfDecryptor.from_encrypt_dict(enc_dict, id0)
+    except ValueError as e:
+        raise _PdfError(str(e)) from None
+
+
 def _load_object(data: bytes, offsets: dict, num: int,
-                 _depth: int = 0) -> tuple[bytes, int | None]:
+                 _depth: int = 0, crypt=None) -> tuple[bytes, int | None]:
     """Fetch object ``num`` VIA ITS XREF LOCATION, verify the header — a
     wrong offset fails loudly instead of degrading to a scan — and parse
     its balanced ``<<..>>`` dictionary (see _scan_dict: bounded by
@@ -656,10 +704,11 @@ def _load_object(data: bytes, offsets: dict, num: int,
         if _depth >= 2:
             raise _PdfError("object streams may not nest")
         _, stm_num, idx = loc
-        sdict, send = _load_object(data, offsets, stm_num, _depth + 1)
+        sdict, send = _load_object(data, offsets, stm_num, _depth + 1,
+                                   crypt)
         if not re.search(rb"/Type\s*/ObjStm\b", sdict):
             raise _PdfError(f"object {stm_num} is not an ObjStm")
-        raw = _stream_bytes(data, sdict, send)
+        raw = _stream_bytes(data, sdict, send, crypt, stm_num)
         nm = re.search(rb"/N\s+(\d+)", sdict)
         fm = re.search(rb"/First\s+(\d+)", sdict)
         if not nm or not fm:
@@ -687,7 +736,8 @@ def _load_object(data: bytes, offsets: dict, num: int,
     return _scan_dict(data, off, num)
 
 
-def _stream_bytes(data: bytes, obj_dict: bytes, after_dict: int | None) -> bytes:
+def _stream_bytes(data: bytes, obj_dict: bytes, after_dict: int | None,
+                  crypt=None, num: int = 0) -> bytes:
     if after_dict is None:
         raise _PdfError("a stream object cannot live inside an ObjStm")
     lm = re.search(rb"/Length\s+(\d+)", obj_dict)
@@ -705,6 +755,15 @@ def _stream_bytes(data: bytes, obj_dict: bytes, after_dict: int | None) -> bytes
         b"endstream"
     ):
         raise _PdfError("/Length does not reach endstream")
+    if crypt is not None:
+        # per-object decrypt FIRST, then the filter chain (encryption
+        # is the outermost on-disk transform, spec §7.6.2); xref
+        # streams never take this path (spec 7.5.8.2 — their reader
+        # passes no decryptor)
+        try:
+            raw = crypt.decrypt(num, 0, raw)
+        except ValueError as e:
+            raise _PdfError(str(e)) from None
     # /Filter is a single name or an ARRAY applied in order during
     # decoding (spec 7.4.1) — the supported chain members are
     # ASCIIHexDecode and FlateDecode
@@ -727,7 +786,56 @@ def _stream_bytes(data: bytes, obj_dict: bytes, after_dict: int | None) -> bytes
                     raise _PdfError(f"flate decode failed: {e}") from None
             else:
                 raise _PdfError(f"unsupported filter {name.decode('latin1')}")
+        if b"/DecodeParms" in obj_dict:
+            raw = _apply_predictor(obj_dict, raw)
     return raw
+
+
+def _apply_predictor(obj_dict: bytes, raw: bytes) -> bytes:
+    """/DecodeParms predictor de-filter (spec 7.4.4.4) — the layer most
+    real-world writers put on their xref streams (/Predictor 12 'Up' is
+    the default output of many producers; a reader without it misparses
+    the cross-reference of most wild PDF-1.5 files). Predictor 2 is the
+    TIFF horizontal differencing; 10-15 are the PNG row filters (one
+    filter-type byte per /Columns-wide row) — the SAME five filters as
+    PNG, so the de-filter is png_adam7's _unfilter reused verbatim.
+    Subset gate: /Colors * /BitsPerComponent must be 8 (one byte per
+    sample — always true for xref streams)."""
+    pm = re.search(rb"/Predictor\s+(\d+)", obj_dict)
+    if not pm:
+        return raw
+    pred = int(pm.group(1))
+    if pred == 1:
+        return raw
+    cm = re.search(rb"/Columns\s+(\d+)", obj_dict)
+    cols = int(cm.group(1)) if cm else 1
+    if cols <= 0:
+        raise _PdfError("bad /Columns")
+    colm = re.search(rb"/Colors\s+(\d+)", obj_dict)
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", obj_dict)
+    colors = int(colm.group(1)) if colm else 1
+    bpc = int(bm.group(1)) if bm else 8
+    if colors * bpc != 8:
+        raise _PdfError("unsupported predictor parameters")
+    if pred == 2:
+        if len(raw) % cols:
+            raise _PdfError("predictor data size mismatch")
+        out = bytearray(raw)
+        for r0 in range(0, len(out), cols):
+            for k in range(r0 + 1, r0 + cols):
+                out[k] = (out[k] + out[k - 1]) & 0xFF
+        return bytes(out)
+    if 10 <= pred <= 15:
+        from cies_ocr_java_spark.operators.png_adam7 import _unfilter
+
+        if len(raw) % (cols + 1):
+            raise _PdfError("predictor data size mismatch")
+        try:
+            rows, _ = _unfilter(raw, cols, len(raw) // (cols + 1), 0)
+        except ValueError as e:
+            raise _PdfError(str(e)) from None
+        return b"".join(rows)
+    raise _PdfError(f"unsupported predictor {pred}")
 
 
 def _ascii_hex_decode(raw: bytes) -> bytes:
@@ -1241,18 +1349,22 @@ def _page_contents(data: bytes) -> tuple[list[bytes], int]:
     order; a node without /Kids is a leaf /Page. Depth-capped at 32 and
     cycle-guarded by object number — a self-referencing tree fails the
     document, never loops."""
-    leaves, offsets, data, n_objects = _leaf_pages(data)
-    return [_contents_of(data, offsets, page) for page in leaves], n_objects
+    leaves, offsets, data, n_objects, crypt = _leaf_pages(data)
+    return ([_contents_of(data, offsets, page, crypt) for page in leaves],
+            n_objects)
 
 
-def _leaf_pages(data: bytes) -> tuple[list[bytes], dict, bytes, int]:
+def _leaf_pages(data: bytes) -> tuple[list[bytes], dict, bytes, int,
+                                      object]:
     """Like _page_contents but returns the leaf PAGE DICTS (plus the
-    offsets map and normalized data) so callers can also resolve
-    per-page /Resources — the XObject name -> object mapping."""
+    offsets map, normalized data, and the document decryptor — None
+    when unencrypted) so callers can also resolve per-page /Resources
+    — the XObject name -> object mapping."""
     if not data or not bytes(data).startswith(b"%PDF-"):
         raise _PdfError("missing %PDF header")
     data = bytes(data)
     offsets, trailer = _parse_xref(data)
+    crypt = _make_decryptor(data, offsets, trailer)
     catalog, _ = _load_object(data, offsets, _ref(trailer, b"Root"))
     pages_root = _ref(catalog, b"Pages")
     root_obj, _ = _load_object(data, offsets, pages_root)
@@ -1267,7 +1379,7 @@ def _leaf_pages(data: bytes) -> tuple[list[bytes], dict, bytes, int]:
         if num in seen:
             raise _PdfError("cyclic page tree")
         seen.add(num)
-        node, _ = _load_object(data, offsets, num)
+        node, _ = _load_object(data, offsets, num, crypt=crypt)
         km = re.search(rb"/Kids\s*\[([^\]]*)\]", node)
         if km is not None:
             kid_nums = [
@@ -1281,10 +1393,11 @@ def _leaf_pages(data: bytes) -> tuple[list[bytes], dict, bytes, int]:
             leaves.append(node)
 
     _walk2(pages_root, 0)
-    return leaves, offsets, data, len(offsets)
+    return leaves, offsets, data, len(offsets), crypt
 
 
-def _contents_of(data: bytes, offsets: dict, page: bytes) -> bytes:
+def _contents_of(data: bytes, offsets: dict, page: bytes,
+                 crypt=None) -> bytes:
     """Decoded /Contents bytes of one leaf page (single ref or array
     whose streams concatenate in order, spec 7.7.3.3)."""
     am = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
@@ -1298,8 +1411,8 @@ def _contents_of(data: bytes, offsets: dict, page: bytes) -> bytes:
         cnums = [_ref(page, b"Contents")]
     raw = b""
     for cn in cnums:
-        cdict, cend = _load_object(data, offsets, cn)
-        raw += _stream_bytes(data, cdict, cend)
+        cdict, cend = _load_object(data, offsets, cn, crypt=crypt)
+        raw += _stream_bytes(data, cdict, cend, crypt, cn)
     return raw
 
 
@@ -1532,8 +1645,9 @@ def parse_pdf_interleaved(data: bytes, keep_samples: bool = False) -> dict:
             raise _PdfError("missing %PDF header")
         data = bytes(data)
         offsets, trailer = _parse_xref(data)
+        crypt = _make_decryptor(data, offsets, trailer)
         root = _ref(trailer, b"Root")
-        catalog, _ = _load_object(data, offsets, root)
+        catalog, _ = _load_object(data, offsets, root, crypt=crypt)
         pages_obj, _ = _load_object(data, offsets, _ref(catalog, b"Pages"))
         kids = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_obj)
         if not kids:
@@ -1564,8 +1678,8 @@ def parse_pdf_interleaved(data: bytes, keep_samples: bool = False) -> dict:
                 cnums = [_ref(page, b"Contents")]
             raw = b""
             for cn in cnums:
-                cdict, cend = _load_object(data, offsets, cn)
-                raw += _stream_bytes(data, cdict, cend)
+                cdict, cend = _load_object(data, offsets, cn, crypt=crypt)
+                raw += _stream_bytes(data, cdict, cend, crypt, cn)
             buf: list[str] = []
 
             def _flush():
@@ -2219,7 +2333,9 @@ def parse_pdf_outline(data: bytes) -> dict:
             raise _PdfError("missing %PDF header")
         data = bytes(data)
         offsets, trailer = _parse_xref(data)
-        catalog, _ = _load_object(data, offsets, _ref(trailer, b"Root"))
+        crypt = _make_decryptor(data, offsets, trailer)
+        catalog, _ = _load_object(data, offsets, _ref(trailer, b"Root"),
+                                  crypt=crypt)
         m = re.search(rb"/Outlines\s+(\d+)\s+0\s+R", catalog)
         if not m:
             return {"items": [], "error": None}  # no outline: empty TOC
@@ -2261,9 +2377,15 @@ def parse_pdf_outline(data: bytes) -> dict:
                     j += 1
                 if dep:
                     raise _PdfError("unterminated outline title")
-                title = _unescape_literal(
-                    item[tm.end():j - 1]
-                ).decode("utf-8", errors="replace")
+                title_b = _unescape_literal(item[tm.end():j - 1])
+                if crypt is not None:
+                    # dict-borne strings are individually encrypted
+                    # under the item object's key (spec §7.6.2)
+                    try:
+                        title_b = crypt.decrypt(num, 0, title_b)
+                    except ValueError as e:
+                        raise _PdfError(str(e)) from None
+                title = title_b.decode("utf-8", errors="replace")
                 items.append((len(items), depth, title))
                 _walk(_first(item), depth + 1)
                 num = _next(item)
@@ -2290,10 +2412,10 @@ def parse_pdf_anchored_ocr(data: bytes) -> dict:
     from cies_ocr_java_spark.operators.ocr_glyph import GLYPH_H, ocr_pixels
 
     try:
-        leaves, offsets, data, _ = _leaf_pages(data)
+        leaves, offsets, data, _, crypt = _leaf_pages(data)
         spans: list[tuple] = []
         for page in leaves:
-            raw = _contents_of(data, offsets, page)
+            raw = _contents_of(data, offsets, page, crypt)
             xmap: dict[str, int] = {}
             xob = re.search(rb"/XObject\s*<<(.*?)>>", page, re.S)
             if xob:
@@ -2322,7 +2444,8 @@ def parse_pdf_anchored_ocr(data: bytes) -> dict:
                 name = tok[1]
                 if name not in xmap:
                     raise _PdfError(f"unresolved XObject /{name}")
-                idict, iend = _load_object(data, offsets, xmap[name])
+                idict, iend = _load_object(data, offsets, xmap[name],
+                                           crypt=crypt)
                 wm = re.search(rb"/Width\s+(\d+)", idict)
                 hm = re.search(rb"/Height\s+(\d+)", idict)
                 if not wm or not hm:
@@ -2330,7 +2453,8 @@ def parse_pdf_anchored_ocr(data: bytes) -> dict:
                 w, h = int(wm.group(1)), int(hm.group(1))
                 if w <= 0 or h <= 0:
                     raise _PdfError("bad image dimensions")
-                samples = _stream_bytes(data, idict, iend)
+                samples = _stream_bytes(data, idict, iend, crypt,
+                                        xmap[name])
                 if len(samples) != w * h:
                     raise _PdfError("image sample count mismatch")
                 content = None
@@ -2478,7 +2602,7 @@ def extract_annotations(data: bytes) -> dict:
     None} or {'annots': None, 'error': reason} — the degradation
     contract: a dangling /Annots ref fails the DOCUMENT, never raises."""
     try:
-        leaves, offsets, data, _ = _leaf_pages(data)
+        leaves, offsets, data, _, _crypt = _leaf_pages(data)
         out = []
         for page_idx, page in enumerate(leaves):
             am = re.search(rb"/Annots\s*\[([^\]]*)\]", page)
@@ -2500,6 +2624,15 @@ def extract_annotations(data: bytes) -> dict:
                     kind, target = "note", _annot_literal(annot, b"Contents")
                 else:
                     raise _PdfError("unsupported annot subtype")
+                if _crypt is not None:
+                    # strings in object dicts are INDIVIDUALLY encrypted
+                    # (unlike strings inside content streams, which ride
+                    # the stream's own encryption) — decrypt under the
+                    # annot object's key, after unescaping (spec §7.6.2)
+                    try:
+                        target = _crypt.decrypt(ref, 0, target)
+                    except ValueError as e:
+                        raise _PdfError(str(e)) from None
                 out.append({
                     "page_idx": page_idx,
                     "kind": kind,

@@ -943,3 +943,73 @@ class TestFilterCascade:
                 m[rng.randrange(len(m))] = rng.randrange(256)
             r = parse_real_pdf(bytes(m))
             assert (r["text"] is None) == (r["error"] is not None)
+
+
+class TestXrefPredictor:
+    """/DecodeParms predictors on xref streams (spec 7.4.4.4) — the
+    /Predictor 12 'Up' layout most real producers emit."""
+
+    def test_round_trip(self):
+        t = "Predictor xref. " * 60
+        r = parse_real_pdf(build_real_pdf(t, xref_stream=True,
+                                          predictor=True))
+        plain = parse_real_pdf(build_real_pdf(t, xref_stream=True))
+        assert r["error"] is None
+        assert r["text"] == plain["text"] == t
+        assert r["n_objects"] == plain["n_objects"]
+
+    def test_poison_filter_byte_fails_document(self):
+        r = parse_real_pdf(build_real_pdf(
+            "x" * 300, xref_stream=True, predictor=True,
+            poison_predictor=True))
+        assert r["error"] == "unknown filter type 9"
+        assert r["text"] is None
+
+    def test_tiff_predictor_2(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            _apply_predictor,
+        )
+        # horizontal differencing over 4-byte rows
+        rows = [bytes([10, 20, 30, 40]), bytes([5, 5, 5, 5])]
+        diffed = b"".join(
+            bytes([row[0]]) + bytes((row[k] - row[k - 1]) & 0xFF
+                                    for k in range(1, 4))
+            for row in rows)
+        d = b"<< /DecodeParms << /Predictor 2 /Columns 4 >> >>"
+        assert _apply_predictor(d, diffed) == b"".join(rows)
+
+    def test_png_all_five_filters_decode(self):
+        from cies_ocr_java_spark.operators.pdf_real import (
+            _apply_predictor,
+        )
+        from cies_ocr_java_spark.operators.png_adam7 import (
+            _filter_rows,
+        )
+        rows = [bytes((7 * i + k) % 256 for k in range(9))
+                for i in range(10)]  # 10 rows cycle all 5 filters
+        d = b"<< /DecodeParms << /Predictor 15 /Columns 9 >> >>"
+        assert _apply_predictor(d, _filter_rows(rows)) == b"".join(rows)
+
+    def test_gates(self):
+        import pytest
+
+        from cies_ocr_java_spark.operators.pdf_real import (
+            _apply_predictor,
+            _PdfError,
+        )
+        d12 = b"<< /DecodeParms << /Predictor 12 /Columns 4 >> >>"
+        with pytest.raises(_PdfError, match="size mismatch"):
+            _apply_predictor(d12, b"\x00" * 7)  # not a multiple of 5
+        with pytest.raises(_PdfError, match="unsupported predictor param"):
+            _apply_predictor(
+                b"<< /DecodeParms << /Predictor 12 /Columns 4 "
+                b"/Colors 3 >> >>", b"\x00" * 5)
+        with pytest.raises(_PdfError, match="unsupported predictor 7"):
+            _apply_predictor(
+                b"<< /DecodeParms << /Predictor 7 /Columns 4 >> >>",
+                b"\x00" * 4)
+        # predictor 1 and absent /Predictor are identity
+        assert _apply_predictor(
+            b"<< /DecodeParms << /Predictor 1 >> >>", b"abc") == b"abc"
+        assert _apply_predictor(b"<< /DecodeParms << >> >>",
+                                b"abc") == b"abc"
