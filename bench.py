@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cies_ocr_java_spark.plans.queries import (  # noqa: E402
     QUERIES,
+    STREAM_TELEMETRY,
     premint_fixture_caches,
 )
 from cies_ocr_java_spark.session import get_spark  # noqa: E402
@@ -128,12 +129,21 @@ def _fail_info(name: str, exc: Exception) -> str:
     return f"{type(exc).__name__}: {cause[:300]}"
 
 
-def run_queries(spark, names, sf_dir) -> tuple[dict[str, float], dict[str, str]]:
+def run_queries(
+    spark, names, sf_dir
+) -> tuple[dict[str, float], dict[str, str], dict[str, dict]]:
     """Run each query through the noop sink; a failing query is RECORDED
     (name -> exception summary) and the sweep continues — one poisoned
-    plan must not void the other N-1 measurements."""
+    plan must not void the other N-1 measurements. The third return is
+    the streaming harness/plan split (round-4 verdict item 4): for each
+    Structured-Streaming name, 'batch_s' is the summed addBatch wall
+    (the actual plan execution) and 'harness_s' the microbatch
+    scaffolding — a plan regression in these names is visible in
+    batch_s even though the headline wall carries both."""
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
+    stream_split: dict[str, dict] = {}
+    STREAM_TELEMETRY.clear()
     for name in names:
         t0 = time.time()
         try:
@@ -143,8 +153,11 @@ def run_queries(spark, names, sf_dir) -> tuple[dict[str, float], dict[str, str]]
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # record + continue: attribution over purity
             failed[name] = _fail_info(name, e)
+        if name in STREAM_TELEMETRY:
+            stream_split[name] = STREAM_TELEMETRY.pop(name)
+            stream_split[name]["total_wall_s"] = timings.get(name)
         spark.catalog.clearCache()
-    return timings, failed
+    return timings, failed, stream_split
 
 
 def main() -> int:
@@ -157,6 +170,16 @@ def main() -> int:
         os.environ.get(
             "CIES_NEARDUP_CACHE_DIR",
             os.path.join(tempfile.gettempdir(), "cies_neardup_pairs"),
+        ),
+        ignore_errors=True,
+    )
+    # same rule for the build-once shingle table: shingle_table_build is
+    # itself a benched query, so the cache must not leak in from a
+    # previous run — it measures the build, its consumers the consumption
+    shutil.rmtree(
+        os.environ.get(
+            "CIES_SHINGLE_CACHE_DIR",
+            os.path.join(tempfile.gettempdir(), "cies_shingle_table"),
         ),
         ignore_errors=True,
     )
@@ -174,7 +197,7 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    _, warm_failed = run_queries(spark, HEADLINE, warm_dir)
+    _, warm_failed, _ = run_queries(spark, HEADLINE, warm_dir)
 
     # Some operators (dedup.py) persist an internal shingle table that the
     # returned plan consumes lazily; drop those blocks between queries so a
@@ -190,7 +213,7 @@ def main() -> int:
     # this is a no-op on every bench run after the first.
     premint_fixture_caches(spark, sf_dir)
 
-    timings, failed = run_queries(spark, HEADLINE, sf_dir)
+    timings, failed, stream_split = run_queries(spark, HEADLINE, sf_dir)
 
     total = round(sum(timings.values()), 3)
     skew = _measure_skew(spark)
@@ -208,6 +231,12 @@ def main() -> int:
                 # 'value' covers only the queries that completed.
                 "failed": failed,
                 "warm_failed": warm_failed,
+                # harness/plan split for the Structured-Streaming names
+                # (verdict r4 item 4): per name, batch_s = summed
+                # addBatch wall (the plan), harness_s = drain wall minus
+                # that (microbatch scaffolding), total_wall_s = the
+                # headline number these reconcile against.
+                "stream_split": stream_split,
             }
         )
     )

@@ -463,15 +463,19 @@ def lsh_candidate_pairs(signatures: DataFrame, k: int = DEFAULT_MINHASH_K,
 def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                         threshold: float, k: int = DEFAULT_MINHASH_K,
                         bands: int = DEFAULT_BANDS,
-                        n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+                        n: int = DEFAULT_SHINGLE_N,
+                        exploded: DataFrame | None = None) -> DataFrame:
     """The scale path: LSH candidates -> exact-Jaccard verification.
 
     The exploded shingle table feeds four consumers (signatures, sizes, and
     both sides of the verification join); without persisting it Catalyst
     re-plans the shingling subtree per consumer — 6 source scans and 6x the
     tokenize/slice CPU. One persist makes it 1 scan + 1 shingling pass.
+    ``exploded`` (e.g. the committed build-once shingle table) replaces
+    the persist with slim parquet scans.
     """
-    ex = exploded_shingles(df, text_col, id_col, n).persist()
+    ex = (exploded if exploded is not None
+          else exploded_shingles(df, text_col, id_col, n).persist())
     sigs = minhash_signatures(df, text_col, id_col, k, n, exploded=ex)
     cands = lsh_candidate_pairs(sigs, k, bands)
     return jaccard_pairs(
@@ -519,7 +523,8 @@ def incremental_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def containment_pairs(df: DataFrame, text_col: str, id_col: str,
                       threshold: float,
-                      n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+                      n: int = DEFAULT_SHINGLE_N,
+                      exploded: DataFrame | None = None) -> DataFrame:
     """Asymmetric near-dup: containment C(A,B) = |sh(A) n sh(B)| / |sh(A)|
     >= threshold — catches a small document quoted or embedded inside a
     much larger one, which symmetric Jaccard structurally misses (J is
@@ -533,8 +538,11 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
     (a stopword shingle never becomes a join key).
 
     Returns (id_a, id_b, containment): A contained in B; both directions
-    are evaluated independently (A-in-B and B-in-A are separate rows)."""
-    ex = exploded_shingles(df, text_col, id_col, n).persist()
+    are evaluated independently (A-in-B and B-in-A are separate rows).
+    ``exploded`` lets callers hand in a shared (often pre-committed)
+    shingle table instead of re-shingling."""
+    ex = (exploded if exploded is not None
+          else exploded_shingles(df, text_col, id_col, n).persist())
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     pre = _prefix_rows(ex, sizes, max(threshold - 1e-6, 0.0))
     cand = (

@@ -864,3 +864,71 @@ def test_token_bin_roundtrip_and_truncation_guard(spark, tmp_path):
     os.remove(victim + ".idx.json")
     with _pytest.raises(Exception, match="sidecar|missing"):
         spark.read.format("token_bin").load(victim).collect()
+
+
+def test_manifest_scale_delete_10k_files(spark, tmp_path):
+    """Manifest-scale regression gate (round-4 verdict item 7): a
+    row-level delete over a 10,000-file snapshot must stay bounded by
+    FILE-count work — one pruned probe scan, one file rewritten, 9,999
+    hardlinks, one metadata commit. A per-file Spark job or a row-count-
+    bounded driver structure would blow the wall assertion by orders of
+    magnitude (typical wall here: well under a minute; the bound is
+    generous only for co-tenant host noise)."""
+    import json
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "big")
+    ddir = os.path.join(root, "data", "snap-000001")
+    os.makedirs(ddir)
+    n_files = 10_000
+    schema = pa.schema([("doc_id", pa.int64()), ("v", pa.int64())])
+    # forge the snapshot directly — committing 10k files through a
+    # 10k-task Spark write would test the writer, not the delete
+    for i in range(n_files):
+        pq.write_table(
+            pa.table({"doc_id": [i], "v": [i * 7]}, schema=schema),
+            os.path.join(ddir, f"part-{i:05d}.parquet"),
+            compression="NONE",
+        )
+    with open(os.path.join(root, "snapshot-log.json"), "w") as f:
+        json.dump({
+            "current": 1,
+            "snapshots": [{
+                "snapshot_id": 1, "parent_id": None, "op": "append",
+                "data_dirs": ["snap-000001"], "ts": time.time(),
+                "meta": None, "partition_by": None,
+            }],
+        }, f)
+    t = SnapshotTable(root)
+    assert t.exists()
+
+    t0 = time.time()
+    sid = t.delete_where(spark, "doc_id = 4321")
+    wall = time.time() - t0
+    assert sid == 2
+    assert wall < 240, f"manifest-scale delete took {wall:.1f}s"
+
+    after = t.read(spark)
+    assert after.filter("doc_id = 4321").count() == 0
+    assert after.count() == n_files - 1
+    # CoW discipline: the replacement dir holds 9,999 hardlinked
+    # untouched files (nlink >= 2 — still sharing inodes with
+    # snap-000001) and NO file for the deleted row (its rewrite
+    # filtered to zero rows)
+    log = json.load(open(os.path.join(root, "snapshot-log.json")))
+    new_dirs = [d for s in log["snapshots"]
+                if s["snapshot_id"] == 2 for d in s["data_dirs"]]
+    linked = rewritten = 0
+    for d in new_dirs:
+        full = os.path.join(root, "data", d)
+        for fn in os.listdir(full):
+            if not fn.endswith(".parquet"):
+                continue
+            if os.stat(os.path.join(full, fn)).st_nlink >= 2:
+                linked += 1
+            else:
+                rewritten += 1
+    assert linked == n_files - 1, (linked, rewritten)
