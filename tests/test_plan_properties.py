@@ -878,6 +878,9 @@ def test_markdown_extract_single_exchange(spark):
         "syslog_rfc5424_parse",
         "gettext_po_parse",
         "hudi_timeline_replay",
+        # round-5 cross-document reassembly family
+        "http_range_reassembly",
+        "warc_revisit_resolve",
     ],
 )
 def test_session5_queries_zero_python_no_single_partition(spark, name):
