@@ -250,6 +250,113 @@ class PdfDecryptor:
                              encrypt=True)
 
 
+def build_encrypted_pdf15(text: str, method: str = "rc4-128", *,
+                          owner_pw: bytes = b"owner-secret") -> bytes:
+    """An encrypted PDF-1.5: dict-only objects in an ENCRYPTED /ObjStm,
+    offsets via an UNENCRYPTED xref stream (spec 7.5.8.2 — the xref must
+    be readable before any key can be derived), content streams
+    encrypted per object. Pins the decryptor's ObjStm path: packed
+    objects decrypt through the carrier stream's key, never their own.
+    Object numbering mirrors pdf_real._build_pdf15 with the /Encrypt
+    dict appended as the last type-1 object."""
+    from cies_ocr_java_spark.operators.pdf_real import (
+        PAGE_CHUNK_CHARS, _content_stream,
+    )
+
+    v, r, n, aes = _METHODS[method]
+    chunks = [text[i:i + PAGE_CHUNK_CHARS]
+              for i in range(0, len(text), PAGE_CHUNK_CHARS)] or [""]
+    p = len(chunks)
+    objstm_num = 3 + 2 * p
+    xref_num = 4 + 2 * p
+    enc_num = 5 + 2 * p
+    p_perm = -44
+    id0 = hashlib.md5(b"fixture-id15" + text.encode("utf-8")).digest()
+    o_value = compute_o_value(owner_pw, b"", r, n)
+    key = compute_encryption_key(b"", o_value, p_perm, id0, r, n)
+    u_value = compute_u_value(key, id0, r)
+    enc = PdfDecryptor(key, aes)
+
+    kids = b" ".join(b"%d 0 R" % (3 + i) for i in range(p))
+    packed: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % p),
+    ]
+    for i in range(p):
+        packed.append((
+            3 + i,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R >>" % (3 + p + i),
+        ))
+    bodies = b" ".join(body for _, body in packed)
+    header_pairs = []
+    off = 0
+    for num, body in packed:
+        header_pairs.append(b"%d %d" % (num, off))
+        off += len(body) + 1
+    stm_header = b" ".join(header_pairs) + b" "
+    objstm_disk = enc.encrypt(
+        objstm_num, 0, zlib.compress(stm_header + bodies, 6))
+
+    buf = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for i, chunk in enumerate(chunks):
+        num = 3 + p + i
+        disk = enc.encrypt(
+            num, 0, zlib.compress(_content_stream(chunk, False), 6))
+        offsets[num] = len(buf)
+        buf += (b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>"
+                b"\nstream\n" % (num, len(disk))
+                + disk + b"\nendstream\nendobj\n")
+    offsets[objstm_num] = len(buf)
+    buf += (b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n"
+            % (objstm_num, len(packed), len(stm_header),
+               len(objstm_disk))
+            + objstm_disk + b"\nendstream\nendobj\n")
+    offsets[enc_num] = len(buf)
+    parts = [b"<< /Filter /Standard /V %d /R %d" % (v, r)]
+    if r >= 3:
+        parts.append(b"/Length %d" % (n * 8))
+    if v == 4:
+        parts.append(
+            b"/CF << /StdCF << /CFM /%s /Length %d >> >> "
+            b"/StmF /StdCF /StrF /StdCF"
+            % (b"AESV2" if aes else b"V2", n))
+    parts.append(b"/O <" + o_value.hex().encode() + b">")
+    parts.append(b"/U <" + u_value.hex().encode() + b">")
+    parts.append(b"/P %d >>" % p_perm)
+    buf += (b"%d 0 obj\n" % enc_num) + b" ".join(parts) + b"\nendobj\n"
+    xref_off = len(buf)
+    offsets[xref_num] = xref_off
+    size = enc_num + 1
+    rows = bytearray()
+    rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+    for num in range(1, 3 + p):
+        rows += (bytes([2]) + objstm_num.to_bytes(4, "big")
+                 + (num - 1).to_bytes(2, "big"))
+    for num in range(3 + p, 3 + 2 * p):
+        rows += (bytes([1]) + offsets[num].to_bytes(4, "big")
+                 + (0).to_bytes(2, "big"))
+    rows += (bytes([1]) + offsets[objstm_num].to_bytes(4, "big")
+             + (0).to_bytes(2, "big"))
+    rows += (bytes([1]) + xref_off.to_bytes(4, "big")
+             + (0).to_bytes(2, "big"))
+    rows += (bytes([1]) + offsets[enc_num].to_bytes(4, "big")
+             + (0).to_bytes(2, "big"))
+    # xref row order follows object number: content streams, objstm,
+    # xref, encrypt — /Index covers 0..size contiguously
+    xref_comp = zlib.compress(bytes(rows), 6)
+    buf += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+            b"/Encrypt %d 0 R /ID [<%s> <%s>] /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n"
+            % (xref_num, size, enc_num, id0.hex().encode(),
+               id0.hex().encode(), len(xref_comp))
+            + xref_comp
+            + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_off)
+    return bytes(buf)
+
+
 def build_encrypted_pdf(text: str, method: str = "rc4-128", *,
                         owner_pw: bytes = b"owner-secret",
                         user_pw: bytes = b"",

@@ -563,12 +563,20 @@ def _parse_xref_stream(data: bytes, xref_off: int) -> tuple[dict, bytes]:
     sm = re.search(rb"/Size\s+(\d+)", d)
     if not wm or not sm:
         raise _PdfError("XRef stream missing /W or /Size")
-    w = [int(x) for x in wm.group(1).split()]
+    # the [^\]]* captures are raw dict bytes — int() on a corrupted
+    # token must degrade, not escape the _PdfError net (fuzz-found)
+    try:
+        w = [int(x) for x in wm.group(1).split()]
+    except ValueError:
+        raise _PdfError("bad /W widths") from None
     if len(w) != 3 or any(x < 0 for x in w) or sum(w) == 0:
         raise _PdfError("bad /W widths")
     size = int(sm.group(1))
     im = re.search(rb"/Index\s*\[([^\]]*)\]", d)
-    pairs = [int(x) for x in im.group(1).split()] if im else [0, size]
+    try:
+        pairs = [int(x) for x in im.group(1).split()] if im else [0, size]
+    except ValueError:
+        raise _PdfError("bad /Index") from None
     if len(pairs) % 2:
         raise _PdfError("odd /Index")
     rowlen = sum(w)
@@ -1365,9 +1373,10 @@ def _leaf_pages(data: bytes) -> tuple[list[bytes], dict, bytes, int,
     data = bytes(data)
     offsets, trailer = _parse_xref(data)
     crypt = _make_decryptor(data, offsets, trailer)
-    catalog, _ = _load_object(data, offsets, _ref(trailer, b"Root"))
+    catalog, _ = _load_object(data, offsets, _ref(trailer, b"Root"),
+                              crypt=crypt)
     pages_root = _ref(catalog, b"Pages")
-    root_obj, _ = _load_object(data, offsets, pages_root)
+    root_obj, _ = _load_object(data, offsets, pages_root, crypt=crypt)
     if re.search(rb"/Kids\s*\[([^\]]*)\]", root_obj) is None:
         raise _PdfError("pages tree missing /Kids")
     leaves: list[bytes] = []

@@ -81,6 +81,15 @@ def get_spark(
     )
     if master:
         builder = builder.master(master)
+        # Local mode only (we own the JVM launch): the 1g driver-heap
+        # default hosts ALL executor threads in local[], and the round-5
+        # 10x scale-step sweep OOM'd dedup_ngram_jaccard's shuffle there
+        # — the exact spill-sensitive finding the scale step exists to
+        # surface. 16g on a 128 GiB box mirrors a real executor's
+        # multi-GB heap; under spark-submit the deployment's
+        # --driver-memory wins (master is None, this branch is skipped).
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        builder = builder.config("spark.driver.memory", mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -137,3 +137,42 @@ def test_fuzz_never_raises(method):
         # structure: if error is None the text must decode as utf-8
         if r["error"] is None:
             assert isinstance(r["text"], str)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_encrypted_pdf15_objstm_path(method):
+    """Encrypted PDF-1.5: the catalog/pages/page dicts live in an
+    ENCRYPTED ObjStm, the xref stream stays unencrypted (spec 7.5.8.2),
+    and packed objects decrypt through the CARRIER stream's key — the
+    decryptor's type-2 path, untested by the classic-layout docs."""
+    from cies_ocr_java_spark.operators.pdf_crypt import (
+        build_encrypted_pdf15,
+    )
+
+    enc = parse_real_pdf(build_encrypted_pdf15(TEXT, method))
+    plain = parse_real_pdf(build_real_pdf(TEXT, xref_stream=True))
+    assert enc["error"] is None
+    assert enc["text"] == plain["text"] == TEXT
+    assert enc["page_count"] == plain["page_count"]
+    assert enc["n_objects"] == plain["n_objects"] + 1  # + /Encrypt
+
+
+def test_encrypted_pdf15_fuzz_never_raises():
+    import random
+
+    from cies_ocr_java_spark.operators.pdf_crypt import (
+        build_encrypted_pdf15,
+    )
+
+    rng = random.Random(0x15EC)
+    base = build_encrypted_pdf15("fuzz seed " * 30, "aes-128")
+    for _ in range(150):
+        x = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            x[rng.randrange(len(x))] = rng.randrange(256)
+        blob = (bytes(x[:rng.randrange(len(x) + 1)])
+                if rng.random() < 0.3 else bytes(x))
+        r = parse_real_pdf(blob)
+        assert "error" in r
+        if r["error"] is None:
+            assert isinstance(r["text"], str)
