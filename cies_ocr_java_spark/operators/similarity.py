@@ -576,9 +576,18 @@ def pq_codes(
             ),
         )
     )
+    # MANUAL half-up quantization in exact integer micro-units:
+    # floor(d2 * 1e6 + 1/2) over the exact decimal sum — no double hop
+    # (the old double+VARCHAR idiom hit a DuckDB VARCHAR->DECIMAL bug on
+    # tiny scientific-notation strings: '9.27e-08' casts to 0.000001),
+    # and no engine-native decimal rescale (Spark rounds half-up,
+    # DuckDB half-down — they disagree at exact halves). floor over an
+    # exact decimal is exact in both engines; found by the round-5 10x
+    # sweep when replica clones of codebook vectors made d2 tiny.
+    micro = F.floor(diff2 * F.lit(1000000) + F.lit(0.5).cast("decimal(2,1)"))
     scored = e.join(F.broadcast(cb), "m").select(
         "id", "m", "code",
-        diff2.cast("double").cast("decimal(12,6)").cast("double").alias("sq_dist"),
+        (micro.cast("double") / F.lit(1000000.0)).alias("sq_dist"),
     )
     w = Window.partitionBy("id", "m").orderBy(F.asc("sq_dist"), F.asc("code"))
     return (
@@ -632,15 +641,21 @@ def pq_adc_topk(
             ),
         )
     )
+    # same manual half-up micro-unit quantization as pq_codes; the LUT
+    # entries STAY integer micro-units so the downstream ADC sum is an
+    # exact integer in both engines (a double sum would be order-
+    # dependent in its last ulp)
     lut = q.join(cb, "m").select(
         "query_id", "m", "code",
-        diff2.cast("double").cast("decimal(12,6)").alias("d2"),
+        F.floor(diff2 * F.lit(1000000)
+                + F.lit(0.5).cast("decimal(2,1)"))
+        .cast("bigint").alias("d2u"),
     )
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .where(F.col("id") != F.col("query_id"))
         .groupBy("query_id", "id")
-        .agg(F.sum("d2").alias("adc"))
+        .agg(F.sum("d2u").alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
     return (
@@ -648,7 +663,8 @@ def pq_adc_topk(
         .where(F.col("rank") <= topk)
         .select(
             "query_id", "id",
-            F.col("adc").cast("double").alias("adc_dist"),
+            (F.col("adc").cast("double") / F.lit(1000000.0))
+            .alias("adc_dist"),
             "rank",
         )
     )
