@@ -122,7 +122,13 @@ def parse_qoi(data: bytes | None) -> dict:
     """Decode a QOI stream; px_sum = sum(r+g+b+a) over all pixels
     (the closed-form oracle hook), n_ops = op count including RUNs
     as one op each."""
-    if data is None or len(data) < 22:
+    # gate on the HEADER length only (14 bytes), not header+marker (22):
+    # a tiny solid image with its end marker chopped can be shorter than
+    # 22 bytes total, and the corruption it carries is the MISSING
+    # MARKER, not a short payload — the decode loop is fully bounds-
+    # gated, so attribution belongs to the marker check (found by the
+    # round-5 10x sweep at doc 33536: solid 5x3, chopped to 20 bytes)
+    if data is None or len(data) < 14:
         return {**_QOI_NONE, "error": "short or missing payload"}
     data = bytes(data)
     try:
