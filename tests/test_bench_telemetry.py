@@ -24,7 +24,7 @@ def _boom_lazy(spark, sf_dir):
 def test_bench_records_per_query_failures(spark, monkeypatch):
     monkeypatch.setitem(bench.QUERIES, "__forced_fail__", _boom)
     monkeypatch.setitem(bench.QUERIES, "__forced_fail_jvm__", _boom_lazy)
-    timings, failed = bench.run_queries(
+    timings, failed, _split = bench.run_queries(
         spark,
         ["doc_metadata_scan", "__forced_fail__", "__forced_fail_jvm__"],
         "/root/testdata/sf0.001",
