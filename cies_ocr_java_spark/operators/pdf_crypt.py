@@ -251,7 +251,8 @@ class PdfDecryptor:
 
 
 def build_encrypted_pdf15(text: str, method: str = "rc4-128", *,
-                          owner_pw: bytes = b"owner-secret") -> bytes:
+                          owner_pw: bytes = b"owner-secret",
+                          corrupt_objstm: bool = False) -> bytes:
     """An encrypted PDF-1.5: dict-only objects in an ENCRYPTED /ObjStm,
     offsets via an UNENCRYPTED xref stream (spec 7.5.8.2 — the xref must
     be readable before any key can be derived), content streams
@@ -297,6 +298,11 @@ def build_encrypted_pdf15(text: str, method: str = "rc4-128", *,
     stm_header = b" ".join(header_pairs) + b" "
     objstm_disk = enc.encrypt(
         objstm_num, 0, zlib.compress(stm_header + bodies, 6))
+    if corrupt_objstm:
+        # truncate the ENCRYPTED carrier: RC4 decrypts a shorter
+        # garbage-free prefix that fails in the flate layer; AES fails
+        # its own length gate first — same split as the classic builder
+        objstm_disk = objstm_disk[: max(1, len(objstm_disk) - 7)]
 
     buf = bytearray(b"%PDF-1.5\n")
     offsets: dict[int, int] = {}
