@@ -50,11 +50,14 @@ from cies_ocr_java_spark.operators.pdf_real import (
 __all__ = ["build_pdf_form", "parse_pdf_form", "extract_pdf_form_fields"]
 
 
-def _lit(s: str) -> bytes:
-    out = s.encode("utf-8")
+def _esc(out: bytes) -> bytes:
     out = out.replace(b"\\", rb"\\")
     out = out.replace(b"(", rb"\(").replace(b")", rb"\)")
     return out
+
+
+def _lit(s: str) -> bytes:
+    return _esc(s.encode("utf-8"))
 
 
 # a field spec: (partial_name, ftype|None, value|None, [children])
@@ -65,13 +68,44 @@ FieldSpec = tuple
 def build_pdf_form(fields: list, *,
                    dangling_ref: bool = False,
                    cyclic_kids: bool = False,
-                   missing_ft: bool = False) -> bytes:
+                   missing_ft: bool = False,
+                   encrypt_method: str | None = None,
+                   user_pw: bytes = b"") -> bytes:
     """A minimal real PDF whose catalog carries /AcroForm with the
     given field tree. One empty page keeps viewers happy. Poisons:
     ``dangling_ref`` appends a /Fields ref to a nonexistent object;
     ``cyclic_kids`` makes the FIRST group's first kid point back at
     the group; ``missing_ft`` strips /FT from every node of the first
-    group (no ancestor supplies it -> the chain has no type)."""
+    group (no ancestor supplies it -> the chain has no type).
+
+    ``encrypt_method`` ('rc4-40'/'rc4-128'/'aes-128') encrypts the
+    document under the standard security handler: every field-dict
+    STRING (/T, /V) is individually encrypted under ITS OWN object's
+    key (spec 7.6.2 — ciphertext is then PDF-escaped, because decrypt
+    happens after unescape on read), the content stream likewise, the
+    /Encrypt dict itself exempt. ``user_pw`` nonempty builds a
+    password-protected form the empty-password handshake must reject."""
+    import hashlib
+
+    from cies_ocr_java_spark.operators.pdf_crypt import (
+        _METHODS,
+        PdfDecryptor,
+        compute_encryption_key,
+        compute_o_value,
+        compute_u_value,
+    )
+
+    enc = None
+    if encrypt_method is not None:
+        v, r_rev, n, aes = _METHODS[encrypt_method]
+        seed = repr(fields).encode()
+        id0 = hashlib.md5(b"form-id" + seed).digest()
+        o_value = compute_o_value(b"owner-secret", user_pw, r_rev, n)
+        key = compute_encryption_key(user_pw, o_value, -44, id0,
+                                     r_rev, n)
+        u_value = compute_u_value(key, id0, r_rev)
+        enc = PdfDecryptor(key, aes)
+
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -84,14 +118,35 @@ def build_pdf_form(fields: list, *,
     add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Contents 4 0 R >>")
     comp = zlib.compress(b"BT ET\n", 6)
+    if enc is not None:
+        comp = enc.encrypt(4, 0, comp)
     add(b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
         + comp + b"\nendstream")
+
+    def s_lit(num: int, s: str) -> bytes:
+        raw = s.encode("utf-8")
+        if enc is None:
+            return _esc(raw)
+        # ciphertext is arbitrary bytes: beyond \ ( ), octal-escape
+        # every control byte and < > (spec 7.3.4.2 allows \ooo for any
+        # byte) — a raw '<<'/'>>' inside a literal desyncs balanced-
+        # dict scanning, and a raw CR is EOL-normalized by readers
+        raw = enc.encrypt(num, 0, raw)
+        out = bytearray()
+        for b in raw:
+            if b in (0x5C, 0x28, 0x29):
+                out += b"\\" + bytes([b])
+            elif b < 0x20 or b in (0x3C, 0x3E):
+                out += (b"\\%03o" % b)
+            else:
+                out.append(b)
+        return bytes(out)
 
     def emit(spec, parent_num: int | None, strip_ft: bool) -> int:
         name, ftype, value, kids = spec
         num = add(b"")  # reserve the number before emitting kids
         kid_nums = [emit(k, num, strip_ft) for k in kids]
-        parts = [b"<< /T (" + _lit(name) + b")"]
+        parts = [b"<< /T (" + s_lit(num, name) + b")"]
         if parent_num is not None:
             parts.append(b"/Parent %d 0 R" % parent_num)
         if ftype is not None and not strip_ft:
@@ -100,7 +155,7 @@ def build_pdf_form(fields: list, *,
             if ftype == "Btn" and not kids:
                 parts.append(b"/V /" + value.encode("ascii"))
             else:
-                parts.append(b"/V (" + _lit(value) + b")")
+                parts.append(b"/V (" + s_lit(num, value) + b")")
         if kid_nums:
             shown = list(kid_nums)
             if cyclic_kids and parent_num is None and spec is first_group:
@@ -123,6 +178,23 @@ def build_pdf_form(fields: list, *,
                + b" ".join(b"%d 0 R" % r for r in roots) + b"] >>")
     objects[0] = (b"<< /Type /Catalog /Pages 2 0 R /AcroForm %d 0 R >>"
                   % acro)
+    trailer_extra = b""
+    if enc is not None:
+        parts = [b"<< /Filter /Standard /V %d /R %d" % (v, r_rev)]
+        if r_rev >= 3:
+            parts.append(b"/Length %d" % (n * 8))
+        if v == 4:
+            parts.append(
+                b"/CF << /StdCF << /CFM /%s /Length %d >> >> "
+                b"/StmF /StdCF /StrF /StdCF"
+                % (b"AESV2" if aes else b"V2", n))
+        parts.append(b"/O <" + o_value.hex().encode() + b">")
+        parts.append(b"/U <" + u_value.hex().encode() + b">")
+        parts.append(b"/P -44 >>")
+        enc_num = add(b" ".join(parts))
+        trailer_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                         % (enc_num, id0.hex().encode(),
+                            id0.hex().encode()))
 
     buf = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -135,8 +207,8 @@ def build_pdf_form(fields: list, *,
     buf += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         buf += b"%010d 00000 n \n" % off
-    buf += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
-            b"%%%%EOF\n" % (n_objs, xref_off))
+    buf += (b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n"
+            b"%%%%EOF\n" % (n_objs, trailer_extra, xref_off))
     return bytes(buf)
 
 

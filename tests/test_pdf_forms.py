@@ -67,3 +67,36 @@ def test_fuzz_never_raises():
                 if rng.random() < 0.3 else bytes(x))
         r = parse_pdf_form(blob)
         assert "error" in r
+
+
+def test_encrypted_form_equals_plaintext_twin():
+    """Field-dict strings are INDIVIDUALLY encrypted under their own
+    object's key; decoded fields must equal the plaintext form's
+    exactly, and a password-protected form must reject — never emit
+    half-decrypted fields. Ciphertext literals octal-escape control
+    bytes and angle brackets (a raw '<<' inside a literal desyncs
+    balanced-dict scanning)."""
+    plain = parse_pdf_form(build_pdf_form(FIELDS))
+    for m in ("rc4-40", "rc4-128", "aes-128"):
+        r = parse_pdf_form(build_pdf_form(FIELDS, encrypt_method=m))
+        assert r["error"] is None, (m, r["error"])
+        assert r["fields"] == plain["fields"]
+        rp = parse_pdf_form(build_pdf_form(
+            FIELDS, encrypt_method=m, user_pw=b"secret"))
+        assert rp["error"] == "password handshake failed"
+
+
+def test_encrypted_form_ciphertext_sweep_many_keys():
+    """200 distinct documents (distinct ids -> distinct ciphertexts):
+    every one must round-trip — this is the sweep that catches a
+    hostile ciphertext byte class the escaper misses."""
+    for i in range(200):
+        fields = [(f"f{i}", "Tx", f"value-{i} (x) \\ y", []),
+                  (f"g{i}", "Tx", None,
+                   [("kid", None, f"deep-{i}", [])])]
+        enc = parse_pdf_form(build_pdf_form(
+            fields, encrypt_method=("rc4-40", "rc4-128",
+                                    "aes-128")[i % 3]))
+        assert enc["error"] is None, (i, enc["error"])
+        assert enc["fields"] == parse_pdf_form(
+            build_pdf_form(fields))["fields"], i
